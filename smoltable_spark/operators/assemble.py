@@ -1,0 +1,90 @@
+"""Nested row assembly — flat cells → the reference's user-facing row shape.
+
+Reference result shape (smoltable/src/row.rs:5-9, cell JSON at
+smoltable/src/cell.rs:270-277, docs/.../json-api/scan-rows.md:24-64):
+
+    Row { row_key, columns: Map<family, Map<qualifier, Vec<Cell>>> }
+    Cell { time, type, value }   -- versions newest-first
+
+Spark shape:
+
+    row_key STRING,
+    columns MAP<STRING, MAP<STRING, ARRAY<STRUCT<
+        time: LONG, vtype: STRING,
+        v_str ... v_f64  (typed value, exactly one non-null)>>>>
+
+Built entirely from groupBy + collect_list + map_from_entries — one
+shuffle, all JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from smoltable_spark.schema import VALUE_COLUMNS
+
+
+def assemble_rows(cells: DataFrame) -> DataFrame:
+    """Nest flat cells into rows; output ordered by row_key."""
+    cell_struct = F.struct(
+        F.col("ts").alias("time"),
+        F.col("vtype"),
+        *[F.col(c) for c in VALUE_COLUMNS],
+    )
+    # per (row, family, qualifier): version list, newest first.
+    # sort_array on struct sorts by first field (time) asc → reverse.
+    per_column = (
+        cells.groupBy("row_key", "family", "qualifier")
+        .agg(F.reverse(F.sort_array(F.collect_list(cell_struct))).alias("cells"))
+    )
+    # map entries are unordered semantically (consumers sort keys), and
+    # sort_array cannot order structs containing maps — collect unsorted.
+    per_family = (
+        per_column.groupBy("row_key", "family")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("qualifier"), F.col("cells")))
+            ).alias("qmap")
+        )
+    )
+    rows = (
+        per_family.groupBy("row_key")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("family"), F.col("qmap")))
+            ).alias("columns")
+        )
+        .orderBy("row_key")
+    )
+    return rows
+
+
+def rows_to_json_shape(rows_df: DataFrame) -> list[dict]:
+    """Collect assembled rows into the reference's JSON golden shape.
+
+    For tests only (drives golden comparisons à la
+    smoltable/tests/scan_range_simple.rs:86-120) — never in the hot path.
+    """
+    out = []
+    for r in rows_df.collect():
+        cols: dict = {}
+        for fam, qmap in sorted(r["columns"].items()):
+            fam_out = cols.setdefault(fam, {})
+            for qual, cells in sorted(qmap.items()):
+                fam_out[qual] = [_cell_json(c) for c in cells]
+        out.append({"row_key": r["row_key"], "columns": cols})
+    return out
+
+
+def _cell_json(c) -> dict:
+    vtype = c["vtype"]
+    col = {
+        "string": "v_str",
+        "boolean": "v_bool",
+        "byte": "v_byte",
+        "i32": "v_i32",
+        "i64": "v_i64",
+        "f32": "v_f32",
+        "f64": "v_f64",
+    }[vtype]
+    return {"time": c["time"], "value": {vtype: c[col]}}

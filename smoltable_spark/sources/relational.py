@@ -1,0 +1,198 @@
+"""Loaders for the driver's relational testdata + wide-column melt (F8).
+
+``/root/testdata/sf*/`` holds TPC-H-ish parquet (TESTDATA.md). Two roles:
+
+1. plain loaders (``load_table``) for the relational analytics queries and
+   the training-data extensions;
+2. melt loaders that re-shape relational rows into the canonical cells
+   schema so the wide-column operators run against real data at scale
+   (FIXTURES.md F8):
+   - ``orders``  → row_key ``order#<zero-padded key>``, family ``o``,
+     qualifier = column name (zero-padded keys preserve lexicographic ≡
+     numeric order, reference docs/.../wide-column-intro.md:184);
+   - ``lineitem`` → row_key ``order#<okey>#<linenumber>`` for drill-down
+     prefix scans per order;
+   - ``events``   → timeseries cells: row_key = series id
+     (``<event_type>#user#<uid>``), multi-version on ts — mirrors the
+     reference's metrics tables (server/src/metrics.rs:39-45).
+
+The melt is a ``stack`` projection — narrow, no shuffle, fully pipelined
+with the parquet scan. Events' parquet stores TIMESTAMP(NANOS), which
+Spark 4 refuses to read natively; an explicit LongType schema reads the
+raw INT64 nanos directly (and is what the cells model wants anyway).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw nanos (see module docstring)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return spark.read.schema(_EVENTS_SCHEMA).parquet(path)
+    return spark.read.parquet(path)
+
+
+def _null_except(vtype_col_map: dict[str, str]):
+    """Helper building the single-non-null v_* projection for one qualifier."""
+
+
+_VCOLS = ["v_str", "v_bool", "v_byte", "v_i32", "v_i64", "v_f32", "v_f64"]
+_VTYPES = {
+    "v_str": ("string", "string"),
+    "v_bool": ("boolean", "boolean"),
+    "v_byte": ("byte", "short"),
+    "v_i32": ("i32", "int"),
+    "v_i64": ("i64", "long"),
+    "v_f32": ("f32", "float"),
+    "v_f64": ("f64", "double"),
+}
+
+
+def _cell_projection(
+    row_key, family: str, qualifier: str, ts, vcol: str, value
+):
+    """One melted column → cells-schema projection list."""
+    vtype, _ = _VTYPES[vcol]
+    cols = [
+        row_key.alias("row_key"),
+        F.lit(family).alias("family"),
+        F.lit(qualifier).alias("qualifier"),
+        ts.cast("long").alias("ts"),
+        F.lit(vtype).alias("vtype"),
+    ]
+    for c in _VCOLS:
+        _, dtype = _VTYPES[c]
+        cols.append(
+            (value.cast(dtype) if c == vcol else F.lit(None).cast(dtype)).alias(c)
+        )
+    return cols
+
+
+def melt(
+    df: DataFrame,
+    row_key,
+    family: str,
+    columns: dict[str, tuple[str, object]],
+    ts=None,
+) -> DataFrame:
+    """Melt wide relational rows into tall cells.
+
+    ``columns`` maps qualifier → (v_column, source Column). Implemented as
+    a union of narrow projections over the same scan; Catalyst collapses
+    them into one pass (each branch is a project over the shared relation,
+    and the parquet scan is read once per branch but prunes to only the
+    needed columns — at 100 TB prefer the native cells layout written by
+    CellStore; the melt is the loader path).
+    """
+    if ts is None:
+        ts = F.lit(0)
+    parts = []
+    for qual, (vcol, src) in columns.items():
+        parts.append(
+            df.select(*_cell_projection(row_key, family, qual, ts, vcol, src))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _pad(col, width: int = 12):
+    return F.lpad(col.cast("string"), width, "0")
+
+
+def orders_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return melt(
+        orders,
+        row_key=F.concat(F.lit("order#"), _pad(F.col("o_orderkey"))),
+        family="o",
+        columns={
+            "custkey": ("v_i64", F.col("o_custkey")),
+            "orderstatus": ("v_str", F.col("o_orderstatus")),
+            "totalprice": ("v_f64", F.col("o_totalprice")),
+            "orderdate": ("v_i64", F.unix_millis(F.col("o_orderdate").cast("timestamp"))),
+            "orderpriority": ("v_str", F.col("o_orderpriority")),
+        },
+    )
+
+
+def lineitem_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return melt(
+        li,
+        row_key=F.concat(
+            F.lit("order#"),
+            _pad(F.col("l_orderkey")),
+            F.lit("#"),
+            F.lpad(F.col("l_linenumber").cast("string"), 2, "0"),
+        ),
+        family="l",
+        columns={
+            "partkey": ("v_i64", F.col("l_partkey")),
+            "suppkey": ("v_i64", F.col("l_suppkey")),
+            "quantity": ("v_f64", F.col("l_quantity")),
+            "extendedprice": ("v_f64", F.col("l_extendedprice")),
+            "discount": ("v_f64", F.col("l_discount")),
+            "tax": ("v_f64", F.col("l_tax")),
+            "returnflag": ("v_str", F.col("l_returnflag")),
+            "linestatus": ("v_str", F.col("l_linestatus")),
+            "shipdate": ("v_i64", F.unix_millis(F.col("l_shipdate").cast("timestamp"))),
+        },
+    )
+
+
+def events_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events as multi-version timeseries cells (F7/F8).
+
+    row_key = ``<event_type>#user#<padded uid>`` (a metrics series id),
+    qualifier '' (default column), ts = event nanos, value f64 — exactly
+    the reference's metrics-table shape (server/src/metrics.rs:39-45:
+    ``lat#write#cell`` etc. storing f64 points).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return melt(
+        ev,
+        row_key=F.concat(
+            F.col("event_type"), F.lit("#user#"), _pad(F.col("user_id"), 6)
+        ),
+        family="value",
+        columns={"": ("v_f64", F.col("value"))},
+        ts=F.col("ts"),
+    )
+
+
+def all_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of the melted tables — a multi-family cells table."""
+    out = orders_cells(spark, sf_dir)
+    out = out.unionByName(lineitem_cells(spark, sf_dir))
+    out = out.unionByName(events_cells(spark, sf_dir))
+    return out

@@ -1,0 +1,169 @@
+"""CellStore — versioned Parquet storage for cell tables.
+
+Physical design (SURVEY §1.6, §4):
+
+- one directory per table, containing immutable snapshot versions
+  ``v=<n>/`` and a ``_VERSION`` pointer file — a minimal copy-on-write
+  MVCC that stands in for the reference's LSM snapshots
+  (``keyspace.instant()``, smoltable/src/table/mod.rs:653) and gives
+  Delta-style time travel without external dependencies;
+- within a snapshot, data is ``partitionBy('lg')`` (locality groups,
+  reference mod.rs:34-51) so family-filtered queries touch only their
+  group's files — Catalyst partition pruning replaces
+  ``get_affected_locality_groups`` (row_reader.rs:6-69);
+- files are range-partitioned and sorted by
+  (row_key, family, qualifier, ts desc) via ``repartitionByRange`` +
+  ``sortWithinPartitions``, so parquet min/max stats on ``row_key`` give
+  file- and row-group-level skipping for point reads and prefix/range
+  scans — the equivalent of the reference's 64 KiB-block prefix-seek
+  layout (mod.rs:28-32, reader.rs:46-78);
+- a JSON sidecar persists column families + GC options (the reference's
+  manifest partition, mod.rs:271-296).
+
+Writes append a new snapshot; delete/GC jobs write the rewritten table as
+the next snapshot. Readers always see a consistent version.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from smoltable_spark.api import ColumnFamilyDef
+from smoltable_spark.schema import CELL_COLUMNS
+
+_VERSION_FILE = "_VERSION"
+_MANIFEST_FILE = "_MANIFEST.json"
+
+
+class CellStore:
+    """A versioned, locality-group-partitioned cells table on disk."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    # -- manifest (column families / locality groups) ----------------------
+
+    def save_families(self, families: list[ColumnFamilyDef]) -> None:
+        data = [
+            dict(name=f.name, ttl_secs=f.ttl_secs, version_limit=f.version_limit, lg=f.lg)
+            for f in families
+        ]
+        with open(os.path.join(self.path, _MANIFEST_FILE), "w") as fh:
+            json.dump(data, fh)
+
+    def load_families(self) -> list[ColumnFamilyDef]:
+        p = os.path.join(self.path, _MANIFEST_FILE)
+        if not os.path.exists(p):
+            return []
+        with open(p) as fh:
+            return [ColumnFamilyDef(**d) for d in json.load(fh)]
+
+    def family_to_lg(self) -> dict[str, str]:
+        return {f.name: f.lg for f in self.load_families()}
+
+    # -- versions ----------------------------------------------------------
+
+    def current_version(self) -> int:
+        p = os.path.join(self.path, _VERSION_FILE)
+        if not os.path.exists(p):
+            return 0
+        with open(p) as fh:
+            return int(fh.read().strip())
+
+    def _commit_version(self, n: int) -> None:
+        tmp = os.path.join(self.path, _VERSION_FILE + ".tmp")
+        with open(tmp, "w") as fh:
+            fh.write(str(n))
+        os.replace(tmp, os.path.join(self.path, _VERSION_FILE))  # atomic
+
+    def _version_dir(self, n: int) -> str:
+        return os.path.join(self.path, f"v={n}")
+
+    # -- write / read ------------------------------------------------------
+
+    def write(self, cells: DataFrame, num_range_partitions: int | None = None) -> int:
+        """Write a new snapshot containing exactly ``cells``; returns version.
+
+        Layout: lg partition dirs → range-partitioned, key-sorted parquet.
+        """
+        fam_lg = self.family_to_lg()
+        lg_expr = F.lit("")
+        if fam_lg:
+            mapping = F.create_map(
+                *[x for f, g in fam_lg.items() for x in (F.lit(f), F.lit(g))]
+            )
+            lg_expr = F.coalesce(mapping[F.col("family")], F.lit(""))
+        df = cells.select(*CELL_COLUMNS).withColumn("lg", lg_expr)
+        if num_range_partitions is None:
+            num_range_partitions = max(
+                self.spark.sparkContext.defaultParallelism, 8
+            )
+        df = df.repartitionByRange(
+            num_range_partitions, F.col("lg"), F.col("row_key")
+        ).sortWithinPartitions(
+            F.col("row_key").asc(),
+            F.col("family").asc(),
+            F.col("qualifier").asc(),
+            F.col("ts").desc(),
+        )
+        n = self.current_version() + 1
+        df.write.mode("overwrite").partitionBy("lg").parquet(self._version_dir(n))
+        self._commit_version(n)
+        return n
+
+    def append(self, cells: DataFrame) -> int:
+        """Atomic batch append (S1 semantics: one commit, all-or-nothing —
+        reference smoltable/src/table/writer.rs:56-79). Copy-on-write at
+        snapshot granularity: new version = old ∪ batch."""
+        cur = self.read_or_none()
+        df = cells.select(*CELL_COLUMNS)
+        if cur is not None:
+            df = cur.select(*CELL_COLUMNS).unionByName(df)
+        return self.write(df)
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Read a snapshot (default: current). Includes the ``lg`` column."""
+        n = self.current_version() if version is None else version
+        if n == 0:
+            raise FileNotFoundError(f"no snapshot in {self.path}")
+        return self.spark.read.parquet(self._version_dir(n))
+
+    def read_or_none(self, version: int | None = None) -> DataFrame | None:
+        try:
+            return self.read(version)
+        except FileNotFoundError:
+            return None
+
+    def vacuum(self, keep_last: int = 2) -> None:
+        """Drop snapshots older than the newest ``keep_last`` (FIFO retention,
+        like the reference's metrics-table cap, server/src/metrics.rs:14-24)."""
+        cur = self.current_version()
+        for name in os.listdir(self.path):
+            if name.startswith("v="):
+                n = int(name.split("=", 1)[1])
+                if n <= cur - keep_last:
+                    shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+
+    # -- stats (S8 parity) -------------------------------------------------
+
+    def disk_space_usage(self) -> int:
+        """Bytes across current snapshot (reference mod.rs:906-922)."""
+        total = 0
+        d = self._version_dir(self.current_version())
+        for root, _, files in os.walk(d):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    def file_count(self) -> int:
+        """Parquet file count — analog of LSM segment_count (mod.rs:888-904)."""
+        d = self._version_dir(self.current_version())
+        return sum(
+            1 for root, _, fs in os.walk(d) for f in fs if f.endswith(".parquet")
+        )
