@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check on sf0.001.
+``queries()`` — every implemented operator from SURVEY.md §2 plus the
+training-data-pipeline extensions; each callable (spark, sf_dir) → DataFrame.
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query (tables region,
+nation, customer, supplier, part, orders, lineitem, events, documents,
+embeddings pre-registered as views over the same parquet).
+
+The real implementations live in ``smoltable_spark/``; the registries are
+assembled in ``smoltable_spark/queries_core.py`` (wide-column operators,
+SURVEY §2) and ``smoltable_spark/queries_analytics.py`` (benchmarks +
+dedup/similarity/text/multimodal extensions).
 """
 
 from __future__ import annotations
@@ -13,26 +19,23 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from smoltable_spark.queries_core import CORE_QUERIES
+from smoltable_spark.queries_analytics import ANALYTICS_QUERIES
+
+_ALL = {**CORE_QUERIES, **ANALYTICS_QUERIES}
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: prefix scan with column
+    filter over the melted orders table (the reference's workhorse
+    operator, Smoltable::scan — reference smoltable/src/table/mod.rs:630)."""
+    fn, _ = _ALL["wc_scan_prefix"]
+    return fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _oracle) in _ALL.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: oracle for name, (_fn, oracle) in _ALL.items() if oracle is not None}

@@ -1,0 +1,194 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- **brute-force cosine top-k** — the exactness baseline. Broadcast the
+  (small) query set against the corpus; per-pair cosine; per-query top-k
+  via window rank. Scales linearly in corpus size with zero shuffle on
+  the corpus side (queries are broadcast).
+- **LSH-bucketed (sign-random-projection / IVF-style)** — the scale path.
+  Corpus and queries are assigned to coarse buckets; candidates only form
+  within a bucket, so the join shuffles by bucket instead of exploding
+  all-pairs. Recall is traded for a ~#buckets× reduction in compared
+  pairs.
+
+Exactness discipline: embeddings are quantized to int64 (×10⁶) before
+the dot product, so sums are exact integers (order-independent) and the
+final cosine = dot/(√na·√nb) is a deterministic scalar — bit-identical
+across engines and partitionings. This matters twice: it makes results
+oracle-checkable AND reproducible across cluster re-partitions (float
+reductions are order-sensitive; integer sums are not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+#: fixed-point quantization scale for embedding values
+QUANT = 1_000_000
+
+
+def _quantized(col):
+    return F.transform(col, lambda x: F.round(x.cast("double") * QUANT).cast("long"))
+
+
+def with_quantized_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Add ``q`` (quantized vector) and ``nrm2`` (exact squared norm)."""
+    q = _quantized(F.col(vec_col))
+    return df.withColumn("q", q).withColumn(
+        "nrm2",
+        F.aggregate(F.col("q"), F.lit(0).cast("long"), lambda acc, x: acc + x * x),
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    Output: (query_id, neighbor_id, cosine, rank). Ties broken by
+    neighbor id (deterministic). The query side is broadcast — the plan
+    is a single pass over the corpus with no corpus shuffle except the
+    final per-query top-k (tiny: #queries × k rows).
+    """
+    c = with_quantized_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("q").alias("cq"), F.col("nrm2").alias("cn")
+    )
+    qd = with_quantized_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("q").alias("qq"), F.col("nrm2").alias("qn")
+    )
+    scored = (
+        c.join(F.broadcast(qd), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dot", _dot(F.col("cq"), F.col("qq")))
+        .withColumn(
+            "cosine",
+            F.col("dot")
+            / (F.sqrt(F.col("cn").cast("double")) * F.sqrt(F.col("qn").cast("double"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sign-random-projection buckets (LSH / IVF-style coarse quantizer)
+
+def srp_bucket(vec_col, dims: list[int]):
+    """Sign bucket from the signs of selected dimensions (1-based list).
+
+    A degenerate-but-deterministic random projection: axis-aligned
+    hyperplanes. With d dims → 2^d buckets. element_at is 1-based in both
+    Spark and DuckDB, keeping the oracle portable.
+    """
+    b = F.lit(0)
+    for i, d in enumerate(dims):
+        b = b + F.when(F.element_at(vec_col, d) > 0, F.lit(2**i)).otherwise(F.lit(0))
+    return b
+
+
+def cosine_topk_bucketed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    bucket_dims: list[int] | None = None,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's bucket.
+
+    The join key is the bucket id → the corpus shuffles once by bucket
+    (or stays put with a broadcast query side); compared pairs shrink by
+    ~2^d×. Recall loss is the standard LSH trade; increase probes by
+    unioning neighboring buckets if needed.
+    """
+    if bucket_dims is None:
+        bucket_dims = [1, 2, 3, 4]
+    c = with_quantized_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("q").alias("cq"),
+        F.col("nrm2").alias("cn"),
+        srp_bucket(F.col(vec_col), bucket_dims).alias("bucket"),
+    )
+    qd = with_quantized_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nrm2").alias("qn"),
+        srp_bucket(F.col(vec_col), bucket_dims).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(qd), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dot", _dot(F.col("cq"), F.col("qq")))
+        .withColumn(
+            "cosine",
+            F.col("dot")
+            / (F.sqrt(F.col("cn").cast("double")) * F.sqrt(F.col("qn").cast("double"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_near_duplicates(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bucket_dims: list[int] | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold, bucketed (no all-pairs).
+
+    Pairs only form inside SRP buckets; at 100 TB add more bucket dims
+    (finer partition) and/or multi-probe for recall.
+    """
+    if bucket_dims is None:
+        bucket_dims = [1, 2, 3, 4]
+    d = with_quantized_norm(corpus, vec_col).select(
+        F.col(id_col),
+        F.col("q"),
+        F.col("nrm2"),
+        srp_bucket(F.col(vec_col), bucket_dims).alias("bucket"),
+    )
+    a = d.select(
+        F.col(id_col).alias("id_a"), F.col("q").alias("qa"), F.col("nrm2").alias("na"), "bucket"
+    )
+    b = d.select(
+        F.col(id_col).alias("id_b"), F.col("q").alias("qb"), F.col("nrm2").alias("nb"), "bucket"
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dot", _dot(F.col("qa"), F.col("qb")))
+        .withColumn(
+            "cosine",
+            F.col("dot")
+            / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+    return pairs

@@ -1,0 +1,155 @@
+"""Text analysis for training-data pipelines: tokenization, language ID,
+quality scoring, fingerprinting.
+
+All operators are pure JVM-side expression pipelines (no UDFs): splits,
+higher-order array functions, and md5 — so they run inside whole-stage
+codegen and scale linearly with the scan. Every scoring formula is exact
+integer/deterministic arithmetic so results are oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from smoltable_spark.functions.hashing import md5_long
+
+# ---------------------------------------------------------------------------
+# tokenization
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of lowercased text, empties removed.
+
+    Single-space split (not regex \\s+) so the semantics are portable:
+    Spark ``split`` and DuckDB ``string_split`` agree exactly, including
+    on runs of spaces (which produce empty strings — filtered here).
+    """
+    return F.filter(F.split(F.lower(col), " "), lambda x: x != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def distinct_token_count(col: Column) -> Column:
+    return F.size(F.array_distinct(tokens(col)))
+
+
+# ---------------------------------------------------------------------------
+# language identification (marker-token heuristic)
+
+#: marker tokens per language. The heuristic counts marker hits in the
+#: token stream and predicts the argmax (ties broken by list order).
+#: An n-gram/stopword heuristic in the spirit of classic langid tools —
+#: the marker lists are tuned to the synthetic corpus vocabulary.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "scan", "fast"),
+    "de": ("der", "und", "table", "merge"),
+    "fr": ("le", "et", "query", "join"),
+    "es": ("el", "y", "filter", "row"),
+    "zh": ("de", "shi", "data", "key"),
+}
+
+
+def _marker_pred(markers: tuple[str, ...]):
+    # closure factory — NOT a default-arg lambda: PySpark's higher-order
+    # functions inspect the lambda's arity and would bind a lambda-variable
+    # Column over any extra (defaulted) parameter.
+    return lambda x: x.isin(*markers)
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    toks = tokens(col)
+    return {
+        lang: F.size(F.filter(toks, _marker_pred(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """Predicted language: argmax marker count, first-listed wins ties."""
+    scores = lang_scores(col)
+    langs = list(LANG_MARKERS)
+    best = F.lit(langs[0])
+    best_score = scores[langs[0]]
+    for lang in langs[1:]:
+        cond = scores[lang] > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return best
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+
+def punct_count(col: Column) -> Column:
+    """Number of punctuation chars (.,;:!?) — via length-difference, which
+    is exact and portable (no regex dialect differences)."""
+    out = F.lit(0)
+    for ch in [".", ",", ";", ":", "!", "?"]:
+        out = out + (F.length(col) - F.length(F.replace(col, F.lit(ch), F.lit(""))))
+    return out
+
+
+def quality_score_parts(col: Column) -> dict[str, Column]:
+    """Deterministic quality components, all scaled to exact integers.
+
+    - length_score: min(token_count, 50) * 2   (0..100)
+    - diversity:    100 * distinct / tokens    (integer div, 0..100)
+    - punct_penalty: min(punct_count, 20) * 5  (0..100)
+    """
+    tc = token_count(col)
+    return {
+        "length_score": F.least(tc, F.lit(50)) * 2,
+        "diversity": F.when(tc > 0, (distinct_token_count(col) * 100) / tc)
+        .otherwise(F.lit(0))
+        .cast("long"),
+        "punct_penalty": F.least(punct_count(col), F.lit(20)) * 5,
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Composite 0..100 score: 0.5*length + 0.4*diversity − 0.1*punct.
+
+    Kept in exact integer arithmetic (scaled by 10) → cross-engine exact.
+    """
+    p = quality_score_parts(col)
+    scaled = p["length_score"] * 5 + p["diversity"] * 4 - p["punct_penalty"]
+    return (scaled / 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+
+def fingerprint(col: Column) -> Column:
+    """Canonical document fingerprint: md5 of normalized text
+    (lowercase, trimmed). Portable across engines."""
+    return F.md5(F.lower(F.trim(col)))
+
+
+def rolling_fingerprint(col: Column, window: int = 8) -> Column:
+    """Winnowing-style rolling fingerprint: minimum 60-bit hash over all
+    ``window``-token shingles — robust to local edits (the min-shingle
+    survives unless the edit touches it). Pure array expressions.
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(1)))
+    shingle_at = lambda i: F.concat_ws(" ", F.slice(toks, i, window))  # noqa: E731
+    hashes = F.transform(idx, lambda i: md5_long(shingle_at(i)))
+    return F.array_min(hashes)
+
+
+# ---------------------------------------------------------------------------
+# DataFrame-level operator
+
+def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Full text-analysis pass: one narrow projection, no shuffle."""
+    c = F.col(text_col)
+    return docs.select(
+        "*",
+        token_count(c).alias("n_tokens"),
+        distinct_token_count(c).alias("n_distinct_tokens"),
+        lang_id(c).alias("lang_pred"),
+        quality_score(c).alias("quality"),
+        fingerprint(c).alias("fingerprint"),
+    )

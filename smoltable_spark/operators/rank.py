@@ -28,6 +28,11 @@ def ranked_row_keys(cells: DataFrame, num_partitions: int | None = None) -> Data
         num_partitions = max(keys.sparkSession.sparkContext.defaultParallelism, 8)
     keys = keys.repartitionByRange(num_partitions, F.col("row_key"))
     keys = keys.withColumn("_pid", F.spark_partition_id())
+    # freeze the physical partitioning: the offsets computed below are only
+    # valid for THIS materialization — without the checkpoint, the final
+    # join re-executes the lineage and AQE may coalesce differently,
+    # shifting partition ids and corrupting ranks.
+    keys = keys.localCheckpoint(eager=True)
     w = Window.partitionBy("_pid").orderBy("row_key")
     keys = keys.withColumn("_rn", F.row_number().over(w))
     # per-partition counts: tiny (one row per partition) → safe to collect

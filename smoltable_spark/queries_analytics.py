@@ -1,0 +1,588 @@
+"""Analytics + training-data-pipeline queries with DuckDB oracles.
+
+Relational benchmarks (TPC-H-style aggregation/join shapes), timeseries
+analytics over events, and the large-scale pipeline operators: text
+analysis, dedup (exact / MinHash-LSH / SimHash / blocked Jaccard /
+embedding), similarity search, multimodal plumbing.
+
+All numeric aggregation follows the fixed-point convention in
+queries_util.py → results are bit-exact across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from smoltable_spark.functions import dedup, multimodal, similarity, text
+from smoltable_spark.functions.hashing import md5_long, seeded
+from smoltable_spark.queries_util import (
+    TOKS_SQL,
+    cents,
+    cents_sql,
+    md5_long_sql,
+    seeded_sql,
+)
+from smoltable_spark.sources.relational import load_table
+
+ANALYTICS_QUERIES: dict = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        ANALYTICS_QUERIES[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# relational aggregation / join benchmarks
+
+#: 1999-01-01 UTC in epoch millis (shipdate cutoff)
+_Q1_CUTOFF_MS = 915_148_800_000
+
+
+@q(
+    "rel_tpch_q1",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           sum({cents_sql('l_quantity')}) / 100.0 AS sum_qty,
+           sum({cents_sql('l_extendedprice')}) / 100.0 AS sum_base_price,
+           sum({cents_sql('l_extendedprice')} * {cents_sql('(1 - l_discount)')}) / 10000.0 AS sum_disc_price,
+           sum({cents_sql('l_extendedprice')} * {cents_sql('(1 - l_discount)')} * {cents_sql('(1 + l_tax)')}) / 1000000.0 AS sum_charge,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem WHERE epoch_ms(l_shipdate) <= {_Q1_CUTOFF_MS}
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def rel_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 shape: scan + hash aggregate, fixed-point exact sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ep = cents(F.col("l_extendedprice"))
+    disc = cents(F.lit(1) - F.col("l_discount"))
+    tax = cents(F.lit(1) + F.col("l_tax"))
+    return (
+        li.filter(F.unix_millis(F.col("l_shipdate").cast("timestamp")) <= _Q1_CUTOFF_MS)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(cents(F.col("l_quantity"))) / 100.0).alias("sum_qty"),
+            (F.sum(ep) / 100.0).alias("sum_base_price"),
+            (F.sum(ep * disc) / 10000.0).alias("sum_disc_price"),
+            (F.sum(ep * disc * tax) / 1000000.0).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+#: 1998-01-01 UTC epoch ms (q3 date split)
+_Q3_DATE_MS = 883_612_800_000
+
+
+@q(
+    "rel_tpch_q3",
+    f"""
+    SELECT o.o_orderkey,
+           sum({cents_sql('l.l_extendedprice')} * {cents_sql('(1 - l.l_discount)')}) / 10000.0 AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND epoch_ms(o.o_orderdate) < {_Q3_DATE_MS}
+      AND epoch_ms(l.l_shipdate) > {_Q3_DATE_MS}
+    GROUP BY o.o_orderkey
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def rel_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter → broadcast join → top-k.
+
+    customer is small → broadcast; lineitem never shuffles for the join.
+    Top-k via orderBy+limit = TakeOrderedAndProject (no global sort).
+    """
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")) < _Q3_DATE_MS
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.unix_millis(F.col("l_shipdate").cast("timestamp")) > _Q3_DATE_MS
+    )
+    rev = cents(F.col("l_extendedprice")) * cents(F.lit(1) - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey")
+        .agg((F.sum(rev) / 10000.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@q(
+    "rel_tpch_q5",
+    f"""
+    SELECT n.n_name,
+           sum({cents_sql('l.l_extendedprice')} * {cents_sql('(1 - l.l_discount)')}) / 10000.0 AS revenue
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+                  JOIN customer c ON c.c_nationkey = n.n_nationkey
+                  JOIN orders o ON o.o_custkey = c.c_custkey
+                  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                                 AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def rel_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape: star-join chain, small dims broadcast."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = cents(F.col("l_extendedprice")) * cents(F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg((F.sum(rev) / 10000.0).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# events timeseries analytics
+
+_HOUR_NS = 3_600_000_000_000
+
+
+@q(
+    "rel_events_hourly",
+    f"""
+    SELECT event_type, epoch_ns(ts) // {_HOUR_NS} AS hour_bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum({cents_sql('value')}) / 100.0 AS total_value
+    FROM events GROUP BY event_type, hour_bucket
+    """,
+)
+def rel_events_hourly(spark, sf_dir):
+    """Tumbling-window aggregation on raw-nanos event time.
+
+    Integer bucket arithmetic (``div``) instead of float division — exact
+    at any timestamp magnitude (1.7e18 exceeds double's 2^53 exact range).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("hour_bucket", F.expr(f"ts div {_HOUR_NS}"))
+        .groupBy("event_type", "hour_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents(F.col("value"))) / 100.0).alias("total_value"),
+        )
+    )
+
+
+@q(
+    "rel_top_users_by_spend",
+    f"""
+    SELECT event_type, user_id, spend, rank FROM (
+      SELECT event_type, user_id,
+             sum({cents_sql('value')}) / 100.0 AS spend,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY sum({cents_sql('value')}) DESC, user_id) AS rank
+      FROM events GROUP BY event_type, user_id)
+    WHERE rank <= 3
+    """,
+)
+def rel_top_users_by_spend(spark, sf_dir):
+    """Grouped top-k via window rank (deterministic tiebreak on user_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type", "user_id").agg(
+        F.sum(cents(F.col("value"))).alias("_spend_c")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("_spend_c").desc(), F.col("user_id").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "event_type",
+            "user_id",
+            (F.col("_spend_c") / 100.0).alias("spend"),
+            "rank",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+_LANG_SCORE_SQL = {
+    lang: f"len(list_filter({TOKS_SQL}, x -> list_contains({list(markers)!r}, x)))".replace(
+        "'", "'"
+    )
+    for lang, markers in text.LANG_MARKERS.items()
+}
+
+
+def _lang_pred_sql() -> str:
+    scores = {
+        lang: f"len(list_filter({TOKS_SQL}, x -> list_contains("
+        + "["
+        + ", ".join(f"'{m}'" for m in markers)
+        + "], x)))"
+        for lang, markers in text.LANG_MARKERS.items()
+    }
+    mx = "greatest(" + ", ".join(scores.values()) + ")"
+    case = "CASE "
+    for lang in text.LANG_MARKERS:
+        case += f"WHEN {scores[lang]} = {mx} THEN '{lang}' "
+    return case + "END"
+
+
+@q(
+    "txt_analyze",
+    f"""
+    SELECT doc_id,
+           CAST(len({TOKS_SQL}) AS INT) AS n_tokens,
+           CAST(len(list_distinct({TOKS_SQL})) AS INT) AS n_distinct_tokens,
+           {_lang_pred_sql()} AS lang_pred,
+           CAST(floor((
+              least(len({TOKS_SQL}), 50) * 2 * 5
+              + CAST(floor(CASE WHEN len({TOKS_SQL}) > 0
+                    THEN len(list_distinct({TOKS_SQL})) * 100 / len({TOKS_SQL})
+                    ELSE 0 END) AS BIGINT) * 4
+              - least(length(text) - length(replace(text, '.', ''))
+                    + length(text) - length(replace(text, ',', ''))
+                    + length(text) - length(replace(text, ';', ''))
+                    + length(text) - length(replace(text, ':', ''))
+                    + length(text) - length(replace(text, '!', ''))
+                    + length(text) - length(replace(text, '?', '')), 20) * 5
+           ) / 10) AS BIGINT) AS quality,
+           md5(lower(trim(text))) AS fingerprint
+    FROM documents
+    """,
+)
+def txt_analyze(spark, sf_dir):
+    """Per-document text analysis: tokens, language ID, quality, fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.analyze_documents(docs).select(
+        "doc_id", "n_tokens", "n_distinct_tokens", "lang_pred", "quality", "fingerprint"
+    )
+
+
+@q(
+    "txt_rolling_fingerprint",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    s AS (SELECT doc_id,
+                 array_to_string(toks[i:i+7], ' ') AS sh
+          FROM t, unnest(range(1, greatest(len(toks) - 7, 1) + 1)) AS u(i))
+    SELECT doc_id, min({md5_long_sql('sh')}) AS rolling_fp FROM s GROUP BY doc_id
+    """,
+)
+def txt_rolling_fingerprint(spark, sf_dir):
+    """Winnowing-style min-hash-of-shingles fingerprint per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text.rolling_fingerprint(F.col("text"), window=8).alias("rolling_fp")
+    )
+
+
+@q(
+    "txt_token_stats",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len({TOKS_SQL})) AS BIGINT) AS total_tokens,
+           CAST(max(len({TOKS_SQL})) AS INT) AS max_tokens,
+           CAST(min(len({TOKS_SQL})) AS INT) AS min_tokens
+    FROM documents
+    """,
+)
+def txt_token_stats(spark, sf_dir):
+    """Corpus-level token statistics (exact integer aggregation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = text.token_count(F.col("text"))
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tc).cast("long").alias("total_tokens"),
+        F.max(tc).alias("max_tokens"),
+        F.min(tc).alias("min_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup
+
+@q(
+    "dedup_exact",
+    """
+    SELECT md5(lower(trim(text))) AS fp,
+           CAST(min(doc_id) AS BIGINT) AS keeper_id,
+           CAST(count(*) AS BIGINT) AS dup_count
+    FROM documents GROUP BY fp
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup groups: one shuffle on the fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(docs)
+
+
+_SHINGLES_SQL = (
+    f"WITH t AS (SELECT doc_id, lang, {TOKS_SQL} AS toks FROM documents), "
+    "sh AS (SELECT DISTINCT doc_id, lang, array_to_string(toks[i:i+2], ' ') AS shingle "
+    "       FROM t, unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS u(i))"
+)
+
+
+def _minhash_aggs_sql(num_hashes: int) -> str:
+    return ", ".join(
+        f"min({seeded_sql(f'mh{i}', 'shingle')}) AS h{i}" for i in range(num_hashes)
+    )
+
+
+def _band_hash_sql(band: int, rows: int) -> str:
+    cols = ", ".join(
+        f"CAST(h{i} AS VARCHAR)" for i in range(band * rows, (band + 1) * rows)
+    )
+    return md5_long_sql(f"concat_ws('#', {cols})")
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    rows = num_hashes // bands
+    band_parts = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_band_hash_sql(b, rows)} AS bucket FROM sigs"
+        for b in range(bands)
+    )
+    num = int(threshold * 1000)
+    return f"""
+    {_SHINGLES_SQL},
+    sigs AS (SELECT doc_id, {_minhash_aggs_sql(num_hashes)} FROM sh GROUP BY doc_id),
+    buckets AS ({band_parts}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM buckets a JOIN buckets b
+               ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (SELECT c.id_a, c.id_b, count(*) AS common
+               FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+                           JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+               GROUP BY c.id_a, c.id_b)
+    SELECT m.id_a, m.id_b, CAST(m.common AS BIGINT) AS common,
+           CAST(za.sz AS BIGINT) AS size_a, CAST(zb.sz AS BIGINT) AS size_b,
+           m.common / (za.sz + zb.sz - m.common) AS jaccard
+    FROM common m JOIN sizes za ON za.doc_id = m.id_a
+                  JOIN sizes zb ON zb.doc_id = m.id_b
+    WHERE m.common * 1000 >= {num} * (za.sz + zb.sz - m.common)
+    """
+
+
+@q("dedup_minhash", _minhash_oracle())
+def dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup pipeline with exact-Jaccard verification."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.minhash_near_duplicates(
+        docs, num_hashes=16, bands=4, k=3, threshold=0.5
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("common").cast("long").alias("common"),
+        F.col("size_a").cast("long").alias("size_a"),
+        F.col("size_b").cast("long").alias("size_b"),
+        "jaccard",
+    )
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    h = md5_long_sql("tok")
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    value = " + ".join(f"(CASE WHEN b{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(bits))
+    return f"""
+    WITH toks AS (SELECT DISTINCT doc_id, unnest({TOKS_SQL}) AS tok FROM documents),
+    h AS (SELECT doc_id, {h} AS hv FROM toks),
+    bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({value} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@q("dedup_simhash", _simhash_oracle())
+def dedup_simhash(spark, sf_dir):
+    """Per-document 16-bit SimHash signature."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", dedup.simhash(F.col("text"), bits=16).alias("simhash")
+    )
+
+
+def _blocked_jaccard_oracle(threshold: float = 0.5) -> str:
+    num = int(threshold * 1000)
+    return f"""
+    {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM (SELECT DISTINCT doc_id, lang FROM sh) a
+             JOIN (SELECT DISTINCT doc_id, lang FROM sh) b
+               ON a.lang = b.lang AND a.doc_id < b.doc_id),
+    common AS (SELECT c.id_a, c.id_b, count(*) AS common
+               FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+                           JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+               GROUP BY c.id_a, c.id_b)
+    SELECT m.id_a, m.id_b, CAST(m.common AS BIGINT) AS common,
+           CAST(za.sz AS BIGINT) AS size_a, CAST(zb.sz AS BIGINT) AS size_b,
+           m.common / (za.sz + zb.sz - m.common) AS jaccard
+    FROM common m JOIN sizes za ON za.doc_id = m.id_a
+                  JOIN sizes zb ON zb.doc_id = m.id_b
+    WHERE m.common * 1000 >= {num} * (za.sz + zb.sz - m.common)
+    """
+
+
+@q("dedup_jaccard_blocked", _blocked_jaccard_oracle())
+def dedup_jaccard_blocked(spark, sf_dir):
+    """Exact n-gram Jaccard near-dups within language blocks."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.blocked_jaccard_near_duplicates(docs, block_col="lang", k=3, threshold=0.5)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("common").cast("long").alias("common"),
+        F.col("size_a").cast("long").alias("size_a"),
+        F.col("size_b").cast("long").alias("size_b"),
+        "jaccard",
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+_QUANT = similarity.QUANT
+
+_QVEC_SQL = (
+    f"list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_QUANT}) AS BIGINT))"
+)
+
+
+def _ann_oracle(k: int = 10, bucketed: bool = False) -> str:
+    bucket_expr = (
+        "(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)"
+        " + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)"
+        " + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)"
+        " + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)"
+    )
+    join_extra = "AND c.bucket = q.bucket" if bucketed else ""
+    return f"""
+    WITH v AS (SELECT vec_id, {_QVEC_SQL} AS q, {bucket_expr} AS bucket FROM embeddings),
+    n AS (SELECT vec_id, q, bucket,
+                 list_sum(list_transform(q, x -> x * x)) AS nrm2 FROM v),
+    qs AS (SELECT * FROM n WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(c.q) + 1),
+                 i -> c.q[i] * q.q[i])) /
+             (sqrt(CAST(c.nrm2 AS DOUBLE)) * sqrt(CAST(q.nrm2 AS DOUBLE))) AS cosine
+      FROM n c JOIN qs q ON c.vec_id <> q.vec_id {join_extra}),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@q("ann_cosine_topk", _ann_oracle(k=10, bucketed=False))
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-10 for query vectors (vec_id < 5)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk_bruteforce(emb, queries, k=10).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+@q("ann_cosine_bucketed", _ann_oracle(k=10, bucketed=True))
+def ann_cosine_bucketed(spark, sf_dir):
+    """SRP-bucketed approximate top-10 (the 100 TB scale path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk_bucketed(
+        emb, queries, k=10, bucket_dims=[1, 2, 3, 4]
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+@q(
+    "dedup_embedding",
+    f"""
+    WITH v AS (SELECT vec_id, {_QVEC_SQL} AS q,
+                 (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+               + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+               + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+          FROM embeddings),
+    n AS (SELECT vec_id, q, bucket, list_sum(list_transform(q, x -> x * x)) AS nrm2 FROM v)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) /
+           (sqrt(CAST(a.nrm2 AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE))) AS cosine
+    FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) /
+          (sqrt(CAST(a.nrm2 AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE))) >= 0.35
+    """,
+)
+def dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs within SRP buckets (no all-pairs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_duplicates(
+        emb, threshold=0.35, bucket_dims=[1, 2, 3, 4]
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+
+@q(
+    "mm_features",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           sha256(text) AS payload_sha,
+           CAST(concat('0x', substr(sha256(text), 1, 2)) AS BIGINT) AS f0_byte
+    FROM documents
+    """,
+)
+def mm_features(spark, sf_dir):
+    """Arrow-batched (mapInPandas) feature extraction over binary payloads.
+
+    The oracle independently recomputes the digest + first feature byte —
+    proving the binary plumbing (encode → batch → hash → featurize)
+    produces content-identical results.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(docs)
+    feats = multimodal.extract_features(media, decode_stub=True)
+    return feats.select(
+        "media_id",
+        "media_type",
+        "payload_sha",
+        # round before cast: (b/255)*255 is within 1 ulp of the integer b,
+        # and truncation would land on b-1 for downward-rounded cases
+        F.round(F.element_at("feature", 1) * 255.0).cast("long").alias("f0_byte"),
+    )
+
+
+@q(
+    "mm_frame_plan",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(unnest(generate_series(0, greatest(length(text) * 10 - 1, 0), 1000)) AS BIGINT) AS frame_ms
+    FROM documents WHERE CAST(doc_id % 3 AS INT) = 2
+    """,
+)
+def mm_frame_plan(spark, sf_dir):
+    """Relational frame-sampling plan for video media (JVM-side explode)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(docs)
+    return multimodal.frame_sample_plan(media, every_ms=1000)

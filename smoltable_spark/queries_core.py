@@ -1,0 +1,374 @@
+"""Wide-column operator queries (SURVEY §2) with DuckDB oracles.
+
+Each registry entry: name → (spark_fn(spark, sf_dir) -> DataFrame,
+oracle_sql | None). The Spark side runs the engine's real operators over
+melted testdata; the oracle recomputes the same semantics in ANSI SQL over
+the original relational tables (melt CTEs in queries_util.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from smoltable_spark.api import (
+    ColumnFamilyDef,
+    ColumnFilter,
+    CountInput,
+    QueryRowInput,
+    RowRange,
+    ScanInput,
+)
+from smoltable_spark.operators import (
+    count_exact,
+    delete_row,
+    multi_get,
+    run_gc,
+    run_version_gc,
+    scan_cells,
+    scan_count,
+)
+from smoltable_spark.operators.count import approximate_row_count
+from smoltable_spark.operators.read import get_row_cells, multi_get_cells
+from smoltable_spark.queries_util import (
+    EVENTS_MELT,
+    LINEITEM_MELT,
+    ORDERS_MELT,
+    SLIM_COLS,
+    cells_cte,
+    slim,
+)
+from smoltable_spark.sources.relational import (
+    events_cells,
+    lineitem_cells,
+    orders_cells,
+)
+
+# registry: name -> (spark_fn, oracle_sql | None)
+CORE_QUERIES: dict = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        CORE_QUERIES[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+_SLIM = ", ".join(SLIM_COLS)
+_CELL_ORDER_SQL = "row_key, family, qualifier, ts DESC"
+
+
+# ---------------------------------------------------------------------------
+# scans: predicates (P1-P5) and full scan (Q1)
+
+@q(
+    "wc_scan_all",
+    f"{cells_cte(ORDERS_MELT)} SELECT {_SLIM} FROM cells",
+)
+def wc_scan_all(spark, sf_dir):
+    """Full scan, empty prefix (reference smoltable/tests/scan_all.rs)."""
+    return slim(scan_cells(orders_cells(spark, sf_dir), ScanInput(prefix="")))
+
+
+@q(
+    "wc_scan_prefix",
+    f"{cells_cte(ORDERS_MELT)} SELECT {_SLIM} FROM cells "
+    "WHERE row_key LIKE 'order#00000000012%'",
+)
+def wc_scan_prefix(spark, sf_dir):
+    """Prefix scan (P4; smoltable/tests/scan_prefix_simple.rs)."""
+    return slim(
+        scan_cells(orders_cells(spark, sf_dir), ScanInput(prefix="order#00000000012"))
+    )
+
+
+@q(
+    "wc_scan_range",
+    f"{cells_cte(ORDERS_MELT)} SELECT {_SLIM} FROM cells "
+    "WHERE row_key >= 'order#000000000100' AND row_key <= 'order#000000000200'",
+)
+def wc_scan_range(spark, sf_dir):
+    """Inclusive range scan (P5; smoltable/tests/scan_range_simple.rs)."""
+    inp = ScanInput(range=RowRange("order#000000000100", "order#000000000200", True))
+    return slim(scan_cells(orders_cells(spark, sf_dir), inp))
+
+
+@q(
+    "wc_scan_range_exclusive",
+    f"{cells_cte(ORDERS_MELT)} SELECT {_SLIM} FROM cells "
+    "WHERE row_key >= 'order#000000000100' AND row_key < 'order#000000000200'",
+)
+def wc_scan_range_exclusive(spark, sf_dir):
+    inp = ScanInput(range=RowRange("order#000000000100", "order#000000000200", False))
+    return slim(scan_cells(orders_cells(spark, sf_dir), inp))
+
+
+@q(
+    "wc_filter_key",
+    f"{cells_cte(ORDERS_MELT)} SELECT {_SLIM} FROM cells "
+    "WHERE family = 'o' AND qualifier = 'totalprice'",
+)
+def wc_filter_key(spark, sf_dir):
+    """Exact column filter (P1; reference cell.rs:214-228)."""
+    inp = ScanInput(prefix="", column_filter=ColumnFilter.key("o:totalprice"))
+    return slim(scan_cells(orders_cells(spark, sf_dir), inp))
+
+
+@q(
+    "wc_filter_key_family",
+    f"{cells_cte(ORDERS_MELT + ' UNION ALL ' + LINEITEM_MELT)} "
+    f"SELECT {_SLIM} FROM cells "
+    "WHERE row_key LIKE 'order#00000000001%' AND family = 'l'",
+)
+def wc_filter_key_family(spark, sf_dir):
+    """Family-only filter matches the whole family (P1 family form)."""
+    cells = orders_cells(spark, sf_dir).unionByName(lineitem_cells(spark, sf_dir))
+    inp = ScanInput(prefix="order#00000000001", column_filter=ColumnFilter.key("l"))
+    return slim(scan_cells(cells, inp))
+
+
+@q(
+    "wc_filter_multi_key",
+    f"{cells_cte(ORDERS_MELT)} SELECT {_SLIM} FROM cells "
+    "WHERE (family = 'o' AND qualifier = 'custkey') "
+    "   OR (family = 'o' AND qualifier = 'orderstatus')",
+)
+def wc_filter_multi_key(spark, sf_dir):
+    """OR of column keys (P2; reference cell.rs:229-245)."""
+    inp = ScanInput(
+        prefix="",
+        column_filter=ColumnFilter.multi_key(["o:custkey", "o:orderstatus"]),
+    )
+    return slim(scan_cells(orders_cells(spark, sf_dir), inp))
+
+
+@q(
+    "wc_filter_qualifier_prefix",
+    f"{cells_cte(ORDERS_MELT)} SELECT {_SLIM} FROM cells "
+    "WHERE family = 'o' AND qualifier LIKE 'order%'",
+)
+def wc_filter_qualifier_prefix(spark, sf_dir):
+    """Qualifier-prefix filter (P3; reference cell.rs:246-264)."""
+    inp = ScanInput(prefix="", column_filter=ColumnFilter.prefix("o", "order"))
+    return slim(scan_cells(orders_cells(spark, sf_dir), inp))
+
+
+# ---------------------------------------------------------------------------
+# row accounting (Q1a/b/f) and cell limits (Q1c/d/e)
+
+_RANKED = (
+    "keys AS (SELECT DISTINCT row_key FROM cells), "
+    "ranked AS (SELECT row_key, row_number() OVER (ORDER BY row_key) AS rk FROM keys)"
+)
+
+
+@q(
+    "wc_scan_row_limit",
+    f"{cells_cte(ORDERS_MELT)}, {_RANKED} "
+    f"SELECT {_SLIM} FROM cells JOIN ranked USING (row_key) WHERE rk <= 50",
+)
+def wc_scan_row_limit(spark, sf_dir):
+    """Row limit (Q1a; smoltable/tests/scan_prefix_simple_row_limit.rs)."""
+    return slim(scan_cells(orders_cells(spark, sf_dir), ScanInput(prefix="", row_limit=50)))
+
+
+@q(
+    "wc_scan_row_offset",
+    f"{cells_cte(ORDERS_MELT)}, {_RANKED} "
+    f"SELECT {_SLIM} FROM cells JOIN ranked USING (row_key) "
+    "WHERE rk > 10 AND rk <= 30",
+)
+def wc_scan_row_offset(spark, sf_dir):
+    """Row offset + limit (Q1b; reference mod.rs:753-756)."""
+    return slim(
+        scan_cells(
+            orders_cells(spark, sf_dir), ScanInput(prefix="", row_offset=10, row_limit=20)
+        )
+    )
+
+
+@q(
+    "wc_scan_row_sample",
+    f"{cells_cte(ORDERS_MELT)}, {_RANKED} "
+    f"SELECT {_SLIM} FROM cells JOIN ranked USING (row_key) "
+    "WHERE floor(rk * 0.25) > floor((rk - 1) * 0.25)",
+)
+def wc_scan_row_sample(spark, sf_dir):
+    """Deterministic stride sampling (Q1f; reference mod.rs:736-746)."""
+    return slim(scan_cells(orders_cells(spark, sf_dir), ScanInput(prefix="", sample=0.25)))
+
+
+@q(
+    "wc_scan_cell_limit",
+    f"{cells_cte(ORDERS_MELT)} SELECT {_SLIM} FROM cells "
+    f"ORDER BY {_CELL_ORDER_SQL} LIMIT 100",
+)
+def wc_scan_cell_limit(spark, sf_dir):
+    """Global cell limit in total cell order (Q1c; mod.rs:646-650)."""
+    return slim(scan_cells(orders_cells(spark, sf_dir), ScanInput(prefix="", cell_limit=100)))
+
+
+@q(
+    "wc_scan_row_cell_limit",
+    f"{cells_cte(ORDERS_MELT)} SELECT {_SLIM} FROM ("
+    "  SELECT c.*, row_number() OVER ("
+    "    PARTITION BY row_key ORDER BY family, qualifier, ts DESC) AS rr"
+    "  FROM cells c) WHERE rr <= 3",
+)
+def wc_scan_row_cell_limit(spark, sf_dir):
+    """Per-row cell budget (Q1d; smoltable/tests/read_row_cell_limit.rs)."""
+    return slim(
+        scan_cells(orders_cells(spark, sf_dir), ScanInput(prefix="", row_cell_limit=3))
+    )
+
+
+@q(
+    "wc_scan_version_limit",
+    f"{cells_cte(EVENTS_MELT)} SELECT {_SLIM} FROM ("
+    "  SELECT c.*, row_number() OVER ("
+    "    PARTITION BY row_key, family, qualifier ORDER BY ts DESC) AS vr"
+    "  FROM cells c) WHERE vr <= 5",
+)
+def wc_scan_version_limit(spark, sf_dir):
+    """Per-column version limit (Q1e) on multi-version timeseries cells
+    (smoltable/tests/read_row_column_cell_limit.rs at scale)."""
+    return slim(
+        scan_cells(events_cells(spark, sf_dir), ScanInput(prefix="", column_cell_limit=5))
+    )
+
+
+# ---------------------------------------------------------------------------
+# point reads (R1/R2)
+
+@q(
+    "wc_get_row",
+    f"{cells_cte(ORDERS_MELT)} SELECT {_SLIM} FROM cells "
+    "WHERE row_key = 'order#000000000042'",
+)
+def wc_get_row(spark, sf_dir):
+    """Point read (R1; smoltable/tests/read_row_simple.rs)."""
+    return slim(
+        get_row_cells(orders_cells(spark, sf_dir), QueryRowInput("order#000000000042"))
+    )
+
+
+_MULTI_KEYS = [
+    "order#000000000001",
+    "order#000000000007",
+    "order#000000000042",
+    "order#000000000100",
+    "order#000000000999",
+]
+
+
+@q(
+    "wc_multi_get",
+    f"{cells_cte(ORDERS_MELT)} SELECT {_SLIM} FROM cells WHERE row_key IN ("
+    + ", ".join(f"'{k}'" for k in _MULTI_KEYS)
+    + ")",
+)
+def wc_multi_get(spark, sf_dir):
+    """Batched point reads (R2; reference mod.rs:600-626)."""
+    inputs = [QueryRowInput(k) for k in _MULTI_KEYS]
+    return slim(multi_get_cells(orders_cells(spark, sf_dir), inputs))
+
+
+# ---------------------------------------------------------------------------
+# counts (A1/A2/A4)
+
+@q(
+    "wc_count",
+    f"{cells_cte(ORDERS_MELT)} SELECT CAST(count(DISTINCT row_key) AS BIGINT) "
+    "AS row_count, CAST(count(*) AS BIGINT) AS cell_count FROM cells",
+)
+def wc_count(spark, sf_dir):
+    """Exact table count (A1; smoltable/tests/write_count.rs)."""
+    return count_exact(orders_cells(spark, sf_dir))
+
+
+@q(
+    "wc_scan_count",
+    f"{cells_cte(ORDERS_MELT)} SELECT CAST(count(DISTINCT row_key) AS BIGINT) "
+    "AS row_count, CAST(count(*) AS BIGINT) AS cell_count FROM cells "
+    "WHERE row_key LIKE 'order#0000000001%' "
+    "AND family = 'o' AND qualifier = 'totalprice'",
+)
+def wc_scan_count(spark, sf_dir):
+    """Predicated count without materializing rows (A2; mod.rs:361-451)."""
+    inp = CountInput(
+        prefix="order#0000000001", column_filter=ColumnFilter.key("o:totalprice")
+    )
+    return scan_count(orders_cells(spark, sf_dir), inp)
+
+
+@q(
+    "wc_approx_count",
+    f"{cells_cte(ORDERS_MELT + ' UNION ALL ' + LINEITEM_MELT)} "
+    "SELECT CAST(floor(count(*) / 2) AS BIGINT) AS approx_row_count, "
+    "CAST(count(*) AS BIGINT) AS cell_count FROM cells",
+)
+def wc_approx_count(spark, sf_dir):
+    """A4 parity heuristic: rows ≈ cells / #families (mod.rs:310-320)."""
+    cells = orders_cells(spark, sf_dir).unionByName(lineitem_cells(spark, sf_dir))
+    return approximate_row_count(cells, family_count=2)
+
+
+# ---------------------------------------------------------------------------
+# mutations + GC (D1-D3)
+
+@q(
+    "wc_delete_row",
+    f"{cells_cte(ORDERS_MELT)} SELECT CAST(count(*) AS BIGINT) AS remaining_cells "
+    "FROM cells WHERE NOT (row_key = 'order#000000000042' "
+    "AND family = 'o' AND qualifier = 'custkey')",
+)
+def wc_delete_row(spark, sf_dir):
+    """Column-filtered row delete (D1; smoltable/tests/delete_column_filter.rs):
+    result = surviving cell count (the new snapshot's size)."""
+    out = delete_row(
+        orders_cells(spark, sf_dir),
+        "order#000000000042",
+        ColumnFilter.key("o:custkey"),
+    )
+    return out.agg(F.count(F.lit(1)).alias("remaining_cells"))
+
+
+@q(
+    "wc_gc_versions",
+    f"{cells_cte(EVENTS_MELT)} SELECT CAST(count(*) AS BIGINT) AS kept_cells, "
+    "CAST(count(DISTINCT row_key) AS BIGINT) AS kept_rows FROM ("
+    "  SELECT c.*, row_number() OVER ("
+    "    PARTITION BY row_key, family, qualifier ORDER BY ts DESC) AS vr"
+    "  FROM cells c) WHERE vr <= 3",
+)
+def wc_gc_versions(spark, sf_dir):
+    """Version-limit GC (D2; smoltable/tests/gc.rs): keep newest 3."""
+    fams = [ColumnFamilyDef("value", version_limit=3)]
+    out = run_version_gc(events_cells(spark, sf_dir), fams)
+    return out.agg(
+        F.count(F.lit(1)).alias("kept_cells"),
+        F.countDistinct("row_key").alias("kept_rows"),
+    )
+
+
+#: fixed "now" for deterministic TTL tests: 2024-02-15T00:00:00Z in nanos
+_TTL_NOW = 1_707_955_200_000_000_000
+_TTL_SECS = 30 * 24 * 3600  # 30 days → cutoff 2024-01-16
+
+
+@q(
+    "wc_gc_ttl",
+    f"{cells_cte(EVENTS_MELT)} SELECT CAST(count(*) AS BIGINT) AS kept_cells, "
+    "CAST(min(ts) AS BIGINT) AS min_ts, CAST(max(ts) AS BIGINT) AS max_ts "
+    f"FROM cells WHERE ts = 0 OR ts >= {_TTL_NOW - _TTL_SECS * 1_000_000_000}",
+)
+def wc_gc_ttl(spark, sf_dir):
+    """TTL GC (D3; reference mod.rs:545-557, ts==0 exempt at :546)."""
+    fams = [ColumnFamilyDef("value", ttl_secs=_TTL_SECS)]
+    out = run_gc(events_cells(spark, sf_dir), fams, now_nanos=_TTL_NOW)
+    return out.agg(
+        F.count(F.lit(1)).alias("kept_cells"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )

@@ -179,6 +179,9 @@ def events_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``lat#write#cell`` etc. storing f64 points).
     """
     ev = load_table(spark, sf_dir, "events")
+    # ts normalized to microsecond-truncated nanos: SQL engines (incl. the
+    # DuckDB oracle) read parquet TIMESTAMP(NANOS) at µs precision, so the
+    # canonical cell timestamp keeps µs precision for cross-engine parity.
     return melt(
         ev,
         row_key=F.concat(
@@ -186,7 +189,7 @@ def events_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         family="value",
         columns={"": ("v_f64", F.col("value"))},
-        ts=F.col("ts"),
+        ts=F.expr("(ts div 1000) * 1000"),
     )
 
 
