@@ -28,6 +28,27 @@ from pyspark.sql import DataFrame, functions as F
 from smoltable_spark.functions.hashing import md5_long, seeded
 from smoltable_spark.functions.text import tokens, fingerprint
 
+
+def spread(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Ensure enough partitions to parallelize explode-heavy pipelines.
+
+    Small corpora arrive as one parquet file → one partition → the whole
+    shingle/hash pipeline runs single-threaded. One cheap round-robin
+    shuffle of the *compact* input rows buys full-core parallelism for
+    the expensive downstream explode+hash. No-op when the source is
+    already well-partitioned (the 100 TB case). The partition probe uses
+    ``inputFiles()`` (metadata only — ``.rdd.getNumPartitions()`` costs a
+    full plan-to-RDD conversion, ~1 s of driver time per call).
+    """
+    target = target or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files and n_files >= target:
+        return df
+    return df.repartition(target)
+
 # ---------------------------------------------------------------------------
 # exact
 
@@ -67,14 +88,39 @@ def shingles(col, k: int = 3):
 
 
 def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """Exploded (id, shingle) pairs — the input to MinHash and Jaccard."""
-    return docs.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("shingle")
+    """Exploded (id, shingle) pairs — the input to MinHash and Jaccard.
+
+    Tokenization is materialized as a column FIRST: embedding ``tokens()``
+    (a full document re-split) inside the shingle ``transform`` lambda
+    makes the generator quadratic — Catalyst does not CSE subexpressions
+    into higher-order lambdas. With a bound column reference the explode
+    is linear in shingle count.
+    """
+    toked = spread(docs).select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    n = F.size(F.col("_toks"))
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    sh = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, k)))
     )
+    return toked.select(F.col(id_col), F.explode(sh).alias("shingle"))
 
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH
+
+#: 2^31 - 1 (Mersenne prime) — hash universe for the affine rehash family.
+#: One md5 per shingle, then h_i = (a_i·h + b_i) mod P: products stay under
+#: 2^62 (no overflow) and the arithmetic is portable to any SQL engine.
+MINHASH_P = 2_147_483_647
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) affine coefficients (a_i never 0)."""
+    return [
+        (1_103_515_245 * (i + 1) % MINHASH_P or 1, (12_345 * (i + 1)) % MINHASH_P)
+        for i in range(num_hashes)
+    ]
+
 
 def minhash_signatures(
     docs: DataFrame,
@@ -85,13 +131,16 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, h0..h{n-1}): per-document MinHash signature.
 
-    One explode + one groupBy (shuffle on id). Each hash function is a
-    seeded md5 → min; k independent permutation approximations.
+    One explode + ONE md5 per shingle (the expensive part), then
+    ``num_hashes`` cheap affine rehashes aggregated with min — one
+    shuffle on id, map-side partial min.
     """
     sh = doc_shingles(docs, text_col, id_col, k)
+    hb = (md5_long(F.col("shingle")) % MINHASH_P).alias("hb")
+    sh = sh.select(id_col, hb)
     aggs = [
-        F.min(seeded(f"mh{i}", F.col("shingle"))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * F.col("hb") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
     ]
     return sh.groupBy(id_col).agg(*aggs)
 
@@ -111,11 +160,15 @@ def lsh_candidate_pairs(
     rows_per_band = num_hashes // bands
     buckets = None
     for b in range(bands):
-        cols = [F.col(f"h{i}").cast("string") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        # polynomial combine of the band's signature values: exact int64
+        # (values < 2^31, degree ≤ 4 with base 31 → < 2^52), portable
+        bucket = F.lit(0).cast("long")
+        for i in range(b * rows_per_band, (b + 1) * rows_per_band):
+            bucket = bucket * 31 + F.col(f"h{i}")
         part = signatures.select(
             F.col(id_col),
             F.lit(b).alias("band"),
-            md5_long(F.concat_ws("#", *cols)).alias("bucket"),
+            bucket.alias("bucket"),
         )
         buckets = part if buckets is None else buckets.unionByName(part)
     a = buckets.alias("a")
@@ -135,6 +188,19 @@ def lsh_candidate_pairs(
     return pairs
 
 
+def shingle_arrays(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, sh_arr): distinct shingles as a sorted array column (no explode)."""
+    toked = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    n = F.size(F.col("_toks"))
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    sh = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, k)))
+    )
+    return toked.select(F.col(id_col), sh.alias("sh_arr"))
+
+
 def jaccard_pairs(
     docs: DataFrame,
     pairs: DataFrame,
@@ -144,40 +210,39 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard for given candidate pairs: |A∩B| / |A∪B|.
 
-    Common-shingle counting via a shingle-join restricted to candidate
-    pairs (semi-joined first so only candidate docs are exploded).
-    Jaccard returned as exact rational parts (common, size_a, size_b) plus
-    a double ``jaccard`` — exact parts make the threshold filter
-    cross-engine exact.
+    Shingle sets stay as ARRAY columns — ``array_intersect`` per pair
+    replaces the classic explode→shuffle→count plan: zero shingle-level
+    shuffles, per-pair cost linear in document length, and the only joins
+    are pair→array lookups (semi-restricted to candidate docs, which AQE
+    broadcasts when small). Exact rational parts (common, size_a, size_b)
+    make the threshold filter cross-engine exact; ``jaccard`` is the
+    derived double.
     """
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh = doc_shingles(
+    arr = shingle_arrays(
         docs.join(cand_ids, id_col, "left_semi"), text_col, id_col, k
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    # common shingles: join exploded shingles of both sides through the
-    # candidate pairs — shuffles on (id, shingle), never all-pairs
-    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    common = (
-        pairs.join(sh_a, "id_a")
-        .join(sh_b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    out = (
-        common.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("size_a")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("size_b")), "id_b")
+    a = arr.select(F.col(id_col).alias("id_a"), F.col("sh_arr").alias("_sa"))
+    b = arr.select(F.col(id_col).alias("id_b"), F.col("sh_arr").alias("_sb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect(F.col("_sa"), F.col("_sb"))).alias("common"),
+            F.size(F.col("_sa")).alias("size_a"),
+            F.size(F.col("_sb")).alias("size_b"),
+        )
         .withColumn(
             "jaccard",
             F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")),
         )
     )
-    return out
 
 
 def minhash_near_duplicates(
@@ -260,10 +325,36 @@ def simhash(col, bits: int = 16):
     return value
 
 
+def simhash_df(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """(id, simhash) via explode: ONE md5 per distinct token, then per-bit
+    conditional sums in a single hash aggregate — the fast path (the
+    array-expression ``simhash`` recomputes the hash per bit)."""
+    toks = spread(docs).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    )
+    h = toks.select(id_col, md5_long(F.col("tok")).alias("hv"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("hv"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = h.groupBy(id_col).agg(*bit_aggs)
+    value = F.lit(0).cast("long")
+    for i in range(bits):
+        value = value + F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return agg.select(F.col(id_col), value.alias("simhash"))
+
+
 def simhash_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
     """Documents sharing a SimHash value (candidate near-dup clusters)."""
     return (
-        docs.select(F.col(id_col), simhash(F.col(text_col), bits).alias("simhash"))
+        simhash_df(docs, text_col, id_col, bits)
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keeper_id"))
     )

@@ -101,7 +101,13 @@ def extract_features(
             )
             yield out
 
-    return media.mapInPandas(run, FEATURES_SCHEMA)
+    from smoltable_spark.functions.dedup import spread
+
+    # cap Python-worker fan-out: each mapInPandas partition pays worker
+    # startup + Arrow setup, so small inputs want few fat partitions while
+    # 100 TB inputs arrive pre-partitioned (spread is then a no-op)
+    target = min(media.sparkSession.sparkContext.defaultParallelism, 8)
+    return spread(media, target).mapInPandas(run, FEATURES_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

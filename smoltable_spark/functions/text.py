@@ -9,7 +9,7 @@ integer/deterministic arithmetic so results are oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F  # noqa: F401
 
 from smoltable_spark.functions.hashing import md5_long
 
@@ -130,6 +130,11 @@ def rolling_fingerprint(col: Column, window: int = 8) -> Column:
     """Winnowing-style rolling fingerprint: minimum 60-bit hash over all
     ``window``-token shingles — robust to local edits (the min-shingle
     survives unless the edit touches it). Pure array expressions.
+
+    NOTE: embeds the tokenizer inside the transform lambda — fine for
+    one-off expressions; for table-scale scans use
+    ``rolling_fingerprint_df`` which binds tokens as a column first
+    (Catalyst does not CSE into higher-order lambdas).
     """
     toks = tokens(col)
     n = F.size(toks)
@@ -137,6 +142,19 @@ def rolling_fingerprint(col: Column, window: int = 8) -> Column:
     shingle_at = lambda i: F.concat_ws(" ", F.slice(toks, i, window))  # noqa: E731
     hashes = F.transform(idx, lambda i: md5_long(shingle_at(i)))
     return F.array_min(hashes)
+
+
+def rolling_fingerprint_df(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", window: int = 8
+) -> DataFrame:
+    """(id, rolling_fp): linear-time table-scale variant (tokens bound once)."""
+    toked = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    n = F.size(F.col("_toks"))
+    idx = F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(1)))
+    hashes = F.transform(
+        idx, lambda i: md5_long(F.concat_ws(" ", F.slice(F.col("_toks"), i, window)))
+    )
+    return toked.select(F.col(id_col), F.array_min(hashes).alias("rolling_fp"))
 
 
 # ---------------------------------------------------------------------------

@@ -286,9 +286,7 @@ def txt_analyze(spark, sf_dir):
 def txt_rolling_fingerprint(spark, sf_dir):
     """Winnowing-style min-hash-of-shingles fingerprint per document."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", text.rolling_fingerprint(F.col("text"), window=8).alias("rolling_fp")
-    )
+    return text.rolling_fingerprint_df(docs, window=8)
 
 
 @q(
@@ -339,19 +337,24 @@ _SHINGLES_SQL = (
 
 
 def _minhash_aggs_sql(num_hashes: int) -> str:
+    from smoltable_spark.functions.dedup import MINHASH_P, minhash_params
+
     return ", ".join(
-        f"min({seeded_sql(f'mh{i}', 'shingle')}) AS h{i}" for i in range(num_hashes)
+        f"min(({a} * hb + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
     )
 
 
 def _band_hash_sql(band: int, rows: int) -> str:
-    cols = ", ".join(
-        f"CAST(h{i} AS VARCHAR)" for i in range(band * rows, (band + 1) * rows)
-    )
-    return md5_long_sql(f"concat_ws('#', {cols})")
+    expr = "CAST(0 AS BIGINT)"
+    for i in range(band * rows, (band + 1) * rows):
+        expr = f"({expr} * 31 + h{i})"
+    return expr
 
 
 def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    from smoltable_spark.functions.dedup import MINHASH_P
+
     rows = num_hashes // bands
     band_parts = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, {_band_hash_sql(b, rows)} AS bucket FROM sigs"
@@ -360,7 +363,8 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
     num = int(threshold * 1000)
     return f"""
     {_SHINGLES_SQL},
-    sigs AS (SELECT doc_id, {_minhash_aggs_sql(num_hashes)} FROM sh GROUP BY doc_id),
+    shh AS (SELECT doc_id, {md5_long_sql('shingle')} % {MINHASH_P} AS hb FROM sh),
+    sigs AS (SELECT doc_id, {_minhash_aggs_sql(num_hashes)} FROM shh GROUP BY doc_id),
     buckets AS ({band_parts}),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              FROM buckets a JOIN buckets b
@@ -413,11 +417,9 @@ def _simhash_oracle(bits: int = 16) -> str:
 
 @q("dedup_simhash", _simhash_oracle())
 def dedup_simhash(spark, sf_dir):
-    """Per-document 16-bit SimHash signature."""
+    """Per-document 16-bit SimHash signature (explode-based fast path)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", dedup.simhash(F.col("text"), bits=16).alias("simhash")
-    )
+    return dedup.simhash_df(docs, bits=16)
 
 
 def _blocked_jaccard_oracle(threshold: float = 0.5) -> str:
