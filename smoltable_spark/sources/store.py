@@ -38,6 +38,11 @@ from smoltable_spark.schema import CELL_COLUMNS
 _VERSION_FILE = "_VERSION"
 _MANIFEST_FILE = "_MANIFEST.json"
 
+#: physical directory value for the default locality group: Hive-style
+#: partitioning cannot round-trip an empty string (it reads back as NULL),
+#: so '' is encoded as this sentinel on disk and decoded on read.
+_DEFAULT_LG = "_default"
+
 
 class CellStore:
     """A versioned, locality-group-partitioned cells table on disk."""
@@ -92,13 +97,15 @@ class CellStore:
 
         Layout: lg partition dirs → range-partitioned, key-sorted parquet.
         """
-        fam_lg = self.family_to_lg()
-        lg_expr = F.lit("")
+        fam_lg = {
+            f: (g if g != "" else _DEFAULT_LG) for f, g in self.family_to_lg().items()
+        }
+        lg_expr = F.lit(_DEFAULT_LG)
         if fam_lg:
             mapping = F.create_map(
                 *[x for f, g in fam_lg.items() for x in (F.lit(f), F.lit(g))]
             )
-            lg_expr = F.coalesce(mapping[F.col("family")], F.lit(""))
+            lg_expr = F.coalesce(mapping[F.col("family")], F.lit(_DEFAULT_LG))
         df = cells.select(*CELL_COLUMNS).withColumn("lg", lg_expr)
         if num_range_partitions is None:
             num_range_partitions = max(
@@ -132,7 +139,23 @@ class CellStore:
         n = self.current_version() if version is None else version
         if n == 0:
             raise FileNotFoundError(f"no snapshot in {self.path}")
+        # lg keeps the physical sentinel value ('_default' for ''): decoding
+        # here would wrap the partition column in a projection and defeat
+        # Catalyst partition pruning on lg filters.
         return self.spark.read.parquet(self._version_dir(n))
+
+    def read_for_filter(self, column_filter=None, version: int | None = None) -> DataFrame:
+        """Partition-pruned read: only the locality groups a column filter
+        touches (S5 parity — get_affected_locality_groups,
+        reference smoltable/src/table/row_reader.rs:6-69)."""
+        from smoltable_spark.operators.filters import affected_locality_groups
+
+        df = self.read(version)
+        groups = affected_locality_groups(column_filter, self.family_to_lg())
+        if groups is not None:
+            phys = [g if g != "" else _DEFAULT_LG for g in groups]
+            df = df.filter(F.col("lg").isin(phys))
+        return df
 
     def read_or_none(self, version: int | None = None) -> DataFrame | None:
         try:

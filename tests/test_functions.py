@@ -1,0 +1,155 @@
+"""Training-data extension tests: text analysis, dedup, similarity,
+multimodal plumbing."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from smoltable_spark.functions import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy cat", "en"),  # near-dup of 1
+        (3, "completely different content about spark engines", "en"),
+        (4, "der schnelle braune fuchs springt", "de"),
+        (5, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
+
+
+def test_token_counts(spark, docs):
+    out = docs.select("doc_id", text.token_count(F.col("text")).alias("n")).collect()
+    got = {r["doc_id"]: r["n"] for r in out}
+    assert got[1] == 9 and got[4] == 5
+
+
+def test_tokens_collapse_empty(spark):
+    df = spark.createDataFrame([("a  b   c",)], "text STRING")
+    assert df.select(text.token_count(F.col("text")).alias("n")).collect()[0]["n"] == 3
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame([("  Hello World ",), ("hello world",)], "text STRING")
+    fps = [r[0] for r in df.select(text.fingerprint(F.col("text"))).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_exact_dedup(spark, docs):
+    kept = dedup.dedup_exact(docs)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 2, 3, 4]  # doc 5 deduped into doc 1
+
+
+def test_exact_duplicate_groups(spark, docs):
+    groups = dedup.exact_duplicates(docs).filter(F.col("dup_count") > 1).collect()
+    assert len(groups) == 1
+    assert groups[0]["keeper_id"] == 1 and groups[0]["dup_count"] == 2
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    out = dedup.minhash_near_duplicates(docs, num_hashes=16, bands=8, k=2, threshold=0.3)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 5) in pairs  # exact dup always survives
+    assert (1, 2) in pairs or (2, 5) in pairs  # near-dup caught
+
+
+def test_jaccard_exact_values(spark, docs):
+    pairs = spark.createDataFrame([(1, 5)], "id_a LONG, id_b LONG")
+    out = dedup.jaccard_pairs(docs, pairs, k=3).collect()[0]
+    assert out["jaccard"] == 1.0 and out["common"] == out["size_a"]
+
+
+def test_simhash_identical_for_dups(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash_df(docs).collect()}
+    assert sh[1] == sh[5]
+    assert 0 <= sh[1] < 2**16
+
+
+def test_blocked_jaccard_respects_blocks(spark, docs):
+    out = dedup.blocked_jaccard_near_duplicates(docs, block_col="lang", threshold=0.1)
+    for r in out.collect():
+        assert r["id_a"] != 4 and r["id_b"] != 4  # 'de' block has one doc
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # dims 1-2 strictly nonzero: srp_bucket uses sign(>0), so a 0.0 dim
+    # would land a vector in a different bucket than its near-neighbors
+    rows = [
+        (0, [1.0, 0.1, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),    # close to 0
+        (2, [-0.1, 1.0, 0.0, 0.0]),   # near-orthogonal to 0
+        (3, [-1.0, -0.1, 0.0, 0.0]),  # opposite of 0
+        (4, [0.5, 0.5, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+
+
+def test_bruteforce_topk_order(spark, vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    out = similarity.cosine_topk_bruteforce(vectors, q, k=4).collect()
+    order = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order[0] == 1  # most similar
+    assert order[-1] == 3  # opposite vector last
+    top = [r for r in out if r["rank"] == 1][0]
+    expect = (0.9 + 0.01) / (math.sqrt(1.01) * math.sqrt(0.82))
+    assert math.isclose(top["cosine"], expect, rel_tol=1e-5)
+
+
+def test_bucketed_restricts_candidates(spark, vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    out = similarity.cosine_topk_bucketed(vectors, q, k=4, bucket_dims=[1, 2])
+    neigh = {r["neighbor_id"] for r in out.collect()}
+    assert 3 not in neigh  # opposite sign on dim 1 -> different bucket
+    assert 1 in neigh
+
+
+def test_embedding_near_duplicates(spark, vectors):
+    out = similarity.embedding_near_duplicates(vectors, threshold=0.9, bucket_dims=[1, 2])
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (0, 1) in pairs
+    assert all(a < b for a, b in pairs)
+
+
+def test_multimodal_features_roundtrip(spark, docs):
+    media = multimodal.synthesize_media(docs)
+    feats = multimodal.extract_features(media, decode_stub=True).collect()
+    assert len(feats) == 5
+    for r in feats:
+        assert len(r["payload_sha"]) == 64
+        assert len(r["feature"]) == 8
+        assert all(0 <= x < 1 for x in r["feature"])
+
+
+def test_multimodal_stub_raises_without_codec(spark, docs):
+    media = multimodal.synthesize_media(docs)
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        multimodal.extract_features(media, decode_stub=False).collect()
+
+
+def test_frame_plan_only_videos(spark, docs):
+    media = multimodal.synthesize_media(docs)
+    plan = multimodal.frame_sample_plan(media, every_ms=100).collect()
+    vids = {r["media_id"] for r in plan}
+    assert vids == {2, 5}  # doc_id % 3 == 2 -> video
+    frames = sorted(r["frame_ms"] for r in plan if r["media_id"] == 2)
+    assert frames[0] == 0 and frames[1] == 100
+
+
+def test_lang_id_deterministic(spark):
+    df = spark.createDataFrame(
+        [("the fast scan and the table",), ("der schnelle und table merge",)],
+        "text STRING",
+    )
+    out = [r[0] for r in df.select(text.lang_id(F.col("text"))).collect()]
+    assert out[0] == "en" and out[1] == "de"
+
+
+def test_quality_score_range(spark, docs):
+    out = docs.select(text.quality_score(F.col("text")).alias("q")).collect()
+    for r in out:
+        assert 0 <= r["q"] <= 100

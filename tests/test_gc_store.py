@@ -1,0 +1,115 @@
+"""GC jobs + CellStore lifecycle — mirror gc.rs and the table lifecycle
+(S1/S6/S9; FIXTURES F5)."""
+
+import pytest
+
+from smoltable_spark.api import ColumnFamilyDef, ScanInput
+from smoltable_spark.operators import count_exact, run_gc, run_ttl_gc, run_version_gc, scan_cells
+from smoltable_spark.sources.store import CellStore
+from smoltable_spark.sources.writer import rows_to_cells, write_batch
+
+from tests.conftest import make_cells
+
+
+def gc_fixture(spark):
+    # F5: value: 5 versions; temp: young + very old + ts=0 (TTL-exempt)
+    rows = [("row", "value", "", ts, "string", f"v{ts}") for ts in range(1, 6)]
+    now = 1_000_000_000_000_000_000
+    rows += [
+        ("row", "temp", "", now - 1_000_000_000, "string", "young"),
+        ("row", "temp", "", 5, "string", "ancient"),
+        ("row", "temp", "", 0, "string", "exempt"),
+    ]
+    return make_cells(spark, rows), now
+
+
+def test_version_gc(spark):
+    cells, _ = gc_fixture(spark)
+    fams = [ColumnFamilyDef("value", version_limit=3)]
+    out = run_version_gc(cells, fams)
+    kept = sorted(r["ts"] for r in out.filter("family='value'").collect())
+    assert kept == [3, 4, 5]  # newest 3 (gc.rs:30-66)
+    assert out.filter("family='temp'").count() == 3  # untouched
+
+
+def test_ttl_gc_exempts_ts_zero(spark):
+    cells, now = gc_fixture(spark)
+    fams = [ColumnFamilyDef("temp", ttl_secs=60)]
+    out = run_ttl_gc(cells, fams, now_nanos=now)
+    temp = sorted(r["ts"] for r in out.filter("family='temp'").collect())
+    assert temp == [0, now - 1_000_000_000]  # ancient dropped, ts=0 exempt
+    assert out.filter("family='value'").count() == 5
+
+
+def test_gc_short_circuit(spark):
+    cells, now = gc_fixture(spark)
+    out = run_gc(cells, [ColumnFamilyDef("value"), ColumnFamilyDef("temp")], now)
+    assert out.count() == cells.count()
+
+
+def test_store_write_read_append_versions(spark, tmp_path):
+    store = CellStore(spark, str(tmp_path / "t1"))
+    store.save_families(
+        [ColumnFamilyDef("value", lg=""), ColumnFamilyDef("temp", lg="lg_hot")]
+    )
+    cells, _ = gc_fixture(spark)
+    v1 = store.write(cells)
+    assert v1 == 1
+    t = store.read()
+    assert t.count() == 8
+    # locality-group partition column assigned from the manifest
+    # ('' is stored under the physical sentinel '_default')
+    assert set(r["lg"] for r in t.select("lg").distinct().collect()) == {
+        "_default",
+        "lg_hot",
+    }
+    # append = new snapshot; old version still readable (MVCC)
+    v2 = write_batch(
+        store,
+        [{"row_key": "row2", "cells": [{"column_key": "value:", "value": {"i64": 7}, "timestamp": 9}]}],
+    )
+    assert v2 == 2
+    assert store.read(version=1).count() == 8
+    assert store.read().count() == 9
+
+
+def test_store_gc_rewrite_cycle(spark, tmp_path):
+    store = CellStore(spark, str(tmp_path / "t2"))
+    fams = [ColumnFamilyDef("value", version_limit=2)]
+    store.save_families(fams)
+    cells, now = gc_fixture(spark)
+    store.write(cells)
+    gced = run_gc(store.read().drop("lg"), fams, now_nanos=now)
+    v = store.write(gced)
+    assert v == 2
+    kept = sorted(r["ts"] for r in store.read().filter("family='value'").collect())
+    assert kept == [4, 5]
+    store.vacuum(keep_last=1)
+    with pytest.raises(Exception):
+        store.read(version=1).count()
+
+
+def test_writer_default_timestamp(spark):
+    cells = rows_to_cells(
+        spark,
+        [{"row_key": "r", "cells": [{"column_key": "f:q", "value": {"string": "x"}}]}],
+    )
+    ts = cells.collect()[0]["ts"]
+    assert ts > 1_600_000_000_000_000_000  # now-nanos default (writer.rs:28-33)
+
+
+def test_scan_over_store_partition_pruning(spark, tmp_path):
+    """Family filter on a partitioned store touches only its lg partition
+    (S5 parity: get_affected_locality_groups -> Catalyst pruning)."""
+    store = CellStore(spark, str(tmp_path / "t3"))
+    store.save_families(
+        [ColumnFamilyDef("value", lg=""), ColumnFamilyDef("temp", lg="lg_hot")]
+    )
+    cells, _ = gc_fixture(spark)
+    store.write(cells)
+    t = store.read()
+    pruned = t.filter(t.lg == "lg_hot")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition filter must appear as a pushed partition predicate
+    assert "lg_hot" in plan
+    assert pruned.count() == 3
