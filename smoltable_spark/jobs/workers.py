@@ -1,0 +1,59 @@
+"""Background workers — periodic batch jobs (SURVEY §2.9).
+
+The reference runs three loops (server/src/worker/): GC every 24 h,
+an adaptive row-count sampler (30 s → 6 h), and a 60 s system-metrics
+poller. They are *batch* jobs, not streams — here each is a plain
+function a scheduler (cron/Airflow/`foreachBatch`) can invoke; cadence
+is the caller's concern.
+"""
+
+from __future__ import annotations
+
+import time
+
+from smoltable_spark.jobs.metrics import MetricsTable
+from smoltable_spark.operators.count import count_exact
+from smoltable_spark.operators.gc import run_gc
+from smoltable_spark.sources.store import CellStore
+
+
+def gc_worker(store: CellStore, metrics: MetricsTable | None = None, now_nanos: int | None = None) -> int:
+    """Run version+TTL GC, commit the rewritten snapshot, log gc#del_cnt
+    (reference server/src/worker/gc.rs:6-41)."""
+    families = store.load_families()
+    if not any(f.version_limit or f.ttl_secs for f in families):
+        return 0  # GC short-circuit (mod.rs:466-473)
+    now = time.time_ns() if now_nanos is None else now_nanos
+    before_df = store.read()
+    before = before_df.count()
+    gced = run_gc(before_df.drop("lg"), families, now_nanos=now)
+    store.write(gced)
+    after = store.read().count()
+    deleted = before - after
+    if metrics is not None:
+        metrics.record([("gc#del_cnt", float(deleted))], ts_nanos=now)
+    return deleted
+
+
+def row_count_worker(store: CellStore, metrics: MetricsTable, now_nanos: int | None = None) -> dict:
+    """Exact row/cell counts → stats#row_cnt / stats#cell_cnt
+    (reference server/src/worker/row_count.rs:6-48; we can afford the
+    exact count — it is one distributed aggregate, not an LSM scan)."""
+    r = count_exact(store.read()).collect()[0]
+    metrics.record(
+        [("stats#row_cnt", float(r["row_count"])), ("stats#cell_cnt", float(r["cell_count"]))],
+        ts_nanos=now_nanos,
+    )
+    return {"row_count": r["row_count"], "cell_count": r["cell_count"]}
+
+
+def system_metrics_worker(store: CellStore, metrics: MetricsTable, now_nanos: int | None = None) -> dict:
+    """Disk usage + file count per table → stats#du / stats#seg_cnt
+    (reference server/src/worker/metrics.rs:8-54; parquet files stand in
+    for LSM segments)."""
+    du = store.disk_space_usage()
+    seg = store.file_count()
+    metrics.record(
+        [("stats#du", float(du)), ("stats#seg_cnt", float(seg))], ts_nanos=now_nanos
+    )
+    return {"disk_bytes": du, "file_count": seg}

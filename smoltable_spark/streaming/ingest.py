@@ -1,0 +1,150 @@
+"""Structured Streaming extension.
+
+The reference has NO streaming operators — its workers are periodic batch
+loops (SURVEY §2.9/§2.11). This module is the forward-looking extension
+the north star asks for: the same cell/rollup semantics expressed as
+incremental streams, so a 100 TB pipeline can keep its metrics tables and
+rollups continuously fresh instead of re-scanning.
+
+Pieces:
+- ``stream_events``: file-source stream over the events schema (new
+  parquet files appearing in a directory are the micro-batches);
+- ``events_to_cells_stream``: the F7/F8 melt as a streaming projection —
+  identical expressions to the batch melt (one code path, two runtimes);
+- ``hourly_rollup_stream``: watermarked tumbling-window aggregation —
+  late events beyond the watermark are dropped deterministically;
+- ``running_stats_stream``: custom stateful operator via
+  ``applyInPandasWithState`` keeping per-series running count/sum/max —
+  the pattern for operators Spark's built-ins can't express.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from smoltable_spark.sources.relational import _EVENTS_SCHEMA
+
+_HOUR_NS = 3_600_000_000_000
+
+
+def stream_events(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream of events (raw-nanos LongType ts, like batch)."""
+    return (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(path)
+    )
+
+
+def events_to_cells_stream(events: DataFrame) -> DataFrame:
+    """Streaming melt to canonical cells — same expressions as the batch
+    melt (sources/relational.py::events_cells); narrow, no state."""
+    return events.select(
+        F.concat(
+            F.col("event_type"),
+            F.lit("#user#"),
+            F.lpad(F.col("user_id").cast("string"), 6, "0"),
+        ).alias("row_key"),
+        F.lit("value").alias("family"),
+        F.lit("").alias("qualifier"),
+        F.expr("(ts div 1000) * 1000").alias("ts"),
+        F.lit("f64").alias("vtype"),
+        F.lit(None).cast("string").alias("v_str"),
+        F.lit(None).cast("boolean").alias("v_bool"),
+        F.lit(None).cast("short").alias("v_byte"),
+        F.lit(None).cast("int").alias("v_i32"),
+        F.lit(None).cast("long").alias("v_i64"),
+        F.lit(None).cast("float").alias("v_f32"),
+        F.col("value").cast("double").alias("v_f64"),
+    )
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window rollup (event-time, late data dropped).
+
+    Mirrors the batch ``rel_events_hourly`` semantics; the raw-nanos long
+    is converted to a TimestampType event-time column for the watermark,
+    while the emitted bucket stays exact integer nanos-div-hour.
+    """
+    with_time = events.withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    return (
+        with_time.withWatermark("event_time", watermark)
+        .groupBy(
+            F.window("event_time", "1 hour").alias("win"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            "event_type",
+            (F.unix_micros(F.col("win.start")) * 1000).cast("long").alias("bucket_start_ns"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_STATS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("sum_cents", T.LongType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+_STATS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+
+def _update_stats(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-event-type running (count, exact-cents sum, max)."""
+    if state.exists:
+        n, sum_cents, max_value = state.get
+    else:
+        n, sum_cents, max_value = 0, 0, float("-inf")
+    for pdf in pdfs:
+        n += len(pdf)
+        sum_cents += int(round(pdf["value"].mul(100).round().sum())) if len(pdf) else 0
+        if len(pdf):
+            max_value = max(max_value, float(pdf["value"].max()))
+    state.update((n, sum_cents, max_value))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n": [n],
+            "total": [sum_cents / 100.0],
+            "max_value": [max_value],
+        }
+    )
+
+
+def running_stats_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-series running stats that Spark's
+    built-in streaming aggs can't express incrementally with exact
+    fixed-point sums. Arrow-batched state updates, update-mode output."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _update_stats,
+        outputStructType=_STATS_OUT_SCHEMA,
+        stateStructType=_STATS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,126 @@
+"""Workers (§2.9), metrics table (§2.8), and the streaming extension."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from smoltable_spark.api import ColumnFamilyDef
+from smoltable_spark.jobs import MetricsTable, gc_worker, row_count_worker, system_metrics_worker
+from smoltable_spark.sources.store import CellStore
+from smoltable_spark.streaming import (
+    events_to_cells_stream,
+    hourly_rollup_stream,
+    running_stats_stream,
+    stream_events,
+)
+
+from tests.conftest import make_cells
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    s = CellStore(spark, str(tmp_path / "tbl"))
+    s.save_families([ColumnFamilyDef("value", version_limit=2)])
+    rows = [("r1", "value", "q", ts, "i64", ts) for ts in range(1, 6)]
+    s.write(make_cells(spark, rows))
+    return s
+
+
+def test_metrics_record_and_read(spark, tmp_path, store):
+    m = MetricsTable(CellStore(spark, str(tmp_path / "mtx")))
+    m.record([("lat#write#cell", 1.5), ("stats#row_cnt", 10.0)], ts_nanos=100)
+    m.record([("lat#write#cell", 2.5)], ts_nanos=200)
+    out = m.read_series(["lat#write#cell"], limit=720).collect()
+    assert [(r["ts"], r["value"]) for r in out] == [(200, 2.5), (100, 1.5)]
+    # newest-N semantics
+    out1 = m.read_series(["lat#write#cell"], limit=1).collect()
+    assert [(r["ts"], r["value"]) for r in out1] == [(200, 2.5)]
+
+
+def test_gc_worker_deletes_and_logs(spark, tmp_path, store):
+    m = MetricsTable(CellStore(spark, str(tmp_path / "mtx2")))
+    deleted = gc_worker(store, m, now_nanos=10**18)
+    assert deleted == 3  # 5 versions, limit 2
+    pts = m.read_series(["gc#del_cnt"]).collect()
+    assert pts[0]["value"] == 3.0
+
+
+def test_row_count_and_system_workers(spark, tmp_path, store):
+    m = MetricsTable(CellStore(spark, str(tmp_path / "mtx3")))
+    rc = row_count_worker(store, m, now_nanos=1)
+    assert rc == {"row_count": 1, "cell_count": 5}
+    sysm = system_metrics_worker(store, m, now_nanos=2)
+    assert sysm["disk_bytes"] > 0 and sysm["file_count"] >= 1
+    series = {r["series"] for r in m.read_series(
+        ["stats#row_cnt", "stats#cell_cnt", "stats#du", "stats#seg_cnt"]).collect()}
+    assert series == {"stats#row_cnt", "stats#cell_cnt", "stats#du", "stats#seg_cnt"}
+
+
+@pytest.fixture()
+def events_dir(tmp_path):
+    d = tmp_path / "events_in"
+    d.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def _run_stream(df, tmp_path, name, mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_melt_matches_batch(spark, tmp_path, events_dir):
+    from smoltable_spark.sources.relational import events_cells
+
+    st = events_to_cells_stream(stream_events(spark, events_dir))
+    _run_stream(st, tmp_path, "cells_stream")
+    got = spark.sql("SELECT count(*) c, sum(ts div 1000000) s FROM cells_stream").collect()[0]
+    batch = events_cells(spark, "/root/testdata/sf0.001").agg(
+        F.count(F.lit(1)).alias("c"), F.sum(F.expr("ts div 1000000")).alias("s")
+    ).collect()[0]
+    assert (got["c"], got["s"]) == (batch["c"], batch["s"])
+
+
+def test_streaming_hourly_rollup_matches_batch(spark, tmp_path, events_dir):
+    st = hourly_rollup_stream(stream_events(spark, events_dir))
+    _run_stream(st, tmp_path, "rollup_stream")
+    got = spark.sql(
+        "SELECT count(*) c, sum(n_events) n FROM rollup_stream"
+    ).collect()[0]
+    ev = spark.read.schema(
+        stream_events(spark, events_dir).schema
+    ).parquet(events_dir)
+    # append mode emits only windows whose end is past the final watermark
+    # (max event time − 2 h delay); apply the same cutoff to the batch side
+    hour = 3_600_000_000_000
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    wm = (max_ts // 1000) * 1000 - 2 * hour  # µs truncation like the stream
+    batch = (
+        ev.groupBy(F.expr("ts div 3600000000000").alias("b"), "event_type")
+        .count()
+        .filter((F.col("b") + 1) * hour <= wm)
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("count").alias("n"))
+        .collect()[0]
+    )
+    assert (got["c"], got["n"]) == (batch["c"], batch["n"])
+
+
+def test_streaming_running_stats(spark, tmp_path, events_dir):
+    st = running_stats_stream(stream_events(spark, events_dir))
+    _run_stream(st, tmp_path, "stats_stream", mode="update")
+    rows = spark.sql(
+        "SELECT * FROM stats_stream ORDER BY event_type"
+    ).collect()
+    assert sum(r["n"] for r in rows) == 1000  # all events counted
+    for r in rows:
+        assert r["max_value"] > 0 and abs(r["total"]) < 10**9
