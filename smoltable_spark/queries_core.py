@@ -8,6 +8,10 @@ the original relational tables (melt CTEs in queries_util.py).
 
 from __future__ import annotations
 
+import os
+import re
+import tempfile
+
 from pyspark.sql import functions as F
 
 from smoltable_spark.api import (
@@ -152,6 +156,53 @@ def wc_filter_qualifier_prefix(spark, sf_dir):
     """Qualifier-prefix filter (P3; reference cell.rs:246-264)."""
     inp = ScanInput(prefix="", column_filter=ColumnFilter.prefix("o", "order"))
     return slim(scan_cells(orders_cells(spark, sf_dir), inp))
+
+
+# ---------------------------------------------------------------------------
+# native-storage scan (S2/S5/S6: sorted, lg-partitioned CellStore)
+
+_STORE_CACHE: dict = {}
+
+
+def _orders_store(spark, sf_dir):
+    """Build-once CellStore of the orders melt (per sf dir, cached on disk).
+
+    This is the engine's NATIVE layout — lg-partitioned, range-partitioned
+    and sorted by row key — in which prefix/point predicates reach the
+    parquet reader as pushed filters and min/max row-group skipping
+    replaces the reference's LSM seek (reader.rs:46-78). The melt-based
+    queries above exercise the loader path; this one exercises storage.
+    """
+    from smoltable_spark.sources.store import CellStore
+
+    key = sf_dir
+    if key not in _STORE_CACHE:
+        path = os.path.join(
+            tempfile.gettempdir(), "smoltable_store_" + re.sub(r"\W", "_", sf_dir)
+        )
+        store = CellStore(spark, path)
+        store.save_families([ColumnFamilyDef("o", lg="lg_orders")])
+        if store.current_version() == 0:
+            store.write(orders_cells(spark, sf_dir))
+        _STORE_CACHE[key] = store
+    return _STORE_CACHE[key]
+
+
+@q(
+    "wc_store_scan_prefix",
+    f"{cells_cte(ORDERS_MELT)} SELECT {_SLIM} FROM cells "
+    "WHERE row_key LIKE 'order#00000000012%' "
+    "AND family = 'o' AND qualifier = 'totalprice'",
+)
+def wc_store_scan_prefix(spark, sf_dir):
+    """Prefix scan against the native sorted CellStore: locality-group
+    partition pruning (PartitionFilters) + row-key prefix pushdown
+    (PushedFilters: StringStartsWith) — asserted in tests/test_plans.py."""
+    store = _orders_store(spark, sf_dir)
+    cf = ColumnFilter.key("o:totalprice")
+    cells = store.read_for_filter(cf).drop("lg")
+    inp = ScanInput(prefix="order#00000000012", column_filter=cf)
+    return slim(scan_cells(cells, inp))
 
 
 # ---------------------------------------------------------------------------

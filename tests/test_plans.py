@@ -1,0 +1,68 @@
+"""Plan audits: the scale properties every operator must keep.
+
+These tests pin the *physical plan*, not just results — a correct answer
+computed with a full scan or an accidental shuffle is a regression at
+100 TB even when row counts match.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from smoltable_spark import plans
+from smoltable_spark.api import ColumnFamilyDef, ColumnFilter, ScanInput
+from smoltable_spark.operators.scan import scan_cells
+from smoltable_spark.queries_core import _orders_store, wc_store_scan_prefix
+from smoltable_spark.queries_analytics import rel_tpch_q3, rel_tpch_q5
+from smoltable_spark.queries_core import wc_filter_key
+
+
+def test_store_scan_pushdown(spark, sf_dir):
+    df = wc_store_scan_prefix(spark, sf_dir)
+    a = plans.audit(df)
+    # row-key prefix reaches the parquet reader (LSM-seek equivalent)
+    assert any("StringStartsWith(row_key" in f for f in a["pushed_filters"]), a
+    # column filter pruned to the family's locality group directory
+    assert any("lg_orders" in f for f in a["partition_filters"]), a
+
+
+def test_melt_filter_prunes_source_columns(spark, sf_dir):
+    """Filtering a literal qualifier on the melt folds away non-matching
+    union branches -> the parquet scan reads only the needed columns
+    (poor-man's locality groups via constant folding)."""
+    df = wc_filter_key(spark, sf_dir)
+    schemas = plans.read_schema_columns(df)
+    assert schemas, "expected parquet scans in plan"
+    for cols in schemas:
+        assert "o_orderstatus" not in cols and "o_custkey" not in cols, schemas
+
+
+def test_tpch_q3_broadcasts_dims(spark, sf_dir):
+    df = rel_tpch_q3(spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+    # only the aggregation + top-k may shuffle, never the join sides
+    assert plans.shuffle_count(df) <= 2, plans.physical_plan(df)
+
+
+def test_tpch_q5_broadcasts_all_dims(spark, sf_dir):
+    df = rel_tpch_q5(spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+    assert plans.shuffle_count(df) <= 2
+
+
+def test_scan_filters_stay_codegen(spark, sf_dir):
+    """Predicate pipeline compiles into whole-stage codegen (no Python)."""
+    from smoltable_spark.sources.relational import orders_cells
+
+    df = scan_cells(
+        orders_cells(spark, sf_dir),
+        ScanInput(prefix="order#0001", column_filter=ColumnFilter.key("o:totalprice")),
+    )
+    assert plans.whole_stage_codegen_spans(df) >= 1
+    assert "BatchEvalPython" not in plans.physical_plan(df)
+
+
+def test_point_read_pushes_equality(spark, sf_dir):
+    store = _orders_store(spark, sf_dir)
+    df = store.read().filter(F.col("row_key") == "order#000000000042")
+    joined = ",".join(plans.pushed_filters(df))
+    assert "EqualTo(row_key,order#000000000042)" in joined
