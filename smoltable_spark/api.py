@@ -99,6 +99,9 @@ class ScanInput:
 
     prefix: str | None = None
     range: RowRange | None = None
+    #: EXTENSION: multiple disjoint ranges OR'd together — the reference
+    #: stubs this as a commented TODO (smoltable/src/query/scan.rs:18-20)
+    ranges: tuple[RowRange, ...] | None = None
     column_filter: ColumnFilter | None = None
     row_limit: int | None = None
     row_offset: int = 0
@@ -106,6 +109,13 @@ class ScanInput:
     row_cell_limit: int | None = None  # per-row cell budget (Q1d)
     column_cell_limit: int | None = None  # per-column version limit (Q1e)
     sample: float | None = None  # deterministic row stride (Q1f)
+    #: EXTENSION: cell timestamp window [ts_min, ts_max] — the reference
+    #: stubs time-range filters as TODO (query/scan.rs:46-51, row.rs:22-25)
+    ts_min: int | None = None
+    ts_max: int | None = None
+    #: EXTENSION: backward scan (row keys descending) — documented as
+    #: unsupported in the reference (docs/.../scan-rows.md:189)
+    reverse: bool = False
 
 
 @dataclass(frozen=True)

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, functions as F
 from smoltable_spark.schema import VALUE_COLUMNS
 
 
-def assemble_rows(cells: DataFrame) -> DataFrame:
+def assemble_rows(cells: DataFrame, descending: bool = False) -> DataFrame:
     """Nest flat cells into rows; output ordered by row_key."""
     cell_struct = F.struct(
         F.col("ts").alias("time"),
@@ -54,7 +54,7 @@ def assemble_rows(cells: DataFrame) -> DataFrame:
                 F.collect_list(F.struct(F.col("family"), F.col("qmap")))
             ).alias("columns")
         )
-        .orderBy("row_key")
+        .orderBy(F.col("row_key").desc() if descending else F.col("row_key").asc())
     )
     return rows
 

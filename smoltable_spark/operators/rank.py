@@ -21,19 +21,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def ranked_row_keys(cells: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """Return DataFrame(row_key STRING, rk LONG) with global 1-based rank."""
+def ranked_row_keys(
+    cells: DataFrame, num_partitions: int | None = None, descending: bool = False
+) -> DataFrame:
+    """Return DataFrame(row_key STRING, rk LONG) with global 1-based rank
+    (in descending key order when ``descending`` — backward scans)."""
+    order = F.col("row_key").desc() if descending else F.col("row_key").asc()
     keys = cells.select("row_key").distinct()
     if num_partitions is None:
         num_partitions = max(keys.sparkSession.sparkContext.defaultParallelism, 8)
-    keys = keys.repartitionByRange(num_partitions, F.col("row_key"))
+    keys = keys.repartitionByRange(num_partitions, order)
     keys = keys.withColumn("_pid", F.spark_partition_id())
     # freeze the physical partitioning: the offsets computed below are only
     # valid for THIS materialization — without the checkpoint, the final
     # join re-executes the lineage and AQE may coalesce differently,
     # shifting partition ids and corrupting ranks.
     keys = keys.localCheckpoint(eager=True)
-    w = Window.partitionBy("_pid").orderBy("row_key")
+    w = Window.partitionBy("_pid").orderBy(order)
     keys = keys.withColumn("_rn", F.row_number().over(w))
     # per-partition counts: tiny (one row per partition) → safe to collect
     counts = {
@@ -56,7 +60,7 @@ def ranked_row_keys(cells: DataFrame, num_partitions: int | None = None) -> Data
     return out
 
 
-def top_row_keys(cells: DataFrame, n: int) -> DataFrame:
+def top_row_keys(cells: DataFrame, n: int, descending: bool = False) -> DataFrame:
     """First ``n`` distinct row keys in row-key order, with rank.
 
     Fast path for limit/offset when n is bounded (the reference caps at
@@ -64,6 +68,7 @@ def top_row_keys(cells: DataFrame, n: int) -> DataFrame:
     distributed top-k with no global sort — and the tiny result is ranked
     with a driver-local window.
     """
-    keys = cells.select("row_key").distinct().orderBy("row_key").limit(n)
-    w = Window.orderBy("row_key")  # bounded by n — single partition is fine
+    order = F.col("row_key").desc() if descending else F.col("row_key").asc()
+    keys = cells.select("row_key").distinct().orderBy(order).limit(n)
+    w = Window.orderBy(order)  # bounded by n — single partition is fine
     return keys.withColumn("rk", F.row_number().over(w).cast("long"))

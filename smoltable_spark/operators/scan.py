@@ -48,8 +48,23 @@ def _apply_predicates(cells: DataFrame, inp: ScanInput) -> DataFrame:
         cells = cells.filter(row_prefix_expr(inp.prefix))
     if inp.range is not None:
         cells = cells.filter(row_range_expr(inp.range))
+    if inp.ranges:
+        # EXTENSION (reference TODO, query/scan.rs:18-20): union of ranges
+        # as one OR predicate — still sargable, still pushed to parquet
+        import functools
+
+        cells = cells.filter(
+            functools.reduce(
+                lambda a, b: a | b, (row_range_expr(r) for r in inp.ranges)
+            )
+        )
     if inp.column_filter is not None:
         cells = cells.filter(column_filter_expr(inp.column_filter))
+    if inp.ts_min is not None:
+        # EXTENSION (reference TODO, query/scan.rs:46-51)
+        cells = cells.filter(F.col("ts") >= inp.ts_min)
+    if inp.ts_max is not None:
+        cells = cells.filter(F.col("ts") <= inp.ts_max)
     return cells
 
 
@@ -87,10 +102,12 @@ def _apply_row_accounting(cells: DataFrame, inp: ScanInput) -> DataFrame:
         return cells
 
     if need_full_rank:
-        ranked = ranked_row_keys(cells)
+        ranked = ranked_row_keys(cells, descending=inp.reverse)
     else:
         # bounded: only the first offset+limit keys matter
-        ranked = top_row_keys(cells, inp.row_offset + (inp.row_limit or 0))
+        ranked = top_row_keys(
+            cells, inp.row_offset + (inp.row_limit or 0), descending=inp.reverse
+        )
 
     if inp.row_offset:
         ranked = ranked.withColumn("rk", F.col("rk") - F.lit(inp.row_offset)).filter(
@@ -111,27 +128,75 @@ def _apply_row_accounting(cells: DataFrame, inp: ScanInput) -> DataFrame:
     return cells.join(F.broadcast(ranked.select("row_key")), "row_key", "inner")
 
 
-def scan_cells(cells: DataFrame, inp: ScanInput) -> DataFrame:
+def _cell_bytes():
+    """Approximate serialized cell size — bytes_scanned parity with the
+    reference's scan metrics (smoltable/src/query/scan.rs:60-66): key
+    coordinates + 8-byte ts + 1-byte type tag + value payload."""
+    value_bytes = (
+        F.coalesce(F.octet_length(F.col("v_str")), F.lit(0))
+        + F.when(F.col("v_bool").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("v_byte").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("v_i32").isNotNull(), 4).otherwise(0)
+        + F.when(F.col("v_i64").isNotNull(), 8).otherwise(0)
+        + F.when(F.col("v_f32").isNotNull(), 4).otherwise(0)
+        + F.when(F.col("v_f64").isNotNull(), 8).otherwise(0)
+    )
+    return (
+        F.octet_length(F.col("row_key"))
+        + F.octet_length(F.col("family"))
+        + F.octet_length(F.col("qualifier"))
+        + F.lit(9)
+        + value_bytes
+    )
+
+
+def attach_scan_metrics(df: DataFrame, observation) -> DataFrame:
+    """Instrument a scan with the reference's observability outputs
+    (cells/rows/bytes scanned — SURVEY §4 custom work item 3) via
+    ``df.observe``: zero-cost accumulators folded into the scan stage,
+    readable after the action from the Observation object.
+
+    rows_scanned uses HLL (exact distinct is not allowed in observe
+    aggregates); cells/bytes are exact.
+    """
+    return df.observe(
+        observation,
+        F.count(F.lit(1)).alias("cells_scanned"),
+        F.approx_count_distinct("row_key").alias("rows_scanned"),
+        F.sum(_cell_bytes()).cast("long").alias("bytes_scanned"),
+    )
+
+
+def scan_cells(cells: DataFrame, inp: ScanInput, observation=None) -> DataFrame:
     """Run a scan, returning the *flat* matching cells (canonical schema).
 
     This is the engine-native result; ``scan_rows`` nests it into the
-    reference's JSON row shape.
+    reference's JSON row shape. Pass a ``pyspark.sql.Observation`` to
+    collect scan metrics (attached after predicates, before limits — the
+    reference counts every cell the merged stream yields, e.g.
+    read_row_cell_limit.rs asserts scanned 10 with limit 7).
     """
     out = _apply_predicates(cells, inp)
+    if observation is not None:
+        out = attach_scan_metrics(out, observation)
     out = _apply_cell_limits(out, inp)
     out = _apply_row_accounting(out, inp)
     if inp.cell_limit is not None:
         # total cell order then limit → TakeOrderedAndProject (distributed top-k)
-        out = out.orderBy(*cell_order()).limit(inp.cell_limit)
+        order = cell_order()
+        if inp.reverse:
+            order[0] = F.col("row_key").desc()
+        out = out.orderBy(*order).limit(inp.cell_limit)
     return out
 
 
-def scan_rows(cells: DataFrame, inp: ScanInput) -> DataFrame:
+def scan_rows(cells: DataFrame, inp: ScanInput, observation=None) -> DataFrame:
     """Scan returning nested rows sorted by row key.
 
     Shape parity with ``Vec<Row>`` (reference smoltable/src/row.rs:5-9):
     one row per row_key with map<family, map<qualifier, array<cell>>>,
     versions newest-first; result ordered by row key (the reference
-    collects into a BTreeMap, mod.rs:662,794-795).
+    collects into a BTreeMap, mod.rs:662,794-795; descending for the
+    backward-scan extension).
     """
-    return assemble_rows(scan_cells(cells, inp))
+    return assemble_rows(scan_cells(cells, inp, observation), descending=inp.reverse)

@@ -112,3 +112,47 @@ def test_versions_newest_first(spark):
     shape = rows_to_json_shape(out)
     times = [c["time"] for c in shape[0]["columns"]["value"]["asd"]]
     assert times == [5, 4, 3]
+
+
+def test_scan_multi_ranges(spark):
+    # EXTENSION: disjoint ranges OR'd (reference TODO, query/scan.rs:18-20)
+    out = scan_cells(
+        abc_cells(spark),
+        ScanInput(ranges=(RowRange("a", "a", inclusive=True), RowRange("c", "c", inclusive=True))),
+    )
+    assert row_keys(out) == ["a", "c"]
+
+
+def test_scan_ts_window(spark):
+    # EXTENSION: time-range cell filter (reference TODO, query/scan.rs:46-51)
+    out = scan_cells(versions_cells(spark), ScanInput(prefix="", ts_min=2, ts_max=4))
+    got = sorted(set(r["ts"] for r in out.select("ts").collect()))
+    assert got == [2, 3, 4]
+
+
+def test_scan_reverse(spark):
+    # EXTENSION: backward scan (unsupported in reference, docs/.../scan-rows.md:189)
+    out = scan_rows(abc_cells(spark), ScanInput(prefix="", reverse=True))
+    keys = [r["row_key"] for r in out.select("row_key").collect()]
+    assert keys == ["c", "ba", "b", "a"]
+
+
+def test_scan_reverse_row_limit(spark):
+    # reverse + limit → last 2 rows in descending order
+    out = scan_rows(abc_cells(spark), ScanInput(prefix="", reverse=True, row_limit=2))
+    keys = [r["row_key"] for r in out.select("row_key").collect()]
+    assert keys == ["c", "ba"]
+
+
+def test_scan_metrics_observe(spark):
+    # SURVEY §4 item 3: cells/bytes/rows scanned via df.observe —
+    # read_row_cell_limit.rs asserts scanned=10 even with limit 7
+    from pyspark.sql import Observation
+
+    obs = Observation("scan")
+    out = scan_cells(versions_cells(spark), ScanInput(prefix="", row_cell_limit=7), observation=obs)
+    assert out.count() == 7
+    got = obs.get
+    assert got["cells_scanned"] == 10
+    assert got["rows_scanned"] == 1
+    assert got["bytes_scanned"] > 0
