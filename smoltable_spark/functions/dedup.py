@@ -158,19 +158,25 @@ def lsh_candidate_pairs(
     all-pairs blow-up occurs. Output: distinct (id_a < id_b).
     """
     rows_per_band = num_hashes // bands
-    buckets = None
-    for b in range(bands):
+
+    def band_bucket(b: int):
         # polynomial combine of the band's signature values: exact int64
         # (values < 2^31, degree ≤ 4 with base 31 → < 2^52), portable
         bucket = F.lit(0).cast("long")
         for i in range(b * rows_per_band, (b + 1) * rows_per_band):
             bucket = bucket * 31 + F.col(f"h{i}")
-        part = signatures.select(
-            F.col(id_col),
-            F.lit(b).alias("band"),
-            bucket.alias("bucket"),
-        )
-        buckets = part if buckets is None else buckets.unionByName(part)
+        return F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
+
+    # the signature pipeline (explode + md5 + 16-way min agg) is the
+    # expensive upstream; the signature TABLE is tiny (one row/doc).
+    # Materialize it once so the band explode + self-join below don't
+    # re-execute the shingle pipeline per plan branch.
+    signatures = signatures.localCheckpoint(eager=True)
+    # single pass: each signature row emits all its (band, bucket) pairs
+    buckets = signatures.select(
+        F.col(id_col),
+        F.explode(F.array(*[band_bucket(b) for b in range(bands)])).alias("_bb"),
+    ).select(id_col, F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
     a = buckets.alias("a")
     b_ = buckets.alias("b")
     pairs = (
