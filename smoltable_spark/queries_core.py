@@ -109,6 +109,52 @@ def wc_scan_range_exclusive(spark, sf_dir):
 
 
 @q(
+    "wc_scan_multi_range",
+    f"{cells_cte(ORDERS_MELT)} SELECT {_SLIM} FROM cells "
+    "WHERE (row_key >= 'order#000000000100' AND row_key <= 'order#000000000110') "
+    "   OR (row_key >= 'order#000000000500' AND row_key <= 'order#000000000510')",
+)
+def wc_scan_multi_range(spark, sf_dir):
+    """EXTENSION: disjoint multi-range scan — the reference stubs ``Ranges``
+    as a commented TODO (smoltable/src/query/scan.rs:18-20). One OR'd
+    sargable predicate; each disjunct still prunes row groups."""
+    inp = ScanInput(
+        ranges=(
+            RowRange("order#000000000100", "order#000000000110", True),
+            RowRange("order#000000000500", "order#000000000510", True),
+        )
+    )
+    return slim(scan_cells(orders_cells(spark, sf_dir), inp))
+
+
+@q(
+    "wc_scan_ts_window",
+    f"{cells_cte(EVENTS_MELT)} SELECT {_SLIM} FROM cells "
+    "WHERE ts >= 1705000000000000000 AND ts <= 1705500000000000000",
+)
+def wc_scan_ts_window(spark, sf_dir):
+    """EXTENSION: cell-timestamp window — the reference stubs time-range
+    filters as TODO (query/scan.rs:46-51, row.rs:22-25). Long-range
+    predicate on ts, pushed to parquet alongside the key predicates."""
+    inp = ScanInput(prefix="", ts_min=1705000000000000000, ts_max=1705500000000000000)
+    return slim(scan_cells(events_cells(spark, sf_dir), inp))
+
+
+@q(
+    "wc_scan_reverse",
+    f"{cells_cte(ORDERS_MELT)} SELECT {_SLIM} FROM cells WHERE row_key IN "
+    "(SELECT row_key FROM (SELECT DISTINCT row_key FROM cells ORDER BY row_key DESC LIMIT 5))",
+)
+def wc_scan_reverse(spark, sf_dir):
+    """EXTENSION: backward scan + row limit → LAST 5 rows (descending scans
+    are documented as unsupported in the reference, docs/.../scan-rows.md:189).
+    The driver's compare is order-insensitive, so the oracle checks the
+    selection semantics (last-N rows, not first-N)."""
+    inp = ScanInput(prefix="", reverse=True, row_limit=5)
+    return slim(scan_cells(orders_cells(spark, sf_dir), inp))
+
+
+@q(
     "wc_filter_key",
     f"{cells_cte(ORDERS_MELT)} SELECT {_SLIM} FROM cells "
     "WHERE family = 'o' AND qualifier = 'totalprice'",
