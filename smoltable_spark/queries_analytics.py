@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from smoltable_spark.functions import dedup, multimodal, similarity, text
+from smoltable_spark.functions import dedup, multimodal, similarity, text, timeseries
 from smoltable_spark.functions.hashing import md5_long, seeded
 from smoltable_spark.queries_util import (
     TOKS_SQL,
@@ -212,6 +212,107 @@ def rel_top_users_by_spend(spark, sf_dir):
             "user_id",
             (F.col("_spend_c") / 100.0).alias("spend"),
             "rank",
+        )
+    )
+
+
+@q(
+    "rel_asof_join",
+    """
+    SELECT e.event_id, e.user_id, epoch_ns(e.ts) AS ets,
+           o.o_orderkey AS matched_orderkey, o.ots AS matched_ots
+    FROM events e ASOF LEFT JOIN
+      (SELECT o_custkey, epoch_ms(o_orderdate)*1000000 + o_orderkey AS ots,
+              o_orderkey
+       FROM orders) o
+      ON e.user_id = o.o_custkey AND epoch_ns(e.ts) >= o.ots
+    """,
+)
+def rel_asof_join(spark, sf_dir):
+    """As-of join: each event matched to the customer's most recent order
+    at-or-before the event time (backward inclusive).
+
+    Spark has no ASOF JOIN operator; this runs the union +
+    last-non-null-carry-forward pipeline (functions/timeseries.py) — one
+    shuffle per side on the key, no per-key cross product. Right-side
+    times are made unique per key (orderdate nanos + orderkey offset) so
+    the match is deterministic in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr("(ts div 1000) * 1000").alias("ets")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        (
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")) * 1_000_000
+            + F.col("o_orderkey")
+        ).alias("ots"),
+        F.col("o_orderkey"),
+    )
+    out = timeseries.asof_join(
+        ev, orders, on="user_id", left_time="ets", right_time="ots",
+        right_cols=["o_orderkey", "ots"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ets",
+        F.col("o_orderkey").alias("matched_orderkey"),
+        F.col("ots").alias("matched_ots"),
+    )
+
+
+@q(
+    "rel_sessionize",
+    f"""
+    SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+           min(ets) AS session_start, max(ets) AS session_end,
+           max(ets) - min(ets) AS duration
+    FROM (
+      SELECT user_id, ets,
+             CAST(sum(CASE WHEN prev IS NULL OR ets - prev > {_HOUR_NS} THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ets
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM (SELECT user_id, epoch_ns(ts) AS ets,
+                   lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)) AS prev
+            FROM events))
+    GROUP BY user_id, session_id
+    """,
+)
+def rel_sessionize(spark, sf_dir):
+    """Gap-based sessionization (1 h gap): per-session count/bounds/duration.
+
+    lag → boundary flag → running sum → group: the two window steps and
+    the final aggregate all share one shuffle on user_id.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("(ts div 1000) * 1000").alias("ets")
+    )
+    return timeseries.session_stats(ev, key="user_id", time_col="ets", gap=_HOUR_NS)
+
+
+@q(
+    "rel_events_rollup",
+    f"""
+    SELECT event_type, epoch_ns(ts) // {24 * _HOUR_NS} AS day_bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum({cents_sql('value')}) / 100.0 AS total_value
+    FROM events GROUP BY ROLLUP (event_type, day_bucket)
+    """,
+)
+def rel_events_rollup(spark, sf_dir):
+    """Hierarchical rollup (type, day) → subtotals + grand total.
+
+    ``rollup`` expands to grouping sets in one pass — partial aggregation
+    still applies map-side, so the shuffle carries pre-aggregated rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day_bucket", F.expr(f"ts div {24 * _HOUR_NS}"))
+        .rollup("event_type", "day_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents(F.col("value"))) / 100.0).alias("total_value"),
         )
     )
 

@@ -1,0 +1,58 @@
+"""As-of join + sessionization (functions/timeseries.py)."""
+
+from smoltable_spark.functions import timeseries
+
+
+def test_asof_join_backward_inclusive(spark):
+    trades = spark.createDataFrame(
+        [("A", 10, "t1"), ("A", 25, "t2"), ("B", 5, "t3"), ("A", 3, "t4")],
+        "sym string, t long, trade string",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 5, 100.0), ("A", 10, 101.0), ("A", 20, 102.0), ("B", 9, 50.0)],
+        "sym string, qt long, px double",
+    )
+    out = timeseries.asof_join(trades, quotes, on="sym", left_time="t", right_time="qt")
+    got = {r["trade"]: (r["qt"], r["px"]) for r in out.collect()}
+    assert got == {
+        "t1": (10, 101.0),   # inclusive: quote AT t=10 matches
+        "t2": (20, 102.0),   # latest at-or-before 25
+        "t3": (None, None),  # B has no quote <= 5
+        "t4": (None, None),  # before any A quote
+    }
+
+
+def test_asof_join_keeps_all_left_rows(spark):
+    left = spark.createDataFrame([("k", i, i) for i in range(10)], "k string, t long, v long")
+    right = spark.createDataFrame([("k", 4, "x")], "k string, rt long, tag string")
+    out = timeseries.asof_join(left, right, on="k", left_time="t", right_time="rt")
+    assert out.count() == 10
+    matched = {r["v"]: r["tag"] for r in out.collect()}
+    assert all(tag == ("x" if v >= 4 else None) for v, tag in matched.items())
+
+
+def test_sessionize_gap(spark):
+    ev = spark.createDataFrame(
+        [("u1", t) for t in [0, 10, 200, 210, 500]] + [("u2", t) for t in [0, 1000]],
+        "user string, t long",
+    )
+    out = timeseries.sessionize(ev, key="user", time_col="t", gap=50)
+    got = sorted((r["user"], r["t"], r["session_id"]) for r in out.collect())
+    assert got == [
+        ("u1", 0, 1), ("u1", 10, 1),
+        ("u1", 200, 2), ("u1", 210, 2),
+        ("u1", 500, 3),
+        ("u2", 0, 1), ("u2", 1000, 2),
+    ]
+
+
+def test_session_stats(spark):
+    ev = spark.createDataFrame(
+        [("u1", t) for t in [0, 10, 200, 210, 500]], "user string, t long"
+    )
+    out = timeseries.session_stats(ev, key="user", time_col="t", gap=50)
+    got = {
+        r["session_id"]: (r["n_events"], r["session_start"], r["session_end"], r["duration"])
+        for r in out.collect()
+    }
+    assert got == {1: (2, 0, 10, 10), 2: (2, 200, 210, 10), 3: (1, 500, 500, 0)}
