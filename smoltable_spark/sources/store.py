@@ -20,8 +20,24 @@ Physical design (SURVEY §1.6, §4):
 - a JSON sidecar persists column families + GC options (the reference's
   manifest partition, mod.rs:271-296).
 
-Writes append a new snapshot; delete/GC jobs write the rewritten table as
-the next snapshot. Readers always see a consistent version.
+Snapshot kinds (LSM-style write path — appends must NOT rewrite the
+table at 100 TB):
+
+- ``write()`` produces a **base** snapshot (the full table — used by GC /
+  retention rewrites and compaction, the levelled-compaction analog);
+- ``append()`` produces a **delta** snapshot containing only the batch —
+  the memtable-flush analog: cost is O(batch), not O(table);
+- ``read(v)`` unions the latest base ≤ v with every delta in between —
+  the merge the reference's MergeReader does across LSM segments
+  (smoltable/src/table/merge_reader.rs:4-64), except Spark needs no
+  key-order merge at read time (sorts/windows re-establish order where a
+  query needs it);
+- ``compact()`` folds base+deltas into a new base (``OPTIMIZE`` analog;
+  reference levelled compaction, mod.rs:156-165).
+
+Readers always see a consistent version: the ``_VERSION`` pointer is the
+commit point (written via atomic rename after the snapshot's data and
+kind marker are fully on disk).
 """
 
 from __future__ import annotations
@@ -90,12 +106,28 @@ class CellStore:
     def _version_dir(self, n: int) -> str:
         return os.path.join(self.path, f"v={n}")
 
+    _KIND_FILE = "_KIND"
+
+    def _kind(self, n: int) -> str:
+        p = os.path.join(self._version_dir(n), self._KIND_FILE)
+        if not os.path.exists(p):
+            return "base"  # pre-delta layouts: every snapshot was full
+        with open(p) as fh:
+            return fh.read().strip()
+
+    def _base_of(self, n: int) -> int:
+        """Latest base version ≤ n (0 when the chain starts with deltas)."""
+        for v in range(n, 0, -1):
+            if os.path.isdir(self._version_dir(v)) and self._kind(v) == "base":
+                return v
+        return 0
+
     # -- write / read ------------------------------------------------------
 
     def write(self, cells: DataFrame, num_range_partitions: int | None = None) -> int:
-        """Write a new snapshot containing exactly ``cells``; returns version.
-
-        Layout: lg partition dirs → range-partitioned, key-sorted parquet.
+        """Write a new **base** snapshot containing exactly ``cells``;
+        returns version. Layout: lg partition dirs → range-partitioned,
+        key-sorted parquet.
         """
         fam_lg = {
             f: (g if g != "" else _DEFAULT_LG) for f, g in self.family_to_lg().items()
@@ -119,30 +151,76 @@ class CellStore:
             F.col("qualifier").asc(),
             F.col("ts").desc(),
         )
+        return self._commit_snapshot(df, kind="base")
+
+    def _commit_snapshot(self, df: DataFrame, kind: str) -> int:
         n = self.current_version() + 1
-        df.write.mode("overwrite").partitionBy("lg").parquet(self._version_dir(n))
-        self._commit_version(n)
+        d = self._version_dir(n)
+        df.write.mode("overwrite").partitionBy("lg").parquet(d)
+        with open(os.path.join(d, self._KIND_FILE), "w") as fh:
+            fh.write(kind)
+        self._commit_version(n)  # pointer rename = the commit point
         return n
 
     def append(self, cells: DataFrame) -> int:
         """Atomic batch append (S1 semantics: one commit, all-or-nothing —
-        reference smoltable/src/table/writer.rs:56-79). Copy-on-write at
-        snapshot granularity: new version = old ∪ batch."""
-        cur = self.read_or_none()
-        df = cells.select(*CELL_COLUMNS)
-        if cur is not None:
-            df = cur.select(*CELL_COLUMNS).unionByName(df)
-        return self.write(df)
+        reference smoltable/src/table/writer.rs:56-79) as a **delta**
+        snapshot: only the batch is written — O(batch) like a memtable
+        flush, never a table rewrite. Run ``compact()`` periodically to
+        fold deltas into a base (small-file + read-amp maintenance)."""
+        fam_lg = {
+            f: (g if g != "" else _DEFAULT_LG) for f, g in self.family_to_lg().items()
+        }
+        lg_expr = F.lit(_DEFAULT_LG)
+        if fam_lg:
+            mapping = F.create_map(
+                *[x for f, g in fam_lg.items() for x in (F.lit(f), F.lit(g))]
+            )
+            lg_expr = F.coalesce(mapping[F.col("family")], F.lit(_DEFAULT_LG))
+        df = (
+            cells.select(*CELL_COLUMNS)
+            .withColumn("lg", lg_expr)
+            .sortWithinPartitions(
+                F.col("row_key").asc(),
+                F.col("family").asc(),
+                F.col("qualifier").asc(),
+                F.col("ts").desc(),
+            )
+        )
+        return self._commit_snapshot(df, kind="delta")
+
+    def compact(self, num_range_partitions: int | None = None) -> int:
+        """Fold the current base + deltas into one new base snapshot
+        (``OPTIMIZE`` / levelled-compaction analog, reference
+        mod.rs:156-165). No-op (returns current) when already compact."""
+        n = self.current_version()
+        if n == 0 or self._kind(n) == "base":
+            return n
+        return self.write(
+            self.read().select(*CELL_COLUMNS), num_range_partitions
+        )
 
     def read(self, version: int | None = None) -> DataFrame:
-        """Read a snapshot (default: current). Includes the ``lg`` column."""
+        """Read a snapshot (default: current). Includes the ``lg`` column.
+
+        A snapshot = latest base ≤ version, unioned with every delta after
+        it. Each leg is its own parquet relation, so predicate pushdown,
+        row-group skipping, and lg partition pruning apply per leg.
+        """
         n = self.current_version() if version is None else version
         if n == 0:
             raise FileNotFoundError(f"no snapshot in {self.path}")
         # lg keeps the physical sentinel value ('_default' for ''): decoding
         # here would wrap the partition column in a projection and defeat
         # Catalyst partition pruning on lg filters.
-        return self.spark.read.parquet(self._version_dir(n))
+        if not os.path.isdir(self._version_dir(n)):
+            raise FileNotFoundError(f"version {n} vacuumed from {self.path}")
+        base = self._base_of(n)
+        legs = [v for v in range(max(base, 1), n + 1) if os.path.isdir(self._version_dir(v))]
+        df = self.spark.read.parquet(self._version_dir(legs[0]))
+        for v in legs[1:]:
+            df = df.unionByName(self.spark.read.parquet(self._version_dir(v)))
+        return df
 
     def read_for_filter(self, column_filter=None, version: int | None = None) -> DataFrame:
         """Partition-pruned read: only the locality groups a column filter
@@ -164,29 +242,49 @@ class CellStore:
             return None
 
     def vacuum(self, keep_last: int = 2) -> None:
-        """Drop snapshots older than the newest ``keep_last`` (FIFO retention,
-        like the reference's metrics-table cap, server/src/metrics.rs:14-24)."""
+        """Drop version dirs not needed by the newest ``keep_last`` readable
+        snapshots (FIFO retention, like the reference's metrics-table cap,
+        server/src/metrics.rs:14-24). A snapshot's chain is its base plus
+        subsequent deltas, so the cutoff is the base of the oldest retained
+        snapshot — never a dir a retained snapshot still reads."""
         cur = self.current_version()
+        if cur == 0:
+            return
+        oldest_kept = max(1, cur - keep_last + 1)
+        cutoff = self._base_of(oldest_kept) or oldest_kept
         for name in os.listdir(self.path):
             if name.startswith("v="):
                 n = int(name.split("=", 1)[1])
-                if n <= cur - keep_last:
+                if n < cutoff:
                     shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
 
     # -- stats (S8 parity) -------------------------------------------------
 
+    def _chain_dirs(self) -> list[str]:
+        n = self.current_version()
+        base = self._base_of(n)
+        return [
+            self._version_dir(v)
+            for v in range(max(base, 1), n + 1)
+            if os.path.isdir(self._version_dir(v))
+        ]
+
     def disk_space_usage(self) -> int:
-        """Bytes across current snapshot (reference mod.rs:906-922)."""
+        """Bytes across the current snapshot's chain (reference mod.rs:906-922)."""
         total = 0
-        d = self._version_dir(self.current_version())
-        for root, _, files in os.walk(d):
-            for f in files:
-                total += os.path.getsize(os.path.join(root, f))
+        for d in self._chain_dirs():
+            for root, _, files in os.walk(d):
+                for f in files:
+                    total += os.path.getsize(os.path.join(root, f))
         return total
 
     def file_count(self) -> int:
-        """Parquet file count — analog of LSM segment_count (mod.rs:888-904)."""
-        d = self._version_dir(self.current_version())
+        """Parquet file count — analog of LSM segment_count (mod.rs:888-904).
+        Grows with deltas; ``compact()`` resets it, like levelled compaction."""
         return sum(
-            1 for root, _, fs in os.walk(d) for f in fs if f.endswith(".parquet")
+            1
+            for d in self._chain_dirs()
+            for root, _, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
         )

@@ -113,3 +113,40 @@ def test_scan_over_store_partition_pruning(spark, tmp_path):
     # partition filter must appear as a pushed partition predicate
     assert "lg_hot" in plan
     assert pruned.count() == 3
+
+
+def test_store_delta_append_and_compact(spark, tmp_path):
+    """append() writes only the batch (delta snapshot); read() unions the
+    chain; compact() folds it into one base (LSM memtable-flush/compaction
+    analog — appends must never rewrite the table at scale)."""
+    store = CellStore(spark, str(tmp_path / "t4"))
+    store.save_families([ColumnFamilyDef("value", lg="")])
+    cells, _ = gc_fixture(spark)
+    v1 = store.write(cells)            # base: 8 cells
+    assert store._kind(v1) == "base"
+    batch = make_cells(spark, [("zzz", "value", "", 1, "string", "late")])
+    v2 = store.append(batch)           # delta: 1 cell only
+    assert store._kind(v2) == "delta"
+    # the delta dir holds just the batch — the base was NOT rewritten
+    assert spark.read.parquet(store._version_dir(v2)).count() == 1
+    assert store.read().count() == 9
+    assert store.read(version=1).count() == 8  # MVCC intact
+    files_before = store.file_count()
+    v3 = store.compact()
+    assert store._kind(v3) == "base"
+    assert store.read().count() == 9
+    assert store.file_count() <= files_before
+    # compact of an already-compact store is a no-op
+    assert store.compact() == v3
+
+
+def test_store_vacuum_keeps_delta_chain(spark, tmp_path):
+    """vacuum must never delete a base an alive delta still reads."""
+    store = CellStore(spark, str(tmp_path / "t5"))
+    store.save_families([ColumnFamilyDef("value", lg="")])
+    cells, _ = gc_fixture(spark)
+    store.write(cells)                                     # v1 base
+    store.append(make_cells(spark, [("a2", "value", "", 1, "string", "x")]))  # v2 delta
+    store.append(make_cells(spark, [("a3", "value", "", 1, "string", "y")]))  # v3 delta
+    store.vacuum(keep_last=1)  # current chain = v1+v2+v3 — all must survive
+    assert store.read().count() == 10
