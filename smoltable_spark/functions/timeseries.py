@@ -84,6 +84,46 @@ def asof_join(
     )
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_start: str,
+    right_end: str,
+    bucket: int,
+) -> DataFrame:
+    """Interval join: left rows matched to right rows with
+    ``right_start <= left_time <= right_end`` within the same key.
+
+    Scale path: both sides are bucketed by ``time div bucket`` and joined
+    on ``(key, bucket_id)`` — an equi-join Spark executes as a shuffled
+    hash/sort-merge join — then the exact interval predicate filters
+    within buckets. A right interval spans ``ceil(len/bucket)+1`` buckets
+    (exploded via ``sequence``), so choose ``bucket`` ≥ the typical
+    interval length: candidate blow-up stays ~2× and the per-key cross
+    product of a naive theta-join never forms.
+    """
+    lb = left.withColumn("_b", (F.col(left_time) / bucket).cast("long"))
+    rb = right.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                (F.col(right_start) / bucket).cast("long"),
+                (F.col(right_end) / bucket).cast("long"),
+            )
+        ),
+    )
+    return (
+        lb.join(rb, on=[on, "_b"], how="inner")
+        .filter(
+            (F.col(left_time) >= F.col(right_start))
+            & (F.col(left_time) <= F.col(right_end))
+        )
+        .drop("_b")
+    )
+
+
 def sessionize(
     events: DataFrame,
     key: str,

@@ -11,6 +11,8 @@ queries_util.py → results are bit-exact across engines.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import Window, functions as F
 
 from smoltable_spark.functions import dedup, multimodal, similarity, text, timeseries
@@ -262,6 +264,47 @@ def rel_asof_join(spark, sf_dir):
     )
 
 
+_WEEK_NS = 7 * 24 * _HOUR_NS
+
+
+@q(
+    "rel_range_join",
+    f"""
+    SELECT p.event_id AS purchase_id, CAST(count(*) AS BIGINT) AS n_clicks
+    FROM (SELECT event_id, user_id, epoch_ns(ts) AS pts FROM events
+          WHERE event_type = 'purchase') p
+    JOIN (SELECT user_id, epoch_ns(ts) AS cts FROM events
+          WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.cts >= p.pts - {_HOUR_NS} AND c.cts <= p.pts
+    GROUP BY p.event_id
+    """,
+)
+def rel_range_join(spark, sf_dir):
+    """Interval join: clicks within the hour before each purchase by the
+    same user — a genuine many-to-many-within-key range join. Runs the
+    bucketed range join (functions/timeseries.py): equi-join on
+    (key, time-bucket) with exact interval filter — the per-key cross
+    product of a naive theta-join never forms.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.expr("(ts div 1000) * 1000").alias("ets")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ets").alias("cts")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id", F.col("ets").alias("pts"))
+        .withColumn("wstart", F.col("pts") - _HOUR_NS)
+    )
+    joined = timeseries.range_join(
+        clicks, purchases, on="user_id", left_time="cts",
+        right_start="wstart", right_end="pts", bucket=_HOUR_NS,
+    )
+    return joined.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+
+
 @q(
     "rel_sessionize",
     f"""
@@ -315,6 +358,44 @@ def rel_events_rollup(spark, sf_dir):
             (F.sum(cents(F.col("value"))) / 100.0).alias("total_value"),
         )
     )
+
+
+_STREAM_SINK_COUNTER = itertools.count()
+
+
+@q(
+    "stream_hourly_rollup",
+    f"""
+    SELECT event_type,
+           (epoch_ns(ts) // {_HOUR_NS}) * {_HOUR_NS} AS bucket_start_ns,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum({cents_sql('value')}) / 100.0 AS total_value
+    FROM events GROUP BY event_type, bucket_start_ns
+    """,
+)
+def stream_hourly_rollup(spark, sf_dir):
+    """Structured Streaming tumbling-window rollup, oracle-checked against
+    batch SQL: the events file is replayed through the file-source stream
+    (``availableNow`` — process everything, then stop) into an in-memory
+    sink in complete mode, and the final result table must equal the batch
+    aggregation exactly. Proves the streaming pipeline (readStream → melt →
+    event-time window agg → sink) computes the same answer as the batch
+    engine — the micro-batch boundary is semantically invisible.
+    """
+    from smoltable_spark.streaming.ingest import hourly_rollup_stream, stream_events
+
+    events = stream_events(spark, sf_dir, glob="events.parquet")
+    rolled = hourly_rollup_stream(events)
+    name = f"_stream_rollup_{next(_STREAM_SINK_COUNTER)}"
+    sq = (
+        rolled.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(300)
+    return spark.table(name)
 
 
 # ---------------------------------------------------------------------------

@@ -31,12 +31,17 @@ from smoltable_spark.sources.relational import _EVENTS_SCHEMA
 _HOUR_NS = 3_600_000_000_000
 
 
-def stream_events(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
+def stream_events(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 1,
+    glob: str = "*.parquet",
+) -> DataFrame:
     """File-source stream of events (raw-nanos LongType ts, like batch)."""
     return (
         spark.readStream.schema(_EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .option("pathGlobFilter", "*.parquet")
+        .option("pathGlobFilter", glob)
         .parquet(path)
     )
 

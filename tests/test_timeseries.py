@@ -56,3 +56,19 @@ def test_session_stats(spark):
         for r in out.collect()
     }
     assert got == {1: (2, 0, 10, 10), 2: (2, 200, 210, 10), 3: (1, 500, 500, 0)}
+
+
+def test_range_join_buckets(spark):
+    # intervals spanning bucket boundaries must still match (explode covers
+    # every bucket the interval overlaps)
+    left = spark.createDataFrame(
+        [("k", 5), ("k", 15), ("k", 25), ("k", 99)], "k string, t long"
+    )
+    right = spark.createDataFrame(
+        [("k", 4, 16, "i1"), ("k", 20, 20, "i2")], "k string, s long, e long, tag string"
+    )
+    out = timeseries.range_join(
+        left, right, on="k", left_time="t", right_start="s", right_end="e", bucket=10
+    )
+    got = sorted((r["t"], r["tag"]) for r in out.collect())
+    assert got == [(5, "i1"), (15, "i1")]  # 25/99 match nothing; i2 covers only t=20
