@@ -153,6 +153,91 @@ def cosine_topk_bucketed(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) coarse quantizer
+
+def _cosine(dot, n2a, n2b):
+    return dot / (F.sqrt(n2a.cast("double")) * F.sqrt(n2b.cast("double")))
+
+
+def _nearest_centroids(vectors: DataFrame, centroids: DataFrame, nprobe: int) -> DataFrame:
+    """(vec id, list_id, crank): each vector's ``nprobe`` nearest centroids
+    by cosine (ties → lowest centroid id). Centroids are broadcast — the
+    corpus never shuffles for assignment."""
+    scored = (
+        vectors.join(F.broadcast(centroids))
+        .withColumn("_cdot", _dot(F.col("q"), F.col("cq")))
+        .withColumn("_ccos", _cosine(F.col("_cdot"), F.col("nrm2"), F.col("cn2")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("_ccos").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= nprobe)
+        .select("vec_id", F.col("cid").alias("list_id"), "crank")
+    )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are assigned to their nearest
+    centroid's inverted list (nprobe=1); queries probe their ``nprobe``
+    nearest lists; exact cosine + top-k run over candidates only.
+
+    Centroid choice here is deterministic — the ``n_centroids`` lowest-id
+    corpus vectors — so the result is oracle-checkable cross-engine. At
+    production scale, train centroids with sampled k-means offline and
+    broadcast them; everything downstream is unchanged. Compared pairs
+    shrink ~(n_centroids/nprobe)×; the candidate join shuffles by list_id
+    (the corpus's one-shuffle assignment is reusable across query batches
+    by persisting the assigned corpus).
+    """
+    c = with_quantized_norm(corpus, vec_col).select(
+        F.col(id_col).alias("vec_id"), "q", "nrm2"
+    )
+    qd = with_quantized_norm(queries, vec_col).select(
+        F.col(id_col).alias("vec_id"), "q", "nrm2"
+    )
+    cents = c.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq"), F.col("nrm2").alias("cn2")
+    )
+    assign = _nearest_centroids(c, cents, nprobe=1).select("vec_id", "list_id")
+    probes = _nearest_centroids(qd, cents, nprobe=nprobe).select("vec_id", "list_id")
+
+    corpus_lists = c.join(assign, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("cq2"),
+        F.col("nrm2").alias("cn"),
+        "list_id",
+    )
+    query_probes = qd.join(probes, "vec_id").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nrm2").alias("qn"),
+        "list_id",
+    )
+    scored = (
+        corpus_lists.join(query_probes, "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dot", _dot(F.col("cq2"), F.col("qq")))
+        .withColumn("cosine", _cosine(F.col("dot"), F.col("cn"), F.col("qn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def embedding_near_duplicates(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -118,6 +118,44 @@ def quality_score(col: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# BPE-ish regex tokenization + stopword-based quality
+
+#: pre-tokenizer pattern in the GPT-2 spirit (letter runs / digit runs /
+#: single punctuation), restricted to disjoint character classes so Java
+#: regex (Spark) and RE2 (DuckDB) produce identical piece streams.
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def bpe_pieces(col: Column) -> Column:
+    """BPE-style pre-token pieces of lowercased text (array<string>)."""
+    return F.regexp_extract_all(F.lower(col), F.lit(BPE_PATTERN), 0)
+
+
+def bpe_piece_count(col: Column) -> Column:
+    return F.size(bpe_pieces(col))
+
+
+#: English stopword sample for ratio scoring (quality heuristic)
+STOPWORDS: tuple[str, ...] = (
+    "the", "and", "a", "of", "to", "in", "is", "it", "for", "on",
+)
+
+
+def stopword_count(col: Column) -> Column:
+    return F.size(F.filter(tokens(col), _marker_pred(STOPWORDS)))
+
+
+def stopword_permille(col: Column) -> Column:
+    """⌊1000 · stopwords / tokens⌋ — exact integer ratio (0 when empty)."""
+    tc = token_count(col)
+    return (
+        F.when(tc > 0, F.floor(stopword_count(col) * 1000 / tc))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
 # fingerprinting
 
 def fingerprint(col: Column) -> Column:

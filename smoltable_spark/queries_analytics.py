@@ -493,6 +493,34 @@ def txt_token_stats(spark, sf_dir):
     )
 
 
+@q(
+    "txt_bpe_quality",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{text.BPE_PATTERN}')) AS INT)
+               AS n_pieces,
+           CAST(CASE WHEN len({TOKS_SQL}) > 0
+                THEN floor(len(list_filter({TOKS_SQL},
+                         x -> list_contains({list(text.STOPWORDS)!r}, x))) * 1000
+                     / len({TOKS_SQL}))
+                ELSE 0 END AS BIGINT) AS stop_permille
+    FROM documents
+    """,
+)
+def txt_bpe_quality(spark, sf_dir):
+    """BPE-ish regex piece counts + stopword-ratio quality signal — the
+    tokenizer-facing stats a training pipeline computes per document.
+    Narrow projection, no shuffle; regex constrained to disjoint character
+    classes so Java regex ≡ RE2 (see functions/text.py::BPE_PATTERN)."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        text.bpe_piece_count(c).alias("n_pieces"),
+        text.stopword_permille(c).alias("stop_permille"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup
 
@@ -675,6 +703,52 @@ def _ann_oracle(k: int = 10, bucketed: bool = False) -> str:
     SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
     FROM ranked WHERE rank <= {k}
     """
+
+
+def _ann_ivf_oracle(k: int = 10, n_centroids: int = 8, nprobe: int = 2) -> str:
+    dot = (
+        "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, {_QVEC_SQL} AS q FROM embeddings),
+    n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS nrm2 FROM v),
+    cents AS (SELECT vec_id AS cid, q AS cq, nrm2 AS cn2 FROM n
+              WHERE vec_id < {n_centroids}),
+    cdot AS (SELECT n.vec_id, c.cid,
+                    {dot.format(a='n.q', b='c.cq')} /
+                    (sqrt(CAST(n.nrm2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS ccos
+             FROM n CROSS JOIN cents c),
+    crank AS (SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY ccos DESC, cid) AS r
+              FROM cdot),
+    assign AS (SELECT vec_id, cid AS list_id FROM crank WHERE r = 1),
+    probes AS (SELECT vec_id, cid AS list_id FROM crank
+               WHERE r <= {nprobe} AND vec_id < 5),
+    scored AS (
+      SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+             {dot.format(a='cn.q', b='qn.q')} /
+             (sqrt(CAST(cn.nrm2 AS DOUBLE)) * sqrt(CAST(qn.nrm2 AS DOUBLE))) AS cosine
+      FROM assign a JOIN probes p ON p.list_id = a.list_id AND a.vec_id <> p.vec_id
+                    JOIN n cn ON cn.vec_id = a.vec_id
+                    JOIN n qn ON qn.vec_id = p.vec_id),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@q("ann_cosine_ivf", _ann_ivf_oracle(k=10, n_centroids=8, nprobe=2))
+def ann_cosine_ivf(spark, sf_dir):
+    """IVF approximate top-10: inverted lists from a deterministic coarse
+    quantizer, queries probe their 2 nearest lists (see
+    functions/similarity.py::cosine_topk_ivf for the scale design)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk_ivf(
+        emb, queries, k=10, n_centroids=8, nprobe=2
+    ).withColumn("rank", F.col("rank").cast("int"))
 
 
 @q("ann_cosine_topk", _ann_oracle(k=10, bucketed=False))

@@ -153,3 +153,56 @@ def test_quality_score_range(spark, docs):
     out = docs.select(text.quality_score(F.col("text")).alias("q")).collect()
     for r in out:
         assert 0 <= r["q"] <= 100
+
+
+def test_bpe_pieces_and_stopwords(spark):
+    from smoltable_spark.functions import text as T
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("The cat, and 42 dogs!",), ("",)], "text string"
+    )
+    out = df.select(
+        T.bpe_pieces(F.col("text")).alias("p"),
+        T.stopword_permille(F.col("text")).alias("sp"),
+    ).collect()
+    # "the","cat",",","and","42","dogs","!" → 7 pieces
+    assert out[0]["p"] == ["the", "cat", ",", "and", "42", "dogs", "!"]
+    # tokens: the cat, and 42 dogs! → 5 whitespace tokens; stopwords: the, and → 2/5
+    assert out[0]["sp"] == 400
+    assert out[1]["p"] == [] and out[1]["sp"] == 0
+
+
+def test_ivf_topk_matches_bruteforce_when_probing_all(spark):
+    """nprobe = n_centroids → IVF candidates = whole corpus → exact."""
+    import random
+    from smoltable_spark.functions import similarity as S
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter("vec_id < 3")
+    exact = S.cosine_topk_bruteforce(emb, queries, k=5)
+    ivf = S.cosine_topk_ivf(emb, queries, k=5, n_centroids=4, nprobe=4)
+    key = lambda df: sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in df.collect()
+    )
+    assert key(ivf) == key(exact)
+
+
+def test_ivf_restricts_candidates(spark):
+    """nprobe=1 searches only the query's own list — results are a subset
+    of each probed list, never the full corpus."""
+    import random
+    from smoltable_spark.functions import similarity as S
+
+    rnd = random.Random(11)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter("vec_id < 2")
+    out = S.cosine_topk_ivf(emb, queries, k=40, n_centroids=4, nprobe=1)
+    per_query = {}
+    for r in out.collect():
+        per_query.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for q, neighbors in per_query.items():
+        assert len(neighbors) < 39  # strictly fewer than all-minus-self
