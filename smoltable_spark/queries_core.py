@@ -75,6 +75,17 @@ def wc_scan_all(spark, sf_dir):
     return slim(scan_cells(orders_cells(spark, sf_dir), ScanInput(prefix="")))
 
 
+def _orders_scan(spark, sf_dir, inp):
+    """Scan over the orders melt with the row predicate transposed to
+    numeric o_orderkey bounds (superset, pushed to parquet) — the melt-path
+    equivalent of the reference's seek-to-prefix. The exact string
+    predicate still runs inside scan_cells as the residual."""
+    from smoltable_spark.sources.relational import ORDERS_KEY_CODEC, scan_key_bounds
+
+    bounds = scan_key_bounds(ORDERS_KEY_CODEC, inp)
+    return scan_cells(orders_cells(spark, sf_dir, key_bounds=bounds), inp)
+
+
 @q(
     "wc_scan_prefix",
     f"{cells_cte(ORDERS_MELT)} SELECT {_SLIM} FROM cells "
@@ -82,9 +93,7 @@ def wc_scan_all(spark, sf_dir):
 )
 def wc_scan_prefix(spark, sf_dir):
     """Prefix scan (P4; smoltable/tests/scan_prefix_simple.rs)."""
-    return slim(
-        scan_cells(orders_cells(spark, sf_dir), ScanInput(prefix="order#00000000012"))
-    )
+    return slim(_orders_scan(spark, sf_dir, ScanInput(prefix="order#00000000012")))
 
 
 @q(
@@ -95,7 +104,7 @@ def wc_scan_prefix(spark, sf_dir):
 def wc_scan_range(spark, sf_dir):
     """Inclusive range scan (P5; smoltable/tests/scan_range_simple.rs)."""
     inp = ScanInput(range=RowRange("order#000000000100", "order#000000000200", True))
-    return slim(scan_cells(orders_cells(spark, sf_dir), inp))
+    return slim(_orders_scan(spark, sf_dir, inp))
 
 
 @q(
@@ -105,7 +114,7 @@ def wc_scan_range(spark, sf_dir):
 )
 def wc_scan_range_exclusive(spark, sf_dir):
     inp = ScanInput(range=RowRange("order#000000000100", "order#000000000200", False))
-    return slim(scan_cells(orders_cells(spark, sf_dir), inp))
+    return slim(_orders_scan(spark, sf_dir, inp))
 
 
 @q(
@@ -124,7 +133,7 @@ def wc_scan_multi_range(spark, sf_dir):
             RowRange("order#000000000500", "order#000000000510", True),
         )
     )
-    return slim(scan_cells(orders_cells(spark, sf_dir), inp))
+    return slim(_orders_scan(spark, sf_dir, inp))
 
 
 @q(

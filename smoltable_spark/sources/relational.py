@@ -129,8 +129,116 @@ def _pad(col, width: int = 12):
     return F.lpad(col.cast("string"), width, "0")
 
 
-def orders_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
+class PaddedIntKeyCodec:
+    """Inverse of the ``<prefix><zero-padded int>[<suffix>]`` row-key encoding:
+    transposes row-key string predicates into numeric bounds on the source
+    key column.
+
+    Why: the melt computes ``row_key`` with concat/lpad, so Catalyst cannot
+    push a row-key prefix/range to the parquet scan — the reference's
+    seek-to-prefix (reader.rs:46-78) would be lost on melted sources. The
+    codec derives a *superset* range on the underlying integer key (the
+    padding preserves order, docs/.../wide-column-intro.md:184), which IS
+    pushdown-able and prunes files/row-groups; the exact string predicate
+    still runs as a residual filter after the melt. Superset + residual =
+    always correct, and the scan skips everything outside the bounds.
+    """
+
+    def __init__(self, prefix: str, width: int = 12):
+        self.prefix = prefix
+        self.width = width
+
+    def _max_key(self) -> int:
+        return 10**self.width - 1
+
+    def _digit_run(self, s: str) -> str:
+        """Leading digit run of s, capped at the padded width."""
+        out = []
+        for ch in s[: self.width]:
+            if not ch.isdigit():
+                break
+            out.append(ch)
+        return "".join(out)
+
+    EMPTY = (1, 0)
+
+    def prefix_bounds(self, key_prefix: str) -> tuple[int, int] | None:
+        """Numeric [lo, hi] superset of keys whose encoded row key starts
+        with ``key_prefix``. None = every key may match; ``EMPTY`` = no key
+        can. Bounds may overshoot (suffix chars beyond the padded digits
+        are ignored) — the residual string filter stays exact."""
+        if len(key_prefix) <= len(self.prefix):
+            return None if self.prefix.startswith(key_prefix) else self.EMPTY
+        if not key_prefix.startswith(self.prefix):
+            return self.EMPTY
+        rest = key_prefix[len(self.prefix):]
+        d = self._digit_run(rest)
+        if len(d) < self.width and len(rest) > len(d):
+            # a non-digit sits inside the padded span: impossible unless the
+            # digit run is complete — no key's padded digits contain it
+            return self.EMPTY if not d else (
+                # conservative: keep the whole run the digits name
+                int(d) * 10 ** (self.width - len(d)),
+                (int(d) + 1) * 10 ** (self.width - len(d)) - 1,
+            )
+        if not d:
+            return self.EMPTY
+        scale = 10 ** (self.width - len(d))
+        return int(d) * scale, (int(d) + 1) * scale - 1
+
+    def range_bounds(self, start: str, end: str) -> tuple[int, int]:
+        """Numeric superset [lo, hi] for keys with start <= row_key <= end
+        (also valid for an exclusive end — supersets stay supersets)."""
+        # lo: keys below the start's digit run sort before `start`
+        if start <= self.prefix:
+            lo = 0
+        elif not start.startswith(self.prefix):
+            lo = 0 if start < self.prefix else self._max_key() + 1  # empty
+        else:
+            d = self._digit_run(start[len(self.prefix):])
+            lo = int(d) * 10 ** (self.width - len(d)) if d else 0
+        # hi: keys above the end's digit run sort after `end`
+        if end < self.prefix:
+            hi = 0  # conservative single-key superset; residual empties it
+        elif not end.startswith(self.prefix):
+            hi = self._max_key() if end > self.prefix else 0
+        else:
+            d = self._digit_run(end[len(self.prefix):])
+            hi = (int(d) + 1) * 10 ** (self.width - len(d)) - 1 if d else 0
+        return lo, hi
+
+
+#: codec for the orders/lineitem row-key space (``order#<pad12>[#NN]``)
+ORDERS_KEY_CODEC = PaddedIntKeyCodec("order#", 12)
+
+
+def scan_key_bounds(codec: PaddedIntKeyCodec, inp) -> tuple[int, int] | None:
+    """Superset numeric key bounds for a ScanInput's row predicate, or
+    None when nothing is derivable (full scan)."""
+    if getattr(inp, "prefix", None):
+        return codec.prefix_bounds(inp.prefix)
+    if getattr(inp, "range", None) is not None:
+        return codec.range_bounds(inp.range.start, inp.range.end)
+    if getattr(inp, "ranges", None):
+        bs = [codec.range_bounds(r.start, r.end) for r in inp.ranges]
+        return min(b[0] for b in bs), max(b[1] for b in bs)
+    return None
+
+
+def _bounded(df: DataFrame, key_col: str, key_bounds: tuple[int, int] | None) -> DataFrame:
+    """Apply derived numeric key bounds — a sargable predicate the parquet
+    reader prunes files/row-groups with (the melt's computed row_key can't
+    push down; this is the transposed seek — see PaddedIntKeyCodec)."""
+    if key_bounds is None:
+        return df
+    lo, hi = key_bounds
+    return df.filter((F.col(key_col) >= lo) & (F.col(key_col) <= hi))
+
+
+def orders_cells(
+    spark: SparkSession, sf_dir: str, key_bounds: tuple[int, int] | None = None
+) -> DataFrame:
+    orders = _bounded(load_table(spark, sf_dir, "orders"), "o_orderkey", key_bounds)
     return melt(
         orders,
         row_key=F.concat(F.lit("order#"), _pad(F.col("o_orderkey"))),
@@ -145,8 +253,10 @@ def orders_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lineitem_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+def lineitem_cells(
+    spark: SparkSession, sf_dir: str, key_bounds: tuple[int, int] | None = None
+) -> DataFrame:
+    li = _bounded(load_table(spark, sf_dir, "lineitem"), "l_orderkey", key_bounds)
     return melt(
         li,
         row_key=F.concat(
