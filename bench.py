@@ -42,10 +42,15 @@ HEADLINE = [
     "rel_tpch_q5",
     "rel_events_hourly",
     "rel_top_users_by_spend",
+    "rel_asof_join",
+    "rel_range_join",
+    "rel_sessionize",
     "txt_analyze",
+    "txt_bpe_quality",
     "dedup_exact",
     "dedup_minhash",
     "ann_cosine_topk",
+    "ann_cosine_ivf",
     "mm_features",
 ]
 
