@@ -22,22 +22,28 @@ citations in docstrings point at the *behavior* being reproduced.
 from smoltable_spark.session import get_spark
 from smoltable_spark.schema import CELLS_SCHEMA, cell_order
 from smoltable_spark.api import (
+    ColumnFamilyDef,
     ColumnKey,
     ColumnFilter,
+    CountInput,
     RowRange,
     ScanInput,
     QueryRowInput,
 )
+from smoltable_spark.table import Smoltable
 
 __all__ = [
     "get_spark",
     "CELLS_SCHEMA",
     "cell_order",
+    "ColumnFamilyDef",
     "ColumnKey",
     "ColumnFilter",
+    "CountInput",
     "RowRange",
     "ScanInput",
     "QueryRowInput",
+    "Smoltable",
 ]
 
 __version__ = "0.1.0"

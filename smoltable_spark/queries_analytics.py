@@ -76,6 +76,44 @@ def rel_tpch_q1(spark, sf_dir):
     )
 
 
+#: 1994-01-01 / 1995-01-01 UTC epoch ms (q6 year window)
+_Q6_LO_MS = 757_382_400_000
+_Q6_HI_MS = 788_918_400_000
+
+
+@q(
+    "rel_tpch_q6",
+    f"""
+    SELECT sum({cents_sql('l_extendedprice')} * {cents_sql('l_discount')}) / 10000.0
+               AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE epoch_ms(l_shipdate) >= {_Q6_LO_MS} AND epoch_ms(l_shipdate) < {_Q6_HI_MS}
+      AND {cents_sql('l_discount')} BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+)
+def rel_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 shape: pure predicate + scalar aggregate — the whole query
+    is one codegen'd scan stage (filters push to parquet, partial agg
+    map-side, single-row exchange)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_c = cents(F.col("l_discount"))
+    sd = F.unix_millis(F.col("l_shipdate").cast("timestamp"))
+    return (
+        li.filter(
+            (sd >= _Q6_LO_MS)
+            & (sd < _Q6_HI_MS)
+            & disc_c.between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(cents(F.col("l_extendedprice")) * disc_c) / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 #: 1998-01-01 UTC epoch ms (q3 date split)
 _Q3_DATE_MS = 883_612_800_000
 

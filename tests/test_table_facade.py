@@ -1,0 +1,96 @@
+"""Smoltable facade — the reference user's full lifecycle in one place
+(mirrors the shape of smoltable/tests/*.rs: open → create families →
+write → query → delete → gc → count)."""
+
+from smoltable_spark import (
+    ColumnFamilyDef,
+    ColumnFilter,
+    CountInput,
+    QueryRowInput,
+    ScanInput,
+    Smoltable,
+)
+from smoltable_spark.operators.assemble import rows_to_json_shape
+
+
+def make_table(spark, tmp_path) -> Smoltable:
+    t = Smoltable.open(spark, str(tmp_path / "tbl"))
+    t.create_column_families(
+        [
+            ColumnFamilyDef("value", lg=""),
+            ColumnFamilyDef("meta", version_limit=2, lg="lg_meta"),
+        ]
+    )
+    t.write(
+        [
+            {
+                "row_key": "item#001",
+                "cells": [
+                    {"column_key": "value:", "value": {"string": "hello"}, "timestamp": 1},
+                    {"column_key": "meta:rev", "value": {"i64": 1}, "timestamp": 1},
+                    {"column_key": "meta:rev", "value": {"i64": 2}, "timestamp": 2},
+                    {"column_key": "meta:rev", "value": {"i64": 3}, "timestamp": 3},
+                ],
+            },
+            {
+                "row_key": "item#002",
+                "cells": [
+                    {"column_key": "value:", "value": {"string": "world"}, "timestamp": 1},
+                ],
+            },
+        ]
+    )
+    return t
+
+
+def test_lifecycle_write_scan_getrow(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    # scan with prefix + per-column version limit
+    rows = rows_to_json_shape(t.scan(ScanInput(prefix="item#", column_cell_limit=1)))
+    assert [r["row_key"] for r in rows] == ["item#001", "item#002"]
+    assert rows[0]["columns"]["meta"]["rev"] == [{"time": 3, "value": {"i64": 3}}]
+    # point read narrowed by column filter
+    got = rows_to_json_shape(
+        t.get_row(QueryRowInput(row_key="item#001", column_filter=ColumnFilter.key("value:")))
+    )
+    assert got == [
+        {"row_key": "item#001", "columns": {"value": {"": [{"time": 1, "value": {"string": "hello"}}]}}}
+    ]
+    # counts
+    cnt = t.count().collect()[0]
+    assert (cnt["row_count"], cnt["cell_count"]) == (2, 5)
+    sc = t.scan_count(CountInput(prefix="item#0")).collect()[0]
+    assert sc["row_count"] == 2
+
+
+def test_lifecycle_append_delete_gc(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    # incremental write lands as a delta; both rows remain visible
+    t.write(
+        [{"row_key": "item#003", "cells": [{"column_key": "value:", "value": {"f64": 2.5}, "timestamp": 9}]}]
+    )
+    assert t.count().collect()[0]["row_count"] == 3
+    # delete one row entirely (all locality groups — not replicating the
+    # reference's default-tree-only bug, mod.rs:591)
+    n = t.delete_row("item#002")
+    assert n == 1
+    assert t.count().collect()[0]["row_count"] == 2
+    # version GC: meta capped at 2 newest
+    deleted = t.run_gc(now_nanos=10)
+    assert deleted == 1  # meta:rev ts=1 dropped
+    rows = rows_to_json_shape(t.scan(ScanInput(prefix="item#001")))
+    assert [c["time"] for c in rows[0]["columns"]["meta"]["rev"]] == [3, 2]
+    # maintenance
+    v = t.compact()
+    assert t.segment_count() > 0 and t.disk_space_usage() > 0
+    t.vacuum(keep_last=1)
+    assert t.count().collect()[0]["row_count"] == 2
+
+
+def test_gc_short_circuits_without_retention(spark, tmp_path):
+    t = Smoltable.open(spark, str(tmp_path / "nogc"))
+    t.create_column_families([ColumnFamilyDef("value")])
+    t.write([{"row_key": "r", "cells": [{"column_key": "value:", "value": {"i64": 1}, "timestamp": 1}]}])
+    v_before = t.store.current_version()
+    assert t.run_gc(now_nanos=100) == 0
+    assert t.store.current_version() == v_before  # D4: no snapshot written
