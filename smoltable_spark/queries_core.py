@@ -213,6 +213,36 @@ def wc_filter_qualifier_prefix(spark, sf_dir):
     return slim(scan_cells(orders_cells(spark, sf_dir), inp))
 
 
+@q(
+    "wc_unmelt_roundtrip",
+    "SELECT 'order#' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS row_key, "
+    "CAST(o_custkey AS BIGINT) AS custkey, o_orderstatus AS orderstatus, "
+    "CAST(o_totalprice AS DOUBLE) AS totalprice, "
+    "CAST(epoch_ms(o_orderdate) AS BIGINT) AS orderdate_ms, "
+    "o_orderpriority AS orderpriority "
+    "FROM orders WHERE o_orderkey <= 500",
+)
+def wc_unmelt_roundtrip(spark, sf_dir):
+    """Wide⇄tall round trip: melt orders to cells, pivot back with
+    ``unmelt``, and the oracle compares against the ORIGINAL relational
+    rows — proving the cell mapping is lossless. One shuffle (the pivot's
+    hash aggregate); the key bound pushes to the scan via the codec."""
+    from smoltable_spark.sources.relational import unmelt
+
+    cells = orders_cells(spark, sf_dir, key_bounds=(0, 500))
+    wide = unmelt(
+        cells,
+        {
+            "custkey": ("custkey", "v_i64"),
+            "orderstatus": ("orderstatus", "v_str"),
+            "totalprice": ("totalprice", "v_f64"),
+            "orderdate_ms": ("orderdate", "v_i64"),
+            "orderpriority": ("orderpriority", "v_str"),
+        },
+    )
+    return wide.filter(F.col("row_key") <= "order#000000000500")
+
+
 # ---------------------------------------------------------------------------
 # native-storage scan (S2/S5/S6: sorted, lg-partitioned CellStore)
 

@@ -303,6 +303,25 @@ def events_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unmelt(cells: DataFrame, columns: dict[str, tuple[str, str]]) -> DataFrame:
+    """Inverse of ``melt``: pivot tall cells back into wide rows.
+
+    ``columns`` maps output column → (qualifier, value column). One hash
+    aggregate on row_key (map-side partial, single shuffle) with a
+    conditional projection per output column — the explicit-values form of
+    ``pivot`` (no second pass to discover qualifier values, which a
+    ``df.pivot()`` without a values list would need). Multi-version cells
+    resolve to the newest via max(ts) tie-break ordering struct.
+    """
+    aggs = []
+    for out, (qual, vcol) in columns.items():
+        picked = F.when(
+            F.col("qualifier") == qual, F.struct(F.col("ts"), F.col(vcol).alias("v"))
+        )
+        aggs.append(F.max(picked).getField("v").alias(out))
+    return cells.groupBy("row_key").agg(*aggs)
+
+
 def all_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union of the melted tables — a multi-family cells table."""
     out = orders_cells(spark, sf_dir)
