@@ -206,3 +206,37 @@ def test_ivf_restricts_candidates(spark):
         per_query.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     for q, neighbors in per_query.items():
         assert len(neighbors) < 39  # strictly fewer than all-minus-self
+
+
+def test_salted_join_matches_plain_join(spark):
+    from smoltable_spark.functions.skew import salted_join
+    from pyspark.sql import functions as F
+
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(500)] + [("cold", i) for i in range(20)],
+        "k string, v long",
+    )
+    small = spark.createDataFrame([("hot", 1.0), ("cold", 2.0)], "k string, w double")
+    plain = big.join(small, "k")
+    salted = salted_join(big, small, on="k", salt=4)
+    assert salted.count() == plain.count() == 520
+    ps = plain.agg(F.sum("v"), F.sum("w")).collect()[0]
+    ss = salted.agg(F.sum("v"), F.sum("w")).collect()[0]
+    assert tuple(ps) == tuple(ss)
+
+
+def test_two_phase_agg_exact(spark):
+    from smoltable_spark.functions.skew import two_phase_agg
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(100)] + [("b", i) for i in range(5)],
+        "k string, v long",
+    )
+    out = two_phase_agg(
+        df, "k",
+        {"n": ("count", F.lit(1)), "total": ("sum", F.col("v")), "mx": ("max", F.col("v"))},
+        salt=8,
+    )
+    got = {r["k"]: (r["n"], r["total"], r["mx"]) for r in out.collect()}
+    assert got == {"a": (100, 4950, 99), "b": (5, 10, 4)}
