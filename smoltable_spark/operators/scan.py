@@ -125,7 +125,16 @@ def _apply_row_accounting(cells: DataFrame, inp: ScanInput) -> DataFrame:
         ranked = ranked.withColumn("rk", F.row_number().over(w).cast("long"))
     if inp.row_limit is not None:
         ranked = ranked.filter(F.col("rk") <= inp.row_limit)
-    return cells.join(F.broadcast(ranked.select("row_key")), "row_key", "inner")
+    keys = ranked.select("row_key")
+    if inp.row_limit is not None:
+        # bounded by offset+limit (≤ u16::MAX in the reference) → broadcast
+        # semi-join keeps the cells side shuffle-free
+        return cells.join(F.broadcast(keys), "row_key", "inner")
+    # unbounded (pure sample / offset-only): the surviving key set scales
+    # with the table — a forced broadcast would OOM the driver at 100 TB.
+    # Leave the strategy to Catalyst/AQE (shuffle join, or broadcast if the
+    # runtime size turns out small).
+    return cells.join(keys, "row_key", "inner")
 
 
 def _cell_bytes():
