@@ -67,11 +67,19 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep one row (min id) per distinct normalized text."""
-    w_keep = exact_duplicates(docs, text_col, id_col).select(
-        F.col("keeper_id").alias(id_col)
+    """Keep one row (min id) per distinct normalized text.
+
+    Window rank over the fingerprint partition — ONE shuffle and no join
+    at all (a keeper-id semi-join would carry a corpus-sized build side,
+    which must not be broadcast at 100 TB)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col).asc())
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
-    return docs.join(F.broadcast(w_keep), id_col, "left_semi")
 
 
 # ---------------------------------------------------------------------------

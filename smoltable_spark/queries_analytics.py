@@ -133,10 +133,11 @@ _Q3_DATE_MS = 883_612_800_000
     """,
 )
 def rel_tpch_q3(spark, sf_dir):
-    """TPC-H Q3 shape: selective dim filter → broadcast join → top-k.
+    """TPC-H Q3 shape: selective dim filter → join chain → top-k.
 
-    customer is small → broadcast; lineitem never shuffles for the join.
-    Top-k via orderBy+limit = TakeOrderedAndProject (no global sort).
+    Join strategies are AQE's call: at bench scale the filtered sides fit
+    the broadcast threshold (asserted in test_plans.py); at cluster scale
+    they shuffle. Top-k via orderBy+limit = TakeOrderedAndProject.
     """
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(
@@ -147,8 +148,11 @@ def rel_tpch_q3(spark, sf_dir):
     )
     rev = cents(F.col("l_extendedprice")) * cents(F.lit(1) - F.col("l_discount"))
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # no forced broadcasts: orders/customer are fact-scale at 100 TB;
+        # AQE auto-broadcasts them at bench scale (< 64 MB threshold), and
+        # picks shuffle joins on a real cluster — same code, right plan twice
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey")
         .agg((F.sum(rev) / 10000.0).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
@@ -172,7 +176,8 @@ def rel_tpch_q3(spark, sf_dir):
     """,
 )
 def rel_tpch_q5(spark, sf_dir):
-    """TPC-H Q5 shape: star-join chain, small dims broadcast."""
+    """TPC-H Q5 shape: star-join chain; only fixed-cardinality dims
+    (nation, region) carry broadcast hints — the rest is AQE's call."""
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
@@ -181,9 +186,12 @@ def rel_tpch_q5(spark, sf_dir):
     s = load_table(spark, sf_dir, "supplier")
     rev = cents(F.col("l_extendedprice")) * cents(F.lit(1) - F.col("l_discount"))
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+        # broadcast hints only on the fixed-cardinality dims (nation,
+        # region); orders/customer/supplier scale with the data — AQE
+        # broadcasts them at bench scale and shuffle-joins at cluster scale
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")

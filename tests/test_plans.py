@@ -36,17 +36,19 @@ def test_melt_filter_prunes_source_columns(spark, sf_dir):
         assert "o_orderstatus" not in cols and "o_custkey" not in cols, schemas
 
 
-def test_tpch_q3_broadcasts_dims(spark, sf_dir):
+def test_tpch_q3_broadcasts_dims_adaptively(spark, sf_dir):
+    # forced hints were removed (orders/customer are fact-scale at 100 TB);
+    # AQE must still CHOOSE broadcast at this data size — assert the
+    # runtime-final adaptive plan, not the static one
     df = rel_tpch_q3(spark, sf_dir)
-    assert plans.has_broadcast_join(df)
-    # only the aggregation + top-k may shuffle, never the join sides
-    assert plans.shuffle_count(df) <= 2, plans.physical_plan(df)
+    df.count()
+    assert plans.has_broadcast_join(df), plans.physical_plan(df)
 
 
-def test_tpch_q5_broadcasts_all_dims(spark, sf_dir):
+def test_tpch_q5_broadcasts_all_dims_adaptively(spark, sf_dir):
     df = rel_tpch_q5(spark, sf_dir)
-    assert plans.has_broadcast_join(df)
-    assert plans.shuffle_count(df) <= 2
+    df.count()
+    assert plans.has_broadcast_join(df), plans.physical_plan(df)
 
 
 def test_scan_filters_stay_codegen(spark, sf_dir):
