@@ -100,6 +100,42 @@ def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
     )
 
 
+def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id: duplicates arriving within the
+    watermark horizon are dropped; state for ids older than the watermark
+    is evicted (bounded state — the requirement for an infinite stream).
+    The streaming face of ``functions/dedup.py::dedup_exact``."""
+    with_time = events.withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    return with_time.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def session_stream(
+    events: DataFrame, gap: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming gap-sessionization via the native ``session_window``:
+    merges events closer than ``gap`` into one window per user, emitting
+    (user_id, session start/end, n_events) when the watermark closes the
+    session. The streaming face of ``functions/timeseries.py::sessionize``."""
+    with_time = events.withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    return (
+        with_time.withWatermark("event_time", watermark)
+        .groupBy(F.session_window("event_time", gap).alias("win"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            (F.unix_micros(F.col("win.start")) * 1000).alias("session_start_ns"),
+            (F.unix_micros(F.col("win.end")) * 1000).alias("session_end_ns"),
+            "n_events",
+        )
+    )
+
+
 _STATS_STATE_SCHEMA = T.StructType(
     [
         T.StructField("n", T.LongType()),

@@ -124,3 +124,45 @@ def test_streaming_running_stats(spark, tmp_path, events_dir):
     assert sum(r["n"] for r in rows) == 1000  # all events counted
     for r in rows:
         assert r["max_value"] > 0 and abs(r["total"]) < 10**9
+
+
+def test_streaming_dedup_drops_duplicate_ids(spark, tmp_path, events_dir):
+    import shutil as _sh
+
+    from smoltable_spark.streaming.ingest import dedup_events_stream
+
+    # duplicate the whole file: every event_id arrives twice
+    _sh.copy(events_dir + "/events.parquet", events_dir + "/events_copy.parquet")
+    st = dedup_events_stream(stream_events(spark, events_dir, max_files_per_trigger=2))
+    _run_stream(st, tmp_path, "dedup_stream")
+    n = spark.sql("SELECT count(*) c, count(DISTINCT event_id) d FROM dedup_stream").collect()[0]
+    assert n["c"] == n["d"] == 1000  # sf0.001 has 1000 unique events
+
+
+def test_streaming_session_window_matches_batch_sessionize(spark, tmp_path, events_dir):
+    from smoltable_spark.functions.timeseries import session_stats
+    from smoltable_spark.sources.relational import load_table
+    from smoltable_spark.streaming.ingest import session_stream
+
+    st = session_stream(stream_events(spark, events_dir), gap="1 hour")
+    _run_stream(st, tmp_path, "session_stream")
+    got = spark.sql(
+        "SELECT user_id, session_start_ns, n_events FROM session_stream"
+    ).collect()
+    # batch equivalent on the same file (µs-truncated like the stream)
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", F.expr("(ts div 1000) * 1000").alias("ets")
+    )
+    want = session_stats(ev, key="user_id", time_col="ets", gap=3_600_000_000_000).collect()
+    # Every emitted session must agree with batch exactly; sessions whose
+    # end falls inside the final watermark horizon (max_ts - 2 h) are
+    # legitimately unemitted (append mode only emits watermark-closed
+    # sessions — at stream end the last ones stay open).
+    got_map = {(r["user_id"], r["session_start_ns"]): r["n_events"] for r in got}
+    want_map = {(r["user_id"], r["session_start"]): (r["n_events"], r["session_end"]) for r in want}
+    horizon = max(end for _n, end in want_map.values()) - 2 * 3_600_000_000_000
+    for k, n in got_map.items():
+        assert k in want_map and want_map[k][0] == n, k
+    for k, (n, end) in want_map.items():
+        if k not in got_map:
+            assert end >= horizon, (k, n, end)  # only open-horizon sessions may be missing
