@@ -35,6 +35,29 @@ def gc_worker(store: CellStore, metrics: MetricsTable | None = None, now_nanos: 
     return deleted
 
 
+def compaction_worker(
+    store: CellStore,
+    metrics: MetricsTable | None = None,
+    max_deltas: int = 8,
+    now_nanos: int | None = None,
+) -> int | None:
+    """Fold delta snapshots into a base once the chain exceeds
+    ``max_deltas`` — the levelled-compaction trigger (the reference
+    compacts at L0 threshold 8, smoltable/src/table/mod.rs:156-165; here
+    a delta chain is the L0 analog and read amplification is its cost).
+    Returns the new base version, or None when below threshold."""
+    n = store.current_version()
+    if n == 0:
+        return None
+    deltas = n - store._base_of(n)
+    if deltas < max_deltas:
+        return None
+    v = store.compact()
+    if metrics is not None:
+        metrics.record([("compact#delta_cnt", float(deltas))], ts_nanos=now_nanos)
+    return v
+
+
 def row_count_worker(store: CellStore, metrics: MetricsTable, now_nanos: int | None = None) -> dict:
     """Exact row/cell counts → stats#row_cnt / stats#cell_cnt
     (reference server/src/worker/row_count.rs:6-48; we can afford the

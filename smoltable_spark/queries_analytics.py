@@ -470,14 +470,8 @@ def _lang_pred_sql() -> str:
     return case + "END"
 
 
-@q(
-    "txt_analyze",
-    f"""
-    SELECT doc_id,
-           CAST(len({TOKS_SQL}) AS INT) AS n_tokens,
-           CAST(len(list_distinct({TOKS_SQL})) AS INT) AS n_distinct_tokens,
-           {_lang_pred_sql()} AS lang_pred,
-           CAST(floor((
+#: portable quality-score expression (≡ functions/text.py::quality_score)
+_QUALITY_SQL = f"""CAST(floor((
               least(len({TOKS_SQL}), 50) * 2 * 5
               + CAST(floor(CASE WHEN len({TOKS_SQL}) > 0
                     THEN len(list_distinct({TOKS_SQL})) * 100 / len({TOKS_SQL})
@@ -488,7 +482,17 @@ def _lang_pred_sql() -> str:
                     + length(text) - length(replace(text, ':', ''))
                     + length(text) - length(replace(text, '!', ''))
                     + length(text) - length(replace(text, '?', '')), 20) * 5
-           ) / 10) AS BIGINT) AS quality,
+           ) / 10) AS BIGINT)"""
+
+
+@q(
+    "txt_analyze",
+    f"""
+    SELECT doc_id,
+           CAST(len({TOKS_SQL}) AS INT) AS n_tokens,
+           CAST(len(list_distinct({TOKS_SQL})) AS INT) AS n_distinct_tokens,
+           {_lang_pred_sql()} AS lang_pred,
+           {_QUALITY_SQL} AS quality,
            md5(lower(trim(text))) AS fingerprint
     FROM documents
     """,
@@ -564,6 +568,48 @@ def txt_bpe_quality(spark, sf_dir):
         "doc_id",
         text.bpe_piece_count(c).alias("n_pieces"),
         text.stopword_permille(c).alias("stop_permille"),
+    )
+
+
+@q(
+    "pipeline_clean_corpus",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang, {_QUALITY_SQL} AS q,
+             md5(lower(trim(text))) AS fp,
+             CAST(len({TOKS_SQL}) AS BIGINT) AS ntok
+      FROM documents),
+    flt AS (SELECT * FROM scored WHERE q >= 40),
+    kept AS (SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM flt) WHERE rn = 1)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS total_tokens,
+           CAST(sum(q) AS BIGINT) AS quality_sum
+    FROM kept GROUP BY lang
+    """,
+)
+def pipeline_clean_corpus(spark, sf_dir):
+    """End-to-end corpus-cleaning composition — the operators chained the
+    way a real training-data job runs them: quality-score every document
+    (narrow projection, no shuffle) → drop low-quality (< 40) → exact
+    dedup (window rank on the fingerprint, 1 shuffle) → per-language
+    corpus stats (1 shuffle). Whole pipeline: two shuffles total.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        text.quality_score(c).alias("q"),
+        text.token_count(c).cast("long").alias("ntok"),
+    ).filter(F.col("q") >= 40)
+    kept = dedup.dedup_exact(scored, text_col="text", id_col="doc_id")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").alias("total_tokens"),
+        F.sum("q").cast("long").alias("quality_sum"),
     )
 
 

@@ -150,3 +150,20 @@ def test_store_vacuum_keeps_delta_chain(spark, tmp_path):
     store.append(make_cells(spark, [("a3", "value", "", 1, "string", "y")]))  # v3 delta
     store.vacuum(keep_last=1)  # current chain = v1+v2+v3 — all must survive
     assert store.read().count() == 10
+
+
+def test_compaction_worker_threshold(spark, tmp_path):
+    from smoltable_spark.jobs.workers import compaction_worker
+
+    store = CellStore(spark, str(tmp_path / "t6"))
+    store.save_families([ColumnFamilyDef("value", lg="")])
+    cells, _ = gc_fixture(spark)
+    store.write(cells)  # v1 base
+    for i in range(3):
+        store.append(make_cells(spark, [(f"x{i}", "value", "", 1, "string", "v")]))
+    assert compaction_worker(store, max_deltas=8) is None  # 3 < 8: no-op
+    for i in range(5):
+        store.append(make_cells(spark, [(f"y{i}", "value", "", 1, "string", "v")]))
+    v = compaction_worker(store, max_deltas=8)  # 8 deltas → compact
+    assert v is not None and store._kind(v) == "base"
+    assert store.read().count() == 16
