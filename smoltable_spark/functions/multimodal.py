@@ -110,6 +110,35 @@ def extract_features(
     return spread(media, target).mapInPandas(run, FEATURES_SCHEMA)
 
 
+def resize_media(
+    media: DataFrame, width: int, height: int, decode_stub: bool = True
+) -> DataFrame:
+    """Arrow-batched resize: same schema out, payload re-encoded at the
+    target dimensions. Stubbed transform = deterministic passthrough with
+    a dimension-stamped header so tests can verify the batch path end to
+    end; ``decode_stub=False`` marks where a real image library resizes.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real resize requires image libraries not present in "
+                    "this environment; use decode_stub=True"
+                )
+            header = f"resized:{width}x{height}:".encode()
+            pdf = pdf.copy()
+            pdf["payload"] = [header + (p or b"") for p in pdf["payload"]]
+            pdf["width"] = width
+            pdf["height"] = height
+            yield pdf
+
+    from smoltable_spark.functions.dedup import spread
+
+    target = min(media.sparkSession.sparkContext.defaultParallelism, 8)
+    return spread(media, target).mapInPandas(run, MEDIA_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling *plan*: one output row per frame to extract.
 

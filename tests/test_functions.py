@@ -240,3 +240,19 @@ def test_two_phase_agg_exact(spark):
     )
     got = {r["k"]: (r["n"], r["total"], r["mx"]) for r in out.collect()}
     assert got == {"a": (100, 4950, 99), "b": (5, 10, 4)}
+
+
+def test_resize_media_plumbing(spark, docs):
+    import pytest
+    from smoltable_spark.functions import multimodal as M
+
+    media = M.synthesize_media(docs)
+    out = M.resize_media(media, 32, 32)
+    assert [(f.name, f.dataType) for f in out.schema] == [
+        (f.name, f.dataType) for f in media.schema
+    ]
+    rows = out.collect()
+    assert all(r["width"] == 32 and r["height"] == 32 for r in rows)
+    assert all(bytes(r["payload"]).startswith(b"resized:32x32:") for r in rows)
+    with pytest.raises(Exception):  # stub boundary is explicit
+        M.resize_media(media, 32, 32, decode_stub=False).collect()
