@@ -40,6 +40,7 @@ HEADLINE = [
     "rel_tpch_q1",
     "rel_tpch_q3",
     "rel_tpch_q5",
+    "rel_tpch_q6",
     "rel_events_hourly",
     "rel_top_users_by_spend",
     "rel_asof_join",
@@ -49,6 +50,7 @@ HEADLINE = [
     "txt_bpe_quality",
     "dedup_exact",
     "dedup_minhash",
+    "pipeline_clean_corpus",
     "ann_cosine_topk",
     "ann_cosine_ivf",
     "mm_features",
