@@ -59,6 +59,31 @@ def assemble_rows(cells: DataFrame, descending: bool = False) -> DataFrame:
     return rows
 
 
+def rows_json_ready(rows_df: DataFrame) -> DataFrame:
+    """Rewrite assembled rows' cell structs into the reference's JSON cell
+    shape — ``{time, value: {<variant>: v}}`` with exactly one non-null
+    variant — so a plain ``df.write.json(..., ignoreNullFields)`` emits
+    byte-shape parity with the REST response (scan-rows.md:24-64).
+    Distributed (nested ``transform_values``); the driver-side
+    ``rows_to_json_shape`` remains the test-only golden collector.
+    """
+    from smoltable_spark.schema import VTYPE_COLUMNS
+
+    def reshape_cell(c):
+        value = F.struct(
+            *[c.getField(vcol).alias(tag) for tag, vcol in VTYPE_COLUMNS.items()]
+        )
+        return F.struct(c.getField("time").alias("time"), value.alias("value"))
+
+    reshaped = F.transform_values(
+        F.col("columns"),
+        lambda _fam, qmap: F.transform_values(
+            qmap, lambda _q, cells: F.transform(cells, reshape_cell)
+        ),
+    )
+    return rows_df.select("row_key", reshaped.alias("columns"))
+
+
 def rows_to_json_shape(rows_df: DataFrame) -> list[dict]:
     """Collect assembled rows into the reference's JSON golden shape.
 

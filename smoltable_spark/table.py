@@ -127,6 +127,19 @@ class Smoltable:
         n_fams = max(len(self.store.load_families()), 1)
         return approximate_row_count(self._cells(), n_fams)
 
+    def export_jsonl(self, inp: ScanInput, path: str) -> None:
+        """Distributed JSONL export of a scan in the reference's response
+        row shape (docs/.../json-api/scan-rows.md:24-64): one JSON object
+        per row, ``{"row_key": ..., "columns": {family: {qualifier:
+        [{"time": ts, "value": {<type>: v}}]}}}`` — null value variants
+        dropped by the JSON writer (ignoreNullFields). Round-trips with
+        ``sources/jsonl.py`` write items via the nested shape."""
+        from smoltable_spark.operators.assemble import rows_json_ready
+
+        rows_json_ready(self.scan(inp)).write.mode("overwrite").option(
+            "ignoreNullFields", "true"
+        ).json(path)
+
     # -- mutations (D1-D4) -------------------------------------------------
 
     def delete_row(self, row_key: str, column_filter: ColumnFilter | None = None) -> int:

@@ -94,3 +94,20 @@ def test_gc_short_circuits_without_retention(spark, tmp_path):
     v_before = t.store.current_version()
     assert t.run_gc(now_nanos=100) == 0
     assert t.store.current_version() == v_before  # D4: no snapshot written
+
+
+def test_export_jsonl_reference_shape(spark, tmp_path):
+    import glob
+    import json
+
+    t = make_table(spark, tmp_path)
+    out = str(tmp_path / "export")
+    t.export_jsonl(ScanInput(prefix="item#", column_cell_limit=1), out)
+    lines = []
+    for f in glob.glob(out + "/part-*.json"):
+        with open(f) as fh:
+            lines += [json.loads(l) for l in fh if l.strip()]
+    by_key = {l["row_key"]: l for l in lines}
+    assert set(by_key) == {"item#001", "item#002"}
+    cell = by_key["item#002"]["columns"]["value"][""][0]
+    assert cell == {"time": 1, "value": {"string": "world"}}
