@@ -406,6 +406,57 @@ def rel_events_rollup(spark, sf_dir):
     )
 
 
+@q(
+    "rel_value_median",
+    f"""
+    SELECT event_type,
+           quantile_cont({cents_sql('value')}, 0.5) AS median_cents,
+           quantile_cont({cents_sql('value')}, 0.9) AS p90_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def rel_value_median(spark, sf_dir):
+    """Exact continuous quantiles per group (median, p90) over
+    cents-quantized values — Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont`` on integer inputs (same linear interpolation,
+    exact halves). The exact form needs a per-group sort; at 100 TB
+    switch to ``approx_percentile`` (t-digest, mergeable map-side)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = cents(F.col("value"))
+    return ev.groupBy("event_type").agg(
+        F.percentile(c, F.lit(0.5)).alias("median_cents"),
+        F.percentile(c, F.lit(0.9)).alias("p90_cents"),
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@q(
+    "rel_events_pivot",
+    "SELECT user_id, "
+    + ", ".join(
+        f"CAST(count(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT) AS {t}_cnt"
+        for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id",
+)
+def rel_events_pivot(spark, sf_dir):
+    """Pivot: one wide row per user with a count column per event type.
+    Explicit value list → single-pass hash aggregate (no extra job to
+    discover pivot values), map-side partial agg intact."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"{t}_cnt") for t in _EVENT_TYPES],
+    )
+
+
 _STREAM_SINK_COUNTER = itertools.count()
 
 
