@@ -196,6 +196,69 @@ def rolling_fingerprint_df(
 
 
 # ---------------------------------------------------------------------------
+# feature-hashing embeddings (the hashing trick)
+
+def hashed_embedding(col: Column, dim: int = 16) -> Column:
+    """Deterministic text embedding via the hashing trick: each distinct
+    token lands in bucket ``md5(token) mod dim`` with sign from the next
+    hash bit; the embedding is the signed token-count vector as
+    ``array<double>``. No model needed, fully JVM-side, portable to any
+    engine with md5 — the classic cheap featurizer for near-dup blocking
+    and clustering when no learned embedding exists. L2-normalize at the
+    consumer if cosine is the metric (``similarity.py`` quantizes anyway).
+    """
+    toks = F.array_distinct(tokens(col))
+
+    def dim_sum(i: int):
+        def merge(acc, t):
+            h = md5_long(t)
+            bucket = F.pmod(h, F.lit(dim))
+            sign = F.when(
+                F.shiftright(h, 20).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+            return acc + F.when(bucket == i, sign).otherwise(0)
+
+        return merge
+
+    return F.array(
+        *[
+            F.aggregate(toks, F.lit(0).cast("long"), dim_sum(i)).cast("double")
+            for i in range(dim)
+        ]
+    )
+
+
+def hashed_embedding_df(
+    docs: "DataFrame", text_col: str = "text", id_col: str = "doc_id", dim: int = 16
+) -> "DataFrame":
+    """(id, embedding): table-scale hashing-trick embedding — ONE md5 per
+    distinct token via explode, then ``dim`` conditional sums in a single
+    hash aggregate (the array-expression ``hashed_embedding`` recomputes
+    the hash per dimension; same fast-path pattern as ``simhash_df``)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    )
+    h = toks.select(
+        id_col,
+        F.pmod(md5_long(F.col("tok")), F.lit(dim)).alias("bucket"),
+        F.when(
+            F.shiftright(md5_long(F.col("tok")), 20).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1).alias("sign"),
+    )
+    aggs = [
+        F.sum(F.when(F.col("bucket") == i, F.col("sign")).otherwise(0))
+        .cast("double")
+        .alias(f"d{i}")
+        for i in range(dim)
+    ]
+    agg = h.groupBy(id_col).agg(*aggs)
+    return agg.select(
+        F.col(id_col), F.array(*[F.col(f"d{i}") for i in range(dim)]).alias("embedding")
+    )
+
+
+# ---------------------------------------------------------------------------
 # DataFrame-level operator
 
 def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -457,6 +457,29 @@ def rel_events_pivot(spark, sf_dir):
     )
 
 
+def _hashed_embedding_oracle(dim: int = 16) -> str:
+    h = md5_long_sql("tok")
+    dims = ", ".join(
+        f"CAST(sum(CASE WHEN ({h}) % {dim} = {i} THEN "
+        f"(CASE WHEN (({h}) >> 20) & 1 = 1 THEN 1 ELSE -1 END) ELSE 0 END) AS DOUBLE) AS d{i}"
+        for i in range(dim)
+    )
+    return f"""
+    WITH toks AS (SELECT DISTINCT doc_id, unnest({TOKS_SQL}) AS tok FROM documents),
+    agg AS (SELECT doc_id, {dims} FROM toks GROUP BY doc_id)
+    SELECT doc_id, [{', '.join(f'd{i}' for i in range(16))}] AS embedding FROM agg
+    """
+
+
+@q("txt_hashed_embedding", _hashed_embedding_oracle(16))
+def txt_hashed_embedding(spark, sf_dir):
+    """Feature-hashing (hashing-trick) embeddings for every document —
+    the cheap, model-free featurizer for blocking/clustering. One md5 per
+    distinct token, one hash aggregate (see text.hashed_embedding_df)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.hashed_embedding_df(docs, dim=16)
+
+
 _STREAM_SINK_COUNTER = itertools.count()
 
 

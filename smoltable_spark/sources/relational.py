@@ -60,10 +60,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def _null_except(vtype_col_map: dict[str, str]):
-    """Helper building the single-non-null v_* projection for one qualifier."""
-
-
 _VCOLS = ["v_str", "v_bool", "v_byte", "v_i32", "v_i64", "v_f32", "v_f64"]
 _VTYPES = {
     "v_str": ("string", "string"),

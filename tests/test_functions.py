@@ -256,3 +256,16 @@ def test_resize_media_plumbing(spark, docs):
     assert all(bytes(r["payload"]).startswith(b"resized:32x32:") for r in rows)
     with pytest.raises(Exception):  # stub boundary is explicit
         M.resize_media(media, 32, 32, decode_stub=False).collect()
+
+
+def test_hashed_embedding_fast_path_matches_expression(spark, docs):
+    from smoltable_spark.functions import text as T
+    from pyspark.sql import functions as F
+
+    slow = docs.select("doc_id", T.hashed_embedding(F.col("text"), dim=8).alias("e"))
+    fast = T.hashed_embedding_df(docs, dim=8).withColumnRenamed("embedding", "e")
+    s = {r["doc_id"]: r["e"] for r in slow.collect()}
+    f_ = {r["doc_id"]: r["e"] for r in fast.collect()}
+    assert s == f_
+    # embeddings are nonzero for non-empty docs
+    assert any(any(v != 0 for v in e) for e in f_.values())
