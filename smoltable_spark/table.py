@@ -127,6 +127,36 @@ class Smoltable:
         n_fams = max(len(self.store.load_families()), 1)
         return approximate_row_count(self._cells(), n_fams)
 
+    def scan_collect(self, inp: ScanInput) -> tuple[list[dict], dict]:
+        """Execute a scan and return (rows-in-JSON-shape, metrics) — the
+        reference's response envelope (rows + cells/rows/bytes scanned +
+        micros; server/src/response.rs:6-27, query/scan.rs:60-66).
+        Metrics come from ``df.observe`` accumulators folded into the scan
+        stage — zero extra passes."""
+        import time as _time
+
+        from pyspark.sql import Observation
+
+        from smoltable_spark.operators.assemble import rows_to_json_shape
+
+        obs = Observation()
+        t0 = _time.time()
+        rows = rows_to_json_shape(self.scan(inp, observation=obs))
+        micros = int((_time.time() - t0) * 1_000_000)
+        metrics = dict(obs.get)
+        metrics["micros"] = micros
+        metrics["micros_per_row"] = micros // max(len(rows), 1)
+        return rows, metrics
+
+    def explain_scan(self, inp: ScanInput) -> dict:
+        """Plan audit for a scan: pushed filters, partition (locality
+        group) pruning, shuffles, codegen spans — the observability the
+        reference exposes as ``affected_locality_groups`` and friends,
+        derived from the actual physical plan."""
+        from smoltable_spark.plans.explain import audit
+
+        return audit(self.scan_cells(inp))
+
     def export_jsonl(self, inp: ScanInput, path: str) -> None:
         """Distributed JSONL export of a scan in the reference's response
         row shape (docs/.../json-api/scan-rows.md:24-64): one JSON object

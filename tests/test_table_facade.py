@@ -111,3 +111,23 @@ def test_export_jsonl_reference_shape(spark, tmp_path):
     assert set(by_key) == {"item#001", "item#002"}
     cell = by_key["item#002"]["columns"]["value"][""][0]
     assert cell == {"time": 1, "value": {"string": "world"}}
+
+
+def test_scan_collect_envelope(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    rows, metrics = t.scan_collect(ScanInput(prefix="item#", row_cell_limit=3))
+    assert [r["row_key"] for r in rows] == ["item#001", "item#002"]
+    # reference envelope parity: scanned counts see pre-limit cells
+    assert metrics["cells_scanned"] == 5
+    assert metrics["rows_scanned"] == 2
+    assert metrics["bytes_scanned"] > 0
+    assert metrics["micros"] > 0 and metrics["micros_per_row"] > 0
+
+
+def test_explain_scan_prunes_locality_group(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    info = t.explain_scan(
+        ScanInput(prefix="item#", column_filter=ColumnFilter.key("meta:rev"))
+    )
+    # meta family lives in lg_meta: partition pruning must show it
+    assert any("lg_meta" in f for f in info["partition_filters"]), info
