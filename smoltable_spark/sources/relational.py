@@ -199,8 +199,16 @@ class PaddedIntKeyCodec:
         elif not end.startswith(self.prefix):
             hi = self._max_key() if end > self.prefix else 0
         else:
-            d = self._digit_run(end[len(self.prefix):])
-            hi = (int(d) + 1) * 10 ** (self.width - len(d)) - 1 if d else 0
+            rest = end[len(self.prefix):]
+            d = self._digit_run(rest)
+            if d:
+                hi = (int(d) + 1) * 10 ** (self.width - len(d)) - 1
+            elif rest and rest[0] > "9":
+                # e.g. 'order#z': sorts after every padded digit string —
+                # all keys are <= end
+                hi = self._max_key()
+            else:
+                hi = 0  # 'order#' or 'order##…': below the digit span
         return lo, hi
 
 

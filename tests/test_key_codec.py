@@ -87,3 +87,35 @@ def test_superset_property_exhaustive_small():
         for k in range(1000):
             if s <= encode(k) <= e:
                 assert lo <= k <= hi, (s, e, k, lo, hi)
+
+
+# -- hypothesis: superset property over arbitrary predicate strings --------
+
+from hypothesis import given, settings, strategies as st
+
+key_chars = st.text(alphabet="01259az#o", max_size=22)
+keys = st.integers(min_value=0, max_value=2000)
+
+
+@settings(max_examples=300, deadline=None)
+@given(p=st.one_of(key_chars, key_chars.map(lambda s: "order#" + s)))
+def test_prefix_bounds_superset_property(p):
+    b = C.prefix_bounds(p)
+    for k in range(0, 2001, 7):
+        for suffix in ("", "#03"):
+            if encode(k, suffix).startswith(p):
+                assert b is None or (b[0] <= k <= b[1]), (p, k, b)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    s=st.one_of(key_chars, key_chars.map(lambda x: "order#" + x)),
+    e=st.one_of(key_chars, key_chars.map(lambda x: "order#" + x)),
+)
+def test_range_bounds_superset_property(s, e):
+    lo, hi = C.range_bounds(s, e)
+    for k in range(0, 2001, 7):
+        for suffix in ("", "#03"):
+            rk = encode(k, suffix)
+            if s <= rk <= e:
+                assert lo <= k <= hi, (s, e, k, lo, hi)
