@@ -687,6 +687,56 @@ def pipeline_clean_corpus(spark, sf_dir):
     )
 
 
+@q(
+    "txt_lang_confusion",
+    f"""
+    SELECT lang, {_lang_pred_sql()} AS lang_pred,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang, lang_pred
+    """,
+)
+def txt_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: actual × predicted counts — the
+    eval loop for the marker-token heuristic (narrow scan + one hash agg)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", text.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@q("stream_running_stats", None)  # stateful streaming: not SQL-expressible
+def stream_running_stats(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState): final
+    per-event-type running count/total/max after replaying the events file.
+    No SQL oracle — arbitrary stateful update logic is exactly the class
+    the oracle contract exempts; the driver records a rows-only check, and
+    test_jobs_streaming.py pins the values against batch aggregation.
+    """
+    from smoltable_spark.streaming.ingest import running_stats_stream, stream_events
+
+    events = stream_events(spark, sf_dir, glob="events.parquet")
+    stats = running_stats_stream(events)
+    name = f"_stream_stats_{next(_STREAM_SINK_COUNTER)}"
+    sq = (
+        stats.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(300)
+    # update-mode sink appends each update; keep the final row per key
+    snap = spark.table(name)
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc())
+    return (
+        snap.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("event_type", "n", "total", "max_value")
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup
 
