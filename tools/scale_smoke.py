@@ -86,6 +86,30 @@ def main():
         lambda: ev.groupBy("event_type", F.expr("ts div 3600000000000")).count().count(),
     )
 
+    from smoltable_spark.functions import timeseries
+
+    ev2 = ev.select("user_id", "event_id", F.expr("(ts div 1000) * 1000").alias("ets"))
+    orders10 = load_table(spark, OUT, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        (
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")) * 1_000_000
+            + F.col("o_orderkey")
+        ).alias("ots"),
+        "o_orderkey",
+    )
+    timed(
+        "asof_join_100k_x_1.5M",
+        lambda: timeseries.asof_join(
+            ev2, orders10, on="user_id", left_time="ets", right_time="ots"
+        ).count(),
+    )
+    timed(
+        "sessionize_100k",
+        lambda: timeseries.session_stats(
+            ev2, key="user_id", time_col="ets", gap=3_600_000_000_000
+        ).count(),
+    )
+
     # the flat-pruned-scan claim, demonstrated: the same 7.5M cells written
     # through CellStore (range-partitioned, key-sorted) — row-group stats
     # are tight, so the 50-row prefix scan must not scale with table size
