@@ -153,10 +153,26 @@ class CellStore:
         )
         return self._commit_snapshot(df, kind="base")
 
+    #: parquet layout tuning — the reference picks 64 KiB LSM blocks because
+    #: "the workload is dominated by prefix & range searches"
+    #: (smoltable/src/table/mod.rs:28-32) and zstd-class compression via
+    #: fjall. Parquet's unit of skip is the page (min/max stats per page
+    #: with column indexes) inside row groups; zstd + dictionary encoding
+    #: compresses the prefix-clustered sorted keys the same way the
+    #: reference's block compression does.
+    WRITE_OPTIONS = {
+        "compression": "zstd",
+        "parquet.page.size": str(64 * 1024),
+        "parquet.block.size": str(64 * 1024 * 1024),  # ≈ levelled target size
+    }
+
     def _commit_snapshot(self, df: DataFrame, kind: str) -> int:
         n = self.current_version() + 1
         d = self._version_dir(n)
-        df.write.mode("overwrite").partitionBy("lg").parquet(d)
+        w = df.write.mode("overwrite")
+        for k, v in self.WRITE_OPTIONS.items():
+            w = w.option(k, v)
+        w.partitionBy("lg").parquet(d)
         with open(os.path.join(d, self._KIND_FILE), "w") as fh:
             fh.write(kind)
         self._commit_version(n)  # pointer rename = the commit point
