@@ -181,9 +181,16 @@ def wc_filter_key(spark, sf_dir):
     "WHERE row_key LIKE 'order#00000000001%' AND family = 'l'",
 )
 def wc_filter_key_family(spark, sf_dir):
-    """Family-only filter matches the whole family (P1 family form)."""
-    cells = orders_cells(spark, sf_dir).unionByName(lineitem_cells(spark, sf_dir))
+    """Family-only filter matches the whole family (P1 family form).
+    The row prefix transposes to o_orderkey/l_orderkey bounds on BOTH
+    melted sources (they share the key codec), pruning each scan."""
+    from smoltable_spark.sources.relational import ORDERS_KEY_CODEC, scan_key_bounds
+
     inp = ScanInput(prefix="order#00000000001", column_filter=ColumnFilter.key("l"))
+    bounds = scan_key_bounds(ORDERS_KEY_CODEC, inp)
+    cells = orders_cells(spark, sf_dir, key_bounds=bounds).unionByName(
+        lineitem_cells(spark, sf_dir, key_bounds=bounds)
+    )
     return slim(scan_cells(cells, inp))
 
 
