@@ -68,3 +68,45 @@ def test_point_read_pushes_equality(spark, sf_dir):
     df = store.read().filter(F.col("row_key") == "order#000000000042")
     joined = ",".join(plans.pushed_filters(df))
     assert "EqualTo(row_key,order#000000000042)" in joined
+
+
+def test_asof_join_single_shuffle_per_side(spark, sf_dir):
+    """The as-of join's whole pipeline is one shuffle per side (union →
+    window on key) — never a per-key cross product or extra exchange."""
+    from smoltable_spark.queries_analytics import rel_asof_join
+
+    df = rel_asof_join(spark, sf_dir)
+    assert plans.shuffle_count(df) <= 2, plans.physical_plan(df)
+
+
+def test_dedup_exact_one_shuffle_no_join(spark, sf_dir):
+    from smoltable_spark.queries_analytics import dedup_exact
+
+    df = dedup_exact(spark, sf_dir)
+    p = plans.physical_plan(df)
+    assert plans.shuffle_count(df) <= 1, p
+    assert "Join" not in p  # window rank, not a keeper-id semi-join
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """lag + running-sum + session aggregate all share one user_id shuffle."""
+    from smoltable_spark.queries_analytics import rel_sessionize
+
+    df = rel_sessionize(spark, sf_dir)
+    assert plans.shuffle_count(df) <= 1, plans.physical_plan(df)
+
+
+def test_pipeline_clean_corpus_two_shuffles(spark, sf_dir):
+    from smoltable_spark.queries_analytics import pipeline_clean_corpus
+
+    df = pipeline_clean_corpus(spark, sf_dir)
+    assert plans.shuffle_count(df) <= 2, plans.physical_plan(df)
+
+
+def test_melt_prefix_scan_pushes_key_bounds(spark, sf_dir):
+    """The codec-transposed numeric bounds must reach the parquet reader."""
+    from smoltable_spark.queries_core import wc_scan_prefix
+
+    pushed = plans.pushed_filters(wc_scan_prefix(spark, sf_dir))
+    assert any("GreaterThanOrEqual(o_orderkey" in f for f in pushed), pushed
+    assert any("LessThanOrEqual(o_orderkey" in f for f in pushed), pushed
