@@ -297,6 +297,36 @@ def wc_store_scan_prefix(spark, sf_dir):
     return slim(scan_cells(cells, inp))
 
 
+@q(
+    "wc_store_time_travel",
+    "SELECT CAST(count(*) * 5 AS BIGINT) AS v_base_cells, "
+    "CAST(count(*) * 5 + 1 AS BIGINT) AS v_next_cells FROM orders",
+)
+def wc_store_time_travel(spark, sf_dir):
+    """MVCC snapshot reads: after an O(batch) delta append, the PRIOR
+    version still reads exactly the pre-append table (the reference's
+    ``keyspace.instant()`` snapshot isolation, mod.rs:653, as immutable
+    snapshot versions). Idempotent: the probe append commits once per
+    store; both versions' cell counts are compared against the source
+    table."""
+    from smoltable_spark.sources.writer import rows_to_cells
+
+    store = _orders_store(spark, sf_dir)
+    if store.current_version() == 1:
+        store.append(
+            rows_to_cells(
+                spark,
+                [{"row_key": "zzz#probe", "cells": [
+                    {"column_key": "o:probe", "value": {"i64": 1}, "timestamp": 1}]}],
+            )
+        )
+    base = store.read(version=1).count()
+    cur = store.read().count()
+    return spark.createDataFrame(
+        [(base, cur)], "v_base_cells long, v_next_cells long"
+    )
+
+
 # ---------------------------------------------------------------------------
 # row accounting (Q1a/b/f) and cell limits (Q1c/d/e)
 
