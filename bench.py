@@ -7,9 +7,10 @@ Prints ONE JSON line:
 Run: python bench.py  (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
 
 Methodology: one shared session (AQE on); each query is materialized
-twice (count of the result — forces every operator but keeps driver-side
-collection out of the measurement) and the SECOND run is reported
-(JMH-style steady state). The first run absorbs one-time per-query-shape
+three times (count of the result — forces every operator but keeps
+driver-side collection out of the measurement); the MINIMUM of the two
+post-warmup runs is reported (JMH-style steady state, robust to GC /
+scheduler noise). The first run absorbs one-time per-query-shape
 costs — whole-stage-codegen compilation and scheduler warm-up — which are
 fixed ~0.5–3 s overheads independent of data size: at sf0.1 they dominate
 and add ±30% run-to-run noise, while at the 100 TB design point they are
@@ -99,9 +100,12 @@ def main():
         t0 = time.time()
         n = fn(spark, sf_dir).count()
         cold[name] = round(time.time() - t0, 3)
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        warm = []
+        for _ in range(2):  # min of 2 warm runs: robust to GC/scheduler noise
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            warm.append(time.time() - t0)
+        timings[name] = round(min(warm), 3)
         print(
             f"# {name}: {timings[name]}s (cold {cold[name]}s, {n} rows)",
             file=sys.stderr,
