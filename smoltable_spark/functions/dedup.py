@@ -311,6 +311,76 @@ def blocked_jaccard_near_duplicates(
 
 
 # ---------------------------------------------------------------------------
+# paragraph-level dedup
+
+def paragraph_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = ". ",
+    min_docs: int = 2,
+    min_tokens: int = 3,
+) -> DataFrame:
+    """Paragraphs (separator-delimited units) appearing in ≥ ``min_docs``
+    distinct documents — the sub-document dedup pass large corpus
+    pipelines run after whole-document dedup (boilerplate, licenses,
+    templates repeat across otherwise-unique pages).
+
+    Explode on the separator → fingerprint each unit → count distinct
+    containing docs. One explode + one shuffle on the fingerprint; short
+    fragments (< ``min_tokens`` tokens) are dropped before the shuffle to
+    keep the exploded volume bounded. Returns
+    (fp, n_docs, example_doc_id) per repeated paragraph.
+    """
+    parts = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), F.lit(sep), -1)).alias("para"),
+    )
+    parts = parts.filter(F.size(tokens(F.col("para"))) >= min_tokens)
+    return (
+        parts.select(F.col(id_col), fingerprint(F.col("para")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.min(id_col).alias("example_doc_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def chunk_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Non-overlapping ``k``-token chunks shared by ≥ ``min_docs`` distinct
+    documents — the punctuation-free variant of paragraph dedup (near-dup
+    docs share their untouched aligned chunks; unlike shingles there is no
+    k× volume blow-up: exploded rows ≈ token count / k).
+    """
+    toked = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    n = F.size(F.col("_toks"))
+    idx = F.sequence(F.lit(0), F.greatest(F.ceil(n / k) - 1, F.lit(0)).cast("long"))
+    chunks = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i * k + 1, k))
+    )
+    parts = toked.select(F.col(id_col), F.explode(chunks).alias("chunk")).filter(
+        F.col("chunk") != ""
+    )
+    return (
+        parts.select(F.col(id_col), fingerprint(F.col("chunk")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.min(id_col).alias("example_doc_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 
 def simhash(col, bits: int = 16):

@@ -688,6 +688,58 @@ def pipeline_clean_corpus(spark, sf_dir):
 
 
 @q(
+    "dedup_chunks",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    parts AS (
+      SELECT doc_id,
+             array_to_string(toks[(i*10+1):(i*10+10)], ' ') AS chunk
+      FROM t, unnest(range(0, greatest(CAST(ceil(len(toks)/10.0) AS BIGINT), 1))) AS u(i)),
+    flt AS (SELECT doc_id, chunk FROM parts WHERE chunk <> '')
+    SELECT md5(lower(trim(chunk))) AS fp,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS example_doc_id
+    FROM flt GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def dedup_chunks(spark, sf_dir):
+    """Sub-document dedup: non-overlapping 10-token chunks repeated across
+    ≥2 distinct documents (boilerplate/template detection — the pass
+    corpus pipelines run after whole-document dedup). One explode (~n/k
+    rows per doc, no shingle blow-up) + one fingerprint shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.chunk_duplicates(docs, k=10, min_docs=2)
+
+
+@q(
+    "txt_vocab_topk",
+    f"""
+    SELECT tok, n_docs, rank FROM (
+      SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             row_number() OVER (ORDER BY count(DISTINCT doc_id) DESC, tok) AS rank
+      FROM (SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents)
+      GROUP BY tok) WHERE rank <= 20
+    """,
+)
+def txt_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary: top-20 tokens by document frequency — the
+    vocabulary/stopword discovery scan. Explode → distinct-doc count per
+    token (map-side partial) → global top-k (TakeOrderedAndProject after
+    a rank window over the small aggregated vocab)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok_docs = docs.select(
+        "doc_id", F.explode(text.tokens(F.col("text"))).alias("tok")
+    )
+    agg = tok_docs.groupBy("tok").agg(F.countDistinct("doc_id").alias("n_docs"))
+    w = Window.orderBy(F.col("n_docs").desc(), F.col("tok").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("tok", "n_docs", "rank")
+    )
+
+
+@q(
     "txt_lang_confusion",
     f"""
     SELECT lang, {_lang_pred_sql()} AS lang_pred,

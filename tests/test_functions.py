@@ -269,3 +269,26 @@ def test_hashed_embedding_fast_path_matches_expression(spark, docs):
     assert s == f_
     # embeddings are nonzero for non-empty docs
     assert any(any(v != 0 for v in e) for e in f_.values())
+
+
+def test_chunk_duplicates_finds_shared_spans(spark):
+    rows = [
+        (1, "a b c d e f g h i j K1 K2"),       # chunk1 'a..j' shared with doc 2
+        (2, "a b c d e f g h i j X9 X8"),
+        (3, "totally different words here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.chunk_duplicates(df, k=10, min_docs=2).collect()
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 2 and out[0]["example_doc_id"] == 1
+
+
+def test_paragraph_duplicates_separator(spark):
+    rows = [
+        (1, "all rights reserved worldwide. unique text one here"),
+        (2, "all rights reserved worldwide. unique text two there"),
+        (3, "nothing shared with others. at all in this doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.paragraph_duplicates(df, sep=". ", min_docs=2, min_tokens=3).collect()
+    assert len(out) == 1 and out[0]["n_docs"] == 2
