@@ -332,9 +332,13 @@ def paragraph_duplicates(
     keep the exploded volume bounded. Returns
     (fp, n_docs, example_doc_id) per repeated paragraph.
     """
+    import re as _re
+
+    # split's pattern is a REGEX — escape the literal separator ('. ' would
+    # otherwise split on every <any-char><space>)
     parts = docs.select(
         F.col(id_col),
-        F.explode(F.split(F.col(text_col), F.lit(sep), -1)).alias("para"),
+        F.explode(F.split(F.col(text_col), F.lit(_re.escape(sep)), -1)).alias("para"),
     )
     parts = parts.filter(F.size(tokens(F.col("para"))) >= min_tokens)
     return (
