@@ -136,16 +136,26 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     k: int = 3,
+    fast_hash: bool = False,
 ) -> DataFrame:
     """(id, h0..h{n-1}): per-document MinHash signature.
 
-    One explode + ONE md5 per shingle (the expensive part), then
+    One explode + ONE hash per shingle (the expensive part), then
     ``num_hashes`` cheap affine rehashes aggregated with min — one
     shuffle on id, map-side partial min.
+
+    ``fast_hash=True`` swaps md5 for ``xxhash64`` — JVM-native, ~5-10×
+    cheaper per shingle, the production choice when cross-engine oracle
+    parity isn't required (candidate sets differ per hash family; the
+    exact-Jaccard verification downstream is hash-independent).
     """
     sh = doc_shingles(docs, text_col, id_col, k)
-    hb = (md5_long(F.col("shingle")) % MINHASH_P).alias("hb")
-    sh = sh.select(id_col, hb)
+    base = (
+        F.pmod(F.xxhash64(F.col("shingle")), F.lit(MINHASH_P))
+        if fast_hash
+        else md5_long(F.col("shingle")) % MINHASH_P
+    )
+    sh = sh.select(id_col, base.alias("hb"))
     aggs = [
         F.min((F.lit(a) * F.col("hb") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
         for i, (a, b) in enumerate(minhash_params(num_hashes))
@@ -267,10 +277,11 @@ def minhash_near_duplicates(
     bands: int = 4,
     k: int = 3,
     threshold: float = 0.5,
+    fast_hash: bool = False,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → bands → candidates
     → exact-Jaccard verification. Returns verified pairs with jaccard."""
-    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, k)
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, k, fast_hash)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     jac = jaccard_pairs(docs, cands, text_col, id_col, k)
     # exact-rational threshold: common/(a+b-common) >= t ⟺ common*den >= t_num*(...)

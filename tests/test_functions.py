@@ -292,3 +292,13 @@ def test_paragraph_duplicates_separator(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = dedup.paragraph_duplicates(df, sep=". ", min_docs=2, min_tokens=3).collect()
     assert len(out) == 1 and out[0]["n_docs"] == 2
+
+
+def test_minhash_fast_hash_finds_exact_dups(spark, docs):
+    """xxhash64 production path: exact duplicates have identical signatures
+    under ANY hash family → always candidates → always verified."""
+    out = dedup.minhash_near_duplicates(
+        docs, num_hashes=16, bands=8, k=2, threshold=0.3, fast_hash=True
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 5) in pairs
