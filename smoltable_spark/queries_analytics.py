@@ -740,6 +740,86 @@ def txt_vocab_topk(spark, sf_dir):
 
 
 @q(
+    "pipeline_split",
+    f"""
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len({TOKS_SQL})) AS BIGINT) AS total_tokens
+    FROM (SELECT text,
+                 CASE WHEN {md5_long_sql("concat('split|', CAST(doc_id AS VARCHAR))")} % 100 < 80 THEN 'train'
+                      WHEN {md5_long_sql("concat('split|', CAST(doc_id AS VARCHAR))")} % 100 < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents)
+    GROUP BY split
+    """,
+)
+def pipeline_split(spark, sf_dir):
+    """Deterministic train/val/test split (80/10/10) by seeded hash of the
+    document id — reproducible across engines, partitionings, and reruns
+    (never ``rand()``: resampling on retry corrupts splits). Narrow
+    projection + one aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(seeded("split", F.col("doc_id").cast("string")), F.lit(100))
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), text.token_count(F.col("text")).alias("_tc"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tc").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+_CTX_TOKENS = 512
+
+
+@q(
+    "pipeline_pack",
+    f"""
+    SELECT lang, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS pack_tokens
+    FROM (
+      SELECT lang,
+             CAST((sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - ntok) // {_CTX_TOKENS} AS BIGINT)
+                 AS pack_id,
+             ntok
+      FROM (SELECT doc_id, lang, len({TOKS_SQL}) AS ntok FROM documents))
+    GROUP BY lang, pack_id
+    """,
+)
+def pipeline_pack(spark, sf_dir):
+    """Sequence packing: assign documents to fixed-budget context packs
+    (~512 tokens) by running token count within each language stream —
+    the batch-construction step of an LLM training pipeline. One shuffle
+    (the per-lang window); per-(lang, pack) stats aggregate the assignment.
+
+    Greedy-exact packing is inherently sequential; this running-sum
+    variant overpacks by at most one document per boundary and stays a
+    single window expression at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", "lang", text.token_count(F.col("text")).alias("ntok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned = toked.withColumn(
+        "pack_id",
+        F.floor((F.sum("ntok").over(w) - F.col("ntok")) / _CTX_TOKENS).cast("long"),
+    )
+    return assigned.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").cast("long").alias("pack_tokens"),
+    )
+
+
+@q(
     "txt_lang_confusion",
     f"""
     SELECT lang, {_lang_pred_sql()} AS lang_pred,
