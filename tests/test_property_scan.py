@@ -155,3 +155,71 @@ def test_scan_matches_model(spark, cells, inp):
         for r in scan_cells(df, inp).select("row_key", "family", "qualifier", "ts").collect()
     }
     assert got == model_scan(cells, inp)
+
+
+# -- point reads share the limit machinery: differential-test them too ------
+
+from smoltable_spark.api import QueryRowInput
+from smoltable_spark.operators.read import get_row_cells, multi_get_cells
+
+
+def model_get_row(cells, inp: QueryRowInput):
+    scan_like = ScanInput(
+        prefix=None,
+        column_filter=inp.column_filter,
+        column_cell_limit=inp.column_cell_limit,
+        row_cell_limit=inp.cell_limit,
+    )
+    return {
+        c
+        for c in model_scan(cells, scan_like)
+        if c[0] == inp.row_key
+    }
+
+
+row_inputs = st.builds(
+    QueryRowInput,
+    row_key=st.sampled_from(ROW_KEYS + ["missing"]),
+    column_filter=filters,
+    cell_limit=st.one_of(st.none(), st.integers(1, 4)),
+    column_cell_limit=st.one_of(st.none(), st.integers(1, 2)),
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(cells=cells_strategy, inp=row_inputs)
+def test_get_row_matches_model(spark, cells, inp):
+    rows = [(rk, fam, q, ts, "string", f"v{ts}") for rk, fam, q, ts in cells]
+    df = make_cells(spark, rows)
+    got = {
+        (r["row_key"], r["family"], r["qualifier"], r["ts"])
+        for r in get_row_cells(df, inp)
+        .select("row_key", "family", "qualifier", "ts")
+        .collect()
+    }
+    assert got == model_get_row(cells, inp)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(cells=cells_strategy, inps=st.lists(row_inputs, min_size=1, max_size=3))
+def test_multi_get_matches_model(spark, cells, inps):
+    rows = [(rk, fam, q, ts, "string", f"v{ts}") for rk, fam, q, ts in cells]
+    df = make_cells(spark, rows)
+    got = sorted(
+        (r["row_key"], r["family"], r["qualifier"], r["ts"])
+        for r in multi_get_cells(df, inps)
+        .select("row_key", "family", "qualifier", "ts")
+        .collect()
+    )
+    want = sorted(
+        c for inp in inps for c in model_get_row(cells, inp)
+    )
+    assert got == want
