@@ -772,6 +772,38 @@ def pipeline_split(spark, sf_dir):
     )
 
 
+@q(
+    "pipeline_balanced_mix",
+    f"""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len({TOKS_SQL})) AS BIGINT) AS total_tokens
+    FROM (
+      SELECT lang, text,
+             row_number() OVER (PARTITION BY lang
+                 ORDER BY {seeded_sql('mix', 'CAST(doc_id AS VARCHAR)')}, doc_id)
+                 AS rnk
+      FROM documents)
+    WHERE rnk <= 50 GROUP BY lang
+    """,
+)
+def pipeline_balanced_mix(spark, sf_dir):
+    """Data-mixture control: a deterministic balanced sample (50 docs per
+    language) chosen by seeded-hash rank — the up/down-sampling step that
+    sets corpus composition for training. Window rank per stratum (one
+    shuffle); hash order makes the sample stable under reruns and
+    repartitioning, unlike ``df.sample``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        seeded("mix", F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    picked = docs.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 50)
+    return picked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.token_count(F.col("text"))).cast("long").alias("total_tokens"),
+    )
+
+
 _CTX_TOKENS = 512
 
 
