@@ -86,6 +86,17 @@ def main():
         lambda: ev.groupBy("event_type", F.expr("ts div 3600000000000")).count().count(),
     )
 
+    timed(
+        "chunk_dedup_50k",
+        lambda: dedup.chunk_duplicates(docs, k=10, min_docs=2).count(),
+    )
+    timed(
+        "hashed_embedding_50k",
+        lambda: __import__(
+            "smoltable_spark.functions.text", fromlist=["hashed_embedding_df"]
+        ).hashed_embedding_df(docs, dim=16).count(),
+    )
+
     from smoltable_spark.functions import timeseries
 
     ev2 = ev.select("user_id", "event_id", F.expr("(ts div 1000) * 1000").alias("ets"))
