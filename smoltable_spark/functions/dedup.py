@@ -322,6 +322,67 @@ def blocked_jaccard_near_duplicates(
 
 
 # ---------------------------------------------------------------------------
+# pair → cluster resolution
+
+def cluster_pairs(pairs: DataFrame, rounds: int = 4) -> DataFrame:
+    """Resolve near-dup PAIRS into clusters by min-label propagation:
+    every node repeatedly adopts the minimum label in its neighborhood —
+    ``rounds`` iterations of (join edges → min). Returns
+    (doc_id, cluster_id) with cluster_id = min doc id reachable within
+    ``rounds`` hops; the keep/drop decision is then "keep cluster_id".
+
+    Fixed-round propagation (not to-fixpoint) keeps the computation a
+    deterministic, engine-portable expression: clusters with diameter ≤
+    rounds are exact, which covers near-dup clusters in practice (they
+    are cliques-ish from LSH + verification). At true graph scale run the
+    same loop to convergence with a changed-count check per round, or
+    alternating large-star/small-star.
+
+    Each round is one join + one aggregate on the (small) pair set —
+    the expensive corpus never participates.
+    """
+    # materialize the (small) pair set once: iterative propagation would
+    # otherwise re-execute the full upstream pipeline (e.g. MinHash) per
+    # round, and each round's plan embeds the previous round's twice —
+    # exponential lineage without the checkpoint
+    pairs = pairs.localCheckpoint(eager=True)
+    nodes = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    # symmetric edge list
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+
+    labels = nodes.withColumn("cluster_id", F.col("doc_id"))
+    for _ in range(rounds):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("_nbr_min"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("_nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)  # labels are tiny; lineage stays flat
+        )
+    return labels
+
+
+def cluster_summary(pairs: DataFrame, rounds: int = 4) -> DataFrame:
+    """(cluster_id, n_docs): cluster sizes from near-dup pairs."""
+    labels = cluster_pairs(pairs, rounds)
+    return labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
 # paragraph-level dedup
 
 def paragraph_duplicates(

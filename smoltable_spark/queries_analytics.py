@@ -990,6 +990,43 @@ def dedup_minhash(spark, sf_dir):
     )
 
 
+def _clusters_oracle(rounds: int = 4) -> str:
+    prop = "\n".join(
+        f"""    , l{i} AS MATERIALIZED (
+        SELECT l.doc_id, least(l.cluster_id, coalesce(min(m.cluster_id), l.cluster_id))
+                   AS cluster_id
+        FROM l{i-1} l LEFT JOIN e ON e.src = l.doc_id
+                      LEFT JOIN l{i-1} m ON m.doc_id = e.dst
+        GROUP BY l.doc_id, l.cluster_id)"""
+        for i in range(1, rounds + 1)
+    )
+    return f"""
+    WITH pairs AS MATERIALIZED (SELECT id_a, id_b FROM ({_minhash_oracle()})),
+    nodes AS (SELECT DISTINCT doc_id FROM
+              (SELECT id_a AS doc_id FROM pairs UNION ALL SELECT id_b FROM pairs)),
+    e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+    l0 AS (SELECT doc_id, doc_id AS cluster_id FROM nodes)
+    {prop}
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM l{rounds} GROUP BY cluster_id
+    """
+
+
+@q("dedup_clusters", _clusters_oracle(rounds=4))
+def dedup_clusters(spark, sf_dir):
+    """Near-dup pairs resolved into clusters (min-label propagation,
+    4 fixed rounds — see functions/dedup.py::cluster_pairs for why fixed
+    rounds keep it engine-portable): the keep/drop decision layer on top
+    of the MinHash pipeline. Output: cluster id (min member) + size."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(
+        docs, num_hashes=16, bands=4, k=3, threshold=0.5
+    ).select("id_a", "id_b")
+    return dedup.cluster_summary(pairs, rounds=4)
+
+
 def _simhash_oracle(bits: int = 16) -> str:
     h = md5_long_sql("tok")
     bit_sums = ", ".join(

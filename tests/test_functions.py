@@ -302,3 +302,15 @@ def test_minhash_fast_hash_finds_exact_dups(spark, docs):
     )
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert (1, 5) in pairs
+
+
+def test_cluster_pairs_transitive(spark):
+    """Chains resolve transitively within the round budget: 1-2, 2-3, 3-4
+    → one cluster labeled by the min member."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    labels = {r["doc_id"]: r["cluster_id"] for r in dedup.cluster_pairs(pairs, rounds=4).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    summary = {r["cluster_id"]: r["n_docs"] for r in dedup.cluster_summary(pairs, rounds=4).collect()}
+    assert summary == {1: 4, 10: 2}
