@@ -113,6 +113,8 @@ def wc_scan_range(spark, sf_dir):
     "WHERE row_key >= 'order#000000000100' AND row_key < 'order#000000000200'",
 )
 def wc_scan_range_exclusive(spark, sf_dir):
+    """End-exclusive range scan (P5 ``inclusive=False`` — the reference's
+    ``Range.inclusive`` flag, smoltable/src/query/scan.rs:5-9)."""
     inp = ScanInput(range=RowRange("order#000000000100", "order#000000000200", False))
     return slim(_orders_scan(spark, sf_dir, inp))
 
