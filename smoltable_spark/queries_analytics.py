@@ -76,9 +76,10 @@ def rel_tpch_q1(spark, sf_dir):
     )
 
 
-#: 1994-01-01 / 1995-01-01 UTC epoch ms (q6 year window)
-_Q6_LO_MS = 757_382_400_000
-_Q6_HI_MS = 788_918_400_000
+#: 1996-01-01 / 1997-01-01 UTC epoch ms (q6 year window — the driver's
+#: synthetic dates span 1995-2001, unlike classic TPC-H's 1992-1998)
+_Q6_LO_MS = 820_454_400_000
+_Q6_HI_MS = 852_076_800_000
 
 
 @q(
@@ -110,6 +111,41 @@ def rel_tpch_q6(spark, sf_dir):
         .agg(
             (F.sum(cents(F.col("l_extendedprice")) * disc_c) / 10000.0).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# q12 reuses the q6 year bounds (the driver's lineitem has no receiptdate,
+# so the shipdate stands in for the date predicate of the classic query)
+@q(
+    "rel_tpch_q12",
+    f"""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE epoch_ms(l_shipdate) >= {_Q6_LO_MS} AND epoch_ms(l_shipdate) < {_Q6_HI_MS}
+    GROUP BY l_returnflag
+    """,
+)
+def rel_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shape: fact date filter → join → conditional counts
+    (CASE-sum aggregation), grouped by l_returnflag (the driver's lineitem
+    has no shipmode column). The date filter pushes to the lineitem scan;
+    join strategy is AQE's call (same policy as q3/q5)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    sd = F.unix_millis(F.col("l_shipdate").cast("timestamp"))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter((sd >= _Q6_LO_MS) & (sd < _Q6_HI_MS))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
         )
     )
 
