@@ -91,6 +91,13 @@ def main():
         lambda: dedup.chunk_duplicates(docs, k=10, min_docs=2).count(),
     )
     timed(
+        "minhash_clusters_50k",
+        lambda: dedup.cluster_summary(
+            dedup.minhash_near_duplicates(docs, fast_hash=True).select("id_a", "id_b"),
+            rounds=4,
+        ).count(),
+    )
+    timed(
         "hashed_embedding_50k",
         lambda: __import__(
             "smoltable_spark.functions.text", fromlist=["hashed_embedding_df"]
