@@ -223,3 +223,43 @@ def test_multi_get_matches_model(spark, cells, inps):
         c for inp in inps for c in model_get_row(cells, inp)
     )
     assert got == want
+
+
+# -- predicated counts share the predicate compiler: differential-test ------
+
+from smoltable_spark.api import CountInput
+from smoltable_spark.operators.count import scan_count
+
+
+count_inputs = st.builds(
+    CountInput,
+    prefix=st.one_of(st.none(), st.sampled_from(["", "a", "b", "ba", "z"])),
+    range=st.one_of(
+        st.none(),
+        st.builds(
+            RowRange,
+            start=st.sampled_from(["a", "b"]),
+            end=st.sampled_from(["bb", "c"]),
+            inclusive=st.booleans(),
+        ),
+    ),
+    column_filter=filters,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(cells=cells_strategy, inp=count_inputs)
+def test_scan_count_matches_model(spark, cells, inp):
+    rows = [(rk, fam, q, ts, "string", f"v{ts}") for rk, fam, q, ts in cells]
+    df = make_cells(spark, rows)
+    got = scan_count(df, inp).collect()[0]
+    want = model_scan(
+        cells,
+        ScanInput(prefix=inp.prefix, range=inp.range, column_filter=inp.column_filter),
+    )
+    assert got["cell_count"] == len(want)
+    assert got["row_count"] == len({c[0] for c in want})
