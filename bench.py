@@ -42,6 +42,7 @@ HEADLINE = [
     "rel_tpch_q3",
     "rel_tpch_q5",
     "rel_tpch_q6",
+    "rel_tpch_q12",
     "rel_events_hourly",
     "rel_top_users_by_spend",
     "rel_asof_join",
@@ -51,6 +52,8 @@ HEADLINE = [
     "txt_bpe_quality",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_chunks",
+    "txt_hashed_embedding",
     "pipeline_clean_corpus",
     "ann_cosine_topk",
     "ann_cosine_ivf",
