@@ -233,10 +233,24 @@ class CellStore:
             raise FileNotFoundError(f"version {n} vacuumed from {self.path}")
         base = self._base_of(n)
         legs = [v for v in range(max(base, 1), n + 1) if os.path.isdir(self._version_dir(v))]
-        df = self.spark.read.parquet(self._version_dir(legs[0]))
-        for v in legs[1:]:
-            df = df.unionByName(self.spark.read.parquet(self._version_dir(v)))
-        return df
+        dfs = [self.spark.read.parquet(self._version_dir(v)) for v in legs]
+        if len(dfs) == 1:
+            return dfs[0]
+        # LSM shadowing: a rewrite of the SAME cell coordinates
+        # (row, family, qualifier, ts) in a newer snapshot replaces the
+        # older value (the reference's LSM key row:cf:cq:!ts overwrites,
+        # cell.rs:168-182). Each older leg is anti-joined against the
+        # union of newer legs' coordinates — the LSM read path: newer
+        # levels shadow older. Deltas are small, so the anti-join build
+        # side is small (AQE broadcasts it); single-leg stores (the
+        # common compacted state) skip all of this.
+        coord = ["row_key", "family", "qualifier", "ts"]
+        out = dfs[-1]
+        newer_coords = dfs[-1].select(*coord)
+        for older in reversed(dfs[:-1]):
+            out = older.join(newer_coords, coord, "left_anti").unionByName(out)
+            newer_coords = newer_coords.unionByName(older.select(*coord))
+        return out
 
     def read_for_filter(self, column_filter=None, version: int | None = None) -> DataFrame:
         """Partition-pruned read: only the locality groups a column filter

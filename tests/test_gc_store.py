@@ -167,3 +167,24 @@ def test_compaction_worker_threshold(spark, tmp_path):
     v = compaction_worker(store, max_deltas=8)  # 8 deltas → compact
     assert v is not None and store._kind(v) == "base"
     assert store.read().count() == 16
+
+
+def test_delta_rewrite_shadows_same_coordinates(spark, tmp_path):
+    """LSM parity: rewriting the exact same cell coordinates in a later
+    delta replaces the older value (reference LSM key row:cf:cq:!ts
+    overwrites); the prior snapshot still shows the old value (MVCC)."""
+    store = CellStore(spark, str(tmp_path / "t7"))
+    store.save_families([ColumnFamilyDef("value", lg="")])
+    store.write(make_cells(spark, [("r", "value", "", 5, "string", "old")]))
+    store.append(make_cells(spark, [("r", "value", "", 5, "string", "new")]))
+    cur = store.read().collect()
+    assert len(cur) == 1 and cur[0]["v_str"] == "new"
+    old = store.read(version=1).collect()
+    assert len(old) == 1 and old[0]["v_str"] == "old"
+    # distinct coordinates still union normally
+    store.append(make_cells(spark, [("r", "value", "", 6, "string", "v6")]))
+    assert store.read().count() == 2
+    # compaction folds the shadowed state into one base
+    store.compact()
+    vals = sorted(r["v_str"] for r in store.read().collect())
+    assert vals == ["new", "v6"]
