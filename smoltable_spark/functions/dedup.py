@@ -511,6 +511,66 @@ def simhash_df(
     return agg.select(F.col(id_col), value.alias("simhash"))
 
 
+def simhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    bands: int = 4,
+    max_distance: int = 3,
+) -> DataFrame:
+    """Hamming-close SimHash pairs via banding: signatures are cut into
+    ``bands`` equal bit-slices; candidate pairs share ≥1 identical slice;
+    the exact Hamming distance then filters to ≤ ``max_distance``.
+
+    EXHAUSTIVE by pigeonhole when ``max_distance < bands``: d differing
+    bits can spoil at most d bands, so some band must match — the banded
+    plan (one shuffle per band-join on a high-cardinality key) returns
+    exactly the brute-force all-pairs answer without ever forming it.
+    Output: (id_a, id_b, hamming).
+    """
+    rows_bits = bits // bands
+    sigs = simhash_df(docs, text_col, id_col, bits).localCheckpoint(eager=True)
+    mask = (1 << rows_bits) - 1
+    buckets = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * rows_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_bb"),
+    ).select(id_col, "simhash", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
+    a = buckets.alias("a")
+    b_ = buckets.alias("b")
+    pairs = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .distinct()
+    )
+    return pairs
+
+
 def simhash_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
     """Documents sharing a SimHash value (candidate near-dup clusters)."""
     return (

@@ -1078,6 +1078,30 @@ def _simhash_oracle(bits: int = 16) -> str:
     """
 
 
+def _simhash_pairs_oracle(max_distance: int = 3) -> str:
+    """Brute-force all-pairs Hamming — the DEFINITION the banded Spark
+    plan must reproduce exactly (pigeonhole: d ≤ bands-1 ⇒ exhaustive)."""
+    return f"""
+    WITH sigs AS MATERIALIZED ({_simhash_oracle()})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_distance}
+    """
+
+
+@q("dedup_simhash_pairs", _simhash_pairs_oracle(max_distance=1))
+def dedup_simhash_pairs(spark, sf_dir):
+    """Hamming-close SimHash pairs (≤1 of 16 bits — the synthetic corpus's
+    shared vocabulary makes larger radii unselective) via banding: the
+    Spark side never forms all pairs, yet must equal the oracle's
+    brute-force all-pairs definition exactly (pigeonhole exhaustiveness,
+    see dedup.simhash_near_duplicates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.simhash_near_duplicates(docs, bits=16, bands=4, max_distance=1)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 @q("dedup_simhash", _simhash_oracle())
 def dedup_simhash(spark, sf_dir):
     """Per-document 16-bit SimHash signature (explode-based fast path)."""

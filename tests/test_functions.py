@@ -314,3 +314,21 @@ def test_cluster_pairs_transitive(spark):
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
     summary = {r["cluster_id"]: r["n_docs"] for r in dedup.cluster_summary(pairs, rounds=4).collect()}
     assert summary == {1: 4, 10: 2}
+
+
+def test_simhash_banded_equals_bruteforce(spark, docs):
+    """Pigeonhole exhaustiveness: banded candidates + Hamming filter must
+    equal all-pairs brute force for max_distance < bands."""
+    from itertools import combinations
+
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash_df(docs).collect()}
+    want = {
+        (a, b)
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_near_duplicates(docs, bands=4, max_distance=3).collect()
+    }
+    assert got == want and (1, 5) in got  # exact dups at distance 0
