@@ -223,6 +223,27 @@ def wc_filter_qualifier_prefix(spark, sf_dir):
 
 
 @q(
+    "wc_family_stats",
+    f"{cells_cte(ORDERS_MELT + ' UNION ALL ' + LINEITEM_MELT)} "
+    "SELECT family, qualifier, CAST(count(*) AS BIGINT) AS n_cells, "
+    "CAST(count(DISTINCT row_key) AS BIGINT) AS n_rows "
+    "FROM cells GROUP BY family, qualifier",
+)
+def wc_family_stats(spark, sf_dir):
+    """Per-(family, qualifier) table statistics — cells and distinct rows:
+    the column-population census behind the reference's stats series
+    (stats#row_cnt / stats#cell_cnt per table, server/src/worker/
+    row_count.rs:20-31) taken down to column granularity. One hash
+    aggregate with map-side partials; the distinct-count shuffles by
+    (family, qualifier, row_key)."""
+    cells = orders_cells(spark, sf_dir).unionByName(lineitem_cells(spark, sf_dir))
+    return cells.groupBy("family", "qualifier").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.countDistinct("row_key").alias("n_rows"),
+    )
+
+
+@q(
     "wc_unmelt_roundtrip",
     "SELECT 'order#' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS row_key, "
     "CAST(o_custkey AS BIGINT) AS custkey, o_orderstatus AS orderstatus, "
