@@ -37,7 +37,19 @@ def salted_join(
     ``salt``× via explode, and the join key becomes (key, salt). Shuffle
     load per reducer drops ~salt× for hot keys; replication cost is
     |small|×salt, which is the price of not being broadcast-able.
+
+    ``how`` is restricted to ``inner``/``left`` (left = big-side
+    preserving): under salting the small side exists ``salt`` times, so a
+    right/full join would emit each unmatched small-side row once per salt
+    replica — wrong multiplicity. For small-side-preserving semantics,
+    swap the arguments or post-aggregate.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            "replicated small side would emit unmatched rows salt× under "
+            "right/full joins"
+        )
     big_salted = big.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt))
     )

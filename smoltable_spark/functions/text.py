@@ -229,12 +229,21 @@ def hashed_embedding(col: Column, dim: int = 16) -> Column:
 
 
 def hashed_embedding_df(
-    docs: "DataFrame", text_col: str = "text", id_col: str = "doc_id", dim: int = 16
+    docs: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 16,
+    as_array: bool = True,
 ) -> "DataFrame":
     """(id, embedding): table-scale hashing-trick embedding — ONE md5 per
     distinct token via explode, then ``dim`` conditional sums in a single
     hash aggregate (the array-expression ``hashed_embedding`` recomputes
-    the hash per dimension; same fast-path pattern as ``simhash_df``)."""
+    the hash per dimension; same fast-path pattern as ``simhash_df``).
+
+    ``as_array=False`` returns the dimensions as scalar columns
+    ``d0..d{dim-1}`` instead of one ``array<double>`` — the hash-checkable
+    shape (array columns are unhashable in pandas-side canonicalizers,
+    VERDICT r1)."""
     toks = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
@@ -253,6 +262,8 @@ def hashed_embedding_df(
         for i in range(dim)
     ]
     agg = h.groupBy(id_col).agg(*aggs)
+    if not as_array:
+        return agg
     return agg.select(
         F.col(id_col), F.array(*[F.col(f"d{i}") for i in range(dim)]).alias("embedding")
     )

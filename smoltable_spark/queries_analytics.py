@@ -501,9 +501,8 @@ def _hashed_embedding_oracle(dim: int = 16) -> str:
         for i in range(dim)
     )
     return f"""
-    WITH toks AS (SELECT DISTINCT doc_id, unnest({TOKS_SQL}) AS tok FROM documents),
-    agg AS (SELECT doc_id, {dims} FROM toks GROUP BY doc_id)
-    SELECT doc_id, [{', '.join(f'd{i}' for i in range(16))}] AS embedding FROM agg
+    WITH toks AS (SELECT DISTINCT doc_id, unnest({TOKS_SQL}) AS tok FROM documents)
+    SELECT doc_id, {dims} FROM toks GROUP BY doc_id
     """
 
 
@@ -511,9 +510,14 @@ def _hashed_embedding_oracle(dim: int = 16) -> str:
 def txt_hashed_embedding(spark, sf_dir):
     """Feature-hashing (hashing-trick) embeddings for every document —
     the cheap, model-free featurizer for blocking/clustering. One md5 per
-    distinct token, one hash aggregate (see text.hashed_embedding_df)."""
+    distinct token, one hash aggregate (see text.hashed_embedding_df).
+
+    Dimensions are scalar columns d0..d15 (not array<double>): the driver's
+    canonicalizer sorts values pandas-side and array cells are unhashable
+    (the one red row in CORRECTNESS_r01). The array-shaped variant stays
+    available via hashed_embedding_df(as_array=True)."""
     docs = load_table(spark, sf_dir, "documents")
-    return text.hashed_embedding_df(docs, dim=16)
+    return text.hashed_embedding_df(docs, dim=16, as_array=False)
 
 
 _STREAM_SINK_COUNTER = itertools.count()

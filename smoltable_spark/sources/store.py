@@ -124,6 +124,28 @@ class CellStore:
 
     # -- write / read ------------------------------------------------------
 
+    @staticmethod
+    def _dedup_coords(df: DataFrame) -> DataFrame:
+        """Keep exactly one value per cell coordinate (row_key, family,
+        qualifier, ts) within a batch — the reference's LSM key
+        ``row:cf:cq:!ts`` overwrites on insert (cell.rs:168-182), so a
+        batch that writes the same coordinate twice keeps only the last
+        occurrence. Batch order is captured with
+        ``monotonically_increasing_id`` (monotone in input order across
+        partitions) before the coordinate shuffle; the shuffle is
+        O(batch), in line with append()'s memtable-flush cost model."""
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("row_key", "family", "qualifier", "ts").orderBy(
+            F.col("__seq").desc()
+        )
+        return (
+            df.withColumn("__seq", F.monotonically_increasing_id())
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__seq", "__rn")
+        )
+
     def write(self, cells: DataFrame, num_range_partitions: int | None = None) -> int:
         """Write a new **base** snapshot containing exactly ``cells``;
         returns version. Layout: lg partition dirs → range-partitioned,
@@ -138,7 +160,7 @@ class CellStore:
                 *[x for f, g in fam_lg.items() for x in (F.lit(f), F.lit(g))]
             )
             lg_expr = F.coalesce(mapping[F.col("family")], F.lit(_DEFAULT_LG))
-        df = cells.select(*CELL_COLUMNS).withColumn("lg", lg_expr)
+        df = self._dedup_coords(cells.select(*CELL_COLUMNS)).withColumn("lg", lg_expr)
         if num_range_partitions is None:
             num_range_partitions = max(
                 self.spark.sparkContext.defaultParallelism, 8
@@ -194,7 +216,7 @@ class CellStore:
             )
             lg_expr = F.coalesce(mapping[F.col("family")], F.lit(_DEFAULT_LG))
         df = (
-            cells.select(*CELL_COLUMNS)
+            self._dedup_coords(cells.select(*CELL_COLUMNS))
             .withColumn("lg", lg_expr)
             .sortWithinPartitions(
                 F.col("row_key").asc(),
@@ -232,7 +254,18 @@ class CellStore:
         if not os.path.isdir(self._version_dir(n)):
             raise FileNotFoundError(f"version {n} vacuumed from {self.path}")
         base = self._base_of(n)
-        legs = [v for v in range(max(base, 1), n + 1) if os.path.isdir(self._version_dir(v))]
+        legs = list(range(max(base, 1), n + 1))
+        # Every version in [base..n] is part of this snapshot's chain;
+        # vacuum() never removes dirs >= the retained chain's start, so a
+        # missing leg means corruption (or an out-of-contract manual delete)
+        # — fail loudly instead of silently returning partial data.
+        missing = [v for v in legs if not os.path.isdir(self._version_dir(v))]
+        if missing:
+            raise FileNotFoundError(
+                f"snapshot chain for v{n} in {self.path} is missing leg dirs "
+                f"{missing} (base=v{base}); store is corrupt or was vacuumed "
+                "out-of-contract"
+            )
         dfs = [self.spark.read.parquet(self._version_dir(v)) for v in legs]
         if len(dfs) == 1:
             return dfs[0]
@@ -281,7 +314,11 @@ class CellStore:
         if cur == 0:
             return
         oldest_kept = max(1, cur - keep_last + 1)
-        cutoff = self._base_of(oldest_kept) or oldest_kept
+        # A chain with no base snapshot (append-only history) reads every
+        # delta from v=1, so nothing may be dropped: `or 1`, never
+        # `or oldest_kept` — the latter silently deleted deltas that the
+        # retained snapshots still read (data loss).
+        cutoff = self._base_of(oldest_kept) or 1
         for name in os.listdir(self.path):
             if name.startswith("v="):
                 n = int(name.split("=", 1)[1])

@@ -225,6 +225,23 @@ def test_salted_join_matches_plain_join(spark):
     assert tuple(ps) == tuple(ss)
 
 
+def test_salted_join_rejects_small_side_preserving_how(spark):
+    """ADVICE r1: the small side exists salt× under salting, so right/full
+    joins would emit unmatched small-side rows once per replica — refuse."""
+    import pytest
+    from smoltable_spark.functions.skew import salted_join
+
+    big = spark.createDataFrame([("a", 1)], "k string, v long")
+    small = spark.createDataFrame([("a", 1.0), ("orphan", 2.0)], "k string, w double")
+    for how in ("right", "full", "outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, on="k", salt=4, how=how)
+    # left (big-preserving) stays exact: unmatched BIG rows appear once
+    bigger = spark.createDataFrame([("a", 1), ("nomatch", 2)], "k string, v long")
+    left = salted_join(bigger, small, on="k", salt=4, how="left")
+    assert left.count() == 2
+
+
 def test_two_phase_agg_exact(spark):
     from smoltable_spark.functions.skew import two_phase_agg
     from pyspark.sql import functions as F

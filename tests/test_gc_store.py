@@ -169,6 +169,56 @@ def test_compaction_worker_threshold(spark, tmp_path):
     assert store.read().count() == 16
 
 
+def test_vacuum_delta_only_chain_loses_nothing(spark, tmp_path):
+    """ADVICE r1 (high): with no base snapshot (append-only history), every
+    delta from v=1 is part of the live chain — vacuum must be a no-op, not
+    a silent 3-appends→1-row data loss."""
+    store = CellStore(spark, str(tmp_path / "t8"))
+    store.save_families([ColumnFamilyDef("value", lg="")])
+    for i in range(3):
+        store.append(make_cells(spark, [(f"r{i}", "value", "", 1, "string", "v")]))
+    store.vacuum(keep_last=1)
+    assert store.read().count() == 3  # was 1 before the fix
+
+
+def test_read_raises_on_missing_leg(spark, tmp_path):
+    """A chain with a hole (manual delete / corruption) must raise, never
+    silently return partial data."""
+    import shutil as _sh
+
+    store = CellStore(spark, str(tmp_path / "t9"))
+    store.save_families([ColumnFamilyDef("value", lg="")])
+    store.write(make_cells(spark, [("r1", "value", "", 1, "string", "a")]))
+    store.append(make_cells(spark, [("r2", "value", "", 1, "string", "b")]))
+    store.append(make_cells(spark, [("r3", "value", "", 1, "string", "c")]))
+    _sh.rmtree(store._version_dir(2))  # punch a hole mid-chain
+    with pytest.raises(FileNotFoundError, match="missing leg"):
+        store.read()
+
+
+def test_within_batch_coordinate_dedup_keeps_last(spark, tmp_path):
+    """ADVICE r1: duplicate (row_key, family, qualifier, ts) coordinates
+    within ONE batch must collapse to the last occurrence (reference LSM
+    key overwrite), for both write() and append()."""
+    dup = make_cells(
+        spark,
+        [
+            ("r", "value", "", 5, "string", "first"),
+            ("r", "value", "", 5, "string", "second"),
+        ],
+    ).coalesce(1)  # one partition => monotonic ids follow row order
+    store = CellStore(spark, str(tmp_path / "t10"))
+    store.save_families([ColumnFamilyDef("value", lg="")])
+    store.write(dup)
+    got = store.read().collect()
+    assert len(got) == 1 and got[0]["v_str"] == "second"
+    store2 = CellStore(spark, str(tmp_path / "t11"))
+    store2.save_families([ColumnFamilyDef("value", lg="")])
+    store2.append(dup)
+    got2 = store2.read().collect()
+    assert len(got2) == 1 and got2[0]["v_str"] == "second"
+
+
 def test_delta_rewrite_shadows_same_coordinates(spark, tmp_path):
     """LSM parity: rewriting the exact same cell coordinates in a later
     delta replaces the older value (reference LSM key row:cf:cq:!ts
