@@ -388,10 +388,12 @@ def wc_scan_row_offset(spark, sf_dir):
     "wc_scan_row_sample",
     f"{cells_cte(ORDERS_MELT)}, {_RANKED} "
     f"SELECT {_SLIM} FROM cells JOIN ranked USING (row_key) "
-    "WHERE floor(rk * 0.25) > floor((rk - 1) * 0.25)",
+    "WHERE rk = 1 OR floor(rk * 0.25) > floor((rk - 1) * 0.25)",
 )
 def wc_scan_row_sample(spark, sf_dir):
-    """Deterministic stride sampling (Q1f; reference mod.rs:736-746)."""
+    """Deterministic stride sampling (Q1f; reference mod.rs:736-746).
+    Phase matches the reference accumulator's 1.0 start: the first scanned
+    row is always emitted (see scan._apply_row_accounting docstring)."""
     return slim(scan_cells(orders_cells(spark, sf_dir), ScanInput(prefix="", sample=0.25)))
 
 

@@ -103,6 +103,24 @@ def test_pipeline_clean_corpus_two_shuffles(spark, sf_dir):
     assert plans.shuffle_count(df) <= 2, plans.physical_plan(df)
 
 
+def test_sample_scan_has_no_single_partition_window(spark, sf_dir):
+    """VERDICT r1: the sample path re-ranked with a partition-less
+    Window.orderBy — a one-executor sort of every surviving key at 100 TB.
+    The closed-form floor rank replaced it; pin that no global
+    (non-partitioned) running-window remains anywhere in the sample plan.
+    A partition-less window shows up in the physical plan as a Window/
+    WindowGroupLimit whose partition spec is empty — its Exchange is a
+    SinglePartition exchange."""
+    from smoltable_spark.sources.relational import orders_cells
+
+    df = scan_cells(
+        orders_cells(spark, sf_dir),
+        ScanInput(prefix="", sample=0.25, row_offset=10, row_limit=50),
+    )
+    p = plans.physical_plan(df)
+    assert "SinglePartition" not in p, p
+
+
 def test_melt_prefix_scan_pushes_key_bounds(spark, sf_dir):
     """The codec-transposed numeric bounds must reach the parquet reader."""
     from smoltable_spark.queries_core import wc_scan_prefix

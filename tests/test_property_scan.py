@@ -70,17 +70,25 @@ def model_scan(cells, inp):
             for c in sorted(vs, key=lambda c: (c[1], c[2], -c[3]))[: inp.row_cell_limit]
         ]
 
+    # sample and offset are both conditions on the SCANNED row rank
+    # (reference mod.rs:724-756); phase: first scanned row always emitted
+    # (row_sample_counter starts at 1.0, mod.rs:660). Offset uses the sane
+    # skip-`offset`-rows semantics (documented divergence from the
+    # reference's off-by-one `< row_offset`).
     keys = sorted({c[0] for c in out}, reverse=inp.reverse)
-    keys = keys[inp.row_offset:]
-    if inp.sample is not None:
-        keys = [
-            k
-            for i, k in enumerate(keys, start=1)
-            if math.floor(i * inp.sample) > math.floor((i - 1) * inp.sample)
-        ]
+    sampling = inp.sample is not None and inp.sample < 1.0
+    kept = []
+    for i, k in enumerate(keys, start=1):
+        if sampling and not (
+            i == 1 or math.floor(i * inp.sample) > math.floor((i - 1) * inp.sample)
+        ):
+            continue
+        if i <= inp.row_offset:
+            continue
+        kept.append(k)
     if inp.row_limit is not None:
-        keys = keys[: inp.row_limit]
-    kept_keys = set(keys)
+        kept = kept[: inp.row_limit]
+    kept_keys = set(kept)
     out = [c for c in out if c[0] in kept_keys]
 
     if inp.cell_limit is not None:

@@ -58,9 +58,19 @@ def test_scan_row_offset(spark):
 
 
 def test_scan_sample_stride(spark):
-    # rate 0.5 → every 2nd row: ranks 2,4 → b? (1-indexed: floor(i*0.5) crosses at i=2,4)
+    # reference accumulator (counter starts 1.0, mod.rs:660,736-746):
+    # rate 0.5 over [a,b,ba,c] emits scanned ranks {1,2,4} → a,b,c
     out = scan_cells(abc_cells(spark), ScanInput(prefix="", sample=0.5))
-    assert row_keys(out) == ["b", "c"]
+    assert row_keys(out) == ["a", "b", "c"]
+
+
+def test_scan_sample_with_offset_and_limit(spark):
+    # sample and offset both act on scanned rank: rate 0.5 emits {1,2,4};
+    # offset 1 drops scanned rank 1 → [b, c]; limit 1 → [b]
+    out = scan_cells(
+        abc_cells(spark), ScanInput(prefix="", sample=0.5, row_offset=1, row_limit=1)
+    )
+    assert row_keys(out) == ["b"]
 
 
 def versions_cells(spark):
