@@ -299,19 +299,93 @@ def blocked_jaccard_near_duplicates(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    max_block_rows: int | None = 100_000,
 ) -> DataFrame:
     """Exact Jaccard near-dups within a blocking key (e.g. language).
 
-    For corpora with a natural partition; pairs only form inside blocks.
+    The RESULT is defined as "all pairs within the block with
+    J ≥ threshold" (the oracle's brute-force definition), but the PLAN
+    never forms O(block²) pairs (VERDICT r1: ``lang`` alone is ~the corpus
+    in a real dataset — a cartesian bomb). Candidates form inside the
+    composite block (block_col, shingle-size bucket): J(A,B) ≥ t bounds
+    the size ratio — t ≤ |A∩B|/|A∪B| ≤ min/max, so max ≤ min/t — hence
+    with buckets of width ≥ log2(1/t) in log2(size) space, any qualifying
+    pair sits in the same or adjacent buckets. Each doc is joined against
+    its own bucket and probes bucket+1: pruned pairs are exactly those
+    that CANNOT reach the threshold, so the output equals the
+    unblocked-by-size definition while pair formation is O(Σ bucket²) —
+    bounded by the corpus's length distribution, not its language
+    distribution.
+
+    The bucket is computed in EXACT integer arithmetic —
+    ``floor(log2(sz))`` as ``length(conv(sz, 10, 2)) - 1``, then grouped
+    into runs of ``m = ceil(log2(1/t))`` — because a float ``ln`` at a
+    power boundary could misplace a doc by one bucket and silently prune
+    a qualifying pair (false negatives, invisible to the threshold
+    filter).
+
+    ``max_block_rows`` guards the residual quadratic term: if any
+    (block, bucket) cell exceeds it, raise instead of launching a
+    cell²-pair job (route such corpora through
+    ``minhash_near_duplicates``, whose LSH buckets don't grow with corpus
+    size). ``None`` disables the guard. The guard is one tiny
+    aggregate over (block, bucket) cells, run before the pair join.
+
+    ``threshold`` must be in (0, 1); at t→1 buckets sharpen toward
+    exact-size matching.
     """
-    pairs = (
-        docs.select(F.col(id_col).alias("id_a"), F.col(block_col).alias("blk"))
-        .join(
-            docs.select(F.col(id_col).alias("id_b"), F.col(block_col).alias("blk")),
+    if not (0.0 < threshold < 1.0):
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    import math as _math
+
+    # width of a bucket in floor(log2(size)) units; the -1e-12 guards the
+    # driver-side ceil against fp at exact powers (e.g. t=0.25 → m=2)
+    m = max(1, _math.ceil(_math.log2(1.0 / threshold) - 1e-12))
+    sized = shingle_arrays(docs, text_col, id_col, k).select(
+        F.col(id_col), F.size("sh_arr").alias("_sz")
+    )
+    log2_floor = (
+        F.length(F.conv(F.greatest(F.col("_sz"), F.lit(1)).cast("string"), 10, 2)) - 1
+    )
+    blocked = (
+        docs.select(F.col(id_col), F.col(block_col).alias("blk"))
+        .join(sized, id_col)
+        .select(
+            id_col,
             "blk",
+            F.floor(log2_floor / F.lit(m)).cast("long").alias("_bkt"),
         )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+    )
+    if max_block_rows is not None:
+        worst = (
+            blocked.groupBy("blk", "_bkt")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("mx"))
+            .collect()[0]["mx"]
+        )
+        if worst is not None and worst > max_block_rows:
+            raise ValueError(
+                f"largest (block, size-bucket) cell has {worst} docs "
+                f"(> max_block_rows={max_block_rows}); pair formation would "
+                "be quadratic in that cell — use minhash_near_duplicates "
+                "for this corpus, or raise/disable max_block_rows"
+            )
+    home = blocked.select(
+        F.col(id_col).alias("_ha"), "blk", F.col("_bkt").alias("_jb")
+    )
+    probe = blocked.select(
+        F.col(id_col).alias("_hb"),
+        "blk",
+        F.explode(F.array(F.col("_bkt"), F.col("_bkt") + 1)).alias("_jb"),
+    )
+    pairs = (
+        home.join(probe, ["blk", "_jb"])
+        .filter(F.col("_ha") != F.col("_hb"))
+        .select(
+            F.least("_ha", "_hb").alias("id_a"),
+            F.greatest("_ha", "_hb").alias("id_b"),
+        )
+        .distinct()
     )
     jac = jaccard_pairs(docs, pairs, text_col, id_col, k)
     num, den = int(threshold * 1000), 1000
@@ -459,12 +533,15 @@ def chunk_duplicates(
 # ---------------------------------------------------------------------------
 # SimHash
 
-def simhash(col, bits: int = 16):
+def simhash(col, bits: int = 60):
     """Signed-bit-sum SimHash over distinct tokens (exact integer math).
 
     bit_i(doc) = 1 iff  Σ_tokens (±1 per token's hash bit i) > 0.
-    16 bits keeps the expression tree codegen-friendly; near-dups land on
-    equal (or Hamming-close) values.
+    Default width is 60 bits — every bit of the single portable
+    ``md5_long`` hash (both engines' BIGINT stays non-negative, so band
+    extraction needs no sign-extension care). Near-dups land on equal
+    (or Hamming-close) values. Prefer ``simhash_df`` at table scale: this
+    expression form recomputes the hash per bit.
     """
     toks = F.array_distinct(tokens(col))
 
@@ -486,7 +563,7 @@ def simhash(col, bits: int = 16):
 
 
 def simhash_df(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60
 ) -> DataFrame:
     """(id, simhash) via explode: ONE md5 per distinct token, then per-bit
     conditional sums in a single hash aggregate — the fast path (the
@@ -515,9 +592,10 @@ def simhash_near_duplicates(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 16,
+    bits: int = 60,
     bands: int = 4,
     max_distance: int = 3,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Hamming-close SimHash pairs via banding: signatures are cut into
     ``bands`` equal bit-slices; candidate pairs share ≥1 identical slice;
@@ -528,9 +606,24 @@ def simhash_near_duplicates(
     plan (one shuffle per band-join on a high-cardinality key) returns
     exactly the brute-force all-pairs answer without ever forming it.
     Output: (id_a, id_b, hamming).
+
+    Scale note (VERDICT r1): the old 16-bit default made band buckets
+    4-bit slices — 16 distinct values per band, i.e. each band self-join
+    partitioned the corpus into ≤16 buckets → ~(N/16)² candidate pairs.
+    The 60-bit default cuts 15-bit slices: 32,768 bucket values per band,
+    so bucket occupancy (and the pair blow-up) drops ~2000× at the same
+    corpus size; SCALE.md tracks the candidate-pair growth at 10×. 60
+    (not 64) because the portable cross-engine hash is 60 bits — one md5
+    per token and a signature that stays non-negative in a signed BIGINT
+    on both engines (no sign-extending shifts in band extraction).
+
+    ``sigs`` injects precomputed signatures (id, simhash) and skips the
+    text pass — used by the property tests to drive the banding with
+    arbitrary bit patterns.
     """
     rows_bits = bits // bands
-    sigs = simhash_df(docs, text_col, id_col, bits).localCheckpoint(eager=True)
+    if sigs is None:
+        sigs = simhash_df(docs, text_col, id_col, bits).localCheckpoint(eager=True)
     mask = (1 << rows_bits) - 1
     buckets = sigs.select(
         F.col(id_col),
@@ -571,7 +664,7 @@ def simhash_near_duplicates(
     return pairs
 
 
-def simhash_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+def simhash_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60) -> DataFrame:
     """Documents sharing a SimHash value (candidate near-dup clusters)."""
     return (
         simhash_df(docs, text_col, id_col, bits)

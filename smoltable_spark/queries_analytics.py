@@ -1067,7 +1067,7 @@ def dedup_clusters(spark, sf_dir):
     return dedup.cluster_summary(pairs, rounds=4)
 
 
-def _simhash_oracle(bits: int = 16) -> str:
+def _simhash_oracle(bits: int = 60) -> str:
     h = md5_long_sql("tok")
     bit_sums = ", ".join(
         f"sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
@@ -1094,23 +1094,23 @@ def _simhash_pairs_oracle(max_distance: int = 3) -> str:
     """
 
 
-@q("dedup_simhash_pairs", _simhash_pairs_oracle(max_distance=1))
+@q("dedup_simhash_pairs", _simhash_pairs_oracle(max_distance=3))
 def dedup_simhash_pairs(spark, sf_dir):
-    """Hamming-close SimHash pairs (≤1 of 16 bits — the synthetic corpus's
-    shared vocabulary makes larger radii unselective) via banding: the
-    Spark side never forms all pairs, yet must equal the oracle's
-    brute-force all-pairs definition exactly (pigeonhole exhaustiveness,
-    see dedup.simhash_near_duplicates)."""
+    """Hamming-close SimHash pairs (≤3 of 60 bits) via banding: the Spark
+    side never forms all pairs, yet must equal the oracle's brute-force
+    all-pairs definition exactly (pigeonhole exhaustiveness with
+    max_distance 3 < 4 bands — see dedup.simhash_near_duplicates, incl.
+    the 60-bit/15-bit-band scale rationale)."""
     docs = load_table(spark, sf_dir, "documents")
-    out = dedup.simhash_near_duplicates(docs, bits=16, bands=4, max_distance=1)
+    out = dedup.simhash_near_duplicates(docs, bits=60, bands=4, max_distance=3)
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 @q("dedup_simhash", _simhash_oracle())
 def dedup_simhash(spark, sf_dir):
-    """Per-document 16-bit SimHash signature (explode-based fast path)."""
+    """Per-document 60-bit SimHash signature (explode-based fast path)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_df(docs, bits=16)
+    return dedup.simhash_df(docs, bits=60)
 
 
 def _blocked_jaccard_oracle(threshold: float = 0.5) -> str:

@@ -66,13 +66,64 @@ def test_jaccard_exact_values(spark, docs):
 def test_simhash_identical_for_dups(spark, docs):
     sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash_df(docs).collect()}
     assert sh[1] == sh[5]
-    assert 0 <= sh[1] < 2**16
+    assert 0 <= sh[1] < 2**60  # 60-bit signatures, non-negative BIGINT
 
 
 def test_blocked_jaccard_respects_blocks(spark, docs):
     out = dedup.blocked_jaccard_near_duplicates(docs, block_col="lang", threshold=0.1)
     for r in out.collect():
         assert r["id_a"] != 4 and r["id_b"] != 4  # 'de' block has one doc
+
+
+def test_blocked_jaccard_size_buckets_lose_no_pairs(spark, docs):
+    """The (block, size-bucket) candidate pruning must return exactly the
+    brute-force within-block threshold answer — including pairs whose
+    shingle counts straddle a power-of-two bucket boundary."""
+    from itertools import combinations
+
+    rows = [(r["doc_id"], r["lang"], r["text"]) for r in docs.collect()]
+    # straddle floor(log2): 4-shingle vs 8-shingle docs, J = 4/8 = 0.5
+    base = "w0 w1 w2 w3 w4 w5"          # 4 distinct 3-shingles
+    ext = base + " w6 w7 w8 w9"          # 8 distinct 3-shingles, superset
+    rows += [(100, "xx", base), (101, "xx", ext)]
+    docs2 = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    def brute(th):
+        sh = {
+            r["doc_id"]: (r["lang"], set(r["sh_arr"]))
+            for r in dedup.shingle_arrays(docs2, k=3)
+            .join(docs2.select("doc_id", "lang"), "doc_id")
+            .select("doc_id", "lang", "sh_arr")
+            .collect()
+        }
+        out = set()
+        for a, b in combinations(sorted(sh), 2):
+            (la, sa), (lb, sb) = sh[a], sh[b]
+            if la != lb:
+                continue
+            common = len(sa & sb)
+            if common * 1000 >= int(th * 1000) * (len(sa) + len(sb) - common):
+                out.add((a, b))
+        return out
+
+    for th in (0.5, 0.3):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.blocked_jaccard_near_duplicates(
+                docs2, block_col="lang", threshold=th
+            ).collect()
+        }
+        assert got == brute(th), th
+    assert (100, 101) in brute(0.5)  # the boundary pair is actually a dup
+
+
+def test_blocked_jaccard_block_size_guard(spark, docs):
+    import pytest
+
+    with pytest.raises(ValueError, match="max_block_rows"):
+        dedup.blocked_jaccard_near_duplicates(
+            docs, block_col="lang", threshold=0.5, max_block_rows=1
+        )
 
 
 @pytest.fixture(scope="module")
