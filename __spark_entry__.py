@@ -52,6 +52,9 @@ _WINDOW_PRIORITY = [
     "pipeline_pack",
     "pipeline_balanced_mix",
     "stream_running_stats",
+    # new this round — never checked
+    "wc_approx_cell_count",
+    "wc_row_shape",
     # changed this round — re-verify
     "txt_hashed_embedding",
     "wc_scan_row_sample",

@@ -910,13 +910,25 @@ def txt_lang_confusion(spark, sf_dir):
     )
 
 
-@q("stream_running_stats", None)  # stateful streaming: not SQL-expressible
+@q(
+    "stream_running_stats",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           sum(round(value * 100)) / 100.0 AS total,
+           max(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
 def stream_running_stats(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState): final
     per-event-type running count/total/max after replaying the events file.
-    No SQL oracle — arbitrary stateful update logic is exactly the class
-    the oracle contract exempts; the driver records a rows-only check, and
-    test_jobs_streaming.py pins the values against batch aggregation.
+
+    The UPDATE SEQUENCE is the non-SQL-expressible part; the FINAL state
+    is batch-equivalent by construction (the state keeps exact integer
+    cents, so replay order can't perturb the sum) — which makes the query
+    hash-checkable against plain batch aggregation (VERDICT r1 item 9:
+    was rows-only). test_jobs_streaming.py additionally pins intermediate
+    update behavior.
     """
     from smoltable_spark.streaming.ingest import running_stats_stream, stream_events
 

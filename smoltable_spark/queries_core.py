@@ -320,6 +320,22 @@ def wc_store_scan_prefix(spark, sf_dir):
     return slim(scan_cells(cells, inp))
 
 
+def _ensure_probe(spark, store):
+    """Idempotently append the single probe cell (delta v2) used by the
+    MVCC and metadata-count queries, making their results independent of
+    the order the driver runs them in."""
+    from smoltable_spark.sources.writer import rows_to_cells
+
+    if store.current_version() == 1:
+        store.append(
+            rows_to_cells(
+                spark,
+                [{"row_key": "zzz#probe", "cells": [
+                    {"column_key": "o:probe", "value": {"i64": 1}, "timestamp": 1}]}],
+            )
+        )
+
+
 @q(
     "wc_store_time_travel",
     "SELECT CAST(count(*) * 5 AS BIGINT) AS v_base_cells, "
@@ -332,21 +348,72 @@ def wc_store_time_travel(spark, sf_dir):
     snapshot versions). Idempotent: the probe append commits once per
     store; both versions' cell counts are compared against the source
     table."""
-    from smoltable_spark.sources.writer import rows_to_cells
-
     store = _orders_store(spark, sf_dir)
-    if store.current_version() == 1:
-        store.append(
-            rows_to_cells(
-                spark,
-                [{"row_key": "zzz#probe", "cells": [
-                    {"column_key": "o:probe", "value": {"i64": 1}, "timestamp": 1}]}],
-            )
-        )
+    _ensure_probe(spark, store)
     base = store.read(version=1).count()
     cur = store.read().count()
     return spark.createDataFrame(
         [(base, cur)], "v_base_cells long, v_next_cells long"
+    )
+
+
+@q(
+    "wc_approx_cell_count",
+    "SELECT CAST(count(*) * 5 + 1 AS BIGINT) AS approx_cell_count FROM orders",
+)
+def wc_approx_cell_count(spark, sf_dir):
+    """A3 — approximate cell count from parquet FOOTER metadata only (no
+    Spark job, no data pages read): the reference sums LSM segment item
+    counts (smoltable/src/table/mod.rs:299-306). Over the canonical
+    orders store chain (base melt + 1 probe delta, no shadowed
+    coordinates) the metadata sum is exact, so the oracle can pin it to
+    the relational count."""
+    store = _orders_store(spark, sf_dir)
+    _ensure_probe(spark, store)
+    return spark.createDataFrame(
+        [(store.approximate_cell_count(),)], "approx_cell_count long"
+    )
+
+
+@q(
+    "wc_row_shape",
+    f"{cells_cte(EVENTS_MELT)} SELECT row_key, family, qualifier, "
+    "CAST(row_number() OVER (PARTITION BY row_key, family, qualifier "
+    "ORDER BY ts DESC, v_f64 DESC) - 1 AS INT) AS version_idx, "
+    "ts AS time, vtype, v_f64 "
+    "FROM cells WHERE row_key LIKE 'click#user#00000%'",
+)
+def wc_row_shape(spark, sf_dir):
+    """Golden nested row shape, oracle-checked: ``assemble_rows`` builds
+    the reference's ``Row{row_key, columns: map<family, map<qualifier,
+    array<cell>>>}`` (row.rs:5-9; golden tests e.g.
+    scan_range_simple.rs:86-120), then the query flat-explodes it back —
+    ``version_idx`` is each cell's position in its version array, so the
+    hash check pins the newest-first version ordering AND the nesting
+    structure, not just the cell set. Multi-version columns come from the
+    events melt (one column per (event_type, user), one version per
+    event). Tie-break parity: sort_array orders the full cell struct, so
+    equal timestamps fall through to the value — mirrored by ``v_f64
+    DESC`` in the oracle's rank."""
+    from smoltable_spark.operators.scan import scan_rows
+
+    rows = scan_rows(events_cells(spark, sf_dir), ScanInput(prefix="click#user#00000"))
+    return (
+        rows.select("row_key", F.explode("columns").alias("family", "qmap"))
+        .select("row_key", "family", F.explode("qmap").alias("qualifier", "cells"))
+        .select(
+            "row_key", "family", "qualifier",
+            F.posexplode("cells").alias("version_idx", "cell"),
+        )
+        .select(
+            "row_key",
+            "family",
+            "qualifier",
+            F.col("version_idx").cast("int").alias("version_idx"),
+            F.col("cell.time").alias("time"),
+            F.col("cell.vtype").alias("vtype"),
+            F.col("cell.v_f64").alias("v_f64"),
+        )
     )
 
 

@@ -336,6 +336,25 @@ class CellStore:
             if os.path.isdir(self._version_dir(v))
         ]
 
+    def approximate_cell_count(self) -> int:
+        """Cell count from parquet FOOTER metadata only — no Spark job, no
+        data pages read (A3 parity: the reference sums LSM segment item
+        counts, smoltable/src/table/mod.rs:299-306). Approximate in the
+        same way the reference is: shadowed duplicate coordinates across a
+        base+delta chain are counted once per occurrence, so the value is
+        an upper bound until ``compact()`` folds the chain."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for d in self._chain_dirs():
+            for root, _, files in os.walk(d):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += pq.ParquetFile(
+                            os.path.join(root, f)
+                        ).metadata.num_rows
+        return total
+
     def disk_space_usage(self) -> int:
         """Bytes across the current snapshot's chain (reference mod.rs:906-922)."""
         total = 0

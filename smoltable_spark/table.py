@@ -207,6 +207,10 @@ class Smoltable:
     def vacuum(self, keep_last: int = 2) -> None:
         self.store.vacuum(keep_last)
 
+    def approximate_cell_count(self) -> int:
+        """Metadata-only cell count (reference mod.rs:299-306)."""
+        return self.store.approximate_cell_count()
+
     def disk_space_usage(self) -> int:
         return self.store.disk_space_usage()
 

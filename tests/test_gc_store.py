@@ -169,6 +169,23 @@ def test_compaction_worker_threshold(spark, tmp_path):
     assert store.read().count() == 16
 
 
+def test_approximate_cell_count_metadata_only(spark, tmp_path):
+    """A3: footer-metadata sum == exact count on a clean chain; counts
+    shadowed coordinates per occurrence (upper bound) until compact()."""
+    store = CellStore(spark, str(tmp_path / "t12"))
+    store.save_families([ColumnFamilyDef("value", lg="")])
+    cells, _ = gc_fixture(spark)
+    store.write(cells)                       # 8 cells
+    assert store.approximate_cell_count() == 8
+    # shadow one existing coordinate via a delta: approx over-counts (9),
+    # exact read sees 8; compaction reconciles
+    store.append(make_cells(spark, [("row", "value", "", 5, "string", "rewrite")]))
+    assert store.approximate_cell_count() == 9
+    assert store.read().count() == 8
+    store.compact()
+    assert store.approximate_cell_count() == 8
+
+
 def test_vacuum_delta_only_chain_loses_nothing(spark, tmp_path):
     """ADVICE r1 (high): with no base snapshot (append-only history), every
     delta from v=1 is part of the live chain — vacuum must be a no-op, not
