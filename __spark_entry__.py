@@ -55,6 +55,9 @@ _WINDOW_PRIORITY = [
     # new this round — never checked
     "wc_approx_cell_count",
     "wc_row_shape",
+    "ann_cosine_ivf_kmeans",
+    "stream_dedup",
+    "stream_sessionize",
     # changed this round — re-verify
     "txt_hashed_embedding",
     "wc_scan_row_sample",

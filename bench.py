@@ -57,8 +57,15 @@ HEADLINE = [
     "pipeline_clean_corpus",
     "ann_cosine_topk",
     "ann_cosine_ivf",
+    "ann_cosine_ivf_kmeans",
     "mm_features",
 ]
+
+#: previous round's per-query steady-state timings (BENCH_r01.json at
+#: sf0.1): the regression baseline. Diffed on every run; >1.5x slower at
+#: the same sf is flagged in the output JSON under "regressions".
+PREV_ROUND_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json")
+REGRESSION_FACTOR = 1.5
 
 
 def main():
@@ -116,6 +123,22 @@ def main():
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    # round-over-round regression check against the previous BENCH file
+    regressions = {}
+    prev_total = None
+    try:
+        with open(PREV_ROUND_FILE) as fh:
+            prev = json.load(fh)
+        if prev.get("sf") == (float(sf) if sf else None):
+            prev_total = prev.get("value")
+            for name, t in timings.items():
+                p = prev.get("queries", {}).get(name)
+                if p and p > 0.05 and t > p * REGRESSION_FACTOR:
+                    regressions[name] = {"prev": p, "now": t, "ratio": round(t / p, 2)}
+    except (OSError, ValueError):
+        pass
+
     print(
         json.dumps(
             {
@@ -125,6 +148,8 @@ def main():
                 "queries": timings,
                 "cold_queries": cold,
                 "sf": float(sf) if sf else None,
+                "prev_round_total": prev_total,
+                "regressions": regressions,
             }
         )
     )

@@ -177,6 +177,84 @@ def _nearest_centroids(vectors: DataFrame, centroids: DataFrame, nprobe: int) ->
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    iters: int = 2,
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """Sampled Lloyd's k-means over quantized vectors → (cid, cq, cn2),
+    the centroid shape ``cosine_topk_ivf`` consumes.
+
+    Fully deterministic and engine-replicable (the DuckDB oracle unrolls
+    the same iterations):
+
+    - seeds: the ``n_centroids`` vectors with the smallest seeded md5
+      hash (a pseudo-random but stable draw; cid = rank in that order);
+    - assignment: cosine against broadcast centroids, ties to lowest cid;
+    - update: per-dimension mean of the exact quantized ints (sums stay
+      < 2^53 ⟹ order-independent), rounded back to long. A centroid
+      that loses all members drops out (standard Lloyd's degeneracy).
+
+    ``sample_mod=m`` trains on the deterministic ~1/m hash-sample of the
+    corpus — at 100 TB the iterations touch only the sample, and only
+    the FINAL assignment pass reads the full corpus. Each iteration is a
+    broadcast-join assign + one (cid, dim) aggregate; centroids are
+    localCheckpoint'ed so the loop's lineage stays flat.
+    """
+    from smoltable_spark.functions.hashing import seeded
+
+    s = with_quantized_norm(corpus, vec_col).select(
+        F.col(id_col).alias("vec_id"), "q", "nrm2"
+    )
+    if sample_mod:
+        s = s.filter(
+            F.pmod(seeded("kmeans-sample", F.col("vec_id").cast("string")), sample_mod)
+            == 0
+        )
+    h = s.withColumn("_h", seeded("kmeans", F.col("vec_id").cast("string")))
+    seeds = h.orderBy("_h", "vec_id").limit(n_centroids)
+    # window over n_centroids rows only (post-limit) — bounded, not a
+    # corpus-wide single-partition sort
+    w = Window.orderBy("_h", "vec_id")
+    cents = (
+        seeds.withColumn("cid", F.row_number().over(w) - 1)
+        .select(F.col("cid"), F.col("q").alias("cq"), F.col("nrm2").alias("cn2"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        assign = _nearest_centroids(s, cents, nprobe=1).select(
+            "vec_id", F.col("list_id").alias("cid")
+        )
+        dims = s.join(assign, "vec_id").select(
+            "cid", F.posexplode("q").alias("pos", "val")
+        )
+        cents = (
+            dims.groupBy("cid", "pos")
+            .agg(F.round(F.avg("val")).cast("long").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                ).alias("_s")
+            )
+            .select(
+                "cid",
+                F.transform(F.col("_s"), lambda x: x.getField("m")).alias("cq"),
+            )
+            .withColumn(
+                "cn2",
+                F.aggregate(
+                    F.col("cq"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -185,18 +263,21 @@ def cosine_topk_ivf(
     k: int = 10,
     n_centroids: int = 8,
     nprobe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors are assigned to their nearest
     centroid's inverted list (nprobe=1); queries probe their ``nprobe``
     nearest lists; exact cosine + top-k run over candidates only.
 
-    Centroid choice here is deterministic — the ``n_centroids`` lowest-id
-    corpus vectors — so the result is oracle-checkable cross-engine. At
-    production scale, train centroids with sampled k-means offline and
-    broadcast them; everything downstream is unchanged. Compared pairs
-    shrink ~(n_centroids/nprobe)×; the candidate join shuffles by list_id
-    (the corpus's one-shuffle assignment is reusable across query batches
-    by persisting the assigned corpus).
+    ``centroids`` (cid, cq, cn2) injects a trained coarse quantizer —
+    pair with ``kmeans_centroids`` for the production path (better list
+    balance ⟹ better recall at equal nprobe; see SCALE.md for measured
+    recall). When omitted, centroids default to the ``n_centroids``
+    lowest-id corpus vectors — the degenerate-but-deterministic quantizer
+    kept for the simplest oracle. Compared pairs shrink
+    ~(n_centroids/nprobe)×; the candidate join shuffles by list_id (the
+    corpus's one-shuffle assignment is reusable across query batches by
+    persisting the assigned corpus).
     """
     c = with_quantized_norm(corpus, vec_col).select(
         F.col(id_col).alias("vec_id"), "q", "nrm2"
@@ -204,9 +285,13 @@ def cosine_topk_ivf(
     qd = with_quantized_norm(queries, vec_col).select(
         F.col(id_col).alias("vec_id"), "q", "nrm2"
     )
-    cents = c.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cid"), F.col("q").alias("cq"), F.col("nrm2").alias("cn2")
-    )
+    cents = centroids
+    if cents is None:
+        cents = c.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cid"),
+            F.col("q").alias("cq"),
+            F.col("nrm2").alias("cn2"),
+        )
     assign = _nearest_centroids(c, cents, nprobe=1).select("vec_id", "list_id")
     probes = _nearest_centroids(qd, cents, nprobe=nprobe).select("vec_id", "list_id")
 

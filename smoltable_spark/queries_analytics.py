@@ -953,6 +953,97 @@ def stream_running_stats(spark, sf_dir):
     )
 
 
+@q(
+    "stream_dedup",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_unique
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup(spark, sf_dir):
+    """Streaming exact dedup (``dropDuplicatesWithinWatermark`` on
+    event_id — the streaming face of dedup_exact): the source is replayed
+    with every event DUPLICATED (explode ×2), so a broken dedup returns
+    exactly 2× the oracle's per-type counts. Append-mode memory sink;
+    first occurrences emit immediately, duplicate state evicts at the
+    watermark horizon (bounded state on an infinite stream)."""
+    from smoltable_spark.streaming.ingest import dedup_events_stream, stream_events
+
+    events = stream_events(spark, sf_dir, glob="events.parquet")
+    doubled = events.withColumn(
+        "_dup", F.explode(F.array(F.lit(0), F.lit(1)))
+    ).drop("_dup")
+    deduped = dedup_events_stream(doubled)
+    name = f"_stream_dedup_{next(_STREAM_SINK_COUNTER)}"
+    sq = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+
+
+#: session gap / watermark delay in microseconds (1h / 2h)
+_SESS_GAP_US = 3_600_000_000
+_SESS_WM_US = 7_200_000_000
+
+
+@q(
+    "stream_sessionize",
+    f"""
+    WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+    mx AS (SELECT ((max(us) - {_SESS_WM_US}) // 1000) * 1000 AS wm_us FROM e),
+    lagd AS (SELECT user_id, us,
+                    lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev FROM e),
+    marked AS (SELECT user_id, us,
+                      CASE WHEN prev IS NULL OR us - prev >= {_SESS_GAP_US}
+                           THEN 1 ELSE 0 END AS nw FROM lagd),
+    sid AS (SELECT user_id, us, sum(nw) OVER (PARTITION BY user_id ORDER BY us
+                   ROWS UNBOUNDED PRECEDING) AS sid FROM marked),
+    sess AS (SELECT user_id,
+                    CAST(min(us) * 1000 AS BIGINT) AS session_start_ns,
+                    CAST((max(us) + {_SESS_GAP_US}) * 1000 AS BIGINT) AS session_end_ns,
+                    CAST(count(*) AS BIGINT) AS n_events
+             FROM sid GROUP BY user_id, sid)
+    SELECT s.user_id, s.session_start_ns, s.session_end_ns, s.n_events
+    FROM sess s, mx WHERE s.session_end_ns < mx.wm_us * 1000
+    """,
+)
+def stream_sessionize(spark, sf_dir):
+    """Streaming gap-sessionization via the native ``session_window``
+    (the streaming face of rel_sessionize): append-mode emission of
+    sessions the watermark has closed. Oracle = batch lag-gap
+    sessionization restricted to sessions whose end precedes the final
+    watermark (max event time − 2h, millisecond-truncated as Spark
+    tracks watermarks) — verified empirically to match the stream's
+    emitted set exactly; the ``availableNow`` replay's trailing no-data
+    micro-batch is what advances the watermark and flushes closed
+    sessions."""
+    from smoltable_spark.streaming.ingest import session_stream, stream_events
+
+    events = stream_events(spark, sf_dir, glob="events.parquet")
+    ss = session_stream(events)
+    name = f"_stream_sess_{next(_STREAM_SINK_COUNTER)}"
+    sq = (
+        ss.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id", "session_start_ns", "session_end_ns", "n_events"
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup
 
@@ -1241,6 +1332,81 @@ def ann_cosine_ivf(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.cosine_topk_ivf(
         emb, queries, k=10, n_centroids=8, nprobe=2
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+def _ann_ivf_kmeans_oracle(
+    k: int = 10, n_centroids: int = 8, nprobe: int = 2, iters: int = 2, dim: int = 64
+) -> str:
+    """Unrolled Lloyd's k-means + IVF in DuckDB SQL. Possible because
+    every step of similarity.kmeans_centroids is deterministic exact
+    arithmetic: integer dots, double cosine, ties to lowest cid,
+    per-dimension integer-exact means rounded half-away-from-zero (both
+    engines' round)."""
+    dot = "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+    cos = (
+        dot + " / (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE)))"
+    )
+    seed_h = seeded_sql("kmeans", "CAST(vec_id AS VARCHAR)")
+    mean_list = ", ".join(
+        f"CAST(round(avg(n.q[{i}])) AS BIGINT)" for i in range(1, dim + 1)
+    )
+    iter_ctes = []
+    prev = "cents0"
+    for it in range(1, iters + 1):
+        iter_ctes.append(f"""
+    cdot{it} AS (SELECT n.vec_id, c.cid,
+                   {cos.format(a='n.q', b='c.cq', na='n.nrm2', nb='c.cn2')} AS ccos
+                 FROM s n CROSS JOIN {prev} c),
+    asg{it} AS (SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                         ORDER BY ccos DESC, cid) AS r FROM cdot{it}) t WHERE r = 1),
+    cm{it} AS (SELECT a.cid, [{mean_list}] AS cq
+               FROM asg{it} a JOIN s n USING (vec_id) GROUP BY a.cid),
+    cents{it} AS (SELECT cid, cq,
+                    list_sum(list_transform(cq, x -> x * x)) AS cn2 FROM cm{it})""")
+        prev = f"cents{it}"
+    return f"""
+    WITH v AS (SELECT vec_id, {_QVEC_SQL} AS q FROM embeddings),
+    s AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS nrm2 FROM v),
+    hh AS (SELECT vec_id, q, {seed_h} AS h FROM s),
+    seeds AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, q AS cq
+              FROM hh ORDER BY h, vec_id LIMIT {n_centroids}),
+    cents0 AS (SELECT cid, cq, list_sum(list_transform(cq, x -> x * x)) AS cn2
+               FROM seeds),{','.join(iter_ctes)},
+    fdot AS (SELECT n.vec_id, c.cid,
+               {cos.format(a='n.q', b='c.cq', na='n.nrm2', nb='c.cn2')} AS ccos
+             FROM s n CROSS JOIN {prev} c),
+    frank AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY ccos DESC, cid) AS r FROM fdot),
+    assign AS (SELECT vec_id, cid AS list_id FROM frank WHERE r = 1),
+    probes AS (SELECT vec_id, cid AS list_id FROM frank
+               WHERE r <= {nprobe} AND vec_id < 5),
+    scored AS (
+      SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+             {cos.format(a='cn.q', b='qn.q', na='cn.nrm2', nb='qn.nrm2')} AS cosine
+      FROM assign a JOIN probes p ON p.list_id = a.list_id AND a.vec_id <> p.vec_id
+                    JOIN s cn ON cn.vec_id = a.vec_id
+                    JOIN s qn ON qn.vec_id = p.vec_id),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@q("ann_cosine_ivf_kmeans", _ann_ivf_kmeans_oracle())
+def ann_cosine_ivf_kmeans(spark, sf_dir):
+    """IVF top-10 with TRAINED centroids: deterministic sampled Lloyd's
+    k-means (2 iterations) as the coarse quantizer — the production path
+    (the lowest-id quantizer of ann_cosine_ivf is the teaching baseline).
+    The oracle replays the identical iterations unrolled in SQL; recall
+    vs brute force is measured in SCALE.md."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = similarity.kmeans_centroids(emb, n_centroids=8, iters=2)
+    return similarity.cosine_topk_ivf(
+        emb, queries, k=10, nprobe=2, centroids=cents
     ).withColumn("rank", F.col("rank").cast("int"))
 
 

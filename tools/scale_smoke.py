@@ -28,6 +28,7 @@ def build(spark):
         "orders": ("o_orderkey", 10_000_000),
         "documents": ("doc_id", 1_000_000),
         "events": ("event_id", 10_000_000),
+        "embeddings": ("vec_id", 1_000_000),
     }
     for name, (key, stride) in specs.items():
         path = os.path.join(OUT, f"{name}.parquet")
@@ -128,6 +129,77 @@ def main():
         ).count(),
     )
 
+    # -- scale-weak items from VERDICT r1, now measured -------------------
+
+    def simhash_candidate_pairs(d, bits=60, bands=4):
+        """Σ n·(n-1)/2 over (band, bucket) cells = banded candidate pairs
+        BEFORE the Hamming filter — the quantity that blew up quadratically
+        at 16-bit signatures."""
+        rows_bits = bits // bands
+        mask = (1 << rows_bits) - 1
+        sigs = dedup.simhash_df(d, bits=bits)
+        ex = sigs.select(
+            F.explode(
+                F.array(
+                    *[
+                        (
+                            F.shiftright("simhash", b * rows_bits).bitwiseAND(F.lit(mask))
+                            * F.lit(bands)
+                            + F.lit(b)
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb")
+        )
+        out = (
+            ex.groupBy("bb")
+            .count()
+            .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("p"))
+            .collect()[0]["p"]
+        )
+        return int(out or 0)
+
+    timed("simhash_candidate_pairs_50k", lambda: simhash_candidate_pairs(docs))
+    timed(
+        "simhash_pairs_50k",
+        lambda: dedup.simhash_near_duplicates(docs, max_distance=3).count(),
+    )
+    timed(
+        "jaccard_blocked_50k",
+        lambda: dedup.blocked_jaccard_near_duplicates(
+            docs, block_col="lang", threshold=0.5
+        ).count(),
+    )
+
+    from smoltable_spark.functions import similarity
+
+    emb = load_table(spark, OUT, "embeddings")  # 50k vectors (10x)
+    qs = emb.filter(F.col("vec_id") < 20)
+
+    def topk_set(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    exact = {}
+    def brute():
+        exact["s"] = topk_set(similarity.cosine_topk_bruteforce(emb, qs, k=10))
+        return len(exact["s"])
+    timed("ann_brute_50k_q20", brute)
+    def ivf_recall(centroids):
+        approx = topk_set(
+            similarity.cosine_topk_ivf(
+                emb, qs, k=10, n_centroids=32, nprobe=4, centroids=centroids
+            )
+        )
+        return round(len(approx & exact["s"]) / len(exact["s"]), 3)
+    timed("ann_ivf_lowestid_recall", lambda: ivf_recall(None))
+    timed(
+        "ann_ivf_kmeans_recall",
+        lambda: ivf_recall(
+            similarity.kmeans_centroids(emb, n_centroids=32, iters=2)
+        ),
+    )
+
     # the flat-pruned-scan claim, demonstrated: the same 7.5M cells written
     # through CellStore (range-partitioned, key-sorted) — row-group stats
     # are tight, so the 50-row prefix scan must not scale with table size
@@ -161,6 +233,19 @@ Steady-state timings (2nd run per op). Reading the table:
 - `dedup_minhash` verifies ~100x more candidate pairs at 10x data
   (replicated texts grow duplicate clusters 10x → pairs ~100x); ~10x wall
   for ~100x verification work is the LSH bucketing doing its job.
+- `simhash_candidate_pairs` counts the banded candidates BEFORE the
+  Hamming filter (the quantity that was quadratic at 16-bit sigs):
+  with 60-bit/15-bit-band signatures, non-duplicate docs spread across
+  32k bucket values per band, so candidates are dominated by the true
+  duplicate clusters (which this replicated set inflates 100x by
+  construction) — not by corpus size.
+- `jaccard_blocked` now forms pairs inside (lang, size-bucket) cells
+  with the block-size guard active — the result column is the verified
+  near-dup pair count at threshold 0.5.
+- `ann_ivf_*_recall` report recall@10 vs the brute-force top-10 over 20
+  queries on 50k vectors (n_centroids=32, nprobe=4): the trained
+  (sampled Lloyd's) quantizer vs the lowest-id baseline — the k-means
+  lists are balanced, so equal nprobe buys more of the true neighborhood.
 """
     with open(os.path.join(os.path.dirname(OUT), "SCALE.md"), "w") as fh:
         fh.write("# SCALE — 10x smoke (sf0.1 replicated 10x, local[32])\n")
