@@ -31,6 +31,13 @@ def assemble_rows(cells: DataFrame, descending: bool = False) -> DataFrame:
         F.col("vtype"),
         *[F.col(c) for c in VALUE_COLUMNS],
     )
+    # ONE exchange for all three nesting levels: hash-partitioning by
+    # row_key satisfies the ClusteredDistribution of every groupBy below
+    # (each groups by a superset of {row_key}), so Catalyst inserts no
+    # further shuffles — without this the pipeline exchanged 3 times
+    # (by (row,fam,qual), (row,fam), (row)), tripling shuffle bytes of
+    # the user-facing nested scan at scale.
+    cells = cells.repartition("row_key")
     # per (row, family, qualifier): version list, newest first.
     # sort_array on struct sorts by first field (time) asc → reverse.
     per_column = (

@@ -121,6 +121,17 @@ def test_sample_scan_has_no_single_partition_window(spark, sf_dir):
     assert "SinglePartition" not in p, p
 
 
+def test_assemble_rows_single_aggregation_exchange(spark, sf_dir):
+    """The nested row assembly must reuse ONE row_key exchange for all
+    three grouping levels (plus the final orderBy's range exchange) —
+    not re-shuffle per level."""
+    from smoltable_spark.operators.scan import scan_rows
+    from smoltable_spark.sources.relational import orders_cells
+
+    df = scan_rows(orders_cells(spark, sf_dir), ScanInput(prefix="order#0000000001"))
+    assert plans.shuffle_count(df) <= 2, plans.physical_plan(df)
+
+
 def test_melt_prefix_scan_pushes_key_bounds(spark, sf_dir):
     """The codec-transposed numeric bounds must reach the parquet reader."""
     from smoltable_spark.queries_core import wc_scan_prefix
