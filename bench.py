@@ -130,6 +130,9 @@ def main():
     try:
         with open(PREV_ROUND_FILE) as fh:
             prev = json.load(fh)
+        # the driver wraps the bench line: {n, rc, cpus, sf, tail, parsed}
+        if "parsed" in prev:
+            prev = prev["parsed"]
         if prev.get("sf") == (float(sf) if sf else None):
             prev_total = prev.get("value")
             for name, t in timings.items():

@@ -276,6 +276,44 @@ def test_salted_join_matches_plain_join(spark):
     assert tuple(ps) == tuple(ss)
 
 
+def test_kmeans_centroids_deterministic_and_consumable(spark, vectors):
+    from smoltable_spark.functions import similarity
+
+    a = {
+        r["cid"]: (tuple(r["cq"]), r["cn2"])
+        for r in similarity.kmeans_centroids(vectors, n_centroids=2, iters=2).collect()
+    }
+    b = {
+        r["cid"]: (tuple(r["cq"]), r["cn2"])
+        for r in similarity.kmeans_centroids(vectors, n_centroids=2, iters=2).collect()
+    }
+    assert a == b and 1 <= len(a) <= 2  # deterministic; degeneracy may drop lists
+    for cq, cn2 in a.values():
+        assert cn2 == sum(x * x for x in cq)  # exact integer norm invariant
+    # trained centroids slot into the IVF search and return ranked neighbors
+    out = similarity.cosine_topk_ivf(
+        vectors,
+        vectors.filter("vec_id = 0"),
+        k=3,
+        nprobe=1,
+        centroids=similarity.kmeans_centroids(vectors, n_centroids=2, iters=1),
+    ).collect()
+    assert len(out) >= 1 and all(r["query_id"] == 0 for r in out)
+
+
+def test_kmeans_sample_mod_trains_on_subset(spark, vectors):
+    """sample_mod trains on the deterministic hash-subsample — still
+    returns usable centroids (possibly fewer than n_centroids)."""
+    from smoltable_spark.functions import similarity
+
+    cents = similarity.kmeans_centroids(
+        vectors, n_centroids=2, iters=1, sample_mod=2
+    ).collect()
+    assert 1 <= len(cents) <= 2
+    for r in cents:
+        assert r["cn2"] == sum(x * x for x in r["cq"])
+
+
 def test_salted_join_rejects_small_side_preserving_how(spark):
     """ADVICE r1: the small side exists salt× under salting, so right/full
     joins would emit unmatched small-side rows once per replica — refuse."""
