@@ -136,6 +136,40 @@ def session_stream(
     )
 
 
+def stream_cells_into_store(
+    cells_stream: DataFrame,
+    store,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Continuous ingestion into the versioned CellStore: every
+    micro-batch commits one O(batch) **delta** snapshot — the reference's
+    memtable-flush write path (writer.rs:56-79) driven by Structured
+    Streaming's checkpointed source tracking instead of a server loop.
+
+    Delivery is at-least-once at the batch level, but the store's LSM
+    shadowing makes re-appends idempotent PER CELL COORDINATE: a replayed
+    batch writes the same (row_key, family, qualifier, ts) keys, and
+    ``read()`` keeps only the newest occurrence — so the observable table
+    is exactly-once. Pair with ``jobs.workers.compaction_worker`` to fold
+    the accumulating deltas.
+
+    Returns the StreamingQuery; callers own awaitTermination/stop.
+    """
+
+    def _commit(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.append(batch_df)
+
+    w = cells_stream.writeStream.foreachBatch(_commit).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 _STATS_STATE_SCHEMA = T.StructType(
     [
         T.StructField("n", T.LongType()),

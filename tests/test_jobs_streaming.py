@@ -166,3 +166,33 @@ def test_streaming_session_window_matches_batch_sessionize(spark, tmp_path, even
     for k, (n, end) in want_map.items():
         if k not in got_map:
             assert end >= horizon, (k, n, end)  # only open-horizon sessions may be missing
+
+
+def test_stream_cells_into_store(spark, tmp_path, events_dir):
+    """Streaming ingestion → CellStore: each micro-batch commits one delta
+    snapshot; the observable table equals the batch melt; a replayed batch
+    (same coordinates) is idempotent via LSM shadowing."""
+    from smoltable_spark.api import ColumnFamilyDef
+    from smoltable_spark.sources.relational import events_cells
+    from smoltable_spark.sources.store import CellStore
+    from smoltable_spark.streaming.ingest import stream_cells_into_store
+
+    store = CellStore(spark, str(tmp_path / "ingest_store"))
+    store.save_families([ColumnFamilyDef("value", lg="")])
+    cells = events_to_cells_stream(stream_events(spark, events_dir))
+    q = stream_cells_into_store(
+        cells, store, str(tmp_path / "ckpt_store_ingest")
+    )
+    q.awaitTermination(120)
+    batch = events_cells(spark, "/root/testdata/sf0.001")
+    assert store.read().count() == batch.count()
+    v_after_stream = store.current_version()
+    assert v_after_stream >= 1 and store._kind(v_after_stream) == "delta"
+    # replaying the same coordinates (e.g. at-least-once redelivery) is
+    # idempotent on the observable table
+    store.append(batch.limit(100))
+    assert store.read().count() == batch.count()
+    # compaction folds the delta chain into one base
+    store.compact()
+    assert store._kind(store.current_version()) == "base"
+    assert store.read().count() == batch.count()
