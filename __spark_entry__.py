@@ -58,6 +58,7 @@ _WINDOW_PRIORITY = [
     "ann_cosine_ivf_kmeans",
     "stream_dedup",
     "stream_sessionize",
+    "ann_cosine_multiprobe",
     # changed this round — re-verify
     "txt_hashed_embedding",
     "wc_scan_row_sample",

@@ -111,13 +111,18 @@ def cosine_topk_bucketed(
     vec_col: str = "embedding",
     k: int = 10,
     bucket_dims: list[int] | None = None,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's bucket.
 
     The join key is the bucket id → the corpus shuffles once by bucket
     (or stays put with a broadcast query side); compared pairs shrink by
-    ~2^d×. Recall loss is the standard LSH trade; increase probes by
-    unioning neighboring buckets if needed.
+    ~2^d×. Recall loss is the standard LSH trade; ``multiprobe=True``
+    additionally probes every bucket at Hamming distance 1 from the
+    query's (flip each of the d sign bits) — the classic multi-probe LSH
+    recall knob: d+1 probes per query instead of 2^d more tables, the
+    QUERY side fans out (still broadcast-small) while the corpus stays
+    put.
     """
     if bucket_dims is None:
         bucket_dims = [1, 2, 3, 4]
@@ -133,6 +138,24 @@ def cosine_topk_bucketed(
         F.col("nrm2").alias("qn"),
         srp_bucket(F.col(vec_col), bucket_dims).alias("bucket"),
     )
+    if multiprobe:
+        d = len(bucket_dims)
+        qd = qd.select(
+            "query_id",
+            "qq",
+            "qn",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.col("bucket"),
+                        *[
+                            F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                            for i in range(d)
+                        ],
+                    )
+                )
+            ).alias("bucket"),
+        )
     scored = (
         c.join(F.broadcast(qd), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -309,6 +332,97 @@ def cosine_topk_ivf(
     )
     scored = (
         corpus_lists.join(query_probes, "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dot", _dot(F.col("cq2"), F.col("qq")))
+        .withColumn("cosine", _cosine(F.col("dot"), F.col("cn"), F.col("qn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    n_centroids: int = 8,
+) -> None:
+    """Materialize the IVF inverted lists to parquet ``partitionBy
+    (list_id)``: the one-shuffle corpus assignment is paid ONCE at build
+    time, and every later query batch reads only its probed lists —
+    Catalyst partition pruning turns ``nprobe/n_centroids`` into a disk-IO
+    fraction, which is what makes repeated ANN serving viable at 100 TB
+    (the corpus never rescans). Centroids are persisted alongside
+    (``_centroids`` subdir) so queries probe with the exact quantizer the
+    index was built with."""
+    c = with_quantized_norm(corpus, vec_col).select(
+        F.col(id_col).alias("vec_id"), "q", "nrm2"
+    )
+    cents = centroids
+    if cents is None:
+        cents = c.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cid"),
+            F.col("q").alias("cq"),
+            F.col("nrm2").alias("cn2"),
+        )
+    assign = _nearest_centroids(c, cents, nprobe=1).select("vec_id", "list_id")
+    (
+        c.join(assign, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(path)
+    )
+    cents.write.mode("overwrite").parquet(path.rstrip("/") + "/_centroids")
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Serve top-k from a persisted IVF index: probe lists are a literal
+    ``list_id IN (...)`` partition filter, so only ``nprobe`` directories
+    are read per query batch (verify with ``.explain`` — PartitionFilters
+    carries the IN list). Queries are assigned with the index's own
+    persisted centroids."""
+    cents = spark.read.parquet(path.rstrip("/") + "/_centroids")
+    qd = with_quantized_norm(queries, vec_col).select(
+        F.col(id_col).alias("vec_id"), "q", "nrm2"
+    )
+    probes = _nearest_centroids(qd, cents, nprobe=nprobe).select("vec_id", "list_id")
+    probe_ids = [r["list_id"] for r in probes.select("list_id").distinct().collect()]
+    corpus_lists = (
+        spark.read.parquet(path)
+        .filter(F.col("list_id").isin(probe_ids))  # partition pruning
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("q").alias("cq2"),
+            F.col("nrm2").alias("cn"),
+            "list_id",
+        )
+    )
+    query_probes = qd.join(probes, "vec_id").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nrm2").alias("qn"),
+        "list_id",
+    )
+    scored = (
+        corpus_lists.join(F.broadcast(query_probes), "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("dot", _dot(F.col("cq2"), F.col("qq")))
         .withColumn("cosine", _cosine(F.col("dot"), F.col("cn"), F.col("qn")))

@@ -1446,6 +1446,43 @@ def ann_cosine_bucketed(spark, sf_dir):
     ).withColumn("rank", F.col("rank").cast("int"))
 
 
+def _ann_multiprobe_oracle(k: int = 10, d: int = 4) -> str:
+    bucket_expr = " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] > 0 THEN {2 ** i} ELSE 0 END)" for i in range(d)
+    )
+    probe_list = ", ".join(["q.bucket"] + [f"xor(q.bucket, {1 << i})" for i in range(d)])
+    return f"""
+    WITH v AS (SELECT vec_id, {_QVEC_SQL} AS q, {bucket_expr} AS bucket FROM embeddings),
+    n AS (SELECT vec_id, q, bucket,
+                 list_sum(list_transform(q, x -> x * x)) AS nrm2 FROM v),
+    qs AS (SELECT * FROM n WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(c.q) + 1),
+                 i -> c.q[i] * q.q[i])) /
+             (sqrt(CAST(c.nrm2 AS DOUBLE)) * sqrt(CAST(q.nrm2 AS DOUBLE))) AS cosine
+      FROM n c JOIN qs q ON c.vec_id <> q.vec_id
+       AND c.bucket IN ({probe_list})),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@q("ann_cosine_multiprobe", _ann_multiprobe_oracle(k=10, d=4))
+def ann_cosine_multiprobe(spark, sf_dir):
+    """Multi-probe SRP top-10: the query also probes every bucket at
+    Hamming distance 1 (d+1 probes) — the standard LSH recall knob that
+    fans out the broadcast-small QUERY side instead of adding hash
+    tables; the corpus side stays put."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk_bucketed(
+        emb, queries, k=10, bucket_dims=[1, 2, 3, 4], multiprobe=True
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
 @q(
     "dedup_embedding",
     f"""

@@ -276,6 +276,49 @@ def test_salted_join_matches_plain_join(spark):
     assert tuple(ps) == tuple(ss)
 
 
+def test_multiprobe_recall_at_least_single_probe(spark, vectors):
+    """Multi-probe candidates are a superset of single-probe candidates
+    (same bucket + Hamming-1 flips), so per-query result cosines at each
+    rank must be >= the single-probe ones."""
+    from smoltable_spark.functions import similarity
+
+    qs = vectors.filter("vec_id = 0")
+    single = {
+        (r["rank"]): r["cosine"]
+        for r in similarity.cosine_topk_bucketed(
+            vectors, qs, k=3, bucket_dims=[1, 2], multiprobe=False
+        ).collect()
+    }
+    multi = {
+        (r["rank"]): r["cosine"]
+        for r in similarity.cosine_topk_bucketed(
+            vectors, qs, k=3, bucket_dims=[1, 2], multiprobe=True
+        ).collect()
+    }
+    assert len(multi) >= len(single)
+    for rank, cos in single.items():
+        assert multi[rank] >= cos - 1e-12
+
+
+def test_ivf_index_persist_and_query(spark, vectors, tmp_path):
+    """Persisted IVF index returns exactly what the in-memory IVF search
+    returns with the same centroids, and the probe read carries a
+    list_id partition filter (only probed list dirs are scanned)."""
+    from smoltable_spark.functions import similarity
+    from smoltable_spark import plans
+
+    path = str(tmp_path / "ivf_index")
+    cents = similarity.kmeans_centroids(vectors, n_centroids=2, iters=1)
+    similarity.build_ivf_index(vectors, path, centroids=cents)
+    qs = vectors.filter("vec_id = 0")
+    served = similarity.query_ivf_index(spark, path, qs, k=3, nprobe=1)
+    direct = similarity.cosine_topk_ivf(
+        vectors, qs, k=3, nprobe=1, centroids=cents
+    )
+    assert sorted(map(tuple, served.collect())) == sorted(map(tuple, direct.collect()))
+    assert any("list_id" in f for f in plans.audit(served)["partition_filters"])
+
+
 def test_kmeans_centroids_deterministic_and_consumable(spark, vectors):
     from smoltable_spark.functions import similarity
 
