@@ -59,6 +59,7 @@ _WINDOW_PRIORITY = [
     "stream_dedup",
     "stream_sessionize",
     "ann_cosine_multiprobe",
+    "pipeline_decontaminate",
     # changed this round — re-verify
     "txt_hashed_embedding",
     "wc_scan_row_sample",

@@ -395,6 +395,43 @@ def blocked_jaccard_near_duplicates(
     )
 
 
+def benchmark_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Decontamination scan: flag training documents that share any
+    ``k``-gram with a benchmark/eval set — the standard guard against
+    test-set leakage in a pretraining corpus.
+
+    Scale shape: the benchmark side is small by definition (eval sets),
+    so its distinct shingles BROADCAST; the training corpus streams
+    through one narrow projection + broadcast-hash join — no corpus
+    shuffle except the per-doc hit aggregate. Returns
+    (id, n_hits: distinct contaminated k-grams); join back to drop or
+    audit. Shingles within a doc are already distinct (shingle_arrays),
+    so the aggregate is a plain count.
+    """
+    bench_sh = (
+        shingle_arrays(benchmark, text_col, id_col, k)
+        .select(F.explode("sh_arr").alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+    train_sh = (
+        shingle_arrays(docs, text_col, id_col, k)
+        .select(id_col, F.explode("sh_arr").alias("shingle"))
+        .filter(F.col("shingle") != "")
+    )
+    return (
+        train_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # pair → cluster resolution
 

@@ -1446,6 +1446,31 @@ def ann_cosine_bucketed(spark, sf_dir):
     ).withColumn("rank", F.col("rank").cast("int"))
 
 
+@q(
+    "pipeline_decontaminate",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS shingle
+           FROM t, unnest(range(1, greatest(len(toks) - 7, 1) + 1)) AS u(i)),
+    shf AS (SELECT doc_id, shingle FROM sh WHERE shingle <> ''),
+    bench AS (SELECT DISTINCT shingle FROM shf WHERE doc_id < 5),
+    hits AS (SELECT s.doc_id, count(*) AS n_hits
+             FROM shf s JOIN bench b USING (shingle)
+             WHERE s.doc_id >= 5 GROUP BY s.doc_id)
+    SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits FROM hits
+    """,
+)
+def pipeline_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs (doc_id >= 5) sharing any
+    8-gram with the benchmark set (doc_id < 5 stands in for an eval
+    set). Benchmark shingles broadcast; the corpus never shuffles except
+    the per-doc hit aggregate (see dedup.benchmark_contamination)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.benchmark_contamination(
+        docs.filter(F.col("doc_id") >= 5), docs.filter(F.col("doc_id") < 5), k=8
+    )
+
+
 def _ann_multiprobe_oracle(k: int = 10, d: int = 4) -> str:
     bucket_expr = " + ".join(
         f"(CASE WHEN embedding[{i + 1}] > 0 THEN {2 ** i} ELSE 0 END)" for i in range(d)

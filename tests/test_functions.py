@@ -117,6 +117,26 @@ def test_blocked_jaccard_size_buckets_lose_no_pairs(spark, docs):
     assert (100, 101) in brute(0.5)  # the boundary pair is actually a dup
 
 
+def test_benchmark_contamination_flags_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix words the quick brown fox jumps over the lazy dog suffix"),
+            (2, "completely different content with no overlap at all here okay"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in dedup.benchmark_contamination(train, bench, k=8).collect()
+    }
+    assert 1 in got and got[1] >= 1  # contains the benchmark 8-gram(s)
+    assert 2 not in got              # clean doc unflagged
+
+
 def test_blocked_jaccard_block_size_guard(spark, docs):
     import pytest
 
