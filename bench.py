@@ -58,6 +58,8 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_cosine_ivf",
     "ann_cosine_ivf_kmeans",
+    "ann_cosine_multiprobe",
+    "pipeline_decontaminate",
     "mm_features",
 ]
 
