@@ -200,6 +200,17 @@ def main():
         ),
     )
 
+    def srp_recall(multiprobe):
+        approx = topk_set(
+            similarity.cosine_topk_bucketed(
+                emb, qs, k=10, bucket_dims=[1, 2, 3, 4], multiprobe=multiprobe
+            )
+        )
+        return round(len(approx & exact["s"]) / len(exact["s"]), 3)
+
+    timed("ann_srp_single_recall", lambda: srp_recall(False))
+    timed("ann_srp_multiprobe_recall", lambda: srp_recall(True))
+
     # the flat-pruned-scan claim, demonstrated: the same 7.5M cells written
     # through CellStore (range-partitioned, key-sorted) — row-group stats
     # are tight, so the 50-row prefix scan must not scale with table size
