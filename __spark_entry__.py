@@ -60,6 +60,8 @@ _WINDOW_PRIORITY = [
     "stream_sessionize",
     "ann_cosine_multiprobe",
     "pipeline_decontaminate",
+    "rel_top_orders_per_customer",
+    "rel_large_orders",
     # changed this round — re-verify
     "txt_hashed_embedding",
     "wc_scan_row_sample",

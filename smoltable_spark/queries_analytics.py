@@ -268,6 +268,65 @@ def rel_events_hourly(spark, sf_dir):
 
 
 @q(
+    "rel_top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
+               AS totalprice_cents, CAST(rnk AS INT) AS rnk
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          FROM orders)
+    WHERE rnk <= 3
+    """,
+)
+def rel_top_orders_per_customer(spark, sf_dir):
+    """Top-N per group (the classic windowed-rank shape): each customer's
+    3 highest-value orders. One shuffle by o_custkey; ties broken by
+    orderkey for determinism; price emitted as exact cents."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            cents(F.col("o_totalprice")).alias("totalprice_cents"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+@q(
+    "rel_large_orders",
+    f"""
+    SELECT o_orderkey, o_custkey,
+           sum({cents_sql('l_quantity')}) / 100.0 AS sum_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_custkey
+    HAVING sum({cents_sql('l_quantity')}) > 25000
+    """,
+)
+def rel_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold — join + aggregate + HAVING. The join is AQE's call (both
+    sides fact-scale at 100 TB); the HAVING runs on the exact fixed-point
+    sum, so the filter is cross-engine deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.sum(cents(F.col("l_quantity")))
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg((qty / 100.0).alias("sum_qty"), qty.alias("_q"))
+        .filter(F.col("_q") > 25000)
+        .drop("_q")
+    )
+
+
+@q(
     "rel_top_users_by_spend",
     f"""
     SELECT event_type, user_id, spend, rank FROM (
