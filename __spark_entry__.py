@@ -62,6 +62,8 @@ _WINDOW_PRIORITY = [
     "pipeline_decontaminate",
     "rel_top_orders_per_customer",
     "rel_large_orders",
+    "rel_customers_without_urgent_orders",
+    "rel_clicked_and_purchased",
     # changed this round — re-verify
     "txt_hashed_embedding",
     "wc_scan_row_sample",

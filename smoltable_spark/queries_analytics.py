@@ -327,6 +327,50 @@ def rel_large_orders(spark, sf_dir):
 
 
 @q(
+    "rel_customers_without_urgent_orders",
+    """
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def rel_customers_without_urgent_orders(spark, sf_dir):
+    """Anti-join shape (NOT EXISTS): customers with no 1-URGENT order
+    (every customer has SOME order in this data, so the unrestricted
+    anti-join would be a degenerate zero-row check). left_anti keeps only
+    the probe side's columns — no fact-side data moves past the join —
+    and the priority equality pushes to the orders scan."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(F.col("c_custkey").cast("long").alias("c_custkey"), "c_mktsegment")
+    )
+
+
+@q(
+    "rel_clicked_and_purchased",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def rel_clicked_and_purchased(spark, sf_dir):
+    """Set-intersection shape: users who both clicked and purchased.
+    INTERSECT compiles to an aggregate + semi-join under Catalyst; the
+    pushed event_type equality prunes each branch's scan."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+@q(
     "rel_top_users_by_spend",
     f"""
     SELECT event_type, user_id, spend, rank FROM (
