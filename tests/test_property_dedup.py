@@ -7,6 +7,7 @@ exhaustiveness claim (max_distance < bands) checked against adversarial
 bit patterns, not just the docs fixture.
 """
 
+import math
 from itertools import combinations
 
 from hypothesis import HealthCheck, given, settings, strategies as st
@@ -14,6 +15,80 @@ from hypothesis import HealthCheck, given, settings, strategies as st
 from smoltable_spark.functions import dedup
 
 BITS, BANDS, MAXD = 60, 4, 3
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    num=st.integers(min_value=0, max_value=63),
+    den_pow=st.integers(min_value=1, max_value=6),
+    n=st.integers(min_value=1, max_value=400),
+)
+def test_sample_closed_form_matches_reference_accumulator(num, den_pow, n):
+    """The scan sample's closed form (emit iff rk==1 or floor crossing;
+    emitted rank = 1 + floor(rk*rate)) must reproduce the reference's
+    accumulator trace (row_sample_counter starts at 1.0, mod.rs:660,
+    736-746) exactly for dyadic rates, where f64 accumulation is exact."""
+    rate = num / (1 << den_pow)
+    if rate >= 1.0:
+        return  # reference disables sampling at >= 1.0 (mod.rs:737)
+    ref, c = [], 1.0
+    for i in range(1, n + 1):
+        c += rate
+        if c >= 1.0:
+            c -= 1.0
+            ref.append(i)
+    closed = [
+        i
+        for i in range(1, n + 1)
+        if i == 1 or math.floor(i * rate) > math.floor((i - 1) * rate)
+    ]
+    assert closed == ref
+    for pos, i in enumerate(closed, start=1):
+        assert 1 + math.floor(i * rate) == pos  # the rank closed form
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+            min_size=0,
+            max_size=12,
+        ).map(" ".join),
+        min_size=2,
+        max_size=8,
+    ),
+    th_millis=st.sampled_from([300, 500, 700]),
+)
+def test_blocked_jaccard_equals_bruteforce(spark, texts, th_millis):
+    """The (block, size-bucket) pruning must be invisible in the result:
+    blocked_jaccard == brute-force within-block threshold filter, for
+    arbitrary corpora (including empty and single-token docs) and
+    non-dyadic thresholds."""
+    th = th_millis / 1000
+    rows = [(i, "xx", t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    sh = {
+        r["doc_id"]: set(r["sh_arr"])
+        for r in dedup.shingle_arrays(docs, k=3).collect()
+    }
+    want = set()
+    for a, b in combinations(sorted(sh), 2):
+        common = len(sh[a] & sh[b])
+        union = len(sh[a]) + len(sh[b]) - common
+        if common * 1000 >= int(th * 1000) * union:
+            want.add((a, b))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.blocked_jaccard_near_duplicates(
+            docs, block_col="lang", threshold=th
+        ).collect()
+    }
+    assert got == want
 
 
 @st.composite
