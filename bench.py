@@ -63,11 +63,23 @@ HEADLINE = [
     "mm_features",
 ]
 
-#: previous round's per-query steady-state timings (BENCH_r01.json at
-#: sf0.1): the regression baseline. Diffed on every run; >1.5x slower at
-#: the same sf is flagged in the output JSON under "regressions".
-PREV_ROUND_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json")
 REGRESSION_FACTOR = 1.5
+
+
+def _prev_round_file() -> str | None:
+    """Latest driver-recorded BENCH_r{N}.json — the regression baseline.
+    Diffed on every run; >1.5x slower at the same sf is flagged in the
+    output JSON under "regressions"."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rounds.append((int(m.group(1)), p))
+    return max(rounds)[1] if rounds else None
 
 
 def main():
@@ -130,7 +142,7 @@ def main():
     regressions = {}
     prev_total = None
     try:
-        with open(PREV_ROUND_FILE) as fh:
+        with open(_prev_round_file() or "") as fh:
             prev = json.load(fh)
         # the driver wraps the bench line: {n, rc, cpus, sf, tail, parsed}
         if "parsed" in prev:
