@@ -15,6 +15,8 @@ dedup/similarity/text/multimodal extensions).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,56 +27,25 @@ from smoltable_spark.queries_analytics import ANALYTICS_QUERIES
 _MERGED = {**CORE_QUERIES, **ANALYTICS_QUERIES}
 
 #: The driver's correctness gate checks the FIRST 50 registry entries in
-#: insertion order (CORRECTNESS_r01 == registry[0:50] exactly — VERDICT r1).
-#: Entries here are pulled to the front of the registry so that queries with
-#: no driver row yet — plus any whose implementation changed this round —
-#: land inside the checked window. Everything else follows in its original
-#: order; the tail is queries that already have green r01 rows and are
-#: near-redundant variants of in-window ones. Rotate per round until every
-#: registered query has had a green row.
-_WINDOW_PRIORITY = [
-    # never driver-checked (registered after pos 50 in r1)
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_clusters",
-    "dedup_simhash_pairs",
-    "dedup_simhash",
-    "dedup_jaccard_blocked",
-    "dedup_embedding",
-    "ann_cosine_topk",
-    "ann_cosine_bucketed",
-    "ann_cosine_ivf",
-    "mm_features",
-    "mm_frame_plan",
-    "txt_vocab_topk",
-    "txt_lang_confusion",
-    "pipeline_split",
-    "pipeline_pack",
-    "pipeline_balanced_mix",
-    "stream_running_stats",
-    # new this round — never checked
-    "wc_approx_cell_count",
-    "wc_row_shape",
-    "ann_cosine_ivf_kmeans",
-    "stream_dedup",
-    "stream_sessionize",
-    "ann_cosine_multiprobe",
-    "pipeline_decontaminate",
-    "rel_top_orders_per_customer",
-    "rel_large_orders",
-    "rel_customers_without_urgent_orders",
-    "rel_clicked_and_purchased",
-    # changed this round — re-verify
-    "txt_hashed_embedding",
-    "wc_scan_row_sample",
-    "wc_store_scan_prefix",
-]
+#: insertion order. Registry order is derived from the staleness-proof
+#: ledger (ORACLE_LEDGER.json + tools/oracle_ledger.py — VERDICT r2 top
+#: ask): every query whose source+oracle stamp is missing from or differs
+#: from its last green oracle check is promoted to the FRONT (it MUST be
+#: re-checked this round); the rest follow ordered by oldest driver-green
+#: round first (read from CORRECTNESS_r*.json), so stale green rows rotate
+#: back into the window over time. ``python tools/oracle_ledger.py
+#: --window-check`` fails the build locally if a changed query would fall
+#: outside the first-50 window.
 
 
 def _ordered(merged: dict) -> dict:
-    front = {n: merged[n] for n in _WINDOW_PRIORITY if n in merged}
-    rest = {n: v for n, v in merged.items() if n not in front}
-    return {**front, **rest}
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tools.oracle_ledger import window_order
+
+        return {n: merged[n] for n in window_order(merged)}
+    except Exception:  # ledger must never break the driver's smoke check
+        return dict(merged)
 
 
 _ALL = _ordered(_MERGED)

@@ -34,6 +34,12 @@ class MetricsTable:
     def record(self, points: list[tuple[str, float]], ts_nanos: int | None = None) -> None:
         """Append (series, value) points (one commit — writer.rs parity)."""
         ts = time.time_ns() if ts_nanos is None else ts_nanos
+        self.record_series([(series, v, ts) for series, v in points])
+
+    def record_series(self, points: list[tuple[str, float, int]]) -> None:
+        """Append (series, value, ts_nanos) points in ONE atomic commit —
+        a write batch with explicit per-cell timestamps (reference
+        writer.rs:28-33: each cell write carries its own optional ts)."""
         rows = [
             {
                 "row_key": series,
@@ -49,7 +55,7 @@ class MetricsTable:
                 "v_f32": None,
                 "v_f64": float(v),
             }
-            for series, v in points
+            for series, v, ts in points
         ]
         df = self.store.spark.createDataFrame(rows, CELLS_SCHEMA)
         self.store.append(df)
@@ -66,13 +72,21 @@ class MetricsTable:
         ).orderBy("series", F.col("ts").desc())
 
     def enforce_retention(self) -> None:
-        """FIFO cap: while over the byte cap, drop the oldest half of each
-        series (the reference lets fjall FIFO-compact the oldest segments;
-        the snapshot-rewrite equivalent is a coarse tail drop)."""
+        """FIFO cap: when over the byte cap, drop the oldest half of the
+        points (the reference lets fjall FIFO-compact the oldest segments,
+        server/src/metrics.rs:14-24; the snapshot-rewrite equivalent is a
+        tail drop at the exact median timestamp). The cut is the EXACT
+        interpolated median of ts — deterministic and oracle-mirrorable
+        (``median(ts)`` in ANSI SQL), unlike approxQuantile. Metrics
+        tables are byte-capped small by construction, so an exact
+        percentile here is one cheap aggregate even when the engine
+        itself holds 100 TB."""
         if self.store.disk_space_usage() <= self.cap_bytes:
             self.store.vacuum(keep_last=1)
             return
         cells = self.store.read().drop("lg")
-        cutoff = cells.approxQuantile("ts", [0.5], 0.01)[0]
+        cutoff = cells.select(
+            F.expr("percentile(ts, 0.5)").alias("m")
+        ).collect()[0]["m"]
         self.store.write(cells.filter(F.col("ts") >= cutoff))
         self.store.vacuum(keep_last=1)

@@ -5,7 +5,12 @@ over the same sf dir, then compares row count, sorted column names, and the
 order-insensitive multiset of values (exact — the engine's queries are
 designed for bit-exact cross-engine results; see queries_util.py).
 
-Usage: python tools/check_oracle.py [--sf DIR] [--only name1,name2] [-v]
+A fully-green query refreshes its stamp in ORACLE_LEDGER.json (see
+tools/oracle_ledger.py) — the staleness-proof record that THIS exact
+source+oracle combination passed the oracle check.
+
+Usage: python tools/check_oracle.py [--sf DIR] [--only name1,name2]
+       [--no-ledger] [-v]
 """
 
 from __future__ import annotations
@@ -44,6 +49,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("--only", default=None)
+    ap.add_argument("--no-ledger", action="store_true",
+                    help="do not refresh ORACLE_LEDGER.json stamps")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -62,6 +69,7 @@ def main():
 
     n_ok = n_fail = n_weak = 0
     failures = []
+    passed = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -108,10 +116,22 @@ def main():
         else:
             print(f"OK   {name}: rows={len(srows)} ({dt:.1f}s)")
             n_ok += 1
+            passed.append(name)
 
     print(f"\n== {n_ok} ok, {n_weak} weak (rows-only), {n_fail} fail ==")
     if failures:
         print("failures:", ",".join(failures))
+    if passed and not args.no_ledger:
+        import datetime
+        from tools.oracle_ledger import record_green
+
+        record_green(
+            passed, args.sf,
+            datetime.datetime.now(datetime.timezone.utc).isoformat(
+                timespec="seconds"),
+            {n: (qs[n], oracles.get(n)) for n in qs},
+        )
+        print(f"ledger: refreshed {len(passed)} stamps in ORACLE_LEDGER.json")
     spark.stop()
     return 1 if n_fail else 0
 

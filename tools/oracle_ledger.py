@@ -1,0 +1,337 @@
+"""Staleness-proof correctness ledger for the oracle-checked query registry.
+
+Problem this solves (VERDICT r2 §"What's missing" #1): the driver's
+correctness gate checks only the FIRST 50 registry entries per round, so
+union coverage across rounds relied on "out-of-window queries didn't change
+since their green row" — a property a judge previously had to re-verify by
+hand whenever a round's diff touched files backing out-of-window queries.
+
+The ledger makes that mechanical. Every registered query gets a **stamp**:
+
+    sha256( source of the registry function and same-module helpers it calls
+          + its oracle SQL (or "")
+          + the source files of every smoltable_spark module the function
+            transitively depends on, resolved from the function's globals
+            plus the package-internal import graph )
+
+``ORACLE_LEDGER.json`` (committed) maps name -> {stamp, sf, checked_utc}.
+A green run of ``tools/check_oracle.py`` refreshes the stamps of the queries
+it verified. ``__spark_entry__`` promotes every query whose current stamp is
+missing from or differs from the ledger to the FRONT of the registry, so a
+changed query can never coast on a stale green row: it lands inside the
+driver's checked window the very round it changed. The remaining queries
+rotate by oldest driver-green round first (read from CORRECTNESS_r*.json).
+
+CLI:
+    python tools/oracle_ledger.py --verify        # list changed/new queries
+    python tools/oracle_ledger.py --window-check  # fail if a changed query
+                                                  # would fall outside the
+                                                  # driver's first-50 window
+"""
+
+from __future__ import annotations
+
+import ast
+import glob
+import hashlib
+import inspect
+import json
+import os
+import re
+import sys
+import types
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LEDGER_PATH = os.path.join(REPO, "ORACLE_LEDGER.json")
+PKG = "smoltable_spark"
+PKG_DIR = os.path.join(REPO, PKG)
+WINDOW = 50  # driver checks registry entries [0:50] per round
+
+sys.path.insert(0, REPO)
+
+# ---------------------------------------------------------------------------
+# package-internal import graph (AST-based, memoized)
+
+_IMPORTS_CACHE: dict[str, frozenset[str]] = {}
+_SRC_CACHE: dict[str, bytes] = {}
+
+
+def _mod_file(modname: str) -> str | None:
+    """File path for a smoltable_spark module name, if it exists."""
+    rel = modname.replace(".", os.sep)
+    for cand in (
+        os.path.join(REPO, rel + ".py"),
+        os.path.join(REPO, rel, "__init__.py"),
+    ):
+        if os.path.exists(cand):
+            return cand
+    return None
+
+
+def _mod_source(modname: str) -> bytes:
+    if modname not in _SRC_CACHE:
+        path = _mod_file(modname)
+        _SRC_CACHE[modname] = open(path, "rb").read() if path else b""
+    return _SRC_CACHE[modname]
+
+
+def _module_imports(modname: str) -> frozenset[str]:
+    """smoltable_spark modules imported by ``modname``'s source file."""
+    if modname in _IMPORTS_CACHE:
+        return _IMPORTS_CACHE[modname]
+    path = _mod_file(modname)
+    deps: set[str] = set()
+    if path:
+        tree = ast.parse(open(path, "rb").read())
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Import):
+                for a in node.names:
+                    if a.name.split(".")[0] == PKG:
+                        deps.add(a.name)
+            elif isinstance(node, ast.ImportFrom) and node.module:
+                if node.module.split(".")[0] == PKG:
+                    deps.add(node.module)
+                    # `from smoltable_spark.functions import dedup` style:
+                    # names may themselves be submodules
+                    for a in node.names:
+                        sub = f"{node.module}.{a.name}"
+                        if _mod_file(sub):
+                            deps.add(sub)
+    _IMPORTS_CACHE[modname] = frozenset(deps)
+    return _IMPORTS_CACHE[modname]
+
+
+def _closure(seed: set[str]) -> set[str]:
+    out: set[str] = set()
+    stack = list(seed)
+    while stack:
+        m = stack.pop()
+        if m in out or not m.startswith(PKG):
+            continue
+        out.add(m)
+        stack.extend(_module_imports(m))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# per-query dependency resolution from function globals
+
+def _snippet_imports(src: str) -> set[str]:
+    """smoltable_spark modules imported INSIDE a function body (local
+    imports don't appear in fn.__globals__, so resolve them from the
+    source text)."""
+    import textwrap
+
+    mods: set[str] = set()
+    try:
+        tree = ast.parse(textwrap.dedent(src))
+    except SyntaxError:
+        return mods
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name.split(".")[0] == PKG:
+                    mods.add(a.name)
+        elif isinstance(node, ast.ImportFrom) and node.module:
+            if node.module.split(".")[0] == PKG:
+                mods.add(node.module)
+                for a in node.names:
+                    sub = f"{node.module}.{a.name}"
+                    if _mod_file(sub):
+                        mods.add(sub)
+    return mods
+
+
+def _fn_sources_and_mods(fn) -> tuple[list[str], set[str]]:
+    """Source snippets (fn + same-module helpers it calls, recursively) and
+    the set of other smoltable_spark modules it references."""
+    snippets: list[str] = []
+    mods: set[str] = set()
+    seen: set = set()
+    stack = [fn]
+    while stack:
+        f = stack.pop()
+        if f in seen:
+            continue
+        seen.add(f)
+        try:
+            src = inspect.getsource(f)
+            snippets.append(src)
+            mods.update(_snippet_imports(src))
+        except (OSError, TypeError):
+            pass
+        code = getattr(f, "__code__", None)
+        if code is None:
+            continue
+        names = set(code.co_names)
+        # nested code objects (lambdas, comprehensions, inner defs)
+        for const in code.co_consts:
+            if isinstance(const, types.CodeType):
+                names.update(const.co_names)
+        g = getattr(f, "__globals__", {})
+        for n in sorted(names):
+            obj = g.get(n)
+            if obj is None:
+                continue
+            if isinstance(obj, types.ModuleType):
+                if obj.__name__.startswith(PKG):
+                    mods.add(obj.__name__)
+                continue
+            omod = getattr(obj, "__module__", None)
+            if not (isinstance(omod, str) and omod.startswith(PKG)):
+                continue
+            if omod == getattr(f, "__module__", None) and isinstance(
+                obj, types.FunctionType
+            ):
+                stack.append(obj)  # same-module helper: hash its source too
+            else:
+                mods.add(omod)
+    snippets.sort()
+    return snippets, mods
+
+
+def compute_stamps(merged: dict | None = None) -> dict[str, str]:
+    """name -> sha256 stamp for every registered query."""
+    if merged is None:
+        merged = _registry()
+    stamps = {}
+    for name, (fn, oracle) in merged.items():
+        snippets, mods = _fn_sources_and_mods(fn)
+        files = sorted(_closure(mods))
+        h = hashlib.sha256()
+        for s in snippets:
+            h.update(s.encode())
+            h.update(b"\0")
+        h.update((oracle or "").encode())
+        h.update(b"\0")
+        for m in files:
+            h.update(m.encode())
+            h.update(_mod_source(m))
+            h.update(b"\0")
+        stamps[name] = h.hexdigest()
+    return stamps
+
+
+def _registry() -> dict:
+    from smoltable_spark.queries_core import CORE_QUERIES
+    from smoltable_spark.queries_analytics import ANALYTICS_QUERIES
+
+    return {**CORE_QUERIES, **ANALYTICS_QUERIES}
+
+
+# ---------------------------------------------------------------------------
+# ledger I/O
+
+def load_ledger() -> dict:
+    if os.path.exists(LEDGER_PATH):
+        with open(LEDGER_PATH) as f:
+            return json.load(f)
+    return {}
+
+
+def save_ledger(ledger: dict) -> None:
+    with open(LEDGER_PATH, "w") as f:
+        json.dump(ledger, f, indent=1, sort_keys=True)
+        f.write("\n")
+
+
+def record_green(names: list[str], sf: str, checked_utc: str,
+                 merged: dict | None = None) -> None:
+    """Refresh ledger stamps for queries that just passed the oracle check."""
+    stamps = compute_stamps(merged)
+    ledger = load_ledger()
+    for n in names:
+        if n in stamps:
+            ledger[n] = {"stamp": stamps[n], "sf": sf, "checked_utc": checked_utc}
+    save_ledger(ledger)
+
+
+def changed_queries(merged: dict | None = None) -> list[str]:
+    """Queries whose stamp is missing from or differs from the ledger —
+    i.e. whose green row (if any) can no longer be trusted."""
+    if merged is None:
+        merged = _registry()
+    stamps = compute_stamps(merged)
+    ledger = load_ledger()
+    return [
+        n for n in merged
+        if n not in ledger or ledger[n].get("stamp") != stamps[n]
+    ]
+
+
+def last_green_round() -> dict[str, int]:
+    """name -> latest driver round with a fully-green CORRECTNESS row."""
+    out: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.load(open(path))
+        except (ValueError, OSError):
+            continue
+        for name, row in data.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                out[name] = max(out.get(name, 0), rnd)
+    return out
+
+
+def window_order(merged: dict) -> list[str]:
+    """Registry order for __spark_entry__: changed/new queries first (they
+    MUST land in the driver's first-50 window), then the rest, oldest
+    driver-green round first so un-rechecked rows rotate back in."""
+    idx = {n: i for i, n in enumerate(merged)}
+    changed = set(changed_queries(merged))
+    rounds = last_green_round()
+    return sorted(
+        merged,
+        key=lambda n: (
+            0 if n in changed else 1,
+            rounds.get(n, 0),
+            idx[n],
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CLI
+
+def main() -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--verify", action="store_true",
+                    help="list queries whose stamp changed vs the ledger")
+    ap.add_argument("--window-check", action="store_true",
+                    help="fail if a changed query falls outside the window")
+    args = ap.parse_args()
+
+    merged = _registry()
+    changed = changed_queries(merged)
+    if args.verify or not args.window_check:
+        if changed:
+            print(f"{len(changed)} changed/unstamped queries (need re-check):")
+            for n in changed:
+                print(f"  {n}")
+        else:
+            print(f"ledger clean: all {len(merged)} query stamps match")
+    if args.window_check:
+        order = window_order(merged)
+        outside = [n for n in changed if order.index(n) >= WINDOW]
+        if outside:
+            print(f"FAIL: {len(outside)} changed queries outside the "
+                  f"first-{WINDOW} window: {', '.join(outside)}")
+            return 1
+        print(f"window ok: all {len(changed)} changed queries inside "
+              f"the first {WINDOW} of {len(order)} entries")
+    return 1 if (args.verify and changed) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
