@@ -637,3 +637,133 @@ def wc_gc_ttl(spark, sf_dir):
         F.min("ts").alias("min_ts"),
         F.max("ts").alias("max_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# metrics timeseries (§2.8) and worker lifecycle (D4/S9/§2.9) end-state
+# oracles — the last previously pytest-only components (VERDICT r2 asks
+# #2 and #5).
+
+#: metrics fixture: 3 series × 1000 points, ts_i = 1_000_000 + 1000*i,
+#: value = (7*i mod 101) + series_index — small exact integers so every
+#: f64 and the interpolated median are bit-exact across engines.
+_MTX_SERIES = ["lat#write#cell", "lat#scan#row", "stats#row_cnt"]
+_MTX_N = 1000
+_MTX_PTS_SQL = (
+    "pts AS (SELECT s.series, s.sidx, g.i, "
+    "CAST(1000000 + g.i * 1000 AS BIGINT) AS ts, "
+    "CAST((g.i * 7) % 101 + s.sidx AS DOUBLE) AS value "
+    "FROM (VALUES ('lat#write#cell', 0), ('lat#scan#row', 1), "
+    "('stats#row_cnt', 2)) AS s(series, sidx) "
+    f"CROSS JOIN (SELECT CAST(range AS INT) AS i FROM range(0, {_MTX_N})) AS g)"
+)
+
+
+@q(
+    "wc_metrics_series",
+    f"WITH {_MTX_PTS_SQL}, "
+    "cut AS (SELECT quantile_cont(ts, 0.5) AS m FROM pts), "
+    "kept AS (SELECT series, ts, value FROM pts, cut WHERE ts >= m), "
+    "ranked AS (SELECT series, ts, value, row_number() OVER ("
+    "  PARTITION BY series ORDER BY ts DESC) AS rn FROM kept) "
+    "SELECT 'dash720' AS read_tag, series, ts, value FROM ranked WHERE rn <= 720 "
+    "UNION ALL "
+    "SELECT 'dash100' AS read_tag, series, ts, value FROM ranked WHERE rn <= 100",
+)
+def wc_metrics_series(spark, sf_dir):
+    """§2.8 metrics timeseries end-to-end, oracle-pinned: build a metrics
+    table (two atomic append batches with explicit per-point timestamps —
+    reference data_point! macro, server/src/metrics.rs:39-45), enforce the
+    FIFO byte-cap retention (cap=1 byte forces the cut; the exact-median
+    tail drop mirrors fjall FIFO-compacting the oldest segments,
+    metrics.rs:14-24), then run the dashboard read — newest ``limit``
+    points per series via multi_get with per-column cell_limit
+    (server/src/html.rs:11-196, cell_limit 720). The 720-read pins the
+    retention cut (only 500 of 1000 points survive per series); the
+    100-read pins the dashboard limit itself."""
+    import tempfile as _tf
+
+    from smoltable_spark.jobs.metrics import MetricsTable
+    from smoltable_spark.sources.store import CellStore
+
+    store = CellStore(spark, _tf.mkdtemp(prefix="smoltable_mtx_"))
+    store.save_families([ColumnFamilyDef("value")])
+    mt = MetricsTable(store, cap_bytes=1)
+    pts = [
+        (s, float((i * 7) % 101 + si), 1_000_000 + i * 1000)
+        for si, s in enumerate(_MTX_SERIES)
+        for i in range(_MTX_N)
+    ]
+    half = 1_000_000 + (_MTX_N // 2) * 1000
+    mt.record_series([p for p in pts if p[2] < half])
+    mt.record_series([p for p in pts if p[2] >= half])
+    mt.enforce_retention()
+    r720 = mt.read_series(_MTX_SERIES, limit=720).withColumn(
+        "read_tag", F.lit("dash720")
+    )
+    r100 = mt.read_series(_MTX_SERIES, limit=100).withColumn(
+        "read_tag", F.lit("dash100")
+    )
+    return r720.unionByName(r100).select("read_tag", "series", "ts", "value")
+
+
+@q(
+    "wc_gc_worker_cycle",
+    "WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_orders, "
+    "CAST(count(*) FILTER (WHERE o_orderkey % 10 = 0) AS BIGINT) AS m "
+    "FROM orders) "
+    "SELECT n_orders * 5 + m AS cells_before, n_orders * 5 AS cells_after, "
+    "m AS deleted_cells, CAST(1 AS BIGINT) AS max_versions_after, "
+    "CAST(1 AS INT) AS chain_len_after_vacuum FROM n",
+)
+def wc_gc_worker_cycle(spark, sf_dir):
+    """Full maintenance lifecycle end-state, oracle-pinned (D4 + S9 +
+    §2.9; the Spark analog of reference gc.rs post-GC scan assertions,
+    server/src/worker/gc.rs:6-41 and smoltable/tests/gc.rs:30-66):
+
+    base write (orders melt, ts=0) → delta append rewriting ``totalprice``
+    at ts=1 for every orderkey % 10 == 0 → ``compaction_worker`` folds the
+    chain (L0-threshold analog, mod.rs:156-165) → ``gc_worker`` with
+    ``version_limit=1`` deletes the shadowed base versions →
+    ``vacuum(keep_last=1)`` drops superseded snapshot dirs (S9). The
+    result row pins every observable: cell counts before/after, the
+    worker's deleted count, max surviving versions per coordinate, and
+    the post-vacuum chain length — all derived from the orders table by
+    the oracle, not hardcoded from a run."""
+    import tempfile as _tf
+
+    from smoltable_spark.jobs.workers import compaction_worker, gc_worker
+    from smoltable_spark.sources.store import CellStore
+
+    store = CellStore(spark, _tf.mkdtemp(prefix="smoltable_gccycle_"))
+    store.save_families([ColumnFamilyDef("o", version_limit=1)])
+    base = orders_cells(spark, sf_dir)
+    store.write(base)
+    rewrite = (
+        base.filter(
+            (F.regexp_extract("row_key", r"order#(\d+)", 1).cast("long") % 10 == 0)
+            & (F.col("qualifier") == "totalprice")
+        )
+        .withColumn("ts", F.col("ts") + F.lit(1).cast("long"))
+        .withColumn("v_f64", F.col("v_f64") + F.lit(1.0))
+    )
+    store.append(rewrite)
+    cells_before = store.read().count()
+    compaction_worker(store, max_deltas=1)
+    deleted = gc_worker(store, now_nanos=1)
+    after = store.read()
+    cells_after = after.count()
+    max_versions = (
+        after.groupBy("row_key", "family", "qualifier")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    store.vacuum(keep_last=1)
+    chain_len = len(store._chain_dirs())
+    assert store.read().first() is not None  # still readable post-vacuum
+    return spark.createDataFrame(
+        [(cells_before, cells_after, deleted, int(max_versions), chain_len)],
+        "cells_before long, cells_after long, deleted_cells long, "
+        "max_versions_after long, chain_len_after_vacuum int",
+    )
