@@ -11,16 +11,21 @@ Design (for a 100 TB media corpus):
   batches, metadata-only predicates pushed down *before* any payload
   byte moves (Parquet column pruning means a filter on ``media_type``
   never reads ``payload``);
-- the actual codec calls are STUBBED here (image/audio libraries are not
-  in this container): ``decode_stub=True`` produces deterministic fake
-  features, and ``decode_stub=False`` raises ``NotImplementedError`` at
-  the point a real codec would be invoked. The Spark-side plumbing —
-  schema, batching, partitioning, UDF signatures — is real and tested.
+- **container header parsing is REAL**: synthesized payloads are
+  structurally valid PNG / JPEG / WAV containers (correct signatures,
+  chunk framing, CRCs, segment markers), and ``extract_features`` parses
+  width/height/duration and the embedded content back out with pure
+  ``struct``/``zlib`` — no codec libraries involved. Only the pixel/sample
+  DECODE of the content is stubbed: ``decode_stub=True`` produces
+  deterministic content-derived features, ``decode_stub=False`` raises
+  ``NotImplementedError`` at exactly the point a real codec would run.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -41,65 +46,274 @@ FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
         T.StructField("media_type", T.StringType(), False),
-        T.StructField("payload_sha", T.StringType(), True),
+        T.StructField("container", T.StringType(), True),  # png|jpeg|wav|raw
+        T.StructField("width", T.IntegerType(), True),  # parsed from header
+        T.StructField("height", T.IntegerType(), True),  # parsed from header
+        T.StructField("duration_ms", T.LongType(), True),  # parsed from header
+        T.StructField("payload_sha", T.StringType(), True),  # sha of CONTENT
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
     ]
 )
 
 
-def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Deterministic fake media table derived from the documents corpus —
-    exercises the binary-column plumbing with real (content-derived) bytes."""
-    return docs.select(
-        F.col(id_col).alias("media_id"),
-        F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col(id_col) % 3 + 1).cast("int"),
-        ).alias("media_type"),
-        F.encode(F.col(text_col), "UTF-8").cast("binary").alias("payload"),
-        F.lit(64).alias("width"),
-        F.lit(64).alias("height"),
-        (F.length(F.col(text_col)) * 10).cast("long").alias("duration_ms"),
+# ---------------------------------------------------------------------------
+# container builders (pure stdlib; structurally valid framing)
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
     )
 
 
-def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
+def png_bytes(width: int, height: int, content: bytes) -> bytes:
+    """Minimal PNG: signature + IHDR(width, height) + one IDAT chunk
+    carrying ``content`` verbatim + IEND. Chunk framing and CRCs are
+    real (zlib.crc32); the IDAT payload is NOT zlib-compressed image
+    data — header parsing is the exercised surface, pixel decode is the
+    stub boundary."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", content)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+_JPEG_COM_MAX = 60_000  # segment length field is u16; stay well under
+
+
+def jpeg_bytes(width: int, height: int, content: bytes) -> bytes:
+    """Minimal JPEG: SOI + SOF0 (baseline frame header with height/width,
+    one 8-bit component) + ``content`` chunked into COM (comment)
+    segments + EOI. Marker framing is real; there is no entropy-coded
+    scan — pixel decode is the stub boundary."""
+    sof0_payload = struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
+    out = [b"\xff\xd8", b"\xff\xc0", struct.pack(">H", 2 + len(sof0_payload)), sof0_payload]
+    for off in range(0, max(len(content), 1), _JPEG_COM_MAX):
+        chunk = content[off : off + _JPEG_COM_MAX]
+        out += [b"\xff\xfe", struct.pack(">H", 2 + len(chunk)), chunk]
+    out.append(b"\xff\xd9")
+    return b"".join(out)
+
+
+#: WAV synthesis rate: 50 Hz × 16-bit mono ⟹ byte_rate 100 ⟹
+#: duration_ms = data_size × 10 (exact integer, oracle-mirrorable)
+_WAV_RATE = 50
+_WAV_BITS = 16
+_WAV_CHANNELS = 1
+
+
+def wav_bytes(content: bytes) -> bytes:
+    """Minimal RIFF/WAVE: fmt chunk (PCM, 50 Hz, 16-bit mono) + data
+    chunk carrying ``content`` verbatim. All length fields and the fmt
+    arithmetic are real; the PCM samples are whatever bytes the content
+    is — sample decode is the stub boundary."""
+    block_align = _WAV_CHANNELS * _WAV_BITS // 8
+    byte_rate = _WAV_RATE * block_align
+    fmt = struct.pack(
+        "<HHIIHH", 1, _WAV_CHANNELS, _WAV_RATE, byte_rate, block_align, _WAV_BITS
+    )
+    data = content
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + (8 + len(fmt)) + (8 + len(data)))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+# ---------------------------------------------------------------------------
+# container parsers (pure stdlib)
+
+def parse_container(payload: bytes) -> dict:
+    """Parse a media container header with pure ``struct``: returns
+    ``{container, width, height, duration_ms, content}``. PNG → IHDR dims
+    + concatenated IDAT bytes; JPEG → SOF0/SOF2 dims + concatenated COM
+    bytes; WAV → fmt/data chunks ⟹ duration_ms = data_size·1000/byte_rate
+    + data bytes; anything else → opaque ``raw`` passthrough. Malformed
+    containers that CLAIM a known signature raise (``ValueError``) —
+    corrupt media must surface, not silently pass as raw."""
+    if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        width = height = None
+        content = b""
+        pos = 8
+        while pos + 8 <= len(payload):
+            (clen,) = struct.unpack_from(">I", payload, pos)
+            ctype = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + clen]
+            if ctype == b"IHDR":
+                width, height = struct.unpack_from(">II", data, 0)
+            elif ctype == b"IDAT":
+                content += data
+            elif ctype == b"IEND":
+                break
+            pos += 12 + clen  # len + type + data + crc
+        if width is None:
+            raise ValueError("PNG signature without IHDR chunk")
+        return {
+            "container": "png", "width": int(width), "height": int(height),
+            "duration_ms": None, "content": content,
+        }
+    if payload.startswith(b"\xff\xd8"):
+        width = height = None
+        content = b""
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                raise ValueError(f"JPEG marker expected at {pos}")
+            marker = payload[pos + 1]
+            if marker == 0xD9:  # EOI
+                break
+            (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+            data = payload[pos + 4 : pos + 2 + seglen]
+            if marker in (0xC0, 0xC2):  # SOF0 / SOF2
+                _prec, height, width = struct.unpack_from(">BHH", data, 0)
+            elif marker == 0xFE:  # COM
+                content += data
+            pos += 2 + seglen
+        if width is None:
+            raise ValueError("JPEG without SOF frame header")
+        return {
+            "container": "jpeg", "width": int(width), "height": int(height),
+            "duration_ms": None, "content": content,
+        }
+    if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
+        byte_rate = None
+        data = None
+        pos = 12
+        while pos + 8 <= len(payload):
+            ctype = payload[pos : pos + 4]
+            (clen,) = struct.unpack_from("<I", payload, pos + 4)
+            body = payload[pos + 8 : pos + 8 + clen]
+            if ctype == b"fmt ":
+                _fmt, _ch, _rate, byte_rate, _ba, _bits = struct.unpack_from(
+                    "<HHIIHH", body, 0
+                )
+            elif ctype == b"data":
+                data = body
+            pos += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
+        if byte_rate is None or data is None:
+            raise ValueError("WAVE without fmt/data chunks")
+        return {
+            "container": "wav", "width": None, "height": None,
+            "duration_ms": len(data) * 1000 // byte_rate, "content": data,
+        }
+    return {
+        "container": "raw", "width": None, "height": None,
+        "duration_ms": None, "content": payload,
+    }
+
+
+# ---------------------------------------------------------------------------
+# synthesis
+
+def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic fake media table derived from the documents corpus,
+    with REAL container bytes: ``doc_id % 3`` → image (PNG for even ids,
+    JPEG for odd), audio (WAV), video (opaque raw). The document text is
+    embedded as the container's content (IDAT / COM / data), so the
+    extraction pipeline must round-trip real framing to recover it.
+    Image dims are ``16 + id % 64`` × ``16 + id % 48`` — nontrivial
+    values the header parse has to get exactly right."""
+    src = docs.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(text_col).alias("_text"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("media_id", "media_type", "payload", "width", "height", "duration_ms")}
+            for mid, text in zip(pdf["media_id"], pdf["_text"]):
+                mid = int(mid)
+                s = text or ""
+                content = s.encode("utf-8")
+                mtype = ("image", "audio", "video")[mid % 3]
+                if mtype == "image":
+                    w, h = 16 + mid % 64, 16 + mid % 48
+                    payload = (
+                        png_bytes(w, h, content) if mid % 2 == 0
+                        else jpeg_bytes(w, h, content)
+                    )
+                else:
+                    w, h = 64, 64
+                    payload = wav_bytes(content) if mtype == "audio" else content
+                rows["media_id"].append(mid)
+                rows["media_type"].append(mtype)
+                rows["payload"].append(payload)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["duration_ms"].append(len(s) * 10)
+            yield pd.DataFrame(rows)
+
+    from smoltable_spark.functions.dedup import spread
+
+    target = min(docs.sparkSession.sparkContext.defaultParallelism, 8)
+    return spread(src, target).mapInPandas(run, MEDIA_SCHEMA)
+
+
+def _fake_feature(content: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for a real decoder+featurizer: bytes of the
     sha256 digest scaled to [0,1). Replace with a real codec in prod."""
-    dig = hashlib.sha256(payload or b"").digest()
+    dig = hashlib.sha256(content or b"").digest()
     return [b / 255.0 for b in dig[:dim]]
 
 
 def extract_features(
     media: DataFrame, decode_stub: bool = True, dim: int = 8
 ) -> DataFrame:
-    """Arrow-batched feature extraction over the payload column.
+    """Arrow-batched header parse + feature extraction over payloads.
 
-    ``mapInPandas`` processes whole Arrow batches per worker — the 100 TB
-    shape: payloads never leave the executor, only the (tiny) feature
-    vectors shuffle. With ``decode_stub=False`` this is where a real
-    image/audio decode would run; the container has no codec libs, so it
-    raises ``NotImplementedError`` (clearly marked stub, by design).
+    Two stages inside one ``mapInPandas`` pass:
+
+    1. **Header parse (REAL)** — ``parse_container`` reads PNG IHDR /
+       JPEG SOF0 / WAV fmt+data framing with pure ``struct`` and recovers
+       the container's dimensions, duration, and embedded content bytes.
+    2. **Content decode (STUB boundary)** — featurizing the recovered
+       content. ``decode_stub=False`` raises ``NotImplementedError``
+       here (no codec libraries in this environment); the stub features
+       are content-derived and deterministic.
+
+    The 100 TB shape: payloads never leave the executor, only parsed
+    headers + (tiny) feature vectors come back. ``payload_sha`` hashes
+    the recovered CONTENT, so an oracle over the source text verifies
+    the entire container round-trip bit-exactly.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not decode_stub:
                 raise NotImplementedError(
-                    "real media decoding requires codec libraries not present "
-                    "in this environment; use decode_stub=True"
+                    "real content decoding requires codec libraries not "
+                    "present in this environment; use decode_stub=True "
+                    "(container header parsing itself is real — see "
+                    "parse_container)"
                 )
-            out = pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "media_type": pdf["media_type"],
-                    "payload_sha": [
-                        hashlib.sha256(p or b"").hexdigest() for p in pdf["payload"]
-                    ],
-                    "feature": [_fake_feature(p, dim) for p in pdf["payload"]],
-                }
-            )
-            yield out
+            rows = {k: [] for k in
+                    ("media_id", "media_type", "container", "width", "height",
+                     "duration_ms", "payload_sha", "feature")}
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                info = parse_container(bytes(payload) if payload is not None else b"")
+                rows["media_id"].append(int(mid))
+                rows["media_type"].append(mtype)
+                rows["container"].append(info["container"])
+                rows["width"].append(info["width"])
+                rows["height"].append(info["height"])
+                rows["duration_ms"].append(info["duration_ms"])
+                rows["payload_sha"].append(hashlib.sha256(info["content"]).hexdigest())
+                rows["feature"].append(_fake_feature(info["content"], dim))
+            yield pd.DataFrame(rows)
 
     from smoltable_spark.functions.dedup import spread
 

@@ -1697,17 +1697,31 @@ def dedup_embedding(spark, sf_dir):
     SELECT CAST(doc_id AS BIGINT) AS media_id,
            CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                 ELSE 'video' END AS media_type,
+           CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN (CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END)
+                WHEN 1 THEN 'wav' ELSE 'raw' END AS container,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(16 + doc_id % 64 AS INT) END AS width,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(16 + doc_id % 48 AS INT) END AS height,
+           CASE WHEN doc_id % 3 = 1 THEN CAST(strlen(text) * 10 AS BIGINT) END
+               AS duration_ms,
            sha256(text) AS payload_sha,
            CAST(concat('0x', substr(sha256(text), 1, 2)) AS BIGINT) AS f0_byte
     FROM documents
     """,
 )
 def mm_features(spark, sf_dir):
-    """Arrow-batched (mapInPandas) feature extraction over binary payloads.
+    """Arrow-batched (mapInPandas) container parse + feature extraction.
 
-    The oracle independently recomputes the digest + first feature byte —
-    proving the binary plumbing (encode → batch → hash → featurize)
-    produces content-identical results.
+    The payloads are REAL PNG/JPEG/WAV containers built by
+    ``synthesize_media`` (signatures, chunk CRCs, segment framing) with
+    the document text embedded as content; ``extract_features`` parses
+    width/height/duration back out of the headers with pure ``struct``
+    and hashes the recovered content. The oracle recomputes every parsed
+    value from the source documents — dims from the id formula, WAV
+    duration from ``strlen(text) * 10`` (50 Hz × 16-bit mono ⟹
+    byte_rate 100 ⟹ ms = bytes × 10), digest + first feature byte from
+    the text — so one hash-match pins the whole container round-trip:
+    build → frame → parse → extract.
     """
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.synthesize_media(docs)
@@ -1715,6 +1729,10 @@ def mm_features(spark, sf_dir):
     return feats.select(
         "media_id",
         "media_type",
+        "container",
+        "width",
+        "height",
+        "duration_ms",
         "payload_sha",
         # round before cast: (b/255)*255 is within 1 ulp of the integer b,
         # and truncation would land on b-1 for downward-rounded cases

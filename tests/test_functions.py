@@ -501,3 +501,28 @@ def test_simhash_banded_equals_bruteforce(spark, docs):
         for r in dedup.simhash_near_duplicates(docs, bands=4, max_distance=3).collect()
     }
     assert got == want and (1, 5) in got  # exact dups at distance 0
+
+
+def test_container_roundtrip_pure():
+    """PNG/JPEG/WAV builders and parse_container round-trip dims,
+    duration, and content exactly (pure Python — no Spark)."""
+    from smoltable_spark.functions import multimodal as M
+
+    content = ("ünïcode content " * 5000).encode()  # multi-COM JPEG path
+    for payload, expect in [
+        (M.png_bytes(37, 21, content), ("png", 37, 21, None)),
+        (M.jpeg_bytes(499, 1, content), ("jpeg", 499, 1, None)),
+        (M.wav_bytes(content), ("wav", None, None, len(content) * 10)),
+        (content, ("raw", None, None, None)),
+    ]:
+        info = M.parse_container(payload)
+        assert (
+            info["container"], info["width"], info["height"], info["duration_ms"]
+        ) == expect
+        assert info["content"] == content
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):  # claimed signature + broken body raises
+        M.parse_container(b"\x89PNG\r\n\x1a\njunk")
+    with _pytest.raises(ValueError):
+        M.parse_container(b"\xff\xd8\xff\xfe\x00\x04ab\xff\xd9")  # no SOF
