@@ -1557,7 +1557,10 @@ _KMEANS_CACHE: dict = {}
 
 
 def _trained_centroids(spark, sf_dir):
-    key = (id(spark), sf_dir)
+    # keyed by applicationId, not id(spark): CPython reuses ids after GC,
+    # so an id-keyed cache could hand a later session localCheckpoint'ed
+    # DataFrames bound to a stopped session (ADVICE r2)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _KMEANS_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
         _KMEANS_CACHE[key] = similarity.kmeans_centroids(

@@ -125,31 +125,51 @@ class CellStore:
     # -- write / read ------------------------------------------------------
 
     @staticmethod
-    def _dedup_coords(df: DataFrame) -> DataFrame:
+    def _dedup_coords(df: DataFrame, seq_col: str | None = None) -> DataFrame:
         """Keep exactly one value per cell coordinate (row_key, family,
         qualifier, ts) within a batch — the reference's LSM key
         ``row:cf:cq:!ts`` overwrites on insert (cell.rs:168-182), so a
         batch that writes the same coordinate twice keeps only the last
-        occurrence. Batch order is captured with
-        ``monotonically_increasing_id`` (monotone in input order across
-        partitions) before the coordinate shuffle; the shuffle is
-        O(batch), in line with append()'s memtable-flush cost model."""
+        occurrence.
+
+        **Ordering contract (ADVICE r2).** With no ``seq_col``, batch
+        order is captured with ``monotonically_increasing_id``, which
+        follows (partition_index, position-within-partition). That equals
+        logical batch order for order-preserving inputs — file reads and
+        ``createDataFrame`` — which is the only supported default. For
+        input that arrives SHUFFLED (a join/repartition upstream) or may
+        re-run under task retries, the winning duplicate would be
+        partition-layout-dependent: callers in that situation MUST pass
+        ``seq_col`` naming an explicit monotone tie-break column (e.g. a
+        write sequence number); it is consumed (dropped from the stored
+        batch). Pinned by
+        tests/test_property_dedup.py::test_dedup_coords_explicit_seq.
+        """
         from pyspark.sql.window import Window
 
+        seq = seq_col or "__seq"
+        if seq_col is None:
+            df = df.withColumn("__seq", F.monotonically_increasing_id())
         w = Window.partitionBy("row_key", "family", "qualifier", "ts").orderBy(
-            F.col("__seq").desc()
+            F.col(seq).desc()
         )
         return (
-            df.withColumn("__seq", F.monotonically_increasing_id())
-            .withColumn("__rn", F.row_number().over(w))
+            df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .drop("__seq", "__rn")
+            .drop(seq, "__rn")
         )
 
-    def write(self, cells: DataFrame, num_range_partitions: int | None = None) -> int:
+    def write(
+        self,
+        cells: DataFrame,
+        num_range_partitions: int | None = None,
+        seq_col: str | None = None,
+    ) -> int:
         """Write a new **base** snapshot containing exactly ``cells``;
         returns version. Layout: lg partition dirs → range-partitioned,
-        key-sorted parquet.
+        key-sorted parquet. ``seq_col`` names an explicit tie-break
+        column for within-batch duplicate coordinates (required when the
+        input is not order-preserving — see ``_dedup_coords``).
         """
         fam_lg = {
             f: (g if g != "" else _DEFAULT_LG) for f, g in self.family_to_lg().items()
@@ -160,7 +180,8 @@ class CellStore:
                 *[x for f, g in fam_lg.items() for x in (F.lit(f), F.lit(g))]
             )
             lg_expr = F.coalesce(mapping[F.col("family")], F.lit(_DEFAULT_LG))
-        df = self._dedup_coords(cells.select(*CELL_COLUMNS)).withColumn("lg", lg_expr)
+        cols = list(CELL_COLUMNS) + ([seq_col] if seq_col else [])
+        df = self._dedup_coords(cells.select(*cols), seq_col).withColumn("lg", lg_expr)
         if num_range_partitions is None:
             num_range_partitions = max(
                 self.spark.sparkContext.defaultParallelism, 8
@@ -200,12 +221,13 @@ class CellStore:
         self._commit_version(n)  # pointer rename = the commit point
         return n
 
-    def append(self, cells: DataFrame) -> int:
+    def append(self, cells: DataFrame, seq_col: str | None = None) -> int:
         """Atomic batch append (S1 semantics: one commit, all-or-nothing —
         reference smoltable/src/table/writer.rs:56-79) as a **delta**
         snapshot: only the batch is written — O(batch) like a memtable
         flush, never a table rewrite. Run ``compact()`` periodically to
-        fold deltas into a base (small-file + read-amp maintenance)."""
+        fold deltas into a base (small-file + read-amp maintenance).
+        ``seq_col``: see ``write``."""
         fam_lg = {
             f: (g if g != "" else _DEFAULT_LG) for f, g in self.family_to_lg().items()
         }
@@ -215,8 +237,9 @@ class CellStore:
                 *[x for f, g in fam_lg.items() for x in (F.lit(f), F.lit(g))]
             )
             lg_expr = F.coalesce(mapping[F.col("family")], F.lit(_DEFAULT_LG))
+        cols = list(CELL_COLUMNS) + ([seq_col] if seq_col else [])
         df = (
-            self._dedup_coords(cells.select(*CELL_COLUMNS))
+            self._dedup_coords(cells.select(*cols), seq_col)
             .withColumn("lg", lg_expr)
             .sortWithinPartitions(
                 F.col("row_key").asc(),

@@ -142,3 +142,52 @@ def test_banded_simhash_equals_bruteforce(spark, sig_rows):
         ).collect()
     }
     assert got == want
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    values=st.lists(
+        st.integers(min_value=0, max_value=9), min_size=2, max_size=12
+    ),
+    shuffle_seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_dedup_coords_explicit_seq(spark, values, shuffle_seed):
+    """The _dedup_coords ordering contract (ADVICE r2): with an explicit
+    seq_col the winning duplicate is the max-seq value REGARDLESS of how
+    the input DataFrame is partitioned or shuffled — hypothesis drives
+    duplicate coordinate batches through an adversarial repartition and
+    the highest-sequence write must always win."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from smoltable_spark.sources.store import CellStore
+
+    rows = [
+        {
+            "row_key": "r1",
+            "family": "f",
+            "qualifier": "q",
+            "ts": 7,
+            "vtype": "i64",
+            "v_str": None,
+            "v_bool": None,
+            "v_byte": None,
+            "v_i32": None,
+            "v_i64": v,
+            "v_f32": None,
+            "v_f64": None,
+            "wseq": i,
+        }
+        for i, v in enumerate(values)
+    ]
+    random.Random(shuffle_seed).shuffle(rows)
+    from smoltable_spark.schema import CELLS_SCHEMA
+    from pyspark.sql import types as T
+
+    schema = T.StructType(CELLS_SCHEMA.fields + [T.StructField("wseq", T.LongType())])
+    df = spark.createDataFrame(rows, schema).repartition(5, "v_i64")  # adversarial layout
+    out = CellStore._dedup_coords(df, seq_col="wseq").collect()
+    assert len(out) == 1
+    assert out[0]["v_i64"] == values[-1]  # max wseq == last logical write
+    assert "wseq" not in out[0].asDict()  # seq column is consumed
