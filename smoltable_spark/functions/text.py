@@ -283,3 +283,78 @@ def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(c).alias("quality"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-trained bigram LM quality scoring
+
+def bigram_lm_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-trained bigram language-model score per document — the
+    classic perplexity-style quality signal a pretraining pipeline uses
+    to rank/filter documents (fluent text scores higher than boilerplate
+    or noise under a model trained on the corpus itself).
+
+    Model: Laplace-smoothed bigram conditionals over the whole corpus,
+    ``logp(w2|w1) = ln(c12 + 1) - ln(c1 + V)`` with ``c12`` the corpus
+    bigram count, ``c1`` the left-token bigram count, ``V`` the unigram
+    vocabulary size. Output: one row per document with ≥1 bigram —
+    ``(id, n_bigrams, sum_logp_milli)`` where ``sum_logp_milli`` is the
+    sum of ``floor(1000·logp)`` per bigram occurrence. Average
+    milli-nats/bigram = ``sum_logp_milli / n_bigrams`` (the consumer's
+    division, so the engine output stays exact integers).
+
+    Exactness discipline: the only float op is the per-row scalar
+    ``ln`` of an integer-valued double, quantized to a 1e-3 grid BEFORE
+    aggregation — all sums are exact-integer (order-independent across
+    partitions and engines); an ulp-level libm divergence would have to
+    land within ~1e-13 of a grid boundary to be visible.
+
+    Shuffle shape at 100 TB: two count aggregates (vocab-bounded
+    outputs), two scoring joins keyed by token (AQE handles the skewed
+    head tokens), one per-doc aggregate — all map-side-combinable; the
+    corpus text itself is read once.
+    """
+    from smoltable_spark.functions.dedup import spread
+
+    toked = spread(docs).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    n = F.size(F.col("_toks"))
+    # sequence(1, n-1) DESCENDS for n < 2 (Spark emits [1, 0]) — guard to
+    # an empty bigram list so 0/1-token docs produce no rows
+    bg = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("_toks"), i).alias("w1"),
+                F.element_at(F.col("_toks"), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bi = toked.select(F.col(id_col), F.explode(bg).alias("_b")).select(
+        id_col, F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2")
+    )
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        toked.select(F.explode("_toks").alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    lp = F.floor(
+        1000.0
+        * (F.log(F.col("c12") + 1) - F.log(F.col("c1") + F.col("v")))
+    ).cast("long")
+    return (
+        bi.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(F.col(id_col), lp.alias("_lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("_lp").alias("sum_logp_milli"),
+        )
+    )

@@ -1691,6 +1691,105 @@ def dedup_embedding(spark, sf_dir):
     )
 
 
+@q(
+    "txt_bigram_lm",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    bi AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+           FROM t, unnest(range(1, len(toks))) AS u(i)),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+    vv AS (SELECT count(DISTINCT tok) AS v
+           FROM (SELECT unnest(toks) AS tok FROM t)),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(floor(1000 * (ln(c12.c12 + 1) - ln(c1.c1 + vv.v)))
+                  AS BIGINT) AS lp
+      FROM bi b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(lp) AS BIGINT) AS sum_logp_milli
+    FROM scored GROUP BY doc_id
+    """,
+)
+def txt_bigram_lm(spark, sf_dir):
+    """Corpus-trained Laplace-smoothed bigram LM score per document — the
+    perplexity-style quality filter of a pretraining pipeline, with
+    per-bigram log-probs quantized to exact integer milli-nats BEFORE
+    aggregation so every sum is order-independent and cross-engine exact
+    (see text.bigram_lm_scores for the scale shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bigram_lm_scores(docs)
+
+
+def _semantic_keep_one_oracle(rounds: int = 4, threshold: float = 0.35) -> str:
+    bucket_expr = (
+        "(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)"
+        " + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)"
+        " + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)"
+        " + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)"
+    )
+    cos = (
+        "list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) / "
+        "(sqrt(CAST(a.nrm2 AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE)))"
+    )
+    prop = "\n".join(
+        f"""    , l{i} AS MATERIALIZED (
+        SELECT l.doc_id, least(l.cluster_id, coalesce(min(m.cluster_id), l.cluster_id))
+                   AS cluster_id
+        FROM l{i-1} l LEFT JOIN e ON e.src = l.doc_id
+                      LEFT JOIN l{i-1} m ON m.doc_id = e.dst
+        GROUP BY l.doc_id, l.cluster_id)"""
+        for i in range(1, rounds + 1)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, {{qvec}} AS q, {bucket_expr} AS bucket FROM embeddings),
+    n AS (SELECT vec_id, q, bucket,
+                 list_sum(list_transform(q, x -> x * x)) AS nrm2 FROM v),
+    pairs AS MATERIALIZED (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE {cos} >= {threshold}),
+    e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+    l0 AS (SELECT DISTINCT src AS doc_id, src AS cluster_id FROM e){prop}
+    SELECT emb.vec_id,
+           coalesce(l{rounds}.cluster_id, emb.vec_id) AS cluster_id,
+           CAST(CASE WHEN coalesce(l{rounds}.cluster_id, emb.vec_id) = emb.vec_id
+                THEN 1 ELSE 0 END AS INT) AS kept
+    FROM embeddings emb LEFT JOIN l{rounds} ON l{rounds}.doc_id = emb.vec_id
+    """.replace("{qvec}", _QVEC_SQL)
+
+
+@q("dedup_semantic_keep_one", _semantic_keep_one_oracle())
+def dedup_semantic_keep_one(spark, sf_dir):
+    """End-to-end SEMANTIC dedup: embedding near-dup pairs (SRP buckets,
+    cosine ≥ 0.35) → min-label cluster propagation → keep-one decision
+    per cluster (keeper = min id; singletons keep themselves). Output is
+    the full keep/drop assignment (vec_id, cluster_id, kept) — the shape
+    a pipeline joins back onto the corpus to drop semantic duplicates.
+    Composes embedding_near_duplicates + cluster_pairs; the corpus never
+    all-pairs (bucketed candidates) and the propagation loop touches only
+    the (small) pair set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_duplicates(
+        emb, threshold=0.35, bucket_dims=[1, 2, 3, 4]
+    ).select("id_a", "id_b")
+    labels = dedup.cluster_pairs(pairs, rounds=4).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    return (
+        emb.select("vec_id")
+        .join(labels, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", F.col("vec_id")).alias("cluster_id"),
+        )
+        .withColumn(
+            "kept", (F.col("cluster_id") == F.col("vec_id")).cast("int")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 

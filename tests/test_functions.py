@@ -526,3 +526,25 @@ def test_container_roundtrip_pure():
         M.parse_container(b"\x89PNG\r\n\x1a\njunk")
     with _pytest.raises(ValueError):
         M.parse_container(b"\xff\xd8\xff\xfe\x00\x04ab\xff\xd9")  # no SOF
+
+
+def test_bigram_lm_scores(spark):
+    """Laplace bigram LM: n_bigrams = tokens-1; a document made of the
+    corpus's dominant pattern outscores a one-off garble doc (higher
+    average milli-nat log-prob); 0/1-token docs emit no row."""
+    from smoltable_spark.functions import text as X
+
+    rows = (
+        [(i, "the cat sat on the mat") for i in range(10)]
+        + [(100, "zq xv qzk wvx")]
+        + [(101, "single")]
+        + [(102, "")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in X.bigram_lm_scores(df).collect()}
+    assert 101 not in out and 102 not in out
+    assert out[0]["n_bigrams"] == 5
+    assert out[100]["n_bigrams"] == 3
+    avg_common = out[0]["sum_logp_milli"] / out[0]["n_bigrams"]
+    avg_garble = out[100]["sum_logp_milli"] / out[100]["n_bigrams"]
+    assert avg_common > avg_garble
