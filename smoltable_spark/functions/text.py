@@ -311,14 +311,22 @@ def bigram_lm_scores(
     partitions and engines); an ulp-level libm divergence would have to
     land within ~1e-13 of a grid boundary to be visible.
 
-    Shuffle shape at 100 TB: two count aggregates (vocab-bounded
-    outputs), two scoring joins keyed by token (AQE handles the skewed
-    head tokens), one per-doc aggregate — all map-side-combinable; the
-    corpus text itself is read once.
+    Shuffle shape at 100 TB: ``c1`` is derived from ``c12`` (exactly
+    ``Σ_{w2} c12``); the duplicated c12 subtree canonicalizes equal, so
+    AQE's stage cache materializes that shuffle once (ReusedExchange in
+    the executed plan) and the c1 rollup only touches the vocab-bounded
+    count table. The corpus-side branches (scoring bigrams, c12, vocab)
+    are deliberately re-scanned rather than cached — each is a pruned
+    parquet scan + narrow explode feeding a map-side-combinable partial
+    aggregate, which beats caching an exploded 100 TB intermediate. All
+    count tables reach the scoring join via broadcast at bench scale
+    (AQE decides at cluster scale; token-skew handled by AQE skew join,
+    never a window over token keys). The per-doc aggregate is the only
+    corpus-sized shuffle.
     """
     from smoltable_spark.functions.dedup import spread
 
-    toked = spread(docs).select(
+    toked = spread(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), tokens(F.col(text_col)).alias("_toks")
     )
     n = F.size(F.col("_toks"))
@@ -338,7 +346,9 @@ def bigram_lm_scores(
         id_col, F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2")
     )
     c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # c1(w1) = Σ_{w2} c12(w1, w2) exactly — roll up the (small) bigram
+    # count table instead of re-aggregating the full corpus
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = (
         toked.select(F.explode("_toks").alias("tok"))
         .agg(F.countDistinct("tok").alias("v"))

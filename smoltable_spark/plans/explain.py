@@ -54,9 +54,11 @@ def shuffle_count(df: DataFrame) -> int:
     """Number of *shuffle* exchanges — the scale cost driver.
 
     BroadcastExchange is excluded: replicating a small dim is the cheap
-    alternative we're counting in favor of.
+    alternative we're counting in favor of. ReusedExchange is excluded:
+    it reads a shuffle another branch already materialized (ReuseExchange
+    dedup) — no second shuffle write happens.
     """
-    return len(re.findall(r"(?<!Broadcast)Exchange ", physical_plan(df)))
+    return len(re.findall(r"(?<!Broadcast)(?<!Reused)Exchange ", physical_plan(df)))
 
 
 def whole_stage_codegen_spans(df: DataFrame) -> int:

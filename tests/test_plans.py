@@ -139,3 +139,35 @@ def test_melt_prefix_scan_pushes_key_bounds(spark, sf_dir):
     pushed = plans.pushed_filters(wc_scan_prefix(spark, sf_dir))
     assert any("GreaterThanOrEqual(o_orderkey" in f for f in pushed), pushed
     assert any("LessThanOrEqual(o_orderkey" in f for f in pushed), pushed
+
+
+def test_bigram_lm_shuffle_budget(spark, sf_dir):
+    """Bigram LM scale contract: count tables reach the scoring join via
+    broadcast (never a window over token keys — the skew trap), the c1
+    rollup's duplicated c12 stage is deduped by AQE's stage cache at
+    runtime (ReusedExchange in the executed plan), and the static plan
+    stays within the 10-exchange budget (4 corpus passes × pruned scan +
+    spread, two vocab-bounded aggs, vocab distinct, one per-doc agg)."""
+    from smoltable_spark.functions.text import bigram_lm_scores
+    from smoltable_spark.sources.relational import load_table
+
+    df = bigram_lm_scores(load_table(spark, sf_dir, "documents"))
+    a = plans.audit(df)
+    assert a["broadcast_join"], plans.physical_plan(df)
+    assert a["shuffles"] <= 10, plans.physical_plan(df)
+    assert "Window" not in plans.physical_plan(df)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed or "ReusedQueryStage" in executed, executed
+
+
+def test_semantic_keep_one_no_corpus_all_pairs(spark, sf_dir):
+    """Semantic keep-one: pair formation must stay bucketed (join keyed by
+    the SRP bucket — no cartesian product in the plan) and the label
+    propagation operates on the pair set only."""
+    from smoltable_spark.queries_analytics import dedup_semantic_keep_one
+
+    df = dedup_semantic_keep_one(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
