@@ -767,3 +767,63 @@ def wc_gc_worker_cycle(spark, sf_dir):
         "cells_before long, cells_after long, deleted_cells long, "
         "max_versions_after long, chain_len_after_vacuum int",
     )
+
+
+@q(
+    "wc_table_lifecycle",
+    "WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_orders FROM orders) "
+    "SELECT 'meta,o' AS families_after_reopen, "
+    "CAST(2 AS INT) AS meta_version_limit, "
+    "n_orders AS row_count, n_orders * 6 AS cell_count, "
+    "n_orders * 5 AS cells_o, n_orders AS cells_meta FROM n",
+)
+def wc_table_lifecycle(spark, sf_dir):
+    """Table create / family create / recovery end-to-end, oracle-pinned
+    (S6 + S7 + S10; reference Smoltable::open + create_column_families,
+    smoltable/src/table/mod.rs:107-165,260-297): open a fresh table,
+    create families in TWO calls (the manifest merge path), bulk-write
+    the orders melt into ``o`` plus one ``meta:src`` cell per row as a
+    second snapshot, then REOPEN by path — a brand-new facade whose only
+    state is the on-disk manifest + chain (recovery, mod.rs:205-243
+    load_locality_groups analog). Every returned observable is read
+    through the reopened handle and derived from the orders table by the
+    oracle: surviving family names and the ``meta`` version_limit prove
+    the manifest round-trip; row/cell/per-family counts prove the data
+    chain (base + delta) is fully visible after reopen."""
+    from smoltable_spark.table import Smoltable
+
+    path = tempfile.mkdtemp(prefix="smoltable_lifecycle_") + "/tbl"
+    t = Smoltable.open(spark, path)
+    t.create_column_families([ColumnFamilyDef("o")])
+    t.create_column_families([ColumnFamilyDef("meta", version_limit=2)])
+    base = orders_cells(spark, sf_dir)
+    t.store.write(base)
+    meta = (
+        base.filter(F.col("qualifier") == "orderstatus")
+        .withColumn("family", F.lit("meta"))
+        .withColumn("qualifier", F.lit("src"))
+    )
+    t.store.append(meta)
+
+    t2 = Smoltable.open(spark, path)  # recovery: manifest + chain only
+    fams = t2.column_families()
+    families_csv = ",".join(sorted(f.name for f in fams))
+    meta_vl = {f.name: f.version_limit for f in fams}["meta"]
+    counts = t2.count().collect()[0]
+    per_fam = {
+        r["family"]: r["cnt"]
+        for r in t2.store.read().groupBy("family").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert t2.disk_space_usage() > 0 and t2.segment_count() >= 2
+    return spark.createDataFrame(
+        [(
+            families_csv,
+            int(meta_vl),
+            counts["row_count"],
+            counts["cell_count"],
+            per_fam["o"],
+            per_fam["meta"],
+        )],
+        "families_after_reopen string, meta_version_limit int, "
+        "row_count long, cell_count long, cells_o long, cells_meta long",
+    )
