@@ -156,6 +156,71 @@ def stopword_permille(col: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Gopher-style document quality rules
+
+#: rule thresholds (Rae et al. 2021 "Scaling Language Models" C.1.1 repro
+#: filters, adapted to milli-integer grids): token-count bounds, mean word
+#: length 3–10 chars, ≥2 distinct stopwords, repetition ceiling.
+GOPHER_MIN_TOKENS = 10
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MEAN_WL_MILLI = (3_000, 10_000)
+GOPHER_MIN_DISTINCT_STOPWORDS = 2
+GOPHER_MAX_REPETITION_MILLI = 500
+
+
+def gopher_quality_df(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-rule quality filter per document — the published heuristic
+    battery a pretraining pipeline applies before dedup (word-count
+    bounds, mean-word-length band, stopword evidence, repetition cap).
+
+    All signals are exact-integer (ratios on a 1e-3 floor grid) so the
+    result is bit-stable across engines; pure narrow column expressions
+    (split + higher-order array ops inside whole-stage codegen), no
+    shuffle, no UDF — at 100 TB this runs at scan speed with the text
+    column pruned in.
+    """
+    c = F.col(text_col)
+    tk = tokens(c)
+    tc = F.size(tk)
+    dc = F.size(F.array_distinct(tk))
+    sum_len = F.aggregate(tk, F.lit(0), lambda a, x: a + F.length(x))
+    mean_wl = (
+        F.when(tc > 0, F.floor(sum_len * F.lit(1000.0) / tc))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    rep = (
+        F.when(tc > 0, F.floor((tc - dc) * F.lit(1000.0) / tc))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    max_wl = F.when(
+        tc > 0, F.array_max(F.transform(tk, lambda x: F.length(x)))
+    ).otherwise(F.lit(0)).cast("int")
+    nds = F.size(F.array_distinct(F.filter(tk, _marker_pred(STOPWORDS))))
+    pass_wc = (tc >= GOPHER_MIN_TOKENS) & (tc <= GOPHER_MAX_TOKENS)
+    lo, hi = GOPHER_MEAN_WL_MILLI
+    pass_mwl = (mean_wl >= lo) & (mean_wl <= hi)
+    pass_stop = nds >= GOPHER_MIN_DISTINCT_STOPWORDS
+    pass_rep = rep <= GOPHER_MAX_REPETITION_MILLI
+    return docs.select(
+        F.col(id_col),
+        tc.alias("n_tokens"),
+        mean_wl.alias("mean_word_len_milli"),
+        stopword_permille(c).alias("stopword_milli"),
+        rep.alias("repetition_milli"),
+        max_wl.alias("max_word_len"),
+        pass_wc.alias("pass_word_count"),
+        pass_mwl.alias("pass_mean_word_len"),
+        pass_stop.alias("pass_stopwords"),
+        pass_rep.alias("pass_repetition"),
+        (pass_wc & pass_mwl & pass_stop & pass_rep).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # fingerprinting
 
 def fingerprint(col: Column) -> Column:

@@ -788,6 +788,59 @@ def txt_bpe_quality(spark, sf_dir):
     )
 
 
+_GOPHER_STOP = "[" + ", ".join(f"'{m}'" for m in text.STOPWORDS) + "]"
+
+@q(
+    "txt_gopher_quality",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+        CAST(len({TOKS_SQL}) AS INT) AS n_tokens,
+        CAST(CASE WHEN len({TOKS_SQL}) > 0
+             THEN floor(list_sum(list_transform({TOKS_SQL}, x -> length(x)))
+                  * 1000.0 / len({TOKS_SQL})) ELSE 0 END AS BIGINT)
+            AS mean_word_len_milli,
+        CAST(CASE WHEN len({TOKS_SQL}) > 0
+             THEN floor(len(list_filter({TOKS_SQL},
+                  x -> list_contains({_GOPHER_STOP}, x))) * 1000
+                  / len({TOKS_SQL})) ELSE 0 END AS BIGINT) AS stopword_milli,
+        CAST(CASE WHEN len({TOKS_SQL}) > 0
+             THEN floor((len({TOKS_SQL}) - len(list_distinct({TOKS_SQL})))
+                  * 1000.0 / len({TOKS_SQL})) ELSE 0 END AS BIGINT)
+            AS repetition_milli,
+        CAST(CASE WHEN len({TOKS_SQL}) > 0
+             THEN list_max(list_transform({TOKS_SQL}, x -> length(x)))
+             ELSE 0 END AS INT) AS max_word_len,
+        len(list_distinct(list_filter({TOKS_SQL},
+            x -> list_contains({_GOPHER_STOP}, x)))) AS nds
+      FROM documents)
+    SELECT doc_id, n_tokens, mean_word_len_milli, stopword_milli,
+           repetition_milli, max_word_len,
+           n_tokens BETWEEN {text.GOPHER_MIN_TOKENS} AND {text.GOPHER_MAX_TOKENS}
+               AS pass_word_count,
+           mean_word_len_milli BETWEEN {text.GOPHER_MEAN_WL_MILLI[0]}
+               AND {text.GOPHER_MEAN_WL_MILLI[1]} AS pass_mean_word_len,
+           nds >= {text.GOPHER_MIN_DISTINCT_STOPWORDS} AS pass_stopwords,
+           repetition_milli <= {text.GOPHER_MAX_REPETITION_MILLI}
+               AS pass_repetition,
+           (n_tokens BETWEEN {text.GOPHER_MIN_TOKENS} AND {text.GOPHER_MAX_TOKENS}
+            AND mean_word_len_milli BETWEEN {text.GOPHER_MEAN_WL_MILLI[0]}
+                AND {text.GOPHER_MEAN_WL_MILLI[1]}
+            AND nds >= {text.GOPHER_MIN_DISTINCT_STOPWORDS}
+            AND repetition_milli <= {text.GOPHER_MAX_REPETITION_MILLI}) AS keep
+    FROM m
+    """,
+)
+def txt_gopher_quality(spark, sf_dir):
+    """Gopher-rule quality battery per document (functions/text.py::
+    gopher_quality_df): word-count bounds, mean-word-length band,
+    distinct-stopword evidence, repetition cap — each signal AND the
+    keep/drop verdict oracle-pinned. Pure narrow projection (runs at
+    scan speed; no shuffle, no UDF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.gopher_quality_df(docs)
+
+
 @q(
     "pipeline_clean_corpus",
     f"""
