@@ -433,3 +433,73 @@ def bigram_lm_scores(
             F.sum("_lp").alias("sum_logp_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: tuple[str, ...],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k ranked retrieval for a fixed term query (Robertson &
+    Zaragoza 2009; k1=1.2, b=0.75).
+
+    Scale shape: ONE corpus pass computes per-term tf and doc length as
+    narrow array expressions (no explode, no per-term shuffle); corpus
+    statistics (N, Σdl, per-term df) collapse to a single row that
+    reaches every doc via broadcast; the ranked cut is a distributed
+    TakeOrderedAndProject (per-partition top-k, merge on driver) — never
+    a single-partition window.
+
+    Exactness discipline: each (doc, term) BM25 component is quantized
+    to ⌊1000·x⌋ BEFORE the per-doc sum, so the score is an exact integer
+    sum (order-independent); ties at the cut break by doc_id. The only
+    libm call is ln of an identical IEEE-computed double in both
+    engines.
+    """
+    tk = tokens(F.col(text_col))
+    sel = docs.select(
+        F.col(id_col),
+        F.size(tk).alias("dl"),
+        *[
+            F.size(F.filter(tk, (lambda t: lambda x: x == t)(t))).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = sel.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    j = sel.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    comps = []
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+        )
+        denom = tf + F.lit(1.2) * (
+            F.lit(0.25) + (F.lit(0.75) * F.col("dl")) / avgdl
+        )
+        comps.append(
+            F.floor(F.lit(1000.0) * (idf * (tf * F.lit(2.2)) / denom)).cast("long")
+        )
+    score = comps[0]
+    for c in comps[1:]:
+        score = score + c
+    return (
+        j.select(F.col(id_col), F.col("dl"), score.alias("score_milli"))
+        .filter(F.col("score_milli") > 0)
+        .orderBy(F.desc("score_milli"), F.asc(id_col))
+        .limit(k)
+    )

@@ -841,6 +841,51 @@ def txt_gopher_quality(spark, sf_dir):
     return text.gopher_quality_df(docs)
 
 
+#: fixed BM25 query — terms chosen for spread in document frequency
+_BM25_TERMS = ("scan", "vector", "merge", "customer")
+
+
+def _bm25_sql() -> str:
+    """DuckDB mirror of text.bm25_topk: identical association order in
+    every float expression so both engines compute the same doubles."""
+    tf_cols = ", ".join(
+        f"len(list_filter({TOKS_SQL}, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    comp = " + ".join(
+        f"CAST(FLOOR(1000.0 * ("
+        f"ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * (tf_{i} * 2.2)"
+        f" / (tf_{i} + 1.2 * (0.25 + (0.75 * dl) / (CAST(sum_dl AS DOUBLE) / n_docs)))"
+        f")) AS BIGINT)"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, CAST(len({TOKS_SQL}) AS INT) AS dl, {tf_cols}
+      FROM documents),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl, {df_cols} FROM base)
+    SELECT doc_id, dl, ({comp}) AS score_milli
+    FROM base, stats
+    WHERE ({comp}) > 0
+    ORDER BY score_milli DESC, doc_id LIMIT 20
+    """
+
+
+@q("txt_bm25", _bm25_sql())
+def txt_bm25(spark, sf_dir):
+    """BM25 top-20 ranked retrieval for a fixed term query
+    (functions/text.py::bm25_topk): one corpus pass for tf/dl, corpus
+    stats broadcast as a single row, distributed TakeOrderedAndProject
+    cut, per-(doc,term) milli-quantization before the per-doc sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bm25_topk(docs, _BM25_TERMS, k=20)
+
+
 @q(
     "pipeline_clean_corpus",
     f"""

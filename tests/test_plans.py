@@ -171,3 +171,20 @@ def test_semantic_keep_one_no_corpus_all_pairs(spark, sf_dir):
     plan = plans.physical_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bm25_single_pass_take_ordered(spark, sf_dir):
+    """BM25 scale contract: corpus stats arrive via broadcast (no shuffle
+    join), the ranked cut is a distributed TakeOrderedAndProject (never a
+    single-partition window/sort), and per-term tf stays in array
+    expressions (no explode)."""
+    from smoltable_spark.functions.text import bm25_topk
+    from smoltable_spark.sources.relational import load_table
+
+    df = bm25_topk(load_table(spark, sf_dir, "documents"), ("scan", "vector"))
+    plan = plans.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Generate explode" not in plan, plan
+    assert "Window" not in plan, plan
+    a = plans.audit(df)
+    assert a["broadcast_join"], plan
