@@ -1245,6 +1245,48 @@ def stream_sessionize(spark, sf_dir):
     )
 
 
+@q(
+    "stream_click_attribution",
+    """
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      epoch_ns(ts) // 1000 AS us FROM events),
+    c AS (SELECT user_id, event_id AS click_id, us AS c_us FROM e
+          WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id AS purchase_id, us AS p_us FROM e
+          WHERE event_type = 'purchase')
+    SELECT c.user_id, click_id, purchase_id,
+           CAST(c_us * 1000 AS BIGINT) AS click_ts_ns,
+           CAST(p_us * 1000 AS BIGINT) AS purchase_ts_ns
+    FROM c JOIN p ON c.user_id = p.user_id
+     AND p_us >= c_us AND p_us <= c_us + 3600000000
+    """,
+)
+def stream_click_attribution(spark, sf_dir):
+    """Watermarked stream-stream interval join (streaming/ingest.py::
+    click_attribution_stream): every purchase attributed to same-user
+    clicks in the preceding hour. Both sides watermarked so state is
+    bounded on an infinite stream; inner-join emission is match-driven,
+    so the availableNow replay must equal the batch range join exactly —
+    which is what the oracle checks."""
+    from smoltable_spark.streaming.ingest import (
+        click_attribution_stream,
+        stream_events,
+    )
+
+    events = stream_events(spark, sf_dir, glob="events.parquet")
+    joined = click_attribution_stream(events)
+    name = f"_stream_attr_{next(_STREAM_SINK_COUNTER)}"
+    sq = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(300)
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------------
 # dedup
 

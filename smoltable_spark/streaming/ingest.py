@@ -223,3 +223,53 @@ def running_stats_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def click_attribution_stream(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to every
+    click by the same user within the preceding ``window``.
+
+    Both sides carry their own watermark, and the join range condition
+    (``p_ts ∈ [c_ts, c_ts + window]``) lets Spark bound state: click
+    state older than watermark+window and purchase state older than
+    watermark are evicted, so an infinite stream joins in finite memory.
+    Inner-join emission is match-driven (not watermark-cut), so the
+    availableNow replay emits exactly the batch join result — the
+    property the oracle pins.
+    """
+    base = events.withColumn(
+        "ets", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ets").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ets").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {window}")),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros(F.col("c_ts")) * 1000).alias("click_ts_ns"),
+        (F.unix_micros(F.col("p_ts")) * 1000).alias("purchase_ts_ns"),
+    )
