@@ -215,15 +215,28 @@ def lsh_candidate_pairs(
 
 
 def shingle_arrays(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    hashed: bool = False,
 ) -> DataFrame:
-    """(id, sh_arr): distinct shingles as a sorted array column (no explode)."""
+    """(id, sh_arr): distinct shingles as a sorted array column (no explode).
+
+    ``hashed=True`` maps each shingle through ``md5_long`` (re-distinct
+    after, so both engines agree even on the astronomically-unlikely
+    collision) — array ops over fixed-width longs hash ~3× faster than
+    over shingle strings, which is the dominant cost of pairwise
+    ``array_intersect`` verification.
+    """
     toked = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
     n = F.size(F.col("_toks"))
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     sh = F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, k)))
     )
+    if hashed:
+        sh = F.array_distinct(F.transform(sh, md5_long))
     return toked.select(F.col(id_col), sh.alias("sh_arr"))
 
 
@@ -240,9 +253,18 @@ def jaccard_pairs(
     replaces the classic explode→shuffle→count plan: zero shingle-level
     shuffles, per-pair cost linear in document length, and the only joins
     are pair→array lookups (semi-restricted to candidate docs, which AQE
-    broadcasts when small). Exact rational parts (common, size_a, size_b)
+    broadcasts when small). Sets are md5_long-hashed (mirrored in the
+    oracles) so the per-pair intersect hashes fixed-width longs, not
+    shingle strings. Exact rational parts (common, size_a, size_b)
     make the threshold filter cross-engine exact; ``jaccard`` is the
     derived double.
+
+    The candidate side is explicitly repartitioned to defaultParallelism:
+    pairs are compact (two longs), so AQE would coalesce them into a few
+    fat partitions by byte size — but per-row verify WORK is large, and
+    the explicit numbered repartition (which AQE honors) keeps the
+    dominant stage at full core count for the cost of shuffling a tiny
+    table.
     """
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
@@ -250,8 +272,9 @@ def jaccard_pairs(
         .distinct()
     )
     arr = shingle_arrays(
-        docs.join(cand_ids, id_col, "left_semi"), text_col, id_col, k
+        docs.join(cand_ids, id_col, "left_semi"), text_col, id_col, k, hashed=True
     )
+    pairs = pairs.repartition(pairs.sparkSession.sparkContext.defaultParallelism)
     a = arr.select(F.col(id_col).alias("id_a"), F.col("sh_arr").alias("_sa"))
     b = arr.select(F.col(id_col).alias("id_b"), F.col("sh_arr").alias("_sb"))
     return (
@@ -363,7 +386,7 @@ def blocked_jaccard_near_duplicates(
     # width of a bucket in floor(log2(size)) units; the -1e-12 guards the
     # driver-side ceil against fp at exact powers (e.g. t=0.25 → m=2)
     m = max(1, _math.ceil(_math.log2(1.0 / threshold) - 1e-12))
-    sized = shingle_arrays(docs, text_col, id_col, k).select(
+    sized = shingle_arrays(docs, text_col, id_col, k, hashed=True).select(
         F.col(id_col), F.size("sh_arr").alias("_sz")
     )
     log2_floor = (
@@ -376,6 +399,7 @@ def blocked_jaccard_near_duplicates(
             id_col,
             "blk",
             F.floor(log2_floor / F.lit(m)).cast("long").alias("_bkt"),
+            "_sz",
         )
     )
     if max_block_rows is not None:
@@ -392,22 +416,35 @@ def blocked_jaccard_near_duplicates(
                 "be quadratic in that cell — use minhash_near_duplicates "
                 "for this corpus, or raise/disable max_block_rows"
             )
+    # Each unordered pair forms EXACTLY ONCE — no distinct() over the
+    # (potentially huge) pair set: same-bucket pairs are ordered by id,
+    # adjacent-bucket pairs by bucket direction (a doc has one bucket, so
+    # (lo-bucket, hi-bucket) can only meet via the +1-shifted probe).
     home = blocked.select(
-        F.col(id_col).alias("_ha"), "blk", F.col("_bkt").alias("_jb")
+        F.col(id_col).alias("_ha"), "blk", F.col("_bkt").alias("_jb"),
+        F.col("_sz").alias("_sza"),
     )
-    probe = blocked.select(
-        F.col(id_col).alias("_hb"),
-        "blk",
-        F.explode(F.array(F.col("_bkt"), F.col("_bkt") + 1)).alias("_jb"),
+    probe_same = blocked.select(
+        F.col(id_col).alias("_hb"), "blk", F.col("_bkt").alias("_jb"),
+        F.col("_sz").alias("_szb"),
     )
+    probe_adj = blocked.select(
+        F.col(id_col).alias("_hb"), "blk", (F.col("_bkt") + 1).alias("_jb"),
+        F.col("_sz").alias("_szb"),
+    )
+    same = home.join(probe_same, ["blk", "_jb"]).filter(F.col("_ha") < F.col("_hb"))
+    adj = home.join(probe_adj, ["blk", "_jb"])
     pairs = (
-        home.join(probe, ["blk", "_jb"])
-        .filter(F.col("_ha") != F.col("_hb"))
+        same.unionByName(adj)
+        # exact rational size prefilter: J ≤ min/max, so J ≥ num/den
+        # requires max·num ≤ min·den — prunes pairs (notably across
+        # adjacent buckets, where sizes may differ up to 4×) before the
+        # per-pair intersect, using the sizes already at hand
+        .filter(F.greatest("_sza", "_szb") * num <= F.least("_sza", "_szb") * den)
         .select(
             F.least("_ha", "_hb").alias("id_a"),
             F.greatest("_ha", "_hb").alias("id_b"),
         )
-        .distinct()
     )
     jac = jaccard_pairs(docs, pairs, text_col, id_col, k)
     return jac.filter(

@@ -1345,10 +1345,11 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              FROM buckets a JOIN buckets b
                ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    shd AS (SELECT DISTINCT doc_id, {md5_long_sql('shingle')} AS hsh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
     common AS (SELECT c.id_a, c.id_b, count(*) AS common
-               FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
-                           JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+               FROM cand c JOIN shd sa ON sa.doc_id = c.id_a
+                           JOIN shd sb ON sb.doc_id = c.id_b AND sb.hsh = sa.hsh
                GROUP BY c.id_a, c.id_b)
     SELECT m.id_a, m.id_b, CAST(m.common AS BIGINT) AS common,
            CAST(za.sz AS BIGINT) AS size_a, CAST(zb.sz AS BIGINT) AS size_b,
@@ -1463,14 +1464,15 @@ def _blocked_jaccard_oracle(threshold: float = 0.5) -> str:
     num = int(threshold * 1000)
     return f"""
     {_SHINGLES_SQL},
-    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    shd AS (SELECT DISTINCT doc_id, {md5_long_sql('shingle')} AS hsh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
     cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
              FROM (SELECT DISTINCT doc_id, lang FROM sh) a
              JOIN (SELECT DISTINCT doc_id, lang FROM sh) b
                ON a.lang = b.lang AND a.doc_id < b.doc_id),
     common AS (SELECT c.id_a, c.id_b, count(*) AS common
-               FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
-                           JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+               FROM cand c JOIN shd sa ON sa.doc_id = c.id_a
+                           JOIN shd sb ON sb.doc_id = c.id_b AND sb.hsh = sa.hsh
                GROUP BY c.id_a, c.id_b)
     SELECT m.id_a, m.id_b, CAST(m.common AS BIGINT) AS common,
            CAST(za.sz AS BIGINT) AS size_a, CAST(zb.sz AS BIGINT) AS size_b,
