@@ -70,6 +70,11 @@ HEADLINE = [
     "stream_sessionize",
     "pipeline_split",
     "pipeline_pack",
+    # r3 mid-round additions: quality rules, ranked retrieval,
+    # stream-stream join
+    "txt_gopher_quality",
+    "txt_bm25",
+    "stream_click_attribution",
 ]
 
 REGRESSION_FACTOR = 1.5
