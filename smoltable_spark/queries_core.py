@@ -827,3 +827,47 @@ def wc_table_lifecycle(spark, sf_dir):
         "families_after_reopen string, meta_version_limit int, "
         "row_count long, cell_count long, cells_o long, cells_meta long",
     )
+
+
+@q(
+    "wc_store_changes_since",
+    "WITH k AS (SELECT o_orderkey, o_totalprice FROM orders "
+    "WHERE o_orderkey % 10 = 0) "
+    "SELECT concat('order#', lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) "
+    "AS row_key, 'totalprice' AS qualifier, CAST(1 AS BIGINT) AS ts, "
+    "CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 2.0 "
+    "ELSE o_totalprice + 1.0 END AS v_f64 FROM k",
+)
+def wc_store_changes_since(spark, sf_dir):
+    """Incremental CDC read (sources/store.py::read_changes — the
+    O(changes) consumption pattern a 100 TB pipeline uses instead of
+    rescanning): base write of the orders melt, then TWO delta appends —
+    every orderkey % 10 == 0 rewrites ``totalprice`` to +1 at ts=1, then
+    every % 20 == 0 rewrites the SAME coordinate again to +2.
+    ``read_changes(since_version=1)`` must return exactly the changed
+    coordinates with within-range LSM shadowing applied (+2 where the
+    second delta superseded the first) and never touch the base leg
+    files; the oracle derives the whole feed from orders."""
+    from smoltable_spark.sources.store import CellStore
+
+    store = CellStore(spark, tempfile.mkdtemp(prefix="smoltable_cdc_"))
+    store.save_families([ColumnFamilyDef("o")])
+    base = orders_cells(spark, sf_dir)
+    v1 = store.write(base)
+    key_num = F.regexp_extract("row_key", r"order#(\d+)", 1).cast("long")
+    tp = base.filter(F.col("qualifier") == "totalprice")
+    d1 = (
+        tp.filter(key_num % 10 == 0)
+        .withColumn("ts", F.lit(1).cast("long"))
+        .withColumn("v_f64", F.col("v_f64") + F.lit(1.0))
+    )
+    store.append(d1)
+    d2 = (
+        tp.filter(key_num % 20 == 0)
+        .withColumn("ts", F.lit(1).cast("long"))
+        .withColumn("v_f64", F.col("v_f64") + F.lit(2.0))
+    )
+    store.append(d2)
+    return store.read_changes(since_version=v1).select(
+        "row_key", "qualifier", "ts", "v_f64"
+    )

@@ -255,3 +255,31 @@ def test_delta_rewrite_shadows_same_coordinates(spark, tmp_path):
     store.compact()
     vals = sorted(r["v_str"] for r in store.read().collect())
     assert vals == ["new", "v6"]
+
+
+def test_store_read_changes_cdc(spark, tmp_path):
+    """read_changes: O(changes) feed with within-range shadowing; raises
+    across base rewrites; empty range -> empty frame with full schema."""
+    from pyspark.sql import functions as F
+
+    store = CellStore(spark, str(tmp_path / "cdc"))
+    store.save_families([ColumnFamilyDef("value")])
+    cells, _ = gc_fixture(spark)
+    v1 = store.write(cells)
+    one = cells.limit(1)
+    store.append(one.withColumn("v_i64", F.lit(111).cast("long")))
+    v3 = store.append(one.withColumn("v_i64", F.lit(222).cast("long")))
+
+    ch = store.read_changes(since_version=v1)
+    rows = ch.collect()
+    # one coordinate, rewritten twice in range -> newest wins
+    assert len(rows) == 1 and rows[0]["v_i64"] == 222
+    # empty range keeps the schema
+    assert store.read_changes(since_version=v3).count() == 0
+    # range crossing the base rewrite (v1) is refused
+    with pytest.raises(ValueError, match="base"):
+        store.read_changes(since_version=0)
+    # compaction is a base rewrite too
+    store.compact()
+    with pytest.raises(ValueError, match="base"):
+        store.read_changes(since_version=v3)
