@@ -770,3 +770,35 @@ def simhash_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keeper_id"))
     )
+
+
+def repeated_ngrams(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    top: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document repeated k-gram spans — the boilerplate/template
+    signal substring-level dedup acts on (the "memorized span" detector
+    of Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better", at n-gram granularity).
+
+    Returns the ``top`` most-widely-shared k-grams as (ngram, n_docs),
+    n_docs counting DISTINCT documents (per-doc shingles are de-dup'd by
+    ``shingle_arrays``). Scale shape: one corpus pass, explode feeds a
+    map-side-combinable count keyed by ngram (output bounded by the
+    corpus's repeated-span structure), ranked cut via distributed
+    TakeOrderedAndProject; tie-break by ngram keeps the cut
+    deterministic.
+    """
+    sh = shingle_arrays(docs, text_col, id_col, k)
+    return (
+        sh.select(F.explode("sh_arr").alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), F.asc("ngram"))
+        .limit(top)
+    )

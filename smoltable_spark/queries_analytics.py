@@ -1312,6 +1312,27 @@ _SHINGLES_SQL = (
 )
 
 
+@q(
+    "dedup_repeated_ngrams",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    s AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS ngram
+          FROM t, unnest(range(1, greatest(len(toks) - 7, 1) + 1)) AS u(i))
+    SELECT ngram, CAST(count(*) AS BIGINT) AS n_docs FROM s GROUP BY ngram
+    HAVING count(*) >= 2 ORDER BY n_docs DESC, ngram LIMIT 50
+    """,
+)
+def dedup_repeated_ngrams(spark, sf_dir):
+    """Cross-document repeated 8-gram spans (functions/dedup.py::
+    repeated_ngrams) — the boilerplate/memorized-span signal
+    substring-level dedup acts on. One corpus pass, map-side-combinable
+    ngram count, distributed TakeOrderedAndProject cut."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.repeated_ngrams(docs, k=8, min_docs=2, top=50).select(
+        "ngram", F.col("n_docs").cast("long").alias("n_docs")
+    )
+
+
 def _minhash_aggs_sql(num_hashes: int) -> str:
     from smoltable_spark.functions.dedup import MINHASH_P, minhash_params
 

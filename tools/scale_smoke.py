@@ -139,6 +139,18 @@ def main():
             "smoltable_spark.functions.text", fromlist=["hashed_embedding_df"]
         ).hashed_embedding_df(docs, dim=16).count(),
     )
+    timed(
+        "gopher_quality_50k",
+        lambda: text.gopher_quality_df(docs).filter("keep").count(),
+    )
+    timed(
+        "bm25_topk_50k",
+        lambda: text.bm25_topk(docs, ("scan", "vector", "merge", "customer")).count(),
+    )
+    timed(
+        "bigram_lm_50k",
+        lambda: text.bigram_lm_scores(docs).count(),
+    )
 
     from smoltable_spark.functions import timeseries
 
