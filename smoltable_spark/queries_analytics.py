@@ -371,6 +371,67 @@ def rel_clicked_and_purchased(spark, sf_dir):
 
 
 @q(
+    "rel_funnel",
+    """
+    WITH g AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS v,
+             list(epoch_ns(ts)) FILTER (WHERE event_type = 'click') AS cs,
+             list(epoch_ns(ts)) FILTER (WHERE event_type = 'purchase') AS ps
+      FROM events GROUP BY user_id),
+    chain AS (
+      SELECT user_id, v,
+             CASE WHEN v IS NOT NULL
+                  THEN list_min(list_filter(cs, x -> x >= v)) END AS c
+      FROM g),
+    chain2 AS (
+      SELECT ch.user_id, ch.v, ch.c,
+             CASE WHEN ch.c IS NOT NULL
+                  THEN list_min(list_filter(g.ps, x -> x >= ch.c)) END AS p
+      FROM chain ch JOIN g USING (user_id))
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(v) AS BIGINT) AS n_viewed,
+           CAST(count(c) AS BIGINT) AS n_clicked_after_view,
+           CAST(count(p) AS BIGINT) AS n_purchased_after_click
+    FROM chain2
+    """,
+)
+def rel_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view → click → purchase, each step
+    strictly after the previous one's FIRST occurrence) — the classic
+    event-analytics chain. Single pass, one user-keyed shuffle: per-user
+    event times aggregate into per-type sorted arrays, the step chain
+    resolves with array expressions (no self-joins, no windows), and the
+    funnel counts reduce to one row. Per-user state is bounded by that
+    user's event count — the same contract as sessionization."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "click", F.col("ts")))
+        ).alias("cs"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        ).alias("ps"),
+    )
+    c = F.when(
+        F.col("v").isNotNull(),
+        F.array_min(F.filter(F.col("cs"), lambda x: x >= F.col("v"))),
+    )
+    chain = g.select("user_id", "v", c.alias("c"), "ps")
+    p = F.when(
+        F.col("c").isNotNull(),
+        F.array_min(F.filter(F.col("ps"), lambda x: x >= F.col("c"))),
+    )
+    return chain.select("user_id", "v", "c", p.alias("p")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("v").alias("n_viewed"),
+        F.count("c").alias("n_clicked_after_view"),
+        F.count("p").alias("n_purchased_after_click"),
+    )
+
+
+@q(
     "rel_top_users_by_spend",
     f"""
     SELECT event_type, user_id, spend, rank FROM (
