@@ -382,12 +382,14 @@ def rel_clicked_and_purchased(spark, sf_dir):
     chain AS (
       SELECT user_id, v,
              CASE WHEN v IS NOT NULL
-                  THEN list_min(list_filter(cs, x -> x >= v)) END AS c
+                  THEN list_min(list_filter(cs,
+                       x -> x >= v AND x <= v + 86400000000000)) END AS c
       FROM g),
     chain2 AS (
       SELECT ch.user_id, ch.v, ch.c,
              CASE WHEN ch.c IS NOT NULL
-                  THEN list_min(list_filter(g.ps, x -> x >= ch.c)) END AS p
+                  THEN list_min(list_filter(g.ps,
+                       x -> x >= ch.c AND x <= ch.c + 86400000000000)) END AS p
       FROM chain ch JOIN g USING (user_id))
     SELECT CAST(count(*) AS BIGINT) AS n_users,
            CAST(count(v) AS BIGINT) AS n_viewed,
@@ -398,8 +400,8 @@ def rel_clicked_and_purchased(spark, sf_dir):
 )
 def rel_funnel(spark, sf_dir):
     """Ordered conversion funnel (view → click → purchase, each step
-    strictly after the previous one's FIRST occurrence) — the classic
-    event-analytics chain. Single pass, one user-keyed shuffle: per-user
+    strictly after the previous one's FIRST occurrence and within a 24 h
+    step window) — the classic event-analytics chain. Single pass, one user-keyed shuffle: per-user
     event times aggregate into per-type sorted arrays, the step chain
     resolves with array expressions (no self-joins, no windows), and the
     funnel counts reduce to one row. Per-user state is bounded by that
@@ -414,14 +416,23 @@ def rel_funnel(spark, sf_dir):
             F.collect_list(F.when(F.col("event_type") == "purchase", F.col("ts")))
         ).alias("ps"),
     )
+    W = F.lit(86400000000000).cast("long")
     c = F.when(
         F.col("v").isNotNull(),
-        F.array_min(F.filter(F.col("cs"), lambda x: x >= F.col("v"))),
+        F.array_min(
+            F.filter(
+                F.col("cs"), lambda x: (x >= F.col("v")) & (x <= F.col("v") + W)
+            )
+        ),
     )
     chain = g.select("user_id", "v", c.alias("c"), "ps")
     p = F.when(
         F.col("c").isNotNull(),
-        F.array_min(F.filter(F.col("ps"), lambda x: x >= F.col("c"))),
+        F.array_min(
+            F.filter(
+                F.col("ps"), lambda x: (x >= F.col("c")) & (x <= F.col("c") + W)
+            )
+        ),
     )
     return chain.select("user_id", "v", "c", p.alias("p")).agg(
         F.count(F.lit(1)).alias("n_users"),
