@@ -503,3 +503,103 @@ def bm25_topk(
         .orderBy(F.desc("score_milli"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+
+#: regex patterns shared verbatim by Spark (Java regex) and DuckDB (RE2) —
+#: restricted to the syntax subset both engines parse identically
+#: (character classes, +/{m,}, literal dots; no lookaround, no \b).
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PII_PHONE_RE = "555-[0-9]{4}"
+PII_IPV4_RE = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+
+def pii_scrub(col: Column) -> Column:
+    """Redact emails, seeded phone numbers, and IPv4 literals with typed
+    placeholder tags. Pure ``regexp_replace`` chain — codegen'd, narrow,
+    linear in the scan; the standard first pass of any web-scale corpus
+    clean (emails/phones/IPs are the high-recall, low-false-positive tier
+    of PII)."""
+    out = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+    out = F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+    return out
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-kind redaction counts (for audit reports)."""
+    return {
+        "n_emails": F.regexp_count(col, F.lit(PII_EMAIL_RE)),
+        "n_ips": F.regexp_count(col, F.lit(PII_IPV4_RE)),
+        "n_phones": F.regexp_count(col, F.lit(PII_PHONE_RE)),
+    }
+
+
+def pii_scrub_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`pii_scrub` (RE2, 'g' = replace all)."""
+    out = f"regexp_replace({expr}, '{PII_EMAIL_RE}', '<EMAIL>', 'g')"
+    out = f"regexp_replace({out}, '{PII_IPV4_RE}', '<IP>', 'g')"
+    out = f"regexp_replace({out}, '{PII_PHONE_RE}', '<PHONE>', 'g')"
+    return out
+
+
+def pii_counts_sql(expr: str) -> dict[str, str]:
+    return {
+        "n_emails": f"len(regexp_extract_all({expr}, '{PII_EMAIL_RE}'))",
+        "n_ips": f"len(regexp_extract_all({expr}, '{PII_IPV4_RE}'))",
+        "n_phones": f"len(regexp_extract_all({expr}, '{PII_PHONE_RE}'))",
+    }
+
+
+# ---------------------------------------------------------------------------
+# boolean retrieval (posting-list intersection)
+
+def boolean_search(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Conjunctive (AND) term search as a distributed posting-list
+    intersection: explode tokens → keep only query terms (the filter cuts
+    the stream to the postings of the |terms| query words BEFORE any
+    shuffle) → one aggregate per doc keeps docs matching all terms.
+
+    The complement of :func:`bm25_topk` (ranked): this is the exact
+    boolean filter stage, scaling with total postings of the query terms,
+    not corpus size. Returns (id_col, n_hits = total occurrences).
+    """
+    toks = tokens(F.col(text_col))
+    posting = (
+        docs.select(F.col(id_col), F.explode(toks).alias("tok"))
+        .filter(F.col("tok").isin(list(terms)))
+    )
+    return (
+        posting.groupBy(id_col)
+        .agg(
+            F.count_distinct("tok").alias("_nt"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+        .filter(F.col("_nt") == len(set(terms)))
+        .select(id_col, "n_hits")
+    )
+
+
+def boolean_search_sql(
+    table: str, terms: list[str], text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB rendering of :func:`boolean_search` (same tokenization)."""
+    in_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+    WITH posting AS (
+        SELECT {id_col}, unnest(list_filter(string_split(lower({text_col}), ' '),
+                                x -> x != '')) AS tok
+        FROM {table}
+    )
+    SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_hits
+    FROM posting WHERE tok IN ({in_list})
+    GROUP BY {id_col}
+    HAVING count(DISTINCT tok) = {len(set(terms))}
+    """

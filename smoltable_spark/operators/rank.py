@@ -60,6 +60,69 @@ def ranked_row_keys(
     return out
 
 
+def grouped_ranked_values(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group global rank of ``value_col`` WITHOUT per-group single
+    partitions — the grouped generalization of :func:`ranked_row_keys`.
+
+    ``row_number().over(Window.partitionBy(group).orderBy(value))`` puts
+    each group in ONE partition: fine for many small groups, a
+    straggler-maker when a handful of groups hold 100 TB between them
+    (e.g. exact quantiles per event_type). Instead:
+
+    1. ``repartitionByRange(group, value)`` → each group spans a *run* of
+       globally ordered partitions (a big group gets many),
+    2. narrow per-(partition, group) ``row_number`` (no extra shuffle),
+    3. per-(partition, group) counts — one row per (pid, group), tiny —
+       collected and turned into per-group cumulative offsets,
+    4. global in-group rank = local rank + offset, via a broadcast join.
+
+    Rows are NOT deduplicated: ties keep their multiplicity, so the value
+    at in-group rank k is deterministic even though tie order is not.
+    Returns DataFrame(group_col, value_col, rk LONG) with rk = 1..n_group.
+    """
+    rows = df.select(group_col, value_col)
+    if num_partitions is None:
+        num_partitions = max(rows.sparkSession.sparkContext.defaultParallelism, 8)
+    rows = rows.repartitionByRange(
+        num_partitions, F.col(group_col).asc(), F.col(value_col).asc()
+    )
+    rows = rows.withColumn("_pid", F.spark_partition_id())
+    # freeze the physical partitioning (same reasoning as ranked_row_keys):
+    # offsets below are only valid for THIS materialization.
+    rows = rows.localCheckpoint(eager=True)
+    w = Window.partitionBy("_pid", group_col).orderBy(F.col(value_col).asc())
+    rows = rows.withColumn("_rn", F.row_number().over(w))
+    counts = (
+        rows.groupBy("_pid", group_col)
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )  # one row per (partition, group) — bounded by partitions × groups
+    by_group: dict = {}
+    for r in counts:
+        by_group.setdefault(r[group_col], []).append((r["_pid"], r["cnt"]))
+    off_rows = []
+    for g, lst in by_group.items():
+        acc = 0
+        for pid, cnt in sorted(lst):
+            off_rows.append((pid, g, acc))
+            acc += cnt
+    spark = df.sparkSession
+    gtype = df.schema[group_col].dataType.simpleString()
+    off_df = spark.createDataFrame(
+        off_rows, f"_pid INT, {group_col} {gtype}, _off LONG"
+    )
+    return (
+        rows.join(F.broadcast(off_df), ["_pid", group_col])
+        .withColumn("rk", (F.col("_rn") + F.col("_off")).cast("long"))
+        .select(group_col, value_col, "rk")
+    )
+
+
 def top_row_keys(cells: DataFrame, n: int, descending: bool = False) -> DataFrame:
     """First ``n`` distinct row keys in row-key order, with rank.
 

@@ -15,7 +15,15 @@ import itertools
 
 from pyspark.sql import Window, functions as F
 
-from smoltable_spark.functions import dedup, multimodal, similarity, text, timeseries
+from smoltable_spark.functions import (
+    dedup,
+    multimodal,
+    profile,
+    sampling,
+    similarity,
+    text,
+    timeseries,
+)
 from smoltable_spark.functions.hashing import md5_long, seeded
 from smoltable_spark.queries_util import (
     TOKS_SQL,
@@ -2090,3 +2098,190 @@ def mm_frame_plan(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.synthesize_media(docs)
     return multimodal.frame_sample_plan(media, every_ms=1000)
+
+
+# ---------------------------------------------------------------------------
+# distribution profiling / exact grouped quantiles (round 3)
+
+_QUANTILE_PS = [0.25, 0.5, 0.9, 0.99]
+
+
+@q(
+    "rel_grouped_quantiles",
+    f"""
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ), ps AS (
+        SELECT CAST(p AS DOUBLE) AS p
+        FROM (VALUES {', '.join(f'({p})' for p in _QUANTILE_PS)}) AS t(p)
+    )
+    SELECT event_type, p, value AS q_value
+    FROM ranked JOIN ps ON rk = 1 + CAST(floor(p * (n - 1)) AS BIGINT)
+    """,
+)
+def rel_grouped_quantiles(spark, sf_dir):
+    """EXACT per-group quantiles (discrete: the element at rank
+    1+floor(p*(n-1))) via the grouped distributed rank
+    (operators/rank.py:grouped_ranked_values). The naive
+    ``Window.partitionBy(group)`` puts each group in one partition — a
+    straggler-maker when 5 event types hold 100 TB between them; the
+    grouped rank range-partitions (group, value) so a big group spans
+    many partitions and no stage is single-partition. percentile_approx
+    would be cheaper but inexact — this is the exact path; ties keep
+    multiplicity so the rank→value mapping is deterministic."""
+    from smoltable_spark.operators.rank import grouped_ranked_values
+
+    ev = load_table(spark, sf_dir, "events")
+    ranked = grouped_ranked_values(ev, "event_type", "value")
+    # the target-rank table derives from `ranked` (a self-join): rename its
+    # columns so the join condition is unambiguous
+    ns = (
+        ranked.groupBy("event_type")
+        .agg(F.max("rk").alias("n"))
+        .withColumnRenamed("event_type", "_et")
+    )
+    ps = spark.createDataFrame([(p,) for p in _QUANTILE_PS], "p double")
+    targets = (
+        ns.crossJoin(F.broadcast(ps))
+        .withColumn(
+            "trk", (F.lit(1) + F.floor(F.col("p") * (F.col("n") - 1))).cast("long")
+        )
+        .select("_et", "p", "trk")
+    )
+    return (
+        ranked.join(
+            F.broadcast(targets),
+            on=(
+                (F.col("event_type") == F.col("_et")) & (F.col("rk") == F.col("trk"))
+            ),
+        )
+        .select("event_type", "p", F.col("value").alias("q_value"))
+    )
+
+
+@q(
+    "rel_skew_profile",
+    profile.key_distribution_sql("events", "event_type", "user_id"),
+)
+def rel_skew_profile(spark, sf_dir):
+    """Key-skew diagnostics per event type: how hot is the hottest
+    user_id vs the mean (skew_x100), the decision number for routing a
+    downstream join through functions/skew.py salting. Two
+    map-side-combining aggregates; the skew report itself never
+    materializes per-key data beyond one row per distinct key."""
+    ev = load_table(spark, sf_dir, "events")
+    return profile.key_distribution(ev, "event_type", "user_id")
+
+
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+@q(
+    "pipeline_profile",
+    profile.column_profile_sql("documents", _PROFILE_COLS),
+)
+def pipeline_profile(spark, sf_dir):
+    """Table-sanity profile of the documents corpus: per-column null
+    rate / distinct count / extrema in ONE pass — stack-melt (narrow
+    generated projection) + a single hash aggregate, regardless of the
+    number of profiled columns."""
+    docs = load_table(spark, sf_dir, "documents")
+    return profile.column_profile(docs, _PROFILE_COLS)
+
+
+#: per-language sampling rates: downsample the high-resource language,
+#: keep the low-resource ones (the canonical corpus-mixing move)
+_STRAT_RATES = {"en": 0.25, "de": 1.0, "fr": 1.0, "es": 0.6, "zh": 0.6}
+
+
+@q(
+    "pipeline_stratified_sample",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {sampling.stratified_sample_sql('lang', 'doc_id', _STRAT_RATES)}
+    """,
+)
+def pipeline_stratified_sample(spark, sf_dir):
+    """Deterministic stratified corpus sampling (functions/sampling.py):
+    keep row iff md5(seed|lang|doc_id) mod 1e6 < rate(lang)*1e6. A single
+    narrow filter — no shuffle, no RNG state, partitioning-independent
+    (unlike df.sample) — so the same corpus always yields the same
+    training mix, at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        docs, "lang", "doc_id", _STRAT_RATES
+    ).select("doc_id", "lang")
+
+
+def _pii_inject_sql() -> str:
+    """The synthetic-PII text (the testdata corpus is PII-free, so the
+    scrub demo plants deterministic emails/IPs/phones derived from
+    doc_id, then proves removal)."""
+    return (
+        "concat(text, ' contact user', CAST(doc_id AS VARCHAR), "
+        "'@example.com at 10.', CAST(doc_id % 256 AS VARCHAR), "
+        "'.0.', CAST(doc_id % 100 AS VARCHAR), "
+        "' or 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))"
+    )
+
+
+@q(
+    "pipeline_pii_scrub",
+    f"""
+    WITH injected AS (SELECT doc_id, {_pii_inject_sql()} AS itext FROM documents)
+    SELECT doc_id,
+           CAST({text.pii_counts_sql('itext')['n_emails']} AS BIGINT) AS n_emails,
+           CAST({text.pii_counts_sql('itext')['n_ips']} AS BIGINT) AS n_ips,
+           CAST({text.pii_counts_sql('itext')['n_phones']} AS BIGINT) AS n_phones,
+           md5({text.pii_scrub_sql('itext')}) AS clean_sha
+    FROM injected
+    """,
+)
+def pipeline_pii_scrub(spark, sf_dir):
+    """PII redaction pass (functions/text.py:pii_scrub): plant
+    deterministic emails/IPv4s/phone numbers in each document, then
+    redact with the shared Spark/RE2-portable regex tier and report
+    per-kind counts + the md5 of the cleaned text (pinning the exact
+    replacement output, not just the counts). Pure regexp_replace chain:
+    codegen'd, narrow, linear in the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    itext = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(" or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    injected = docs.select("doc_id", itext.alias("itext"))
+    counts = text.pii_counts(F.col("itext"))
+    return injected.select(
+        "doc_id",
+        counts["n_emails"].cast("long").alias("n_emails"),
+        counts["n_ips"].cast("long").alias("n_ips"),
+        counts["n_phones"].cast("long").alias("n_phones"),
+        F.md5(text.pii_scrub(F.col("itext"))).alias("clean_sha"),
+    )
+
+
+_BOOL_TERMS = ["spark", "window", "merge"]
+
+
+@q(
+    "txt_boolean_search",
+    text.boolean_search_sql("documents", _BOOL_TERMS),
+)
+def txt_boolean_search(spark, sf_dir):
+    """Conjunctive boolean retrieval (functions/text.py:boolean_search):
+    posting-list intersection for docs containing ALL query terms. The
+    term filter cuts the exploded token stream to the query terms'
+    postings BEFORE the shuffle, so cost scales with posting sizes, not
+    corpus size — the exact-filter complement of txt_bm25's ranking."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.boolean_search(docs, _BOOL_TERMS)

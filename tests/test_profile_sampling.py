@@ -1,0 +1,123 @@
+"""Tests for the round-3 profiling / sampling / retrieval operators:
+grouped distributed rank, column profile, key-skew report, stratified
+sampling, PII scrub, boolean search."""
+
+import random
+
+from pyspark.sql import Window, functions as F
+
+from smoltable_spark.functions import profile, sampling, text
+from smoltable_spark.operators.rank import grouped_ranked_values
+
+
+def test_grouped_rank_matches_naive_window(spark):
+    random.seed(7)
+    rows = [
+        (random.choice("abc"), float(random.randint(0, 50)))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = grouped_ranked_values(df, "g", "v", num_partitions=6)
+    naive = df.withColumn(
+        "rk", F.row_number().over(Window.partitionBy("g").orderBy("v"))
+    )
+    # ties make the (row → rank) map nondeterministic, but the
+    # (rank → value) map is deterministic: compare those
+    got_m = {(r["g"], r["rk"]): r["v"] for r in got.collect()}
+    naive_m = {(r["g"], r["rk"]): r["v"] for r in naive.collect()}
+    assert got_m == naive_m
+
+
+def test_grouped_rank_shuffled_input_same_result(spark):
+    rows = [("g%d" % (i % 3), float(i * 7 % 23)) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    a = grouped_ranked_values(df, "g", "v", num_partitions=5)
+    b = grouped_ranked_values(df.repartition(11), "g", "v", num_partitions=3)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_column_profile_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "x"), (4, "y")], "id long, s string"
+    )
+    got = {r["col_name"]: r for r in profile.column_profile(df).collect()}
+    assert got["id"]["n_rows"] == 4 and got["id"]["n_null"] == 0
+    assert got["id"]["n_distinct"] == 4
+    assert got["s"]["n_null"] == 1 and got["s"]["n_distinct"] == 2
+    assert got["s"]["min_val"] == "x" and got["s"]["max_val"] == "y"
+
+
+def test_key_distribution_skew_report(spark):
+    # group g1: key k1 ×6, k2 ×2 → n=8, keys=2, max=6, skew=150
+    rows = [("g1", "k1")] * 6 + [("g1", "k2")] * 2 + [("g2", "a")] * 3
+    df = spark.createDataFrame(rows, "g string, k string")
+    got = {r["g"]: r for r in profile.key_distribution(df, "g", "k").collect()}
+    assert got["g1"]["max_per_key"] == 6
+    assert got["g1"]["hot_key"] == "k1"
+    assert got["g1"]["skew_x100"] == 150  # 100*6*2/8
+    assert got["g2"]["skew_x100"] == 100  # single key = uniform
+
+
+def test_stratified_sample_deterministic_and_partition_independent(spark):
+    rows = [(i, ["en", "de"][i % 2]) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = {"en": 0.3, "de": 1.0}
+    a = sampling.stratified_sample(df, "lang", "doc_id", rates)
+    b = sampling.stratified_sample(df.repartition(13), "lang", "doc_id", rates)
+    ids_a = sorted(r["doc_id"] for r in a.collect())
+    ids_b = sorted(r["doc_id"] for r in b.collect())
+    assert ids_a == ids_b  # RNG-free: same rows regardless of partitioning
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in a.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang["de"] == 200  # rate 1.0 keeps every row
+    assert 30 <= by_lang.get("en", 0) <= 90  # ~60 expected at rate 0.3
+
+
+def test_stratified_default_rate_drops_unknown_strata(spark):
+    df = spark.createDataFrame([(1, "xx")], "doc_id long, lang string")
+    assert sampling.stratified_sample(df, "lang", "doc_id", {"en": 1.0}).count() == 0
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@test.org or ping 10.0.0.1, tel 555-0199"),
+            (2, "no pii here"),
+        ],
+        "id long, t string",
+    )
+    counts = text.pii_counts(F.col("t"))
+    got = df.select(
+        "id",
+        text.pii_scrub(F.col("t")).alias("clean"),
+        counts["n_emails"].alias("e"),
+        counts["n_ips"].alias("i"),
+        counts["n_phones"].alias("p"),
+    ).collect()
+    r1 = next(r for r in got if r["id"] == 1)
+    assert r1["clean"] == "mail me at <EMAIL> or ping <IP>, tel <PHONE>"
+    assert (r1["e"], r1["i"], r1["p"]) == (1, 1, 1)
+    r2 = next(r for r in got if r["id"] == 2)
+    assert r2["clean"] == "no pii here" and r2["e"] == 0
+
+
+def test_boolean_search_vs_bruteforce(spark):
+    docs = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta alpha"),
+        (3, "beta gamma"),
+        (4, "alpha gamma beta delta"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in text.boolean_search(df, ["alpha", "beta"]).collect()
+    }
+    expect = {}
+    for did, t in docs:
+        toks = t.split()
+        if {"alpha", "beta"} <= set(toks):
+            expect[did] = sum(toks.count(w) for w in ("alpha", "beta"))
+    assert got == expect  # {1: 2, 2: 3, 4: 2}
