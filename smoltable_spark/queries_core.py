@@ -871,3 +871,59 @@ def wc_store_changes_since(spark, sf_dir):
     return store.read_changes(since_version=v1).select(
         "row_key", "qualifier", "ts", "v_f64"
     )
+
+
+_VIDX_CACHE: dict = {}
+
+
+def _orders_value_index(spark, sf_dir):
+    """Build-once secondary value index over the orders CellStore (per sf
+    dir; rebuilt when the store version moves)."""
+    from smoltable_spark.sources import index as vindex
+
+    store = _orders_store(spark, sf_dir)
+    _ensure_probe(spark, store)
+    key = (sf_dir, store.current_version())
+    if key not in _VIDX_CACHE:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            "smoltable_vidx_" + re.sub(r"\W", "_", sf_dir) + f"_v{key[1]}",
+        )
+        if vindex.indexed_store_version(path) != store.current_version():
+            vindex.build_value_index(store, path, families=["o"])
+        _VIDX_CACHE[key] = path
+    return store, _VIDX_CACHE[key]
+
+
+@q(
+    "wc_value_index_lookup",
+    "SELECT concat('order#', lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) "
+    "AS row_key, o_totalprice AS totalprice FROM orders "
+    "WHERE o_orderpriority = '1-URGENT'",
+)
+def wc_value_index_lookup(spark, sf_dir):
+    """Secondary-index point lookup (sources/index.py): the reference's
+    only access path is the row key — value predicates are full scans.
+    The value index inverts (family, qualifier, val) → row_key with a
+    partitionBy(family, qualifier) layout, so this lookup prunes to the
+    orderpriority directory (PartitionFilters) and pushes val = URGENT
+    into parquet (PushedFilters + min/max skipping on the val-sorted
+    files) — O(matching rows), not O(table). The matched keys then drive
+    a broadcast semi-join fetch of the totalprice cells, the multi_get
+    serving path. Plan pinned by
+    tests/test_plans.py::test_value_index_lookup_prunes."""
+    from smoltable_spark.sources.index import lookup_rows_by_value
+
+    store, idx_path = _orders_value_index(spark, sf_dir)
+    keys = lookup_rows_by_value(
+        spark, idx_path, "o", "orderpriority", "1-URGENT",
+        expect_store_version=store.current_version(),
+    )
+    cells = store.read_for_filter(ColumnFilter.key("o:totalprice"))
+    return (
+        cells.filter(
+            (F.col("family") == "o") & (F.col("qualifier") == "totalprice")
+        )
+        .join(F.broadcast(keys), "row_key")
+        .select("row_key", F.col("v_f64").alias("totalprice"))
+    )

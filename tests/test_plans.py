@@ -188,3 +188,21 @@ def test_bm25_single_pass_take_ordered(spark, sf_dir):
     assert "Window" not in plan, plan
     a = plans.audit(df)
     assert a["broadcast_join"], plan
+
+
+def test_value_index_lookup_prunes(spark, sf_dir):
+    """The secondary value index must serve lookups with directory
+    pruning on (family, qualifier) and a pushed val-equality — a seek,
+    not a scan (sources/index.py)."""
+    from smoltable_spark.queries_core import wc_value_index_lookup
+
+    df = wc_value_index_lookup(spark, sf_dir)
+    a = plans.audit(df)
+    assert any(
+        "qualifier" in f and "orderpriority" in f for f in a["partition_filters"]
+    ), a["partition_filters"]
+    # the audit splits filter lists on commas: EqualTo(val, 1-URGENT)
+    # arrives as two adjacent entries
+    assert any("EqualTo(val" in f for f in a["pushed_filters"]), a["pushed_filters"]
+    assert any("1-URGENT" in f for f in a["pushed_filters"]), a["pushed_filters"]
+    assert a["broadcast_join"], a  # key fetch is a broadcast join
