@@ -17,9 +17,12 @@
      reference's metrics tables (server/src/metrics.rs:39-45).
 
 The melt is a ``stack`` projection — narrow, no shuffle, fully pipelined
-with the parquet scan. Events' parquet stores TIMESTAMP(NANOS), which
-Spark 4 refuses to read natively; an explicit LongType schema reads the
-raw INT64 nanos directly (and is what the cells model wants anyway).
+with the parquet scan. The driver's testdata has shipped ``events.ts``
+as both raw INT64 nanos and TIMESTAMP(MICROS) across rounds; the engine
+contract is invariant — ``normalize_event_ts`` re-expresses whatever is
+on disk as a raw epoch-nanos LongType (µs precision, the common
+denominator both engines read exactly), so every downstream operator and
+every DuckDB oracle (``epoch_ns(ts)``) sees identical integers.
 """
 
 from __future__ import annotations
@@ -44,7 +47,7 @@ TABLE_NAMES = [
 _EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos (see module docstring)
+        T.StructField("ts", T.LongType()),  # raw epoch nanos (see module docstring)
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -53,11 +56,28 @@ _EVENTS_SCHEMA = T.StructType(
 )
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """``events.ts`` → raw epoch-nanos LongType, whatever the on-disk type.
+
+    TIMESTAMP (ltz or ntz; session TZ is pinned to UTC in session.py so the
+    ntz→ltz cast is the identity) → ``unix_micros * 1000``: exact integer
+    nanos at µs precision, matching DuckDB's ``epoch_ns(ts)`` bit-for-bit.
+    An already-long column (raw-nanos testdata, streaming fixtures) passes
+    through unchanged. Pure projection — pipelined with the scan.
+    """
+    dtype = dict(df.dtypes).get("ts")
+    if dtype and dtype.startswith("timestamp"):
+        ns = F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+        return df.withColumn("ts", ns.cast("long"))
+    return df.withColumn("ts", F.col("ts").cast("long"))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events":
-        return spark.read.schema(_EVENTS_SCHEMA).parquet(path)
-    return spark.read.parquet(path)
+        return normalize_event_ts(df)
+    return df
 
 
 _VCOLS = ["v_str", "v_bool", "v_byte", "v_i32", "v_i64", "v_f32", "v_f64"]

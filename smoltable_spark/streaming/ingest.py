@@ -37,13 +37,29 @@ def stream_events(
     max_files_per_trigger: int = 1,
     glob: str = "*.parquet",
 ) -> DataFrame:
-    """File-source stream of events (raw-nanos LongType ts, like batch)."""
-    return (
-        spark.readStream.schema(_EVENTS_SCHEMA)
+    """File-source stream of events (raw-nanos LongType ts, like batch).
+
+    Streaming needs a declared schema; infer it from the files already on
+    disk (one driver-side footer read) so the stream accepts both on-disk
+    ``ts`` encodings the driver has shipped (raw INT64 nanos, TIMESTAMP),
+    then normalize to the engine's raw-nanos contract exactly like batch
+    ``load_table`` (sources/relational.py::normalize_event_ts).
+    """
+    from smoltable_spark.sources.relational import normalize_event_ts
+
+    try:
+        src_schema = (
+            spark.read.option("pathGlobFilter", glob).parquet(path).schema
+        )
+    except Exception:  # empty dir at stream start — fixtures use raw nanos
+        src_schema = _EVENTS_SCHEMA
+    stream = (
+        spark.readStream.schema(src_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("pathGlobFilter", glob)
         .parquet(path)
     )
+    return normalize_event_ts(stream)
 
 
 def events_to_cells_stream(events: DataFrame) -> DataFrame:

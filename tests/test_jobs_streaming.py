@@ -97,9 +97,9 @@ def test_streaming_hourly_rollup_matches_batch(spark, tmp_path, events_dir):
     got = spark.sql(
         "SELECT count(*) c, sum(n_events) n FROM rollup_stream"
     ).collect()[0]
-    ev = spark.read.schema(
-        stream_events(spark, events_dir).schema
-    ).parquet(events_dir)
+    from smoltable_spark.sources.relational import normalize_event_ts
+
+    ev = normalize_event_ts(spark.read.parquet(events_dir))
     # append mode emits only windows whose end is past the final watermark
     # (max event time − 2 h delay); apply the same cutoff to the batch side
     hour = 3_600_000_000_000
