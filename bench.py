@@ -75,6 +75,17 @@ HEADLINE = [
     "txt_gopher_quality",
     "txt_bm25",
     "stream_click_attribution",
+    # r3b additions: timeseries densification / cohorts / moving frames /
+    # anomaly scoring / MG heavy hitters / incremental dedup / embedding
+    # standardization / streaming top-k
+    "rel_gap_fill",
+    "rel_retention_cohort",
+    "rel_moving_window",
+    "rel_anomaly_zscore",
+    "txt_heavy_hitters",
+    "pipeline_incremental_dedup",
+    "emb_standardize",
+    "stream_windowed_topk",
 ]
 
 REGRESSION_FACTOR = 1.5

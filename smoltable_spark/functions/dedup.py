@@ -802,3 +802,37 @@ def repeated_ngrams(
         .orderBy(F.desc("n_docs"), F.asc("ngram"))
         .limit(top)
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental (cross-snapshot) dedup
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup a NEW ingestion batch against an existing corpus without
+    re-reading corpus text: (batch ∖ corpus) by exact fingerprint, then
+    first-wins (min id) within the batch itself.
+
+    Returns (id, fp) of the batch docs to admit. This is the steady-state
+    shape of a crawl pipeline: the corpus side only needs its fingerprint
+    column (in practice a persisted fingerprint index — cheap to scan,
+    pushed-down projection), so each incremental run costs
+    O(|batch| + |corpus_fps|) with ONE shuffle on fp for the anti-join
+    and the same partitioning reused by the keeper aggregate. Never
+    broadcast the corpus side: at 100 TB the fingerprint index is still
+    billions of rows; the batch side is the small one, and AQE will
+    broadcast it when it fits.
+    """
+    fp = fingerprint(F.col(text_col))
+    corpus_fps = corpus.select(fp.alias("fp"))
+    batch_fps = batch.select(fp.alias("fp"), F.col(id_col))
+    return (
+        batch_fps.join(corpus_fps, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "fp")
+    )

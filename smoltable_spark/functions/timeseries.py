@@ -146,6 +146,65 @@ def sessionize(
     )
 
 
+def resample_ffill(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    value_col: str,
+    step: int,
+) -> DataFrame:
+    """Resample an irregular series onto a fixed ``step`` grid and
+    forward-fill buckets with no observations (gap fill) — the classic
+    timeseries densification Spark has no native operator for.
+
+    Returns one row per (key, bucket) from each key's first to last
+    observed bucket: ``bucket``, ``value_ffill`` (last observed value
+    at-or-before the bucket), ``n_obs`` (observations inside the bucket,
+    0 for filled gaps).
+
+    Scale design (100 TB): the raw stream is touched exactly once, by a
+    partially-aggregated groupBy (map-side combine) that compresses it to
+    ≤ one row per (key, bucket). Every window below runs over that
+    RESAMPLED grid — |grid| = span/step per key, independent of raw
+    event volume — so the per-key window partitions stay small no matter
+    how hot a key is. In-bucket "last" is the max of ``struct(time,
+    value)``: a total order, so ties on time resolve deterministically by
+    value in any engine.
+    """
+    # integer div, NOT `/` + cast: epoch-nanos exceed double's 2^53 exact
+    # integer range, so float division would misplace bucket boundaries
+    b = F.expr(f"{time_col} div {step}")
+    obs = (
+        df.groupBy(F.col(key).alias("_k"), b.alias("bucket"))
+        .agg(
+            F.max(F.struct(F.col(time_col), F.col(value_col).alias("_v")))["_v"].alias(
+                "_last_obs"
+            ),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
+    bounds = obs.groupBy("_k").agg(
+        F.min("bucket").alias("_mn"), F.max("bucket").alias("_mx")
+    )
+    grid = bounds.select(
+        "_k", F.explode(F.sequence("_mn", "_mx")).alias("bucket")
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["_k", "bucket"], "left")
+        .select(
+            F.col("_k").alias(key),
+            "bucket",
+            F.last("_last_obs", ignorenulls=True).over(w).alias("value_ffill"),
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+        )
+    )
+
+
 def session_stats(
     events: DataFrame,
     key: str,

@@ -21,6 +21,7 @@ from smoltable_spark.functions import (
     profile,
     sampling,
     similarity,
+    sketch,
     text,
     timeseries,
 )
@@ -2285,3 +2286,371 @@ def txt_boolean_search(spark, sf_dir):
     corpus size — the exact-filter complement of txt_bm25's ranking."""
     docs = load_table(spark, sf_dir, "documents")
     return text.boolean_search(docs, _BOOL_TERMS)
+
+
+# ---------------------------------------------------------------------------
+# timeseries densification / cohorts / moving windows / anomalies (round 3b)
+
+_WEEK_NS = 7 * 24 * _HOUR_NS
+
+
+@q(
+    "rel_gap_fill",
+    f"""
+    WITH obs AS (
+        SELECT event_type,
+               epoch_ns(ts) // {_HOUR_NS} AS bucket,
+               max(struct_pack(t := epoch_ns(ts), v := value)).v AS last_obs,
+               CAST(count(*) AS BIGINT) AS n_obs
+        FROM events
+        GROUP BY 1, 2
+    ),
+    bounds AS (SELECT event_type, min(bucket) AS mn, max(bucket) AS mx
+               FROM obs GROUP BY 1),
+    grid AS (SELECT event_type, unnest(generate_series(mn, mx)) AS bucket
+             FROM bounds)
+    SELECT g.event_type, g.bucket,
+           last_value(o.last_obs IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+           coalesce(o.n_obs, 0) AS n_obs
+    FROM grid g LEFT JOIN obs o
+      ON g.event_type = o.event_type AND g.bucket = o.bucket
+    """,
+)
+def rel_gap_fill(spark, sf_dir):
+    """Fixed-grid resample + forward fill (functions/timeseries.py:
+    resample_ffill). Hourly grid per event-type series; gap buckets carry
+    the last observed value forward with n_obs = 0. The raw stream is
+    compressed by one partially-aggregated groupBy before any window
+    runs — the window's partition is the resampled grid (span/step rows
+    per key), not the raw events, so a hot series cannot create a
+    straggler task at 100 TB."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    return timeseries.resample_ffill(
+        ev, key="event_type", time_col="ts", value_col="value", step=_HOUR_NS
+    )
+
+
+@q(
+    "rel_retention_cohort",
+    f"""
+    WITH firsts AS (
+        SELECT user_id, min(epoch_ns(ts)) // {_WEEK_NS} AS cohort_week
+        FROM events GROUP BY 1
+    ),
+    act AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               epoch_ns(e.ts) // {_WEEK_NS} - f.cohort_week AS week_offset
+        FROM events e JOIN firsts f USING (user_id)
+    ),
+    mat AS (
+        SELECT cohort_week, week_offset,
+               CAST(count(*) AS BIGINT) AS active_users
+        FROM act GROUP BY 1, 2
+    )
+    SELECT cohort_week, week_offset, active_users,
+           CAST(active_users AS DOUBLE) / first_value(active_users) OVER (
+               PARTITION BY cohort_week ORDER BY week_offset) AS retention
+    FROM mat
+    """,
+)
+def rel_retention_cohort(spark, sf_dir):
+    """Weekly cohort retention matrix: users grouped by first-seen week,
+    activity counted per (cohort, week-offset), retention normalized to
+    the cohort's week-0 size.
+
+    Scale: first-seen is a partial-aggregated groupBy on user_id; the
+    events↔firsts join is a user_id equi-join (both sides hash-partition
+    on the same key — AQE broadcasts the firsts side only when it is
+    genuinely small). The normalizing window runs over the cohort
+    matrix (|cohorts| × |weeks| rows), never over raw events."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"ts div {_WEEK_NS}").alias("week")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    mat = (
+        ev.join(firsts, "user_id")
+        .select("user_id", "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+    w = Window.partitionBy("cohort_week").orderBy("week_offset")
+    return mat.select(
+        "cohort_week",
+        "week_offset",
+        "active_users",
+        (
+            F.col("active_users").cast("double")
+            / F.first("active_users").over(w)
+        ).alias("retention"),
+    )
+
+
+@q(
+    "rel_moving_window",
+    f"""
+    WITH hourly AS (
+        SELECT event_type, epoch_ns(ts) // {_HOUR_NS} AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               sum({cents_sql('value')}) AS sum_cents
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, bucket, n,
+           sum(n) OVER w24 AS n_24h,
+           sum(sum_cents) OVER w24 / 100.0 AS value_24h,
+           n - coalesce(sum(n) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING), 0) AS delta_prev_hour
+    FROM hourly
+    WINDOW w24 AS (PARTITION BY event_type ORDER BY bucket
+                   RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rel_moving_window(spark, sf_dir):
+    """Frame-based moving aggregates on an hourly series: trailing-24h
+    event count and value sum (RANGE frame over the integer hour bucket,
+    so hour GAPS shrink the frame instead of silently widening it the
+    way a ROWS frame would), plus the delta vs the previous hour bucket
+    (RANGE 1-1 — null-safe against gaps, unlike lag()).
+
+    All sums are integer (counts / cents) → order-independent and exact
+    in both engines; the single final division produces the double.
+    Windows run over the hourly aggregate (5 series × span hours), never
+    raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.expr(f"ts div {_HOUR_NS}").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents(F.col("value"))).alias("sum_cents"),
+        )
+    )
+    w24 = (
+        Window.partitionBy("event_type").orderBy("bucket").rangeBetween(-23, 0)
+    )
+    wprev = (
+        Window.partitionBy("event_type").orderBy("bucket").rangeBetween(-1, -1)
+    )
+    return hourly.select(
+        "event_type",
+        "bucket",
+        "n",
+        F.sum("n").over(w24).alias("n_24h"),
+        (F.sum("sum_cents").over(w24) / 100.0).alias("value_24h"),
+        (F.col("n") - F.coalesce(F.sum("n").over(wprev), F.lit(0))).alias(
+            "delta_prev_hour"
+        ),
+    )
+
+
+@q(
+    "rel_anomaly_zscore",
+    f"""
+    WITH stats AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               sum({cents_sql('value')}) AS s,
+               sum({cents_sql('value')} * {cents_sql('value')}) AS ss
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           (CAST({cents_sql('e.value')} AS DOUBLE) - CAST(s AS DOUBLE) / n)
+             / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)) AS z
+    FROM events e JOIN stats USING (event_type)
+    WHERE abs((CAST({cents_sql('e.value')} AS DOUBLE) - CAST(s AS DOUBLE) / n)
+             / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1))) > 3
+    """,
+)
+def rel_anomaly_zscore(spark, sf_dir):
+    """Per-series z-score outliers (|z| > 3). The group stats are EXACT
+    integer sums (cents and squared cents fit comfortably in int64), so
+    mean/variance derive from identical integers in both engines and the
+    identical double expression tree yields bit-equal z values — no
+    float-summation order sensitivity.
+
+    Scale: stats is a partial-aggregated groupBy producing |event_type|
+    rows, broadcast back onto the fact stream — the per-row scoring pass
+    is map-side only (zero fact shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = cents(F.col("value"))
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c).alias("s"),
+        F.sum(c * c).alias("ss"),
+    )
+    joined = ev.join(F.broadcast(stats), "event_type")
+    z = (c.cast("double") - F.col("s").cast("double") / F.col("n")) / F.sqrt(
+        (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return joined.select(
+        "event_id", "event_type", "value", z.alias("z")
+    ).filter(F.abs(F.col("z")) > 3)
+
+
+# ---------------------------------------------------------------------------
+# bounded-space sketches / incremental dedup / embedding normalization (round 3b)
+
+_HH_THRESHOLD = 0.03
+_DAY_NS = 24 * _HOUR_NS
+
+
+@q(
+    "txt_heavy_hitters",
+    f"""
+    WITH toks AS (SELECT unnest({TOKS_SQL}) AS tok FROM documents),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
+    SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+    FROM toks, tot GROUP BY tok, n
+    HAVING count(*) >= ceil({_HH_THRESHOLD} * n)
+    """,
+)
+def txt_heavy_hitters(spark, sf_dir):
+    """EXACT corpus heavy hitters (tokens with freq ≥ 3% of the stream)
+    via the two-phase Misra-Gries plan (functions/sketch.py): O(k)-memory
+    per-partition summaries prune the candidate space map-side, then one
+    exact counting pass over ONLY candidate tokens. The oracle is the
+    naive GROUP BY/HAVING — the sketch provably never changes the
+    answer, only the shuffle volume (candidates instead of every
+    distinct token, the difference between GBs and TBs at 100 TB)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokens(F.col("text"))).alias("tok"))
+    return sketch.heavy_hitters(toks, threshold=_HH_THRESHOLD)
+
+
+@q(
+    "pipeline_incremental_dedup",
+    f"""
+    WITH tagged AS (
+        SELECT doc_id, md5(lower(trim(text))) AS fp,
+               {seeded_sql('incr', 'doc_id')} % 4 = 0 AS is_new
+        FROM documents
+    )
+    SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, fp
+    FROM tagged
+    WHERE is_new
+      AND fp NOT IN (SELECT fp FROM tagged WHERE NOT is_new)
+    GROUP BY fp
+    """,
+)
+def pipeline_incremental_dedup(spark, sf_dir):
+    """Incremental crawl ingestion: dedup a new batch (a deterministic
+    1/4 hash-slice of documents stands in for 'today's crawl') against
+    the existing corpus by fingerprint anti-join + first-wins within the
+    batch (functions/dedup.py:incremental_dedup). The corpus side scans
+    only its fingerprint column — the persisted-index access pattern —
+    and is never broadcast (billions of rows at scale); one fp shuffle
+    total."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.pmod(seeded("incr", F.col("doc_id").cast("string")), F.lit(4)) == 0
+    return dedup.incremental_dedup(
+        docs.filter(~is_new), docs.filter(is_new)
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), "fp")
+
+
+@q(
+    "emb_standardize",
+    f"""
+    WITH qv AS (SELECT vec_id, {_QVEC_SQL} AS q FROM embeddings),
+    flat AS (
+        SELECT vec_id, i AS dim, q[i] AS v
+        FROM qv, unnest(range(1, len(q) + 1)) AS u(i)
+    ),
+    stats AS (
+        SELECT dim, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS ss
+        FROM flat GROUP BY 1
+    )
+    SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+           (CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / n)
+             / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)) AS z
+    FROM flat JOIN stats USING (dim)
+    """,
+)
+def emb_standardize(spark, sf_dir):
+    """Per-dimension standardization (whitening lite) of the embedding
+    table: z = (x - μ_d)/σ_d per dimension, on the same fixed-point
+    quantization the ANN operators use, so sums are exact integers and
+    the final double expression is bit-equal across engines.
+
+    Scale: posexplode is map-side; the stats aggregate reduces to |dims|
+    rows (partial agg), broadcast back — the scoring pass never shuffles
+    the vectors. Output is the flat (vec_id, dim, z) form; re-nesting to
+    arrays is a collect_list away when a consumer needs it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * similarity.QUANT).cast("long"),
+    )
+    flat = emb.select(
+        "vec_id", F.posexplode(qv).alias("pos", "v")
+    ).select("vec_id", (F.col("pos") + 1).cast("long").alias("dim"), "v")
+    stats = flat.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    joined = flat.join(F.broadcast(stats), "dim")
+    z = (F.col("v").cast("double") - F.col("s").cast("double") / F.col("n")) / F.sqrt(
+        (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return joined.select("vec_id", "dim", z.alias("z"))
+
+
+@q(
+    "stream_windowed_topk",
+    f"""
+    WITH d AS (
+        SELECT (epoch_ns(ts) // {_DAY_NS}) * {_DAY_NS} AS day_start_ns,
+               event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT day_start_ns, event_type, n, CAST(rk AS INT) AS rk
+    FROM (SELECT d.*, row_number() OVER (
+              PARTITION BY day_start_ns ORDER BY n DESC, event_type) AS rk
+          FROM d)
+    WHERE rk <= 3
+    """,
+)
+def stream_windowed_topk(spark, sf_dir):
+    """Streaming trending-items: tumbling 1-day event-time windows
+    aggregated in Structured Streaming (complete mode, availableNow
+    replay of the events file), then top-3 event types per window ranked
+    over the materialized sink. The rank runs over the aggregated
+    (window × type) table — tiny — while the unbounded counting happens
+    in the stream with map-side partial aggregation. Deterministic
+    tie-break (count DESC, type ASC) keeps the oracle exact."""
+    from smoltable_spark.streaming.ingest import stream_events
+
+    events = stream_events(spark, sf_dir, glob="events.parquet")
+    et = events.withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    counts = (
+        et.groupBy(F.window("event_time", "1 day").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            (F.unix_micros(F.col("win.start")) * 1000).cast("long").alias("day_start_ns"),
+            "event_type",
+            "n",
+        )
+    )
+    name = f"_stream_topk_{next(_STREAM_SINK_COUNTER)}"
+    sq = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(300)
+    w = Window.partitionBy("day_start_ns").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        spark.table(name)
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+    )

@@ -27,6 +27,9 @@ def test_every_query_documented():
 
 
 def test_naming_convention():
-    prefixes = ("wc_", "rel_", "txt_", "dedup_", "ann_", "mm_", "stream_", "pipeline_")
+    prefixes = (
+        "wc_", "rel_", "txt_", "dedup_", "ann_", "emb_", "mm_", "stream_",
+        "pipeline_",
+    )
     for name in entry.queries():
         assert name.startswith(prefixes), name

@@ -1,0 +1,102 @@
+"""Misra-Gries heavy-hitter sketch: superset guarantee + exactness.
+
+The registry query (txt_heavy_hitters) is oracle-pinned against the naive
+GROUP BY/HAVING; these tests pin the part the oracle can't see — that the
+MG candidate pruning NEVER drops a true heavy hitter, for any stream and
+any partitioning (the pigeonhole argument in functions/sketch.py).
+"""
+
+import math
+from collections import Counter
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from smoltable_spark.functions import sketch
+
+
+def _mg_summary(stream, k):
+    counters = {}
+    for tok in stream:
+        sketch._mg_add(counters, tok, 1, k)
+    return counters
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=400),
+    st.integers(min_value=2, max_value=20),
+)
+@settings(max_examples=300, deadline=None)
+def test_mg_single_stream_superset(stream, k):
+    counters = _mg_summary(stream, k)
+    assert len(counters) <= k
+    n = len(stream)
+    for tok, c in Counter(stream).items():
+        if c > n / (k + 1):
+            assert tok in counters, (tok, c, n, k)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=400),
+    st.floats(min_value=0.05, max_value=0.5),
+    st.lists(st.integers(min_value=0, max_value=400), max_size=4),
+)
+@settings(max_examples=300, deadline=None)
+def test_mg_partitioned_superset(stream, theta, cut_points):
+    """θ-heavy items survive the UNION of per-partition summaries for any
+    partitioning of the stream — the distributed phase-1 invariant."""
+    k = math.ceil(1 / theta)
+    n = len(stream)
+    cuts = sorted({min(c, n) for c in cut_points})
+    parts, lo = [], 0
+    for c in cuts + [n]:
+        if c > lo:
+            parts.append(stream[lo:c])
+            lo = c
+    union = set()
+    for p in parts:
+        union |= set(_mg_summary(p, k))
+    for tok, c in Counter(stream).items():
+        if c >= theta * n:
+            assert tok in union, (tok, c, theta, n, [len(p) for p in parts])
+
+
+def test_weighted_add_matches_unit_adds():
+    """Folding (tok, c) in one weighted step keeps the same bound as c
+    unit steps: counters undercount true frequency by at most n/(k+1)."""
+    stream = [1] * 40 + [2] * 30 + list(range(3, 40))
+    k = 5
+    counters = {}
+    for tok, c in Counter(stream).items():
+        sketch._mg_add(counters, tok, c, k)
+    n = len(stream)
+    for tok, c in Counter(stream).items():
+        assert counters.get(tok, 0) >= c - n / (k + 1) - 1e-9
+
+
+def test_heavy_hitters_validates_params(spark):
+    df = spark.createDataFrame([("a",)], "tok string")
+    with pytest.raises(ValueError):
+        sketch.heavy_hitters(df, threshold=0.0)
+    with pytest.raises(ValueError):
+        sketch.heavy_hitters(df, threshold=0.1, k=3)
+
+
+def test_heavy_hitters_exact_vs_bruteforce(spark):
+    import pyspark.sql.functions as F
+
+    rows = [("x",)] * 50 + [("y",)] * 20 + [(f"t{i}",) for i in range(30)]
+    df = spark.createDataFrame(rows, "tok string").repartition(4)
+    got = {
+        (r["tok"], r["cnt"])
+        for r in sketch.heavy_hitters(df, threshold=0.15).collect()
+    }
+    n = len(rows)
+    brute = {
+        (r["tok"], r["cnt"])
+        for r in df.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= math.ceil(0.15 * n))
+        .collect()
+    }
+    assert got == brute == {("x", 50), ("y", 20)}

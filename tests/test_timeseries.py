@@ -72,3 +72,29 @@ def test_range_join_buckets(spark):
     )
     got = sorted((r["t"], r["tag"]) for r in out.collect())
     assert got == [(5, "i1"), (15, "i1")]  # 25/99 match nothing; i2 covers only t=20
+
+
+def test_resample_ffill_fills_gaps(spark):
+    # key a: obs in buckets 0 and 3 (values 1.0 then 7.0) → buckets 1,2
+    # carry 1.0 forward with n_obs=0; in-bucket last wins (t=9 over t=5)
+    ev = spark.createDataFrame(
+        [("a", 5, 1.0), ("a", 9, 4.0), ("a", 35, 7.0), ("b", 12, 2.0)],
+        "k string, t long, v double",
+    )
+    out = timeseries.resample_ffill(ev, key="k", time_col="t", value_col="v", step=10)
+    got = {(r["k"], r["bucket"]): (r["value_ffill"], r["n_obs"]) for r in out.collect()}
+    assert got == {
+        ("a", 0): (4.0, 2),   # last obs in bucket = max(t) → v=4.0
+        ("a", 1): (4.0, 0),
+        ("a", 2): (4.0, 0),
+        ("a", 3): (7.0, 1),
+        ("b", 1): (2.0, 1),
+    }
+
+
+def test_resample_ffill_tie_on_time_takes_max_value(spark):
+    ev = spark.createDataFrame(
+        [("a", 5, 1.0), ("a", 5, 3.0)], "k string, t long, v double"
+    )
+    out = timeseries.resample_ffill(ev, key="k", time_col="t", value_col="v", step=10)
+    assert out.collect()[0]["value_ffill"] == 3.0
