@@ -2360,19 +2360,24 @@ def rel_retention_cohort(spark, sf_dir):
     activity counted per (cohort, week-offset), retention normalized to
     the cohort's week-0 size.
 
-    Scale: first-seen is a partial-aggregated groupBy on user_id; the
-    events↔firsts join is a user_id equi-join (both sides hash-partition
-    on the same key — AQE broadcasts the firsts side only when it is
-    genuinely small). The normalizing window runs over the cohort
-    matrix (|cohorts| × |weeks| rows), never over raw events."""
+    Scale: TWO shuffles total. ``collect_set(week)`` per user partially
+    aggregates map-side (sets merge), so the one events-sized shuffle
+    carries per-user week SETS (bounded by the week span, not event
+    volume); cohort = array_min of the same set — no join back, no
+    separate firsts pass, no events-sized distinct. The explode that
+    follows emits |weeks-per-user| rows per user (already deduped), and
+    the final matrix aggregate is the second shuffle. The normalizing
+    window runs over the cohort matrix (|cohorts| × |weeks| rows)."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.expr(f"ts div {_WEEK_NS}").alias("week")
     )
-    firsts = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    per_user = ev.groupBy("user_id").agg(F.collect_set("week").alias("weeks"))
     mat = (
-        ev.join(firsts, "user_id")
-        .select("user_id", "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
-        .distinct()
+        per_user.select(
+            F.array_min("weeks").alias("cohort_week"),
+            F.explode("weeks").alias("week"),
+        )
+        .select("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("active_users"))
     )
