@@ -86,6 +86,10 @@ HEADLINE = [
     "pipeline_incremental_dedup",
     "emb_standardize",
     "stream_windowed_topk",
+    "pipeline_source_caps",
+    "txt_keywords",
+    "rel_transition_matrix",
+    "rel_pagerank",
 ]
 
 REGRESSION_FACTOR = 1.5

@@ -17,7 +17,7 @@ oracle-checkable in DuckDB bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from smoltable_spark.functions.hashing import md5_long, md5_long_sql
 
@@ -79,3 +79,37 @@ def stratified_sample_sql(
     )
     cut = f"CASE {cases} ELSE {int(round(default_rate * RATE_MOD))} END"
     return f"({h} % {RATE_MOD}) < ({cut})"
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list,
+    k: int,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Keep the top-``k`` rows per group under a deterministic total order
+    (``order_cols`` must break all ties) — the per-source document cap of
+    a crawl-balancing pipeline.
+
+    Scale path: a naive ``Window.partitionBy(group)`` gives every group
+    ONE task — a hot source (half the corpus behind one domain) becomes
+    one straggler. Because the global top-k of a group is contained in
+    the union of its per-partition top-k's, stage 1 ranks within
+    (group, input-partition) — windows keyed by the partition id never
+    skew — and keeps ≤ k rows each; stage 2 re-ranks only the survivors
+    (≤ k × n_partitions rows per group). The group-keyed shuffle
+    therefore carries survivors, not the corpus.
+    """
+    order = [c.asc() if hasattr(c, "asc") else F.col(c).asc() for c in order_cols]
+    local = Window.partitionBy(group_col, F.spark_partition_id()).orderBy(*order)
+    survivors = (
+        df.withColumn("_lrk", F.row_number().over(local))
+        .filter(F.col("_lrk") <= k)
+        .drop("_lrk")
+    )
+    final = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        survivors.withColumn(rank_col, F.row_number().over(final))
+        .filter(F.col(rank_col) <= k)
+    )

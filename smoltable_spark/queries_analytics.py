@@ -2659,3 +2659,227 @@ def stream_windowed_topk(spark, sf_dir):
         .withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# source caps / keyword extraction / transition matrix (round 3b, batch 2)
+
+_SOURCE_CAP = 10
+
+
+@q(
+    "pipeline_source_caps",
+    f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY {seeded_sql('cap', 'doc_id')}, doc_id) AS rk
+        FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= {_SOURCE_CAP}
+    """,
+)
+def pipeline_source_caps(spark, sf_dir):
+    """Per-source document cap (crawl balancing): keep a deterministic
+    hash-priority top-{cap} per source so no domain dominates the mix.
+    Runs the two-phase top-k (functions/sampling.py:cap_per_group):
+    per-(source, input-partition) local ranks first — so one hot source
+    cannot serialize into a single window task — then a final rank over
+    ≤ k×partitions survivors. The oracle is the naive single window."""
+    docs = load_table(spark, sf_dir, "documents")
+    pri = seeded("cap", F.col("doc_id").cast("string"))
+    capped = sampling.cap_per_group(
+        docs.select("doc_id", "source", pri.alias("_pri")),
+        group_col="source",
+        order_cols=[F.col("_pri"), F.col("doc_id")],
+        k=_SOURCE_CAP,
+    )
+    return capped.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("rk").cast("int").alias("rk"),
+    )
+
+
+@q(
+    "txt_keywords",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+    df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           FROM toks GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.tok,
+               CAST(tf.tf AS DOUBLE) * n / df.df AS score
+        FROM tf JOIN df USING (tok), nn
+    ),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, tok) AS rk FROM scored)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, tok, score, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def txt_keywords(spark, sf_dir):
+    """Top-5 keywords per document by tf·(N/df) — tf-idf with the raw
+    rarity ratio instead of its logarithm, because ln() is not
+    bit-portable across engines while one multiply + one divide is; the
+    RANKING is monotone-identical to log-idf. Deterministic tie-break on
+    token. Scale: tf and df are partial-aggregated; the tf↔df join keys
+    on token (AQE broadcasts df when the vocab fits); the per-doc rank
+    partitions by doc_id — millions of small partitions, no skew."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id"), F.explode(text.tokens(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.count()
+    scored = tf.join(df, "tok").select(
+        "doc_id",
+        "tok",
+        (F.col("tf").cast("double") * F.lit(n) / F.col("df")).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 5)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "tok", "score", "rk")
+    )
+
+
+@q(
+    "rel_transition_matrix",
+    f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY epoch_ns(ts), event_id) AS prev_type
+        FROM events
+    ),
+    mat AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type) AS p
+    FROM mat
+    """,
+)
+def rel_transition_matrix(spark, sf_dir):
+    """First-order event-type transition matrix (Markov counts +
+    per-row conditional probability): lag over each user's event
+    sequence, then count (prev → next) pairs. The lag window partitions
+    by user_id (bounded per-user history, no skew); the probability
+    normalizer runs over the |types|² matrix. Tie-breaking on
+    (ts, event_id) makes the sequence — and the matrix — deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    mat = (
+        seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return mat.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wp)).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# iterative graph: fixed-point PageRank (round 3b, batch 2)
+
+_PR_SCALE = 1_000_000  # rank unit: micro-rank, all arithmetic integer
+
+
+def _pagerank_oracle(iters: int = 2) -> str:
+    """Unrolled integer PageRank over the customer↔supplier bipartite
+    graph (distinct trading pairs from orders×lineitem), both directions.
+
+    All arithmetic is integer (micro-rank units, floor divisions), so
+    every iteration is bit-exact in any engine — the reason an iterative
+    algorithm can be oracle-pinned at all. Teleport = 0.15, damping
+    applied as (85·Σ) // 100.
+    """
+    sql = f"""
+    WITH pairs AS (
+        SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS (
+        SELECT src, dst FROM pairs
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM pairs
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+    r0 AS (SELECT src AS node, CAST({_PR_SCALE} AS BIGINT) AS r FROM deg)
+    """
+    prev = "r0"
+    for i in range(1, iters + 1):
+        sql += f""",
+    s{i} AS (
+        SELECT e.dst AS node, sum(p.r // d.deg) AS acc
+        FROM edges e
+        JOIN {prev} p ON e.src = p.node
+        JOIN deg d ON e.src = d.src
+        GROUP BY 1
+    ),
+    r{i} AS (
+        SELECT node,
+               CAST({int(0.15 * _PR_SCALE)} + (85 * acc) // 100 AS BIGINT) AS r
+        FROM s{i}
+    )"""
+        prev = f"r{i}"
+    sql += f" SELECT node, r FROM {prev}"
+    return sql
+
+
+@q("rel_pagerank", _pagerank_oracle(iters=2))
+def rel_pagerank(spark, sf_dir):
+    """PageRank (2 iterations) over the customer↔supplier trading graph
+    in exact integer fixed-point: micro-rank units, contributions
+    ``r // deg``, damping ``(85·Σ) // 100`` — every iteration bit-exact
+    across engines, which is what lets an ITERATIVE algorithm have a SQL
+    oracle (same trick as the unrolled-Lloyd's k-means oracle).
+
+    Scale: edges and degrees are computed once and reused; each
+    iteration is one join on the rank table (partitioned by node) + one
+    partial-aggregated sum — the standard Pregel-style plan. Two
+    iterations unroll into one lazy plan; for deep iteration counts,
+    localCheckpoint per round caps plan growth (see
+    similarity.py k-means)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select(F.col("src").alias("node"), F.lit(_PR_SCALE).cast("long").alias("r"))
+    for _ in range(2):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), F.expr("r div deg").alias("c"))
+        )
+        ranks = contrib.groupBy("node").agg(
+            (
+                F.lit(int(0.15 * _PR_SCALE))
+                + F.expr("(85 * sum(c)) div 100")
+            ).cast("long").alias("r")
+        )
+    return ranks

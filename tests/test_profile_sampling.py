@@ -121,3 +121,26 @@ def test_boolean_search_vs_bruteforce(spark):
         if {"alpha", "beta"} <= set(toks):
             expect[did] = sum(toks.count(w) for w in ("alpha", "beta"))
     assert got == expect  # {1: 2, 2: 3, 4: 2}
+
+
+def test_cap_per_group_matches_naive_window(spark):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+    from smoltable_spark.functions.sampling import cap_per_group
+
+    rows = [(f"g{i % 3}", i, float(i * 7 % 11)) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, id long, pri double").repartition(7)
+    got = {
+        (r["g"], r["id"], r["rk"])
+        for r in cap_per_group(
+            df, group_col="g", order_cols=[F.col("pri"), F.col("id")], k=5
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.col("pri").asc(), F.col("id").asc())
+    naive = {
+        (r["g"], r["id"], r["rk"])
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .collect()
+    }
+    assert got == naive and len(naive) == 15
