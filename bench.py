@@ -90,6 +90,7 @@ HEADLINE = [
     "txt_keywords",
     "rel_transition_matrix",
     "rel_pagerank",
+    "emb_pca_power",
 ]
 
 REGRESSION_FACTOR = 1.5

@@ -17,6 +17,7 @@ from pyspark.sql import Window, functions as F
 
 from smoltable_spark.functions import (
     dedup,
+    linalg,
     multimodal,
     profile,
     sampling,
@@ -2883,3 +2884,46 @@ def rel_pagerank(spark, sf_dir):
             ).cast("long").alias("r")
         )
     return ranks
+
+
+# ---------------------------------------------------------------------------
+# spectral: exact-integer PCA power iteration (round 3b, batch 3)
+
+
+@q(
+    "emb_pca_power",
+    f"""
+    WITH qv AS (SELECT vec_id, {_QVEC_SQL} AS q FROM embeddings),
+    flat AS (
+        SELECT vec_id, i AS d, q[i] AS v
+        FROM qv, unnest(range(1, len(q) + 1)) AS u(i)
+    ),
+    gram AS (
+        SELECT a.d AS i, b.d AS j, CAST(sum(a.v * b.v) AS BIGINT) AS g
+        FROM flat a JOIN flat b ON a.vec_id = b.vec_id GROUP BY 1, 2
+    ),
+    u1 AS (SELECT i AS d, CAST(sum(g) AS BIGINT) AS u FROM gram GROUP BY 1),
+    s1 AS (SELECT CAST(max(abs(u)) // 30 AS BIGINT) + 1 AS s FROM u1),
+    v1 AS (SELECT d, CAST((u - ((u % s) + s) % s) // s AS BIGINT) AS v
+           FROM u1, s1),
+    u2 AS (SELECT g.i AS d, CAST(sum(g.g * v1.v) AS BIGINT) AS v
+           FROM gram g JOIN v1 ON g.j = v1.d GROUP BY 1)
+    SELECT CAST(d AS BIGINT) AS d, v FROM u2
+    """,
+)
+def emb_pca_power(spark, sf_dir):
+    """Leading principal direction of the embedding table by TWO integer
+    power-iteration steps over the exact int64 gram matrix
+    (functions/linalg.py). The gram is built in ONE corpus pass of
+    per-partition numpy outer products (dim² rows shuffle per partition,
+    vectors never shuffle); the iteration itself touches only the
+    dim×dim gram. Fixed-point rescaling between steps keeps every
+    product in int64 — which is why an eigensolver step can have a SQL
+    oracle at all (same trick as the k-means and PageRank oracles).
+    Output: un-normalized direction (d, v); normalize in float
+    downstream if a unit vector is needed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = linalg.gram_matrix(emb)
+    return linalg.power_iteration(g, iters=2, vmax=30).select(
+        F.col("d").cast("long").alias("d"), "v"
+    )

@@ -297,6 +297,53 @@ def main():
     timed("ann_srp_single_recall_perturbed", lambda: srp_recall_p(False))
     timed("ann_srp_multiprobe_recall_perturbed", lambda: srp_recall_p(True))
 
+    # round-3b operators at 10x: the sketch path, densification, caps,
+    # cohorts and the whitening pass — each on the replicated tables
+    from smoltable_spark.functions import sampling as smp, sketch
+
+    timed(
+        "heavy_hitters_2.7M_tokens",
+        lambda: sketch.heavy_hitters(
+            docs.select(F.explode(text.tokens(F.col("text"))).alias("tok")),
+            threshold=0.03,
+        ).count(),
+    )
+    timed(
+        "resample_ffill_1M_events",
+        lambda: timeseries.resample_ffill(
+            ev.select("event_type", "ts", "value"),
+            key="event_type", time_col="ts", value_col="value",
+            step=3_600_000_000_000,
+        ).count(),
+    )
+    timed(
+        "cap_per_group_50k_docs",
+        lambda: smp.cap_per_group(
+            docs.select("doc_id", "source"),
+            group_col="source", order_cols=["doc_id"], k=10,
+        ).count(),
+    )
+    timed(
+        "retention_cohort_1M_events",
+        lambda: ev.select(
+            "user_id", F.expr("ts div 604800000000000").alias("week")
+        )
+        .groupBy("user_id").agg(F.collect_set("week").alias("weeks"))
+        .select(F.array_min("weeks").alias("cw"), F.explode("weeks").alias("w"))
+        .groupBy("cw", (F.col("w") - F.col("cw")).alias("off")).count()
+        .count(),
+    )
+    emb10 = load_table(spark, OUT, "embeddings")
+    timed(
+        "emb_standardize_500k_vecs",
+        lambda: emb10.select(
+            "vec_id", F.posexplode("embedding").alias("dim", "v")
+        )
+        .groupBy("dim")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .count(),
+    )
+
     # the flat-pruned-scan claim, demonstrated: the same 7.5M cells written
     # through CellStore (range-partitioned, key-sorted) — row-group stats
     # are tight, so the 50-row prefix scan must not scale with table size
@@ -348,6 +395,16 @@ Steady-state timings (2nd run per op). Reading the table:
   neighbors at cosine ~0.98-0.9997 instead of exact ties, so these are
   the honest recall figures — exact clones always share the quantizer
   cell of their source, which flatters the replicated-set numbers.
+- `heavy_hitters_2.7M_tokens`: the two-phase Misra-Gries plan — the
+  exploded token stream never shuffles; only per-partition MG survivors
+  (≤ k×partitions) plus candidate-matched tokens do. Result = exact
+  3%-heavy token count at 10x corpus.
+- `resample_ffill_1M_events` / `retention_cohort_1M_events`: the raw
+  stream is compressed by ONE partial-aggregated groupBy before any
+  window/explode; downstream stages see grid/per-user-set rows only.
+- `cap_per_group_50k_docs`: two-phase top-k — per-(source, input
+  partition) local ranks bound every window task at k rows out,
+  regardless of how hot a source is.
 """
     with open(os.path.join(os.path.dirname(OUT), "SCALE.md"), "w") as fh:
         fh.write("# SCALE — 10x smoke (sf0.1 replicated 10x, local[32])\n")
