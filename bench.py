@@ -91,6 +91,7 @@ HEADLINE = [
     "rel_transition_matrix",
     "rel_pagerank",
     "emb_pca_power",
+    "pipeline_quality_gate",
 ]
 
 REGRESSION_FACTOR = 1.5

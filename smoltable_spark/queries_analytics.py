@@ -2867,14 +2867,23 @@ def rel_pagerank(spark, sf_dir):
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
         )
         .distinct()
+        # edges feed every iteration: materialize the orders×lineitem
+        # distinct ONCE instead of re-deriving it per unrolled step (the
+        # k-means localCheckpoint pattern, similarity.py)
+        .localCheckpoint()
     )
     edges = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranks = deg.select(F.col("src").alias("node"), F.lit(_PR_SCALE).cast("long").alias("r"))
+    # rank/degree tables are node-sized (≪ edges in any real graph):
+    # broadcast them so each iteration's only shuffle is the contribution
+    # aggregate on dst. If |nodes| outgrows the broadcast budget, drop
+    # the hints and pre-partition edges by src once (localCheckpoint) so
+    # the per-iteration join reuses the edge partitioning.
     for _ in range(2):
         contrib = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(deg, "src")
+            edges.join(F.broadcast(ranks), edges.src == ranks.node)
+            .join(F.broadcast(deg), "src")
             .select(F.col("dst").alias("node"), F.expr("r div deg").alias("c"))
         )
         ranks = contrib.groupBy("node").agg(
@@ -2926,4 +2935,57 @@ def emb_pca_power(spark, sf_dir):
     g = linalg.gram_matrix(emb)
     return linalg.power_iteration(g, iters=2, vmax=30).select(
         F.col("d").cast("long").alias("d"), "v"
+    )
+
+
+@q(
+    "pipeline_quality_gate",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, {_QUALITY_SQL} AS q,
+               md5(lower(trim(text))) AS fp,
+               CAST(len({TOKS_SQL}) AS BIGINT) AS ntok
+        FROM documents
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM scored
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           (q >= 40 AND ntok >= 20 AND rn = 1) AS keep,
+           concat_ws(',',
+               CASE WHEN rn > 1 THEN 'duplicate' END,
+               CASE WHEN q < 40 THEN 'low_quality' END,
+               CASE WHEN ntok < 20 THEN 'too_short' END) AS reasons
+    FROM ranked
+    """,
+)
+def pipeline_quality_gate(spark, sf_dir):
+    """Per-document explainable filter verdict — the audit surface of the
+    cleaning pipeline: every doc gets keep/drop plus the comma-joined
+    list of EVERY reason it trips (duplicate / low_quality / too_short),
+    not just the first, so filter-rate dashboards can attribute loss per
+    rule. Same two-shuffle shape as pipeline_clean_corpus (fingerprint
+    window + nothing else; scoring is a narrow projection); concat_ws
+    drops the NULL branches identically in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    scored = docs.select(
+        "doc_id",
+        text.quality_score(c).alias("q"),
+        text.fingerprint(c).alias("fp"),
+        text.token_count(c).cast("long").alias("ntok"),
+    ).withColumn("rn", F.row_number().over(w))
+    return scored.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (
+            (F.col("q") >= 40) & (F.col("ntok") >= 20) & (F.col("rn") == 1)
+        ).alias("keep"),
+        F.concat_ws(
+            ",",
+            F.when(F.col("rn") > 1, "duplicate"),
+            F.when(F.col("q") < 40, "low_quality"),
+            F.when(F.col("ntok") < 20, "too_short"),
+        ).alias("reasons"),
     )
