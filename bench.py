@@ -92,6 +92,7 @@ HEADLINE = [
     "rel_pagerank",
     "emb_pca_power",
     "pipeline_quality_gate",
+    "rel_approx_distinct_users",
 ]
 
 REGRESSION_FACTOR = 1.5

@@ -112,3 +112,136 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= cutoff)
     )
+
+
+# ---------------------------------------------------------------------------
+# per-group HyperLogLog (portable registers, exact-integer harmonic sum)
+
+HLL_M = 256          # registers (2^8); standard error ~1.04/sqrt(m) ≈ 6.5%
+_HLL_W_BITS = 52     # md5_long yields 60 bits; 8 index the register
+
+
+def hll_distinct(df, group_col: str, ident_col: str, seed: str = "hll"):
+    """(group, approx_distinct): mergeable HyperLogLog per group, built
+    from md5-derived hashes so the whole sketch — register index, rank,
+    harmonic sum, estimate — is bit-reproducible in any engine (the
+    DuckDB oracle rebuilds it exactly; nothing about this is
+    Spark-specific).
+
+    Portability details, all deliberate:
+    - rank = 53 − bit_length(w) via ``length(conv(w,10,2))`` ≡ DuckDB
+      ``length(bin(w))`` (w = 0 → rank 53, the empty-register sentinel
+      handled by the grid join);
+    - the harmonic sum Σ 2^(−Mj) is computed as the INTEGER
+      Σ 2^(54−Mj) ≤ 256·2⁵⁴ < 2⁶³ — float summation of mixed-magnitude
+      powers would be order-sensitive past 52 bits of exponent span,
+      integer summation is not;
+    - the linear-counting low-range branch needs ln(), which is not
+      bit-portable across libm implementations — but V (count of empty
+      registers) only takes 256 possible values, so the correction
+      m·ln(m/V) ships as a 256-entry LITERAL table: both engines parse
+      the identical decimal literals to identical doubles, and the
+      branch (raw ≤ 2.5m AND V > 0) is deterministic. Full-range
+      accuracy with zero libm dependence.
+
+    Scale: one partial-aggregated shuffle of (group, register, max-rank)
+    — ≤ m rows per group survive the map side regardless of input size;
+    the grid join that fills empty registers is |groups|×m.
+    """
+    from pyspark.sql import functions as F
+
+    from smoltable_spark.functions.hashing import seeded
+
+    spark = df.sparkSession
+    h = seeded(seed, F.col(ident_col).cast("string"))
+    regs = (
+        df.select(F.col(group_col).alias("g"), h.alias("h"))
+        .select(
+            "g",
+            F.pmod(F.col("h"), F.lit(HLL_M)).alias("reg"),
+            F.expr(f"h div {HLL_M}").alias("w"),
+        )
+        .select(
+            "g",
+            "reg",
+            F.when(F.col("w") == 0, F.lit(_HLL_W_BITS + 1)).otherwise(
+                F.lit(_HLL_W_BITS + 1) - F.length(F.conv(F.col("w"), 10, 2))
+            ).alias("rho"),
+        )
+        .groupBy("g", "reg")
+        .agg(F.max("rho").alias("mj"))
+    )
+    grid = (
+        df.select(F.col(group_col).alias("g"))
+        .distinct()
+        .crossJoin(spark.range(HLL_M).select(F.col("id").cast("long").alias("reg")))
+    )
+    filled = grid.join(regs, ["g", "reg"], "left").select(
+        "g", F.coalesce("mj", F.lit(0)).alias("mj")
+    )
+    alpha = 0.7213 / (1 + 1.079 / HLL_M)
+    agg = filled.groupBy("g").agg(
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(54 - mj AS INT))")
+        ).alias("s"),
+        F.sum(F.when(F.col("mj") == 0, 1).otherwise(0)).alias("v"),
+    )
+    raw = F.lit(alpha * HLL_M * HLL_M) * F.lit(float(2 ** 54)) / F.col("s")
+    lc = F.element_at(F.array(*[F.lit(x) for x in _LC_TABLE]), F.col("v").cast("int"))
+    est = agg.select(
+        F.col("g").alias(group_col),
+        F.when(
+            (raw <= 2.5 * HLL_M) & (F.col("v") > 0), lc
+        ).otherwise(raw).alias("approx_distinct"),
+    )
+    return est
+
+
+#: linear-counting estimates m*ln(m/V) for V = 1..m, as literals — the
+#: identical decimal text is embedded in BOTH engines' queries, so both
+#: parse the same nearest-double and no runtime ln() is ever taken
+import math as _math
+
+_LC_TABLE = [HLL_M * _math.log(HLL_M / v) for v in range(1, HLL_M + 1)]
+
+
+def hll_distinct_sql(table: str, group_col: str, ident_col: str, seed: str = "hll") -> str:
+    """DuckDB rendering of ``hll_distinct`` — same bits, same estimate."""
+    from smoltable_spark.functions.hashing import seeded_sql
+
+    h = seeded_sql(seed, ident_col)
+    alpha = 0.7213 / (1 + 1.079 / HLL_M)
+    b1 = _HLL_W_BITS + 1
+    return f"""
+    WITH hashed AS (
+        SELECT {group_col} AS g, {h} AS h FROM {table}
+    ),
+    regs AS (
+        SELECT g, h % {HLL_M} AS reg,
+               CASE WHEN h // {HLL_M} = 0 THEN {b1}
+                    ELSE {b1} - length(bin(h // {HLL_M})) END AS rho
+        FROM hashed
+    ),
+    mjs AS (SELECT g, reg, max(rho) AS mj FROM regs GROUP BY 1, 2),
+    grid AS (
+        SELECT DISTINCT g, r.reg FROM hashed,
+               (SELECT unnest(range({HLL_M})) AS reg) r
+    ),
+    filled AS (
+        SELECT grid.g, coalesce(mjs.mj, 0) AS mj
+        FROM grid LEFT JOIN mjs ON grid.g = mjs.g AND grid.reg = mjs.reg
+    ),
+    agg AS (
+        SELECT g,
+               sum(CAST(1 AS BIGINT) << CAST(54 - mj AS INT)) AS s,
+               sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS v
+        FROM filled GROUP BY g
+    )
+    SELECT g AS {group_col},
+           CASE WHEN ({alpha * HLL_M * HLL_M} * {float(2 ** 54)} / s) <= {2.5 * HLL_M}
+                     AND v > 0
+                THEN [{", ".join(repr(x) for x in _LC_TABLE)}][CAST(v AS INT)]
+                ELSE {alpha * HLL_M * HLL_M} * {float(2 ** 54)} / s
+           END AS approx_distinct
+    FROM agg
+    """

@@ -2989,3 +2989,32 @@ def pipeline_quality_gate(spark, sf_dir):
             F.when(F.col("ntok") < 20, "too_short"),
         ).alias("reasons"),
     )
+
+
+@q(
+    "rel_approx_distinct_users",
+    f"""
+    WITH hll AS ({sketch.hll_distinct_sql("events", "event_type", "user_id")}),
+    ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+           FROM events GROUP BY 1)
+    SELECT hll.event_type, hll.approx_distinct, ex.exact_distinct
+    FROM hll JOIN ex USING (event_type)
+    """,
+)
+def rel_approx_distinct_users(spark, sf_dir):
+    """Approximate distinct users per event type via a PORTABLE
+    HyperLogLog (functions/sketch.py:hll_distinct): md5-derived
+    registers and an exact-integer harmonic sum make the whole sketch —
+    not just its input — bit-reproducible, so the DuckDB oracle rebuilds
+    the estimate exactly (the same reason Spark's own approx_count_distinct
+    can never be oracle-checked). Exact distinct included side-by-side
+    for error inspection. Scale: the sketch shuffle is ≤ m=256 rows per
+    group after map-side partial max — constant, independent of user
+    count; the exact branch is the expensive one and exists only for
+    comparison."""
+    ev = load_table(spark, sf_dir, "events")
+    hll = sketch.hll_distinct(ev, group_col="event_type", ident_col="user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return hll.join(exact, "event_type")

@@ -100,3 +100,16 @@ def test_heavy_hitters_exact_vs_bruteforce(spark):
         .collect()
     }
     assert got == brute == {("x", 50), ("y", 20)}
+
+
+def test_hll_distinct_accuracy_both_ranges(spark):
+    """Small-range groups hit the literal-table linear-counting branch
+    (near-exact); larger groups the raw estimate (±~10% at m=256)."""
+    rows = [("small", f"u{i}") for i in range(40)]
+    rows += [("big", f"v{i}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "g string, uid string").repartition(6)
+    got = {r["g"]: r["approx_distinct"] for r in
+           sketch.hll_distinct(df, "g", "uid").collect()}
+    # m=256 → std error ≈ 6.5%; this seed draws ~+11% on the big group
+    assert abs(got["small"] - 40) / 40 < 0.05, got
+    assert abs(got["big"] - 3000) / 3000 < 0.15, got
