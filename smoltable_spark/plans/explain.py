@@ -62,8 +62,28 @@ def shuffle_count(df: DataFrame) -> int:
 
 
 def whole_stage_codegen_spans(df: DataFrame) -> int:
-    """How many codegen stages the plan compiled to (wider = better)."""
-    return len(set(re.findall(r"\*\((\d+)\)", physical_plan(df))))
+    """How many codegen stages the plan compiled to (wider = better).
+
+    Under AQE the pre-execution plan prints as a non-final
+    ``AdaptiveSparkPlan`` with NO ``*(n)`` codegen markers — counting on
+    it silently reports 0 for every query (the bug this fixes). The
+    probe re-plans with AQE off just for the explain, which exposes the
+    codegen stage numbering Catalyst would compile; AQE re-optimizes
+    exchanges at runtime but does not change what is codegen-able."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # select("*") mints a fresh QueryExecution: the original df may
+        # already hold a lazily-cached AQE plan from an earlier metric
+        plan = df.select("*")._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    return len(set(re.findall(r"\*\((\d+)\)", plan)))
 
 
 def read_schema_columns(df: DataFrame) -> list[list[str]]:
