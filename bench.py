@@ -93,6 +93,7 @@ HEADLINE = [
     "emb_pca_power",
     "pipeline_quality_gate",
     "rel_approx_distinct_users",
+    "txt_cm_frequency",
 ]
 
 REGRESSION_FACTOR = 1.5

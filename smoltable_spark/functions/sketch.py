@@ -245,3 +245,109 @@ def hll_distinct_sql(table: str, group_col: str, ident_col: str, seed: str = "hl
            END AS approx_distinct
     FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (portable md5 rows, exact-integer counters)
+
+CM_DEPTH = 4
+CM_WIDTH = 1024
+
+
+def cm_sketch(tokens_df, token_col: str = "tok", seed: str = "cm"):
+    """(row, bucket, cnt): count-min table over a token stream — the
+    point-frequency-estimate complement of the Misra-Gries top-set.
+
+    ONE pass: each token explodes into its ``CM_DEPTH`` (row, bucket)
+    coordinates map-side, and the only shuffle is the partial-aggregated
+    count over ≤ depth×width distinct keys (4096 — constant, whatever
+    the corpus size). All-integer and md5-addressed, so the oracle can
+    rebuild the table — and therefore the ESTIMATES — exactly.
+    """
+    from pyspark.sql import functions as F
+
+    from smoltable_spark.functions.hashing import seeded
+
+    coords = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                F.pmod(seeded(f"{seed}{r}", F.col(token_col)), F.lit(CM_WIDTH)).alias(
+                    "bucket"
+                ),
+            )
+            for r in range(CM_DEPTH)
+        ]
+    )
+    return (
+        tokens_df.select(F.explode(coords).alias("c"))
+        .select("c.row", "c.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_estimate(sketch_df, probes, token_col: str = "tok", seed: str = "cm"):
+    """(tok, est): upper-bound frequency estimates for ``probes`` (a list
+    of strings) — min over the sketch rows; absent coordinates count 0.
+    The probe side is a literal table joined against the 4096-row sketch
+    (broadcast-small both ways)."""
+    from pyspark.sql import functions as F
+
+    from smoltable_spark.functions.hashing import seeded
+
+    spark = sketch_df.sparkSession
+    pdf = spark.createDataFrame([(t,) for t in probes], f"{token_col} string")
+    coords = pdf.select(
+        token_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        F.pmod(
+                            seeded(f"{seed}{r}", F.col(token_col)), F.lit(CM_WIDTH)
+                        ).alias("bucket"),
+                    )
+                    for r in range(CM_DEPTH)
+                ]
+            )
+        ).alias("c"),
+    ).select(token_col, "c.row", "c.bucket")
+    return (
+        coords.join(F.broadcast(sketch_df), ["row", "bucket"], "left")
+        .select(token_col, F.coalesce("cnt", F.lit(0)).alias("cnt"))
+        .groupBy(token_col)
+        .agg(F.min("cnt").alias("est"))
+    )
+
+
+def cm_sql(table_toks_cte: str, probes, token_col: str = "tok", seed: str = "cm") -> str:
+    """DuckDB rendering: rebuild the sketch from ``toks`` (a CTE named in
+    ``table_toks_cte`` yielding one ``tok`` per row) and estimate the
+    same probes — bit-identical to the Spark path."""
+    from smoltable_spark.functions.hashing import md5_long_sql
+
+    def h(r, expr):
+        inner = md5_long_sql("concat('" + seed + str(r) + "|', " + expr + ")")
+        return f"(({inner}) % {CM_WIDTH})"
+
+    rows_build = " UNION ALL ".join(
+        f"SELECT {r} AS row, {h(r, token_col)} AS bucket FROM {table_toks_cte}"
+        for r in range(CM_DEPTH)
+    )
+    probe_vals = ", ".join(f"('{p}')" for p in probes)
+    rows_probe = " UNION ALL ".join(
+        f"SELECT {token_col}, {r} AS row, {h(r, token_col)} AS bucket FROM probes"
+        for r in range(CM_DEPTH)
+    )
+    return f"""
+    sk AS (SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt
+           FROM ({rows_build}) GROUP BY 1, 2),
+    probes AS (SELECT * FROM (VALUES {probe_vals}) AS t({token_col})),
+    pc AS ({rows_probe}),
+    joined AS (
+        SELECT pc.{token_col}, coalesce(sk.cnt, 0) AS cnt
+        FROM pc LEFT JOIN sk ON pc.row = sk.row AND pc.bucket = sk.bucket
+    )
+    """

@@ -3018,3 +3018,47 @@ def rel_approx_distinct_users(spark, sf_dir):
         F.countDistinct("user_id").alias("exact_distinct")
     )
     return hll.join(exact, "event_type")
+
+
+_CM_PROBES = ["join", "hash", "merge", "window", "zebra", "quantum"]
+
+
+@q(
+    "txt_cm_frequency",
+    f"""
+    WITH toks AS (SELECT unnest({TOKS_SQL}) AS tok FROM documents),
+    {sketch.cm_sql("toks", _CM_PROBES)},
+    est AS (SELECT tok, CAST(min(cnt) AS BIGINT) AS est
+            FROM joined GROUP BY tok),
+    exact AS (
+        SELECT p.tok, CAST(coalesce(c.n, 0) AS BIGINT) AS exact
+        FROM probes p LEFT JOIN (
+            SELECT tok, count(*) AS n FROM toks GROUP BY 1) c
+        ON p.tok = c.tok
+    )
+    SELECT est.tok, est.est, exact.exact
+    FROM est JOIN exact ON est.tok = exact.tok
+    """,
+)
+def txt_cm_frequency(spark, sf_dir):
+    """Count-min point-frequency estimates for a probe list, next to the
+    exact counts (functions/sketch.py:cm_sketch) — the serving shape for
+    'how often does term X occur' without a vocabulary-sized table. The
+    sketch build's only shuffle has ≤ depth×width = 4096 distinct keys
+    regardless of corpus size (map-side partial counts); estimates are
+    min-over-rows, so they only ever OVERcount (est ≥ exact, bounded by
+    εN with ε = e/width). Absent tokens (zebra/quantum) show the raw
+    collision floor. The oracle rebuilds the identical md5-addressed
+    table, so even the estimates hash-match."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokens(F.col("text"))).alias("tok"))
+    sk = sketch.cm_sketch(toks)
+    est = sketch.cm_estimate(sk, _CM_PROBES)
+    probes = spark.createDataFrame([(t,) for t in _CM_PROBES], "tok string")
+    exact = (
+        probes.join(
+            toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n")), "tok", "left"
+        )
+        .select("tok", F.coalesce("n", F.lit(0)).alias("exact"))
+    )
+    return est.join(exact, "tok")

@@ -35,3 +35,32 @@ def test_gram_and_power_match_numpy(spark):
     got_v = {r["d"]: r["v"] for r in linalg.power_iteration(gram, iters=2).collect()}
     ref_v = _ref_power(q)
     assert got_v == {d + 1: int(ref_v[d]) for d in range(6)}
+
+
+def test_pagerank_query_matches_python_model(spark):
+    """rel_pagerank vs a direct integer-arithmetic Python model built
+    from the same parquet inputs (sf0.001)."""
+    import duckdb
+
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["node"]: r["r"] for r in e.queries()["rel_pagerank"](spark, sf).collect()}
+
+    con = duckdb.connect()
+    pairs = con.execute(
+        f"""SELECT DISTINCT 'c' || o.o_custkey, 's' || l.l_suppkey
+            FROM '{sf}/orders.parquet' o
+            JOIN '{sf}/lineitem.parquet' l ON o.o_orderkey = l.l_orderkey"""
+    ).fetchall()
+    edges = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r = {n: 1_000_000 for n in deg}
+    for _ in range(2):
+        acc = {}
+        for s, d in edges:
+            acc[d] = acc.get(d, 0) + r[s] // deg[s]
+        r = {n: 150_000 + (85 * a) // 100 for n, a in acc.items()}
+    assert got == r

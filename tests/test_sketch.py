@@ -113,3 +113,26 @@ def test_hll_distinct_accuracy_both_ranges(spark):
     # m=256 → std error ≈ 6.5%; this seed draws ~+11% on the big group
     assert abs(got["small"] - 40) / 40 < 0.05, got
     assert abs(got["big"] - 3000) / 3000 < 0.15, got
+
+
+@given(
+    st.lists(st.sampled_from([f"t{i}" for i in range(40)]), min_size=1, max_size=300),
+    st.lists(st.sampled_from([f"t{i}" for i in range(50)]), min_size=1, max_size=8, unique=True),
+)
+@settings(max_examples=10, deadline=None)
+def _cm_never_undercounts(sp_stream, probes):
+    """CM property: est >= exact for every probe, with the εN overcount
+    bound (ε = e/width, here vanishingly small)."""
+    spark = _cm_never_undercounts._spark
+    df = spark.createDataFrame([(t,) for t in sp_stream], "tok string").repartition(3)
+    sk = sketch.cm_sketch(df)
+    est = {r["tok"]: r["est"] for r in sketch.cm_estimate(sk, list(probes)).collect()}
+    exact = Counter(sp_stream)
+    for p in probes:
+        assert est[p] >= exact.get(p, 0)
+        assert est[p] <= exact.get(p, 0) + len(sp_stream)  # trivial upper sanity
+
+
+def test_cm_never_undercounts(spark):
+    _cm_never_undercounts._spark = spark
+    _cm_never_undercounts()

@@ -98,3 +98,40 @@ def test_resample_ffill_tie_on_time_takes_max_value(spark):
     )
     out = timeseries.resample_ffill(ev, key="k", time_col="t", value_col="v", step=10)
     assert out.collect()[0]["value_ffill"] == 3.0
+
+
+def test_resample_ffill_matches_python_model(spark):
+    """Differential: random sparse series vs a direct Python model."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for k in ("a", "b", "c"):
+        for _ in range(rng.randint(1, 25)):
+            rows.append((k, rng.randint(0, 200), round(rng.uniform(0, 9), 2)))
+    # dedupe exact (k, t) collisions to keep the in-bucket tie rule simple
+    seen, uniq = set(), []
+    for k, t, v in rows:
+        if (k, t) not in seen:
+            seen.add((k, t))
+            uniq.append((k, t, v))
+    df = spark.createDataFrame(uniq, "k string, t long, v double").repartition(4)
+    out = timeseries.resample_ffill(df, key="k", time_col="t", value_col="v", step=25)
+    got = {(r["k"], r["bucket"]): (r["value_ffill"], r["n_obs"]) for r in out.collect()}
+
+    exp = {}
+    bykey = {}
+    for k, t, v in uniq:
+        bykey.setdefault(k, []).append((t, v))
+    for k, obs in bykey.items():
+        buckets = {}
+        for t, v in obs:
+            buckets.setdefault(t // 25, []).append((t, v))
+        last = None
+        for b in range(min(buckets), max(buckets) + 1):
+            if b in buckets:
+                last = max(buckets[b])[1]  # max (t, v): last-in-bucket, value tiebreak
+                exp[(k, b)] = (last, len(buckets[b]))
+            else:
+                exp[(k, b)] = (last, 0)
+    assert got == exp
