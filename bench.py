@@ -94,6 +94,9 @@ HEADLINE = [
     "pipeline_quality_gate",
     "rel_approx_distinct_users",
     "txt_cm_frequency",
+    "rel_events_cube",
+    "txt_collocations",
+    "emb_quantize_int8",
 ]
 
 REGRESSION_FACTOR = 1.5

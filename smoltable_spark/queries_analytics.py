@@ -3062,3 +3062,165 @@ def txt_cm_frequency(spark, sf_dir):
         .select("tok", F.coalesce("n", F.lit(0)).alias("exact"))
     )
     return est.join(exact, "tok")
+
+
+# ---------------------------------------------------------------------------
+# cube / collocations / int8 quantization (round 3b, batch 4)
+
+
+@q(
+    "rel_events_cube",
+    f"""
+    SELECT event_type, epoch_ns(ts) // {24 * _HOUR_NS} AS day_bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum({cents_sql('value')}) / 100.0 AS total_value,
+           CAST(GROUPING(event_type) AS INT) AS g_type,
+           CAST(GROUPING(epoch_ns(ts) // {24 * _HOUR_NS}) AS INT) AS g_day
+    FROM events GROUP BY CUBE (event_type, day_bucket)
+    """,
+)
+def rel_events_cube(spark, sf_dir):
+    """Full CUBE over (type, day) — all four grouping sets in ONE pass
+    with map-side partial aggregation (the rollup query's big sibling),
+    plus per-column GROUPING flags so consumers can tell a real NULL
+    from a subtotal row. Flags are emitted per column rather than as a
+    packed grouping_id because the bit order of the packed form is
+    engine-defined."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day_bucket", F.expr(f"ts div {24 * _HOUR_NS}")
+    )
+    return (
+        ev.cube("event_type", "day_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents(F.col("value"))) / 100.0).alias("total_value"),
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("day_bucket").cast("int").alias("g_day"),
+        )
+        .select(
+            "event_type", "day_bucket", "n_events", "total_value", "g_type", "g_day"
+        )
+    )
+
+
+_COLL_MIN_COUNT = 5
+
+
+@q(
+    "txt_collocations",
+    f"""
+    WITH t AS (SELECT {TOKS_SQL} AS toks FROM documents),
+    bg AS (
+        SELECT toks[i] AS w1, toks[i + 1] AS w2
+        FROM t, unnest(range(1, greatest(len(toks), 1))) AS u(i)
+        WHERE i < len(toks)
+    ),
+    c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+            FROM bg GROUP BY 1, 2),
+    uni AS (SELECT unnest(toks) AS w FROM t),
+    c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bg),
+    scored AS (
+        SELECT c12.w1, c12.w2, c12.c12,
+               CAST(c12.c12 AS DOUBLE) * nb.n / (a.c * b.c) AS lift
+        FROM c12
+        JOIN c1 a ON c12.w1 = a.w
+        JOIN c1 b ON c12.w2 = b.w
+        CROSS JOIN nb
+        WHERE c12.c12 >= {_COLL_MIN_COUNT}
+    )
+    SELECT w1, w2, c12, lift, CAST(rk AS INT) AS rk
+    FROM (SELECT *, row_number() OVER (ORDER BY lift DESC, w1, w2) AS rk
+          FROM scored)
+    WHERE rk <= 20
+    """,
+)
+def txt_collocations(spark, sf_dir):
+    """Top-20 collocations (statistically glued bigrams) by LIFT —
+    c12·N/(c1·c2), the monotone log-free form of PMI (same trick as
+    txt_keywords' idf): one double division on exact integer counts, so
+    the ranking is bit-portable. min-count 5 drops one-off pairs.
+
+    Scale: bigram and unigram counts partial-aggregate map-side; the
+    count-table joins key on token (AQE broadcasts when the vocab
+    fits); the global top-20 is orderBy+limit — Spark's distributed
+    TakeOrdered, per-partition heaps, no single-partition window over
+    the full vocab² table."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(text.tokens(F.col("text")).alias("toks"))
+    n = F.size(F.col("toks"))
+    pairs = F.when(
+        n >= 2,
+        F.expr(
+            "transform(sequence(0, size(toks) - 2),"
+            " i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
+        ),
+    ).otherwise(F.expr("array()"))
+    bg = toked.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = toked.select(F.explode("toks").alias("w"))
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_bigrams = bg.count()
+    scored = (
+        c12.filter(F.col("c12") >= _COLL_MIN_COUNT)
+        .join(c1.withColumnRenamed("w", "w1").withColumnRenamed("c", "ca"), "w1")
+        .join(c1.withColumnRenamed("w", "w2").withColumnRenamed("c", "cb"), "w2")
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            (
+                F.col("c12").cast("double") * F.lit(n_bigrams)
+                / (F.col("ca") * F.col("cb"))
+            ).alias("lift"),
+        )
+    )
+    top = scored.orderBy(F.col("lift").desc(), "w1", "w2").limit(20)
+    w = Window.orderBy(F.col("lift").desc(), "w1", "w2")
+    return top.withColumn("rk", F.row_number().over(w).cast("int"))
+
+
+@q(
+    "emb_quantize_int8",
+    f"""
+    WITH qv AS (SELECT vec_id, {_QVEC_SQL} AS q FROM embeddings),
+    flat AS (
+        SELECT vec_id, i AS dim, q[i] AS v
+        FROM qv, unnest(range(1, len(q) + 1)) AS u(i)
+    ),
+    rng AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM flat GROUP BY 1)
+    SELECT vec_id, CAST(flat.dim AS BIGINT) AS dim,
+           CASE WHEN mx = mn THEN 0
+                ELSE CAST(round(254.0 * (v - mn) / (mx - mn)) AS INT)
+           END AS code
+    FROM flat JOIN rng ON flat.dim = rng.dim
+    """,
+)
+def emb_quantize_int8(spark, sf_dir):
+    """Per-dimension int8 quantization codes (serving compression: 4x
+    over f32, 8x over f64): code = round(254·(x−min)/(max−min)) on the
+    shared fixed-point grid, so min/max are exact integers and the one
+    double division is bit-portable. The range table is |dims| rows,
+    broadcast back — the encoding pass never shuffles vectors (same
+    shape as emb_standardize). Flat (vec_id, dim, code) output; packing
+    codes into binary is a collect_list away."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * similarity.QUANT).cast("long"),
+    )
+    flat = emb.select("vec_id", F.posexplode(qv).alias("pos", "v")).select(
+        "vec_id", (F.col("pos") + 1).cast("long").alias("dim"), "v"
+    )
+    rng = flat.groupBy("dim").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    return flat.join(F.broadcast(rng), "dim").select(
+        "vec_id",
+        "dim",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.round(
+                F.lit(254.0) * (F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn"))
+            ).cast("int")
+        )
+        .alias("code"),
+    )
