@@ -59,7 +59,10 @@ def _mg_add(counters: dict, tok: str, c: int, k: int) -> None:
 
 
 def mg_candidates(tokens_df: DataFrame, k: int, token_col: str = "tok") -> DataFrame:
-    """Phase 1: per-partition Misra-Gries survivors (distinct tokens).
+    """Phase 1: per-partition Misra-Gries survivors, plus one NULL-token
+    row per partition whose ``_n`` carries the partition row count
+    (``heavy_hitters`` derives both the candidate set and the stream
+    total N from this single pass).
 
     ``tokens_df`` is one token per row; the summary accumulates across
     all Arrow batches of a partition (mapInPandas hands the whole
@@ -70,12 +73,19 @@ def mg_candidates(tokens_df: DataFrame, k: int, token_col: str = "tok") -> DataF
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
+        n_part = 0
         for pdf in batches:
+            n_part += len(pdf)
             for tok, c in pdf[token_col].value_counts().items():
                 _mg_add(counters, tok, int(c), k)
-        yield pd.DataFrame({token_col: list(counters.keys())})
+        # one NULL-token row rides along carrying the partition's row
+        # count, so heavy_hitters learns N in the SAME pass instead of
+        # re-scanning the stream with a separate count()
+        yield pd.DataFrame(
+            {token_col: list(counters.keys()) + [None], "_n": [0] * len(counters) + [n_part]}
+        )
 
-    return tokens_df.mapInPandas(summarize, schema=f"{token_col} string").distinct()
+    return tokens_df.mapInPandas(summarize, schema=f"{token_col} string, _n long")
 
 
 def heavy_hitters(
@@ -100,8 +110,12 @@ def heavy_hitters(
             f"k={k} breaks the MG superset guarantee for threshold={threshold}"
             f" (needs k >= {math.ceil(1 / threshold)})"
         )
-    cand = mg_candidates(tokens_df, k=k, token_col=token_col)
-    total = tokens_df.count()
+    # phase 1 yields candidates AND per-partition row counts in one scan
+    # (localCheckpoint materializes the small summary so the candidate
+    # list and the total don't each re-run the corpus pass)
+    summary = mg_candidates(tokens_df, k=k, token_col=token_col).localCheckpoint()
+    cand = summary.filter(F.col(token_col).isNotNull()).select(token_col).distinct()
+    total = summary.agg(F.sum("_n")).collect()[0][0] or 0
     cutoff = math.ceil(threshold * total)
     # broadcast semi-join: non-candidate tokens are dropped MAP-SIDE, so
     # the exact-count shuffle carries only candidate rows (≤ k × n_parts
@@ -171,8 +185,10 @@ def hll_distinct(df, group_col: str, ident_col: str, seed: str = "hll"):
         .groupBy("g", "reg")
         .agg(F.max("rho").alias("mj"))
     )
+    # groups come from the ALREADY-AGGREGATED register table (≤ m rows
+    # per group), not a second scan of the raw input
     grid = (
-        df.select(F.col(group_col).alias("g"))
+        regs.select("g")
         .distinct()
         .crossJoin(spark.range(HLL_M).select(F.col("id").cast("long").alias("reg")))
     )
