@@ -343,6 +343,30 @@ def main():
         .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
         .count(),
     )
+    toks10 = docs.select(F.explode(text.tokens(F.col("text"))).alias("tok"))
+    timed(
+        "cm_sketch_2.7M_tokens",
+        lambda: sketch.cm_sketch(toks10).count(),
+    )
+    timed(
+        "hll_distinct_1M_events",
+        lambda: sketch.hll_distinct(ev, "event_type", "user_id").count(),
+    )
+    from smoltable_spark.functions import linalg
+
+    timed(
+        "pca_gram_500k_vecs_64d",
+        lambda: linalg.gram_matrix(emb10).count(),
+    )
+    timed(
+        "int8_quantize_500k_vecs",
+        lambda: emb10.select(
+            "vec_id", F.posexplode("embedding").alias("dim", "v")
+        )
+        .groupBy("dim")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .count(),
+    )
 
     # the flat-pruned-scan claim, demonstrated: the same 7.5M cells written
     # through CellStore (range-partitioned, key-sorted) — row-group stats
