@@ -101,11 +101,14 @@ HEADLINE = [
 
 REGRESSION_FACTOR = 1.5
 
+#: queries whose cost is dominated by fixed micro-batch harness overhead
+#: (availableNow replay + memory sink) that the warm metric hides — their
+#: drift gate runs on COLD times (VERDICT r3 ask #10)
+COLD_GATED = ["stream_sessionize", "stream_click_attribution", "stream_windowed_topk"]
 
-def _prev_round_file() -> str | None:
-    """Latest driver-recorded BENCH_r{N}.json — the regression baseline.
-    Diffed on every run; >1.5x slower at the same sf is flagged in the
-    output JSON under "regressions"."""
+
+def _latest_round() -> tuple[int, str] | None:
+    """(N, path) of the latest driver-recorded BENCH_r{N}.json."""
     import glob
     import re
 
@@ -115,7 +118,37 @@ def _prev_round_file() -> str | None:
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         if m:
             rounds.append((int(m.group(1)), p))
-    return max(rounds)[1] if rounds else None
+    return max(rounds) if rounds else None
+
+
+def _load_prev() -> tuple[dict | None, str | None]:
+    """Previous-round per-query timings for the regression gate.
+
+    Primary source: the latest driver BENCH_r{N}.json. The driver wraps
+    the bench stdout line as {n, rc, cpus, sf, tail, parsed} and its tail
+    capture can truncate, leaving ``"parsed": null`` (this crashed the r3
+    judge's run end-of-bench) — so anything that is not a dict with a
+    "queries" map falls through to BENCH_LOCAL.json, the full record this
+    script commits on every run precisely so the baseline survives
+    driver-side truncation.
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    latest = _latest_round()
+    candidates = []
+    if latest:
+        candidates.append((latest[1], f"BENCH_r{latest[0]:02d}.json"))
+    candidates.append((os.path.join(here, "BENCH_LOCAL.json"), "BENCH_LOCAL.json"))
+    for path, label in candidates:
+        try:
+            with open(path) as fh:
+                prev = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if isinstance(prev, dict) and "parsed" in prev:
+            prev = prev["parsed"]
+        if isinstance(prev, dict) and isinstance(prev.get("queries"), dict):
+            return prev, label
+    return None, None
 
 
 def main():
@@ -183,52 +216,98 @@ def main():
     # regressing >1.5x RELATIVE to that median: a genuine single-query
     # regression stands out against its peers on any machine.
     regressions = {}
+    cold_regressions = {}
     prev_total = None
     env_drift = None
-    try:
-        with open(_prev_round_file() or "") as fh:
-            prev = json.load(fh)
-        # the driver wraps the bench line: {n, rc, cpus, sf, tail, parsed}
-        if "parsed" in prev:
-            prev = prev["parsed"]
-        if prev.get("sf") == (float(sf) if sf else None):
-            prev_total = prev.get("value")
-            ratios = {
-                name: t / prev["queries"][name]
-                for name, t in timings.items()
-                if prev.get("queries", {}).get(name, 0) > 0.05
-            }
-            if ratios:
-                rs = sorted(ratios.values())
-                env_drift = round(rs[len(rs) // 2], 3)
-                norm = max(1.0, env_drift)
-                for name, r in ratios.items():
+    prev, prev_source = _load_prev()
+    if prev is not None and prev.get("sf") == (float(sf) if sf else None):
+        prev_total = prev.get("value")
+        ratios = {
+            name: t / prev["queries"][name]
+            for name, t in timings.items()
+            if isinstance(prev["queries"].get(name), (int, float))
+            and prev["queries"][name] > 0.05
+        }
+        if ratios:
+            rs = sorted(ratios.values())
+            env_drift = round(rs[len(rs) // 2], 3)
+            norm = max(1.0, env_drift)
+            for name, r in ratios.items():
+                if r > REGRESSION_FACTOR * norm:
+                    p = prev["queries"][name]
+                    regressions[name] = {
+                        "prev": p,
+                        "now": timings[name],
+                        "ratio": round(r, 2),
+                        "ratio_vs_median": round(r / env_drift, 2),
+                    }
+            # streaming queries: fixed harness overhead dominates and the
+            # warm metric hides it — gate their COLD time against the same
+            # warm-derived env drift (cold times are single-shot, so a
+            # slightly looser bar would also be defensible; keep 1.5x)
+            prev_cold = prev.get("cold_queries") or {}
+            for name in COLD_GATED:
+                pc = prev_cold.get(name)
+                if name in cold and isinstance(pc, (int, float)) and pc > 0.05:
+                    r = cold[name] / pc
                     if r > REGRESSION_FACTOR * norm:
-                        p = prev["queries"][name]
-                        regressions[name] = {
-                            "prev": p,
-                            "now": timings[name],
+                        cold_regressions[name] = {
+                            "prev_cold": pc,
+                            "now_cold": cold[name],
                             "ratio": round(r, 2),
-                            "ratio_vs_median": round(r / env_drift, 2),
+                            "ratio_vs_median": round(r / max(env_drift, 1e-9), 2),
                         }
-    except (OSError, ValueError):
-        pass
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_headline_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold_queries": cold,
-                "sf": float(sf) if sf else None,
-                "prev_round_total": prev_total,
-                "env_drift_median_ratio": env_drift,
-                "regressions": regressions,
-            }
-        )
-    )
+    result = {
+        "metric": "total_headline_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "cold_queries": cold,
+        "sf": float(sf) if sf else None,
+        "prev_round_total": prev_total,
+        "prev_source": prev_source,
+        "env_drift_median_ratio": env_drift,
+        "regressions": regressions,
+        "cold_regressions": cold_regressions,
+    }
+    print(json.dumps(result))
+
+    # durable records (VERDICT r3 asks #3/#7): the driver's tail capture of
+    # the stdout line above can truncate (BENCH_r03.json shipped
+    # "parsed": null), so every run also commits
+    #   - BENCH_LOCAL.json: the full line verbatim (next run's fallback
+    #     baseline), and
+    #   - BENCH_HISTORY.json: per-query warm/cold timings keyed by round,
+    #     so any regression is attributable across rounds even when the
+    #     driver's capture fails.
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
+            json.dump(result, fh)
+            fh.write("\n")
+        latest = _latest_round()
+        round_key = f"r{(latest[0] if latest else 0) + 1:02d}"
+        hist_path = os.path.join(here, "BENCH_HISTORY.json")
+        try:
+            with open(hist_path) as fh:
+                hist = json.load(fh)
+            if not isinstance(hist, dict):
+                hist = {}
+        except (OSError, ValueError):
+            hist = {}
+        hist[round_key] = {
+            "sf": result["sf"],
+            "total": total,
+            "env_drift_median_ratio": env_drift,
+            "queries": timings,
+            "cold_queries": cold,
+        }
+        with open(hist_path, "w") as fh:
+            json.dump(hist, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as e:
+        print(f"# WARN could not write bench records: {e}", file=sys.stderr)
     spark.stop()
 
 

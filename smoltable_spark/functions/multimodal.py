@@ -12,22 +12,30 @@ Design (for a 100 TB media corpus):
   byte moves (Parquet column pruning means a filter on ``media_type``
   never reads ``payload``);
 - **container header parsing is REAL**: synthesized payloads are
-  structurally valid PNG / JPEG / WAV containers (correct signatures,
-  chunk framing, CRCs, segment markers), and ``extract_features`` parses
-  width/height/duration and the embedded content back out with pure
-  ``struct``/``zlib`` — no codec libraries involved. Only the pixel/sample
-  DECODE of the content is stubbed: ``decode_stub=True`` produces
-  deterministic content-derived features, ``decode_stub=False`` raises
-  ``NotImplementedError`` at exactly the point a real codec would run.
+  structurally valid PNG / JPEG / BMP / WAV containers (correct
+  signatures, chunk framing, CRCs, segment markers), and
+  ``extract_features`` parses width/height/duration and the embedded
+  content back out with pure ``struct``/``zlib`` — no codec libraries
+  involved;
+- **pixel/sample decode is REAL where the format permits it in pure
+  Python** (round-4): uncompressed 24-bpp BMP pixel arrays and WAV
+  16-bit PCM samples are fully decoded with ``struct``/numpy —
+  ``mean_luma`` and ``rms_amp`` are computed from the actual decoded
+  bytes and oracle-pinned. Only the *compressed* codecs (PNG zlib
+  image data, JPEG entropy-coded scans) remain stubbed:
+  ``decode_stub=False`` raises ``NotImplementedError`` at exactly the
+  point a real codec library would run.
 """
 
 from __future__ import annotations
 
 import hashlib
+import math
 import struct
 import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
@@ -52,6 +60,9 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("duration_ms", T.LongType(), True),  # parsed from header
         T.StructField("payload_sha", T.StringType(), True),  # sha of CONTENT
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        # decoded-content features (round-4): real pixel/sample decode
+        T.StructField("mean_luma", T.DoubleType(), True),  # bmp only
+        T.StructField("rms_amp", T.DoubleType(), True),  # wav PCM only
     ]
 )
 
@@ -98,6 +109,33 @@ def jpeg_bytes(width: int, height: int, content: bytes) -> bytes:
         out += [b"\xff\xfe", struct.pack(">H", 2 + len(chunk)), chunk]
     out.append(b"\xff\xd9")
     return b"".join(out)
+
+
+def bmp_bytes(width: int, height: int, luma: bytes) -> bytes:
+    """Uncompressed 24-bpp BMP (BITMAPFILEHEADER + BITMAPINFOHEADER +
+    bottom-up pixel array). ``luma`` is one byte per pixel in storage
+    order; each pixel is written as the grayscale BGR triplet
+    ``(v, v, v)`` and rows are padded to 4-byte boundaries — every field
+    a real decoder checks (offsets, strides, sizes) is exact. Unlike the
+    PNG/JPEG builders, the pixel data here is genuinely decodable with
+    no codec library, which is why this is the format whose pixel
+    decode is REAL (mean_luma)."""
+    if len(luma) != width * height:
+        raise ValueError(f"luma must be {width * height} bytes, got {len(luma)}")
+    stride = (width * 3 + 3) & ~3
+    pad = b"\x00" * (stride - width * 3)
+    arr = np.frombuffer(luma, dtype=np.uint8)
+    rows = []
+    for r in range(height):
+        row = np.repeat(arr[r * width : (r + 1) * width], 3).tobytes()
+        rows.append(row + pad)
+    pixel_data = b"".join(rows)
+    off = 14 + 40
+    file_header = b"BM" + struct.pack("<IHHI", off + len(pixel_data), 0, 0, off)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_data), 0, 0, 0, 0
+    )
+    return file_header + info_header + pixel_data
 
 
 #: WAV synthesis rate: 50 Hz × 16-bit mono ⟹ byte_rate 100 ⟹
@@ -186,6 +224,25 @@ def parse_container(payload: bytes) -> dict:
             "container": "jpeg", "width": int(width), "height": int(height),
             "duration_ms": None, "content": content,
         }
+    if payload.startswith(b"BM") and len(payload) >= 54:
+        (off,) = struct.unpack_from("<I", payload, 10)
+        _hsize, width, height, _planes, bpp, comp = struct.unpack_from(
+            "<IiiHHI", payload, 14
+        )
+        if bpp != 24 or comp != 0:
+            raise ValueError(f"only uncompressed 24bpp BMP supported (bpp={bpp}, comp={comp})")
+        stride = (width * 3 + 3) & ~3
+        h = abs(height)  # negative height = top-down row order
+        rows = []
+        for r in range(h):
+            row = payload[off + r * stride : off + r * stride + width * 3]
+            if len(row) != width * 3:
+                raise ValueError(f"BMP pixel array truncated at row {r}")
+            rows.append(row)
+        return {
+            "container": "bmp", "width": int(width), "height": h,
+            "duration_ms": None, "content": b"".join(rows),  # unpadded BGR
+        }
     if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
         byte_rate = None
         data = None
@@ -216,12 +273,37 @@ def parse_container(payload: bytes) -> dict:
 # ---------------------------------------------------------------------------
 # synthesis
 
+#: audio synthesis: n_samples = 64 + id % 192 ⟹ data 2n bytes at
+#: byte_rate 100 ⟹ duration_ms = n × 20 (exact integer, oracle-mirrorable)
+_PCM_BASE, _PCM_MOD = 64, 192
+
+
+def pcm_samples(mid: int) -> np.ndarray:
+    """Deterministic int16 PCM for media id ``mid``: n = 64 + id % 192
+    samples, sample_i = (id + i) % 256 − 128 — a byte-granular sawtooth
+    whose sum-of-squares the oracle recomputes with exact integer
+    arithmetic (range + list_transform in DuckDB)."""
+    n = _PCM_BASE + mid % _PCM_MOD
+    return (((np.arange(n, dtype=np.int64) + mid) % 256) - 128).astype("<i2")
+
+
+def luma_pixels(mid: int, w: int, h: int) -> bytes:
+    """Deterministic grayscale pixels for media id ``mid``:
+    pixel_j = (id + j) % 256 over storage order — sum-recomputable by the
+    oracle the same way as ``pcm_samples``."""
+    return (((np.arange(w * h, dtype=np.int64) + mid) % 256).astype(np.uint8)).tobytes()
+
+
 def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Deterministic fake media table derived from the documents corpus,
-    with REAL container bytes: ``doc_id % 3`` → image (PNG for even ids,
-    JPEG for odd), audio (WAV), video (opaque raw). The document text is
-    embedded as the container's content (IDAT / COM / data), so the
-    extraction pipeline must round-trip real framing to recover it.
+    with REAL container bytes: ``doc_id % 3`` → image, audio (WAV),
+    video (opaque raw). Images split three ways — ``id % 12 == 0`` PNG,
+    ``id % 12 == 6`` uncompressed 24-bpp BMP, odd image ids JPEG. The
+    document text is embedded as PNG/JPEG/raw content (IDAT / COM /
+    passthrough), so the extraction pipeline must round-trip real
+    framing to recover it; BMP payloads carry a REAL decodable pixel
+    array (``luma_pixels``) and WAV payloads carry REAL int16 PCM
+    (``pcm_samples``), so the decode stage has actual bytes to decode.
     Image dims are ``16 + id % 64`` × ``16 + id % 48`` — nontrivial
     values the header parse has to get exactly right."""
     src = docs.select(
@@ -238,21 +320,29 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
                 s = text or ""
                 content = s.encode("utf-8")
                 mtype = ("image", "audio", "video")[mid % 3]
+                duration = len(s) * 10
                 if mtype == "image":
                     w, h = 16 + mid % 64, 16 + mid % 48
-                    payload = (
-                        png_bytes(w, h, content) if mid % 2 == 0
-                        else jpeg_bytes(w, h, content)
-                    )
+                    if mid % 12 == 0:
+                        payload = png_bytes(w, h, content)
+                    elif mid % 12 == 6:
+                        payload = bmp_bytes(w, h, luma_pixels(mid, w, h))
+                    else:
+                        payload = jpeg_bytes(w, h, content)
+                elif mtype == "audio":
+                    w, h = 64, 64
+                    samples = pcm_samples(mid)
+                    payload = wav_bytes(samples.tobytes())
+                    duration = len(samples) * 20  # 2n bytes × 10 ms/byte
                 else:
                     w, h = 64, 64
-                    payload = wav_bytes(content) if mtype == "audio" else content
+                    payload = content
                 rows["media_id"].append(mid)
                 rows["media_type"].append(mtype)
                 rows["payload"].append(payload)
                 rows["width"].append(w)
                 rows["height"].append(h)
-                rows["duration_ms"].append(len(s) * 10)
+                rows["duration_ms"].append(duration)
             yield pd.DataFrame(rows)
 
     from smoltable_spark.functions.dedup import spread
@@ -273,15 +363,21 @@ def extract_features(
 ) -> DataFrame:
     """Arrow-batched header parse + feature extraction over payloads.
 
-    Two stages inside one ``mapInPandas`` pass:
+    Three stages inside one ``mapInPandas`` pass:
 
     1. **Header parse (REAL)** — ``parse_container`` reads PNG IHDR /
-       JPEG SOF0 / WAV fmt+data framing with pure ``struct`` and recovers
-       the container's dimensions, duration, and embedded content bytes.
-    2. **Content decode (STUB boundary)** — featurizing the recovered
-       content. ``decode_stub=False`` raises ``NotImplementedError``
-       here (no codec libraries in this environment); the stub features
-       are content-derived and deterministic.
+       JPEG SOF0 / BMP info header / WAV fmt+data framing with pure
+       ``struct`` and recovers the container's dimensions, duration, and
+       embedded content bytes.
+    2. **Uncompressed decode (REAL)** — formats that need no codec
+       library are fully decoded: BMP pixel arrays → ``mean_luma``
+       (exact integer byte-sum / pixel-count), WAV 16-bit PCM →
+       ``rms_amp`` (exact integer sum-of-squares, one division, one
+       correctly-rounded sqrt — bit-portable to the oracle).
+    3. **Compressed decode (STUB boundary)** — featurizing PNG/JPEG
+       image data requires zlib-inflate + entropy decode of real
+       codecs; ``decode_stub=False`` raises ``NotImplementedError``
+       here. The stub features are content-derived and deterministic.
 
     The 100 TB shape: payloads never leave the executor, only parsed
     headers + (tiny) feature vectors come back. ``payload_sha`` hashes
@@ -293,26 +389,40 @@ def extract_features(
         for pdf in batches:
             if not decode_stub:
                 raise NotImplementedError(
-                    "real content decoding requires codec libraries not "
-                    "present in this environment; use decode_stub=True "
-                    "(container header parsing itself is real — see "
-                    "parse_container)"
+                    "real PNG/JPEG content decoding requires codec "
+                    "libraries not present in this environment; use "
+                    "decode_stub=True (header parsing AND the BMP/PCM "
+                    "decode paths are real — see parse_container)"
                 )
             rows = {k: [] for k in
                     ("media_id", "media_type", "container", "width", "height",
-                     "duration_ms", "payload_sha", "feature")}
+                     "duration_ms", "payload_sha", "feature", "mean_luma",
+                     "rms_amp")}
             for mid, mtype, payload in zip(
                 pdf["media_id"], pdf["media_type"], pdf["payload"]
             ):
                 info = parse_container(bytes(payload) if payload is not None else b"")
+                content = info["content"]
+                mean_luma = rms_amp = None
+                if info["container"] == "bmp" and content:
+                    # grayscale BGR triplets: the mean over ALL bytes IS
+                    # the mean luma (r=g=b); integer sum stays exact
+                    px = np.frombuffer(content, dtype=np.uint8)
+                    mean_luma = float(int(px.sum(dtype=np.int64)) / px.size)
+                elif info["container"] == "wav" and len(content) >= 2:
+                    n = len(content) // 2  # drop a trailing odd byte
+                    s = np.frombuffer(content[: 2 * n], dtype="<i2").astype(np.int64)
+                    rms_amp = math.sqrt(int((s * s).sum()) / n)
                 rows["media_id"].append(int(mid))
                 rows["media_type"].append(mtype)
                 rows["container"].append(info["container"])
                 rows["width"].append(info["width"])
                 rows["height"].append(info["height"])
                 rows["duration_ms"].append(info["duration_ms"])
-                rows["payload_sha"].append(hashlib.sha256(info["content"]).hexdigest())
-                rows["feature"].append(_fake_feature(info["content"], dim))
+                rows["payload_sha"].append(hashlib.sha256(content).hexdigest())
+                rows["feature"].append(_fake_feature(content, dim))
+                rows["mean_luma"].append(mean_luma)
+                rows["rms_amp"].append(rms_amp)
             yield pd.DataFrame(rows)
 
     from smoltable_spark.functions.dedup import spread

@@ -75,7 +75,11 @@ def mg_candidates(tokens_df: DataFrame, k: int, token_col: str = "tok") -> DataF
         counters: dict = {}
         n_part = 0
         for pdf in batches:
-            n_part += len(pdf)
+            # count NON-NULL tokens only: value_counts drops None here and
+            # the exact-count left_semi join never matches NULL, so N must
+            # exclude them too or the ceil(θ·N) cutoff is inflated on a
+            # nullable token stream (round-3 advice)
+            n_part += int(pdf[token_col].notna().sum())
             for tok, c in pdf[token_col].value_counts().items():
                 _mg_add(counters, tok, int(c), k)
         # one NULL-token row rides along carrying the partition's row
@@ -240,7 +244,12 @@ def hll_distinct_sql(table: str, group_col: str, ident_col: str, seed: str = "hl
     ),
     mjs AS (SELECT g, reg, max(rho) AS mj FROM regs GROUP BY 1, 2),
     grid AS (
-        SELECT DISTINCT g, r.reg FROM hashed,
+        -- derive the (group x register) grid from the already-aggregated
+        -- register table, NOT the raw input: mjs holds every group that
+        -- hashed holds, at <= m rows per group, so the oracle mirrors the
+        -- Spark plan (commit 01a0422) instead of re-scanning the corpus
+        -- 256-wide (round-3 advice)
+        SELECT DISTINCT mjs.g, r.reg FROM mjs,
                (SELECT unnest(range({HLL_M})) AS reg) r
     ),
     filled AS (

@@ -2041,38 +2041,66 @@ def dedup_semantic_keep_one(spark, sf_dir):
 @q(
     "mm_features",
     """
-    SELECT CAST(doc_id AS BIGINT) AS media_id,
-           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+    WITH base AS (
+        SELECT CAST(doc_id AS BIGINT) AS media_id, text,
+               CAST(doc_id % 3 AS INT) AS m3,
+               CAST(doc_id % 12 AS INT) AS m12,
+               16 + doc_id % 64 AS wv, 16 + doc_id % 48 AS hv,
+               64 + doc_id % 192 AS nsamp
+        FROM documents
+    )
+    SELECT media_id,
+           CASE m3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                 ELSE 'video' END AS media_type,
-           CASE CAST(doc_id % 3 AS INT)
-                WHEN 0 THEN (CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END)
+           CASE m3
+                WHEN 0 THEN (CASE WHEN m12 = 0 THEN 'png'
+                                  WHEN m12 = 6 THEN 'bmp' ELSE 'jpeg' END)
                 WHEN 1 THEN 'wav' ELSE 'raw' END AS container,
-           CASE WHEN doc_id % 3 = 0 THEN CAST(16 + doc_id % 64 AS INT) END AS width,
-           CASE WHEN doc_id % 3 = 0 THEN CAST(16 + doc_id % 48 AS INT) END AS height,
-           CASE WHEN doc_id % 3 = 1 THEN CAST(strlen(text) * 10 AS BIGINT) END
-               AS duration_ms,
-           sha256(text) AS payload_sha,
-           CAST(concat('0x', substr(sha256(text), 1, 2)) AS BIGINT) AS f0_byte
-    FROM documents
+           CASE WHEN m3 = 0 THEN CAST(wv AS INT) END AS width,
+           CASE WHEN m3 = 0 THEN CAST(hv AS INT) END AS height,
+           CASE WHEN m3 = 1 THEN CAST(nsamp * 20 AS BIGINT) END AS duration_ms,
+           CASE WHEN m3 = 2 OR (m3 = 0 AND m12 != 6) THEN sha256(text)
+               END AS payload_sha,
+           CASE WHEN m3 = 2 OR (m3 = 0 AND m12 != 6)
+                THEN CAST(concat('0x', substr(sha256(text), 1, 2)) AS BIGINT)
+               END AS f0_byte,
+           CASE WHEN m3 = 0 AND m12 = 6
+                THEN CAST(list_sum(list_transform(range(wv * hv),
+                          j -> (media_id + j) % 256)) AS DOUBLE) / (wv * hv)
+               END AS mean_luma,
+           CASE WHEN m3 = 1
+                THEN sqrt(CAST(list_sum(list_transform(range(nsamp),
+                          i -> ((media_id + i) % 256 - 128)
+                             * ((media_id + i) % 256 - 128))) AS DOUBLE) / nsamp)
+               END AS rms_amp
+    FROM base
     """,
 )
 def mm_features(spark, sf_dir):
-    """Arrow-batched (mapInPandas) container parse + feature extraction.
+    """Arrow-batched (mapInPandas) container parse + REAL uncompressed
+    decode + feature extraction.
 
-    The payloads are REAL PNG/JPEG/WAV containers built by
-    ``synthesize_media`` (signatures, chunk CRCs, segment framing) with
-    the document text embedded as content; ``extract_features`` parses
-    width/height/duration back out of the headers with pure ``struct``
-    and hashes the recovered content. The oracle recomputes every parsed
-    value from the source documents — dims from the id formula, WAV
-    duration from ``strlen(text) * 10`` (50 Hz × 16-bit mono ⟹
-    byte_rate 100 ⟹ ms = bytes × 10), digest + first feature byte from
-    the text — so one hash-match pins the whole container round-trip:
-    build → frame → parse → extract.
+    The payloads are REAL PNG/JPEG/BMP/WAV containers built by
+    ``synthesize_media`` (signatures, chunk CRCs, segment framing);
+    ``extract_features`` parses width/height/duration back out of the
+    headers with pure ``struct``, hashes the recovered content, and —
+    for the formats decodable without codec libraries — decodes the
+    actual media bytes: BMP pixel arrays → ``mean_luma`` (exact integer
+    byte sum / count), WAV 16-bit PCM → ``rms_amp`` (exact integer
+    sum-of-squares, one division, correctly-rounded sqrt). The oracle
+    recomputes every value from the generator formulas — dims from the
+    id, WAV duration from the sample count (50 Hz × 16-bit mono ⟹
+    byte_rate 100 ⟹ ms = 2n bytes × 10), digest + first feature byte
+    from the text for text-content containers, and the decoded-content
+    features from the same exact integer arithmetic over
+    ``range(n)`` — so one hash-match pins build → frame → parse →
+    DECODE → extract end to end. PNG/JPEG pixel decode stays stubbed
+    (zlib/entropy codecs; the documented boundary).
     """
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.synthesize_media(docs)
     feats = multimodal.extract_features(media, decode_stub=True)
+    text_content = F.col("container").isin("png", "jpeg", "raw")
     return feats.select(
         "media_id",
         "media_type",
@@ -2080,10 +2108,18 @@ def mm_features(spark, sf_dir):
         "width",
         "height",
         "duration_ms",
-        "payload_sha",
+        # sha/f0 pin the text round-trip — only meaningful where the
+        # container carries the document text (bmp/wav carry pixels/PCM,
+        # which the decoded-feature columns pin instead)
+        F.when(text_content, F.col("payload_sha")).alias("payload_sha"),
         # round before cast: (b/255)*255 is within 1 ulp of the integer b,
         # and truncation would land on b-1 for downward-rounded cases
-        F.round(F.element_at("feature", 1) * 255.0).cast("long").alias("f0_byte"),
+        F.when(
+            text_content,
+            F.round(F.element_at("feature", 1) * 255.0).cast("long"),
+        ).alias("f0_byte"),
+        "mean_luma",
+        "rms_amp",
     )
 
 
@@ -2404,11 +2440,11 @@ def rel_retention_cohort(spark, sf_dir):
         FROM events GROUP BY 1, 2
     )
     SELECT event_type, bucket, n,
-           sum(n) OVER w24 AS n_24h,
+           CAST(sum(n) OVER w24 AS BIGINT) AS n_24h,
            sum(sum_cents) OVER w24 / 100.0 AS value_24h,
-           n - coalesce(sum(n) OVER (
+           n - CAST(coalesce(sum(n) OVER (
                PARTITION BY event_type ORDER BY bucket
-               RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING), 0) AS delta_prev_hour
+               RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS delta_prev_hour
     FROM hourly
     WINDOW w24 AS (PARTITION BY event_type ORDER BY bucket
                    RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
@@ -3122,7 +3158,7 @@ _COLL_MIN_COUNT = 5
     nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bg),
     scored AS (
         SELECT c12.w1, c12.w2, c12.c12,
-               CAST(c12.c12 AS DOUBLE) * nb.n / (a.c * b.c) AS lift
+               CAST(c12.c12 AS DOUBLE) * nb.n / (CAST(a.c AS DOUBLE) * b.c) AS lift
         FROM c12
         JOIN c1 a ON c12.w1 = a.w
         JOIN c1 b ON c12.w2 = b.w
@@ -3169,9 +3205,14 @@ def txt_collocations(spark, sf_dir):
             "w1",
             "w2",
             "c12",
+            # ca is cast BEFORE the product: an int64 ca*cb overflows at
+            # 100 TB token counts (~1e10 each) and the engines diverge
+            # differently (DuckDB raises, non-ANSI Spark wraps); the
+            # double product is IEEE-deterministic in both (round-3
+            # advice)
             (
                 F.col("c12").cast("double") * F.lit(n_bigrams)
-                / (F.col("ca") * F.col("cb"))
+                / (F.col("ca").cast("double") * F.col("cb"))
             ).alias("lift"),
         )
     )

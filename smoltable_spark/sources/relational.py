@@ -74,10 +74,23 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.parquet(path)
     if name == "events":
+        # Parquet TIMESTAMP(NANOS) is refused by Spark's schema converter
+        # ("Illegal Parquet type: INT64 (TIMESTAMP(NANOS,...))"), and the
+        # driver's testdata has shipped that encoding before — fall back to
+        # the explicit LongType schema, which reads the physical INT64 as
+        # raw epoch nanos directly (the old raw-INT64 path this schema
+        # existed for; round-3 advice).
+        try:
+            df = spark.read.parquet(path)
+            df.schema  # force footer-schema resolution now, not at action
+        except Exception as e:  # noqa: BLE001 — message sniff, then re-raise
+            msg = str(e)
+            if "NANOS" not in msg.upper():
+                raise
+            df = spark.read.schema(_EVENTS_SCHEMA).parquet(path)
         return normalize_event_ts(df)
-    return df
+    return spark.read.parquet(path)
 
 
 _VCOLS = ["v_str", "v_bool", "v_byte", "v_i32", "v_i64", "v_f32", "v_f64"]

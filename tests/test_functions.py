@@ -548,3 +548,60 @@ def test_bigram_lm_scores(spark):
     avg_common = out[0]["sum_logp_milli"] / out[0]["n_bigrams"]
     avg_garble = out[100]["sum_logp_milli"] / out[100]["n_bigrams"]
     assert avg_common > avg_garble
+
+
+def test_multimodal_real_bmp_and_pcm_decode(spark):
+    """Round-4: BMP pixel and WAV PCM decode are REAL — mean_luma / rms_amp
+    computed from the decoded container bytes must equal the closed-form
+    values of the generator formulas (the same arithmetic the mm_features
+    oracle runs in DuckDB)."""
+    import math as m
+
+    from smoltable_spark.functions import multimodal as M
+
+    rows = [(i, f"doc number {i} text", "en") for i in (0, 1, 2, 3, 4, 6, 18)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
+    media = M.synthesize_media(docs)
+    feats = {r["media_id"]: r for r in M.extract_features(media).collect()}
+
+    assert feats[0]["container"] == "png" and feats[3]["container"] == "jpeg"
+    assert feats[2]["container"] == "raw"
+    for mid in (6, 18):  # id % 12 == 6 -> BMP with real pixels
+        r = feats[mid]
+        assert r["container"] == "bmp"
+        w, h = 16 + mid % 64, 16 + mid % 48
+        assert (r["width"], r["height"]) == (w, h)
+        expect = sum((mid + j) % 256 for j in range(w * h)) / (w * h)
+        assert r["mean_luma"] == expect
+        assert r["rms_amp"] is None and r["payload_sha"] is not None
+    for mid in (1, 4):  # audio -> WAV carrying real int16 PCM
+        r = feats[mid]
+        assert r["container"] == "wav"
+        n = 64 + mid % 192
+        assert r["duration_ms"] == n * 20
+        expect = m.sqrt(
+            sum(((mid + i) % 256 - 128) ** 2 for i in range(n)) / n
+        )
+        assert r["rms_amp"] == expect
+        assert r["mean_luma"] is None
+    # text-content containers never get decoded-media features
+    assert all(
+        feats[i]["mean_luma"] is None and feats[i]["rms_amp"] is None
+        for i in (0, 2, 3)
+    )
+
+
+def test_bmp_container_roundtrip_unit():
+    """bmp_bytes -> parse_container recovers dims and unpadded pixels for
+    widths that exercise every stride-padding case (w*3 % 4 in all states)."""
+    from smoltable_spark.functions import multimodal as M
+
+    for w, h in [(1, 2), (2, 2), (3, 1), (4, 3), (5, 4)]:
+        luma = bytes((7 * i + 3) % 256 for i in range(w * h))
+        info = M.parse_container(M.bmp_bytes(w, h, luma))
+        assert info["container"] == "bmp"
+        assert (info["width"], info["height"]) == (w, h)
+        triplets = info["content"]
+        assert len(triplets) == w * h * 3
+        assert triplets[0::3] == luma  # B channel
+        assert triplets[1::3] == luma and triplets[2::3] == luma

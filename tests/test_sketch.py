@@ -136,3 +136,24 @@ def _cm_never_undercounts(sp_stream, probes):
 def test_cm_never_undercounts(spark):
     _cm_never_undercounts._spark = spark
     _cm_never_undercounts()
+
+
+def test_heavy_hitters_null_tokens_excluded_from_n(spark):
+    """N must count NON-NULL tokens only (round-3 advice): value_counts
+    drops None in the MG phase and the left_semi join never matches NULL,
+    so a null-heavy stream must not inflate the ceil(θ·N) cutoff."""
+    import pyspark.sql.functions as F
+
+    # 40 non-null tokens (x:20, y:12, t0..t7:1 each) + 60 NULLs.
+    rows = [("x",)] * 20 + [("y",)] * 12 + [(f"t{i}",) for i in range(8)]
+    rows += [(None,)] * 60
+    df = spark.createDataFrame(rows, "tok string").repartition(4)
+    got = {
+        (r["tok"], r["cnt"])
+        for r in sketch.heavy_hitters(df, threshold=0.3).collect()
+    }
+    # over non-null N=40: cutoff 12 -> {x, y}. With the old bug N=100
+    # gave cutoff 30 -> {} (y, then x, silently dropped).
+    brute_n = df.filter(F.col("tok").isNotNull()).count()
+    assert brute_n == 40
+    assert got == {("x", 20), ("y", 12)}

@@ -21,6 +21,7 @@ import os
 import sys
 import time
 from collections import Counter
+from decimal import Decimal
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -31,12 +32,36 @@ TABLES = [
 
 
 def norm_value(v):
+    """Type-STRICT normalization mirroring the driver's typed hasher.
+
+    The driver hashes values together with their Arrow type, so a DuckDB
+    HUGEINT/DECIMAL column (Arrow decimal128) never matches a Spark LONG
+    even when every value is numerically equal.  Round 3 shipped exactly
+    that bug because this function used to collapse Decimal -> float; now
+    each scalar carries a type tag, so the local gate red-flags what the
+    driver red-flags.  bytes/bytearray share a tag (both become Arrow
+    binary driver-side).
+    """
+    if isinstance(v, bool):
+        return f"bool:{v!r}"
+    if isinstance(v, int):
+        return f"int:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return repr(v)  # full precision — exactness is the contract
-    if hasattr(v, "__float__") and type(v).__name__ == "Decimal":
-        return repr(float(v))
+            return "float:NaN"
+        return "float:" + repr(v)  # full precision — exactness is the contract
+    if isinstance(v, Decimal):
+        return "decimal:" + str(v)
+    if isinstance(v, (bytes, bytearray)):
+        return "bytes:" + bytes(v).hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_value(x) for x in v) + "]"
+    if hasattr(v, "asDict"):  # pyspark Row (nested struct)
+        v = v.asDict()
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            f"{k}:{norm_value(x)}" for k, x in sorted(v.items())
+        ) + "}"
     return repr(v)
 
 

@@ -27,6 +27,10 @@ CLI:
     python tools/oracle_ledger.py --window-check  # fail if a changed query
                                                   # would fall outside the
                                                   # driver's first-50 window
+    python tools/oracle_ledger.py --coverage      # per-query rounds since
+                                                  # last driver green ->
+                                                  # COVERAGE.md staleness
+                                                  # section (VERDICT r3 #9)
 """
 
 from __future__ import annotations
@@ -339,6 +343,89 @@ def window_order(merged: dict) -> list[str]:
 
 
 # ---------------------------------------------------------------------------
+# staleness coverage report (VERDICT r3 ask #9)
+
+_COV_BEGIN = "<!-- oracle_ledger --coverage BEGIN (generated) -->"
+_COV_END = "<!-- oracle_ledger --coverage END -->"
+
+
+def coverage_report(merged: dict | None = None) -> tuple[str, int]:
+    """(markdown section, max staleness) for COVERAGE.md.
+
+    Staleness of a query = rounds elapsed since its last fully-green
+    driver CORRECTNESS row (current round = latest recorded round + 1,
+    i.e. the round being built now). At 118 registered queries and a
+    50-query driver window, a full rotation takes 3 rounds — the
+    oldest-green-first window policy should keep max staleness ≤ 3; this
+    table makes the tail visible instead of argued.
+    """
+    if merged is None:
+        merged = _registry()
+    rounds = last_green_round()
+    latest = max(rounds.values(), default=0)
+    current = latest + 1
+    order = window_order(merged)
+    in_window = set(order[:WINDOW])
+    buckets: dict[int, list[str]] = {}
+    for n in merged:
+        stale = current - rounds.get(n, 0) if n in rounds else current
+        buckets.setdefault(stale, []).append(n)
+    lines = [
+        _COV_BEGIN,
+        "",
+        f"Registered queries: **{len(merged)}**; driver window: first "
+        f"{WINDOW} of the published order; current round: r{current:02d}. "
+        "Staleness = rounds since the query's last fully-green driver "
+        "CORRECTNESS row (never-green = age of the registry). Queries "
+        "marked `→window` sit inside THIS round's driver window, so their "
+        "staleness resets to 0 when the round lands.",
+        "",
+        "| rounds since driver green | queries | of which in this round's window |",
+        "|---|---|---|",
+    ]
+    for stale in sorted(buckets):
+        names = sorted(buckets[stale])
+        inw = sum(1 for n in names if n in in_window)
+        lines.append(f"| {stale} | {len(names)} | {inw} |")
+    worst = max(buckets)
+    tail = sorted(buckets[worst])
+    lines += [
+        "",
+        f"Max staleness: **{worst}** round(s) — "
+        + ", ".join(
+            f"`{n}`{' →window' if n in in_window else ''}" for n in tail[:12]
+        )
+        + (" …" if len(tail) > 12 else "")
+        + ".",
+        "",
+        _COV_END,
+    ]
+    return "\n".join(lines), worst
+
+
+def write_coverage_section(path: str | None = None) -> int:
+    """Insert/replace the generated staleness section in COVERAGE.md."""
+    path = path or os.path.join(REPO, "COVERAGE.md")
+    section, worst = coverage_report()
+    try:
+        with open(path) as f:
+            doc = f.read()
+    except OSError:
+        doc = "# COVERAGE\n"
+    header = "## Driver-green staleness (generated by tools/oracle_ledger.py --coverage)"
+    block = header + "\n\n" + section + "\n"
+    if _COV_BEGIN in doc:
+        pre = doc[: doc.index(header)] if header in doc else doc[: doc.index(_COV_BEGIN)]
+        post = doc[doc.index(_COV_END) + len(_COV_END):].lstrip("\n")
+        doc = pre.rstrip("\n") + "\n\n" + block + ("\n" + post if post else "")
+    else:
+        doc = doc.rstrip("\n") + "\n\n" + block
+    with open(path, "w") as f:
+        f.write(doc)
+    return worst
+
+
+# ---------------------------------------------------------------------------
 # CLI
 
 def main() -> int:
@@ -349,7 +436,14 @@ def main() -> int:
                     help="list queries whose stamp changed vs the ledger")
     ap.add_argument("--window-check", action="store_true",
                     help="fail if a changed query falls outside the window")
+    ap.add_argument("--coverage", action="store_true",
+                    help="write the per-query staleness table to COVERAGE.md")
     args = ap.parse_args()
+
+    if args.coverage:
+        worst = write_coverage_section()
+        print(f"COVERAGE.md staleness section updated; max staleness = {worst}")
+        return 0
 
     merged = _registry()
     changed = changed_queries(merged)

@@ -368,6 +368,64 @@ def main():
         .count(),
     )
 
+    # -- streaming at 10x (VERDICT r3 ask #4): replay the 1M-event set
+    # through the three streaming headline queries with availableNow and
+    # record wall time AND state-store peak — the watermark-bounded-state
+    # claim, measured instead of argued. maxFilesPerTrigger=4 over the
+    # 32-file 10x events dir => a genuine 8-micro-batch replay.
+    from smoltable_spark.streaming import ingest
+
+    def run_stream(label, xform, mode):
+        def body():
+            src = ingest.stream_events(
+                spark, os.path.join(OUT, "events.parquet"),
+                max_files_per_trigger=4, glob="*.parquet",
+            )
+            qname = f"_scale_{label}"
+            sq = (
+                xform(src)
+                .writeStream.format("memory")
+                .queryName(qname)
+                .outputMode(mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination(600)
+            peak_rows = peak_mem = 0
+            for p in sq.recentProgress:
+                for so in p.get("stateOperators") or []:
+                    peak_rows = max(peak_rows, so.get("numRowsTotal", 0) or 0)
+                    peak_mem = max(peak_mem, so.get("memoryUsedBytes", 0) or 0)
+            n = spark.table(qname).count()
+            return f"{n} rows; state peak {peak_rows} rows / {peak_mem // 1024} KiB"
+
+        # single cold run: streaming cost IS the replay (no steady state)
+        t0 = time.time()
+        out = body()
+        results[label] = (round(time.time() - t0, 2), out)
+        print(f"# {label}: {results[label]}", file=sys.stderr)
+
+    run_stream("stream_sessionize_1M", ingest.session_stream, "append")
+    run_stream(
+        "stream_click_attribution_1M", ingest.click_attribution_stream, "append"
+    )
+
+    def topk_counts(src):
+        et = src.withColumn(
+            "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+        return (
+            et.groupBy(F.window("event_time", "1 day").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                (F.unix_micros(F.col("win.start")) * 1000).cast("long").alias("day_start_ns"),
+                "event_type",
+                "n",
+            )
+        )
+
+    run_stream("stream_windowed_topk_1M", topk_counts, "complete")
+
     # the flat-pruned-scan claim, demonstrated: the same 7.5M cells written
     # through CellStore (range-partitioned, key-sorted) — row-group stats
     # are tight, so the 50-row prefix scan must not scale with table size
@@ -429,6 +487,14 @@ Steady-state timings (2nd run per op). Reading the table:
 - `cap_per_group_50k_docs`: two-phase top-k — per-(source, input
   partition) local ranks bound every window task at k rows out,
   regardless of how hot a source is.
+- `stream_*_1M` rows replay the 10x (1M-event) set as an 8-micro-batch
+  availableNow stream (maxFilesPerTrigger=4 over 32 files) and report
+  state-store PEAK alongside wall time — the watermark-bounded-state
+  claim, measured: session/window state tracks the open-session /
+  open-window population (and the interval-join state tracks one
+  watermark+window horizon of clicks+purchases), NOT the stream length;
+  wall time is dominated by per-micro-batch fixed overhead (~0.5-1 s
+  each), which at 100 TB amortizes over far larger batches.
 """
     with open(os.path.join(os.path.dirname(OUT), "SCALE.md"), "w") as fh:
         fh.write("# SCALE — 10x smoke (sf0.1 replicated 10x, local[32])\n")
