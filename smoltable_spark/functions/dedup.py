@@ -329,48 +329,48 @@ def blocked_jaccard_near_duplicates(
 ) -> DataFrame:
     """Exact Jaccard near-dups within a blocking key (e.g. language).
 
-    **Scope note (VERDICT r2): this is a VERIFICATION PRIMITIVE, not the
-    near-dup entry point.** Within-cell verification is all-pairs by
-    definition of the exact result, so on duplicate-heavy corpora the
-    verify stage dominates (361 s on the 10× clone-replica smoke,
-    SCALE.md). Use ``minhash_near_duplicates`` as the documented near-dup
-    operator at scale — its LSH buckets scale with duplicate structure,
-    not corpus size. When the guard below raises, the one-line remedy is
-    to pass your own candidate set: ``candidates=`` any (id_a, id_b)
-    DataFrame (e.g. ``lsh_candidate_pairs`` output) skips block-based
-    pair formation entirely and runs only the exact-Jaccard verify +
-    threshold on those pairs.
-
     The RESULT is defined as "all pairs within the block with
     J ≥ threshold" (the oracle's brute-force definition), but the PLAN
     never forms O(block²) pairs (VERDICT r1: ``lang`` alone is ~the corpus
-    in a real dataset — a cartesian bomb). Candidates form inside the
-    composite block (block_col, shingle-size bucket): J(A,B) ≥ t bounds
-    the size ratio — t ≤ |A∩B|/|A∪B| ≤ min/max, so max ≤ min/t — hence
-    with buckets of width ≥ log2(1/t) in log2(size) space, any qualifying
-    pair sits in the same or adjacent buckets. Each doc is joined against
-    its own bucket and probes bucket+1: pruned pairs are exactly those
-    that CANNOT reach the threshold, so the output equals the
-    unblocked-by-size definition while pair formation is O(Σ bucket²) —
-    bounded by the corpus's length distribution, not its language
-    distribution.
+    in a real dataset — a cartesian bomb). Round 4 replaces the size-bucket
+    all-pairs cells with **prefix filtering** (the PPJoin/All-Pairs
+    inverted-index principle, Bayardo et al. WWW'07; same family as the
+    reference-free SSJoin literature):
 
-    The bucket is computed in EXACT integer arithmetic —
-    ``floor(log2(sz))`` as ``length(conv(sz, 10, 2)) - 1``, then grouped
-    into runs of ``m = ceil(log2(1/t))`` — because a float ``ln`` at a
-    power boundary could misplace a doc by one bucket and silently prune
-    a qualifying pair (false negatives, invisible to the threshold
-    filter).
+    - every doc's hashed shingle set is sorted under one global total
+      order (the int64 hash value);
+    - a doc of size ``s`` exposes only its first ``s − ceil(t·s) + 1``
+      shingles (its *prefix*). J(A,B) ≥ t forces
+      ``|A∩B| ≥ ceil(t·max(|A|,|B|))`` (since ``|A∪B| ≥ max``), so if A
+      and B shared no prefix element, the overlap could be at most
+      ``ceil(t·s) − 1`` on either side — contradiction. Hence every
+      qualifying pair collides on ≥ 1 (block, prefix-shingle) key and
+      the inverted-index self-join loses nothing;
+    - candidate pairs then pass the exact rational size filter
+      (``max·num ≤ min·den``, from J ≤ min/max) and are de-duplicated
+      before the per-pair ``array_intersect`` verify.
 
-    ``max_block_rows`` guards the residual quadratic term: if any
-    (block, bucket) cell exceeds it, raise instead of launching a
-    cell²-pair job (route such corpora through
-    ``minhash_near_duplicates``, whose LSH buckets don't grow with corpus
-    size). ``None`` disables the guard. The guard is one tiny
-    aggregate over (block, bucket) cells, run before the pair join.
+    The prefix length is computed in EXACT integer arithmetic
+    (``ceil(t·s)`` as ``(s·num + den − 1) div den``) — a float ceil at a
+    rational boundary could shorten a prefix by one and silently prune a
+    qualifying pair (false negatives, invisible to the threshold filter).
 
-    ``threshold`` must be in (0, 1); at t→1 buckets sharpen toward
-    exact-size matching.
+    Scale shape: pair formation is Σ over (block, prefix-shingle) keys of
+    |posting-list|² — driven by *shared rare shingles*, not corpus or
+    block size. Unrelated docs almost never collide (the prefix is a
+    random half of a random hash ordering); true near-dup clusters
+    collide on ~every prefix shingle, which the ``distinct()`` collapses
+    to one pair before verification. ``max_block_rows`` now guards the
+    hottest posting list: if any (block, shingle) list exceeds it, raise
+    instead of launching that list's quadratic pair job (route such
+    corpora through ``minhash_near_duplicates``). ``None`` disables the
+    guard; the guard is one tiny aggregate run before the pair join.
+    When the guard raises, the one-line remedy is ``candidates=`` any
+    (id_a, id_b) DataFrame (e.g. ``lsh_candidate_pairs`` output), which
+    skips pair formation and runs only the exact verify + threshold.
+
+    ``threshold`` must be in (0, 1); at t→1 prefixes sharpen toward
+    single-shingle fingerprints.
     """
     if not (0.0 < threshold < 1.0):
         raise ValueError(f"threshold must be in (0,1), got {threshold}")
@@ -381,70 +381,52 @@ def blocked_jaccard_near_duplicates(
             F.col("common") * den
             >= num * (F.col("size_a") + F.col("size_b") - F.col("common"))
         )
-    import math as _math
-
-    # width of a bucket in floor(log2(size)) units; the -1e-12 guards the
-    # driver-side ceil against fp at exact powers (e.g. t=0.25 → m=2)
-    m = max(1, _math.ceil(_math.log2(1.0 / threshold) - 1e-12))
-    sized = shingle_arrays(docs, text_col, id_col, k, hashed=True).select(
-        F.col(id_col), F.size("sh_arr").alias("_sz")
+    arr = shingle_arrays(docs, text_col, id_col, k, hashed=True).select(
+        F.col(id_col), F.array_sort("sh_arr").alias("_sorted")
     )
-    log2_floor = (
-        F.length(F.conv(F.greatest(F.col("_sz"), F.lit(1)).cast("string"), 10, 2)) - 1
-    )
-    blocked = (
+    sz = F.size("_sorted")
+    # prefix_len = s − ceil(num·s/den) + 1, all-integer
+    plen = sz - F.expr(f"(size(_sorted) * {num} + {den - 1}) div {den}") + 1
+    pre = (
         docs.select(F.col(id_col), F.col(block_col).alias("blk"))
-        .join(sized, id_col)
+        .join(arr, id_col)
         .select(
             id_col,
             "blk",
-            F.floor(log2_floor / F.lit(m)).cast("long").alias("_bkt"),
-            "_sz",
+            sz.alias("_sz"),
+            F.explode(F.slice("_sorted", F.lit(1), plen)).alias("_tok"),
         )
     )
     if max_block_rows is not None:
         worst = (
-            blocked.groupBy("blk", "_bkt")
+            pre.groupBy("blk", "_tok")
             .agg(F.count(F.lit(1)).alias("n"))
             .agg(F.max("n").alias("mx"))
             .collect()[0]["mx"]
         )
         if worst is not None and worst > max_block_rows:
             raise ValueError(
-                f"largest (block, size-bucket) cell has {worst} docs "
-                f"(> max_block_rows={max_block_rows}); pair formation would "
-                "be quadratic in that cell — use minhash_near_duplicates "
-                "for this corpus, or raise/disable max_block_rows"
+                f"hottest (block, prefix-shingle) posting list has {worst} "
+                f"docs (> max_block_rows={max_block_rows}); pair formation "
+                "would be quadratic in that list — use "
+                "minhash_near_duplicates for this corpus, or raise/disable "
+                "max_block_rows"
             )
-    # Each unordered pair forms EXACTLY ONCE — no distinct() over the
-    # (potentially huge) pair set: same-bucket pairs are ordered by id,
-    # adjacent-bucket pairs by bucket direction (a doc has one bucket, so
-    # (lo-bucket, hi-bucket) can only meet via the +1-shifted probe).
-    home = blocked.select(
-        F.col(id_col).alias("_ha"), "blk", F.col("_bkt").alias("_jb"),
-        F.col("_sz").alias("_sza"),
+    a = pre.select(
+        F.col(id_col).alias("id_a"), "blk", "_tok", F.col("_sz").alias("_sza")
     )
-    probe_same = blocked.select(
-        F.col(id_col).alias("_hb"), "blk", F.col("_bkt").alias("_jb"),
-        F.col("_sz").alias("_szb"),
+    b = pre.select(
+        F.col(id_col).alias("id_b"), "blk", "_tok", F.col("_sz").alias("_szb")
     )
-    probe_adj = blocked.select(
-        F.col(id_col).alias("_hb"), "blk", (F.col("_bkt") + 1).alias("_jb"),
-        F.col("_sz").alias("_szb"),
-    )
-    same = home.join(probe_same, ["blk", "_jb"]).filter(F.col("_ha") < F.col("_hb"))
-    adj = home.join(probe_adj, ["blk", "_jb"])
     pairs = (
-        same.unionByName(adj)
+        a.join(b, ["blk", "_tok"])
+        .filter(F.col("id_a") < F.col("id_b"))
         # exact rational size prefilter: J ≤ min/max, so J ≥ num/den
-        # requires max·num ≤ min·den — prunes pairs (notably across
-        # adjacent buckets, where sizes may differ up to 4×) before the
-        # per-pair intersect, using the sizes already at hand
+        # requires max·num ≤ min·den — applied per collision, BEFORE the
+        # distinct shuffle, using the sizes already at hand
         .filter(F.greatest("_sza", "_szb") * num <= F.least("_sza", "_szb") * den)
-        .select(
-            F.least("_ha", "_hb").alias("id_a"),
-            F.greatest("_ha", "_hb").alias("id_b"),
-        )
+        .select("id_a", "id_b")
+        .distinct()
     )
     jac = jaccard_pairs(docs, pairs, text_col, id_col, k)
     return jac.filter(

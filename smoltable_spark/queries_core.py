@@ -357,6 +357,108 @@ def wc_store_time_travel(spark, sf_dir):
     )
 
 
+_PROBE_STORE_CACHE: dict = {}
+
+
+def _probe_store(spark, sf_dir):
+    """Fresh single-version orders store for wc_plan_probe: the SHARED
+    ``_orders_store`` accretes probe deltas from sibling queries, which
+    changes leg counts (and hence plan-fact counts) with driver run
+    order — this one is written exactly once by exactly this query, so
+    every plan fact below is deterministic."""
+    from smoltable_spark.sources.store import CellStore
+
+    if sf_dir not in _PROBE_STORE_CACHE:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            "smoltable_planprobe_" + re.sub(r"\W", "_", sf_dir),
+        )
+        store = CellStore(spark, path)
+        store.save_families([ColumnFamilyDef("o", lg="lg_orders")])
+        if store.current_version() == 0:
+            store.write(orders_cells(spark, sf_dir))
+        _PROBE_STORE_CACHE[sf_dir] = store
+    return _PROBE_STORE_CACHE[sf_dir]
+
+
+@q(
+    "wc_plan_probe",
+    """
+    SELECT fact, CAST(value AS BIGINT) AS value FROM (VALUES
+        ('count_exact_shuffles',        2),
+        ('multi_get_in_pushdown',       1),
+        ('multi_get_shuffles',          0),
+        ('prefix_lg_partition_pruned',  1),
+        ('prefix_pushed_startswith',    1),
+        ('prefix_scan_read_columns',    8),
+        ('prefix_scan_shuffles',        0)
+    ) AS t(fact, value)
+    """,
+)
+def wc_plan_probe(spark, sf_dir):
+    """Q2-adjacent PLAN facts as data (VERDICT r3 ask #8): the physical
+    properties the 100 TB design depends on, returned as a DataFrame and
+    oracle-pinned to constants — so a plan regression (lost pushdown,
+    surprise shuffle, broken partition pruning) flips a DRIVER row red
+    instead of only a pytest.
+
+    Facts, for the canonical prefix scan over a fresh single-version
+    lg-partitioned CellStore (see ``_probe_store``):
+
+    - ``prefix_pushed_startswith``: exactly one
+      ``StringStartsWith(row_key, ...)`` reaches the parquet reader;
+    - ``prefix_lg_partition_pruned``: the locality-group equality shows
+      up in PartitionFilters (directory pruning, S5);
+    - ``prefix_scan_shuffles`` = 0: a prefix scan is scan+filter+project
+      only — the property that keeps point/prefix reads O(matching
+      row-groups) at any table size;
+    - ``prefix_scan_read_columns`` = 8: the slim projection's column
+      pruning reaches ReadSchema (8 of the 12 physical columns);
+    - ``count_exact_shuffles`` = 2: exact count is partial-agg →
+      final-agg, nothing more;
+    - ``multi_get_in_pushdown`` = 1 with ``multi_get_shuffles`` = 0: a
+      small multi-get compiles to an In() filter pushed to the reader,
+      not a join.
+    """
+    from smoltable_spark.operators.read import multi_get_cells
+    from smoltable_spark.plans import explain as X
+
+    store = _probe_store(spark, sf_dir)
+    cf = ColumnFilter.key("o:totalprice")
+    cells = store.read_for_filter(cf).drop("lg")
+    scan = slim(
+        scan_cells(cells, ScanInput(prefix="order#00000000012", column_filter=cf))
+    )
+    pushed = X.pushed_filters(scan)
+    mg = multi_get_cells(
+        cells,
+        [
+            QueryRowInput(row_key="order#000000000001"),
+            QueryRowInput(row_key="order#000000000002"),
+        ],
+    )
+    facts = {
+        "prefix_pushed_startswith": sum(
+            1 for p in pushed if p.startswith("StringStartsWith(row_key")
+        ),
+        "prefix_lg_partition_pruned": int(
+            any("lg_orders" in p for p in X.partition_filters(scan))
+        ),
+        "prefix_scan_shuffles": X.shuffle_count(scan),
+        "prefix_scan_read_columns": max(
+            (len(c) for c in X.read_schema_columns(scan)), default=0
+        ),
+        "count_exact_shuffles": X.shuffle_count(count_exact(cells)),
+        "multi_get_in_pushdown": int(
+            any(p.startswith("In(row_key") for p in X.pushed_filters(mg))
+        ),
+        "multi_get_shuffles": X.shuffle_count(mg),
+    }
+    return spark.createDataFrame(
+        sorted(facts.items()), "fact string, value long"
+    )
+
+
 @q(
     "wc_approx_cell_count",
     "SELECT CAST(count(*) * 5 + 1 AS BIGINT) AS approx_cell_count FROM orders",

@@ -157,6 +157,11 @@ def main():
             {n: (qs[n], oracles.get(n)) for n in qs},
         )
         print(f"ledger: refreshed {len(passed)} stamps in ORACLE_LEDGER.json")
+        if not only:  # full run: keep the staleness table current too
+            from tools.oracle_ledger import write_coverage_section
+
+            worst = write_coverage_section()
+            print(f"COVERAGE.md staleness refreshed (max {worst} rounds)")
     spark.stop()
     return 1 if n_fail else 0
 
