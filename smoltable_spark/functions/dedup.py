@@ -533,6 +533,106 @@ def cluster_summary(pairs: DataFrame, rounds: int = 4) -> DataFrame:
     return labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+def cluster_pairs_cc(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """EXACT connected components over near-dup pairs via alternating
+    large-star / small-star (the MapReduce CC algorithm of Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) run to
+    CONVERGENCE — no diameter bound, unlike ``cluster_pairs``'s fixed-round
+    propagation. Converges in O(log² n) rounds on any graph, so a path
+    graph of a million nodes resolves in ~40 supersteps where fixed-round
+    min-label would need a million.
+
+    Each superstep is two edge transforms on the PAIR set only (the
+    corpus never participates):
+
+    - **large-star**: every node connects its strictly-larger neighbors
+      to the minimum of its closed neighborhood — ``(v, m(u))`` for
+      ``v > u`` where ``m(u) = min(N(u) ∪ {u})``.
+    - **small-star**: edges directed larger→smaller; every node connects
+      its (all smaller) neighbors and itself to the neighborhood minimum.
+
+    Both are one groupBy(min) + one join on the shrinking edge set;
+    convergence is detected by a canonical-edge-set equality check
+    (two tiny-table subtracts). Returns (doc_id, cluster_id) where
+    cluster_id = min doc_id of the component — identical labels to a
+    union-find on the driver, but fully distributed.
+    """
+    pairs = pairs.localCheckpoint(eager=True)
+    nodes = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # canonical undirected edges, larger endpoint first, no self-loops
+    edges = (
+        pairs.select(
+            F.greatest("id_a", "id_b").alias("u"), F.least("id_a", "id_b").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+        m = m.select("u", F.least(F.col("u"), F.col("_mn")).alias("m"))
+        return (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # e is canonical (u > v); m(u) = min over all (smaller) neighbors
+        m = e.groupBy("u").agg(F.min("v").alias("m"))
+        to_children = (
+            e.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        to_self = m.select("u", F.col("m").alias("v"))
+        return (
+            to_children.unionByName(to_self)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    n_edges = edges.count()
+    for _ in range(max_rounds):
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # converged ⇔ identical canonical edge sets; both sides are distinct
+        # sets, so equal cardinality + empty one-way difference suffices
+        # (one count + one anti-join on the tiny checkpointed pair table)
+        n_nxt = nxt.count()
+        if n_nxt == n_edges and nxt.subtract(edges).isEmpty():
+            edges = nxt
+            break
+        edges, n_edges = nxt, n_nxt
+    else:
+        raise RuntimeError(
+            f"cluster_pairs_cc did not converge in {max_rounds} rounds — "
+            "theoretical bound is O(log^2 n); raise max_rounds"
+        )
+
+    # converged edge set is a star forest: (child, component-min root)
+    return nodes.join(
+        edges.select(F.col("u").alias("doc_id"), F.col("v").alias("_root")),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id", F.coalesce(F.col("_root"), F.col("doc_id")).alias("cluster_id")
+    )
+
+
+def cluster_summary_cc(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """(cluster_id, n_docs): EXACT component sizes from near-dup pairs."""
+    labels = cluster_pairs_cc(pairs, max_rounds)
+    return labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 # ---------------------------------------------------------------------------
 # paragraph-level dedup
 

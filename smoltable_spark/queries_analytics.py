@@ -1517,6 +1517,42 @@ def dedup_clusters(spark, sf_dir):
     return dedup.cluster_summary(pairs, rounds=4)
 
 
+_CLUSTERS_CC_ORACLE = f"""
+    WITH RECURSIVE pairs AS MATERIALIZED (SELECT id_a, id_b FROM ({_minhash_oracle()})),
+    nodes AS (SELECT DISTINCT doc_id FROM
+              (SELECT id_a AS doc_id FROM pairs UNION ALL SELECT id_b FROM pairs)),
+    e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT e.src, reach.r FROM e JOIN reach ON reach.doc_id = e.dst
+    ),
+    lbl AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM lbl GROUP BY cluster_id
+    """
+
+
+@q("dedup_clusters_cc", _CLUSTERS_CC_ORACLE)
+def dedup_clusters_cc(spark, sf_dir):
+    """EXACT connected components over the MinHash near-dup pairs via
+    alternating large-star/small-star run to convergence (functions/
+    dedup.py::cluster_pairs_cc) — the no-diameter-bound counterpart to
+    dedup_clusters. Oracle is true transitive-closure CC (recursive CTE
+    reachability → min label), so this row certifies the distributed
+    algorithm against the graph-theoretic definition, not against a
+    fixed-round approximation. At 100 TB the pair set (not the corpus)
+    is the working set; each superstep is one groupBy(min) + one join
+    on that shrinking edge list."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(
+        docs, num_hashes=16, bands=4, k=3, threshold=0.5
+    ).select("id_a", "id_b")
+    return dedup.cluster_summary_cc(pairs)
+
+
 def _simhash_oracle(bits: int = 60) -> str:
     h = md5_long_sql("tok")
     bit_sums = ", ".join(

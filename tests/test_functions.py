@@ -4,6 +4,7 @@ multimodal plumbing."""
 import math
 
 import pytest
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from smoltable_spark.functions import dedup, multimodal, similarity, text
@@ -483,6 +484,88 @@ def test_cluster_pairs_transitive(spark):
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
     summary = {r["cluster_id"]: r["n_docs"] for r in dedup.cluster_summary(pairs, rounds=4).collect()}
     assert summary == {1: 4, 10: 2}
+
+
+def _union_find_components(edges):
+    """Reference labeling: classic union-find, label = component min."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots = {}
+    for n in list(parent):
+        r = find(n)
+        roots.setdefault(r, []).append(n)
+    return {n: min(members) for members in roots.values() for n in members}
+
+
+def test_cluster_pairs_cc_long_path(spark):
+    """A 40-node path has diameter 39 — far past any fixed round budget.
+    Large-star/small-star must still resolve it to ONE component, proving
+    the convergence loop (not the round count) is what terminates."""
+    edges = [(i, i + 1) for i in range(1, 40)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    labels = {
+        r["doc_id"]: r["cluster_id"] for r in dedup.cluster_pairs_cc(pairs).collect()
+    }
+    assert labels == {n: 1 for n in range(1, 41)}
+
+
+def test_cluster_pairs_cc_matches_union_find(spark):
+    """Differential test vs driver-side union-find on a mixed graph:
+    a path, a star, a triangle with a tail, and isolated pairs."""
+    edges = (
+        [(i, i + 1) for i in range(100, 110)]      # path
+        + [(200, t) for t in range(201, 208)]      # star
+        + [(300, 301), (301, 302), (302, 300), (302, 303), (303, 304)]
+        + [(400, 401), (500, 501)]
+        + [(100, 100)]                             # self-loop must be inert
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    want = _union_find_components([(a, b) for a, b in edges if a != b])
+    want[100] = min(want.get(100, 100), 100)
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in dedup.cluster_pairs_cc(pairs).collect()
+    }
+    assert got == want
+    sizes = {
+        r["cluster_id"]: r["n_docs"] for r in dedup.cluster_summary_cc(pairs).collect()
+    }
+    assert sizes == {100: 11, 200: 8, 300: 5, 400: 2, 500: 2}
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_cluster_pairs_cc_random_graphs(spark, edges):
+    """Hypothesis: on arbitrary small graphs the distributed CC labels
+    equal union-find's component minima exactly."""
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "id_a long, id_b long"
+    )
+    eff = [(a, b) for a, b in (edges or [(0, 0)])]
+    want = _union_find_components([(a, b) for a, b in eff if a != b])
+    for a, b in eff:  # self-loops still register the node
+        want.setdefault(a, a)
+        want.setdefault(b, b)
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in dedup.cluster_pairs_cc(pairs).collect()
+    }
+    assert got == want
 
 
 def test_simhash_banded_equals_bruteforce(spark, docs):
