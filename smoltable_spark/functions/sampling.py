@@ -113,3 +113,144 @@ def cap_per_group(
         survivors.withColumn(rank_col, F.row_number().over(final))
         .filter(F.col(rank_col) <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS'23)
+
+#: hashed n-gram feature space size (buckets)
+DSIR_BUCKETS = 1024
+#: log-ratio quantization: micro-nats, so per-doc scores are INTEGER sums
+DSIR_Q = 1_000_000
+
+
+def _hashed_bigram_counts(
+    docs: DataFrame,
+    is_target: Column,
+    text_col: str,
+    id_col: str,
+    buckets: int,
+    seed: str,
+) -> DataFrame:
+    """(id, tgt, bucket, c): per-doc hashed-bigram bucket counts WITH
+    multiplicity (unlike dedup's distinct shingle sets — importance
+    weights need term frequencies). One explode + one shuffle keyed by
+    (doc, bucket) — high-cardinality, skew-free. Docs shorter than two
+    tokens contribute their unigram (same boundary convention as the
+    dedup shingle pipeline)."""
+    from smoltable_spark.functions.text import tokens
+
+    toked = docs.select(
+        F.col(id_col), is_target.alias("tgt"), tokens(F.col(text_col)).alias("_toks")
+    )
+    n = F.size(F.col("_toks"))
+    idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
+    grams = F.filter(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, 2))),
+        lambda s: s != "",
+    )
+    return (
+        toked.select(F.col(id_col), "tgt", F.explode(grams).alias("gram"))
+        .select(
+            F.col(id_col),
+            "tgt",
+            (md5_long(F.concat(F.lit(seed + "|"), F.col("gram"))) % buckets).alias(
+                "bucket"
+            ),
+        )
+        .groupBy(id_col, "tgt", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = DSIR_BUCKETS,
+    seed: str = "dsir",
+) -> DataFrame:
+    """(doc_id, logw_q): DSIR importance weight of every document —
+    ``log p_target(doc) - log p_raw(doc)`` under hashed-bigram unigram
+    models with add-one smoothing — in integer MICRO-NATS.
+
+    The feature distributions are ≤ ``buckets`` rows each, so the whole
+    statistical model is a broadcast table; the corpus is touched by
+    exactly two jobs (bucket-count aggregation, per-doc weight sum) and
+    never shuffles on anything wider than (doc, bucket).
+
+    Portability: the ONLY floating-point op is the per-bucket ``ln`` of
+    the smoothed probability ratio, quantized immediately to integer
+    micro-nats (``floor(1e6·lr)``); per-document scores are then exact
+    integer sums ``Σ c·lr_q`` — immune to engine-dependent float
+    summation order, unlike summing doubles.
+    """
+    cnt = _hashed_bigram_counts(docs, is_target, text_col, id_col, buckets, seed)
+    raw = cnt.groupBy("bucket").agg(F.sum("c").alias("rb"))
+    tgt = cnt.filter(F.col("tgt")).groupBy("bucket").agg(F.sum("c").alias("tb"))
+    stats = raw.join(tgt, "bucket", "left").select(
+        "bucket", "rb", F.coalesce(F.col("tb"), F.lit(0)).alias("tb")
+    )
+    tot = stats.agg(
+        F.sum("rb").alias("rtot"), F.sum("tb").alias("ttot")
+    )
+    m = float(buckets)
+    lr = stats.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.floor(
+            F.lit(float(DSIR_Q))
+            * (
+                F.log((F.col("tb") + 1.0) / (F.col("ttot") + m))
+                - F.log((F.col("rb") + 1.0) / (F.col("rtot") + m))
+            )
+        )
+        .cast("long")
+        .alias("lr_q"),
+    )
+    w = (
+        cnt.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("c") * F.col("lr_q")).alias("logw_q"))
+    )
+    # empty/one-gram-less docs carry weight 0 rather than vanishing
+    return docs.select(F.col(id_col)).join(w, id_col, "left").select(
+        F.col(id_col), F.coalesce(F.col("logw_q"), F.lit(0)).cast("long").alias("logw_q")
+    )
+
+
+def dsir_resample(
+    docs: DataFrame,
+    is_target: Column,
+    k: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = DSIR_BUCKETS,
+    seed: str = "dsir",
+) -> DataFrame:
+    """Top-``k`` Gumbel-perturbed importance resample — DSIR's selection
+    step, derandomized: the Gumbel noise ``g = -ln(-ln(u))`` uses a
+    hash-derived uniform ``u = (md5(doc) mod 2^20 + 0.5)/2^20`` instead
+    of RNG state, so the selected set is reproducible and cross-engine
+    checkable. Gumbel-max sampling without replacement: taking the top-k
+    of ``logw + g`` draws k docs proportional-to-weight (Vieira'14).
+
+    Returns (doc_id, logw_q, key_q) — both scores in integer micro-nats;
+    the cut is a distributed TakeOrdered on (key_q desc, doc_id), never
+    a global sort of the corpus.
+    """
+    w = dsir_log_weights(docs, is_target, text_col, id_col, buckets, seed)
+    u = (
+        md5_long(F.concat(F.lit(seed + "g|"), F.col(id_col).cast("string")))
+        % F.lit(1 << 20)
+        + 0.5
+    ) / F.lit(float(1 << 20))
+    g = -F.log(-F.log(u))
+    key = (
+        F.col("logw_q") + F.floor(F.lit(float(DSIR_Q)) * g).cast("long")
+    ).alias("key_q")
+    return (
+        w.select(F.col(id_col), "logw_q", key)
+        .orderBy(F.col("key_q").desc(), F.col(id_col))
+        .limit(k)
+    )

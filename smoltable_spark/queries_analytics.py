@@ -2290,6 +2290,57 @@ def pipeline_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def _dsir_oracle(buckets: int = 1024, k: int = 200) -> str:
+    from smoltable_spark.queries_util import seeded_sql
+
+    q = 1_000_000
+    gram_h = seeded_sql("dsir", "gram")
+    gumbel_h = seeded_sql("dsirg", "CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH t AS (SELECT doc_id, lang = 'en' AS tgt, {TOKS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id, tgt, array_to_string(toks[i:i+1], ' ') AS gram
+          FROM t, unnest(range(1, greatest(len(toks) - 1, 1) + 1)) AS u(i)),
+    gf AS (SELECT doc_id, tgt, {gram_h} % {buckets} AS bucket FROM g WHERE gram <> ''),
+    cnt AS (SELECT doc_id, tgt, bucket, count(*) AS c FROM gf GROUP BY doc_id, tgt, bucket),
+    raw AS (SELECT bucket, sum(c) AS rb FROM cnt GROUP BY bucket),
+    tg AS (SELECT bucket, sum(c) AS tb FROM cnt WHERE tgt GROUP BY bucket),
+    stats AS (SELECT r.bucket, r.rb, coalesce(tg.tb, 0) AS tb
+              FROM raw r LEFT JOIN tg ON tg.bucket = r.bucket),
+    tot AS (SELECT sum(rb) AS rtot, sum(tb) AS ttot FROM stats),
+    lr AS (SELECT bucket,
+                  CAST(floor({q}.0 * (ln((tb + 1.0) / (ttot + {buckets}.0))
+                                    - ln((rb + 1.0) / (rtot + {buckets}.0)))) AS BIGINT)
+                      AS lr_q
+           FROM stats, tot),
+    w AS (SELECT cnt.doc_id, CAST(sum(cnt.c * lr.lr_q) AS BIGINT) AS logw_q
+          FROM cnt JOIN lr ON lr.bucket = cnt.bucket GROUP BY cnt.doc_id),
+    wall AS (SELECT d.doc_id, coalesce(w.logw_q, 0) AS logw_q
+             FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id),
+    keyed AS (SELECT doc_id, logw_q,
+                     logw_q + CAST(floor({q}.0 *
+                         (-ln(-ln(({gumbel_h} % 1048576 + 0.5) / 1048576.0))))
+                         AS BIGINT) AS key_q
+              FROM wall)
+    SELECT doc_id, logw_q, key_q FROM keyed
+    ORDER BY key_q DESC, doc_id LIMIT {k}
+    """
+
+
+@q("pipeline_dsir_sample", _dsir_oracle())
+def pipeline_dsir_sample(spark, sf_dir):
+    """DSIR data selection (Xie et al., NeurIPS'23; functions/sampling.py
+    ::dsir_resample): score every document by the log importance ratio of
+    a target domain (here lang='en') over the raw corpus under hashed-
+    bigram bag-of-words models, then draw a 200-doc Gumbel-top-k sample
+    proportional to importance. The statistical model is a ≤1024-row
+    broadcast table; the corpus shuffles only on (doc, bucket) and
+    doc_id; scoring is exact-integer micro-nats (floats confined to the
+    per-bucket ln), so the selected set is bit-reproducible and the
+    oracle checks it against true transitive SQL semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.dsir_resample(docs, F.col("lang") == "en", k=200)
+
+
 def _pii_inject_sql() -> str:
     """The synthetic-PII text (the testdata corpus is PII-free, so the
     scrub demo plants deterministic emails/IPs/phones derived from

@@ -144,3 +144,59 @@ def test_cap_per_group_matches_naive_window(spark):
         .collect()
     }
     assert got == naive and len(naive) == 15
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling
+
+
+def _dsir_docs(spark):
+    # target domain: "spark" jargon; off-domain: cooking. The jargon docs
+    # must score higher importance when target = is_spark.
+    rows = [
+        (1, "spark shuffle partitions spark shuffle partitions", True),
+        (2, "spark executor memory spark executor memory", True),
+        (3, "whisk the eggs and fold the flour gently", False),
+        (4, "simmer the onions then add the broth slowly", False),
+        (5, "spark shuffle partitions executor memory tuning", False),
+        (6, "roast the garlic and season the soup", False),
+        (7, "", False),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+
+
+def test_dsir_weights_separate_domains(spark):
+    """In-domain (target-like) docs must outrank off-domain docs, and the
+    empty doc carries exactly weight 0 (not dropped)."""
+    docs = _dsir_docs(spark)
+    w = {
+        r["doc_id"]: r["logw_q"]
+        for r in sampling.dsir_log_weights(docs, F.col("tgt")).collect()
+    }
+    assert set(w) == {1, 2, 3, 4, 5, 6, 7}
+    assert w[7] == 0
+    # doc 5 shares the target vocabulary without being in the target set —
+    # DSIR's whole point is that it still scores high
+    for jargon in (1, 2, 5):
+        for cooking in (3, 4, 6):
+            assert w[jargon] > w[cooking]
+
+
+def test_dsir_weights_are_deterministic_integers(spark):
+    docs = _dsir_docs(spark)
+    a = sorted(sampling.dsir_log_weights(docs, F.col("tgt")).collect())
+    b = sorted(sampling.dsir_log_weights(docs, F.col("tgt")).collect())
+    assert a == b
+    assert all(isinstance(r["logw_q"], int) for r in a)
+
+
+def test_dsir_resample_topk(spark):
+    """k=3 picks the three highest Gumbel-perturbed keys; output is keyed
+    deterministically and ordered by key desc."""
+    docs = _dsir_docs(spark)
+    out = sampling.dsir_resample(docs, F.col("tgt"), k=3).collect()
+    assert len(out) == 3
+    keys = [r["key_q"] for r in out]
+    assert keys == sorted(keys, reverse=True)
+    again = sampling.dsir_resample(docs, F.col("tgt"), k=3).collect()
+    assert out == again
