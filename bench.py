@@ -97,6 +97,10 @@ HEADLINE = [
     "rel_events_cube",
     "txt_collocations",
     "emb_quantize_int8",
+    # r4 additions: exact CC (large-star/small-star to convergence) and
+    # DSIR importance resampling
+    "dedup_clusters_cc",
+    "pipeline_dsir_sample",
 ]
 
 REGRESSION_FACTOR = 1.5

@@ -120,3 +120,81 @@ def key_distribution_sql(table: str, group_col: str, key_col: str) -> str:
                AS skew_x100
     FROM stats s JOIN hot h ON s.{group_col} = h.{group_col}
     """
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    permilles: tuple[int, ...] = (500, 900, 990),
+) -> DataFrame:
+    """EXACT per-group quantiles of an integer-valued column — e.g. the
+    p50/p90/p99 document length per source that decides truncation and
+    packing budgets.
+
+    Scale shape: a sort-based exact quantile shuffles the corpus; an
+    approx sketch (GK / t-digest) gives engine-specific answers that can
+    never be oracle-pinned. This takes the third path for discrete
+    values: ONE map-side-combining aggregate to a (group, value)
+    histogram — rows bounded by |groups|·|distinct values|, not corpus
+    size — then a cumulative window over that tiny table. The quantile
+    definition is the inverse lower CDF on the 1e-3 grid, all-integer:
+    ``q_p = min{{x : 1000·cum_count(x) ≥ p·n}}``.
+
+    Returns (group, n, min/max value, one ``p{permille}`` column each).
+    """
+    from pyspark.sql import Window
+
+    hist = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("_c"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(group_col)
+    cum = hist.select(
+        group_col,
+        value_col,
+        F.sum("_c").over(w).alias("_cum"),
+        F.sum("_c").over(wall).alias("_n"),
+    )
+    aggs = [
+        F.max("_n").cast("long").alias("n"),
+        F.min(value_col).cast("long").alias("min_val"),
+        F.max(value_col).cast("long").alias("max_val"),
+    ] + [
+        F.min(
+            F.when(F.col("_cum") * 1000 >= F.lit(p) * F.col("_n"), F.col(value_col))
+        )
+        .cast("long")
+        .alias(f"p{p}")
+        for p in permilles
+    ]
+    return cum.groupBy(group_col).agg(*aggs)
+
+
+def grouped_exact_quantiles_sql(
+    table: str,
+    group_expr: str,
+    value_expr: str,
+    permilles: tuple[int, ...] = (500, 900, 990),
+    group_alias: str = "g",
+) -> str:
+    """DuckDB rendering of :func:`grouped_exact_quantiles` (same grid)."""
+    pcols = ", ".join(
+        f"CAST(min(CASE WHEN cum * 1000 >= {p} * n THEN v END) AS BIGINT) AS p{p}"
+        for p in permilles
+    )
+    return f"""
+    WITH hist AS (SELECT {group_expr} AS g, {value_expr} AS v, count(*) AS c
+                  FROM {table} GROUP BY 1, 2),
+    cum AS (SELECT g, v,
+                   sum(c) OVER (PARTITION BY g ORDER BY v
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   sum(c) OVER (PARTITION BY g) AS n
+            FROM hist)
+    SELECT g AS {group_alias}, CAST(max(n) AS BIGINT) AS n,
+           CAST(min(v) AS BIGINT) AS min_val,
+           CAST(max(v) AS BIGINT) AS max_val, {pcols}
+    FROM cum GROUP BY g
+    """

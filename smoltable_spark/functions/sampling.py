@@ -187,10 +187,11 @@ def dsir_log_weights(
     summation order, unlike summing doubles.
     """
     cnt = _hashed_bigram_counts(docs, is_target, text_col, id_col, buckets, seed)
-    raw = cnt.groupBy("bucket").agg(F.sum("c").alias("rb"))
-    tgt = cnt.filter(F.col("tgt")).groupBy("bucket").agg(F.sum("c").alias("tb"))
-    stats = raw.join(tgt, "bucket", "left").select(
-        "bucket", "rb", F.coalesce(F.col("tb"), F.lit(0)).alias("tb")
+    # raw AND target bucket totals in ONE pass over cnt (conditional sum),
+    # so the corpus explode executes twice total (stats, weights), not 3x
+    stats = cnt.groupBy("bucket").agg(
+        F.sum("c").alias("rb"),
+        F.sum(F.when(F.col("tgt"), F.col("c")).otherwise(0)).alias("tb"),
     )
     tot = stats.agg(
         F.sum("rb").alias("rtot"), F.sum("tb").alias("ttot")

@@ -603,3 +603,168 @@ def boolean_search_sql(
     GROUP BY {id_col}
     HAVING count(DISTINCT tok) = {len(set(terms))}
     """
+
+
+# ---------------------------------------------------------------------------
+# intra-document repetition signals (Rae et al., Gopher, Table A1)
+
+#: published Gopher repetition thresholds, on the 1e-3 grid
+GOPHER_TOP_NGRAM_MILLI = {2: 200, 3: 180, 4: 160}
+GOPHER_DUP_NGRAM_MILLI = {5: 150, 10: 100}
+GOPHER_DUP_LINE_MILLI = 300
+GOPHER_DUP_LINE_CHAR_MILLI = 200
+
+
+def _ngrams(tk: Column, n: int) -> Column:
+    """Exactly ``size-n+1`` space-joined n-grams; [] below n tokens (no
+    boundary unigram leak — repetition stats must not count partials)."""
+    return F.when(
+        F.size(tk) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _run_stats(arr: Column) -> Column:
+    """Fold a string array into run statistics of its SORTED order:
+    struct(top_cnt, top_mass, rep_cnt, rep_mass) where a "run" is a
+    maximal group of equal elements, mass = count·length(element),
+    ``top`` is the most frequent element (ties → larger mass, then the
+    lexicographically smaller element, which the ascending sort makes
+    automatic), and ``rep_*`` accumulates elements occurring ≥ 2 times.
+
+    One sort + one linear fold per document — a pure column expression
+    inside whole-stage codegen; the corpus never shuffles, which is the
+    whole point at 100 TB (the relational formulation would explode
+    every document into its n-grams and aggregate — here the explode
+    never leaves the row).
+    """
+    zero = F.lit(0).cast("long")
+
+    def _finalize(acc):
+        mass = acc["run"] * F.length(acc["prev"])
+        better = (acc["run"] > acc["top_cnt"]) | (
+            (acc["run"] == acc["top_cnt"]) & (mass > acc["top_mass"])
+        )
+        return dict(
+            top_cnt=F.when(better, acc["run"]).otherwise(acc["top_cnt"]),
+            top_mass=F.when(better, mass).otherwise(acc["top_mass"]),
+            rep_cnt=acc["rep_cnt"] + F.when(acc["run"] >= 2, acc["run"]).otherwise(zero),
+            rep_mass=acc["rep_mass"]
+            + F.when(acc["run"] >= 2, mass).otherwise(zero),
+        )
+
+    def merge(acc, x):
+        fin = _finalize(acc)
+        same = acc["prev"] == x
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(same, acc["top_cnt"]).otherwise(fin["top_cnt"]).alias("top_cnt"),
+            F.when(same, acc["top_mass"]).otherwise(fin["top_mass"]).alias("top_mass"),
+            F.when(same, acc["rep_cnt"]).otherwise(fin["rep_cnt"]).alias("rep_cnt"),
+            F.when(same, acc["rep_mass"]).otherwise(fin["rep_mass"]).alias("rep_mass"),
+        )
+
+    def finish(acc):
+        fin = _finalize(acc)
+        return F.struct(
+            fin["top_cnt"].alias("top_cnt"),
+            fin["top_mass"].alias("top_mass"),
+            fin["rep_cnt"].alias("rep_cnt"),
+            fin["rep_mass"].alias("rep_mass"),
+        )
+
+    init = F.struct(
+        F.lit("").alias("prev"),
+        zero.alias("run"),
+        zero.alias("top_cnt"),
+        zero.alias("top_mass"),
+        zero.alias("rep_cnt"),
+        zero.alias("rep_mass"),
+    )
+    return F.aggregate(F.sort_array(arr), init, merge, finish)
+
+
+def _char_mass(arr: Column) -> Column:
+    return F.aggregate(
+        arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+
+
+def _milli_frac(num: Column, den: Column) -> Column:
+    """floor(1000·num/den) as LONG; 0 when den = 0. Inputs are document-
+    bounded longs (≪ 2^52), so the double quotient is exact enough that
+    floor here equals integer floor division in any engine."""
+    return (
+        F.floor(F.when(den > 0, (num * 1000) / den).otherwise(F.lit(0)))
+        .cast("long")
+    )
+
+
+def repetition_signals_df(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = ". ",
+) -> DataFrame:
+    """Gopher repetition battery (Rae et al. 2021, Table A1) — the
+    intra-document repetition signals the base quality battery
+    (gopher_quality_df) does not cover:
+
+    - ``top{2,3,4}gram_milli``: fraction of n-gram character mass in the
+      single most frequent n-gram (boilerplate headers, SEO keyword
+      stuffing);
+    - ``dup{5,10}gram_milli``: fraction of n-gram character mass in
+      n-grams occurring ≥ 2 times (loops, template spam);
+    - ``dup_line_milli`` / ``dup_line_char_milli``: fraction of
+      '. '-separated units (count / char mass) occurring ≥ 2 times;
+    - ``keep``: AND of the published thresholds.
+
+    Everything is per-document array arithmetic on the 1e-3 integer
+    grid: one sort + one fold per signal, inside whole-stage codegen —
+    NO shuffle, no UDF, no explode leaving the row. The companion SQL
+    oracle states the same statistics relationally (unnest → group →
+    window), so the certification also proves the fold equals the
+    textbook definition.
+    """
+    import re as _re
+
+    c = F.col(text_col)
+    tk = tokens(c)
+    out = [F.col(id_col)]
+    flags = []
+
+    for n, cut in GOPHER_TOP_NGRAM_MILLI.items():
+        grams = _ngrams(tk, n)
+        st = _run_stats(grams)
+        frac = _milli_frac(st["top_mass"], _char_mass(grams))
+        out.append(frac.alias(f"top{n}gram_milli"))
+        flags.append(frac <= cut)
+
+    for n, cut in GOPHER_DUP_NGRAM_MILLI.items():
+        grams = _ngrams(tk, n)
+        st = _run_stats(grams)
+        frac = _milli_frac(st["rep_mass"], _char_mass(grams))
+        out.append(frac.alias(f"dup{n}gram_milli"))
+        flags.append(frac <= cut)
+
+    lines = F.filter(
+        F.split(c, F.lit(_re.escape(line_sep)), -1), lambda x: x != ""
+    )
+    lst = _run_stats(lines)
+    n_lines = F.size(lines).cast("long")
+    line_cnt_frac = _milli_frac(lst["rep_cnt"], n_lines)
+    line_char_frac = _milli_frac(lst["rep_mass"], _char_mass(lines))
+    out.append(line_cnt_frac.alias("dup_line_milli"))
+    out.append(line_char_frac.alias("dup_line_char_milli"))
+    flags.append(line_cnt_frac <= GOPHER_DUP_LINE_MILLI)
+    flags.append(line_char_frac <= GOPHER_DUP_LINE_CHAR_MILLI)
+
+    keep = flags[0]
+    for fl in flags[1:]:
+        keep = keep & fl
+    out.append(keep.alias("keep"))
+    return docs.select(*out)

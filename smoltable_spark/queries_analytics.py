@@ -923,6 +923,92 @@ def txt_gopher_quality(spark, sf_dir):
     return text.gopher_quality_df(docs)
 
 
+def _repetition_oracle() -> str:
+    """Relational statement of the Gopher repetition battery: unnest →
+    group → window per n — deliberately a DIFFERENT formulation than the
+    Spark side's in-row sorted fold, so the certification proves the fold
+    equals the textbook definition."""
+    tops = list(text.GOPHER_TOP_NGRAM_MILLI.items())
+    dups = list(text.GOPHER_DUP_NGRAM_MILLI.items())
+    ctes, joins, cols, flags = [], [], [], []
+    for n, _ in tops + dups:
+        ctes.append(
+            f"""g{n} AS (SELECT doc_id, array_to_string(toks[i:i+{n - 1}], ' ') AS gram
+              FROM t, unnest(range(1, greatest(len(toks) - {n - 1}, 0) + 1)) AS u(i)),
+            c{n} AS (SELECT doc_id, gram, count(*) AS cnt FROM g{n} GROUP BY doc_id, gram),
+            s{n} AS (SELECT doc_id, sum(cnt * length(gram)) AS tot,
+                            sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS rmass
+                     FROM c{n} GROUP BY doc_id)"""
+        )
+        joins.append(f"LEFT JOIN s{n} ON s{n}.doc_id = d.doc_id")
+    for n, cut in tops:
+        ctes.append(
+            f"""t{n} AS (SELECT doc_id, cnt * length(gram) AS tmass,
+                            row_number() OVER (PARTITION BY doc_id
+                                ORDER BY cnt DESC, cnt * length(gram) DESC, gram ASC) AS rn
+                     FROM c{n}),
+            tt{n} AS (SELECT doc_id, tmass FROM t{n} WHERE rn = 1)"""
+        )
+        joins.append(f"LEFT JOIN tt{n} ON tt{n}.doc_id = d.doc_id")
+        expr = (
+            f"CAST(CASE WHEN coalesce(s{n}.tot, 0) > 0 THEN "
+            f"floor((tt{n}.tmass * 1000) / s{n}.tot) ELSE 0 END AS BIGINT)"
+        )
+        cols.append(f"{expr} AS top{n}gram_milli")
+        flags.append(f"{expr} <= {cut}")
+    for n, cut in dups:
+        expr = (
+            f"CAST(CASE WHEN coalesce(s{n}.tot, 0) > 0 THEN "
+            f"floor((s{n}.rmass * 1000) / s{n}.tot) ELSE 0 END AS BIGINT)"
+        )
+        cols.append(f"{expr} AS dup{n}gram_milli")
+        flags.append(f"{expr} <= {cut}")
+    ctes.append(
+        """lns AS (SELECT doc_id, u AS line FROM
+                 (SELECT doc_id, unnest(string_split(text, '. ')) AS u FROM documents)
+               WHERE u <> ''),
+        lc AS (SELECT doc_id, line, count(*) AS cnt FROM lns GROUP BY doc_id, line),
+        ls AS (SELECT doc_id, sum(cnt) AS n_lines, sum(cnt * length(line)) AS tot,
+                      sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS rcnt,
+                      sum(CASE WHEN cnt >= 2 THEN cnt * length(line) ELSE 0 END) AS rmass
+               FROM lc GROUP BY doc_id)"""
+    )
+    joins.append("LEFT JOIN ls ON ls.doc_id = d.doc_id")
+    line_cnt = (
+        "CAST(CASE WHEN coalesce(ls.n_lines, 0) > 0 THEN "
+        "floor((ls.rcnt * 1000) / ls.n_lines) ELSE 0 END AS BIGINT)"
+    )
+    line_chr = (
+        "CAST(CASE WHEN coalesce(ls.tot, 0) > 0 THEN "
+        "floor((ls.rmass * 1000) / ls.tot) ELSE 0 END AS BIGINT)"
+    )
+    cols.append(f"{line_cnt} AS dup_line_milli")
+    cols.append(f"{line_chr} AS dup_line_char_milli")
+    flags.append(f"{line_cnt} <= {text.GOPHER_DUP_LINE_MILLI}")
+    flags.append(f"{line_chr} <= {text.GOPHER_DUP_LINE_CHAR_MILLI}")
+    return f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    {', '.join(ctes)}
+    SELECT d.doc_id, {', '.join(cols)}, ({' AND '.join(flags)}) AS keep
+    FROM documents d {' '.join(joins)}
+    """
+
+
+@q("txt_repetition_signals", _repetition_oracle())
+def txt_repetition_signals(spark, sf_dir):
+    """Intra-document repetition battery (Rae et al. 2021, Gopher Table
+    A1; functions/text.py::repetition_signals_df): char fraction of the
+    top 2/3/4-gram, char fraction in duplicated 5/10-grams, duplicate
+    '.'-separated-unit fractions by count and chars, and the AND of the
+    published thresholds. Spark side is one sorted fold PER ROW inside
+    whole-stage codegen — the n-gram explosion never leaves the row and
+    the corpus never shuffles; the oracle states the same statistics
+    relationally (unnest → group → window), so this row certifies the
+    fold against the textbook definition."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_signals_df(docs)
+
+
 #: fixed BM25 query — terms chosen for spread in document frequency
 _BM25_TERMS = ("scan", "vector", "merge", "customer")
 
@@ -1517,8 +1603,8 @@ def dedup_clusters(spark, sf_dir):
     return dedup.cluster_summary(pairs, rounds=4)
 
 
-_CLUSTERS_CC_ORACLE = f"""
-    WITH RECURSIVE pairs AS MATERIALIZED (SELECT id_a, id_b FROM ({_minhash_oracle()})),
+#: shared CTE chain: MinHash pairs → EXACT transitive-closure CC labels
+_CC_LBL_CTES = f"""pairs AS MATERIALIZED (SELECT id_a, id_b FROM ({_minhash_oracle()})),
     nodes AS (SELECT DISTINCT doc_id FROM
               (SELECT id_a AS doc_id FROM pairs UNION ALL SELECT id_b FROM pairs)),
     e AS (SELECT id_a AS src, id_b AS dst FROM pairs
@@ -1528,7 +1614,10 @@ _CLUSTERS_CC_ORACLE = f"""
         UNION
         SELECT e.src, reach.r FROM e JOIN reach ON reach.doc_id = e.dst
     ),
-    lbl AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+    lbl AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)"""
+
+_CLUSTERS_CC_ORACLE = f"""
+    WITH RECURSIVE {_CC_LBL_CTES}
     SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
            CAST(count(*) AS BIGINT) AS n_docs
     FROM lbl GROUP BY cluster_id
@@ -1551,6 +1640,45 @@ def dedup_clusters_cc(spark, sf_dir):
         docs, num_hashes=16, bands=4, k=3, threshold=0.5
     ).select("id_a", "id_b")
     return dedup.cluster_summary_cc(pairs)
+
+
+@q(
+    "pipeline_cluster_split",
+    f"""
+    WITH RECURSIVE {_CC_LBL_CTES},
+    alldocs AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+                FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id)
+    SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+           CASE WHEN {seeded_sql('csplit', 'CAST(cluster_id AS VARCHAR)')} % 100 < 80
+                    THEN 'train'
+                WHEN {seeded_sql('csplit', 'CAST(cluster_id AS VARCHAR)')} % 100 < 90
+                    THEN 'val'
+                ELSE 'test' END AS split
+    FROM alldocs
+    """,
+)
+def pipeline_cluster_split(spark, sf_dir):
+    """LEAKAGE-SAFE train/val/test split: hash the near-dup CLUSTER id,
+    not the doc id, so every member of a near-duplicate cluster lands in
+    the same split — the upgrade over pipeline_split that stops test-set
+    contamination by near-copies of training documents (the failure mode
+    document-level hashing cannot prevent). Clusters come from the exact
+    connected components (cluster_pairs_cc) of the MinHash pair graph;
+    singleton docs are their own cluster. The labels table is pair-graph
+    sized (dup structure, not corpus size); the corpus touches one left
+    join + a narrow hash projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(
+        docs, num_hashes=16, bands=4, k=3, threshold=0.5
+    ).select("id_a", "id_b")
+    labels = dedup.cluster_pairs_cc(pairs)
+    lab = docs.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    bucket = F.pmod(seeded("csplit", F.col("cluster_id").cast("string")), F.lit(100))
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    return lab.select("doc_id", "cluster_id", split.alias("split"))
 
 
 def _simhash_oracle(bits: int = 60) -> str:
@@ -2302,10 +2430,9 @@ def _dsir_oracle(buckets: int = 1024, k: int = 200) -> str:
           FROM t, unnest(range(1, greatest(len(toks) - 1, 1) + 1)) AS u(i)),
     gf AS (SELECT doc_id, tgt, {gram_h} % {buckets} AS bucket FROM g WHERE gram <> ''),
     cnt AS (SELECT doc_id, tgt, bucket, count(*) AS c FROM gf GROUP BY doc_id, tgt, bucket),
-    raw AS (SELECT bucket, sum(c) AS rb FROM cnt GROUP BY bucket),
-    tg AS (SELECT bucket, sum(c) AS tb FROM cnt WHERE tgt GROUP BY bucket),
-    stats AS (SELECT r.bucket, r.rb, coalesce(tg.tb, 0) AS tb
-              FROM raw r LEFT JOIN tg ON tg.bucket = r.bucket),
+    stats AS (SELECT bucket, sum(c) AS rb,
+                     sum(CASE WHEN tgt THEN c ELSE 0 END) AS tb
+              FROM cnt GROUP BY bucket),
     tot AS (SELECT sum(rb) AS rtot, sum(tb) AS ttot FROM stats),
     lr AS (SELECT bucket,
                   CAST(floor({q}.0 * (ln((tb + 1.0) / (ttot + {buckets}.0))
@@ -2339,6 +2466,24 @@ def pipeline_dsir_sample(spark, sf_dir):
     oracle checks it against true transitive SQL semantics."""
     docs = load_table(spark, sf_dir, "documents")
     return sampling.dsir_resample(docs, F.col("lang") == "en", k=200)
+
+
+@q(
+    "pipeline_length_quantiles",
+    profile.grouped_exact_quantiles_sql(
+        "documents", "source", "n_chars", group_alias="source"
+    ),
+)
+def pipeline_length_quantiles(spark, sf_dir):
+    """EXACT p50/p90/p99 document length per source (functions/profile.py
+    ::grouped_exact_quantiles) — the truncation/packing-budget report.
+    Not a corpus sort and not an engine-specific approx sketch: one
+    map-side-combining aggregate to a (source, n_chars) histogram, then
+    the inverse-CDF pick over that tiny table. Window partitions are
+    per-source histogram slices (bounded by distinct lengths), so no
+    single-partition window over raw data exists at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return profile.grouped_exact_quantiles(docs, "source", "n_chars")
 
 
 def _pii_inject_sql() -> str:

@@ -688,3 +688,75 @@ def test_bmp_container_roundtrip_unit():
         assert len(triplets) == w * h * 3
         assert triplets[0::3] == luma  # B channel
         assert triplets[1::3] == luma and triplets[2::3] == luma
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition signals
+
+
+def test_repetition_signals_extremes(spark):
+    rows = [
+        (1, "spam spam spam spam spam spam"),                       # degenerate
+        (2, "a b c d e f g h i j"),                                 # all unique
+        (3, "buy now. buy now. buy now. totally different line"),   # dup lines
+        (4, ""),                                                    # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in text.repetition_signals_df(df).collect()}
+    # all bigrams identical -> the top 2-gram owns the full char mass
+    assert out[1]["top2gram_milli"] == 1000 and not out[1]["keep"]
+    # fewer than 10 tokens -> no 10-grams -> 0 by convention
+    assert out[1]["dup10gram_milli"] == 0
+    # unique tokens: top bigram = 1 of 9 equal-length grams
+    assert out[2]["top2gram_milli"] == 111 and out[2]["keep"]
+    assert out[2]["dup5gram_milli"] == 0
+    # 3 of 4 '. '-units repeated -> 750 permille by count
+    assert out[3]["dup_line_milli"] == 750 and not out[3]["keep"]
+    # 'buy now' x3 = 21 chars of 43 total -> 488 permille by chars
+    assert out[3]["dup_line_char_milli"] == 488
+    # empty text: all-zero signals, keep (word-count rules live elsewhere)
+    assert out[4] == dict(
+        doc_id=4, top2gram_milli=0, top3gram_milli=0, top4gram_milli=0,
+        dup5gram_milli=0, dup10gram_milli=0, dup_line_milli=0,
+        dup_line_char_milli=0, keep=True,
+    )
+
+
+def test_repetition_signals_counts_repeats(spark):
+    # "one two three" x3 + tail: the repeated trigram inflates top3 and dup5
+    df = spark.createDataFrame(
+        [(5, "one two three one two three one two three nine ten")],
+        "doc_id long, text string",
+    )
+    r = text.repetition_signals_df(df).collect()[0]
+    # 9 trigrams; "one two three" occurs 3x (13 chars): 39 of 119 chars
+    assert r["top3gram_milli"] == 327
+    assert r["dup5gram_milli"] > 0 and not r["keep"]
+
+
+def test_repetition_signals_top_tiebreak(spark):
+    # two bigrams tie on count=1; the longer one owns more char mass
+    df = spark.createDataFrame([(6, "aa bbbb cc")], "doc_id long, text string")
+    r = text.repetition_signals_df(df).collect()[0]
+    # grams: "aa bbbb"(7), "bbbb cc"(7) -> tie on count AND mass -> first
+    # in sort order wins; either way mass = 7 of 14 -> 500
+    assert r["top2gram_milli"] == 500
+
+
+def test_cluster_split_is_leakage_safe(spark, sf_dir):
+    """Every MinHash near-dup pair must land in ONE split — the property
+    pipeline_cluster_split exists to guarantee."""
+    from smoltable_spark.queries_analytics import ANALYTICS_QUERIES
+    from smoltable_spark.sources.relational import load_table
+
+    fn = ANALYTICS_QUERIES["pipeline_cluster_split"][0]
+    split_of = {r["doc_id"]: r["split"] for r in fn(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(
+        docs, num_hashes=16, bands=4, k=3, threshold=0.5
+    ).select("id_a", "id_b").collect()
+    assert pairs, "fixture corpus must contain near-dups for this test"
+    for r in pairs:
+        assert split_of[r["id_a"]] == split_of[r["id_b"]], (r["id_a"], r["id_b"])
+    # and the split is non-degenerate on the full corpus
+    assert len(set(split_of.values())) >= 2

@@ -200,3 +200,36 @@ def test_dsir_resample_topk(spark):
     assert keys == sorted(keys, reverse=True)
     again = sampling.dsir_resample(docs, F.col("tgt"), k=3).collect()
     assert out == again
+
+
+def test_grouped_exact_quantiles_matches_reference(spark):
+    """Differential vs a driver-side inverse-CDF on adversarial shapes:
+    ties, singleton groups, skewed masses."""
+    rows = (
+        [("a", v) for v in [1, 1, 1, 2, 3, 100]]
+        + [("b", 7)]
+        + [("c", v) for v in range(10)]
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        r["g"]: (r["n"], r["min_val"], r["max_val"], r["p500"], r["p900"], r["p990"])
+        for r in profile.grouped_exact_quantiles(df, "g", "v").collect()
+    }
+
+    def ref(vals, p):
+        vals = sorted(vals)
+        n = len(vals)
+        for i, x in enumerate(vals, 1):
+            if i * 1000 >= p * n:
+                return x
+
+    from collections import defaultdict
+
+    byg = defaultdict(list)
+    for g, v in rows:
+        byg[g].append(v)
+    for g, vals in byg.items():
+        assert got[g] == (
+            len(vals), min(vals), max(vals),
+            ref(vals, 500), ref(vals, 900), ref(vals, 990),
+        ), g

@@ -134,6 +134,18 @@ def main():
         ).count(),
     )
     timed(
+        "minhash_clusters_cc_50k",  # exact CC, convergence-detected
+        lambda: dedup.cluster_summary_cc(
+            dedup.minhash_near_duplicates(docs, fast_hash=True).select("id_a", "id_b"),
+        ).count(),
+    )
+    from smoltable_spark.functions import sampling as _sampling
+
+    timed(
+        "dsir_sample_50k",
+        lambda: _sampling.dsir_resample(docs, F.col("lang") == "en", k=500).count(),
+    )
+    timed(
         "hashed_embedding_50k",
         lambda: __import__(
             "smoltable_spark.functions.text", fromlist=["hashed_embedding_df"]
