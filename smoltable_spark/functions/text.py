@@ -768,3 +768,94 @@ def repetition_signals_df(
         keep = keep & fl
     out.append(keep.alias("keep"))
     return docs.select(*out)
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (Wenzek et al. 2020)
+
+def ccnet_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet's head/middle/tail partition per language: score every
+    document with the corpus-trained bigram LM (bigram_lm_scores), take
+    the per-language TERCILES of the average milli-nat score with the
+    exact histogram quantile (profile.grouped_exact_quantiles — never a
+    corpus sort), and bucket: highest-scoring third = ``head`` (lowest
+    perplexity, cleanest text), then ``middle``, then ``tail``. The
+    standard move is to pretrain on head+middle and drop or downweight
+    tail.
+
+    Scale shape: the LM model tables are vocab-bounded; the per-doc score
+    table is one narrow row per document; tercile thresholds are a
+    |languages|-row broadcast. Docs with <2 tokens have no LM score and
+    are excluded (CCNet drops them too). Ties at a tercile boundary go to
+    the lower bucket (``<=``), making the partition exact-integer
+    deterministic in any engine.
+    """
+    from smoltable_spark.functions.profile import grouped_exact_quantiles
+
+    scores = bigram_lm_scores(docs, text_col, id_col)
+    av = scores.join(
+        docs.select(F.col(id_col), F.col(lang_col).alias("lang")), id_col
+    ).select(
+        F.col(id_col),
+        "lang",
+        F.floor(F.col("sum_logp_milli") / F.col("n_bigrams"))
+        .cast("long")
+        .alias("avg_milli"),
+    )
+    qs = grouped_exact_quantiles(av, "lang", "avg_milli", permilles=(333, 667)).select(
+        "lang", "p333", "p667"
+    )
+    bucket = (
+        F.when(F.col("avg_milli") <= F.col("p333"), "tail")
+        .when(F.col("avg_milli") <= F.col("p667"), "middle")
+        .otherwise("head")
+    )
+    return av.join(F.broadcast(qs), "lang").select(
+        F.col(id_col), "lang", "avg_milli", bucket.alias("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# within-document duplicate-unit removal (boilerplate scrub transform)
+
+def dedup_lines_df(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = ". ",
+) -> DataFrame:
+    """REMOVE repeated '-separated units inside each document, keeping the
+    first occurrence — the transform counterpart of the repetition
+    *signals*: dashboards flag template spam, this actually scrubs it
+    (repeated nav bars, cookie banners, chorus lines).
+
+    Keep-first is expressed positionally: unit i survives iff the FIRST
+    index of its value is i — a pure per-row array expression (two-arg
+    ``filter`` lambda + ``array_position``), no shuffle, no UDF. Returns
+    (id, clean_sha, n_units, n_removed, n_chars_removed) — the cleaned
+    text is fingerprinted rather than returned so the certified result
+    stays narrow; real pipelines select ``array_join`` of the kept units
+    instead.
+    """
+    import re as _re
+
+    units = F.split(F.col(text_col), _re.escape(sep), -1)
+    kept = F.filter(units, lambda x, i: F.array_position(units, x) == i + 1)
+    clean = F.array_join(kept, sep)
+    n_units = F.size(units).cast("long")
+    n_kept = F.size(kept).cast("long")
+    mass = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    return docs.select(
+        F.col(id_col),
+        F.md5(clean).alias("clean_sha"),
+        n_units.alias("n_units"),
+        (n_units - n_kept).alias("n_removed"),
+        (mass(units) - mass(kept)).cast("long").alias("n_chars_removed"),
+    )

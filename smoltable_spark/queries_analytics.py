@@ -2100,10 +2100,8 @@ def dedup_embedding(spark, sf_dir):
     )
 
 
-@q(
-    "txt_bigram_lm",
-    f"""
-    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+#: shared bigram-LM CTE chain ending at lm(doc_id, n_bigrams, sum_logp_milli)
+_BIGRAM_LM_CTES = f"""t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
     bi AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
            FROM t, unnest(range(1, len(toks))) AS u(i)),
     c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
@@ -2114,11 +2112,15 @@ def dedup_embedding(spark, sf_dir):
       SELECT b.doc_id,
              CAST(floor(1000 * (ln(c12.c12 + 1) - ln(c1.c1 + vv.v)))
                   AS BIGINT) AS lp
-      FROM bi b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv)
-    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-           CAST(sum(lp) AS BIGINT) AS sum_logp_milli
-    FROM scored GROUP BY doc_id
-    """,
+      FROM bi b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv),
+    lm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                  CAST(sum(lp) AS BIGINT) AS sum_logp_milli
+           FROM scored GROUP BY doc_id)"""
+
+
+@q(
+    "txt_bigram_lm",
+    f"WITH {_BIGRAM_LM_CTES} SELECT doc_id, n_bigrams, sum_logp_milli FROM lm",
 )
 def txt_bigram_lm(spark, sf_dir):
     """Corpus-trained Laplace-smoothed bigram LM score per document — the
@@ -2128,6 +2130,43 @@ def txt_bigram_lm(spark, sf_dir):
     (see text.bigram_lm_scores for the scale shape)."""
     docs = load_table(spark, sf_dir, "documents")
     return text.bigram_lm_scores(docs)
+
+
+@q(
+    "pipeline_ccnet_buckets",
+    f"""
+    WITH {_BIGRAM_LM_CTES},
+    av AS (SELECT l.doc_id, d.lang,
+                  CAST(floor((sum_logp_milli * 1.0) / n_bigrams) AS BIGINT)
+                      AS avg_milli
+           FROM lm l JOIN documents d ON d.doc_id = l.doc_id),
+    hist AS (SELECT lang, avg_milli AS v, count(*) AS c FROM av GROUP BY 1, 2),
+    cum AS (SELECT lang, v,
+                   sum(c) OVER (PARTITION BY lang ORDER BY v
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   sum(c) OVER (PARTITION BY lang) AS n
+            FROM hist),
+    qs AS (SELECT lang,
+                  min(CASE WHEN cum * 1000 >= 333 * n THEN v END) AS p333,
+                  min(CASE WHEN cum * 1000 >= 667 * n THEN v END) AS p667
+           FROM cum GROUP BY lang)
+    SELECT av.doc_id, av.lang, av.avg_milli,
+           CASE WHEN av.avg_milli <= qs.p333 THEN 'tail'
+                WHEN av.avg_milli <= qs.p667 THEN 'middle'
+                ELSE 'head' END AS bucket
+    FROM av JOIN qs ON qs.lang = av.lang
+    """,
+)
+def pipeline_ccnet_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail partition per language (Wenzek et al.
+    2020; functions/text.py::ccnet_buckets): per-language TERCILES of the
+    corpus-trained bigram-LM average score, via the exact histogram
+    quantile — the published \"pretrain on head+middle\" data-curation
+    step. Thresholds are a |languages|-row broadcast; no corpus sort
+    anywhere; bucket boundaries are exact-integer ties-down, so the
+    partition is bit-reproducible cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.ccnet_buckets(docs)
 
 
 def _semantic_keep_one_oracle(rounds: int = 4, threshold: float = 0.35) -> str:
@@ -2484,6 +2523,39 @@ def pipeline_length_quantiles(spark, sf_dir):
     single-partition window over raw data exists at any scale."""
     docs = load_table(spark, sf_dir, "documents")
     return profile.grouped_exact_quantiles(docs, "source", "n_chars")
+
+
+@q(
+    "pipeline_dedup_lines",
+    """
+    WITH u AS (SELECT doc_id, string_split(text, '. ') AS units FROM documents),
+    k AS (SELECT doc_id, units,
+                 list_transform(
+                     list_filter(range(1, len(units) + 1),
+                                 i -> list_position(units, units[i]) = i),
+                     i -> units[i]) AS kept
+          FROM u)
+    SELECT doc_id,
+           md5(array_to_string(kept, '. ')) AS clean_sha,
+           CAST(len(units) AS BIGINT) AS n_units,
+           CAST(len(units) - len(kept) AS BIGINT) AS n_removed,
+           CAST(coalesce(list_sum(list_transform(units, x -> length(x))), 0)
+                - coalesce(list_sum(list_transform(kept, x -> length(x))), 0)
+                AS BIGINT) AS n_chars_removed
+    FROM k
+    """,
+)
+def pipeline_dedup_lines(spark, sf_dir):
+    """Within-document duplicate-unit REMOVAL (functions/text.py::
+    dedup_lines_df): scrub repeated '. '-separated units keeping the
+    first occurrence — the transform counterpart of the repetition
+    signals (nav bars, cookie banners, template spam). Pure per-row
+    array expression (positional keep-first via array_position inside a
+    two-arg filter lambda): no shuffle, no UDF, runs at scan speed; the
+    cleaned text is md5-fingerprinted so the certified row stays
+    narrow."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.dedup_lines_df(docs)
 
 
 def _pii_inject_sql() -> str:

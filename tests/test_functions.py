@@ -760,3 +760,49 @@ def test_cluster_split_is_leakage_safe(spark, sf_dir):
         assert split_of[r["id_a"]] == split_of[r["id_b"]], (r["id_a"], r["id_b"])
     # and the split is non-degenerate on the full corpus
     assert len(set(split_of.values())) >= 2
+
+
+def test_ccnet_buckets_partition_per_language(spark, sf_dir):
+    """Each language's scored docs split into near-equal terciles; within
+    a language every head doc outscores every tail doc."""
+    from collections import defaultdict
+
+    from smoltable_spark.sources.relational import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = text.ccnet_buckets(docs).collect()
+    by_lang = defaultdict(lambda: defaultdict(list))
+    for r in rows:
+        by_lang[r["lang"]][r["bucket"]].append(r["avg_milli"])
+    assert by_lang, "expected scored docs"
+    for lang, buckets in by_lang.items():
+        n = sum(len(v) for v in buckets.values())
+        if n < 9:
+            continue
+        for name in ("head", "middle", "tail"):
+            assert buckets[name], (lang, name)
+            # no bucket grabs more than ~half of a language (ties aside)
+            assert len(buckets[name]) <= n * 0.55 + 1, (lang, name)
+        assert min(buckets["head"]) > max(buckets["tail"]), lang
+
+
+def test_dedup_lines_removes_repeats_keeps_first(spark):
+    rows = [
+        (1, "alpha beta. gamma. alpha beta. delta. gamma"),
+        (2, "unique one. unique two"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in text.dedup_lines_df(df).collect()}
+    import hashlib
+
+    # doc 1: "alpha beta" and "gamma" repeat -> 2 removed, order preserved
+    assert out[1]["n_units"] == 5 and out[1]["n_removed"] == 2
+    want = "alpha beta. gamma. delta"
+    assert out[1]["clean_sha"] == hashlib.md5(want.encode()).hexdigest()
+    assert out[1]["n_chars_removed"] == len("alpha beta") + len("gamma")
+    # no repeats -> untouched
+    assert out[2]["n_removed"] == 0
+    assert out[2]["clean_sha"] == hashlib.md5(b"unique one. unique two").hexdigest()
+    # empty text: one empty unit, nothing removed
+    assert out[3]["n_units"] == 1 and out[3]["n_removed"] == 0
