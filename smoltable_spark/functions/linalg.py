@@ -97,3 +97,80 @@ def power_iteration(gram: DataFrame, iters: int = 2, vmax: int = 30) -> DataFram
             "d", _floordiv_expr("u", "s").alias("v")
         )
     return v
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection
+
+def jl_signs(in_dim: int, out_dim: int, seed: str = "jl") -> list[list[float]]:
+    """Deterministic ±1 projection matrix from the portable md5 hash —
+    R[j][i] = +1 iff md5("<seed>|<j>|<i>") is even. Seed-stable across
+    engines and runs (no RNG state), so the projection is reproducible
+    and SQL-expressible as literals."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{seed}|{j}|{i}".encode()).hexdigest(), 16) % 2 == 0
+            else -1.0
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    emb: DataFrame,
+    in_dim: int,
+    out_dim: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "jl",
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction: y = R·x/√d' with a
+    seeded ±1 matrix (Achlioptas 2003 — database-friendly projections).
+    Distance-preserving in expectation, so downstream ANN / clustering
+    runs on d'≪d dims at a fraction of the shuffle width.
+
+    The matrix is CONSTANT (hash-derived literals, not a broadcast): each
+    output dim is one zip_with·fold over the vector — a narrow per-row
+    expression at scan speed. Vectors never shuffle; fold order is index
+    order in both engines, so results are bit-reproducible cross-engine.
+    """
+    signs = jl_signs(in_dim, out_dim, seed)
+    scale = float(out_dim) ** 0.5
+    cols = [F.col(id_col)]
+    for j in range(out_dim):
+        s = F.array(*[F.lit(v) for v in signs[j]])
+        y = (
+            F.aggregate(
+                F.zip_with(F.col(vec_col), s, lambda x, sg: x.cast("double") * sg),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / F.lit(scale)
+        )
+        cols.append(y.alias(f"y{j}"))
+    return emb.select(*cols)
+
+
+def random_projection_sql(
+    table: str,
+    in_dim: int,
+    out_dim: int = 8,
+    vec_expr: str = "embedding",
+    id_expr: str = "vec_id",
+    seed: str = "jl",
+) -> str:
+    """DuckDB rendering of :func:`random_projection` (same literals, same
+    index-order summation)."""
+    signs = jl_signs(in_dim, out_dim, seed)
+    scale = float(out_dim) ** 0.5
+    ys = []
+    for j in range(out_dim):
+        lit = "[" + ", ".join(str(v) for v in signs[j]) + "]"
+        ys.append(
+            f"list_sum(list_transform(range(1, {in_dim} + 1), "
+            f"i -> CAST({vec_expr}[i] AS DOUBLE) * ({lit})[i])) / {scale!r} AS y{j}"
+        )
+    return f"SELECT {id_expr}, {', '.join(ys)} FROM {table}"

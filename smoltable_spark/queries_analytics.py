@@ -2896,6 +2896,22 @@ def pipeline_incremental_dedup(spark, sf_dir):
 
 
 @q(
+    "emb_random_projection",
+    linalg.random_projection_sql("embeddings", in_dim=64, out_dim=8),
+)
+def emb_random_projection(spark, sf_dir):
+    """Johnson–Lindenstrauss ±1 random projection 64→8 dims (Achlioptas
+    2003; functions/linalg.py::random_projection): the cheap distance-
+    preserving reduction that lets ANN/clustering run on an 8× narrower
+    shuffle. The projection matrix is hash-derived LITERALS (seed-stable,
+    no RNG, no broadcast); each output dim is one zip_with fold per row
+    at scan speed, summation in index order so both engines produce the
+    identical doubles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return linalg.random_projection(emb, in_dim=64, out_dim=8)
+
+
+@q(
     "emb_standardize",
     f"""
     WITH qv AS (SELECT vec_id, {_QVEC_SQL} AS q FROM embeddings),

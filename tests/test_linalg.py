@@ -64,3 +64,40 @@ def test_pagerank_query_matches_python_model(spark):
             acc[d] = acc.get(d, 0) + r[s] // deg[s]
         r = {n: 150_000 + (85 * a) // 100 for n, a in acc.items()}
     assert got == r
+
+
+def test_random_projection_preserves_norms_on_average(spark):
+    """JL property: E[|y|^2] = |x|^2 under the ±1/sqrt(d') matrix; check
+    the empirical mean ratio over a fixture batch is within 20%, and the
+    projection is deterministic."""
+    import math
+    import random
+
+    from smoltable_spark.functions import linalg as L
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = L.random_projection(df, in_dim=16, out_dim=8).collect()
+    assert len(out) == 60
+    in_norm = {i: sum(x * x for x in v) for i, v in rows}
+    ratios = []
+    for r in out:
+        y2 = sum(r[f"y{j}"] ** 2 for j in range(8))
+        # float32 storage loses a little precision vs the python doubles
+        ratios.append(y2 / in_norm[r["vec_id"]])
+    mean = sum(ratios) / len(ratios)
+    assert 0.8 < mean < 1.2, mean
+    again = L.random_projection(df, in_dim=16, out_dim=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_jl_signs_deterministic_and_balanced(spark):
+    from smoltable_spark.functions import linalg as L
+
+    a = L.jl_signs(64, 8)
+    assert a == L.jl_signs(64, 8)
+    flat = [v for row in a for v in row]
+    assert abs(sum(flat)) < len(flat) * 0.25  # roughly balanced ±1

@@ -156,6 +156,18 @@ def main():
         lambda: text.gopher_quality_df(docs).filter("keep").count(),
     )
     timed(
+        "repetition_signals_50k",  # in-row sorted folds, zero shuffle
+        lambda: text.repetition_signals_df(docs).filter("keep").count(),
+    )
+    timed(
+        "dedup_lines_50k",  # keep-first unit scrub, zero shuffle
+        lambda: text.dedup_lines_df(docs).count(),
+    )
+    timed(
+        "ccnet_buckets_50k",  # LM terciles per lang, histogram quantile
+        lambda: text.ccnet_buckets(docs).count(),
+    )
+    timed(
         "bm25_topk_50k",
         lambda: text.bm25_topk(docs, ("scan", "vector", "merge", "customer")).count(),
     )
