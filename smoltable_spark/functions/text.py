@@ -859,3 +859,61 @@ def dedup_lines_df(
         (n_units - n_kept).alias("n_removed"),
         (mass(units) - mass(kept)).cast("long").alias("n_chars_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# out-of-vocabulary rate (tokenizer coverage report)
+
+def oov_rate_df(
+    docs: DataFrame,
+    vocab_size: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``vocab_size`` tokens — the tokenizer-coverage report that
+    predicts fertility blowups before a training run (docs full of rare
+    tokens fragment into many subword pieces).
+
+    Vocabulary = top-K tokens by corpus frequency, ties broken by token
+    (deterministic). The token-count table is vocab-bounded after ONE
+    map-side-combining aggregate; the top-K cut is a distributed
+    TakeOrdered, and the vocabulary rejoins the token stream via
+    broadcast — the corpus shuffles only on doc_id for the final
+    per-doc rollup. Returns (id, n_tokens, n_oov, oov_milli).
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.col("_c").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .select("tok", F.lit(True).alias("_in_vocab"))
+    )
+    flagged = toks.join(F.broadcast(vocab), "tok", "left")
+    out = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+    )
+    # docs with zero tokens still get a row (oov 0 by convention)
+    return (
+        docs.select(F.col(id_col))
+        .join(out, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_oov"), F.lit(0)).cast("long").alias("n_oov"),
+            F.floor(
+                F.when(
+                    F.coalesce(F.col("n_tokens"), F.lit(0)) > 0,
+                    (F.coalesce(F.col("n_oov"), F.lit(0)) * 1000) / F.col("n_tokens"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("oov_milli"),
+        )
+    )

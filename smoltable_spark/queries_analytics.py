@@ -2558,6 +2558,39 @@ def pipeline_dedup_lines(spark, sf_dir):
     return text.dedup_lines_df(docs)
 
 
+@q(
+    "txt_oov_rate",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents),
+    cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    vocab AS (SELECT tok FROM
+              (SELECT tok, row_number() OVER (ORDER BY c DESC, tok ASC) AS rn
+               FROM cnt) WHERE rn <= 1024),
+    per AS (SELECT t.doc_id, count(*) AS n_tokens,
+                   sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+            FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+            GROUP BY t.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov,
+           CAST(CASE WHEN coalesce(p.n_tokens, 0) > 0
+                THEN floor((p.n_oov * 1000) / p.n_tokens) ELSE 0 END AS BIGINT)
+               AS oov_milli
+    FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+    """,
+)
+def txt_oov_rate(spark, sf_dir):
+    """Per-document OOV rate against the corpus's own top-1024 tokens
+    (functions/text.py::oov_rate_df) — the tokenizer-coverage report that
+    predicts fertility blowups before a run. Token counts collapse to a
+    vocab-bounded table in one map-side-combining aggregate; the top-K
+    cut is a distributed TakeOrdered; the vocabulary returns to the
+    token stream as a broadcast — the corpus's only shuffle is the
+    per-doc rollup on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.oov_rate_df(docs, vocab_size=1024)
+
+
 def _pii_inject_sql() -> str:
     """The synthetic-PII text (the testdata corpus is PII-free, so the
     scrub demo plants deterministic emails/IPs/phones derived from

@@ -806,3 +806,21 @@ def test_dedup_lines_removes_repeats_keeps_first(spark):
     assert out[2]["clean_sha"] == hashlib.md5(b"unique one. unique two").hexdigest()
     # empty text: one empty unit, nothing removed
     assert out[3]["n_units"] == 1 and out[3]["n_removed"] == 0
+
+
+def test_oov_rate_against_small_vocab(spark):
+    """vocab_size=2 keeps the two most frequent tokens; everything else
+    counts as OOV with multiplicity; empty docs get a 0 row."""
+    rows = [
+        (1, "aa aa aa bb bb cc"),
+        (2, "aa bb"),
+        (3, "zz yy xx"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in text.oov_rate_df(df, vocab_size=2).collect()}
+    # corpus counts: aa=4, bb=3, cc=1, xx/yy/zz=1 -> vocab {aa, bb}
+    assert out[1] == dict(doc_id=1, n_tokens=6, n_oov=1, oov_milli=166)
+    assert out[2] == dict(doc_id=2, n_tokens=2, n_oov=0, oov_milli=0)
+    assert out[3] == dict(doc_id=3, n_tokens=3, n_oov=3, oov_milli=1000)
+    assert out[4] == dict(doc_id=4, n_tokens=0, n_oov=0, oov_milli=0)

@@ -168,6 +168,10 @@ def main():
         lambda: text.ccnet_buckets(docs).count(),
     )
     timed(
+        "oov_rate_50k",  # top-1024 vocab broadcast, doc_id rollup
+        lambda: text.oov_rate_df(docs).count(),
+    )
+    timed(
         "bm25_topk_50k",
         lambda: text.bm25_topk(docs, ("scan", "vector", "merge", "customer")).count(),
     )
