@@ -101,6 +101,16 @@ HEADLINE = [
     # DSIR importance resampling
     "dedup_clusters_cc",
     "pipeline_dsir_sample",
+    # r4b additions: repetition battery, CCNet buckets, leakage-safe
+    # split, exact quantiles, OOV, JL projection, line scrub, epoch shuffle
+    "txt_repetition_signals",
+    "pipeline_ccnet_buckets",
+    "pipeline_cluster_split",
+    "pipeline_length_quantiles",
+    "txt_oov_rate",
+    "emb_random_projection",
+    "pipeline_dedup_lines",
+    "pipeline_shuffle_shards",
 ]
 
 REGRESSION_FACTOR = 1.5

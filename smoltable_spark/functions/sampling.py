@@ -255,3 +255,35 @@ def dsir_resample(
         .orderBy(F.col("key_q").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# reproducible training-order shuffle
+
+def shuffle_shards(
+    df: DataFrame,
+    shards: int = 64,
+    seed: str = "shuf",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle for training order: every row gets a
+    (shard, position) from the seeded identity hash — the reproducible
+    replacement for ``df.orderBy(rand())`` that training pipelines need
+    (same corpus + same seed ⇒ byte-identical epoch order, resumable
+    mid-epoch, independent of partitioning).
+
+    Scale shape: ``shards`` is the parallelism knob — each shard is ONE
+    window task over ~n/shards rows that writes one sorted shard file
+    (exactly the layout a data loader wants). Set shards ≈ 2–4× total
+    executor cores at cluster scale; the hash balances shard sizes to
+    within sampling noise, so there is no skewed-key straggler. Returns
+    (id, shard, pos) with pos = 1..|shard| ordered by (hash, id).
+    """
+    h = md5_long(F.concat(F.lit(seed + "|"), F.col(id_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    return (
+        df.select(F.col(id_col), h.alias("_h"))
+        .withColumn("shard", F.pmod(F.col("_h"), F.lit(shards)).cast("long"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos")
+    )

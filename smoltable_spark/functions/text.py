@@ -629,8 +629,8 @@ def _ngrams(tk: Column, n: int) -> Column:
 
 def _run_stats(arr: Column) -> Column:
     """Fold a string array into run statistics of its SORTED order:
-    struct(top_cnt, top_mass, rep_cnt, rep_mass) where a "run" is a
-    maximal group of equal elements, mass = count·length(element),
+    struct(top_cnt, top_mass, rep_cnt, rep_mass, tot_mass, n) where a
+    "run" is a maximal group of equal elements, mass = count·length(elem),
     ``top`` is the most frequent element (ties → larger mass, then the
     lexicographically smaller element, which the ascending sort makes
     automatic), and ``rep_*`` accumulates elements occurring ≥ 2 times.
@@ -666,6 +666,8 @@ def _run_stats(arr: Column) -> Column:
             F.when(same, acc["top_mass"]).otherwise(fin["top_mass"]).alias("top_mass"),
             F.when(same, acc["rep_cnt"]).otherwise(fin["rep_cnt"]).alias("rep_cnt"),
             F.when(same, acc["rep_mass"]).otherwise(fin["rep_mass"]).alias("rep_mass"),
+            (acc["tot_mass"] + F.length(x)).alias("tot_mass"),
+            (acc["n"] + 1).alias("n"),
         )
 
     def finish(acc):
@@ -675,6 +677,8 @@ def _run_stats(arr: Column) -> Column:
             fin["top_mass"].alias("top_mass"),
             fin["rep_cnt"].alias("rep_cnt"),
             fin["rep_mass"].alias("rep_mass"),
+            acc["tot_mass"].alias("tot_mass"),
+            acc["n"].alias("n"),
         )
 
     init = F.struct(
@@ -684,14 +688,10 @@ def _run_stats(arr: Column) -> Column:
         zero.alias("top_mass"),
         zero.alias("rep_cnt"),
         zero.alias("rep_mass"),
+        zero.alias("tot_mass"),
+        zero.alias("n"),
     )
     return F.aggregate(F.sort_array(arr), init, merge, finish)
-
-
-def _char_mass(arr: Column) -> Column:
-    return F.aggregate(
-        arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
-    )
 
 
 def _milli_frac(num: Column, den: Column) -> Column:
@@ -732,32 +732,48 @@ def repetition_signals_df(
     """
     import re as _re
 
+    # single-file corpora arrive as ONE partition; the battery is the
+    # most compute-dense per-row projection in the engine (6 sorted
+    # folds), so buy full-core parallelism with one cheap round-robin
+    # shuffle of the compact input rows (same reasoning as dedup.spread)
+    from smoltable_spark.functions.dedup import spread
+
+    docs = spread(docs)
     c = F.col(text_col)
     tk = tokens(c)
-    out = [F.col(id_col)]
-    flags = []
 
-    for n, cut in GOPHER_TOP_NGRAM_MILLI.items():
-        grams = _ngrams(tk, n)
-        st = _run_stats(grams)
-        frac = _milli_frac(st["top_mass"], _char_mass(grams))
-        out.append(frac.alias(f"top{n}gram_milli"))
-        flags.append(frac <= cut)
-
-    for n, cut in GOPHER_DUP_NGRAM_MILLI.items():
-        grams = _ngrams(tk, n)
-        st = _run_stats(grams)
-        frac = _milli_frac(st["rep_mass"], _char_mass(grams))
-        out.append(frac.alias(f"dup{n}gram_milli"))
-        flags.append(frac <= cut)
-
+    # STAGE 1 — one fold per signal, each landing in its own struct
+    # column. Splitting stages matters: each struct is referenced several
+    # times downstream, and CollapseProject refuses to inline non-cheap
+    # aliases with multiple uses — so every fold is evaluated exactly
+    # ONCE per row, instead of once per output column (the single-select
+    # form re-inlined every gram pipeline ~4×, which also pushed the
+    # generated code past JIT limits into interpreted eval: 40× slower).
+    stage1 = [F.col(id_col)]
+    for n in list(GOPHER_TOP_NGRAM_MILLI) + list(GOPHER_DUP_NGRAM_MILLI):
+        stage1.append(_run_stats(_ngrams(tk, n)).alias(f"_st{n}"))
     lines = F.filter(
         F.split(c, F.lit(_re.escape(line_sep)), -1), lambda x: x != ""
     )
-    lst = _run_stats(lines)
-    n_lines = F.size(lines).cast("long")
-    line_cnt_frac = _milli_frac(lst["rep_cnt"], n_lines)
-    line_char_frac = _milli_frac(lst["rep_mass"], _char_mass(lines))
+    stage1.append(_run_stats(lines).alias("_stL"))
+    staged = docs.select(*stage1)
+
+    # STAGE 2 — cheap field arithmetic over the fold results
+    out = [F.col(id_col)]
+    flags = []
+    for n, cut in GOPHER_TOP_NGRAM_MILLI.items():
+        st = F.col(f"_st{n}")
+        frac = _milli_frac(st["top_mass"], st["tot_mass"])
+        out.append(frac.alias(f"top{n}gram_milli"))
+        flags.append(frac <= cut)
+    for n, cut in GOPHER_DUP_NGRAM_MILLI.items():
+        st = F.col(f"_st{n}")
+        frac = _milli_frac(st["rep_mass"], st["tot_mass"])
+        out.append(frac.alias(f"dup{n}gram_milli"))
+        flags.append(frac <= cut)
+    lst = F.col("_stL")
+    line_cnt_frac = _milli_frac(lst["rep_cnt"], lst["n"])
+    line_char_frac = _milli_frac(lst["rep_mass"], lst["tot_mass"])
     out.append(line_cnt_frac.alias("dup_line_milli"))
     out.append(line_char_frac.alias("dup_line_char_milli"))
     flags.append(line_cnt_frac <= GOPHER_DUP_LINE_MILLI)
@@ -766,8 +782,16 @@ def repetition_signals_df(
     keep = flags[0]
     for fl in flags[1:]:
         keep = keep & fl
+    # value-wise a no-op (pid ≥ 0 always), but its nondeterministic
+    # classification stops PushDownPredicate from substituting a
+    # consumer's .filter("keep") through the projections — which would
+    # re-inline the whole fold battery BELOW the spread exchange and run
+    # it single-partition on a single-file corpus (measured: 45 s vs 2 s
+    # at sf0.1). Filtering can never skip the fold work anyway; it needs
+    # the values.
+    keep = keep & (F.spark_partition_id() >= 0)
     out.append(keep.alias("keep"))
-    return docs.select(*out)
+    return staged.select(*out)
 
 
 # ---------------------------------------------------------------------------
@@ -807,6 +831,11 @@ def ccnet_buckets(
         .cast("long")
         .alias("avg_milli"),
     )
+    # the score table feeds BOTH the tercile computation and the output
+    # join; it is (id, lang, int64) — narrow per-doc rows, NOT corpus
+    # text — so materializing it once beats re-running the whole bigram-LM
+    # pipeline twice (the duplicated subtree halves the executed plan)
+    av = av.localCheckpoint(eager=True)
     qs = grouped_exact_quantiles(av, "lang", "avg_milli", permilles=(333, 667)).select(
         "lang", "p333", "p667"
     )

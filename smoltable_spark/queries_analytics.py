@@ -2591,6 +2591,31 @@ def txt_oov_rate(spark, sf_dir):
     return text.oov_rate_df(docs, vocab_size=1024)
 
 
+@q(
+    "pipeline_shuffle_shards",
+    f"""
+    WITH h AS (SELECT doc_id,
+                      {seeded_sql('shuf', 'CAST(doc_id AS VARCHAR)')} AS hv
+               FROM documents)
+    SELECT doc_id, CAST(hv % 64 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hv % 64
+                                   ORDER BY hv ASC, doc_id ASC) AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def pipeline_shuffle_shards(spark, sf_dir):
+    """Reproducible training-order shuffle (functions/sampling.py::
+    shuffle_shards): seeded identity hash → (shard, in-shard position),
+    the deterministic replacement for orderBy(rand()) — same corpus +
+    same seed gives the byte-identical epoch order, resumable and
+    partitioning-independent. Each shard is one window task that would
+    write one sorted shard file; shards is the parallelism knob (set
+    ≈2–4× executor cores at cluster scale), and the hash balances shard
+    sizes so no skewed straggler exists."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.shuffle_shards(docs, shards=64)
+
+
 def _pii_inject_sql() -> str:
     """The synthetic-PII text (the testdata corpus is PII-free, so the
     scrub demo plants deterministic emails/IPs/phones derived from

@@ -233,3 +233,24 @@ def test_grouped_exact_quantiles_matches_reference(spark):
             len(vals), min(vals), max(vals),
             ref(vals, 500), ref(vals, 900), ref(vals, 990),
         ), g
+
+
+def test_shuffle_shards_reproducible_partition(spark):
+    """Every row lands in exactly one shard with contiguous 1..n
+    positions; the assignment is identical across reruns and input
+    partitionings."""
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = sampling.shuffle_shards(df, shards=8).collect()
+    b = sampling.shuffle_shards(df.repartition(13), shards=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 200 and len({r["doc_id"] for r in a}) == 200
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for r in a:
+        by_shard[r["shard"]].append(r["pos"])
+    assert set(by_shard) <= set(range(8))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # hash balance: no shard holds more than 3x the fair share on n=200
+    assert max(len(v) for v in by_shard.values()) < 3 * 200 / 8
