@@ -135,7 +135,7 @@ def _latest_round() -> tuple[int, str] | None:
     return max(rounds) if rounds else None
 
 
-def _load_prev() -> tuple[dict | None, str | None]:
+def _load_prev(sf: float | None = None) -> tuple[dict | None, str | None]:
     """Previous-round per-query timings for the regression gate.
 
     Primary source: the latest driver BENCH_r{N}.json. The driver wraps
@@ -161,6 +161,12 @@ def _load_prev() -> tuple[dict | None, str | None]:
         if isinstance(prev, dict) and "parsed" in prev:
             prev = prev["parsed"]
         if isinstance(prev, dict) and isinstance(prev.get("queries"), dict):
+            # the sf filter must be INSIDE the loop: a parseable driver
+            # record at a different scale factor must not shadow a
+            # same-sf BENCH_LOCAL.json baseline (that silently disables
+            # the regression gate)
+            if sf is not None and prev.get("sf") != sf:
+                continue
             return prev, label
     return None, None
 
@@ -233,8 +239,8 @@ def main():
     cold_regressions = {}
     prev_total = None
     env_drift = None
-    prev, prev_source = _load_prev()
-    if prev is not None and prev.get("sf") == (float(sf) if sf else None):
+    prev, prev_source = _load_prev(float(sf) if sf else None)
+    if prev is not None:
         prev_total = prev.get("value")
         ratios = {
             name: t / prev["queries"][name]

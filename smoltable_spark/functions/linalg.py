@@ -140,6 +140,12 @@ def random_projection(
     signs = jl_signs(in_dim, out_dim, seed)
     scale = float(out_dim) ** 0.5
     cols = [F.col(id_col)]
+    # malformed rows (vector length != in_dim) must project to NULL in
+    # BOTH engines: Spark's zip_with null-pads the shorter side (NULL
+    # poisons the fold) while DuckDB's list_sum SKIPS nulls and ignores
+    # extra elements — without an explicit guard the engines diverge on
+    # exactly the rows most likely to exist in dirty data
+    ok = F.size(F.col(vec_col)) == in_dim
     for j in range(out_dim):
         s = F.array(*[F.lit(v) for v in signs[j]])
         y = (
@@ -150,7 +156,7 @@ def random_projection(
             )
             / F.lit(scale)
         )
-        cols.append(y.alias(f"y{j}"))
+        cols.append(F.when(ok, y).alias(f"y{j}"))
     return emb.select(*cols)
 
 
@@ -170,7 +176,9 @@ def random_projection_sql(
     for j in range(out_dim):
         lit = "[" + ", ".join(str(v) for v in signs[j]) + "]"
         ys.append(
+            f"CASE WHEN len({vec_expr}) = {in_dim} THEN "
             f"list_sum(list_transform(range(1, {in_dim} + 1), "
-            f"i -> CAST({vec_expr}[i] AS DOUBLE) * ({lit})[i])) / {scale!r} AS y{j}"
+            f"i -> CAST({vec_expr}[i] AS DOUBLE) * ({lit})[i])) / {scale!r} "
+            f"END AS y{j}"
         )
     return f"SELECT {id_expr}, {', '.join(ys)} FROM {table}"

@@ -224,7 +224,19 @@ def parse_container(payload: bytes) -> dict:
             "container": "jpeg", "width": int(width), "height": int(height),
             "duration_ms": None, "content": content,
         }
-    if payload.startswith(b"BM") and len(payload) >= 54:
+    # 'BM' alone is two printable ASCII chars and occurs at the start of
+    # ordinary text ("BMW announced..."), unlike the other containers'
+    # longer non-printable magics — demand the full BITMAPFILEHEADER
+    # shape (declared file size == payload size, reserved words zero,
+    # in-bounds pixel offset) before treating a payload as BMP; anything
+    # else falls through to 'raw'
+    if (
+        payload.startswith(b"BM")
+        and len(payload) >= 54
+        and struct.unpack_from("<I", payload, 2)[0] == len(payload)
+        and payload[6:10] == b"\x00\x00\x00\x00"
+        and 54 <= struct.unpack_from("<I", payload, 10)[0] <= len(payload)
+    ):
         (off,) = struct.unpack_from("<I", payload, 10)
         _hsize, width, height, _planes, bpp, comp = struct.unpack_from(
             "<IiiHHI", payload, 14

@@ -857,6 +857,7 @@ def dedup_lines_df(
     text_col: str = "text",
     id_col: str = "doc_id",
     sep: str = ". ",
+    arrow: bool = False,
 ) -> DataFrame:
     """REMOVE repeated '-separated units inside each document, keeping the
     first occurrence — the transform counterpart of the repetition
@@ -870,8 +871,21 @@ def dedup_lines_df(
     text is fingerprinted rather than returned so the certified result
     stays narrow; real pipelines select ``array_join`` of the kept units
     instead.
+
+    The expression form is O(units²) per document (array_position scans
+    inside the filter) — negligible for web documents (≤ a few hundred
+    units: ≤ 1e5 element compares) but a straggler-maker on pathological
+    10k-unit boilerplate pages. For such corpora pass ``arrow=True``: an
+    Arrow-batched ``mapInPandas`` linear hash-set scrub with IDENTICAL
+    output (pinned by test), trading the no-Python-path property for
+    O(units). Same hybrid stance as the multimodal operators: built-in
+    expressions by default, vectorized Python where the expression
+    algebra has the wrong complexity class.
     """
     import re as _re
+
+    if arrow:
+        return _dedup_lines_arrow(docs, text_col, id_col, sep)
 
     units = F.split(F.col(text_col), _re.escape(sep), -1)
     kept = F.filter(units, lambda x, i: F.array_position(units, x) == i + 1)
@@ -887,6 +901,48 @@ def dedup_lines_df(
         n_units.alias("n_units"),
         (n_units - n_kept).alias("n_removed"),
         (mass(units) - mass(kept)).cast("long").alias("n_chars_removed"),
+    )
+
+
+def _dedup_lines_arrow(
+    docs: DataFrame, text_col: str, id_col: str, sep: str
+) -> DataFrame:
+    """Linear-time keep-first scrub (hash set per doc), Arrow-batched.
+    Python ``str.split(sep)`` ≡ the escaped-regex ``F.split`` (both keep
+    empty units incl. trailing); ``len(str)`` counts codepoints exactly
+    like ``F.length``; md5 runs over UTF-8 bytes in both."""
+    import hashlib
+
+    import pandas as pd
+
+    def scrub(batches):
+        for pdf in batches:
+            out = []
+            for ident, t in zip(pdf[id_col], pdf[text_col]):
+                units = (t or "").split(sep)
+                seen: set = set()
+                kept = [u for u in units if not (u in seen or seen.add(u))]
+                clean = sep.join(kept)
+                out.append(
+                    (
+                        ident,
+                        hashlib.md5(clean.encode("utf-8")).hexdigest(),
+                        len(units),
+                        len(units) - len(kept),
+                        sum(map(len, units)) - sum(map(len, kept)),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    id_col, "clean_sha", "n_units", "n_removed", "n_chars_removed"
+                ],
+            )
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        scrub,
+        f"{id_col} long, clean_sha string, n_units long, "
+        "n_removed long, n_chars_removed long",
     )
 
 

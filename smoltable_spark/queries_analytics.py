@@ -2140,16 +2140,11 @@ def txt_bigram_lm(spark, sf_dir):
                   CAST(floor((sum_logp_milli * 1.0) / n_bigrams) AS BIGINT)
                       AS avg_milli
            FROM lm l JOIN documents d ON d.doc_id = l.doc_id),
-    hist AS (SELECT lang, avg_milli AS v, count(*) AS c FROM av GROUP BY 1, 2),
-    cum AS (SELECT lang, v,
-                   sum(c) OVER (PARTITION BY lang ORDER BY v
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-                   sum(c) OVER (PARTITION BY lang) AS n
-            FROM hist),
-    qs AS (SELECT lang,
-                  min(CASE WHEN cum * 1000 >= 333 * n THEN v END) AS p333,
-                  min(CASE WHEN cum * 1000 >= 667 * n THEN v END) AS p667
-           FROM cum GROUP BY lang)
+    qs AS (SELECT lang, p333, p667 FROM (
+        {profile.grouped_exact_quantiles_sql('av', 'lang', 'avg_milli',
+                                             permilles=(333, 667),
+                                             group_alias='lang')}
+    ))
     SELECT av.doc_id, av.lang, av.avg_milli,
            CASE WHEN av.avg_milli <= qs.p333 THEN 'tail'
                 WHEN av.avg_milli <= qs.p667 THEN 'middle'

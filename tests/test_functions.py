@@ -824,3 +824,51 @@ def test_oov_rate_against_small_vocab(spark):
     assert out[2] == dict(doc_id=2, n_tokens=2, n_oov=0, oov_milli=0)
     assert out[3] == dict(doc_id=3, n_tokens=3, n_oov=3, oov_milli=1000)
     assert out[4] == dict(doc_id=4, n_tokens=0, n_oov=0, oov_milli=0)
+
+
+def test_dedup_lines_arrow_equals_expression(spark):
+    """The linear Arrow scrub must produce byte-identical rows to the
+    expression form — including a pathological many-unit document."""
+    long_doc = ". ".join(f"unit {i % 37}" for i in range(800))
+    rows = [
+        (1, "alpha beta. gamma. alpha beta. delta. gamma"),
+        (2, ""),
+        (3, long_doc),
+        (4, "trailing. sep. trailing. "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, text.dedup_lines_df(df).collect()))
+    b = sorted(map(tuple, text.dedup_lines_df(df, arrow=True).collect()))
+    assert a == b
+
+
+def test_parse_container_text_starting_with_BM_is_raw(spark):
+    """'BM' is printable ASCII; a text payload starting with it must fall
+    through to 'raw', not crash the BMP parser (r4 review finding)."""
+    payload = (
+        b"BMW announced today that the new electric lineup will ship in "
+        b"2027 worldwide, the company said."
+    )
+    r = multimodal.parse_container(payload)
+    assert r["container"] == "raw" and r["content"] == payload
+
+
+def test_repetition_filter_stays_above_exchange(spark, sf_dir):
+    """Pinning the pushdown barrier (r4 review finding): a consumer's
+    .filter('keep') must evaluate ABOVE the spread exchange — if the fold
+    battery is ever re-inlined below it, a single-file corpus runs the
+    whole battery single-partition (measured 30x slower)."""
+    from smoltable_spark.sources.relational import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = text.repetition_signals_df(docs).filter("keep")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # walk the tree: the first Filter must appear ABOVE (before) the
+    # Exchange introduced by spread(); scan-level IsNotNull filters below
+    # the exchange are fine, a Filter containing `keep`'s fold battery is
+    # not — detect by requiring NO 'aggregate(' expression under any
+    # node below the exchange
+    below_exchange = plan.split("Exchange", 1)[1]
+    assert "aggregate(sort_array" not in below_exchange, (
+        "fold battery was pushed below the spread exchange"
+    )

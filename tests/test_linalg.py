@@ -101,3 +101,20 @@ def test_jl_signs_deterministic_and_balanced(spark):
     assert a == L.jl_signs(64, 8)
     flat = [v for row in a for v in row]
     assert abs(sum(flat)) < len(flat) * 0.25  # roughly balanced ±1
+
+
+def test_random_projection_malformed_rows_are_null(spark):
+    """Vectors whose length != in_dim must project to NULL (both engines
+    agree by construction — r4 review finding: unguarded, Spark nulls
+    while DuckDB partial-sums)."""
+    from smoltable_spark.functions import linalg as L
+
+    rows = [
+        (1, [1.0] * 16),
+        (2, [1.0] * 15),   # short
+        (3, [1.0] * 17),   # long
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["y0"] for r in L.random_projection(df, in_dim=16).collect()}
+    assert got[1] is not None
+    assert got[2] is None and got[3] is None
