@@ -111,6 +111,7 @@ HEADLINE = [
     "emb_random_projection",
     "pipeline_dedup_lines",
     "pipeline_shuffle_shards",
+    "pipeline_scrub_spans",
 ]
 
 REGRESSION_FACTOR = 1.5

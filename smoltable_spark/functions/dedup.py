@@ -918,3 +918,88 @@ def incremental_dedup(
         .agg(F.min(id_col).alias(id_col))
         .select(id_col, "fp")
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document repeated-span REMOVAL (substring-level dedup transform)
+
+def scrub_repeated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REMOVE cross-document repeated k-gram spans from every document —
+    the transform counterpart of ``repeated_ngrams`` and the n-gram-
+    granularity version of Lee et al. 2022's substring dedup: a token is
+    dropped iff it lies inside an occurrence of a k-gram shared by ≥
+    ``min_docs`` distinct documents (licenses, navigation chrome,
+    templated disclaimers — the spans LMs memorize first).
+
+    Plan shape: ONE positional-shingle explode feeds both the banned-set
+    aggregate (map-side-combinable distinct-doc count per gram, output
+    bounded by the corpus's repeated-span structure, NOT corpus size) and
+    the per-doc coverage join; covered start positions fold back to one
+    array per document, and reconstruction is an in-row positional
+    filter (`exists` over the starts array per token — O(spans) per
+    token, fine because real documents have few banned spans; a fully
+    boilerplate document degrades gracefully to O(n·spans)).
+
+    Returns (id, clean_sha, n_tokens, n_removed, n_spans): the scrubbed
+    text fingerprinted (md5 of space-joined kept tokens), plus audit
+    counts. Short documents (< k tokens) use the same truncated-shingle
+    convention as the detection pass, so a short doc equal to a banned
+    span is scrubbed too.
+    """
+    toked = spread(docs).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    n = F.size(F.col("_toks"))
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    pos_arr = F.filter(
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                i.alias("i"),
+                F.concat_ws(" ", F.slice(F.col("_toks"), i, k)).alias("gram"),
+            ),
+        ),
+        lambda s: s["gram"] != "",
+    )
+    pos = toked.select(F.col(id_col), F.explode(pos_arr).alias("_p")).select(
+        id_col, F.col("_p.i").alias("i"), F.col("_p.gram").alias("gram")
+    )
+    banned = (
+        pos.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("gram")
+    )
+    cov = (
+        pos.join(F.broadcast(banned), "gram")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list("i")).alias("_starts"),
+            F.count(F.lit(1)).alias("_n_spans"),
+        )
+    )
+    joined = toked.join(cov, id_col, "left").select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.coalesce(F.col("_starts"), F.array().cast("array<int>")).alias("_starts"),
+        F.coalesce(F.col("_n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+    )
+    kept = F.filter(
+        F.col("_toks"),
+        lambda x, j: ~F.exists(
+            F.col("_starts"), lambda s: (s <= j + 1) & (j + 1 < s + k)
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.md5(F.concat_ws(" ", kept)).alias("clean_sha"),
+        F.size(F.col("_toks")).cast("long").alias("n_tokens"),
+        (F.size(F.col("_toks")) - F.size(kept)).cast("long").alias("n_removed"),
+        F.col("n_spans"),
+    )

@@ -1501,6 +1501,51 @@ def dedup_repeated_ngrams(spark, sf_dir):
     )
 
 
+@q(
+    "pipeline_scrub_spans",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    pos AS (SELECT doc_id, i, array_to_string(toks[i:i+7], ' ') AS gram
+            FROM t, unnest(range(1, greatest(len(toks) - 7, 1) + 1)) AS u(i)
+            WHERE array_to_string(toks[i:i+7], ' ') <> ''),
+    banned AS (SELECT gram FROM pos GROUP BY gram
+               HAVING count(DISTINCT doc_id) >= 2),
+    cov AS (SELECT p.doc_id, p.i FROM pos p JOIN banned b ON b.gram = p.gram),
+    ctoks AS (SELECT DISTINCT c.doc_id, j
+              FROM cov c, unnest(range(c.i, c.i + 8)) AS u(j)),
+    toksx AS (SELECT t.doc_id, j, toks[j] AS tok
+              FROM t, unnest(range(1, len(toks) + 1)) AS u(j)),
+    keptx AS (SELECT tx.doc_id, tx.j, tx.tok
+              FROM toksx tx LEFT JOIN ctoks c
+                ON c.doc_id = tx.doc_id AND c.j = tx.j
+              WHERE c.j IS NULL),
+    agg AS (SELECT doc_id,
+                   coalesce(array_to_string(list(tok ORDER BY j), ' '), '') AS clean,
+                   count(*) AS n_kept
+            FROM keptx GROUP BY doc_id),
+    spans AS (SELECT doc_id, count(*) AS n_spans FROM cov GROUP BY doc_id)
+    SELECT t.doc_id,
+           md5(coalesce(a.clean, '')) AS clean_sha,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(len(t.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+           CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans
+    FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id
+           LEFT JOIN spans s ON s.doc_id = t.doc_id
+    """,
+)
+def pipeline_scrub_spans(spark, sf_dir):
+    """Cross-document repeated-span REMOVAL (functions/dedup.py::
+    scrub_repeated_spans) — the n-gram-granularity substring dedup of
+    Lee et al. 2022 as a transform: every token inside an 8-gram shared
+    by ≥2 distinct documents is dropped (licenses, navigation chrome,
+    memorized boilerplate). One positional-shingle explode feeds both
+    the banned-set aggregate (bounded by repeated-span structure, not
+    corpus size) and the coverage join; reconstruction is an in-row
+    positional filter. Scrubbed text md5-fingerprinted + audit counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.scrub_repeated_spans(docs, k=8, min_docs=2)
+
+
 def _minhash_aggs_sql(num_hashes: int) -> str:
     from smoltable_spark.functions.dedup import MINHASH_P, minhash_params
 

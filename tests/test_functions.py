@@ -872,3 +872,37 @@ def test_repetition_filter_stays_above_exchange(spark, sf_dir):
     assert "aggregate(sort_array" not in below_exchange, (
         "fold battery was pushed below the spread exchange"
     )
+
+
+def test_scrub_repeated_spans_masks_shared_prefix(spark):
+    """Docs 1 and 2 share a 10-token prefix -> three overlapping banned
+    8-grams cover tokens 1..10, leaving only the distinct tails; the
+    unrelated doc is untouched."""
+    import hashlib
+
+    rows = [
+        (1, "a b c d e f g h unique tail one"),
+        (2, "a b c d e f g h unique tail two"),
+        (3, "totally different words with no shared spans here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in dedup.scrub_repeated_spans(df).collect()}
+    assert out[1]["n_removed"] == 10 and out[1]["n_spans"] == 3
+    assert out[1]["clean_sha"] == hashlib.md5(b"one").hexdigest()
+    assert out[2]["clean_sha"] == hashlib.md5(b"two").hexdigest()
+    assert out[3]["n_removed"] == 0 and out[3]["n_spans"] == 0
+    assert out[3]["clean_sha"] == hashlib.md5(
+        b"totally different words with no shared spans here at all"
+    ).hexdigest()
+
+
+def test_scrub_repeated_spans_no_bans_below_min_docs(spark):
+    """An 8-gram repeated only WITHIN one document is not cross-doc
+    boilerplate and must survive."""
+    t = "x1 x2 x3 x4 x5 x6 x7 x8 middle x1 x2 x3 x4 x5 x6 x7 x8"
+    df = spark.createDataFrame(
+        [(1, t), (2, "nothing in common here at all whatsoever today")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in dedup.scrub_repeated_spans(df).collect()}
+    assert out[1]["n_removed"] == 0 and out[1]["n_spans"] == 0

@@ -4,6 +4,7 @@ sampling, PII scrub, boolean search."""
 
 import random
 
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import Window, functions as F
 
 from smoltable_spark.functions import profile, sampling, text
@@ -254,3 +255,77 @@ def test_shuffle_shards_reproducible_partition(spark):
         assert sorted(poss) == list(range(1, len(poss) + 1)), shard
     # hash balance: no shard holds more than 3x the fair share on n=200
     assert max(len(v) for v in by_shard.values()) < 3 * 200 / 8
+
+
+def _dsir_reference(rows, buckets=1024, seed="dsir"):
+    """Driver-side DSIR weights: same hash, same convention, same
+    micro-nat quantization — independent implementation."""
+    import hashlib
+    import math
+    from collections import Counter, defaultdict
+
+    def md5_long(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def grams(text):
+        toks = [t for t in text.lower().split(" ") if t]
+        n = len(toks)
+        out = []
+        for i in range(1, max(n - 1, 1) + 1):
+            g = " ".join(toks[i - 1 : i + 1])
+            if g:
+                out.append(g)
+        return out
+
+    cnt = defaultdict(Counter)  # doc -> bucket counts
+    tgt_of = {}
+    for doc_id, text, tgt in rows:
+        tgt_of[doc_id] = tgt
+        for g in grams(text):
+            cnt[doc_id][md5_long(f"{seed}|{g}") % buckets] += 1
+    rb, tb = Counter(), Counter()
+    for doc_id, c in cnt.items():
+        for b, k in c.items():
+            rb[b] += k
+            if tgt_of[doc_id]:
+                tb[b] += k
+    rtot, ttot = sum(rb.values()), sum(tb.values())
+    lr = {
+        b: math.floor(
+            1_000_000
+            * (
+                math.log((tb[b] + 1.0) / (ttot + float(buckets)))
+                - math.log((rb[b] + 1.0) / (rtot + float(buckets)))
+            )
+        )
+        for b in rb
+    }
+    return {
+        doc_id: sum(k * lr[b] for b, k in cnt[doc_id].items())
+        for doc_id, _, _ in rows
+    } | {doc_id: 0 for doc_id, text, _ in rows if not cnt.get(doc_id)}
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="ab c", min_size=0, max_size=24),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_dsir_weights_match_reference(spark, doc_specs):
+    """Hypothesis differential: the distributed DSIR weights equal an
+    independent driver-side implementation on adversarial tiny corpora
+    (empty docs, single tokens, repeated grams, all-target/no-target)."""
+    rows = [(i, t, tgt) for i, (t, tgt) in enumerate(doc_specs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    got = {
+        r["doc_id"]: r["logw_q"]
+        for r in sampling.dsir_log_weights(df, F.col("tgt")).collect()
+    }
+    want = _dsir_reference(rows)
+    assert got == want

@@ -172,6 +172,10 @@ def main():
         lambda: text.oov_rate_df(docs).count(),
     )
     timed(
+        "scrub_spans_50k",  # cross-doc repeated-span removal (clone-heavy set)
+        lambda: dedup.scrub_repeated_spans(docs).count(),
+    )
+    timed(
         "bm25_topk_50k",
         lambda: text.bm25_topk(docs, ("scan", "vector", "merge", "customer")).count(),
     )
