@@ -18,13 +18,15 @@ Design (for a 100 TB media corpus):
   content back out with pure ``struct``/``zlib`` — no codec libraries
   involved;
 - **pixel/sample decode is REAL where the format permits it in pure
-  Python** (round-4): uncompressed 24-bpp BMP pixel arrays and WAV
-  16-bit PCM samples are fully decoded with ``struct``/numpy —
-  ``mean_luma`` and ``rms_amp`` are computed from the actual decoded
-  bytes and oracle-pinned. Only the *compressed* codecs (PNG zlib
-  image data, JPEG entropy-coded scans) remain stubbed:
+  Python** (round-4): uncompressed 24-bpp BMP pixel arrays, WAV
+  16-bit PCM samples, AND zlib-compressed grayscale-8 PNG image data
+  (zlib IS the PNG codec and it's stdlib — ``png_decode`` inflates the
+  IDAT stream and undoes all five PNG row filters) are fully decoded
+  with ``struct``/``zlib``/numpy — ``mean_luma`` and ``rms_amp`` are
+  computed from the actual decoded bytes and oracle-pinned. Only JPEG
+  entropy-coded scans remain stubbed (a real Huffman/DCT codec):
   ``decode_stub=False`` raises ``NotImplementedError`` at exactly the
-  point a real codec library would run.
+  point that library would run.
 """
 
 from __future__ import annotations
@@ -79,19 +81,95 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def png_bytes(width: int, height: int, content: bytes) -> bytes:
-    """Minimal PNG: signature + IHDR(width, height) + one IDAT chunk
-    carrying ``content`` verbatim + IEND. Chunk framing and CRCs are
-    real (zlib.crc32); the IDAT payload is NOT zlib-compressed image
-    data — header parsing is the exercised surface, pixel decode is the
-    stub boundary."""
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+def _png_filter_scanlines(pixels: np.ndarray, width: int, height: int) -> bytes:
+    """Serialize a grayscale-8 pixel array into PNG scanlines with REAL
+    filter types rotating per row (0=None, 1=Sub, 2=Up) — the decoder has
+    to run genuine unfiltering, not just strip a constant byte."""
+    px = pixels.reshape(height, width).astype(np.int16)
+    out = bytearray()
+    for r in range(height):
+        ftype = r % 3
+        row = px[r]
+        if ftype == 1:  # Sub: delta vs left neighbor
+            filt = np.diff(row, prepend=np.int16(0)) % 256
+        elif ftype == 2 and r > 0:  # Up: delta vs row above
+            filt = (row - px[r - 1]) % 256
+        else:
+            ftype = 0
+            filt = row % 256
+        out.append(ftype)
+        out += filt.astype(np.uint8).tobytes()
+    return bytes(out)
+
+
+def png_bytes(
+    width: int, height: int, content: bytes, pixels: bytes | None = None
+) -> bytes:
+    """REAL minimal PNG (grayscale-8, color type 0): signature +
+    IHDR(width, height) + a ``tEXt`` chunk carrying ``content`` (the
+    attached document text — real PNG ancillary-chunk framing) + one
+    IDAT chunk of genuinely zlib-compressed, per-row-filtered scanlines
+    + IEND. Chunk framing and CRCs are real (zlib.crc32) and the image
+    data is decodable by any PNG reader; ``pixels`` is one byte per
+    pixel in storage order (defaults to zeros)."""
+    px = np.frombuffer(
+        pixels if pixels is not None else bytes(width * height), dtype=np.uint8
+    )
+    if px.size != width * height:
+        raise ValueError(f"pixels must be {width * height} bytes, got {px.size}")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    idat = zlib.compress(_png_filter_scanlines(px, width, height))
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", content)
+        + _png_chunk(b"tEXt", b"comment\x00" + content)
+        + _png_chunk(b"IDAT", idat)
         + _png_chunk(b"IEND", b"")
     )
+
+
+def png_decode(idat: bytes, width: int, height: int) -> np.ndarray:
+    """REAL PNG image-data decode for grayscale-8: zlib-inflate the IDAT
+    stream, then undo per-row filtering (all five PNG filter types —
+    None/Sub/Up vectorized with numpy, Average/Paeth per the spec's
+    sequential recurrences). Returns the (height, width) uint8 pixel
+    array. Pure stdlib+numpy — zlib IS the PNG compression codec."""
+    raw = zlib.decompress(idat)
+    stride = 1 + width  # filter byte + grayscale-8 row
+    if len(raw) != stride * height:
+        raise ValueError(
+            f"PNG scanline stream is {len(raw)} bytes, want {stride * height}"
+        )
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride)
+    out = np.zeros((height, width), dtype=np.int16)
+    for r in range(height):
+        ftype = int(rows[r, 0])
+        filt = rows[r, 1:].astype(np.int16)
+        up = out[r - 1] if r > 0 else np.zeros(width, dtype=np.int16)
+        if ftype == 0:
+            out[r] = filt
+        elif ftype == 1:  # Sub: prefix-sum along the row
+            out[r] = np.cumsum(filt.astype(np.int64)) % 256
+        elif ftype == 2:  # Up
+            out[r] = (filt + up) % 256
+        elif ftype == 3:  # Average: left recurrence forces a scalar loop
+            left = 0
+            for x in range(width):
+                left = (int(filt[x]) + (left + int(up[x])) // 2) % 256
+                out[r, x] = left
+        elif ftype == 4:  # Paeth predictor (sequential by definition)
+            left = ul = 0
+            for x in range(width):
+                a, b, c = left, int(up[x]), ul
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                left = (int(filt[x]) + pred) % 256
+                out[r, x] = left
+                ul = b
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype} at row {r}")
+    return out.astype(np.uint8)
 
 
 _JPEG_COM_MAX = 60_000  # segment length field is u16; stay well under
@@ -182,16 +260,22 @@ def parse_container(payload: bytes) -> dict:
     corrupt media must surface, not silently pass as raw."""
     if payload.startswith(b"\x89PNG\r\n\x1a\n"):
         width = height = None
-        content = b""
+        depth = ctype_png = None
+        text = b""
+        idat = b""
         pos = 8
         while pos + 8 <= len(payload):
             (clen,) = struct.unpack_from(">I", payload, pos)
             ctype = payload[pos + 4 : pos + 8]
             data = payload[pos + 8 : pos + 8 + clen]
             if ctype == b"IHDR":
-                width, height = struct.unpack_from(">II", data, 0)
+                width, height, depth, ctype_png = struct.unpack_from(">IIBB", data, 0)
+            elif ctype == b"tEXt":
+                # keyword\0text per the PNG spec; content = the text part
+                _kw, _, text_part = data.partition(b"\x00")
+                text += text_part
             elif ctype == b"IDAT":
-                content += data
+                idat += data
             elif ctype == b"IEND":
                 break
             pos += 12 + clen  # len + type + data + crc
@@ -199,7 +283,8 @@ def parse_container(payload: bytes) -> dict:
             raise ValueError("PNG signature without IHDR chunk")
         return {
             "container": "png", "width": int(width), "height": int(height),
-            "duration_ms": None, "content": content,
+            "duration_ms": None, "content": text, "idat": idat,
+            "depth": int(depth), "color_type": int(ctype_png),
         }
     if payload.startswith(b"\xff\xd8"):
         width = height = None
@@ -311,11 +396,12 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     with REAL container bytes: ``doc_id % 3`` → image, audio (WAV),
     video (opaque raw). Images split three ways — ``id % 12 == 0`` PNG,
     ``id % 12 == 6`` uncompressed 24-bpp BMP, odd image ids JPEG. The
-    document text is embedded as PNG/JPEG/raw content (IDAT / COM /
-    passthrough), so the extraction pipeline must round-trip real
-    framing to recover it; BMP payloads carry a REAL decodable pixel
-    array (``luma_pixels``) and WAV payloads carry REAL int16 PCM
-    (``pcm_samples``), so the decode stage has actual bytes to decode.
+    document text is embedded as PNG-tEXt / JPEG-COM / raw content, so
+    the extraction pipeline must round-trip real framing to recover it;
+    PNG payloads additionally carry a REAL zlib-compressed filtered
+    pixel array and BMP an uncompressed one (``luma_pixels``), and WAV
+    payloads carry REAL int16 PCM (``pcm_samples``), so the decode
+    stage has actual bytes to inflate/unfilter/decode.
     Image dims are ``16 + id % 64`` × ``16 + id % 48`` — nontrivial
     values the header parse has to get exactly right."""
     src = docs.select(
@@ -336,7 +422,7 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
                 if mtype == "image":
                     w, h = 16 + mid % 64, 16 + mid % 48
                     if mid % 12 == 0:
-                        payload = png_bytes(w, h, content)
+                        payload = png_bytes(w, h, content, luma_pixels(mid, w, h))
                     elif mid % 12 == 6:
                         payload = bmp_bytes(w, h, luma_pixels(mid, w, h))
                     else:
@@ -381,15 +467,16 @@ def extract_features(
        JPEG SOF0 / BMP info header / WAV fmt+data framing with pure
        ``struct`` and recovers the container's dimensions, duration, and
        embedded content bytes.
-    2. **Uncompressed decode (REAL)** — formats that need no codec
-       library are fully decoded: BMP pixel arrays → ``mean_luma``
+    2. **Media decode (REAL)** — formats decodable with stdlib+numpy
+       are fully decoded: BMP pixel arrays and PNG image data
+       (zlib-inflate + unfilter, ``png_decode``) → ``mean_luma``
        (exact integer byte-sum / pixel-count), WAV 16-bit PCM →
        ``rms_amp`` (exact integer sum-of-squares, one division, one
        correctly-rounded sqrt — bit-portable to the oracle).
-    3. **Compressed decode (STUB boundary)** — featurizing PNG/JPEG
-       image data requires zlib-inflate + entropy decode of real
-       codecs; ``decode_stub=False`` raises ``NotImplementedError``
-       here. The stub features are content-derived and deterministic.
+    3. **JPEG decode (STUB boundary)** — featurizing entropy-coded
+       JPEG scans requires a real Huffman/DCT codec;
+       ``decode_stub=False`` raises ``NotImplementedError`` here. The
+       stub features are content-derived and deterministic.
 
     The 100 TB shape: payloads never leave the executor, only parsed
     headers + (tiny) feature vectors come back. ``payload_sha`` hashes
@@ -401,10 +488,10 @@ def extract_features(
         for pdf in batches:
             if not decode_stub:
                 raise NotImplementedError(
-                    "real PNG/JPEG content decoding requires codec "
-                    "libraries not present in this environment; use "
-                    "decode_stub=True (header parsing AND the BMP/PCM "
-                    "decode paths are real — see parse_container)"
+                    "real JPEG scan decoding requires a Huffman/DCT codec "
+                    "library not present in this environment; use "
+                    "decode_stub=True (header parsing AND the PNG/BMP/PCM "
+                    "decode paths are real — see parse_container/png_decode)"
                 )
             rows = {k: [] for k in
                     ("media_id", "media_type", "container", "width", "height",
@@ -420,6 +507,15 @@ def extract_features(
                     # grayscale BGR triplets: the mean over ALL bytes IS
                     # the mean luma (r=g=b); integer sum stays exact
                     px = np.frombuffer(content, dtype=np.uint8)
+                    mean_luma = float(int(px.sum(dtype=np.int64)) / px.size)
+                elif info["container"] == "png" and info.get("idat"):
+                    # REAL decode: zlib-inflate + PNG unfiltering
+                    if (info["depth"], info["color_type"]) != (8, 0):
+                        raise NotImplementedError(
+                            "only grayscale-8 PNG decode is implemented "
+                            f"(depth={info['depth']}, ct={info['color_type']})"
+                        )
+                    px = png_decode(info["idat"], info["width"], info["height"])
                     mean_luma = float(int(px.sum(dtype=np.int64)) / px.size)
                 elif info["container"] == "wav" and len(content) >= 2:
                     n = len(content) // 2  # drop a trailing odd byte

@@ -2307,7 +2307,7 @@ def dedup_semantic_keep_one(spark, sf_dir):
            CASE WHEN m3 = 2 OR (m3 = 0 AND m12 != 6)
                 THEN CAST(concat('0x', substr(sha256(text), 1, 2)) AS BIGINT)
                END AS f0_byte,
-           CASE WHEN m3 = 0 AND m12 = 6
+           CASE WHEN m3 = 0 AND m12 IN (0, 6)
                 THEN CAST(list_sum(list_transform(range(wv * hv),
                           j -> (media_id + j) % 256)) AS DOUBLE) / (wv * hv)
                END AS mean_luma,
@@ -2328,17 +2328,20 @@ def mm_features(spark, sf_dir):
     ``extract_features`` parses width/height/duration back out of the
     headers with pure ``struct``, hashes the recovered content, and —
     for the formats decodable without codec libraries — decodes the
-    actual media bytes: BMP pixel arrays → ``mean_luma`` (exact integer
-    byte sum / count), WAV 16-bit PCM → ``rms_amp`` (exact integer
-    sum-of-squares, one division, correctly-rounded sqrt). The oracle
+    actual media bytes: BMP pixel arrays AND zlib-compressed PNG image
+    data (inflate + real per-row unfiltering, ``png_decode``) →
+    ``mean_luma`` (exact integer byte sum / count), WAV 16-bit PCM →
+    ``rms_amp`` (exact integer sum-of-squares, one division,
+    correctly-rounded sqrt). The oracle
     recomputes every value from the generator formulas — dims from the
     id, WAV duration from the sample count (50 Hz × 16-bit mono ⟹
     byte_rate 100 ⟹ ms = 2n bytes × 10), digest + first feature byte
     from the text for text-content containers, and the decoded-content
     features from the same exact integer arithmetic over
     ``range(n)`` — so one hash-match pins build → frame → parse →
-    DECODE → extract end to end. PNG/JPEG pixel decode stays stubbed
-    (zlib/entropy codecs; the documented boundary).
+    DECODE → extract end to end. Only JPEG pixel decode stays stubbed
+    (entropy-coded scans need a real Huffman/DCT codec; the documented
+    boundary).
     """
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.synthesize_media(docs)

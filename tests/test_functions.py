@@ -649,9 +649,9 @@ def test_multimodal_real_bmp_and_pcm_decode(spark):
 
     assert feats[0]["container"] == "png" and feats[3]["container"] == "jpeg"
     assert feats[2]["container"] == "raw"
-    for mid in (6, 18):  # id % 12 == 6 -> BMP with real pixels
+    for mid in (0, 6, 18):  # png (id%12==0) and bmp (id%12==6): real pixels
         r = feats[mid]
-        assert r["container"] == "bmp"
+        assert r["container"] == ("png" if mid % 12 == 0 else "bmp")
         w, h = 16 + mid % 64, 16 + mid % 48
         assert (r["width"], r["height"]) == (w, h)
         expect = sum((mid + j) % 256 for j in range(w * h)) / (w * h)
@@ -667,11 +667,54 @@ def test_multimodal_real_bmp_and_pcm_decode(spark):
         )
         assert r["rms_amp"] == expect
         assert r["mean_luma"] is None
-    # text-content containers never get decoded-media features
+    # entropy-coded (jpeg) / opaque (raw) containers: no decoded features
     assert all(
         feats[i]["mean_luma"] is None and feats[i]["rms_amp"] is None
-        for i in (0, 2, 3)
+        for i in (2, 3)
     )
+
+
+def test_png_decode_all_filter_types():
+    """png_bytes -> png_decode round-trips the encoder's None/Sub/Up
+    filters; hand-built Average/Paeth scanlines (the spec's sequential
+    recurrences) decode exactly; unknown filter types raise."""
+    import random
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from smoltable_spark.functions import multimodal as M
+
+    for w, h, mid in [(37, 21, 0), (1, 1, 36), (5, 2, 48), (80, 64, 24)]:
+        px = M.luma_pixels(mid, w, h)
+        info = M.parse_container(M.png_bytes(w, h, b"txt", px))
+        assert (info["depth"], info["color_type"]) == (8, 0)
+        assert M.png_decode(info["idat"], w, h).tobytes() == px
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    rng = random.Random(7)
+    w, h = 9, 6
+    px = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+    out = bytearray()
+    for r in range(h):
+        ft = 3 + r % 2  # Average / Paeth alternating
+        out.append(ft)
+        for x in range(w):
+            left = px[r][x - 1] if x > 0 else 0
+            up = px[r - 1][x] if r > 0 else 0
+            ul = px[r - 1][x - 1] if (r > 0 and x > 0) else 0
+            pred = (left + up) // 2 if ft == 3 else paeth(left, up, ul)
+            out.append((px[r][x] - pred) % 256)
+    dec = M.png_decode(zlib.compress(bytes(out)), w, h)
+    assert (dec == np.array(px)).all()
+
+    with _pytest.raises(ValueError):
+        M.png_decode(zlib.compress(b"\x07" + bytes(3)), 3, 1)
 
 
 def test_bmp_container_roundtrip_unit():
