@@ -487,3 +487,186 @@ def embedding_near_duplicates(
         .select("id_a", "id_b", "cosine")
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) — compressed-domain ANN
+
+def _l2sq(a, b):
+    """Exact integer squared-L2 between two quantized int64 vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_subvectors(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Explode each quantized vector into its ``m`` subvectors:
+    (vec_id, m, sq) with ``sq`` = dims [m·d/M, (m+1)·d/M). One row per
+    (vector, subspace) — narrow (d/M ints), map-side only."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    q = _quantized(F.col(vec_col))
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(mm).alias("m"),
+                F.slice(q, mm * dsub + 1, dsub).alias("sq"),
+            )
+            for mm in range(m)
+        ]
+    )
+    return corpus.select(
+        F.col(id_col).alias("vec_id"), F.explode(subs).alias("s")
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sq").alias("sq"))
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Train per-subspace PQ codebooks → (m, cid, cw array<long>).
+
+    Deterministic Lloyd's per subspace, engine-replicable like
+    ``kmeans_centroids`` (the DuckDB oracle unrolls the identical
+    iterations): seeds are the ``ksub`` corpus vectors with the smallest
+    seeded md5 hash (one shared seed draw; subspace m's initial codeword
+    j is seed j's m-th subvector), assignment is exact integer squared-L2
+    with ties to the lowest cid, and updates are per-dimension
+    integer-exact means rounded half-away-from-zero. A codeword that
+    loses all members drops out.
+
+    All m subspaces train in the SAME jobs — subspace is a column, not a
+    loop: each iteration is one broadcast-join assign + one
+    (m, cid, pos) aggregate over the exploded subvector table, so cost
+    is independent of M. At 100 TB, train on a hash-sample (the
+    ``kmeans_centroids`` pattern) and broadcast the ksub·m tiny codebook.
+    """
+    from smoltable_spark.functions.hashing import seeded
+
+    sub = pq_subvectors(corpus, id_col, vec_col, m, dim)
+    ids = corpus.select(F.col(id_col).alias("vec_id")).withColumn(
+        "_h", seeded("pq", F.col(id_col).cast("string"))
+    )
+    seeds = ids.orderBy("_h", "vec_id").limit(ksub)
+    w = Window.orderBy("_h", "vec_id")  # bounded: ksub rows post-limit
+    seed_ids = seeds.withColumn("cid", F.row_number().over(w) - 1).select(
+        "vec_id", "cid"
+    )
+    cb = (
+        sub.join(F.broadcast(seed_ids), "vec_id")
+        .select("m", "cid", F.col("sq").alias("cw"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        assign = _pq_assign(sub, cb)
+        dims = sub.join(assign, ["vec_id", "m"]).select(
+            "m", "cid", F.posexplode("sq").alias("pos", "val")
+        )
+        cb = (
+            dims.groupBy("m", "cid", "pos")
+            .agg(F.round(F.avg("val")).cast("long").alias("v"))
+            .groupBy("m", "cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("v")))
+                ).alias("_s")
+            )
+            .select(
+                "m",
+                "cid",
+                F.transform(F.col("_s"), lambda x: x.getField("v")).alias("cw"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cb
+
+
+def _pq_assign(sub: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Nearest codeword per (vector, subspace): broadcast the codebook,
+    exact integer L2², ties to lowest cid → (vec_id, m, cid)."""
+    scored = sub.join(F.broadcast(codebooks), "m").withColumn(
+        "_d2", _l2sq(F.col("sq"), F.col("cw"))
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(F.col("_d2").asc(), F.col("cid").asc())
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "m", "cid")
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Encode each vector as its PQ code: (vec_id, m, code) — the
+    compressed representation (M small ints ≈ M bytes instead of
+    dim floats, an 8–32× memory cut). This is what makes 100 TB of
+    embeddings servable: the codes table plus a ksub·m codebook replace
+    the full vectors for candidate scoring; only re-ranking (if any)
+    touches raw vectors."""
+    sub = pq_subvectors(corpus, id_col, vec_col, m, dim)
+    return _pq_assign(sub, codebooks).select(
+        "vec_id", "m", F.col("cid").alias("code")
+    )
+
+
+def pq_topk_adc(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    m: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k over PQ codes.
+
+    Per query: a lookup table d2(query, m, cid) = exact integer L2²
+    between the query's m-th subvector and every codeword (ksub·m
+    entries — tiny, broadcast). Approximate distance to a corpus vector
+    is then a pure TABLE LOOKUP: sum over m of lut[m][code] — the corpus
+    side touches only the (vec_id, m, code) table, never raw vectors.
+    Ranks ascend by exact integer ADC distance, ties to lowest
+    neighbor_id — bit-identical across engines by construction.
+    """
+    codes = pq_encode(corpus, codebooks, id_col, vec_col, m, dim)
+    qsub = pq_subvectors(queries, id_col, vec_col, m, dim)
+    lut = (
+        qsub.join(F.broadcast(codebooks), "m")
+        .withColumn("d2", _l2sq(F.col("sq"), F.col("cw")))
+        .select(F.col("vec_id").alias("query_id"), "m", F.col("cid").alias("code"), "d2")
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy(F.col("query_id"), F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

@@ -245,6 +245,184 @@ def rel_tpch_q5(spark, sf_dir):
     )
 
 
+#: 1996-04-01 UTC epoch ms (q4 quarter window end; 1996 is a leap year)
+_Q4_HI_MS = 828_316_800_000
+
+
+@q(
+    "rel_tpch_q4",
+    f"""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE epoch_ms(o_orderdate) >= {_Q6_LO_MS} AND epoch_ms(o_orderdate) < {_Q4_HI_MS}
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def rel_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join (equi key
+    + the non-equi ship-after-order residual), then count by priority.
+    The semi join never materializes lineitem columns — the probe side
+    streams, and the date filter pushes to the orders scan. (The driver's
+    lineitem has no commit/receipt dates; shipped-after-ordered stands in
+    for the late-delivery predicate.)"""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    od = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+    return (
+        o.filter((od >= _Q6_LO_MS) & (od < _Q4_HI_MS))
+        .join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@q(
+    "rel_tpch_q14",
+    f"""
+    SELECT 100.0 * sum(CASE WHEN p_type = 'PROMO'
+               THEN {cents_sql('l_extendedprice')} * {cents_sql('(1 - l_discount)')}
+               ELSE 0 END)
+           / sum({cents_sql('l_extendedprice')} * {cents_sql('(1 - l_discount)')})
+               AS promo_revenue_pct,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE epoch_ms(l_shipdate) >= {_Q6_LO_MS} AND epoch_ms(l_shipdate) < {_Q6_HI_MS}
+    """,
+)
+def rel_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 shape: date-filtered fact ⋈ part dim → conditional
+    revenue share. Both sums are exact fixed-point integers, so the one
+    double division is bit-identical across engines. Join strategy is
+    AQE's call (part broadcasts at bench scale, shuffles at 100 TB)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    sd = F.unix_millis(F.col("l_shipdate").cast("timestamp"))
+    rev = cents(F.col("l_extendedprice")) * cents(F.lit(1) - F.col("l_discount"))
+    return (
+        li.filter((sd >= _Q6_LO_MS) & (sd < _Q6_HI_MS))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0))
+                / F.sum(rev)
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@q(
+    "rel_tpch_q18",
+    f"""
+    WITH big AS (SELECT l_orderkey FROM lineitem
+                 GROUP BY l_orderkey
+                 HAVING sum(CAST(l_quantity AS BIGINT)) > 150)
+    SELECT c.c_custkey, o.o_orderkey,
+           CAST(epoch_ms(o.o_orderdate) AS BIGINT) AS orderdate_ms,
+           {cents_sql('o.o_totalprice')} / 100.0 AS totalprice,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_custkey, o.o_orderkey, orderdate_ms, totalprice
+    ORDER BY total_qty DESC, o.o_orderkey LIMIT 100
+    """,
+)
+def rel_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): a HAVING subquery over
+    the fact's own aggregate becomes a LEFT SEMI join back onto orders —
+    the aggregate output (big orderkeys) is small and semi-joins cheaply —
+    then the dim join chain and a global top-100
+    (TakeOrderedAndProject, no full sort). Quantities are integral by
+    generation, so BIGINT sums are exact both sides."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("_s"))
+        .filter(F.col("_s") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy(
+            "c_custkey",
+            "o_orderkey",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+                "orderdate_ms"
+            ),
+            (cents(F.col("o_totalprice")) / 100.0).alias("totalprice"),
+        )
+        .agg(F.sum(qty).alias("total_qty"))
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@q(
+    "rel_tpch_q19",
+    f"""
+    SELECT sum({cents_sql('l_extendedprice')} * {cents_sql('(1 - l_discount)')}) / 10000.0
+               AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def rel_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive join predicate (OR of brand/size/qty
+    conjunctions). Catalyst extracts the common l_partkey = p_partkey
+    equi-key so this stays a hash join with a residual OR filter — NOT a
+    nested-loop join — and the per-side conjuncts (qty bounds on
+    lineitem, brand/size on part) are pushed below the join by CNF
+    conversion. The plan-shape regression test pins both properties."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    qy = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & (qy >= 1) & (qy <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & (qy >= 10) & (qy <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & (qy >= 20) & (qy <= 30)
+        )
+    )
+    rev = cents(F.col("l_extendedprice")) * cents(F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(p, (F.col("l_partkey") == F.col("p_partkey")) & cond)
+        .agg(
+            (F.sum(rev) / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # events timeseries analytics
 
@@ -2054,6 +2232,138 @@ def ann_cosine_bucketed(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.cosine_topk_bucketed(
         emb, queries, k=10, bucket_dims=[1, 2, 3, 4]
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) — compressed-domain ANN
+
+_PQ_M, _PQ_KSUB, _PQ_ITERS, _PQ_DIM = 8, 16, 2, 64
+
+
+def _pq_oracle_ctes(m: int = _PQ_M, ksub: int = _PQ_KSUB,
+                    iters: int = _PQ_ITERS, dim: int = _PQ_DIM) -> str:
+    """Shared CTE chain: quantize → explode subvectors → seed → unrolled
+    per-subspace Lloyd's (subspace is a column, exactly like the Spark
+    side) → final ``codes`` assignment. Every step is exact integer
+    arithmetic (squared-L2 dots, half-away-from-zero rounded means, ties
+    to lowest cid), so both engines produce bit-identical codebooks."""
+    dsub = dim // m
+
+    def l2(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dsub} + 1), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+        )
+
+    seed_h = seeded_sql("pq", "CAST(vec_id AS VARCHAR)")
+    mean_list = ", ".join(
+        f"CAST(round(avg(s.sq[{i}])) AS BIGINT)" for i in range(1, dsub + 1)
+    )
+    iter_ctes = []
+    prev = "cb0"
+    for it in range(1, iters + 1):
+        iter_ctes.append(f"""
+    d{it} AS (SELECT s.vec_id, s.m, c.cid, {l2('s.sq', 'c.cw')} AS d2
+              FROM sub s JOIN cb{it - 1} c USING (m)),
+    a{it} AS (SELECT vec_id, m, cid FROM (
+                SELECT vec_id, m, cid, row_number() OVER (PARTITION BY vec_id, m
+                       ORDER BY d2, cid) AS r FROM d{it}) t WHERE r = 1),
+    cb{it} AS (SELECT a.m, a.cid, [{mean_list}] AS cw
+               FROM a{it} a JOIN sub s USING (vec_id, m) GROUP BY a.m, a.cid)""")
+        prev = f"cb{it}"
+    return f"""
+    WITH v AS (SELECT vec_id, {_QVEC_SQL} AS q FROM embeddings),
+    sub AS (SELECT vec_id, CAST(t.m AS INT) AS m,
+                   list_slice(q, t.m * {dsub} + 1, (t.m + 1) * {dsub}) AS sq
+            FROM v, range({m}) t(m)),
+    hh AS (SELECT vec_id, {seed_h} AS h FROM v),
+    seeds AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS cid,
+                     vec_id
+              FROM hh ORDER BY h, vec_id LIMIT {ksub}),
+    cb0 AS (SELECT s.m, sd.cid, s.sq AS cw
+            FROM seeds sd JOIN sub s USING (vec_id)),{','.join(iter_ctes)},
+    df AS (SELECT s.vec_id, s.m, c.cid, {l2('s.sq', 'c.cw')} AS d2
+           FROM sub s JOIN {prev} c USING (m)),
+    codes AS (SELECT vec_id, m, cid FROM (
+                SELECT vec_id, m, cid, row_number() OVER (PARTITION BY vec_id, m
+                       ORDER BY d2, cid) AS r FROM df) t WHERE r = 1)"""
+
+
+#: trained PQ codebooks per (session, sf_dir) — build-once artifact, same
+#: rationale as _KMEANS_CACHE (train offline, broadcast everywhere)
+_PQ_CACHE: dict = {}
+
+
+def _trained_pq_codebooks(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQ_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _PQ_CACHE[key] = similarity.pq_codebooks(
+            emb, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS, dim=_PQ_DIM
+        )
+    return _PQ_CACHE[key]
+
+
+@q(
+    "emb_pq_codes",
+    _pq_oracle_ctes()
+    + """
+    SELECT vec_id, m, cid AS code FROM codes
+    """,
+)
+def emb_pq_codes(spark, sf_dir):
+    """Product-quantize the embedding corpus: train per-subspace codebooks
+    (8 subspaces × 16 codewords, deterministic Lloyd's — subspace is a
+    COLUMN, so all 8 train in the same two jobs) and encode every vector
+    as 8 small ints. The compressed codes table + the ksub·m codebook
+    replace raw vectors for candidate scoring — an 8–32× memory cut,
+    which is what makes a 100 TB embedding corpus servable from RAM.
+    The oracle unrolls the identical iterations in SQL (exact integer
+    squared-L2, half-away-from-zero means, ties to lowest cid)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_encode(
+        emb, _trained_pq_codebooks(spark, sf_dir), m=_PQ_M, dim=_PQ_DIM
+    )
+
+
+@q(
+    "ann_pq_adc",
+    _pq_oracle_ctes()
+    + f"""
+    , lut AS (SELECT s.vec_id AS query_id, s.m, c.cid,
+                {{l2}} AS d2
+              FROM sub s JOIN cb{_PQ_ITERS} c USING (m)
+              WHERE s.vec_id < 5),
+    adc AS (SELECT l.query_id, co.vec_id AS neighbor_id,
+                   CAST(sum(l.d2) AS BIGINT) AS adc_dist
+            FROM codes co JOIN lut l ON l.m = co.m AND l.cid = co.cid
+            WHERE co.vec_id <> l.query_id
+            GROUP BY l.query_id, co.vec_id),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc_dist, neighbor_id) AS rank FROM adc)
+    SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank
+    FROM rk WHERE rank <= 10
+    """.replace(
+        "{l2}",
+        f"list_sum(list_transform(range(1, {_PQ_DIM // _PQ_M} + 1), "
+        "i -> (s.sq[i] - c.cw[i]) * (s.sq[i] - c.cw[i])))",
+    ),
+)
+def ann_pq_adc(spark, sf_dir):
+    """Asymmetric-distance (ADC) top-10 over PQ codes: per query, an
+    integer L2² lookup table against every codeword (ksub·m entries,
+    broadcast), then each corpus vector's approximate distance is a pure
+    table lookup summed over its 8 codes — the corpus side never touches
+    raw vectors, only the (vec_id, m, code) table. Exact integer ADC
+    distances ⟹ bit-identical ranking across engines. At 100 TB this is
+    the serving path that pairs with the persisted IVF index: IVF prunes
+    which codes to scan, PQ makes scanning them memory-resident."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.pq_topk_adc(
+        emb, queries, _trained_pq_codebooks(spark, sf_dir),
+        k=10, m=_PQ_M, dim=_PQ_DIM,
     ).withColumn("rank", F.col("rank").cast("int"))
 
 
