@@ -112,6 +112,13 @@ HEADLINE = [
     "pipeline_dedup_lines",
     "pipeline_shuffle_shards",
     "pipeline_scrub_spans",
+    # r4c additions: PQ compressed-domain ANN + the TPC-H breadth batch
+    "emb_pq_codes",
+    "ann_pq_adc",
+    "rel_tpch_q4",
+    "rel_tpch_q14",
+    "rel_tpch_q18",
+    "rel_tpch_q19",
 ]
 
 REGRESSION_FACTOR = 1.5

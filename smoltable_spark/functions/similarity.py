@@ -670,3 +670,116 @@ def pq_topk_adc(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF-PQ index (coarse quantizer + compressed codes — the
+# FAISS-style architecture that serves ANN over a 100 TB corpus)
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    n_centroids: int = 8,
+    codebooks: DataFrame | None = None,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+) -> None:
+    """Materialize an IVF-PQ index: every vector's PQ code rows land in
+    its coarse list's partition (``partitionBy(list_id)``), with the
+    (tiny) coarse centroids and PQ codebooks persisted alongside.
+
+    The index stores ONLY (vec_id, m, code) per vector — M small ints
+    instead of ``dim`` floats — so at 100 TB the on-disk index is
+    8–32× smaller than the corpus and a probed partition streams from
+    disk at lookup-table speed. Raw vectors are not in the index at all;
+    a re-ranking stage (if wanted) would join the top candidates back to
+    the corpus by id."""
+    c = with_quantized_norm(corpus, vec_col).select(
+        F.col(id_col).alias("vec_id"), "q", "nrm2"
+    )
+    cents = centroids
+    if cents is None:
+        cents = c.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cid"),
+            F.col("q").alias("cq"),
+            F.col("nrm2").alias("cn2"),
+        )
+    cb = codebooks
+    if cb is None:
+        cb = pq_codebooks(corpus, id_col, vec_col, m, ksub, iters, dim)
+    assign = _nearest_centroids(c, cents, nprobe=1).select("vec_id", "list_id")
+    codes = pq_encode(corpus, cb, id_col, vec_col, m, dim)
+    (
+        codes.join(assign, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(path)
+    )
+    cents.write.mode("overwrite").parquet(path.rstrip("/") + "/_centroids")
+    cb.write.mode("overwrite").parquet(path.rstrip("/") + "/_codebooks")
+
+
+def query_ivfpq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+    m: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Serve approximate top-k from a persisted IVF-PQ index: probed
+    lists become a ``list_id IN (...)`` partition filter (only
+    nprobe/n_centroids of the index is read), and candidate scoring is
+    pure ADC — each candidate costs M integer lookups against the
+    query's broadcast lookup table. The two broadcast joins (probes,
+    lut) keep the index scan shuffle-free end to end: scan → lookup →
+    partial top-k. Same contract as ``query_ivf_index``: the probe-id
+    ``.collect()`` is n_centroids-bounded scalars."""
+    cents = spark.read.parquet(path.rstrip("/") + "/_centroids")
+    cb = spark.read.parquet(path.rstrip("/") + "/_codebooks")
+    qd = with_quantized_norm(queries, vec_col).select(
+        F.col(id_col).alias("vec_id"), "q", "nrm2"
+    )
+    probes = _nearest_centroids(qd, cents, nprobe=nprobe).select(
+        F.col("vec_id").alias("query_id"), "list_id"
+    )
+    probe_ids = [r["list_id"] for r in probes.select("list_id").distinct().collect()]
+    if not probe_ids:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, adc_dist long, rank int"
+        )
+    lut = (
+        pq_subvectors(queries, id_col, vec_col, m, dim)
+        .join(F.broadcast(cb), "m")
+        .withColumn("d2", _l2sq(F.col("sq"), F.col("cw")))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "m",
+            F.col("cid").alias("code"),
+            "d2",
+        )
+    )
+    codes = spark.read.parquet(path).filter(F.col("list_id").isin(probe_ids))
+    adc = (
+        codes.join(F.broadcast(probes), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

@@ -2327,28 +2327,43 @@ def emb_pq_codes(spark, sf_dir):
     )
 
 
+def _pq_l2_sql(a: str = "s.sq", b: str = "c.cw",
+               dsub: int = _PQ_DIM // _PQ_M) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {dsub} + 1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+#: query lut + ADC aggregation, shared by the in-memory and persisted
+#: PQ oracles ({cand} supplies the candidate (query_id, neighbor_id,
+#: m, cid) leg to sum over)
+_PQ_LUT_SQL = f"""
+    , lut AS (SELECT s.vec_id AS query_id, s.m, c.cid,
+                {_pq_l2_sql()} AS d2
+              FROM sub s JOIN cb{_PQ_ITERS} c USING (m)
+              WHERE s.vec_id < 5)"""
+
+_PQ_RANK_SQL = """
+    rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc_dist, neighbor_id) AS rank FROM adc)
+    SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank
+    FROM rk WHERE rank <= 10
+    """
+
+
 @q(
     "ann_pq_adc",
     _pq_oracle_ctes()
-    + f"""
-    , lut AS (SELECT s.vec_id AS query_id, s.m, c.cid,
-                {{l2}} AS d2
-              FROM sub s JOIN cb{_PQ_ITERS} c USING (m)
-              WHERE s.vec_id < 5),
+    + _PQ_LUT_SQL
+    + """,
     adc AS (SELECT l.query_id, co.vec_id AS neighbor_id,
                    CAST(sum(l.d2) AS BIGINT) AS adc_dist
             FROM codes co JOIN lut l ON l.m = co.m AND l.cid = co.cid
             WHERE co.vec_id <> l.query_id
             GROUP BY l.query_id, co.vec_id),
-    rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
-                 ORDER BY adc_dist, neighbor_id) AS rank FROM adc)
-    SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank
-    FROM rk WHERE rank <= 10
-    """.replace(
-        "{l2}",
-        f"list_sum(list_transform(range(1, {_PQ_DIM // _PQ_M} + 1), "
-        "i -> (s.sq[i] - c.cw[i]) * (s.sq[i] - c.cw[i])))",
-    ),
+    """
+    + _PQ_RANK_SQL,
 )
 def ann_pq_adc(spark, sf_dir):
     """Asymmetric-distance (ADC) top-10 over PQ codes: per query, an
@@ -2364,6 +2379,68 @@ def ann_pq_adc(spark, sf_dir):
     return similarity.pq_topk_adc(
         emb, queries, _trained_pq_codebooks(spark, sf_dir),
         k=10, m=_PQ_M, dim=_PQ_DIM,
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+_IVFPQ_DOT = (
+    "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+)
+
+
+@q(
+    "ann_ivfpq_persisted",
+    _pq_oracle_ctes()
+    + f""",
+    sn AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS nrm2
+           FROM v),
+    cents AS (SELECT vec_id AS ccid, q AS cq, nrm2 AS cn2 FROM sn
+              WHERE vec_id < 8),
+    cdot AS (SELECT s.vec_id, c.ccid,
+                    {_IVFPQ_DOT.format(a='s.q', b='c.cq')} /
+                    (sqrt(CAST(s.nrm2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE)))
+                        AS ccos
+             FROM sn s CROSS JOIN cents c),
+    crank AS (SELECT vec_id, ccid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY ccos DESC, ccid) AS r
+              FROM cdot),
+    casg AS (SELECT vec_id, ccid AS list_id FROM crank WHERE r = 1),
+    probes AS (SELECT vec_id AS query_id, ccid AS list_id FROM crank
+               WHERE r <= 2 AND vec_id < 5)"""
+    + _PQ_LUT_SQL
+    + """,
+    adc AS (SELECT p.query_id, co.vec_id AS neighbor_id,
+                   CAST(sum(l.d2) AS BIGINT) AS adc_dist
+            FROM codes co JOIN casg a ON a.vec_id = co.vec_id
+                 JOIN probes p ON p.list_id = a.list_id
+                              AND co.vec_id <> p.query_id
+                 JOIN lut l ON l.query_id = p.query_id
+                           AND l.m = co.m AND l.cid = co.cid
+            GROUP BY p.query_id, co.vec_id),
+    """
+    + _PQ_RANK_SQL,
+)
+def ann_ivfpq_persisted(spark, sf_dir):
+    """The full 100 TB ANN serving architecture, persisted: IVF coarse
+    lists (partition pruning — only nprobe/n_centroids of the index is
+    READ) over PQ codes (compression — a probed partition is M small
+    ints per vector, not dim floats), queried by pure ADC lookups. The
+    index holds no raw vectors at all; build once, serve every batch.
+    Oracle replays coarse assignment (exact-integer cosine quantizer,
+    ties to lowest cid) + the PQ codebook training + the lut sum in SQL —
+    bit-identical because every distance is integer arithmetic."""
+    import tempfile as _tf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _tf.mkdtemp(prefix="smoltable_ivfpq_idx_") + "/ivfpq"
+    similarity.build_ivfpq_index(
+        emb, path, n_centroids=8,
+        codebooks=_trained_pq_codebooks(spark, sf_dir),
+        m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS, dim=_PQ_DIM,
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.query_ivfpq_index(
+        spark, path, queries, k=10, nprobe=2, m=_PQ_M, dim=_PQ_DIM
     ).withColumn("rank", F.col("rank").cast("int"))
 
 
@@ -2768,6 +2845,80 @@ def rel_skew_profile(spark, sf_dir):
     materializes per-key data beyond one row per distinct key."""
     ev = load_table(spark, sf_dir, "events")
     return profile.key_distribution(ev, "event_type", "user_id")
+
+
+@q(
+    "rel_skew_join_salted",
+    f"""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum({cents_sql('e.value')}) / 100.0 AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def rel_skew_join_salted(spark, sf_dir):
+    """Skew-mitigated fact ⋈ dim: the events→customer join runs through
+    functions/skew.py::salted_join — the fact side gets a deterministic
+    row-hash salt, the dim side replicates salt×, and the shuffle key
+    becomes (user_id, salt), so a hot user's rows spread over ``salt``
+    reducers instead of one. The RESULT is identical to the plain join
+    (the oracle is exactly that plain join), which is the whole point:
+    salting is a physical rewrite for when the dim outgrows broadcast
+    AND keys are hot enough that AQE's split can't keep up."""
+    from smoltable_spark.functions import skew
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    joined = skew.salted_join(ev, cust, on="user_id", salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(cents(F.col("value"))) / 100.0).alias("total_value"),
+    )
+
+
+@q(
+    "rel_two_phase_agg",
+    f"""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum({cents_sql('value')}) / 100.0 AS total_value,
+           min({cents_sql('value')}) / 100.0 AS min_value,
+           max({cents_sql('value')}) / 100.0 AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def rel_two_phase_agg(spark, sf_dir):
+    """Salted two-phase aggregation (functions/skew.py::two_phase_agg)
+    over a hot grouping key: phase 1 aggregates on (user_id, salt) so no
+    single reducer owns a hot key's whole stream, phase 2 merges the
+    ≤salt partials. Exact for decomposable aggregates — the oracle is
+    the plain one-phase GROUP BY, and fixed-point sums make the merge
+    order-insensitive."""
+    from smoltable_spark.functions import skew
+
+    ev = load_table(spark, sf_dir, "events")
+    out = skew.two_phase_agg(
+        ev,
+        "user_id",
+        {
+            "n_events": ("count", F.lit(1)),
+            "_sum_c": ("sum", cents(F.col("value"))),
+            "_min_c": ("min", cents(F.col("value"))),
+            "_max_c": ("max", cents(F.col("value"))),
+        },
+        salt=8,
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        (F.col("_sum_c") / 100.0).alias("total_value"),
+        (F.col("_min_c") / 100.0).alias("min_value"),
+        (F.col("_max_c") / 100.0).alias("max_value"),
+    )
 
 
 _PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]

@@ -949,3 +949,119 @@ def test_scrub_repeated_spans_no_bans_below_min_docs(spark):
     )
     out = {r["doc_id"]: r.asDict() for r in dedup.scrub_repeated_spans(df).collect()}
     assert out[1]["n_removed"] == 0 and out[1]["n_spans"] == 0
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+
+
+def _pq_fixture(spark, n=40, dim=8, seed=13):
+    import random
+
+    rnd = random.Random(seed)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(dim)]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_encode_nearest_codeword_numpy_differential(spark):
+    """Every emitted code is the argmin-L2 codeword for that (vector,
+    subspace), ties to lowest cid — verified against a numpy recompute
+    from the trained codebooks."""
+    import numpy as np
+
+    from smoltable_spark.functions import similarity as S
+
+    emb = _pq_fixture(spark)
+    cb = S.pq_codebooks(emb, m=4, ksub=4, iters=2, dim=8)
+    codes = S.pq_encode(emb, cb, m=4, dim=8)
+    cw = {}
+    for r in cb.collect():
+        cw[(r["m"], r["cid"])] = np.array(r["cw"], dtype=np.int64)
+    qv = {
+        r["vec_id"]: np.array(r["sq"], dtype=np.int64)
+        for r in S.pq_subvectors(emb, m=1, dim=8).collect()
+    }
+    got = {(r["vec_id"], r["m"]): r["code"] for r in codes.collect()}
+    assert len(got) == 40 * 4
+    for (vid, m), code in got.items():
+        sub = qv[vid][m * 2 : (m + 1) * 2]
+        dists = {
+            cid: int(((sub - w) ** 2).sum())
+            for (mm, cid), w in cw.items()
+            if mm == m
+        }
+        best = min(dists.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        assert code == best, (vid, m, code, dists)
+
+
+def test_pq_adc_recovers_exact_l2_when_every_vector_is_a_codeword(spark):
+    """ksub ≥ corpus size and iters=0 ⟹ each vector's codeword IS its own
+    subvector, so the ADC lookup-table distance degenerates to the exact
+    integer squared-L2 between query and neighbor — the property that
+    pins the whole lut/codes join arithmetic."""
+    import numpy as np
+
+    from smoltable_spark.functions import similarity as S
+
+    emb = _pq_fixture(spark, n=12, seed=5)
+    cb = S.pq_codebooks(emb, m=4, ksub=12, iters=0, dim=8)
+    queries = emb.filter("vec_id < 2")
+    out = S.pq_topk_adc(emb, queries, cb, k=11, m=4, dim=8)
+    qv = {}
+    for r in S.pq_subvectors(emb, m=1, dim=8).collect():
+        qv[r["vec_id"]] = np.array(r["sq"], dtype=np.int64)
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {0, 1}
+    for r in rows:
+        exact = int(((qv[r["query_id"]] - qv[r["neighbor_id"]]) ** 2).sum())
+        assert r["adc_dist"] == exact, r
+
+
+def test_pq_codes_shape_and_range(spark):
+    from smoltable_spark.functions import similarity as S
+
+    emb = _pq_fixture(spark, n=25, seed=3)
+    cb = S.pq_codebooks(emb, m=4, ksub=4, iters=1, dim=8)
+    codes = S.pq_encode(emb, cb, m=4, dim=8).collect()
+    assert len(codes) == 25 * 4
+    assert all(0 <= r["code"] < 4 for r in codes)
+    assert all(0 <= r["m"] < 4 for r in codes)
+
+
+def test_ivfpq_index_full_probe_matches_brute_adc(spark, tmp_path):
+    """With nprobe = n_centroids the persisted IVF-PQ search covers every
+    list, so it must return exactly the in-memory brute ADC answer built
+    from the same codebooks; the probed read must carry a list_id
+    partition filter."""
+    from smoltable_spark import plans
+    from smoltable_spark.functions import similarity as S
+
+    emb = _pq_fixture(spark, n=30, seed=21)
+    cb = S.pq_codebooks(emb, m=4, ksub=4, iters=1, dim=8)
+    path = str(tmp_path / "ivfpq")
+    S.build_ivfpq_index(emb, path, n_centroids=3, codebooks=cb, m=4, dim=8)
+    qs = emb.filter("vec_id < 2")
+    served = S.query_ivfpq_index(spark, path, qs, k=29, nprobe=3, m=4, dim=8)
+    brute = S.pq_topk_adc(emb, qs, cb, k=29, m=4, dim=8)
+    assert sorted(map(tuple, served.collect())) == sorted(map(tuple, brute.collect()))
+    assert any("list_id" in f for f in plans.audit(served)["partition_filters"])
+
+
+def test_ivfpq_narrow_probe_restricts_candidates(spark, tmp_path):
+    """nprobe=1 scans only each query's own list — candidates are a
+    strict subset of the corpus, and the index carries no raw vectors
+    (codes + codebooks + centroids only)."""
+    from smoltable_spark.functions import similarity as S
+
+    emb = _pq_fixture(spark, n=40, seed=2)
+    path = str(tmp_path / "ivfpq")
+    S.build_ivfpq_index(emb, path, n_centroids=4, m=4, ksub=4, iters=1, dim=8)
+    qs = emb.filter("vec_id < 2")
+    out = S.query_ivfpq_index(spark, path, qs, k=40, nprobe=1, m=4, dim=8)
+    per_query = {}
+    for r in out.collect():
+        per_query.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for _, neighbors in per_query.items():
+        assert len(neighbors) < 39
+    idx_cols = set(spark.read.parquet(path).columns)
+    assert "embedding" not in idx_cols and "q" not in idx_cols, idx_cols

@@ -206,3 +206,41 @@ def test_value_index_lookup_prunes(spark, sf_dir):
     assert any("EqualTo(val" in f for f in a["pushed_filters"]), a["pushed_filters"]
     assert any("1-URGENT" in f for f in a["pushed_filters"]), a["pushed_filters"]
     assert a["broadcast_join"], a  # key fetch is a broadcast join
+
+
+def test_tpch_q19_disjunctive_predicate_stays_hash_join(spark, sf_dir):
+    """The OR-of-ANDs join predicate must NOT degrade to a nested-loop /
+    cartesian join: Catalyst extracts the l_partkey equi-key (hash join +
+    residual OR) and CNF conversion pushes the per-side conjuncts into
+    both parquet scans."""
+    from smoltable_spark.queries_analytics import rel_tpch_q19
+
+    df = rel_tpch_q19(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "HashJoin" in plan, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    pf = plans.pushed_filters(df)
+    assert any("l_quantity" in f and "Or(" in f for f in pf), pf
+    assert any("p_brand" in f and "Or(" in f for f in pf), pf
+
+
+def test_tpch_q4_exists_is_semi_join(spark, sf_dir):
+    """EXISTS decorrelates to LEFT SEMI (probe side streams, no lineitem
+    columns materialize) with the ship-after-order residual attached."""
+    from smoltable_spark.queries_analytics import rel_tpch_q4
+
+    df = rel_tpch_q4(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "LeftSemi" in plan, plan
+
+
+def test_pq_adc_corpus_side_reads_no_vectors(spark, sf_dir):
+    """ADC scoring joins the (m, code) table against the broadcast lookup
+    table — the embedding column must appear in the codes/encode leg only
+    once (the encode scan), never in a second corpus-wide scan for
+    scoring, and the lut side must be broadcast."""
+    from smoltable_spark.queries_analytics import ann_pq_adc
+
+    df = ann_pq_adc(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
