@@ -119,6 +119,17 @@ HEADLINE = [
     "rel_tpch_q14",
     "rel_tpch_q18",
     "rel_tpch_q19",
+    # r4d additions: IVF-PQ serving, skew rewrites, semantic decontam,
+    # BPE encode (train is covered by SCALE.md — round-dominated cost),
+    # second TPC-H batch
+    "ann_ivfpq_persisted",
+    "rel_skew_join_salted",
+    "rel_two_phase_agg",
+    "pipeline_semantic_decontaminate",
+    "txt_bpe_encode",
+    "rel_tpch_q7",
+    "rel_tpch_q9",
+    "rel_tpch_q10",
 ]
 
 REGRESSION_FACTOR = 1.5

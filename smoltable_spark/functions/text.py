@@ -9,7 +9,7 @@ integer/deterministic arithmetic so results are oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F  # noqa: F401
+from pyspark.sql import Column, DataFrame, Window, functions as F  # noqa: F401
 
 from smoltable_spark.functions.hashing import md5_long
 
@@ -1000,5 +1000,143 @@ def oov_rate_df(
             )
             .cast("long")
             .alias("oov_milli"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (tokenizer training as a Spark job)
+
+
+def _greedy_merge_fold(col: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right application of merge (a, b) to a symbol
+    array, as a pure ``F.aggregate`` fold: if the accumulator ends with
+    ``a`` and the next symbol is ``b``, the tail is replaced by the
+    merged symbol. Closure factory, NOT a default-arg lambda — PySpark
+    inspects lambda arity and would bind defaulted params as
+    lambda-variables (the _marker_pred pitfall)."""
+    la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
+    return F.aggregate(
+        col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == la)
+            & (x == lb),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(lab)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn the top-``n_merges`` BPE merges over the corpus — a real
+    tokenizer trainer as a sequence of Spark jobs.
+
+    Working set: ONE ROW PER WORD occurrence holding its current symbol
+    ARRAY (chars initially) — not a row per character. Each round is
+    exactly classic BPE:
+
+    - **count**: explode adjacent symbol pairs from the arrays
+      (map-side) and hash-aggregate — the round's only shuffle, keyed by
+      pair, partially aggregated map-side;
+    - **argmax**: most frequent pair, ties count desc then bytewise
+      lhs/rhs (both engines compare UTF-8 bytewise). One driver
+      ``.collect()`` of ONE row — a bounded scalar like the sketch
+      cutoffs;
+    - **apply**: greedy left-to-right merge as a pure column-level
+      ``F.aggregate`` fold over each word's array — if the accumulator
+      ends with ``lhs`` and the next symbol is ``rhs``, the tail is
+      replaced by the merged symbol. The fold IS greedy semantics: in a
+      run of identical symbols it merges offsets 0,2,4…, and for
+      lhs ≠ rhs matches can never overlap. NO shuffle, NO window — the
+      rewrite never leaves the executor.
+
+    At 100 TB you train on a hash-sample of documents (pass a
+    pre-filtered ``docs``); per round the cluster moves only the
+    pair-count partials, and the output artifact is ``n_merges`` rows.
+    The DuckDB oracle replays the identical rounds with window
+    functions (islands-and-parity greedy application — provably the
+    same rule; see the oracle in queries_analytics.py), so the learned
+    merge table matches row for row.
+
+    Returns (step, lhs, rhs, merged, pair_count) — the ordered merge
+    table, i.e. the learned tokenizer."""
+    spark = docs.sparkSession
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda j: F.col("w").substr(j, F.lit(1)),
+    )
+    t = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .select(chars.alias("syms"))
+        .localCheckpoint(eager=True)
+    )
+    pair_structs = F.transform(
+        F.sequence(F.lit(1), F.size("syms") - 1),
+        lambda i: F.struct(
+            F.element_at("syms", i).alias("a"),
+            F.element_at("syms", i + F.lit(1)).alias("b"),
+        ),
+    )
+    merges = []
+    for step in range(1, n_merges + 1):
+        best = (
+            t.filter(F.size("syms") >= 2)
+            .select(F.explode(pair_structs).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:  # corpus exhausted (every word is one symbol)
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["c"])
+        merges.append((step, a, b, a + b, cnt))
+        t = t.select(
+            _greedy_merge_fold(F.col("syms"), a, b).alias("syms")
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, merged string, pair_count long"
+    )
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize the corpus with a learned merge table: the chained
+    greedy folds of ``bpe_train``'s apply step, one per merge in order.
+    Pure map-side column expressions — encoding scales at scan speed
+    with ZERO shuffles before the per-doc aggregate, which is the whole
+    point of BPE at 100 TB: the trained merge list is a driver-side
+    constant baked into the plan, not a joined table.
+
+    Returns (doc_id, n_words, n_pieces): words and total BPE symbols
+    per document after all merges apply."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda j: F.col("w").substr(j, F.lit(1)),
+    )
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("w"),
+    ).select("doc_id", chars.alias("syms"))
+    col = F.col("syms")
+    for a, b in merges:
+        col = _greedy_merge_fold(col, a, b)
+    return (
+        t.select("doc_id", F.size(col).alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n").cast("long").alias("n_pieces"),
         )
     )

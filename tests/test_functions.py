@@ -1065,3 +1065,56 @@ def test_ivfpq_narrow_probe_restricts_candidates(spark, tmp_path):
         assert len(neighbors) < 39
     idx_cols = set(spark.read.parquet(path).columns)
     assert "embedding" not in idx_cols and "q" not in idx_cols, idx_cols
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning
+
+
+def _bpe_reference(words, n_merges):
+    """Pure-Python classic BPE: pair counts -> argmax (count desc, then
+    lhs/rhs) -> greedy left-to-right merge. The ground truth the Spark
+    fold must reproduce."""
+    from collections import Counter
+
+    seqs = [list(w) for w in words]
+    merges = []
+    for step in range(1, n_merges + 1):
+        c = Counter()
+        for s in seqs:
+            for i in range(len(s) - 1):
+                c[(s[i], s[i + 1])] += 1
+        if not c:
+            break
+        (a, b), cnt = min(c.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((step, a, b, a + b, cnt))
+        for idx, s in enumerate(seqs):
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[idx] = out
+    return merges
+
+
+@pytest.mark.parametrize(
+    "corpus",
+    [
+        "aaaa bb aaaa",          # a==a overlapping runs (greedy 0,2 offsets)
+        "ababab ba ab",          # alternating chains
+        "low lower lowest low",  # classic BPE demo words
+    ],
+)
+def test_bpe_train_matches_python_reference(spark, corpus):
+    from smoltable_spark.functions import text as X
+
+    docs = spark.createDataFrame([(1, corpus)], "doc_id long, text string")
+    got = [
+        (r["step"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+        for r in X.bpe_train(docs, n_merges=3).collect()
+    ]
+    assert got == _bpe_reference(corpus.split(), 3), corpus

@@ -477,6 +477,42 @@ def main():
         lambda: scan_cells(sc, ScanInput(prefix="order#00000000012")).count(),
     )
 
+    # -- r4 additions: PQ/IVF-PQ serving, BPE training, skew rewrites -----
+    from smoltable_spark.functions import similarity as S
+    from smoltable_spark.functions import skew as _skew
+
+    emb10 = load_table(spark, OUT, "embeddings")  # 320k vectors
+    cb10 = S.pq_codebooks(emb10, m=8, ksub=16, iters=2)
+    timed("pq_encode_320k", lambda: S.pq_encode(emb10, cb10).count())
+    timed(
+        "pq_adc_topk_320k",
+        lambda: S.pq_topk_adc(
+            emb10, emb10.filter("vec_id < 20"), cb10, k=10
+        ).count(),
+    )
+    ivfpq_path = os.path.join(OUT, "ivfpq_index")
+    if not os.path.exists(ivfpq_path):
+        t0 = time.time()
+        S.build_ivfpq_index(emb10, ivfpq_path, n_centroids=32, codebooks=cb10)
+        print(f"# ivfpq index build: {time.time()-t0:.1f}s", file=sys.stderr)
+    timed(
+        "ivfpq_query_320k",
+        lambda: S.query_ivfpq_index(
+            spark, ivfpq_path, emb10.filter("vec_id < 20"), k=10, nprobe=4
+        ).count(),
+    )
+    timed("bpe_train_50k_docs", lambda: text.bpe_train(docs, n_merges=6).count())
+    udim = ev.select("user_id").distinct().withColumn(
+        "tier", F.pmod(F.col("user_id"), F.lit(5))
+    )
+    timed(
+        "salted_join_1M_events",
+        lambda: _skew.salted_join(ev, udim, on="user_id", salt=8)
+        .groupBy("tier")
+        .count()
+        .count(),
+    )
+
     notes = """
 Steady-state timings (2nd run per op). Reading the table:
 
@@ -519,6 +555,22 @@ Steady-state timings (2nd run per op). Reading the table:
 - `cap_per_group_50k_docs`: two-phase top-k — per-(source, input
   partition) local ranks bound every window task at k rows out,
   regardless of how hot a source is.
+- `pq_encode_320k` / `pq_adc_topk_320k`: PQ codebooks train on all 320k
+  vectors in two Lloyd's rounds (subspace is a column — cost independent
+  of M); encoding is one broadcast-join assignment pass, and ADC top-k
+  touches only the (vec_id, m, code) table — raw vectors never shuffle,
+  which is the 8-32x memory story that makes 100 TB of embeddings
+  servable.
+- `ivfpq_query_320k`: serves from the persisted IVF-PQ index with
+  nprobe=4 of 32 lists — a `list_id IN (...)` partition filter reads
+  ~1/8 of the index, and the scanned partitions hold codes, not vectors.
+- `bpe_train_50k_docs`: 6 merge rounds over ~1.4M base symbols; per
+  round one pair-count aggregate (the only shuffle) + a map-side array
+  fold — wall time is rounds x a small fixed cost, not corpus-bound.
+- `salted_join_1M_events`: the (user_id, salt) rewrite joins 1M events
+  against the replicated dim with identical results to the plain join;
+  at this size it's overhead-neutral — its value shows when a hot key
+  would otherwise pin one reducer.
 - `stream_*_1M` rows replay the 10x (1M-event) set as an 8-micro-batch
   availableNow stream (maxFilesPerTrigger=4 over 32 files) and report
   state-store PEAK alongside wall time — the watermark-bounded-state
