@@ -130,6 +130,8 @@ HEADLINE = [
     "rel_tpch_q7",
     "rel_tpch_q9",
     "rel_tpch_q10",
+    "rel_tpch_q17",
+    "rel_tpch_q22",
 ]
 
 REGRESSION_FACTOR = 1.5

@@ -558,6 +558,93 @@ def rel_tpch_q10(spark, sf_dir):
     )
 
 
+@q(
+    "rel_tpch_q17",
+    f"""
+    WITH pq AS (SELECT l_partkey,
+                       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM lineitem GROUP BY l_partkey)
+    SELECT sum({cents_sql('l.l_extendedprice')}) / 100.0 AS total_revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+                    JOIN pq ON pq.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND p.p_size < 10
+      AND 5 * CAST(l.l_quantity AS BIGINT) * pq.cnt < pq.sum_qty
+    """,
+)
+def rel_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    scalar subquery ``l_quantity < 0.2·avg(quantity) per part``
+    decorrelates into a join against the per-part aggregate. The
+    threshold compare is kept in EXACT integers — qty < 0.2·sum/cnt ⟺
+    5·qty·cnt < sum — so no engine ever divides (the classic float-avg
+    comparison is where cross-engine drift would creep in)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") < 10)
+    )
+    qty = F.col("l_quantity").cast("long")
+    pq_agg = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum(qty).alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(pq_agg, li.l_partkey == F.col("_pk"))
+        .filter(5 * qty * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            (F.sum(cents(F.col("l_extendedprice"))) / 100.0).alias(
+                "total_revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@q(
+    "rel_tpch_q22",
+    f"""
+    WITH pos AS (SELECT sum({cents_sql('c_acctbal')}) AS sum_c,
+                        CAST(count(*) AS BIGINT) AS cnt
+                 FROM customer WHERE c_acctbal > 0.0)
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS numcust,
+           sum({cents_sql('c.c_acctbal')}) / 100.0 AS totacctbal
+    FROM customer c CROSS JOIN pos
+    WHERE {cents_sql('c.c_acctbal')} * pos.cnt > pos.sum_c
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND epoch_ms(o.o_orderdate) >= {_Q3_DATE_MS})
+    GROUP BY c.c_mktsegment
+    """,
+)
+def rel_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape (sales opportunity): rich-but-inactive customers —
+    acctbal above the global positive mean AND no orders since the
+    cutoff. The scalar mean broadcasts as a one-row cross join, the NOT
+    EXISTS is a LEFT ANTI join against the date-filtered orders, and the
+    mean compare stays integer-exact (cents·cnt > sum_cents — no
+    division, no float drift)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")) >= _Q3_DATE_MS
+    )
+    pos = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(cents(F.col("c_acctbal"))).alias("sum_c"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .filter(cents(F.col("c_acctbal")) * F.col("cnt") > F.col("sum_c"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum(cents(F.col("c_acctbal"))) / 100.0).alias("totacctbal"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # events timeseries analytics
 
