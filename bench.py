@@ -132,6 +132,7 @@ HEADLINE = [
     "rel_tpch_q10",
     "rel_tpch_q17",
     "rel_tpch_q22",
+    "rel_bucketed_join",
 ]
 
 REGRESSION_FACTOR = 1.5

@@ -4542,3 +4542,69 @@ def emb_quantize_int8(spark, sf_dir):
         )
         .alias("code"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bucketed co-located join (pre-shuffled layout, driver-visible)
+
+#: bucketed-table builds per (session, sf_dir) — the layout is written
+#: once and joined many times, exactly the production pattern
+_BUCKET_CACHE: dict = {}
+
+
+def _bucketed_tables(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BUCKET_CACHE:
+        suffix = f"{abs(hash(sf_dir)) % 100000:05d}"
+        names = {}
+        for name, bkey in [("orders", "o_orderkey"), ("lineitem", "l_orderkey")]:
+            tbl = f"bq_{name}_{suffix}"
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            (
+                load_table(spark, sf_dir, name)
+                .write.bucketBy(8, bkey)
+                .sortBy(bkey)
+                .mode("overwrite")
+                .saveAsTable(tbl)
+            )
+            names[name] = tbl
+        _BUCKET_CACHE[key] = names
+    return _BUCKET_CACHE[key]
+
+
+@q(
+    "rel_bucketed_join",
+    f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           sum(CAST(l_quantity AS BIGINT)) AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def rel_bucketed_join(spark, sf_dir):
+    """Zero-shuffle fact⋈fact join via bucketed layout: orders and
+    lineitem are written ``bucketBy(8, orderkey).sortBy`` ONCE (cached
+    per session — the write is the amortized cost), after which the join
+    is a bucket-aligned sort-merge with NO exchange on either side — the
+    layout a 100 TB fact table joined every day pays for once.
+    A MERGE join hint (not a session-conf toggle — the DataFrame is
+    lazy, so a restored conf would silently re-enable broadcast at
+    execution time) forces the sort-merge strategy whose exchange the
+    bucketing elides; results are oracle-pinned to the plain join. The
+    shuffle-free property itself is pinned by
+    tests/test_bucketed_join.py::test_registry_bucketed_join_no_shuffle."""
+    tbls = _bucketed_tables(spark, sf_dir)
+    return (
+        spark.table(tbls["lineitem"])
+        .hint("merge")
+        .join(
+            spark.table(tbls["orders"]).hint("merge"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+        )
+    )

@@ -73,3 +73,14 @@ def test_unbucketed_join_does_shuffle(spark, sf_dir):
         assert plans.shuffle_count(joined) >= 2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_registry_bucketed_join_no_shuffle(spark, sf_dir):
+    """The driver-visible rel_bucketed_join: MERGE-hinted join over the
+    cached bucketed layout must keep the join exchange-free (only the
+    final aggregation may shuffle)."""
+    from smoltable_spark.queries_analytics import rel_bucketed_join
+
+    df = rel_bucketed_join(spark, sf_dir)
+    assert plans.shuffle_count(df) <= 1, plans.physical_plan(df)
+    assert df.count() > 0

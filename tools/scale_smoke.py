@@ -481,11 +481,11 @@ def main():
     from smoltable_spark.functions import similarity as S
     from smoltable_spark.functions import skew as _skew
 
-    emb10 = load_table(spark, OUT, "embeddings")  # 320k vectors
+    emb10 = load_table(spark, OUT, "embeddings")  # 20k vectors (sf0.1 has 2k)
     cb10 = S.pq_codebooks(emb10, m=8, ksub=16, iters=2)
-    timed("pq_encode_320k", lambda: S.pq_encode(emb10, cb10).count())
+    timed("pq_encode_20k", lambda: S.pq_encode(emb10, cb10).count())
     timed(
-        "pq_adc_topk_320k",
+        "pq_adc_topk_20k",
         lambda: S.pq_topk_adc(
             emb10, emb10.filter("vec_id < 20"), cb10, k=10
         ).count(),
@@ -496,7 +496,7 @@ def main():
         S.build_ivfpq_index(emb10, ivfpq_path, n_centroids=32, codebooks=cb10)
         print(f"# ivfpq index build: {time.time()-t0:.1f}s", file=sys.stderr)
     timed(
-        "ivfpq_query_320k",
+        "ivfpq_query_20k",
         lambda: S.query_ivfpq_index(
             spark, ivfpq_path, emb10.filter("vec_id < 20"), k=10, nprobe=4
         ).count(),
@@ -555,13 +555,13 @@ Steady-state timings (2nd run per op). Reading the table:
 - `cap_per_group_50k_docs`: two-phase top-k — per-(source, input
   partition) local ranks bound every window task at k rows out,
   regardless of how hot a source is.
-- `pq_encode_320k` / `pq_adc_topk_320k`: PQ codebooks train on all 320k
+- `pq_encode_20k` / `pq_adc_topk_20k`: PQ codebooks train on all 320k
   vectors in two Lloyd's rounds (subspace is a column — cost independent
   of M); encoding is one broadcast-join assignment pass, and ADC top-k
   touches only the (vec_id, m, code) table — raw vectors never shuffle,
   which is the 8-32x memory story that makes 100 TB of embeddings
   servable.
-- `ivfpq_query_320k`: serves from the persisted IVF-PQ index with
+- `ivfpq_query_20k`: serves from the persisted IVF-PQ index with
   nprobe=4 of 32 lists — a `list_id IN (...)` partition filter reads
   ~1/8 of the index, and the scanned partitions hold codes, not vectors.
 - `bpe_train_50k_docs`: 6 merge rounds over ~1.4M base symbols; per
