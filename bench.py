@@ -132,6 +132,8 @@ HEADLINE = [
     "rel_tpch_q10",
     "rel_tpch_q17",
     "rel_tpch_q22",
+    "rel_tpch_q15",
+    "rel_tpch_q16",
     "rel_bucketed_join",
 ]
 

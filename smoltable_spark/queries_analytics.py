@@ -4555,11 +4555,25 @@ _BUCKET_CACHE: dict = {}
 def _bucketed_tables(spark, sf_dir):
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _BUCKET_CACHE:
-        suffix = f"{abs(hash(sf_dir)) % 100000:05d}"
+        import re as _re
+
+        # deterministic name (hash() is per-process salted): stable
+        # across runs so stale warehouse tables are overwritten, not
+        # accumulated
+        suffix = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_").lower()[-40:]
         names = {}
         for name, bkey in [("orders", "o_orderkey"), ("lineitem", "l_orderkey")]:
             tbl = f"bq_{name}_{suffix}"
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            # a previous PROCESS may have left the managed location behind
+            # (its catalog died with it; DROP above can't see the orphan)
+            import os
+            import shutil
+            from urllib.parse import urlparse
+
+            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+            if wh:
+                shutil.rmtree(os.path.join(wh, tbl.lower()), ignore_errors=True)
             (
                 load_table(spark, sf_dir, name)
                 .write.bucketBy(8, bkey)
@@ -4577,7 +4591,7 @@ def _bucketed_tables(spark, sf_dir):
     f"""
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_items,
-           sum(CAST(l_quantity AS BIGINT)) AS total_qty
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
@@ -4607,4 +4621,87 @@ def rel_bucketed_join(spark, sf_dir):
             F.count(F.lit(1)).alias("n_items"),
             F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q15/q16 (argmax scalar subquery; null-aware NOT IN anti join)
+
+_Q15_REV = (
+    f"sum({cents_sql('l_extendedprice')} * {cents_sql('(1 - l_discount)')})"
+)
+
+
+@q(
+    "rel_tpch_q15",
+    f"""
+    WITH rev AS (SELECT l_suppkey, {_Q15_REV} AS total_c
+                 FROM lineitem
+                 WHERE epoch_ms(l_shipdate) >= {_Q6_LO_MS}
+                   AND epoch_ms(l_shipdate) < {_Q6_HI_MS}
+                 GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, rev.total_c / 10000.0 AS total_revenue
+    FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.total_c = (SELECT max(total_c) FROM rev)
+    """,
+)
+def rel_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): the revenue "view" aggregates the
+    fact once, and the ``= (SELECT max(...))`` scalar subquery
+    decorrelates into a one-row broadcast cross join — no second fact
+    scan. Revenue stays in exact fixed-point integers so the max
+    equality is a precise integer compare, not a float one (the classic
+    formulation's trap)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    sd = F.unix_millis(F.col("l_shipdate").cast("timestamp"))
+    rev_c = cents(F.col("l_extendedprice")) * cents(F.lit(1) - F.col("l_discount"))
+    rev = (
+        li.filter((sd >= _Q6_LO_MS) & (sd < _Q6_HI_MS))
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev_c).alias("total_c"))
+    )
+    mx = rev.agg(F.max("total_c").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_c") == F.col("_mx"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", (F.col("total_c") / 10000.0).alias("total_revenue")
+        )
+    )
+
+
+@q(
+    "rel_tpch_q16",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 2, 3, 4, 5)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0.0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def rel_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 shape (supplier diversity per part line): the NOT IN
+    subquery over complained-about suppliers becomes a null-aware LEFT
+    ANTI join (s_suppkey is non-null here, so it degenerates to the
+    plain anti join — the semantics Catalyst has to prove), then a
+    distinct-count aggregate per (brand, type, size). lineitem stands in
+    for partsupp as the part↔supplier pair source (the driver's schema
+    has no partsupp)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 2, 3, 4, 5)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0.0
+    ).select("s_suppkey")
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )

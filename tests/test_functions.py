@@ -1118,3 +1118,39 @@ def test_bpe_train_matches_python_reference(spark, corpus):
         for r in X.bpe_train(docs, n_merges=3).collect()
     ]
     assert got == _bpe_reference(corpus.split(), 3), corpus
+
+
+def test_bpe_apply_matches_reference_encoding(spark):
+    """bpe_apply with the learned merge table reproduces the reference
+    encoder's per-doc piece counts (chained greedy folds ≡ sequential
+    greedy merge application)."""
+    from smoltable_spark.functions import text as X
+
+    corpus = {1: "low lower lowest", 2: "aaaa ab lowest low", 3: "b"}
+    docs = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    merges = [
+        (r["lhs"], r["rhs"]) for r in X.bpe_train(docs, n_merges=3).collect()
+    ]
+    # reference encode: apply each merge greedily in order, per word
+    def encode(words):
+        seqs = [list(w) for w in words]
+        for a, b in merges:
+            for idx, s in enumerate(seqs):
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                seqs[idx] = out
+        return sum(len(s) for s in seqs)
+
+    got = {r["doc_id"]: (r["n_words"], r["n_pieces"])
+           for r in X.bpe_apply(docs, merges).collect()}
+    for did, txt in corpus.items():
+        words = txt.split()
+        assert got[did] == (len(words), encode(words)), (did, merges)

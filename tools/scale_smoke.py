@@ -501,6 +501,70 @@ def main():
             spark, ivfpq_path, emb10.filter("vec_id < 20"), k=10, nprobe=4
         ).count(),
     )
+    # PQ recall on the PERTURBED set (the honest variant): ADC ranks by
+    # integer squared-L2, so its ground truth is the exact L2 top-10,
+    # not the cosine set the other batteries use
+    from pyspark.sql import Window as _W
+
+    def l2_brute_topk(corpus, queries, k=10):
+        from smoltable_spark.functions.similarity import (
+            _l2sq,
+            with_quantized_norm,
+        )
+
+        c = with_quantized_norm(corpus).select(
+            F.col("vec_id").alias("neighbor_id"), F.col("q").alias("cq")
+        )
+        qd = with_quantized_norm(queries).select(
+            F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+        )
+        w = _W.partitionBy("query_id").orderBy(
+            F.col("d2").asc(), F.col("neighbor_id").asc()
+        )
+        return (
+            c.crossJoin(F.broadcast(qd))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("d2", _l2sq(F.col("cq"), F.col("qq")))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id")
+        )
+
+    embp2 = spark.read.parquet(os.path.join(OUT, "embeddings_perturbed.parquet"))
+    qsp2 = embp2.filter(F.col("vec_id") < 20)
+    exact_l2 = {}
+
+    def brute_l2():
+        exact_l2["s"] = {
+            (r["query_id"], r["neighbor_id"])
+            for r in l2_brute_topk(embp2, qsp2, k=10).collect()
+        }
+        return len(exact_l2["s"])
+
+    timed("ann_l2_brute_perturbed_q20", brute_l2)
+    cbp = S.pq_codebooks(embp2, m=8, ksub=16, iters=2)
+
+    def pq_recall():
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.pq_topk_adc(embp2, qsp2, cbp, k=10).collect()
+        }
+        return round(len(approx & exact_l2["s"]) / len(exact_l2["s"]), 3)
+
+    timed("ann_pq_adc_recall_perturbed", pq_recall)
+
+    def ivfpq_recall():
+        p = os.path.join(OUT, "ivfpq_perturbed_index")
+        if not os.path.exists(p):
+            S.build_ivfpq_index(embp2, p, n_centroids=32, codebooks=cbp)
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.query_ivfpq_index(spark, p, qsp2, k=10, nprobe=4).collect()
+        }
+        return round(len(approx & exact_l2["s"]) / len(exact_l2["s"]), 3)
+
+    timed("ann_ivfpq_recall_perturbed_np4of32", ivfpq_recall)
+
     timed("bpe_train_50k_docs", lambda: text.bpe_train(docs, n_merges=6).count())
     udim = ev.select("user_id").distinct().withColumn(
         "tier", F.pmod(F.col("user_id"), F.lit(5))
@@ -564,6 +628,13 @@ Steady-state timings (2nd run per op). Reading the table:
 - `ivfpq_query_20k`: serves from the persisted IVF-PQ index with
   nprobe=4 of 32 lists — a `list_id IN (...)` partition filter reads
   ~1/8 of the index, and the scanned partitions hold codes, not vectors.
+- `ann_pq_adc_recall_perturbed` / `ann_ivfpq_recall_perturbed_np4of32`:
+  recall@10 vs the exact integer-L2 top-10 (ADC's own metric — not the
+  cosine ground truth the SRP/IVF batteries use) on the perturbed-clone
+  set. The gap between the two rows is what coarse pruning costs at
+  nprobe=4; the PQ row alone is what 8x16 codebooks cost. Raise M/ksub
+  (finer codes) or nprobe to buy recall back — both knobs are
+  plan-shape-neutral.
 - `bpe_train_50k_docs`: 6 merge rounds over ~1.4M base symbols; per
   round one pair-count aggregate (the only shuffle) + a map-side array
   fold — wall time is rounds x a small fixed cost, not corpus-bound.
