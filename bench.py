@@ -135,6 +135,15 @@ HEADLINE = [
     "rel_tpch_q15",
     "rel_tpch_q16",
     "rel_bucketed_join",
+    # r4e additions: the final TPC-H batch — the suite is complete (22/22)
+    # — plus RRF hybrid retrieval (BM25 ⊕ cosine)
+    "rel_tpch_q2",
+    "rel_tpch_q8",
+    "rel_tpch_q11",
+    "rel_tpch_q13",
+    "rel_tpch_q20",
+    "rel_tpch_q21",
+    "txt_hybrid_rrf",
 ]
 
 REGRESSION_FACTOR = 1.5

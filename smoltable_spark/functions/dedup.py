@@ -533,7 +533,7 @@ def cluster_summary(pairs: DataFrame, rounds: int = 4) -> DataFrame:
     return labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
-def cluster_pairs_cc(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
+def cluster_pairs_cc(pairs: DataFrame, max_rounds: int = 64) -> DataFrame:
     """EXACT connected components over near-dup pairs via alternating
     large-star / small-star (the MapReduce CC algorithm of Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC'14) run to
@@ -627,7 +627,7 @@ def cluster_pairs_cc(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
     )
 
 
-def cluster_summary_cc(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
+def cluster_summary_cc(pairs: DataFrame, max_rounds: int = 64) -> DataFrame:
     """(cluster_id, n_docs): EXACT component sizes from near-dup pairs."""
     labels = cluster_pairs_cc(pairs, max_rounds)
     return labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -976,8 +976,12 @@ def scrub_repeated_spans(
         .filter(F.col("_nd") >= min_docs)
         .select("gram")
     )
+    # no broadcast hint: on boilerplate-heavy corpora `banned` scales with
+    # the distinct-gram count (corpus-sized), so forcing a broadcast would
+    # OOM the driver at exactly the scale this operator targets — AQE
+    # broadcasts it when it measures small, shuffle-joins otherwise
     cov = (
-        pos.join(F.broadcast(banned), "gram")
+        pos.join(banned, "gram")
         .groupBy(id_col)
         .agg(
             F.sort_array(F.collect_list("i")).alias("_starts"),

@@ -783,3 +783,64 @@ def query_ivfpq_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval — reciprocal-rank fusion of heterogeneous rankers
+
+#: RRF discount constant (Cormack, Clarke & Buettcher, SIGIR'09)
+RRF_K = 60
+#: integer scale: contribution = RRF_SCALE // (RRF_K + rank), exact in both
+#: engines (no float reciprocal sums, which would be order-sensitive)
+RRF_SCALE = 1_000_000
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_a: str,
+    rank_a: str,
+    id_b: str,
+    rank_b: str,
+    k: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked candidate lists.
+
+    score(d) = Σ_legs RRF_SCALE // (RRF_K + rank_leg(d)), summed over the
+    legs that retrieved d (full outer join — a doc found by only one leg
+    still scores). Integer division keeps the fusion score an exact
+    integer, so ordering is bit-identical across engines; ties break by
+    doc id. Scale shape: both inputs are top-k cuts (≤ k rows each), so
+    the join, scoring, and final rank are driver-trivial no matter the
+    corpus size — all the heavy lifting happened inside the legs.
+
+    Output: (doc_id, lex_rank, sem_rank, rrf_micro, rank).
+    """
+    a = ranked_a.select(
+        F.col(id_a).alias("_ida"), F.col(rank_a).cast("int").alias("lex_rank")
+    )
+    b = ranked_b.select(
+        F.col(id_b).alias("_idb"), F.col(rank_b).cast("int").alias("sem_rank")
+    )
+    contrib = (
+        F.coalesce(
+            F.expr(f"{RRF_SCALE} div ({RRF_K} + lex_rank)"), F.lit(0).cast("long")
+        )
+        + F.coalesce(
+            F.expr(f"{RRF_SCALE} div ({RRF_K} + sem_rank)"), F.lit(0).cast("long")
+        )
+    )
+    fused = (
+        a.join(b, a._ida == b._idb, "full_outer")
+        .select(
+            F.coalesce(F.col("_ida"), F.col("_idb")).alias("doc_id"),
+            "lex_rank",
+            "sem_rank",
+            contrib.alias("rrf_micro"),
+        )
+        .orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc())
+    # post-limit global window: ≤ k rows — single partition by design
+    return fused.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -919,7 +919,10 @@ def _dedup_lines_arrow(
         for pdf in batches:
             out = []
             for ident, t in zip(pdf[id_col], pdf[text_col]):
-                units = (t or "").split(sep)
+                if t is None or (t != t):  # NULL text → all-NULL metrics,
+                    out.append((ident, None, None, None, None))  # like F.split(NULL)
+                    continue
+                units = t.split(sep)
                 seen: set = set()
                 kept = [u for u in units if not (u in seen or seen.add(u))]
                 clean = sep.join(kept)

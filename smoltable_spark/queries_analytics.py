@@ -1653,8 +1653,8 @@ def _bpe_iter_ctes(n_merges: int = 6) -> list:
     b{i} AS MATERIALIZED (SELECT sym AS a, nxt AS b, CAST(count(*) AS BIGINT) AS c
              FROM p{i} WHERE nxt IS NOT NULL GROUP BY 1, 2
              ORDER BY c DESC, a, b LIMIT 1),
-    q{i} AS (SELECT p.*, (p.sym = b.a AND p.nxt = b.b) AS m
-             FROM p{i} p, b{i} b),
+    q{i} AS (SELECT p.*, coalesce(p.sym = b.a AND p.nxt = b.b, false) AS m
+             FROM p{i} p LEFT JOIN b{i} b ON true),
     g{i} AS (SELECT *, pos - row_number() OVER (PARTITION BY seq, m
                        ORDER BY pos) AS grp FROM q{i}),
     k{i} AS (SELECT *, m AND ((row_number() OVER (PARTITION BY seq, m, grp
@@ -1889,9 +1889,11 @@ def txt_repetition_signals(spark, sf_dir):
 _BM25_TERMS = ("scan", "vector", "merge", "customer")
 
 
-def _bm25_sql() -> str:
-    """DuckDB mirror of text.bm25_topk: identical association order in
-    every float expression so both engines compute the same doubles."""
+def _bm25_parts() -> tuple[str, str]:
+    """Shared BM25 SQL pieces (base+stats CTE bodies, score expression) —
+    identical association order in every float expression so both engines
+    compute the same doubles; reused by the plain ranking oracle and the
+    RRF hybrid-retrieval oracle."""
     tf_cols = ", ".join(
         f"len(list_filter({TOKS_SQL}, x -> x = '{t}')) AS tf_{i}"
         for i, t in enumerate(_BM25_TERMS)
@@ -1908,11 +1910,18 @@ def _bm25_sql() -> str:
         f")) AS BIGINT)"
         for i in range(len(_BM25_TERMS))
     )
-    return f"""
-    WITH base AS (
+    ctes = f"""base AS (
       SELECT doc_id, CAST(len({TOKS_SQL}) AS INT) AS dl, {tf_cols}
       FROM documents),
-    stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl, {df_cols} FROM base)
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl, {df_cols} FROM base)"""
+    return ctes, comp
+
+
+def _bm25_sql() -> str:
+    """DuckDB mirror of text.bm25_topk."""
+    ctes, comp = _bm25_parts()
+    return f"""
+    WITH {ctes}
     SELECT doc_id, dl, ({comp}) AS score_milli
     FROM base, stats
     WHERE ({comp}) > 0
@@ -2931,6 +2940,72 @@ def ann_cosine_bucketed(spark, sf_dir):
     return similarity.cosine_topk_bucketed(
         emb, queries, k=10, bucket_dims=[1, 2, 3, 4]
     ).withColumn("rank", F.col("rank").cast("int"))
+
+
+def _hybrid_rrf_sql(n_cand: int = 50, k: int = 20) -> str:
+    """DuckDB mirror of the RRF hybrid-retrieval pipeline: the bm25 leg
+    (shared CTEs with _bm25_sql) and the brute-cosine leg (same quantized
+    arithmetic as _ann_oracle) each produce a top-``n_cand`` cut, then
+    reciprocal-rank fusion with integer contributions."""
+    ctes, comp = _bm25_parts()
+    S, K = similarity.RRF_SCALE, similarity.RRF_K
+    return f"""
+    WITH {ctes},
+    lexall AS (SELECT doc_id, ({comp}) AS score_milli
+               FROM base, stats WHERE ({comp}) > 0
+               ORDER BY score_milli DESC, doc_id LIMIT {n_cand}),
+    lex AS (SELECT doc_id, CAST(row_number() OVER (
+                ORDER BY score_milli DESC, doc_id) AS INT) AS lex_rank
+            FROM lexall),
+    v AS (SELECT vec_id, {_QVEC_SQL} AS q FROM embeddings),
+    n AS (SELECT vec_id, q,
+                 list_sum(list_transform(q, x -> x * x)) AS nrm2 FROM v),
+    qs AS (SELECT * FROM n WHERE vec_id = 0),
+    cscore AS (
+      SELECT c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(c.q) + 1),
+                 i -> c.q[i] * q.q[i])) /
+             (sqrt(CAST(c.nrm2 AS DOUBLE)) * sqrt(CAST(q.nrm2 AS DOUBLE))) AS cosine
+      FROM n c JOIN qs q ON c.vec_id <> q.vec_id),
+    semall AS (SELECT neighbor_id, cosine FROM cscore
+               ORDER BY cosine DESC, neighbor_id LIMIT {n_cand}),
+    sem AS (SELECT neighbor_id, CAST(row_number() OVER (
+                ORDER BY cosine DESC, neighbor_id) AS INT) AS sem_rank
+            FROM semall),
+    fused AS (
+      SELECT coalesce(l.doc_id, s.neighbor_id) AS doc_id,
+             l.lex_rank, s.sem_rank,
+             coalesce({S} // ({K} + l.lex_rank), 0)
+                 + coalesce({S} // ({K} + s.sem_rank), 0) AS rrf
+      FROM lex l FULL OUTER JOIN sem s ON s.neighbor_id = l.doc_id),
+    cut AS (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT {k})
+    SELECT doc_id, lex_rank, sem_rank, CAST(rrf AS BIGINT) AS rrf_micro,
+           CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank
+    FROM cut
+    """
+
+
+@q("txt_hybrid_rrf", _hybrid_rrf_sql())
+def txt_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical leg + brute-cosine semantic leg
+    (query = document 0's embedding; the testdata aligns doc_id↔vec_id
+    1:1), fused by reciprocal-rank fusion
+    (functions/similarity.py::rrf_fuse — integer-exact contributions,
+    full-outer so single-leg hits still score). The RAG-serving shape:
+    each leg is a distributed top-50 cut (TakeOrdered / window-rank),
+    fusion itself touches ≤100 rows regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex50 = text.bm25_topk(docs, _BM25_TERMS, k=50)
+    wlex = Window.orderBy(F.col("score_milli").desc(), F.col("doc_id").asc())
+    # post-limit global window: ≤ 50 rows — single partition by design
+    lex = lex50.withColumn("lex_rank", F.row_number().over(wlex))
+    sem = similarity.cosine_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") == 0), k=50
+    )
+    return similarity.rrf_fuse(
+        lex, sem, "doc_id", "lex_rank", "neighbor_id", "rank", k=20
+    )
 
 
 # ---------------------------------------------------------------------------

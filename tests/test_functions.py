@@ -878,6 +878,7 @@ def test_dedup_lines_arrow_equals_expression(spark):
         (2, ""),
         (3, long_doc),
         (4, "trailing. sep. trailing. "),
+        (5, None),  # NULL text → all-NULL metrics in BOTH paths (r4 review)
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     a = sorted(map(tuple, text.dedup_lines_df(df).collect()))
@@ -1154,3 +1155,30 @@ def test_bpe_apply_matches_reference_encoding(spark):
     for did, txt in corpus.items():
         words = txt.split()
         assert got[did] == (len(words), encode(words)), (did, merges)
+
+
+def test_rrf_fuse_full_outer_and_integer_scores(spark):
+    """RRF fusion: single-leg docs still score, contributions are the
+    exact integer 1000000 // (60 + rank), ties break by doc id, and the
+    final rank follows (score desc, id)."""
+    lex = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, lex_rank int"
+    )
+    sem = spark.createDataFrame(
+        [(20, 1), (40, 2)], "neighbor_id long, rank int"
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in similarity.rrf_fuse(
+            lex, sem, "doc_id", "lex_rank", "neighbor_id", "rank", k=10
+        ).collect()
+    }
+    S, K = similarity.RRF_SCALE, similarity.RRF_K
+    # doc 20 in both legs; 10/30 lexical-only; 40 semantic-only
+    assert out[20]["rrf_micro"] == S // (K + 2) + S // (K + 1)
+    assert out[10]["rrf_micro"] == S // (K + 1)
+    assert out[40]["rrf_micro"] == S // (K + 2)
+    assert out[30]["rrf_micro"] == S // (K + 3)
+    assert out[10]["sem_rank"] is None and out[40]["lex_rank"] is None
+    # full order: 20 (both legs, 32522) > 10 (16393) > 40 (16129) > 30 (15873)
+    assert [out[d]["rank"] for d in (20, 10, 40, 30)] == [1, 2, 3, 4]

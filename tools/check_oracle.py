@@ -54,10 +54,10 @@ def norm_value(v):
         return "decimal:" + str(v)
     if isinstance(v, (bytes, bytearray)):
         return "bytes:" + bytes(v).hex()
+    if hasattr(v, "asDict"):  # pyspark Row (nested struct) — Row subclasses
+        v = v.asDict()        # tuple, so this MUST precede the tuple branch
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm_value(x) for x in v) + "]"
-    if hasattr(v, "asDict"):  # pyspark Row (nested struct)
-        v = v.asDict()
     if isinstance(v, dict):
         return "{" + ",".join(
             f"{k}:{norm_value(x)}" for k, x in sorted(v.items())
