@@ -144,6 +144,8 @@ HEADLINE = [
     "rel_tpch_q20",
     "rel_tpch_q21",
     "txt_hybrid_rrf",
+    "ann_filtered_topk",
+    "ann_mmr_rerank",
 ]
 
 REGRESSION_FACTOR = 1.5

@@ -844,3 +844,102 @@ def rrf_fuse(
     w = Window.orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc())
     # post-limit global window: ≤ k rows — single partition by design
     return fused.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def pairwise_cosine(
+    members: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """All ordered pairs (a, b, cosine) within a (small) member set —
+    the candidate-candidate similarity table MMR needs. Meant for top-k
+    cuts (≤ k rows), where the k² self-join is driver-trivial; the same
+    quantized-integer dot as every other cosine here, so values are
+    bit-identical to the retrieval leg's."""
+    n = with_quantized_norm(members, vec_col).select(
+        F.col(id_col), F.col("q"), F.col("nrm2")
+    )
+    a = n.select(
+        F.col(id_col).alias("a"), F.col("q").alias("qa"), F.col("nrm2").alias("na")
+    )
+    b = n.select(
+        F.col(id_col).alias("b"), F.col("q").alias("qb"), F.col("nrm2").alias("nb")
+    )
+    return (
+        a.join(b, F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            (
+                _dot(F.col("qa"), F.col("qb"))
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                )
+            ).alias("sim"),
+        )
+    )
+
+
+def mmr_rerank(
+    cands: DataFrame,
+    pair_sims: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "neighbor_id",
+    rel_col: str = "cosine",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell & Goldstein,
+    SIGIR'98) over a retrieved candidate cut: greedily pick
+    argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s), k times.
+
+    MMR is inherently sequential, but each of the k steps touches only
+    the ≤|cands| remaining rows and the selected-set join — everything
+    stays declarative DataFrame ops (anti-join remainder, max-sim
+    aggregate, orderBy-limit-1 argmax), unrolled k times; no collect().
+    The first pick uses the SAME uniform formula with an empty-set
+    penalty of 0, so both engines order by λ·rel. Ties break by id.
+
+    Output: (pick, doc_id, rel, mmr_score) — pick = 1-based selection
+    order.
+    """
+    c = cands.select(
+        F.col(id_col).alias("doc_id"), F.col(rel_col).cast("double").alias("rel")
+    )
+    picks = []
+    selected = None
+    for i in range(1, k + 1):
+        if selected is None:
+            remaining = c
+            penalty = F.lit(0.0)
+            scored = remaining.withColumn("_pen", penalty)
+        else:
+            remaining = c.join(selected, "doc_id", "left_anti")
+            pen = (
+                remaining.join(pair_sims, remaining.doc_id == pair_sims.a)
+                .join(selected.select(F.col("doc_id").alias("_sid")),
+                      F.col("b") == F.col("_sid"), "left_semi")
+                .groupBy("doc_id", "rel")
+                .agg(F.max("sim").alias("_pen"))
+            )
+            scored = pen
+        pick = (
+            scored.withColumn(
+                "mmr_score",
+                F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("_pen"),
+            )
+            .orderBy(F.col("mmr_score").desc(), F.col("doc_id").asc())
+            .limit(1)
+            .select(
+                F.lit(i).cast("int").alias("pick"), "doc_id", "rel", "mmr_score"
+            )
+            # keep the unrolled greedy plan flat: without this, step i's
+            # plan embeds steps 1..i-1 twice each (argmax + selected-set),
+            # doubling per step; each pick is ONE tiny row
+            .localCheckpoint(eager=True)
+        )
+        picks.append(pick)
+        sel_ids = pick.select("doc_id")
+        selected = sel_ids if selected is None else selected.unionByName(sel_ids)
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out

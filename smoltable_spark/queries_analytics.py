@@ -3008,6 +3008,112 @@ def txt_hybrid_rrf(spark, sf_dir):
     )
 
 
+def _ann_filtered_oracle(k: int = 10, label: int = 2) -> str:
+    return f"""
+    WITH v AS (SELECT vec_id, label, {_QVEC_SQL} AS q FROM embeddings),
+    n AS (SELECT vec_id, label, q,
+                 list_sum(list_transform(q, x -> x * x)) AS nrm2 FROM v),
+    qs AS (SELECT * FROM n WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(c.q) + 1),
+                 i -> c.q[i] * q.q[i])) /
+             (sqrt(CAST(c.nrm2 AS DOUBLE)) * sqrt(CAST(q.nrm2 AS DOUBLE))) AS cosine
+      FROM n c JOIN qs q ON c.vec_id <> q.vec_id AND c.label = {label}),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@q("ann_filtered_topk", _ann_filtered_oracle())
+def ann_filtered_topk(spark, sf_dir):
+    """Filtered vector search (metadata predicate + top-k): exact cosine
+    top-10 among corpus vectors with ``label = 2`` only — the
+    PRE-filtering shape (predicate reaches the corpus scan BEFORE any
+    distance computation, so the filter prunes work instead of holes in
+    the result: post-filtering a top-k loses recall when the filter is
+    selective). At 100 TB the label predicate pushes to parquet
+    (PushedFilters) and, for a partitioned corpus, prunes whole files."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_bruteforce(
+        emb.filter(F.col("label") == 2), emb.filter(F.col("vec_id") < 5), k=10
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+def _mmr_oracle(n_cand: int = 20, k: int = 5, lam: float = 0.7) -> str:
+    """Unrolled greedy MMR in DuckDB SQL: candidate cut -> pairwise sims
+    -> k argmax steps, each penalized by the max similarity to the
+    already-selected set. Float literals are written with Python repr so
+    both engines compute with the SAME doubles (1-lam is
+    0.30000000000000004, not 0.3). MATERIALIZED on the re-referenced
+    CTEs (selection chains reference every earlier step)."""
+    cos = (
+        "list_sum(list_transform(range(1, len({a}.q) + 1),"
+        " i -> {a}.q[i] * {b}.q[i])) /"
+        " (sqrt(CAST({a}.nrm2 AS DOUBLE)) * sqrt(CAST({b}.nrm2 AS DOUBLE)))"
+    )
+    steps = []
+    for i in range(1, k + 1):
+        if i == 1:
+            steps.append("r1 AS (SELECT doc_id, rel, 0.0 AS pen FROM cand)")
+        else:
+            ids = " UNION ALL ".join(
+                f"SELECT doc_id FROM s{j}" for j in range(1, i)
+            )
+            steps.append(f"""r{i} AS (
+        SELECT c.doc_id, c.rel, max(p.sim) AS pen
+        FROM cand c JOIN psim p ON p.a = c.doc_id
+        WHERE p.b IN ({ids}) AND c.doc_id NOT IN ({ids})
+        GROUP BY c.doc_id, c.rel)""")
+        steps.append(f"""s{i} AS MATERIALIZED (
+        SELECT CAST({i} AS INT) AS pick, doc_id, rel,
+               {lam!r} * rel - {1 - lam!r} * pen AS mmr_score
+        FROM r{i} ORDER BY mmr_score DESC, doc_id LIMIT 1)""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT * FROM s{i}" for i in range(1, k + 1)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, {_QVEC_SQL} AS q FROM embeddings),
+    n AS (SELECT vec_id, q,
+                 list_sum(list_transform(q, x -> x * x)) AS nrm2 FROM v),
+    q0 AS (SELECT * FROM n WHERE vec_id = 0),
+    sc AS (SELECT c.vec_id AS doc_id, {cos.format(a='c', b='q')} AS rel
+           FROM n c JOIN q0 q ON c.vec_id <> q.vec_id),
+    cand AS MATERIALIZED (SELECT doc_id, rel FROM sc
+                          ORDER BY rel DESC, doc_id LIMIT {n_cand}),
+    cn AS (SELECT n.vec_id, n.q, n.nrm2
+           FROM n JOIN cand ON cand.doc_id = n.vec_id),
+    psim AS MATERIALIZED (
+        SELECT a.vec_id AS a, b.vec_id AS b, {cos.format(a='a', b='b')} AS sim
+        FROM cn a JOIN cn b ON a.vec_id <> b.vec_id),
+    {','.join(steps)}
+    {union}
+    """
+
+
+@q("ann_mmr_rerank", _mmr_oracle())
+def ann_mmr_rerank(spark, sf_dir):
+    """Diversified retrieval: brute-cosine top-20 for query vector 0,
+    re-ranked by Maximal Marginal Relevance (k=5, lambda=0.7 —
+    functions/similarity.py::mmr_rerank). The greedy loop is unrolled
+    into declarative per-step argmaxes over the <=20-row candidate cut;
+    candidate-candidate similarities come from pairwise_cosine on the
+    same quantized-integer dot as the retrieval leg, so every double is
+    bit-identical across engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cands = similarity.cosine_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") == 0), k=20
+    )
+    members = emb.join(
+        cands.select(F.col("neighbor_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    return similarity.mmr_rerank(
+        cands, similarity.pairwise_cosine(members), k=5, lam=0.7
+    )
+
+
 # ---------------------------------------------------------------------------
 # product quantization (PQ) — compressed-domain ANN
 

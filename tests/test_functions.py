@@ -1182,3 +1182,32 @@ def test_rrf_fuse_full_outer_and_integer_scores(spark):
     assert out[10]["sem_rank"] is None and out[40]["lex_rank"] is None
     # full order: 20 (both legs, 32522) > 10 (16393) > 40 (16129) > 30 (15873)
     assert [out[d]["rank"] for d in (20, 10, 40, 30)] == [1, 2, 3, 4]
+
+
+def test_mmr_rerank_prefers_diversity(spark):
+    """Greedy MMR: after picking the most relevant doc, a near-duplicate
+    of it (high rel, high sim-to-selected) loses to a diverse candidate."""
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),      # query
+            (1, [0.91, 0.44]),    # A: most relevant (rel ~0.900)
+            (2, [0.90, 0.45]),    # B: near-dup of A (sim ~0.9999), rel ~0.894
+            (3, [0.90, -0.44]),   # C: mirrored — rel ~0.898, sim(C,A) ~0.62
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cands = similarity.cosine_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") == 0), k=3
+    )
+    members = emb.join(
+        cands.select(F.col("neighbor_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    out = similarity.mmr_rerank(
+        cands, similarity.pairwise_cosine(members), k=3, lam=0.7
+    ).collect()
+    order = [r["doc_id"] for r in sorted(out, key=lambda r: r["pick"])]
+    assert order[0] == 1          # pure relevance first
+    assert order[1] == 3          # diversity beats the near-dup
+    assert order[2] == 2
+    by_pick = {r["pick"]: r for r in out}
+    assert abs(by_pick[1]["mmr_score"] - 0.7 * by_pick[1]["rel"]) < 1e-12
