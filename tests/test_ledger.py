@@ -66,3 +66,17 @@ def test_entry_registry_order_is_ledger_order():
 
     reg = _registry()
     assert list(e.queries().keys()) == L.window_order(reg)
+
+
+def test_red_rows_outrank_stale_rows_in_window():
+    """A query with a non-green row in the LATEST driver round must land
+    in the next round's first-50 window even when its stamp is fresh —
+    otherwise a red row the driver never re-checks stays red forever
+    (rel_moving_window, r3)."""
+    red = L.red_in_latest_round()
+    if not red:
+        return  # nothing red in the latest round — vacuously fine
+    order = L.window_order(_registry())
+    head = set(order[:L.WINDOW])
+    missing = {n for n in red if n in order} - head
+    assert not missing, missing

@@ -244,3 +244,47 @@ def test_pq_adc_corpus_side_reads_no_vectors(spark, sf_dir):
     df = ann_pq_adc(spark, sf_dir)
     plan = plans.physical_plan(df)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_tpch_q21_decorrelation_no_cartesian(spark, sf_dir):
+    """The EXISTS/NOT-EXISTS pair must decorrelate into the per-order
+    aggregate + equi-joins — never a correlated re-scan (nested loop) of
+    lineitem, and the fixed-cardinality dims stay broadcast."""
+    from smoltable_spark.queries_analytics import rel_tpch_q21
+
+    df = rel_tpch_q21(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "HashJoin" in plan, plan
+
+
+def test_tpch_q8_pushes_dim_filters(spark, sf_dir):
+    """Q8's part-type and date predicates reach the parquet scans, and
+    the dual-role nation joins broadcast."""
+    from smoltable_spark.queries_analytics import rel_tpch_q8
+
+    df = rel_tpch_q8(spark, sf_dir)
+    pf = plans.pushed_filters(df)
+    assert any("p_type" in f for f in pf), pf
+    assert plans.has_broadcast_join(df), plans.physical_plan(df)
+
+
+def test_ann_filtered_topk_prefilters_scan(spark, sf_dir):
+    """The metadata predicate must PRE-filter: label = 2 reaches the
+    corpus parquet scan (pushdown), not a post-rank filter."""
+    from smoltable_spark.queries_analytics import ann_filtered_topk
+
+    df = ann_filtered_topk(spark, sf_dir)
+    pf = plans.pushed_filters(df)
+    assert any("label" in f for f in pf), pf
+
+
+def test_hybrid_rrf_legs_take_ordered_no_corpus_shuffle(spark, sf_dir):
+    """Both retrieval legs cut to top-k distributively; the fusion join
+    happens on ≤100-row sides. The corpus tables must never shuffle on a
+    row-identity key — the only exchanges are the legs' stats/top-k."""
+    from smoltable_spark.queries_analytics import txt_hybrid_rrf
+
+    df = txt_hybrid_rrf(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan

