@@ -146,6 +146,7 @@ HEADLINE = [
     "txt_hybrid_rrf",
     "ann_filtered_topk",
     "ann_mmr_rerank",
+    "ann_adc_refined",
 ]
 
 REGRESSION_FACTOR = 1.5

@@ -943,3 +943,48 @@ def mmr_rerank(
     for p in picks[1:]:
         out = out.unionByName(p)
     return out
+
+
+def pq_refine_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cands: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact integer-L2² re-rank of ADC candidates (the standard
+    compressed-domain serving pattern: PQ codes produce a cheap top-N,
+    raw vectors re-score only those N). ``cands`` is (query_id,
+    neighbor_id) — a per-query candidate cut, tiny by construction — and
+    is BROADCAST against the corpus, so raw vectors are touched only for
+    candidate rows and never shuffle.
+
+    Output: (query_id, neighbor_id, l2_dist, rank), rank ≤ k, ties by
+    neighbor_id."""
+    qd = with_quantized_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("q").alias("qq")
+    )
+    pairs = cands.select("query_id", "neighbor_id").join(
+        F.broadcast(qd), "query_id"
+    )
+    corp = with_quantized_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("q").alias("nq")
+    )
+    scored = corp.join(F.broadcast(pairs), "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        F.aggregate(
+            F.zip_with(F.col("qq"), F.col("nq"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("l2_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("l2_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "l2_dist", "rank")
+    )

@@ -3261,6 +3261,51 @@ def ann_pq_adc(spark, sf_dir):
     ).withColumn("rank", F.col("rank").cast("int"))
 
 
+@q(
+    "ann_adc_refined",
+    _pq_oracle_ctes()
+    + _PQ_LUT_SQL
+    + f""",
+    adc AS (SELECT l.query_id, co.vec_id AS neighbor_id,
+                   CAST(sum(l.d2) AS BIGINT) AS adc_dist
+            FROM codes co JOIN lut l ON l.m = co.m AND l.cid = co.cid
+            WHERE co.vec_id <> l.query_id
+            GROUP BY l.query_id, co.vec_id),
+    cand AS (SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY adc_dist, neighbor_id) AS r FROM adc)
+             WHERE r <= 50),
+    ex AS (SELECT c.query_id, c.neighbor_id,
+                  CAST(list_sum(list_transform(range(1, {_PQ_DIM} + 1),
+                      i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i]))) AS BIGINT)
+                      AS l2_dist
+           FROM cand c JOIN v a ON a.vec_id = c.query_id
+                       JOIN v b ON b.vec_id = c.neighbor_id),
+    rk2 AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY l2_dist, neighbor_id) AS rank FROM ex)
+    SELECT query_id, neighbor_id, l2_dist, CAST(rank AS INT) AS rank
+    FROM rk2 WHERE rank <= 10
+    """,
+)
+def ann_adc_refined(spark, sf_dir):
+    """ADC-then-refine: PQ codes produce a cheap per-query top-50, then
+    raw vectors re-score ONLY those 50 with exact integer L2² for the
+    final top-10 (functions/similarity.py::pq_refine_exact). This is the
+    standard two-stage compressed-domain serving pattern: the corpus-wide
+    pass touches codes (8 bytes/vector), and the raw-vector reads are
+    bounded by queries x 50 regardless of corpus size — the candidate
+    set broadcasts, so vectors never shuffle. Refinement repairs most of
+    the quantization error that caps pure-ADC recall (SCALE.md measures
+    the ADC-only recall gap)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cands = similarity.pq_topk_adc(
+        emb, queries, _trained_pq_codebooks(spark, sf_dir),
+        k=50, m=_PQ_M, dim=_PQ_DIM,
+    )
+    return similarity.pq_refine_exact(emb, queries, cands, k=10)
+
+
 _IVFPQ_DOT = (
     "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
 )

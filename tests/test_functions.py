@@ -1211,3 +1211,30 @@ def test_mmr_rerank_prefers_diversity(spark):
     assert order[2] == 2
     by_pick = {r["pick"]: r for r in out}
     assert abs(by_pick[1]["mmr_score"] - 0.7 * by_pick[1]["rel"]) < 1e-12
+
+
+def test_pq_refine_exact_matches_global_l2_on_full_candidates(spark, vectors):
+    """With the candidate set = ALL corpus vectors, the refine stage IS
+    an exact integer-L2 top-k — pin it against a Python recomputation."""
+    q = vectors.filter(F.col("vec_id") == 0)
+    corpus = vectors
+    all_cands = (
+        corpus.selectExpr("vec_id AS neighbor_id")
+        .filter(F.col("neighbor_id") != 0)
+        .crossJoin(q.selectExpr("vec_id AS query_id"))
+    )
+    out = similarity.pq_refine_exact(corpus, q, all_cands, k=4).collect()
+    rows = {r["vec_id"]: r["embedding"] for r in vectors.collect()}
+    Q = similarity.QUANT
+
+    def l2(a, b):
+        qa = [round(float(x) * Q) for x in a]
+        qb = [round(float(x) * Q) for x in b]
+        return sum((x - y) ** 2 for x, y in zip(qa, qb))
+
+    expect = sorted(
+        ((l2(rows[0], rows[i]), i) for i in rows if i != 0),
+    )
+    got = [(r["l2_dist"], r["neighbor_id"]) for r in
+           sorted(out, key=lambda r: r["rank"])]
+    assert got == expect[:4], (got, expect)

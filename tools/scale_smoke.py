@@ -699,7 +699,13 @@ Steady-state timings (2nd run per op). Reading the table:
   verbatim, part/supplier grow 10x but stay far under the broadcast
   threshold) and the per-order/per-part aggregates shuffle 10x the
   groups with the same plan. q21's per-order distinct-supplier aggregate
-  is the stress case — its group count IS the order count.
+  is the stress case — its group count IS the order count. q18 is the
+  slowest of the four because its HAVING aggregate yields ~293k "big"
+  orderkeys at 10x and AQE (with this session's raised broadcast budget)
+  builds ~100 MB hash relations for the semi join + re-join; the plan
+  stays hash-join + TakeOrdered throughout — on a real cluster AQE's
+  runtime sizes flip the same joins to shuffle form, which is exactly
+  why the query carries no forced hints.
 - `hybrid_rrf_50k_docs`: both retrieval legs re-rank 10x the corpus
   (BM25 stats + brute cosine); fusion itself still touches ≤100 rows —
   wall is the legs' linear scans, the fusion cost is invariant.
