@@ -1011,26 +1011,6 @@ def oov_rate_df(
 # BPE merge learning (tokenizer training as a Spark job)
 
 
-def _greedy_merge_fold(col: Column, a: str, b: str) -> Column:
-    """Greedy left-to-right application of merge (a, b) to a symbol
-    array, as a pure ``F.aggregate`` fold: if the accumulator ends with
-    ``a`` and the next symbol is ``b``, the tail is replaced by the
-    merged symbol. Closure factory, NOT a default-arg lambda — PySpark
-    inspects lambda arity and would bind defaulted params as
-    lambda-variables (the _marker_pred pitfall)."""
-    la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
-    return F.aggregate(
-        col,
-        F.array().cast("array<string>"),
-        lambda acc, x: F.when(
-            (F.size(acc) > 0)
-            & (F.element_at(acc, -1) == la)
-            & (x == lb),
-            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(lab)),
-        ).otherwise(F.concat(acc, F.array(x))),
-    )
-
-
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 6,
@@ -1051,13 +1031,13 @@ def bpe_train(
       lhs/rhs (both engines compare UTF-8 bytewise). One driver
       ``.collect()`` of ONE row — a bounded scalar like the sketch
       cutoffs;
-    - **apply**: greedy left-to-right merge as a pure column-level
-      ``F.aggregate`` fold over each word's array — if the accumulator
-      ends with ``lhs`` and the next symbol is ``rhs``, the tail is
-      replaced by the merged symbol. The fold IS greedy semantics: in a
-      run of identical symbols it merges offsets 0,2,4…, and for
-      lhs ≠ rhs matches can never overlap. NO shuffle, NO window — the
-      rewrite never leaves the executor.
+    - **apply**: greedy left-to-right merge as ONE anchored JVM
+      ``regexp_replace`` over the word's NUL-joined symbol string (see
+      ``bpe_apply`` for the boundary-lookaround construction and the
+      greedy-equivalence argument): in a run of identical symbols it
+      merges offsets 0,2,4…, and for lhs ≠ rhs matches can never
+      overlap. NO shuffle, NO window — the rewrite never leaves the
+      executor, and the checkpointed state is a flat string per word.
 
     At 100 TB you train on a hash-sample of documents (pass a
     pre-filtered ``docs``); per round the cluster moves only the
@@ -1070,26 +1050,31 @@ def bpe_train(
     Returns (step, lhs, rhs, merged, pair_count) — the ordered merge
     table, i.e. the learned tokenizer."""
     spark = docs.sparkSession
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length("w")),
-        lambda j: F.col("w").substr(j, F.lit(1)),
-    )
+    w = F.translate(F.col("w"), _BPE_SEP, "")
+    s0 = F.concat(F.lit(_BPE_SEP), F.regexp_replace(w, "(?s)(.)", "$1" + _BPE_SEP))
     t = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
-        .select(chars.alias("syms"))
+        .select(s0.alias("s"))
         .localCheckpoint(eager=True)
     )
+    # symbols back out of the string state: split keeps leading/trailing
+    # empties (limit -1), so slots 2..n+1 hold the n symbols. The array
+    # materializes ONCE per row in its own projection — inlining it into
+    # the pair transform would re-split per element_at
+    arr = F.split(F.col("s"), _BPE_SEP)
+    syms = F.slice(arr, 2, F.size(arr) - 2)
     pair_structs = F.transform(
-        F.sequence(F.lit(1), F.size("syms") - 1),
+        F.sequence(F.lit(1), F.size("sy") - 1),
         lambda i: F.struct(
-            F.element_at("syms", i).alias("a"),
-            F.element_at("syms", i + F.lit(1)).alias("b"),
+            F.element_at("sy", i).alias("a"),
+            F.element_at("sy", i + F.lit(1)).alias("b"),
         ),
     )
     merges = []
     for step in range(1, n_merges + 1):
         best = (
-            t.filter(F.size("syms") >= 2)
+            t.select(syms.alias("sy"))
+            .filter(F.size("sy") >= 2)
             .select(F.explode(pair_structs).alias("p"))
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.count(F.lit(1)).alias("c"))
@@ -1101,8 +1086,15 @@ def bpe_train(
             break
         a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["c"])
         merges.append((step, a, b, a + b, cnt))
+        pat = (
+            f"(?<={_BPE_SEP})"
+            + _java_regex_quote(a)
+            + _BPE_SEP
+            + _java_regex_quote(b)
+            + f"(?={_BPE_SEP})"
+        )
         t = t.select(
-            _greedy_merge_fold(F.col("syms"), a, b).alias("syms")
+            F.regexp_replace("s", pat, _java_repl_quote(a + b)).alias("s")
         ).localCheckpoint(eager=True)
     return spark.createDataFrame(
         merges, "step int, lhs string, rhs string, merged string, pair_count long"
