@@ -147,6 +147,14 @@ HEADLINE = [
     "ann_filtered_topk",
     "ann_mmr_rerank",
     "ann_adc_refined",
+    # r4c additions: OHLC bars, weight-scatter EWMA, interval sweep,
+    # TF-IDF retrieval, radius search, curriculum staging
+    "rel_ohlc_bars",
+    "rel_ewma_hourly",
+    "rel_concurrency_peak",
+    "txt_tfidf_topk",
+    "ann_range_search",
+    "pipeline_curriculum",
 ]
 
 REGRESSION_FACTOR = 1.5

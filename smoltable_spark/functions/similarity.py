@@ -88,6 +88,44 @@ def cosine_topk_bruteforce(
     )
 
 
+def cosine_range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Radius (range) search: ALL corpus vectors with cosine ≥ threshold
+    per query — the complement of top-k retrieval (recall-oriented
+    matching, near-duplicate candidate generation at a fixed similarity
+    bar, not a fixed k).
+
+    Output: (query_id, neighbor_id, cosine). Same exactness discipline
+    as :func:`cosine_topk_bruteforce` — quantized integer dot products,
+    one double division at the end — so the ≥ comparison is made on
+    bit-identical doubles in both engines. The query side broadcasts;
+    the corpus is scanned once with NO shuffle at all (no per-query
+    top-k cut to merge — the filter is per-row), which makes this the
+    cheapest exact retrieval shape at 100 TB."""
+    c = with_quantized_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("q").alias("cq"), F.col("nrm2").alias("cn")
+    )
+    qd = with_quantized_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("q").alias("qq"), F.col("nrm2").alias("qn")
+    )
+    return (
+        c.join(F.broadcast(qd), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dot", _dot(F.col("cq"), F.col("qq")))
+        .withColumn(
+            "cosine",
+            F.col("dot")
+            / (F.sqrt(F.col("cn").cast("double")) * F.sqrt(F.col("qn").cast("double"))),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
 # ---------------------------------------------------------------------------
 # sign-random-projection buckets (LSH / IVF-style coarse quantizer)
 

@@ -5301,3 +5301,352 @@ def rel_tpch_q16(spark, sf_dir):
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# round 4c: timeseries bars / weighted windows / interval sweeps,
+# TF-IDF retrieval, radius search, curriculum staging
+
+#: 30-minute activity window for the concurrency sweep (ns)
+_ACTIVE_NS = 30 * 60 * 1_000_000_000
+
+
+@q(
+    "rel_ohlc_bars",
+    f"""
+    SELECT event_type, epoch_ns(ts) // {_HOUR_NS} AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST((min(struct_pack(t := epoch_ns(ts), id := event_id,
+                                 c := {cents_sql('value')}))).c AS BIGINT)
+               AS open_cents,
+           CAST(max({cents_sql('value')}) AS BIGINT) AS high_cents,
+           CAST(min({cents_sql('value')}) AS BIGINT) AS low_cents,
+           CAST((max(struct_pack(t := epoch_ns(ts), id := event_id,
+                                 c := {cents_sql('value')}))).c AS BIGINT)
+               AS close_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rel_ohlc_bars(spark, sf_dir):
+    """OHLC downsampling bars per (event_type, hour): open/close are the
+    first/last value by event time, high/low the extremes — the classic
+    financial resample, done as ONE map-side-combinable aggregate.
+
+    Open/close use min/max over struct(ts, event_id, cents): struct
+    comparison is lexicographic in both engines and (ts, event_id) is a
+    unique prefix, so first/last are deterministic WITHOUT a windowed
+    row_number (which would cost a per-group sort) — the whole query is
+    a single shuffle on the group key with partial aggregation, the
+    right shape for a 100 TB event stream. Values are exact cents."""
+    ev = load_table(spark, sf_dir, "events")
+    c = cents(F.col("value"))
+    key = F.struct(F.col("ts").alias("t"), F.col("event_id").alias("id"), c.alias("c"))
+    return (
+        ev.groupBy("event_type", F.expr(f"ts div {_HOUR_NS}").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(key).getField("c").alias("open_cents"),
+            F.max(c).alias("high_cents"),
+            F.min(c).alias("low_cents"),
+            F.max(key).getField("c").alias("close_cents"),
+        )
+    )
+
+
+@q(
+    "rel_ewma_hourly",
+    f"""
+    WITH h AS (
+        SELECT event_type, epoch_ns(ts) // {_HOUR_NS} AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    c AS (SELECT event_type, bucket + k AS tgt, n * (1 << (11 - k)) AS w
+          FROM h, unnest(range(0, 12)) AS u(k)),
+    s AS (SELECT event_type, tgt, CAST(sum(w) AS BIGINT) AS num
+          FROM c GROUP BY 1, 2)
+    SELECT h.event_type, h.bucket, h.n,
+           CAST(1000 * s.num // 4095 AS BIGINT) AS ewma_milli
+    FROM h JOIN s ON h.event_type = s.event_type AND h.bucket = s.tgt
+    """,
+)
+def rel_ewma_hourly(spark, sf_dir):
+    """Exponentially weighted moving average of hourly event counts
+    (α = 1/2, 12-bucket horizon, gap buckets count as zero) — EWMA as a
+    WEIGHT-SCATTER instead of a per-row gather: each hourly count emits
+    its 12 future contributions n·2^(11-k) (map-side explode of a
+    12-element sequence over the already-tiny hourly aggregate), one
+    groupBy sums them, and a join back to the hourly table keeps only
+    real buckets. No window function at all, so nothing ever needs a
+    per-series sort — the scatter re-keys by (series, bucket), which is
+    the same key the hourly rollup already shuffled on.
+
+    All-integer: weights are powers of two, ewma_milli = 1000·num div
+    (2^12 − 1) — bit-exact across engines at any magnitude."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.expr(f"ts div {_HOUR_NS}").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    contrib = hourly.select(
+        # renamed group key: num derives from hourly, so the join back
+        # would otherwise be an ambiguous self-join reference
+        F.col("event_type").alias("et"),
+        "bucket",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.lit(11))).alias("k"),
+    ).select(
+        "et",
+        (F.col("bucket") + F.col("k")).alias("tgt"),
+        # SQL shiftleft: the PySpark wrapper only takes a literal bit
+        # count, the SQL function accepts a column
+        F.expr("n * shiftleft(CAST(1 AS BIGINT), CAST(11 - k AS INT))").alias("w"),
+    )
+    num = contrib.groupBy("et", "tgt").agg(F.sum("w").alias("num"))
+    return (
+        hourly.join(
+            num,
+            (F.col("event_type") == F.col("et")) & (F.col("bucket") == F.col("tgt")),
+        )
+        .select(
+            "event_type",
+            "bucket",
+            "n",
+            F.expr("1000 * num div 4095").cast("long").alias("ewma_milli"),
+        )
+    )
+
+
+@q(
+    "rel_concurrency_peak",
+    f"""
+    WITH d AS (
+        SELECT event_type, epoch_ns(ts) AS t, CAST(1 AS BIGINT) AS dl FROM events
+        UNION ALL
+        SELECT event_type, epoch_ns(ts) + {_ACTIVE_NS}, CAST(-1 AS BIGINT) FROM events
+    ),
+    g AS (SELECT event_type, t, CAST(sum(dl) AS BIGINT) AS dsum
+          FROM d GROUP BY 1, 2),
+    c AS (SELECT event_type, t,
+                 CAST(sum(dsum) OVER (PARTITION BY event_type ORDER BY t)
+                      AS BIGINT) AS cum
+          FROM g)
+    SELECT event_type,
+           CAST((max(struct_pack(c := cum, nt := -t))).c AS BIGINT) AS peak,
+           CAST(-(max(struct_pack(c := cum, nt := -t))).nt AS BIGINT)
+               AS peak_first_t
+    FROM c GROUP BY 1
+    """,
+)
+def rel_concurrency_peak(spark, sf_dir):
+    """Peak concurrency per event_type via the classic interval sweep:
+    each event opens a 30-minute activity interval; +1/−1 deltas are
+    NETTED per (series, instant) — netting is equivalent to processing
+    ends before starts, so the running sum's maximum is unchanged — and
+    the peak is the max prefix sum, reported with the first instant it
+    is reached (max over struct(cum, −t): lexicographic, deterministic).
+
+    Scale shape: the prefix sum is HIERARCHICAL, not a single-partition
+    window — deltas aggregate per (series, instant), then per
+    (series, day): a day-level running offset (window over #days rows)
+    plus a within-day running sum (window partitioned by (series, day))
+    reconstruct the exact global prefix sum with every window partition
+    bounded by one day of netted instants."""
+    ev = load_table(spark, sf_dir, "events")
+    starts = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).cast("long").alias("dl")
+    )
+    ends = ev.select(
+        "event_type",
+        (F.col("ts") + F.lit(_ACTIVE_NS)).alias("t"),
+        F.lit(-1).cast("long").alias("dl"),
+    )
+    g = (
+        starts.unionByName(ends)
+        .groupBy("event_type", "t")
+        .agg(F.sum("dl").alias("dsum"))
+        .withColumn("day", F.expr(f"t div {_DAY_NS}"))
+    )
+    day_tot = g.groupBy("event_type", "day").agg(F.sum("dsum").alias("dtot"))
+    w_day = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = day_tot.select(
+        "event_type",
+        "day",
+        F.coalesce(F.sum("dtot").over(w_day), F.lit(0)).alias("off"),
+    )
+    w_in = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        g.join(offsets, ["event_type", "day"])
+        .withColumn("cum", (F.col("off") + F.sum("dsum").over(w_in)).cast("long"))
+    )
+    key = F.struct(F.col("cum").alias("c"), (-F.col("t")).alias("nt"))
+    return cum.groupBy("event_type").agg(
+        F.max(key).getField("c").alias("peak"),
+        (-F.max(key).getField("nt")).cast("long").alias("peak_first_t"),
+    )
+
+
+@q(
+    "txt_tfidf_topk",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+    df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.tok, tf.tf,
+               CAST(floor(1000 * ln(CAST(n_docs AS DOUBLE) / df.df)) AS BIGINT)
+                   AS idf_milli
+        FROM tf JOIN df USING (tok), nn
+    )
+    SELECT doc_id, tok, tf, idf_milli, tf * idf_milli AS score,
+           CAST(rk AS INT) AS rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY tf * idf_milli DESC, tok) AS rk
+          FROM scored)
+    WHERE rk <= 5
+    """,
+)
+def txt_tfidf_topk(spark, sf_dir):
+    """Top-5 TF-IDF keyword terms per document — the retrieval-side
+    complement of txt_keywords' corpus-level view.
+
+    tf is the in-doc occurrence count; idf is quantized to
+    ⌊1000·ln(N/df)⌋ BEFORE the product (the BM25 exactness discipline:
+    the one libm call operates on an identical IEEE double in both
+    engines, everything after is integer), so score = tf·idf_milli is
+    exact and the per-doc top-5 cut (row_number by score desc, token) is
+    fully deterministic.
+
+    Scale: token stream → (doc, tok) partial-aggregated counts (one
+    shuffle), df is a map-side-combining rollup OF THE TF TABLE (never
+    re-scans the corpus), N broadcasts as a 1-row literal, and the final
+    window partitions by doc_id — bounded by per-doc vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(text.tokens(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    nn = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(nn))
+        .withColumn(
+            "idf_milli",
+            F.floor(
+                1000 * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).cast("long"),
+        )
+        .withColumn("score", F.col("tf") * F.col("idf_milli"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "tok", "tf", "idf_milli", "score", "rk")
+    )
+
+
+@q(
+    "ann_range_search",
+    f"""
+    WITH v AS (SELECT vec_id, {_QVEC_SQL} AS q FROM embeddings),
+    n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS nrm2 FROM v),
+    qs AS (SELECT * FROM n WHERE vec_id < 3)
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, len(c.q) + 1),
+               i -> c.q[i] * q.q[i])) /
+           (sqrt(CAST(c.nrm2 AS DOUBLE)) * sqrt(CAST(q.nrm2 AS DOUBLE))) AS cosine
+    FROM n c JOIN qs q ON c.vec_id <> q.vec_id
+    WHERE list_sum(list_transform(range(1, len(c.q) + 1),
+              i -> c.q[i] * q.q[i])) /
+          (sqrt(CAST(c.nrm2 AS DOUBLE)) * sqrt(CAST(q.nrm2 AS DOUBLE))) >= 0.25
+    """,
+)
+def ann_range_search(spark, sf_dir):
+    """Radius search (functions/similarity.py::cosine_range_search):
+    every corpus vector with cosine ≥ 0.25 of each query vector
+    (vec_id < 3) — fixed-similarity-bar retrieval, the candidate
+    generator for semantic dedup at a quality threshold rather than a
+    fixed k. Broadcast queries, one corpus scan, ZERO shuffles (no
+    top-k merge step exists); the threshold compare happens on
+    bit-identical doubles in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return similarity.cosine_range_search(emb, queries, threshold=0.25)
+
+
+@q(
+    "pipeline_curriculum",
+    f"""
+    WITH v AS (SELECT doc_id, CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens
+               FROM documents),
+    hist AS (SELECT n_tokens AS val, count(*) AS c FROM v GROUP BY 1),
+    cum AS (SELECT val,
+                   sum(c) OVER (ORDER BY val
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   sum(c) OVER () AS n
+            FROM hist),
+    cuts AS (SELECT
+        CAST(min(CASE WHEN cum * 1000 >= 250 * n THEN val END) AS BIGINT) AS p250,
+        CAST(min(CASE WHEN cum * 1000 >= 500 * n THEN val END) AS BIGINT) AS p500,
+        CAST(min(CASE WHEN cum * 1000 >= 750 * n THEN val END) AS BIGINT) AS p750
+        FROM cum)
+    SELECT CASE WHEN n_tokens <= p250 THEN 0
+                WHEN n_tokens <= p500 THEN 1
+                WHEN n_tokens <= p750 THEN 2
+                ELSE 3 END AS stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens
+    FROM v, cuts GROUP BY 1
+    """,
+)
+def pipeline_curriculum(spark, sf_dir):
+    """Length-curriculum staging: docs are split into 4 stages
+    (short → long, the standard easy-first schedule) at the EXACT
+    quartile cutoffs of per-doc token count, and each stage reports its
+    doc and token budget.
+
+    The cutoffs come from the histogram + inverse-lower-CDF machinery of
+    functions/profile.py::grouped_exact_quantiles — never a corpus sort,
+    never an engine-specific approx sketch: one map-side-combining
+    aggregate to a (token_count → freq) histogram whose size is bounded
+    by distinct lengths, a cumulative window over that tiny table, and
+    q_p = min{{x : 1000·cum(x) ≥ p·n}}. Stage assignment broadcasts the
+    3-value cutoff row back onto the corpus (map-side CASE, no second
+    shuffle of raw docs), so ties at a cutoff land deterministically via
+    ≤ in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    v = docs.select(
+        "doc_id", text.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    cuts = profile.grouped_exact_quantiles(
+        v.withColumn("_g", F.lit(1)), "_g", "n_tokens", permilles=(250, 500, 750)
+    ).select("p250", "p500", "p750")
+    stage = (
+        F.when(F.col("n_tokens") <= F.col("p250"), 0)
+        .when(F.col("n_tokens") <= F.col("p500"), 1)
+        .when(F.col("n_tokens") <= F.col("p750"), 2)
+        .otherwise(3)
+    )
+    return (
+        v.crossJoin(F.broadcast(cuts))
+        .groupBy(stage.alias("stage"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
