@@ -155,6 +155,13 @@ HEADLINE = [
     "txt_tfidf_topk",
     "ann_range_search",
     "pipeline_curriculum",
+    # r4d additions: graph motifs, temperature mixing, embedding
+    # diagnostics, streaming OHLC, decoded luma histograms
+    "rel_triangle_count",
+    "pipeline_temperature_mix",
+    "emb_cosine_hist",
+    "stream_ohlc_bars",
+    "mm_luma_histogram",
 ]
 
 REGRESSION_FACTOR = 1.5

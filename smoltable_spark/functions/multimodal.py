@@ -542,6 +542,52 @@ def extract_features(
     return spread(media, target).mapInPandas(run, FEATURES_SCHEMA)
 
 
+def luma_histogram(media: DataFrame, n_buckets: int = 8) -> DataFrame:
+    """Per-image luma histogram over FULLY DECODED pixels — the exposure/
+    contrast profile a vision-data pipeline computes before filtering
+    (all-black frames, blown-out scans). Covers the formats decodable
+    without codec libs: BMP pixel arrays (every 3rd byte of the unpadded
+    BGR rows — one count per pixel, r=g=b by construction) and PNG image
+    data (zlib-inflate + per-row unfiltering via ``png_decode``); other
+    containers contribute no rows. Empty buckets are omitted.
+
+    Same 100 TB shape as ``extract_features``: payloads never leave the
+    executor — only (media_id, bucket, n_px) rows come back, ≤ 8 per
+    image whatever the resolution."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        width_b = 256 // n_buckets
+        for pdf in batches:
+            out = {"media_id": [], "bucket": [], "n_px": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                info = parse_container(bytes(payload) if payload is not None else b"")
+                px = None
+                if info["container"] == "bmp" and info["content"]:
+                    px = np.frombuffer(info["content"], dtype=np.uint8)[::3]
+                elif info["container"] == "png" and info.get("idat"):
+                    if (info["depth"], info["color_type"]) != (8, 0):
+                        raise NotImplementedError(
+                            "only grayscale-8 PNG decode is implemented"
+                        )
+                    px = png_decode(info["idat"], info["width"], info["height"]).ravel()
+                if px is None:
+                    continue
+                counts = np.bincount(px // width_b, minlength=n_buckets)
+                for b in range(n_buckets):
+                    if counts[b]:
+                        out["media_id"].append(int(mid))
+                        out["bucket"].append(b)
+                        out["n_px"].append(int(counts[b]))
+            yield pd.DataFrame(out)
+
+    from smoltable_spark.functions.dedup import spread
+
+    target = min(media.sparkSession.sparkContext.defaultParallelism, 8)
+    return spread(media, target).mapInPandas(
+        run, "media_id long, bucket int, n_px long"
+    )
+
+
 def resize_media(
     media: DataFrame, width: int, height: int, decode_stub: bool = True
 ) -> DataFrame:

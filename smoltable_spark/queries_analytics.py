@@ -5650,3 +5650,325 @@ def pipeline_curriculum(spark, sf_dir):
             F.max("n_tokens").alias("max_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 4d: graph motifs, temperature mixing, embedding diagnostics
+
+#: degree cap for the co-purchase graph: orders with more items than
+#: this are dropped BEFORE pair generation (the standard super-node
+#: guard — pair volume per order is quadratic in its item count)
+_TRI_MAX_ITEMS = 8
+
+
+@q(
+    "rel_triangle_count",
+    f"""
+    WITH ok AS (SELECT l_orderkey FROM lineitem
+                GROUP BY 1 HAVING count(*) <= {_TRI_MAX_ITEMS}),
+    e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a
+          JOIN ok ON a.l_orderkey = ok.l_orderkey
+          JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey),
+    deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+            GROUP BY 1),
+    tri AS (SELECT count(*) AS t
+            FROM e e1 JOIN e e2 ON e2.u = e1.v
+                      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+    wed AS (SELECT sum(d * (d - 1) // 2) AS w FROM deg)
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(w AS BIGINT) AS n_wedges,
+           CAST(t AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN w > 0 THEN 3000 * t // w ELSE 0 END AS BIGINT)
+               AS clustering_milli
+    FROM tri, wed
+    """,
+)
+def rel_triangle_count(spark, sf_dir):
+    """Exact triangle count + global clustering coefficient of the
+    co-purchase graph (parts sharing an order, orders capped at
+    8 items — the super-node guard that keeps per-order
+    pair generation bounded).
+
+    The Spark side counts via DEGREE-ORDERED orientation (the classic
+    heavy-hitter-proof scheme): each undirected edge points from its
+    lower (degree, id) endpoint to the higher, wedges enumerate ordered
+    out-neighbor pairs, and a final edge join closes them. Out-degree
+    under this orientation is O(√E) whatever the degree skew, so wedge
+    volume — the dominant intermediate — is bounded even when a
+    celebrity part co-occurs with everything; a plain a<b<c id
+    orientation (which the oracle uses — triangle counts are
+    orientation-invariant, so both derivations agree exactly) can
+    generate deg² wedges at a single hot node. Reported quantities
+    (nodes, edges, wedge count Σd(d−1)/2, triangles, clustering
+    coefficient in milli) are all orientation-invariant integers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ok = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") <= _TRI_MAX_ITEMS)
+        .select("l_orderkey")
+    )
+    items = li.join(ok, "l_orderkey").select("l_orderkey", "l_partkey")
+    a = items.alias("a")
+    b = items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        # edges feed degree, orientation AND the final stats — checkpoint
+        # so the pair self-join runs once, not once per downstream action
+        # (an array collect_set + nested-transform pair-gen was measured
+        # SLOWER here: per-order array allocation beats the hash join only
+        # when orders are wide, and the cap keeps them narrow)
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionByName(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # degree-ordered orientation, with the (deg, id) rank packed into ONE
+    # long (deg·2³² + id — lexicographic order preserved; ids and degrees
+    # both < 2³¹): every downstream join key is a plain integer, so the
+    # wedge and closing joins hash longs instead of structs
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    ranked = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .withColumn("rku", F.expr("du * 4294967296 + u"))
+        .withColumn("rkv", F.expr("dv * 4294967296 + v"))
+    )
+    fwd = F.col("rku") < F.col("rkv")
+    oriented = ranked.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t_id"),
+        F.greatest(F.col("rku"), F.col("rkv")).alias("t_rk"),
+        # three consumers (both wedge legs + the closing probe): materialize
+        # the degree-join once
+    ).localCheckpoint(eager=True)
+    o1 = oriented.select(
+        "s", F.col("t_id").alias("t1_id"), F.col("t_rk").alias("t1_rk")
+    )
+    o2 = oriented.select(
+        F.col("s").alias("s2"),
+        F.col("t_id").alias("t2_id"),
+        F.col("t_rk").alias("t2_rk"),
+    )
+    wedges = o1.join(
+        o2, (F.col("s") == F.col("s2")) & (F.col("t1_rk") < F.col("t2_rk"))
+    ).select("t1_id", "t2_id")
+    # the closing edge (t1 → t2) is itself rank-oriented, so plain-id
+    # equality suffices — no rank columns cross the join
+    closing = oriented.select(F.col("s").alias("cs"), F.col("t_id").alias("ct"))
+    tri = wedges.join(
+        closing, (F.col("t1_id") == F.col("cs")) & (F.col("t2_id") == F.col("ct"))
+    ).count()
+    stats = edges.agg(F.count(F.lit(1)).alias("n_edges")).collect()[0]
+    dstats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
+    ).collect()[0]
+    w = int(dstats["n_wedges"] or 0)
+    return spark.createDataFrame(
+        [
+            (
+                int(dstats["n_nodes"]),
+                int(stats["n_edges"]),
+                w,
+                int(tri),
+                (3000 * int(tri)) // w if w > 0 else 0,
+            )
+        ],
+        "n_nodes long, n_edges long, n_wedges long, n_triangles long, "
+        "clustering_milli long",
+    )
+
+
+#: total sampling quota the temperature mix allocates
+_MIX_QUOTA = 10_000
+
+
+@q(
+    "pipeline_temperature_mix",
+    f"""
+    WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY 1),
+    w AS (SELECT source, n_docs,
+                 CAST(floor(1000 * power_t) AS BIGINT) AS weight_milli
+          FROM (SELECT source, n_docs,
+                       sqrt(sqrt(CAST(n_docs AS DOUBLE)))
+                       * sqrt(sqrt(CAST(n_docs AS DOUBLE)))
+                       * sqrt(sqrt(CAST(n_docs AS DOUBLE))) AS power_t
+                FROM c)),
+    s AS (SELECT CAST(sum(weight_milli) AS BIGINT) AS sum_w,
+                 CAST(sum(n_docs) AS BIGINT) AS sum_n FROM w)
+    SELECT source, n_docs, weight_milli,
+           CAST({_MIX_QUOTA} * weight_milli // sum_w AS BIGINT) AS quota,
+           CAST(1000 * n_docs // sum_n AS BIGINT) AS raw_share_milli
+    FROM w, s
+    """,
+)
+def pipeline_temperature_mix(spark, sf_dir):
+    """Temperature-scaled source mixing (τ = 0.75): sampling weights
+    ∝ count^τ flatten the source distribution the way multilingual /
+    multi-source training mixes do, and each source gets an integer
+    quota out of 10000.
+
+    Exactness: count^0.75 is computed as sqrt(sqrt(c))³ — sqrt is
+    IEEE-correctly-rounded in BOTH engines (unlike pow/exp, which carry
+    no such guarantee across libms), so the weight doubles are
+    bit-identical; they quantize to milli integers BEFORE the sum, so
+    shares and quotas are exact integer arithmetic in any aggregation
+    order. Scale: one partial-aggregated groupBy to |sources| rows;
+    everything downstream is a constant-size broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = F.sqrt(F.sqrt(F.col("n_docs").cast("double")))
+    w = c.withColumn("weight_milli", F.floor(1000 * t * t * t).cast("long"))
+    s = w.agg(
+        F.sum("weight_milli").alias("sum_w"), F.sum("n_docs").alias("sum_n")
+    )
+    return w.crossJoin(F.broadcast(s)).select(
+        "source",
+        "n_docs",
+        "weight_milli",
+        F.expr(f"{_MIX_QUOTA} * weight_milli div sum_w").cast("long").alias("quota"),
+        F.expr("1000 * n_docs div sum_n").cast("long").alias("raw_share_milli"),
+    )
+
+
+@q(
+    "emb_cosine_hist",
+    f"""
+    WITH v AS (SELECT vec_id, {_QVEC_SQL} AS q FROM embeddings),
+    n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS nrm2 FROM v),
+    p AS (SELECT a.vec_id,
+                 list_sum(list_transform(range(1, len(a.q) + 1),
+                     i -> a.q[i] * b.q[i])) /
+                 (sqrt(CAST(a.nrm2 AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE)))
+                     AS cosine
+          FROM n a JOIN n b ON b.vec_id = a.vec_id + 1)
+    SELECT CAST(floor(cosine * 20) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM p GROUP BY 1
+    """,
+)
+def emb_cosine_hist(spark, sf_dir):
+    """Pairwise-cosine histogram over consecutive-id vector pairs — the
+    cheap corpus-geometry diagnostic (is the embedding space collapsing?
+    are near-duplicate bands forming?) that precedes any ANN tuning.
+
+    Consecutive ids give a deterministic O(N) pair sample with no
+    random generator to reconcile across engines; cosines follow the
+    quantized-integer dot discipline, and the 0.05-wide buckets are
+    floor(20·cos) on bit-identical doubles. One self-join on adjacent
+    ids (an equi-join Catalyst hashes; at 100 TB it co-partitions both
+    sides on vec_id with a map-side bucket histogram) and a 41-key
+    aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = similarity.with_quantized_norm(emb).select("vec_id", "q", "nrm2")
+    a = n.select(
+        F.col("vec_id"), F.col("q").alias("qa"), F.col("nrm2").alias("na")
+    )
+    b = n.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("q").alias("qb"),
+        F.col("nrm2").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        a.join(b, "vec_id")
+        .withColumn("cosine", cos)
+        .groupBy(F.floor(F.col("cosine") * 20).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@q(
+    "stream_ohlc_bars",
+    f"""
+    SELECT event_type, epoch_ns(ts) // {_HOUR_NS} AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST((min(struct_pack(t := epoch_ns(ts), id := event_id,
+                                 c := {cents_sql('value')}))).c AS BIGINT)
+               AS open_cents,
+           CAST(max({cents_sql('value')}) AS BIGINT) AS high_cents,
+           CAST(min({cents_sql('value')}) AS BIGINT) AS low_cents,
+           CAST((max(struct_pack(t := epoch_ns(ts), id := event_id,
+                                 c := {cents_sql('value')}))).c AS BIGINT)
+               AS close_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_ohlc_bars(spark, sf_dir):
+    """Streaming OHLC bars, oracle-checked against the batch SQL: the
+    events file replays through the file-source stream (availableNow)
+    into a complete-mode memory sink, and the final bars must equal the
+    batch aggregate exactly. The open/close struct-min/max trick is what
+    makes OHLC *streamable* — it is a plain commutative aggregate the
+    state store folds incrementally (one struct per open window), where
+    the textbook row_number formulation has no streaming equivalent.
+    State is watermark-bounded (streaming/ingest.py::ohlc_bars_stream)."""
+    from smoltable_spark.streaming.ingest import ohlc_bars_stream, stream_events
+
+    events = stream_events(spark, sf_dir, glob="events.parquet")
+    bars = ohlc_bars_stream(events)
+    name = f"_stream_ohlc_{next(_STREAM_SINK_COUNTER)}"
+    sq = (
+        bars.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(300)
+    return spark.table(name)
+
+
+@q(
+    "mm_luma_histogram",
+    """
+    WITH base AS (
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(doc_id % 12 AS INT) AS m12,
+               16 + doc_id % 64 AS wv, 16 + doc_id % 48 AS hv
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    px AS (SELECT media_id,
+                  CAST(((media_id + j) % 256) // 32 AS INT) AS bucket
+           FROM base, unnest(range(wv * hv)) AS u(j)
+           WHERE m12 IN (0, 6))
+    SELECT media_id, bucket, CAST(count(*) AS BIGINT) AS n_px
+    FROM px GROUP BY 1, 2
+    """,
+)
+def mm_luma_histogram(spark, sf_dir):
+    """8-bucket luma histogram per decodable image (functions/
+    multimodal.py::luma_histogram): BMP pixel rows and zlib-inflated,
+    unfiltered PNG image data are decoded for real inside the Arrow
+    batch, histogrammed, and only ≤8 (media_id, bucket, count) rows per
+    image leave the executor. The oracle replays the pixel generator
+    formula ((id + j) mod 256 over storage order) through the same
+    bucket arithmetic, so a hash match pins container framing →
+    compression → decode → per-pixel bucketing end to end. JPEG images
+    contribute no rows (the documented entropy-coded decode boundary)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(docs)
+    return multimodal.luma_histogram(media, n_buckets=8)

@@ -116,6 +116,43 @@ def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
     )
 
 
+def ohlc_bars_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked streaming OHLC bars — the streaming face of the batch
+    ``rel_ohlc_bars`` aggregate, and the same trick: open/close are
+    min/max over struct(ts, event_id, cents), which is an ordinary
+    commutative aggregate the streaming state store can hold partially
+    (one struct per open window), unlike a windowed row_number which
+    streaming cannot express at all. Bars finalize when the watermark
+    passes the hour boundary; all values exact cents."""
+    with_time = events.withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    c = F.round(F.col("value") * 100).cast("long")
+    key = F.struct(F.col("ts").alias("t"), F.col("event_id").alias("id"), c.alias("c"))
+    return (
+        with_time.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(key).getField("c").alias("open_cents"),
+            F.max(c).alias("high_cents"),
+            F.min(c).alias("low_cents"),
+            F.max(key).getField("c").alias("close_cents"),
+        )
+        .select(
+            "event_type",
+            F.expr("unix_micros(win.start) * 1000 div 3600000000000")
+            .cast("long")
+            .alias("bucket"),
+            "n",
+            "open_cents",
+            "high_cents",
+            "low_cents",
+            "close_cents",
+        )
+    )
+
+
 def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup on event_id: duplicates arriving within the
     watermark horizon are dropped; state for ids older than the watermark

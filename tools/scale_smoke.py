@@ -628,6 +628,23 @@ def main():
         lambda: _AQ["txt_hybrid_rrf"][0](spark, OUT).count(),
     )
 
+    # r4c operators on the 10x set: bars/EWMA/sweep over 1M events,
+    # TF-IDF + curriculum over 50k docs, radius search over 320k vectors
+    for _nq in (
+        "rel_ohlc_bars",
+        "rel_ewma_hourly",
+        "rel_concurrency_peak",
+        "txt_tfidf_topk",
+        "pipeline_curriculum",
+        "ann_range_search",
+        "rel_triangle_count",
+        "pipeline_temperature_mix",
+        "emb_cosine_hist",
+        "mm_luma_histogram",
+    ):
+        _fn = _AQ[_nq][0]
+        timed(f"{_nq}_10x", lambda _f=_fn: _f(spark, OUT).count())
+
     notes = """
 Steady-state timings (2nd run per op). Reading the table:
 
@@ -709,6 +726,28 @@ Steady-state timings (2nd run per op). Reading the table:
 - `hybrid_rrf_50k_docs`: both retrieval legs re-rank 10x the corpus
   (BM25 stats + brute cosine); fusion itself still touches ≤100 rows —
   wall is the legs' linear scans, the fusion cost is invariant.
+- `rel_ohlc_bars_10x` / `rel_ewma_hourly_10x` / `rel_concurrency_peak_10x`:
+  the bars query is one partial-aggregated shuffle whatever the stream
+  size; EWMA scatters 12 integer weights per (series, hour) over the
+  ALREADY-AGGREGATED hourly table (contribution volume tracks series x
+  hours, not events); the sweep's prefix sum is hierarchical (day
+  offsets + within-day windows), so no window partition ever exceeds one
+  day of netted instants even at 1M events.
+- `txt_tfidf_topk_10x`: df rolls up from the (doc, tok) tf table — the
+  corpus explodes once; the top-5 window partitions by doc (bounded by
+  per-doc vocabulary). `pipeline_curriculum_10x`: cutoffs come from the
+  token-count histogram (size = distinct lengths, invariant at 10x);
+  the corpus-side work is one scan + one broadcast CASE.
+- `ann_range_search_10x`: zero-shuffle broadcast scan — wall tracks the
+  corpus linearly, and unlike top-k there is no merge step to grow.
+- `rel_triangle_count_10x`: the FK-consistent replicas form 10 disjoint
+  copies of the co-purchase graph, so edges AND wedges scale ~10x (not
+  quadratically) — wall should track the wedge count; the degree-ordered
+  orientation keeps per-node wedge fan-out O(sqrt E) whatever the skew.
+- `pipeline_temperature_mix_10x` / `emb_cosine_hist_10x` /
+  `mm_luma_histogram_10x`: one aggregate / one adjacent-id join / one
+  Arrow decode pass respectively — each linear in its input with
+  constant-size output per group.
 - `stream_*_1M` rows replay the 10x (1M-event) set as an 8-micro-batch
   availableNow stream (maxFilesPerTrigger=4 over 32 files) and report
   state-store PEAK alongside wall time — the watermark-bounded-state
