@@ -162,6 +162,10 @@ HEADLINE = [
     "emb_cosine_hist",
     "stream_ohlc_bars",
     "mm_luma_histogram",
+    # r4e additions: RFM segmentation, basket rules, label-noise margins
+    "rel_rfm_segments",
+    "rel_market_basket",
+    "emb_label_margin",
 ]
 
 REGRESSION_FACTOR = 1.5

@@ -5972,3 +5972,322 @@ def mm_luma_histogram(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.synthesize_media(docs)
     return multimodal.luma_histogram(media, n_buckets=8)
+
+
+#: coarser quantizer for the label-margin query: squares of n-scaled
+#: residuals must stay in int64 — with Q=1e3 and |x| ≤ 1, the bound
+#: (2·n·Q)²·dims < 2⁶³ holds to n ≈ 3.6e5 vectors per label; beyond
+#: that, drop Q another decade or train on a per-label hash-sample
+_MARGIN_QUANT = 1_000
+
+_QVEC_MARGIN_SQL = (
+    f"list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_MARGIN_QUANT}) AS BIGINT))"
+)
+
+
+@q(
+    "emb_label_margin",
+    f"""
+    WITH v AS (SELECT vec_id, label, {_QVEC_MARGIN_SQL} AS q FROM embeddings),
+    ex AS (SELECT label, u.j, q[u.j] AS x
+           FROM v, unnest(range(1, len(q) + 1)) AS u(j)),
+    sm AS (SELECT label, j, CAST(sum(x) AS BIGINT) AS s FROM ex GROUP BY 1, 2),
+    cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+    sa AS (SELECT sm.label, any_value(cnt.n) AS n,
+                  array_agg(sm.s ORDER BY sm.j) AS sv
+           FROM sm JOIN cnt USING (label) GROUP BY sm.label),
+    sc AS (SELECT v.vec_id, v.label, sa.label AS cand,
+                  CAST(list_sum(list_transform(range(1, len(v.q) + 1),
+                      j -> (sa.n * v.q[j] - sv[j]) * (sa.n * v.q[j] - sv[j])))
+                      AS DOUBLE) / (sa.n * sa.n) AS d2
+           FROM v CROSS JOIN sa),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY d2, cand) AS rn
+           FROM sc)
+    SELECT vec_id, label, cand AS nearest_label, d2 AS nearest_d2,
+           cand <> label AS suspect
+    FROM rk WHERE rn = 1
+    """,
+)
+def emb_label_margin(spark, sf_dir):
+    """Label-noise detection by centroid margin: each vector's nearest
+    LABEL CENTROID (squared L2) — a vector whose nearest centroid is not
+    its own label is a mislabeling suspect, the cheap first-pass filter
+    before training a classifier on labeled embeddings.
+
+    Exactness: centroids are never materialized as floats — the
+    candidate distance is computed as ||n_l·x − s_l||² / n_l², where
+    s_l is the exact integer per-dimension sum and n_l the label count,
+    so the ONLY float op is one division of identical integers (the
+    z-score discipline); argmin ties break by label. Quantization is
+    Q=1e3 (not the 1e6 of the cosine queries) to keep the n-scaled
+    residual squares inside int64 — see _MARGIN_QUANT for the bound.
+
+    Scale: per-(label, dim) sums partial-aggregate map-side (the only
+    corpus shuffle); the |labels|×dims summary broadcasts back; scoring
+    is a map-only pass and the per-vector argmin is a struct-min
+    aggregate (map-side combinable), never a window over raw vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * _MARGIN_QUANT).cast("long"),
+    )
+    v = emb.select("vec_id", "label", qv.alias("q"))
+    ex = v.select("label", F.posexplode("q").alias("j", "x"))
+    sm = ex.groupBy("label", "j").agg(F.sum("x").alias("s"))
+    cnt = v.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    sa = (
+        sm.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "s"))),
+                lambda t: t["s"],
+            ).alias("sv")
+        )
+        .join(cnt, "label")
+        .select(F.col("label").alias("cand"), "n", "sv")
+    )
+    n = F.col("n")
+    resid2 = F.zip_with(
+        F.col("q"), F.col("sv"), lambda x, sj: (n * x - sj) * (n * x - sj)
+    )
+    a = F.aggregate(resid2, F.lit(0).cast("long"), lambda acc, t: acc + t)
+    scored = v.crossJoin(F.broadcast(sa)).withColumn(
+        "d2", a.cast("double") / (n * n)
+    )
+    return (
+        scored.groupBy("vec_id", "label")
+        .agg(
+            F.min(
+                F.struct(F.col("d2").alias("d"), F.col("cand").alias("c"))
+            ).alias("b")
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.col("b.c").alias("nearest_label"),
+            F.col("b.d").alias("nearest_d2"),
+            (F.col("b.c") != F.col("label")).alias("suspect"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 4e: RFM segmentation, market-basket rules
+
+_MS_PER_DAY = 86_400_000
+
+
+def _rfm_cuts_sql(metric_expr: str, alias: str) -> str:
+    """Quintile cutoffs (p200/400/600/800) of an integer customer metric
+    via the histogram inverse-lower-CDF (profile.py discipline)."""
+    return f"""
+    {alias}_hist AS (SELECT {metric_expr} AS val, count(*) AS c
+                     FROM rfm GROUP BY 1),
+    {alias}_cum AS (SELECT val,
+                    sum(c) OVER (ORDER BY val ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW) AS cum,
+                    sum(c) OVER () AS n
+                    FROM {alias}_hist),
+    {alias}_cuts AS (SELECT
+        CAST(min(CASE WHEN cum * 1000 >= 200 * n THEN val END) AS BIGINT) AS p200,
+        CAST(min(CASE WHEN cum * 1000 >= 400 * n THEN val END) AS BIGINT) AS p400,
+        CAST(min(CASE WHEN cum * 1000 >= 600 * n THEN val END) AS BIGINT) AS p600,
+        CAST(min(CASE WHEN cum * 1000 >= 800 * n THEN val END) AS BIGINT) AS p800
+        FROM {alias}_cum)"""
+
+
+def _rfm_score_sql(col: str, alias: str) -> str:
+    return f"""CASE WHEN {col} <= {alias}_cuts.p200 THEN 1
+           WHEN {col} <= {alias}_cuts.p400 THEN 2
+           WHEN {col} <= {alias}_cuts.p600 THEN 3
+           WHEN {col} <= {alias}_cuts.p800 THEN 4
+           ELSE 5 END"""
+
+
+@q(
+    "rel_rfm_segments",
+    f"""
+    WITH rfm AS (
+        SELECT o_custkey,
+               CAST(epoch_ms(max(o_orderdate)) // {_MS_PER_DAY} AS BIGINT)
+                   AS recency_day,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(sum({cents_sql('o_totalprice')}) AS BIGINT) AS monetary_cents
+        FROM orders GROUP BY 1
+    ),
+    {_rfm_cuts_sql('recency_day', 'r')},
+    {_rfm_cuts_sql('frequency', 'f')},
+    {_rfm_cuts_sql('monetary_cents', 'm')}
+    SELECT {_rfm_score_sql('recency_day', 'r')} AS r_score,
+           {_rfm_score_sql('frequency', 'f')} AS f_score,
+           {_rfm_score_sql('monetary_cents', 'm')} AS m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(monetary_cents) AS BIGINT) AS segment_cents
+    FROM rfm, r_cuts, f_cuts, m_cuts
+    GROUP BY 1, 2, 3
+    """,
+)
+def rel_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation — the classic warehouse rollup: per
+    customer recency (last order day), frequency (order count), monetary
+    (lifetime cents), each scored 1–5 at EXACT quintile cutoffs, then
+    segment population and value per (R, F, M) cell.
+
+    Cutoffs reuse the histogram inverse-lower-CDF machinery
+    (functions/profile.py): per metric one map-side-combining histogram
+    bounded by distinct values, never a customer sort. Scoring is a
+    broadcast CASE over the per-customer rollup (itself the only
+    fact-table shuffle), and the final cell aggregate touches ≤125
+    groups. All-integer end to end — days, counts, cents — so every
+    engine agrees bit-for-bit."""
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.expr(f"CAST(unix_millis(CAST(max(o_orderdate) AS TIMESTAMP)) div {_MS_PER_DAY} AS LONG)").alias(
+            "recency_day"
+        ),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(cents(F.col("o_totalprice"))).alias("monetary_cents"),
+        # four consumers (three cutoff jobs + the scoring pass): checkpoint
+        # so the orders scan + rollup runs once, not once per consumer
+    ).localCheckpoint(eager=True)
+    permilles = (200, 400, 600, 800)
+    cuts = {}
+    for alias, col in [
+        ("r", "recency_day"),
+        ("f", "frequency"),
+        ("m", "monetary_cents"),
+    ]:
+        cuts[alias] = profile.grouped_exact_quantiles(
+            rfm.withColumn("_g", F.lit(1)), "_g", col, permilles=permilles
+        ).select(
+            *[F.col(f"p{p}").alias(f"{alias}_p{p}") for p in permilles]
+        )
+
+    def score(col, alias):
+        return (
+            F.when(F.col(col) <= F.col(f"{alias}_p200"), 1)
+            .when(F.col(col) <= F.col(f"{alias}_p400"), 2)
+            .when(F.col(col) <= F.col(f"{alias}_p600"), 3)
+            .when(F.col(col) <= F.col(f"{alias}_p800"), 4)
+            .otherwise(5)
+        )
+
+    joined = (
+        rfm.crossJoin(F.broadcast(cuts["r"]))
+        .crossJoin(F.broadcast(cuts["f"]))
+        .crossJoin(F.broadcast(cuts["m"]))
+    )
+    return joined.groupBy(
+        score("recency_day", "r").alias("r_score"),
+        score("frequency", "f").alias("f_score"),
+        score("monetary_cents", "m").alias("m_score"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary_cents").alias("segment_cents"),
+    )
+
+
+#: market-basket support floor: pairs must co-occur in ≥ this many orders
+_MB_MIN_SUPPORT = 3
+
+
+@q(
+    "rel_market_basket",
+    f"""
+    WITH ok AS (SELECT l_orderkey FROM lineitem
+                GROUP BY 1 HAVING count(*) <= {_TRI_MAX_ITEMS}),
+    it AS (SELECT DISTINCT l.l_orderkey, l.l_partkey
+           FROM lineitem l JOIN ok ON l.l_orderkey = ok.l_orderkey),
+    nn AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM it),
+    ca AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM it GROUP BY 1),
+    pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                  CAST(count(*) AS BIGINT) AS c12
+           FROM it a JOIN it b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= {_MB_MIN_SUPPORT}),
+    sc AS (SELECT pr.pa, pr.pb, pr.c12, x.c AS ca, y.c AS cb,
+                  CAST(1000 * pr.c12 // x.c AS BIGINT) AS conf_ab_milli,
+                  CAST(1000 * pr.c12 // y.c AS BIGINT) AS conf_ba_milli,
+                  CAST(pr.c12 AS DOUBLE) * nn.n_orders
+                      / (CAST(x.c AS DOUBLE) * y.c) AS lift
+           FROM pr JOIN ca x ON pr.pa = x.l_partkey
+                   JOIN ca y ON pr.pb = y.l_partkey, nn)
+    SELECT pa, pb, c12, ca, cb, conf_ab_milli, conf_ba_milli, lift,
+           CAST(rk AS INT) AS rk
+    FROM (SELECT *, row_number() OVER (ORDER BY lift DESC, pa, pb) AS rk
+          FROM sc)
+    WHERE rk <= 20
+    """,
+)
+def rel_market_basket(spark, sf_dir):
+    """Market-basket association rules over co-purchased parts: pair
+    support (≥3 orders), both directed confidences, and lift — the
+    retail twin of txt_collocations, sharing its exactness rules
+    (integer milli confidences; lift is one double expression over
+    identical integers, with a double factor first so the int64 product
+    overflow the ADVICE r3 review flagged for collocations can't occur).
+
+    Scale: baskets are capped at 8 items (super-node guard shared with
+    rel_triangle_count), pair counts partial-aggregate map-side out of
+    the per-order self-join, unigram counts broadcast back onto the
+    ≥min-support pairs, and the top-20 cut is a TakeOrderedAndProject —
+    never a global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ok = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") <= _TRI_MAX_ITEMS)
+        .select("l_orderkey")
+    )
+    it = (
+        li.join(ok, "l_orderkey")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        # three consumers (N, unigram counts, the pair self-join): one
+        # materialization of the capped basket table
+        .localCheckpoint(eager=True)
+    )
+    nn = it.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    ca = it.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = it.alias("a")
+    b = it.alias("b")
+    pr = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= _MB_MIN_SUPPORT)
+    )
+    x = ca.select(F.col("l_partkey").alias("pa"), F.col("c").alias("ca"))
+    y = ca.select(F.col("l_partkey").alias("pb"), F.col("c").alias("cb"))
+    sc = (
+        pr.join(x, "pa")
+        .join(y, "pb")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "pa",
+            "pb",
+            "c12",
+            "ca",
+            "cb",
+            F.expr("1000 * c12 div ca").cast("long").alias("conf_ab_milli"),
+            F.expr("1000 * c12 div cb").cast("long").alias("conf_ba_milli"),
+            (
+                F.col("c12").cast("double")
+                * F.col("n_orders")
+                / (F.col("ca").cast("double") * F.col("cb"))
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.col("lift").desc(), F.col("pa").asc(), F.col("pb").asc())
+    return (
+        sc.orderBy(F.col("lift").desc(), "pa", "pb")
+        .limit(20)
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+    )

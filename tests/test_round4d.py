@@ -15,6 +15,13 @@ from smoltable_spark.sources.relational import load_table
 MAX_ITEMS = 8
 
 
+def _round_half_away(v: float) -> int:
+    """Spark's round / DuckDB's round semantics (half away from zero) —
+    python's round() is banker's and diverges on exactly-representable
+    halves like float32 0.0625 * 1000."""
+    return int(math.copysign(math.floor(abs(v) + 0.5), v))
+
+
 def test_triangle_count_matches_bruteforce(spark, sf_dir):
     got = entry.queries()["rel_triangle_count"](spark, sf_dir).collect()[0]
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -85,8 +92,8 @@ def test_cosine_hist_matches_python(spark, sf_dir):
         nxt = emb.get(vid + 1)
         if nxt is None:
             continue
-        qa = [round(x * 1_000_000) for x in vec]
-        qb = [round(x * 1_000_000) for x in nxt]
+        qa = [_round_half_away(x * 1_000_000) for x in vec]
+        qb = [_round_half_away(x * 1_000_000) for x in nxt]
         dot = sum(x * y for x, y in zip(qa, qb))
         na = math.sqrt(sum(x * x for x in qa))
         nb = math.sqrt(sum(x * x for x in qb))
@@ -140,3 +147,34 @@ def test_png_roundtrip_feeds_histogram():
         h,
     )
     assert px.ravel().tobytes() == raw
+
+
+def test_label_margin_matches_python(spark, sf_dir):
+    rows = entry.queries()["emb_label_margin"](spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    by_label = defaultdict(list)
+    vecs = {}
+    for r in emb:
+        q = [_round_half_away(x * 1000) for x in r["embedding"]]
+        vecs[r["vec_id"]] = (r["label"], q)
+        by_label[r["label"]].append(q)
+    sums = {
+        lab: [sum(col) for col in zip(*qs)] for lab, qs in by_label.items()
+    }
+    ns = {lab: len(qs) for lab, qs in by_label.items()}
+    assert len(rows) == len(vecs)
+    for r in rows:
+        lab, q = vecs[r["vec_id"]]
+        assert r["label"] == lab
+        best = min(
+            (
+                (
+                    sum((ns[c] * x - s) ** 2 for x, s in zip(q, sums[c]))
+                    / (ns[c] * ns[c]),
+                    c,
+                )
+                for c in sums
+            ),
+        )
+        assert (r["nearest_label"], r["suspect"]) == (best[1], best[1] != lab)
+        assert abs(r["nearest_d2"] - best[0]) < 1e-9

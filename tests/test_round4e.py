@@ -1,0 +1,103 @@
+"""Differential tests for the round-4e operators (RFM segmentation,
+market-basket rules) — python references over real testdata."""
+
+from collections import Counter, defaultdict
+from datetime import timezone
+
+import __spark_entry__ as entry
+from smoltable_spark.sources.relational import load_table
+
+MS_PER_DAY = 86_400_000
+MAX_ITEMS = 8
+MIN_SUPPORT = 3
+
+
+def _quintile_cuts(values):
+    hist = Counter(values)
+    n = len(values)
+    cuts = []
+    for p in (200, 400, 600, 800):
+        cum = 0
+        cut = None
+        for v in sorted(hist):
+            cum += hist[v]
+            if cum * 1000 >= p * n:
+                cut = v
+                break
+        cuts.append(cut)
+    return cuts
+
+
+def _score(v, cuts):
+    for i, c in enumerate(cuts):
+        if v <= c:
+            return i + 1
+    return 5
+
+
+def test_rfm_segments_match_python(spark, sf_dir):
+    got = {
+        (r["r_score"], r["f_score"], r["m_score"]): (
+            r["n_customers"], r["segment_cents"]
+        )
+        for r in entry.queries()["rel_rfm_segments"](spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    ).collect()
+    per_cust = defaultdict(lambda: [0, 0, 0])
+    for r in orders:
+        ms = int(r["o_orderdate"].replace(tzinfo=timezone.utc).timestamp() * 1000)
+        cur = per_cust[r["o_custkey"]]
+        cur[0] = max(cur[0], ms // MS_PER_DAY)
+        cur[1] += 1
+        cur[2] += round(r["o_totalprice"] * 100)
+    rec = [v[0] for v in per_cust.values()]
+    fre = [v[1] for v in per_cust.values()]
+    mon = [v[2] for v in per_cust.values()]
+    rc, fc, mc = _quintile_cuts(rec), _quintile_cuts(fre), _quintile_cuts(mon)
+    ref = defaultdict(lambda: [0, 0])
+    for r_day, f, m in per_cust.values():
+        key = (_score(r_day, rc), _score(f, fc), _score(m, mc))
+        ref[key][0] += 1
+        ref[key][1] += m
+    assert got == {k: tuple(v) for k, v in ref.items()}
+
+
+def test_market_basket_matches_python(spark, sf_dir):
+    rows = entry.queries()["rel_market_basket"](spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    orders = defaultdict(list)
+    for r in li:
+        orders[r["l_orderkey"]].append(r["l_partkey"])
+    baskets = {
+        k: sorted(set(v)) for k, v in orders.items() if len(v) <= MAX_ITEMS
+    }
+    n_orders = len(baskets)
+    ca = Counter()
+    c12 = Counter()
+    for parts in baskets.values():
+        ca.update(parts)
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                c12[(parts[i], parts[j])] += 1
+    scored = [
+        (
+            pa, pb, c, ca[pa], ca[pb],
+            1000 * c // ca[pa], 1000 * c // ca[pb],
+            c * n_orders / (ca[pa] * ca[pb]),
+        )
+        for (pa, pb), c in c12.items()
+        if c >= MIN_SUPPORT
+    ]
+    scored.sort(key=lambda t: (-t[7], t[0], t[1]))
+    want = scored[:20]
+    assert len(rows) == len(want)
+    for r, w in zip(sorted(rows, key=lambda r: r["rk"]), want):
+        assert (
+            r["pa"], r["pb"], r["c12"], r["ca"], r["cb"],
+            r["conf_ab_milli"], r["conf_ba_milli"],
+        ) == w[:7]
+        assert abs(r["lift"] - w[7]) < 1e-12

@@ -641,6 +641,9 @@ def main():
         "pipeline_temperature_mix",
         "emb_cosine_hist",
         "mm_luma_histogram",
+        "rel_rfm_segments",
+        "rel_market_basket",
+        "emb_label_margin",
     ):
         _fn = _AQ[_nq][0]
         timed(f"{_nq}_10x", lambda _f=_fn: _f(spark, OUT).count())
