@@ -166,6 +166,11 @@ HEADLINE = [
     "rel_rfm_segments",
     "rel_market_basket",
     "emb_label_margin",
+    # r4f additions: token entropy, artifact-scored streaming,
+    # day-partitioned pruned time-range scan
+    "txt_token_entropy",
+    "stream_anomaly_scores",
+    "rel_events_day_prune",
 ]
 
 REGRESSION_FACTOR = 1.5

@@ -6291,3 +6291,190 @@ def rel_market_basket(spark, sf_dir):
         .limit(20)
         .withColumn("rk", F.row_number().over(w).cast("int"))
     )
+
+
+@q(
+    "txt_token_entropy",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+           FROM toks GROUP BY 1, 2),
+    agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                   CAST(sum(CAST(floor(1000 * c * ln(c)) AS BIGINT)) AS BIGINT)
+                       AS s
+            FROM tf GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN a.n > 0 THEN
+                (CAST(floor(1000 * a.n * ln(a.n)) AS BIGINT) - a.s) // a.n
+                ELSE 0 END AS BIGINT) AS entropy_milli
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def txt_token_entropy(spark, sf_dir):
+    """Token-distribution Shannon entropy per document, in milli-nats —
+    the gibberish/template detector (near-zero entropy = one token
+    repeated; high entropy = natural text): H = ln n − (1/n)·Σ c·ln c.
+
+    Exactness discipline (the bigram-LM rule): every c·ln c term is
+    quantized to ⌊1000·x⌋ BEFORE the per-doc sum, so the sum is an exact
+    order-independent integer; the ln n term is one more quantized
+    integer and the final division is integer floor-div. Quantization
+    bias is < |vocab|/n milli-nats — a metric definition, not an
+    approximation of one engine by the other. One shuffle to (doc, tok)
+    counts (map-side combined), one to the per-doc rollup; zero-token
+    docs keep a row via the left join."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(text.tokens(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    term = F.floor(1000 * F.col("c") * F.log(F.col("c"))).cast("long")
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.sum(term).alias("s")
+    )
+    ent = (
+        (F.floor(1000 * F.col("n") * F.log(F.col("n"))).cast("long") - F.col("s"))
+        / F.col("n")
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.when(F.col("n") > 0, F.floor(ent))
+            .otherwise(0)
+            .cast("long")
+            .alias("entropy_milli"),
+        )
+    )
+
+
+@q(
+    "stream_anomaly_scores",
+    f"""
+    WITH stats AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               sum({cents_sql('value')}) AS s,
+               sum({cents_sql('value')} * {cents_sql('value')}) AS ss
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           (CAST({cents_sql('e.value')} AS DOUBLE) - CAST(s AS DOUBLE) / n)
+             / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)) AS z
+    FROM events e JOIN stats USING (event_type)
+    WHERE abs((CAST({cents_sql('e.value')} AS DOUBLE) - CAST(s AS DOUBLE) / n)
+             / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1))) > 3
+    """,
+)
+def stream_anomaly_scores(spark, sf_dir):
+    """Train-batch / serve-stream anomaly scoring: the per-series moment
+    stats are computed ONCE as a batch artifact (the rel_anomaly_zscore
+    aggregate), broadcast into a STATELESS streaming map that scores each
+    arriving event and keeps |z| > 3 — the standard production pattern
+    for model-backed stream filters (no streaming state at all, so no
+    watermark and no state store; the artifact refreshes on whatever
+    cadence retraining runs). The replayed stream must reproduce the
+    batch scorer's rows exactly — micro-batch boundaries are invisible
+    because scoring is per-row."""
+    from smoltable_spark.streaming.ingest import stream_events
+
+    ev = load_table(spark, sf_dir, "events")
+    c = cents(F.col("value"))
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c).alias("s"),
+        F.sum(c * c).alias("ss"),
+    )
+    stream = stream_events(spark, sf_dir, glob="events.parquet")
+    z = (c.cast("double") - F.col("s").cast("double") / F.col("n")) / F.sqrt(
+        (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    scored = (
+        stream.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 3)
+        .select("event_id", "event_type", "value", "z")
+    )
+    name = f"_stream_anom_{next(_STREAM_SINK_COUNTER)}"
+    sq = (
+        scored.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(300)
+    return spark.table(name)
+
+
+#: hypertable-style day-partitioned events store, built once per
+#: (session, sf_dir) — the time-series analogue of the CellStore's
+#: locality-group layout and the IVF index's list_id partitioning
+_DAY_STORE_CACHE: dict = {}
+
+
+def _events_day_store(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DAY_STORE_CACHE:
+        import tempfile as _tf
+
+        path = _tf.mkdtemp(prefix="smoltable_day_store_") + "/events_by_day"
+        ev = load_table(spark, sf_dir, "events")
+        (
+            ev.withColumn("day", F.expr(f"ts div {_DAY_NS}"))
+            .repartition("day")
+            .write.partitionBy("day")
+            .parquet(path)
+        )
+        _DAY_STORE_CACHE[key] = path
+    return _DAY_STORE_CACHE[key]
+
+
+@q(
+    "rel_events_day_prune",
+    f"""
+    WITH d0 AS (SELECT min(epoch_ns(ts) // {_DAY_NS}) AS lo FROM events)
+    SELECT event_type, epoch_ns(ts) // {_DAY_NS} AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum({cents_sql('value')}) AS BIGINT) AS total_cents
+    FROM events, d0
+    WHERE epoch_ns(ts) // {_DAY_NS} BETWEEN d0.lo AND d0.lo + 2
+    GROUP BY 1, 2
+    """,
+)
+def rel_events_day_prune(spark, sf_dir):
+    """Hypertable-style time-range scan: events are materialized ONCE
+    into a day-partitioned parquet store (the time-series analogue of
+    the CellStore's locality groups and the IVF index's list_id
+    layout), and a 3-day window query becomes a PARTITION-PRUNED read —
+    ``day BETWEEN lo AND lo+2`` appears as a partition filter in the
+    plan (PLANS.md), so the cluster reads 3 days of files regardless of
+    how many years the table spans. That file-skipping property, not
+    the aggregate, is what this query certifies; the oracle computes
+    the same window over the raw table. The window anchor is the min
+    day — one bounded driver scalar (the sketch-cutoff pattern) so the
+    pruning literal is static, which is what makes it a metadata-level
+    partition filter rather than a runtime one."""
+    path = _events_day_store(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    lo = ev.agg(
+        F.min(F.expr(f"ts div {_DAY_NS}")).alias("lo")
+    ).collect()[0]["lo"]
+    store = spark.read.parquet(path)
+    return (
+        store.filter(F.col("day").between(lo, lo + 2))
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents(F.col("value"))).alias("total_cents"),
+        )
+        .select(
+            "event_type",
+            F.col("day").cast("long").alias("day"),
+            "n_events",
+            "total_cents",
+        )
+    )

@@ -101,3 +101,68 @@ def test_market_basket_matches_python(spark, sf_dir):
             r["conf_ab_milli"], r["conf_ba_milli"],
         ) == w[:7]
         assert abs(r["lift"] - w[7]) < 1e-12
+
+
+def test_token_entropy_matches_python(spark, sf_dir):
+    import math
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["entropy_milli"])
+        for r in entry.queries()["txt_token_entropy"](spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    assert len(got) == len(docs)
+    for r in docs:
+        toks = [t for t in r["text"].lower().split(" ") if t]
+        n = len(toks)
+        if n == 0:
+            assert got[r["doc_id"]] == (0, 0)
+            continue
+        s = sum(
+            math.floor(1000 * c * math.log(c)) for c in Counter(toks).values()
+        )
+        ent = (math.floor(1000 * n * math.log(n)) - s) // n
+        assert got[r["doc_id"]] == (n, ent), r["doc_id"]
+    # sanity: a one-token-repeated doc would score ~0; real docs don't
+    assert sum(1 for n, e in got.values() if n > 10 and e > 500) > 0
+
+
+def test_stream_anomaly_equals_batch(spark, sf_dir):
+    batch = {
+        r["event_id"]: r["z"]
+        for r in entry.queries()["rel_anomaly_zscore"](spark, sf_dir).collect()
+    }
+    stream = {
+        r["event_id"]: r["z"]
+        for r in entry.queries()["stream_anomaly_scores"](spark, sf_dir).collect()
+    }
+    assert set(stream) == set(batch)
+    for k, z in stream.items():
+        assert z == batch[k]
+
+
+def test_events_day_prune_partition_filter(spark, sf_dir):
+    from smoltable_spark import plans
+    from smoltable_spark.queries_analytics import rel_events_day_prune
+
+    df = rel_events_day_prune(spark, sf_dir)
+    a = plans.audit(df)
+    # the 3-day window must reach the store as a PARTITION filter (file
+    # skipping), not a post-scan predicate
+    assert any("day" in f for f in a["partition_filters"]), a
+    # and the result must equal the raw-table aggregation
+    got = {
+        (r["event_type"], r["day"]): (r["n_events"], r["total_cents"])
+        for r in df.collect()
+    }
+    ev = load_table(spark, sf_dir, "events").collect()
+    DAY_NS = 24 * 3600 * 1_000_000_000
+    lo = min(r["ts"] // DAY_NS for r in ev)
+    ref = defaultdict(lambda: [0, 0])
+    for r in ev:
+        d = r["ts"] // DAY_NS
+        if lo <= d <= lo + 2:
+            cur = ref[(r["event_type"], d)]
+            cur[0] += 1
+            cur[1] += round(r["value"] * 100)
+    assert got == {k: tuple(v) for k, v in ref.items()}

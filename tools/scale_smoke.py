@@ -644,6 +644,8 @@ def main():
         "rel_rfm_segments",
         "rel_market_basket",
         "emb_label_margin",
+        "txt_token_entropy",
+        "rel_events_day_prune",
     ):
         _fn = _AQ[_nq][0]
         timed(f"{_nq}_10x", lambda _f=_fn: _f(spark, OUT).count())
