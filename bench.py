@@ -171,6 +171,7 @@ HEADLINE = [
     "txt_token_entropy",
     "stream_anomaly_scores",
     "rel_events_day_prune",
+    "rel_events_json_extract",
 ]
 
 REGRESSION_FACTOR = 1.5

@@ -166,3 +166,24 @@ def test_events_day_prune_partition_filter(spark, sf_dir):
             cur[0] += 1
             cur[1] += round(r["value"] * 100)
     assert got == {k: tuple(v) for k, v in ref.items()}
+
+
+def test_events_json_extract_matches_python(spark, sf_dir):
+    import json
+
+    got = {
+        (r["event_type"], r["k_bucket"]): (
+            r["n"], r["sum_k"], r["min_k"], r["max_k"]
+        )
+        for r in entry.queries()["rel_events_json_extract"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select("event_type", "props").collect()
+    ref = {}
+    for r in ev:
+        k = json.loads(r["props"]).get("k") if r["props"] else None
+        if k is None:
+            continue
+        key = (r["event_type"], k // 10)
+        n, s, lo, hi = ref.get(key, (0, 0, k, k))
+        ref[key] = (n + 1, s + k, min(lo, k), max(hi, k))
+    assert got == ref

@@ -646,6 +646,7 @@ def main():
         "emb_label_margin",
         "txt_token_entropy",
         "rel_events_day_prune",
+        "rel_events_json_extract",
     ):
         _fn = _AQ[_nq][0]
         timed(f"{_nq}_10x", lambda _f=_fn: _f(spark, OUT).count())
