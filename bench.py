@@ -172,6 +172,8 @@ HEADLINE = [
     "stream_anomaly_scores",
     "rel_events_day_prune",
     "rel_events_json_extract",
+    "rel_event_path_mining",
+    "rel_incremental_rollup",
 ]
 
 REGRESSION_FACTOR = 1.5

@@ -6531,3 +6531,125 @@ def rel_events_json_extract(spark, sf_dir):
             F.max("k").alias("max_k"),
         )
     )
+
+
+@q(
+    "rel_event_path_mining",
+    f"""
+    WITH s AS (SELECT user_id,
+                      array_agg(event_type ORDER BY epoch_ns(ts), event_id)
+                          AS types
+               FROM events GROUP BY 1),
+    tg AS (SELECT types[i] || '>' || types[i + 1] || '>' || types[i + 2] AS path
+           FROM s, unnest(range(1, len(types) - 1)) AS u(i)
+           WHERE len(types) >= 3),
+    pc AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM tg GROUP BY 1)
+    SELECT path, n, CAST(rk AS INT) AS rk
+    FROM (SELECT *, row_number() OVER (ORDER BY n DESC, path) AS rk FROM pc)
+    WHERE rk <= 20
+    """,
+)
+def rel_event_path_mining(spark, sf_dir):
+    """Behavioral path mining: the top-20 most frequent 3-step
+    event-type paths across users — the product-analytics "what do
+    people do next" query. Each user's event sequence (ordered by the
+    unique (ts, event_id) key, so sequence construction is
+    deterministic) yields its consecutive trigrams map-side; one
+    partial-aggregated count per path and a TakeOrderedAndProject cut.
+
+    Scale note: the per-user sequence is a sort_array(collect_list)
+    bounded by that user's event count — at 100 TB you bound it by
+    sessionizing first (per-session paths) or capping retention windows,
+    which changes the key, not the plan shape. Path cardinality is
+    |event_types|³ — the count aggregate is tiny however big the
+    corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts").alias("t"),
+                F.col("event_id").alias("id"),
+                F.col("event_type").alias("e"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("s")).alias("seq"))
+        .select(F.transform(F.col("seq"), lambda t: t["e"]).alias("types"))
+        .filter(F.size("types") >= 3)
+    )
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size("types") - 2),
+        lambda i: F.concat_ws(
+            ">",
+            F.element_at("types", i),
+            F.element_at("types", i + F.lit(1)),
+            F.element_at("types", i + F.lit(2)),
+        ),
+    )
+    pc = (
+        seq.select(F.explode(tri).alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("path").asc())
+    return (
+        pc.orderBy(F.col("n").desc(), "path")
+        .limit(20)
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+    )
+
+
+@q(
+    "rel_incremental_rollup",
+    f"""
+    SELECT event_type, epoch_ns(ts) // {_HOUR_NS} AS bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum({cents_sql('value')}) AS BIGINT) AS total_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rel_incremental_rollup(spark, sf_dir):
+    """Incremental materialized-view maintenance: the hourly rollup is
+    refreshed by merging the EXISTING rollup with the rollup of only the
+    delta batch — a full-outer combine of partial aggregates on the
+    group key — instead of rescanning history. Here the corpus is split
+    90/10 (event_id mod 10) into 'already materialized' and 'newly
+    arrived'; the merged view must equal the from-scratch rollup exactly
+    (the oracle), which is precisely the algebraic property (count and
+    integer-cents sum are commutative monoids) that makes O(delta)
+    refresh sound at 100 TB — the base view is |series × hours| rows,
+    so the merge never touches raw history at all."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.expr(f"ts div {_HOUR_NS}").alias("bucket")
+
+    def rollup(df):
+        return df.groupBy("event_type", bucket).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents(F.col("value"))).alias("total_cents"),
+        )
+
+    base = rollup(ev.filter(F.col("event_id") % 10 != 0))
+    delta = rollup(ev.filter(F.col("event_id") % 10 == 0))
+    b = base.select(
+        "event_type",
+        "bucket",
+        F.col("n_events").alias("bn"),
+        F.col("total_cents").alias("bc"),
+    )
+    d = delta.select(
+        "event_type",
+        "bucket",
+        F.col("n_events").alias("dn"),
+        F.col("total_cents").alias("dc"),
+    )
+    return b.join(d, ["event_type", "bucket"], "full_outer").select(
+        "event_type",
+        "bucket",
+        (F.coalesce(F.col("bn"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0)))
+        .cast("long")
+        .alias("n_events"),
+        (F.coalesce(F.col("bc"), F.lit(0)) + F.coalesce(F.col("dc"), F.lit(0)))
+        .cast("long")
+        .alias("total_cents"),
+    )

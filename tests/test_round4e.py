@@ -187,3 +187,38 @@ def test_events_json_extract_matches_python(spark, sf_dir):
         n, s, lo, hi = ref.get(key, (0, 0, k, k))
         ref[key] = (n + 1, s + k, min(lo, k), max(hi, k))
     assert got == ref
+
+
+def test_event_path_mining_matches_python(spark, sf_dir):
+    rows = sorted(
+        entry.queries()["rel_event_path_mining"](spark, sf_dir).collect(),
+        key=lambda r: r["rk"],
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    paths = Counter()
+    for seq in by_user.values():
+        types = [e for _, _, e in sorted(seq)]
+        for i in range(len(types) - 2):
+            paths[">".join(types[i : i + 3])] += 1
+    want = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r["path"], r["n"]) for r in rows] == want
+
+
+def test_incremental_rollup_equals_full(spark, sf_dir):
+    got = {
+        (r["event_type"], r["bucket"]): (r["n_events"], r["total_cents"])
+        for r in entry.queries()["rel_incremental_rollup"](spark, sf_dir).collect()
+    }
+    HOUR_NS = 3_600_000_000_000
+    ev = load_table(spark, sf_dir, "events").collect()
+    ref = defaultdict(lambda: [0, 0])
+    for r in ev:
+        cur = ref[(r["event_type"], r["ts"] // HOUR_NS)]
+        cur[0] += 1
+        cur[1] += round(r["value"] * 100)
+    assert got == {k: tuple(v) for k, v in ref.items()}

@@ -647,6 +647,8 @@ def main():
         "txt_token_entropy",
         "rel_events_day_prune",
         "rel_events_json_extract",
+        "rel_event_path_mining",
+        "rel_incremental_rollup",
     ):
         _fn = _AQ[_nq][0]
         timed(f"{_nq}_10x", lambda _f=_fn: _f(spark, OUT).count())
