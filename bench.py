@@ -174,6 +174,7 @@ HEADLINE = [
     "rel_events_json_extract",
     "rel_event_path_mining",
     "rel_incremental_rollup",
+    "emb_outlier_topk",
 ]
 
 REGRESSION_FACTOR = 1.5

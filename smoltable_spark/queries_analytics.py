@@ -6653,3 +6653,97 @@ def rel_incremental_rollup(spark, sf_dir):
         .cast("long")
         .alias("total_cents"),
     )
+
+
+def _emb_outlier_oracle(k: int = 20) -> str:
+    zi = (
+        "(CAST(q[i] AS DOUBLE) - CAST(sa[i] AS DOUBLE) / n)"
+        " / sqrt((CAST(ssa[i] AS DOUBLE)"
+        " - CAST(sa[i] AS DOUBLE) * sa[i] / n) / (n - 1))"
+    )
+    return f"""
+    WITH qv AS (SELECT vec_id, {_QVEC_SQL} AS q FROM embeddings),
+    flat AS (SELECT vec_id, i AS dim, q[i] AS v
+             FROM qv, unnest(range(1, len(q) + 1)) AS u(i)),
+    stats AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(v) AS BIGINT) AS s,
+                     CAST(sum(v * v) AS BIGINT) AS ss
+              FROM flat GROUP BY 1),
+    sarr AS (SELECT array_agg(s ORDER BY dim) AS sa,
+                    array_agg(ss ORDER BY dim) AS ssa,
+                    any_value(n) AS n
+             FROM stats),
+    sc AS (SELECT vec_id,
+                  list_sum(list_transform(
+                      list_transform(range(1, len(q) + 1), i -> {zi}),
+                      z -> z * z)) AS score
+           FROM qv, sarr)
+    SELECT vec_id, score, CAST(rk AS INT) AS rk
+    FROM (SELECT *, row_number() OVER (ORDER BY score DESC, vec_id) AS rk
+          FROM sc)
+    WHERE rk <= {k}
+    """
+
+
+@q("emb_outlier_topk", _emb_outlier_oracle(k=20))
+def emb_outlier_topk(spark, sf_dir):
+    """Top-20 embedding outliers by diagonal Mahalanobis distance:
+    score = Σ_d z_d² over the per-dimension standardized values — the
+    distribution-level anomaly filter (corrupt vectors, wrong-modality
+    rows) that complements emb_label_margin's label-level check.
+
+    Determinism: per-dim moment sums are exact integers (the
+    emb_standardize discipline); the per-vector score folds the z² terms
+    SEQUENTIALLY over the array (F.aggregate / DuckDB list_sum, both
+    left-to-right) instead of a groupBy over exploded rows, whose
+    partial-aggregation order would make double addition
+    engine-dependent. One stats aggregate (|dims| rows, broadcast back),
+    one map-side scoring pass, TakeOrdered cut."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * similarity.QUANT).cast("long"),
+    )
+    v = emb.select("vec_id", qv.alias("q"))
+    flat = v.select(
+        "vec_id", F.posexplode("q").alias("pos", "x")
+    ).select((F.col("pos") + 1).alias("dim"), "x")
+    stats = flat.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    )
+    sarr = stats.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "s"))), lambda t: t["s"]
+        ).alias("sa"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "ss"))), lambda t: t["ss"]
+        ).alias("ssa"),
+        F.first("n").alias("n"),
+    )
+    n = F.col("n")
+
+    def z(i):
+        s_i = F.element_at("sa", i)
+        ss_i = F.element_at("ssa", i)
+        return (
+            F.element_at("q", i).cast("double") - s_i.cast("double") / n
+        ) / F.sqrt(
+            (ss_i.cast("double") - s_i.cast("double") * s_i / n) / (n - F.lit(1))
+        )
+
+    zs = F.transform(F.sequence(F.lit(1), F.size("q")), z)
+    score = F.aggregate(
+        F.transform(zs, lambda zz: zz * zz),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        v.crossJoin(F.broadcast(sarr))
+        .select("vec_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), "vec_id")
+        .limit(20)
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+    )

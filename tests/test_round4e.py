@@ -1,6 +1,8 @@
 """Differential tests for the round-4e operators (RFM segmentation,
 market-basket rules) — python references over real testdata."""
 
+import math
+
 from collections import Counter, defaultdict
 from datetime import timezone
 
@@ -8,6 +10,12 @@ import __spark_entry__ as entry
 from smoltable_spark.sources.relational import load_table
 
 MS_PER_DAY = 86_400_000
+
+
+def _q1m(x: float) -> int:
+    import math
+
+    return int(math.copysign(math.floor(abs(x * 1_000_000) + 0.5), x))
 MAX_ITEMS = 8
 MIN_SUPPORT = 3
 
@@ -222,3 +230,33 @@ def test_incremental_rollup_equals_full(spark, sf_dir):
         cur[0] += 1
         cur[1] += round(r["value"] * 100)
     assert got == {k: tuple(v) for k, v in ref.items()}
+
+
+def test_emb_outlier_topk_matches_python(spark, sf_dir):
+    rows = sorted(
+        entry.queries()["emb_outlier_topk"](spark, sf_dir).collect(),
+        key=lambda r: r["rk"],
+    )
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    qs = {
+        r["vec_id"]: [_q1m(x) for x in r["embedding"]] for r in emb
+    }
+    dims = len(next(iter(qs.values())))
+    n = len(qs)
+    s = [0] * dims
+    ss = [0] * dims
+    for q in qs.values():
+        for j, x in enumerate(q):
+            s[j] += x
+            ss[j] += x * x
+    scores = {}
+    for vid, q in qs.items():
+        acc = 0.0
+        for j, x in enumerate(q):
+            z = (x - s[j] / n) / math.sqrt((ss[j] - s[j] * s[j] / n) / (n - 1))
+            acc += z * z
+        scores[vid] = acc
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r["vec_id"]) for r in rows] == [v for v, _ in want]
+    for r, (_, sc) in zip(rows, want):
+        assert abs(r["score"] - sc) < 1e-6

@@ -649,6 +649,7 @@ def main():
         "rel_events_json_extract",
         "rel_event_path_mining",
         "rel_incremental_rollup",
+        "emb_outlier_topk",
     ):
         _fn = _AQ[_nq][0]
         timed(f"{_nq}_10x", lambda _f=_fn: _f(spark, OUT).count())
