@@ -175,6 +175,7 @@ HEADLINE = [
     "rel_event_path_mining",
     "rel_incremental_rollup",
     "emb_outlier_topk",
+    "pipeline_quality_classifier",
 ]
 
 REGRESSION_FACTOR = 1.5

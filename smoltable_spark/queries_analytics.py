@@ -6747,3 +6747,148 @@ def emb_outlier_topk(spark, sf_dir):
         .limit(20)
         .withColumn("rk", F.row_number().over(w).cast("int"))
     )
+
+
+# ---------------------------------------------------------------------------
+# round 4g: trainable quality classifier (bit-exact full-batch training)
+
+_CLF_STEPS = 3
+
+_CLF_STOP_SQL = (
+    f"CAST(CASE WHEN len({TOKS_SQL}) > 0 THEN floor(len(list_filter({TOKS_SQL},"
+    f" x -> list_contains({list(text.STOPWORDS)!r}, x))) * 1000"
+    f" / len({TOKS_SQL})) ELSE 0 END AS BIGINT)"
+)
+
+
+def _clf_z(w0: str, w1: str, w2: str) -> str:
+    return f"({w0} + {w1} * (f1 / 1000.0) + {w2} * (f2 / 1000.0))"
+
+
+def _clf_oracle(steps: int = _CLF_STEPS) -> str:
+    """Unrolled full-batch training in DuckDB SQL: identical expression
+    trees to the Spark side, so every weight double matches bit-exactly."""
+    sig = "(0.5 + {z} / (2 * (1 + abs({z}))))"
+    ctes = [
+        f"""f AS MATERIALIZED (
+        SELECT least(CAST(len({TOKS_SQL}) AS BIGINT), 1000) AS f1,
+               {_CLF_STOP_SQL} AS f2,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM f),
+    w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)"""
+    ]
+    for s in range(1, steps + 1):
+        z = _clf_z(f"w{s-1}.w0", f"w{s-1}.w1", f"w{s-1}.w2")
+        sg = sig.format(z=z)
+        ctes.append(f"""
+    g{s} AS (SELECT
+        CAST(sum(CAST(floor(1000000.0 * ({sg} - y)) AS BIGINT)) AS BIGINT) AS g0,
+        CAST(sum(CAST(floor(1000000.0 * ({sg} - y) * (f1 / 1000.0)) AS BIGINT))
+            AS BIGINT) AS g1,
+        CAST(sum(CAST(floor(1000000.0 * ({sg} - y) * (f2 / 1000.0)) AS BIGINT))
+            AS BIGINT) AS g2
+        FROM f, w{s-1}),
+    w{s} AS (SELECT
+        w{s-1}.w0 - CAST(g{s}.g0 AS DOUBLE) / (1000000.0 * nd.nn) AS w0,
+        w{s-1}.w1 - CAST(g{s}.g1 AS DOUBLE) / (1000000.0 * nd.nn) AS w1,
+        w{s-1}.w2 - CAST(g{s}.g2 AS DOUBLE) / (1000000.0 * nd.nn) AS w2
+        FROM g{s}, w{s-1}, nd)""")
+    zf = _clf_z(f"w{steps}.w0", f"w{steps}.w1", f"w{steps}.w2")
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT CAST(floor(1000000.0 * w{steps}.w0) AS BIGINT) AS w0_micro,
+           CAST(floor(1000000.0 * w{steps}.w1) AS BIGINT) AS w1_micro,
+           CAST(floor(1000000.0 * w{steps}.w2) AS BIGINT) AS w2_micro,
+           CAST(sum(CASE WHEN {zf} >= 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN {zf} >= 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN {zf} < 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           CAST(sum(CASE WHEN {zf} < 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(sum(CASE WHEN ({zf} >= 0) = (y = 1) THEN 1 ELSE 0 END) * 1000
+                // max(nd.nn) AS BIGINT) AS accuracy_milli
+    FROM f, w{steps}, nd
+    GROUP BY w{steps}.w0, w{steps}.w1, w{steps}.w2, nd.nn
+    """
+
+
+@q("pipeline_quality_classifier", _clf_oracle())
+def pipeline_quality_classifier(spark, sf_dir):
+    """A TRAINABLE document-quality classifier, trained inside the
+    engine with bit-exact cross-engine semantics — the fastText-style
+    filter (CCNet lineage) a training-data pipeline fits over cheap
+    features. Linear model on (bias, capped token count, stopword
+    permille) predicting lang = 'en'; 3 full-batch gradient steps.
+
+    What makes training oracle-pinnable:
+
+    - the squashing function is the RATIONAL sigmoid surrogate
+      σ̃(z) = 0.5 + z/(2(1+|z|)) — division/abs are IEEE-exact, unlike
+      exp, whose last-ulp behavior differs across libms;
+    - each doc's gradient contribution is floor-quantized to 1e-6
+      BEFORE the sum (the bigram-LM rule), so the batch gradient is an
+      exact integer in any aggregation order;
+    - the weight update divides exact integers — identical doubles on
+      every engine, so the oracle re-derives the full training
+      trajectory rather than trusting reported weights.
+
+    Scale: each step is ONE map-side-combining aggregate over the
+    feature table (checkpointed once — at 100 TB you'd hash-sample it);
+    the model is 3 scalars collected per step (the BPE-argmax driver
+    pattern). Output: final weights (micro), confusion matrix, accuracy."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.least(text.token_count(F.col("text")).cast("long"), F.lit(1000)).alias(
+            "f1"
+        ),
+        text.stopword_permille(F.col("text")).alias("f2"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    ).localCheckpoint(eager=True)
+    n = feats.count()
+    w = [0.0, 0.0, 0.0]
+    for _ in range(_CLF_STEPS):
+        z = (
+            F.lit(w[0])
+            + F.lit(w[1]) * (F.col("f1") / 1000.0)
+            + F.lit(w[2]) * (F.col("f2") / 1000.0)
+        )
+        sig = F.lit(0.5) + z / (2 * (1 + F.abs(z)))
+        err = sig - F.col("y")
+        g = feats.agg(
+            F.sum(F.floor(F.lit(1000000.0) * err).cast("long")).alias("g0"),
+            F.sum(
+                F.floor(F.lit(1000000.0) * err * (F.col("f1") / 1000.0)).cast(
+                    "long"
+                )
+            ).alias("g1"),
+            F.sum(
+                F.floor(F.lit(1000000.0) * err * (F.col("f2") / 1000.0)).cast(
+                    "long"
+                )
+            ).alias("g2"),
+        ).collect()[0]
+        w = [w[j] - int(g[f"g{j}"]) / (1000000.0 * n) for j in range(3)]
+    zf = (
+        F.lit(w[0])
+        + F.lit(w[1]) * (F.col("f1") / 1000.0)
+        + F.lit(w[2]) * (F.col("f2") / 1000.0)
+    )
+    pos = zf >= 0
+    yy = F.col("y") == 1
+    import math as _math
+
+    conf = feats.agg(
+        F.sum((pos & yy).cast("long")).alias("tp"),
+        F.sum((pos & ~yy).cast("long")).alias("fp"),
+        F.sum((~pos & ~yy).cast("long")).alias("tn"),
+        F.sum((~pos & yy).cast("long")).alias("fn"),
+    )
+    return conf.select(
+        F.lit(int(_math.floor(1000000.0 * w[0]))).cast("long").alias("w0_micro"),
+        F.lit(int(_math.floor(1000000.0 * w[1]))).cast("long").alias("w1_micro"),
+        F.lit(int(_math.floor(1000000.0 * w[2]))).cast("long").alias("w2_micro"),
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        F.expr(f"(tp + tn) * 1000 div {n}").cast("long").alias("accuracy_milli"),
+    )

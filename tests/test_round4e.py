@@ -260,3 +260,43 @@ def test_emb_outlier_topk_matches_python(spark, sf_dir):
     assert [(r["vec_id"]) for r in rows] == [v for v, _ in want]
     for r, (_, sc) in zip(rows, want):
         assert abs(r["score"] - sc) < 1e-6
+
+
+def test_quality_classifier_matches_python_training(spark, sf_dir):
+    row = entry.queries()["pipeline_quality_classifier"](spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents").select("text", "lang").collect()
+    STOP = {"the", "and", "a", "of", "to", "in", "is", "it", "for", "on"}
+    feats = []
+    for r in docs:
+        toks = [t for t in r["text"].lower().split(" ") if t]
+        n = len(toks)
+        f1 = min(n, 1000)
+        f2 = math.floor(sum(1 for t in toks if t in STOP) * 1000 / n) if n else 0
+        feats.append((f1, f2, 1 if r["lang"] == "en" else 0))
+    N = len(feats)
+    w = [0.0, 0.0, 0.0]
+    for _ in range(3):
+        g = [0, 0, 0]
+        for f1, f2, y in feats:
+            z = w[0] + w[1] * (f1 / 1000.0) + w[2] * (f2 / 1000.0)
+            sig = 0.5 + z / (2 * (1 + abs(z)))
+            e = sig - y
+            g[0] += math.floor(1000000.0 * e)
+            g[1] += math.floor(1000000.0 * e * (f1 / 1000.0))
+            g[2] += math.floor(1000000.0 * e * (f2 / 1000.0))
+        w = [w[j] - g[j] / (1000000.0 * N) for j in range(3)]
+    tp = fp = tn = fn = 0
+    for f1, f2, y in feats:
+        z = w[0] + w[1] * (f1 / 1000.0) + w[2] * (f2 / 1000.0)
+        if z >= 0:
+            tp, fp = tp + (y == 1), fp + (y == 0)
+        else:
+            tn, fn = tn + (y == 0), fn + (y == 1)
+    assert (row["w0_micro"], row["w1_micro"], row["w2_micro"]) == tuple(
+        math.floor(1000000.0 * x) for x in w
+    )
+    assert (row["tp"], row["fp"], row["tn"], row["fn"]) == (tp, fp, tn, fn)
+    assert row["accuracy_milli"] == (tp + tn) * 1000 // N
+    # the trained model must actually separate: better than majority class
+    maj = max(sum(1 for *_, y in feats if y), N - sum(1 for *_, y in feats if y))
+    assert (tp + tn) >= maj

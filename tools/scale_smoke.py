@@ -650,6 +650,7 @@ def main():
         "rel_event_path_mining",
         "rel_incremental_rollup",
         "emb_outlier_topk",
+        "pipeline_quality_classifier",
     ):
         _fn = _AQ[_nq][0]
         timed(f"{_nq}_10x", lambda _f=_fn: _f(spark, OUT).count())
