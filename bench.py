@@ -176,6 +176,7 @@ HEADLINE = [
     "rel_incremental_rollup",
     "emb_outlier_topk",
     "pipeline_quality_classifier",
+    "pipeline_classifier_gate",
 ]
 
 REGRESSION_FACTOR = 1.5

@@ -6765,13 +6765,14 @@ def _clf_z(w0: str, w1: str, w2: str) -> str:
     return f"({w0} + {w1} * (f1 / 1000.0) + {w2} * (f2 / 1000.0))"
 
 
-def _clf_oracle(steps: int = _CLF_STEPS) -> str:
-    """Unrolled full-batch training in DuckDB SQL: identical expression
-    trees to the Spark side, so every weight double matches bit-exactly."""
+def _clf_ctes(steps: int = _CLF_STEPS, extra_cols: str = "") -> list:
+    """Shared unrolled-training CTE chain (f … w{steps}); ``extra_cols``
+    adds passthrough columns to the feature table for consumers that
+    score per document (the gate query)."""
     sig = "(0.5 + {z} / (2 * (1 + abs({z}))))"
     ctes = [
         f"""f AS MATERIALIZED (
-        SELECT least(CAST(len({TOKS_SQL}) AS BIGINT), 1000) AS f1,
+        SELECT {extra_cols}least(CAST(len({TOKS_SQL}) AS BIGINT), 1000) AS f1,
                {_CLF_STOP_SQL} AS f2,
                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
         FROM documents),
@@ -6794,6 +6795,13 @@ def _clf_oracle(steps: int = _CLF_STEPS) -> str:
         w{s-1}.w1 - CAST(g{s}.g1 AS DOUBLE) / (1000000.0 * nd.nn) AS w1,
         w{s-1}.w2 - CAST(g{s}.g2 AS DOUBLE) / (1000000.0 * nd.nn) AS w2
         FROM g{s}, w{s-1}, nd)""")
+    return ctes
+
+
+def _clf_oracle(steps: int = _CLF_STEPS) -> str:
+    """Unrolled full-batch training in DuckDB SQL: identical expression
+    trees to the Spark side, so every weight double matches bit-exactly."""
+    ctes = _clf_ctes(steps)
     zf = _clf_z(f"w{steps}.w0", f"w{steps}.w1", f"w{steps}.w2")
     return f"""
     WITH {','.join(ctes)}
@@ -6811,32 +6819,22 @@ def _clf_oracle(steps: int = _CLF_STEPS) -> str:
     """
 
 
-@q("pipeline_quality_classifier", _clf_oracle())
-def pipeline_quality_classifier(spark, sf_dir):
-    """A TRAINABLE document-quality classifier, trained inside the
-    engine with bit-exact cross-engine semantics — the fastText-style
-    filter (CCNet lineage) a training-data pipeline fits over cheap
-    features. Linear model on (bias, capped token count, stopword
-    permille) predicting lang = 'en'; 3 full-batch gradient steps.
+#: trained classifier per (session, sf_dir): (feats_df, n, weights) —
+#: train once, evaluate and gate many (the BPE-merge artifact pattern)
+_CLF_CACHE: dict = {}
 
-    What makes training oracle-pinnable:
 
-    - the squashing function is the RATIONAL sigmoid surrogate
-      σ̃(z) = 0.5 + z/(2(1+|z|)) — division/abs are IEEE-exact, unlike
-      exp, whose last-ulp behavior differs across libms;
-    - each doc's gradient contribution is floor-quantized to 1e-6
-      BEFORE the sum (the bigram-LM rule), so the batch gradient is an
-      exact integer in any aggregation order;
-    - the weight update divides exact integers — identical doubles on
-      every engine, so the oracle re-derives the full training
-      trajectory rather than trusting reported weights.
-
-    Scale: each step is ONE map-side-combining aggregate over the
-    feature table (checkpointed once — at 100 TB you'd hash-sample it);
-    the model is 3 scalars collected per step (the BPE-argmax driver
-    pattern). Output: final weights (micro), confusion matrix, accuracy."""
+def _train_quality_clf(spark, sf_dir):
+    """Train the linear quality model (see pipeline_quality_classifier)
+    and cache (checkpointed feature table incl. doc_id/source, doc
+    count, weights) per session."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _CLF_CACHE:
+        return _CLF_CACHE[key]
     docs = load_table(spark, sf_dir, "documents")
     feats = docs.select(
+        "doc_id",
+        "source",
         F.least(text.token_count(F.col("text")).cast("long"), F.lit(1000)).alias(
             "f1"
         ),
@@ -6867,6 +6865,35 @@ def pipeline_quality_classifier(spark, sf_dir):
             ).alias("g2"),
         ).collect()[0]
         w = [w[j] - int(g[f"g{j}"]) / (1000000.0 * n) for j in range(3)]
+    _CLF_CACHE[key] = (feats, n, w)
+    return _CLF_CACHE[key]
+
+
+@q("pipeline_quality_classifier", _clf_oracle())
+def pipeline_quality_classifier(spark, sf_dir):
+    """A TRAINABLE document-quality classifier, trained inside the
+    engine with bit-exact cross-engine semantics — the fastText-style
+    filter (CCNet lineage) a training-data pipeline fits over cheap
+    features. Linear model on (bias, capped token count, stopword
+    permille) predicting lang = 'en'; 3 full-batch gradient steps.
+
+    What makes training oracle-pinnable:
+
+    - the squashing function is the RATIONAL sigmoid surrogate
+      σ̃(z) = 0.5 + z/(2(1+|z|)) — division/abs are IEEE-exact, unlike
+      exp, whose last-ulp behavior differs across libms;
+    - each doc's gradient contribution is floor-quantized to 1e-6
+      BEFORE the sum (the bigram-LM rule), so the batch gradient is an
+      exact integer in any aggregation order;
+    - the weight update divides exact integers — identical doubles on
+      every engine, so the oracle re-derives the full training
+      trajectory rather than trusting reported weights.
+
+    Scale: each step is ONE map-side-combining aggregate over the
+    feature table (checkpointed once — at 100 TB you'd hash-sample it);
+    the model is 3 scalars collected per step (the BPE-argmax driver
+    pattern). Output: final weights (micro), confusion matrix, accuracy."""
+    feats, n, w = _train_quality_clf(spark, sf_dir)
     zf = (
         F.lit(w[0])
         + F.lit(w[1]) * (F.col("f1") / 1000.0)
@@ -6891,4 +6918,52 @@ def pipeline_quality_classifier(spark, sf_dir):
         "tn",
         "fn",
         F.expr(f"(tp + tn) * 1000 div {n}").cast("long").alias("accuracy_milli"),
+    )
+
+
+def _clf_gate_oracle(steps: int = _CLF_STEPS) -> str:
+    ctes = _clf_ctes(steps, extra_cols="doc_id, source, ")
+    zf = _clf_z(f"w{steps}.w0", f"w{steps}.w1", f"w{steps}.w2")
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN {zf} >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN {zf} >= 0 THEN 1 ELSE 0 END) * 1000 // count(*)
+               AS BIGINT) AS kept_milli
+    FROM f, w{steps}
+    GROUP BY source
+    """
+
+
+@q("pipeline_classifier_gate", _clf_gate_oracle())
+def pipeline_classifier_gate(spark, sf_dir):
+    """Serve the TRAINED quality classifier as a corpus gate: every
+    document is scored with the learned weights (a broadcast 3-scalar
+    artifact baked into the plan — the train-once / filter-many
+    lifecycle, exactly like the BPE merge table) and the per-source
+    keep rates are reported. The oracle re-derives the full training
+    trajectory (shared unrolled CTEs with pipeline_quality_classifier)
+    and applies the same decision boundary, so one hash match certifies
+    train AND serve end to end. Scoring is a map-side CASE over the
+    checkpointed feature table; the rollup touches |sources| groups."""
+    feats, _n, w = _train_quality_clf(spark, sf_dir)
+    zf = (
+        F.lit(w[0])
+        + F.lit(w[1]) * (F.col("f1") / 1000.0)
+        + F.lit(w[2]) * (F.col("f2") / 1000.0)
+    )
+    kept = (zf >= 0).cast("long")
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept).alias("n_kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            F.expr("n_kept * 1000 div n_docs").cast("long").alias("kept_milli"),
+        )
     )

@@ -300,3 +300,15 @@ def test_quality_classifier_matches_python_training(spark, sf_dir):
     # the trained model must actually separate: better than majority class
     maj = max(sum(1 for *_, y in feats if y), N - sum(1 for *_, y in feats if y))
     assert (tp + tn) >= maj
+
+
+def test_classifier_gate_consistent_with_training(spark, sf_dir):
+    rows = entry.queries()["pipeline_classifier_gate"](spark, sf_dir).collect()
+    clf = entry.queries()["pipeline_quality_classifier"](spark, sf_dir).collect()[0]
+    n_kept = sum(r["n_kept"] for r in rows)
+    n_docs = sum(r["n_docs"] for r in rows)
+    # gate keeps exactly the classifier's predicted-positive set
+    assert n_kept == clf["tp"] + clf["fp"]
+    assert n_docs == clf["tp"] + clf["fp"] + clf["tn"] + clf["fn"]
+    for r in rows:
+        assert r["kept_milli"] == r["n_kept"] * 1000 // r["n_docs"]

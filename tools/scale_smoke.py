@@ -651,6 +651,7 @@ def main():
         "rel_incremental_rollup",
         "emb_outlier_topk",
         "pipeline_quality_classifier",
+        "pipeline_classifier_gate",
     ):
         _fn = _AQ[_nq][0]
         timed(f"{_nq}_10x", lambda _f=_fn: _f(spark, OUT).count())
