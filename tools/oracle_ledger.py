@@ -381,10 +381,10 @@ def coverage_report(merged: dict | None = None) -> tuple[str, int]:
 
     Staleness of a query = rounds elapsed since its last fully-green
     driver CORRECTNESS row (current round = latest recorded round + 1,
-    i.e. the round being built now). At 118 registered queries and a
-    50-query driver window, a full rotation takes 3 rounds — the
-    oldest-green-first window policy should keep max staleness ≤ 3; this
-    table makes the tail visible instead of argued.
+    i.e. the round being built now). A full rotation takes
+    ceil(registry / 50) rounds (4 at the current 183 queries) — the
+    oldest-green-first window policy keeps max staleness at that floor;
+    this table makes the tail visible instead of argued.
     """
     if merged is None:
         merged = _registry()
