@@ -177,6 +177,12 @@ HEADLINE = [
     "emb_outlier_topk",
     "pipeline_quality_classifier",
     "pipeline_classifier_gate",
+    # r4g additions: containment dedup, chi-square drift monitor,
+    # Zipf power-law fit, referential-integrity audit
+    "dedup_containment",
+    "rel_chisq_drift",
+    "txt_zipf_fit",
+    "pipeline_integrity_audit",
 ]
 
 REGRESSION_FACTOR = 1.5

@@ -317,6 +317,51 @@ def minhash_near_duplicates(
     )
 
 
+def containment_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Shingle-CONTAINMENT near-dup detection: |A∩B| / min(|A|, |B|).
+
+    Containment is the subset-copy detector Jaccard misses: a short doc
+    pasted verbatim inside a much longer one has high containment but low
+    Jaccard (the union is dominated by the long doc), so quote recycling,
+    boilerplate embedding and doc-in-doc plagiarism slip through a
+    Jaccard gate. Candidates come from the same MinHash band buckets as
+    ``minhash_near_duplicates`` (the production shape: one LSH pass feeds
+    BOTH verifiers); verification reuses the array-intersect pair join,
+    swapping the union denominator for ``least(size_a, size_b)``. The
+    keep/drop hint ``contained_id`` names the smaller shingle set (the
+    doc that is "inside" the other; ties break to the higher id, so the
+    lower id is the natural keeper). Threshold is an exact integer
+    cross-multiply — both engines agree bit-for-bit.
+
+    Scale: identical profile to the Jaccard path — signature shuffle,
+    band-bucket join (candidates scale with duplicate structure, not
+    corpus size), pair-local verify; nothing new materializes.
+    """
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, k)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    jac = jaccard_pairs(docs, cands, text_col, id_col, k)
+    num, den = int(threshold * 1000), 1000
+    mn = F.least(F.col("size_a"), F.col("size_b"))
+    return (
+        jac.filter(F.col("common") * den >= num * mn)
+        .withColumn("containment", F.col("common") / mn)
+        .withColumn(
+            "contained_id",
+            F.when(F.col("size_a") < F.col("size_b"), F.col("id_a"))
+            .when(F.col("size_b") < F.col("size_a"), F.col("id_b"))
+            .otherwise(F.greatest(F.col("id_a"), F.col("id_b"))),
+        )
+    )
+
+
 def blocked_jaccard_near_duplicates(
     docs: DataFrame,
     block_col: str = "lang",

@@ -6967,3 +6967,340 @@ def pipeline_classifier_gate(spark, sf_dir):
             F.expr("n_kept * 1000 div n_docs").cast("long").alias("kept_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 4f: containment dedup, drift monitoring, corpus power-law fit,
+# referential-integrity audit
+
+
+def _containment_oracle(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.8
+) -> str:
+    from smoltable_spark.functions.dedup import MINHASH_P
+
+    rows = num_hashes // bands
+    band_parts = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_band_hash_sql(b, rows)} AS bucket FROM sigs"
+        for b in range(bands)
+    )
+    num = int(threshold * 1000)
+    return f"""
+    {_SHINGLES_SQL},
+    shh AS (SELECT doc_id, {md5_long_sql('shingle')} % {MINHASH_P} AS hb FROM sh),
+    sigs AS (SELECT doc_id, {_minhash_aggs_sql(num_hashes)} FROM shh GROUP BY doc_id),
+    buckets AS ({band_parts}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM buckets a JOIN buckets b
+               ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    shd AS (SELECT DISTINCT doc_id, {md5_long_sql('shingle')} AS hsh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+    common AS (SELECT c.id_a, c.id_b, count(*) AS common
+               FROM cand c JOIN shd sa ON sa.doc_id = c.id_a
+                           JOIN shd sb ON sb.doc_id = c.id_b AND sb.hsh = sa.hsh
+               GROUP BY c.id_a, c.id_b)
+    SELECT m.id_a, m.id_b, CAST(m.common AS BIGINT) AS common,
+           CAST(za.sz AS BIGINT) AS size_a, CAST(zb.sz AS BIGINT) AS size_b,
+           m.common / least(za.sz, zb.sz) AS containment,
+           CAST(CASE WHEN za.sz < zb.sz THEN m.id_a
+                     WHEN zb.sz < za.sz THEN m.id_b
+                     ELSE greatest(m.id_a, m.id_b) END AS BIGINT) AS contained_id
+    FROM common m JOIN sizes za ON za.doc_id = m.id_a
+                  JOIN sizes zb ON zb.doc_id = m.id_b
+    WHERE m.common * 1000 >= {num} * least(za.sz, zb.sz)
+    """
+
+
+@q("dedup_containment", _containment_oracle())
+def dedup_containment(spark, sf_dir):
+    """Shingle-containment near-dup detection — |A∩B| / min(|A|,|B|),
+    the subset-copy detector Jaccard misses (a short doc pasted inside
+    a long one has high containment but low Jaccard because the union
+    is dominated by the long doc). Candidates come from the SAME
+    MinHash band buckets as dedup_minhash — one LSH pass feeds both
+    verifiers — and verification swaps the union denominator for
+    least(size); ``contained_id`` names the doc whose shingle set is
+    inside the other (the natural drop candidate). Threshold is an
+    exact integer cross-multiply. Same scale profile as the Jaccard
+    path: signature shuffle + band-bucket join + pair-local verify."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.containment_near_duplicates(
+        docs, num_hashes=16, bands=4, k=3, threshold=0.8
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("common").cast("long").alias("common"),
+        F.col("size_a").cast("long").alias("size_a"),
+        F.col("size_b").cast("long").alias("size_b"),
+        "containment",
+        F.col("contained_id").cast("long").alias("contained_id"),
+    )
+
+
+@q(
+    "rel_chisq_drift",
+    """
+    WITH b AS (SELECT epoch_ns(ts) AS tns, event_type FROM events),
+    mid AS (SELECT (min(tns) + max(tns)) // 2 AS m FROM b),
+    cells AS (SELECT event_type, CASE WHEN tns >= m THEN 1 ELSE 0 END AS late,
+                     CAST(count(*) AS BIGINT) AS o
+              FROM b, mid GROUP BY 1, 2),
+    grid AS (SELECT t.event_type, v.late
+             FROM (SELECT DISTINCT event_type FROM cells) t,
+                  (VALUES (0), (1)) AS v(late)),
+    dense AS (SELECT g.event_type, g.late, coalesce(c.o, 0) AS o
+              FROM grid g LEFT JOIN cells c
+                ON c.event_type = g.event_type AND c.late = g.late),
+    rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rtot
+           FROM dense GROUP BY 1),
+    ct AS (SELECT late, CAST(sum(o) AS BIGINT) AS ctot FROM dense GROUP BY 1),
+    n AS (SELECT CAST(sum(o) AS BIGINT) AS tot FROM dense),
+    x AS (SELECT d.event_type, d.late, d.o,
+                 CAST(rt.rtot AS DOUBLE) * ct.ctot / n.tot AS e
+          FROM dense d JOIN rt USING (event_type) JOIN ct USING (late)
+               CROSS JOIN n),
+    contrib AS (SELECT event_type, late, o,
+                       CAST(floor(1000000 * (CAST(o AS DOUBLE) - e)
+                                  * (CAST(o AS DOUBLE) - e) / e) AS BIGINT)
+                           AS chi_micro
+                FROM x)
+    SELECT event_type,
+           CAST(sum(CASE WHEN late = 0 THEN o ELSE 0 END) AS BIGINT) AS n_early,
+           CAST(sum(CASE WHEN late = 1 THEN o ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(sum(chi_micro) AS BIGINT) AS chi2_micro,
+           CAST(sum(CAST(sum(chi_micro) AS BIGINT)) OVER () AS BIGINT)
+               AS chi2_total_micro
+    FROM contrib GROUP BY event_type
+    """,
+)
+def rel_chisq_drift(spark, sf_dir):
+    """Distribution-drift monitor: chi-square test of event-type mix
+    between the early and late half of the timeline (split at the
+    midpoint timestamp) — the dataset-shift alarm a production pipeline
+    runs on every ingest batch (PSI's log-free cousin: the statistic
+    needs only +,−,×,÷, so it is bit-exact across engines where PSI's
+    ln is not).
+
+    Exactness: per-cell contributions (o−e)²/e are computed in IEEE
+    doubles with identical operation order on both engines, then
+    floor-quantized to micro units BEFORE summation (the bigram-LM
+    rule) so per-type and global totals are order-independent integers.
+    The contingency grid is densified (type × {early,late} cross join)
+    so a type absent from one half still contributes its expected-count
+    term. Scale: exactly two passes over events (min/max midpoint, then
+    one map-side-combining count per (type, half)); the type universe
+    and both marginals derive from the checkpointed |types|×2 cell
+    table, so everything downstream is broadcast territory. The global
+    chi2 is a window sum over |types| rows, not a second scan."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    # integer div, not `/`: the nanos midpoint (~1.7e18) exceeds double's
+    # 2^53 exact range, so float division would disagree with the oracle
+    mid = ev.agg(F.expr("(min(ts) + max(ts)) div 2").alias("m"))
+    lab = ev.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        F.when(F.col("ts") >= F.col("m"), F.lit(1)).otherwise(F.lit(0)).alias("late"),
+    )
+    # cells is tiny (|types| × 2) but feeds the grid, both marginals and
+    # the dense join — materialize once instead of re-running the corpus
+    # count per consumer
+    cells = (
+        lab.groupBy("event_type", "late")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=True)
+    )
+    # type universe from the aggregated cells, NOT a third corpus scan
+    grid = (
+        cells.select("event_type")
+        .distinct()
+        .crossJoin(spark.createDataFrame([(0,), (1,)], "late int"))
+    )
+    dense = (
+        grid.join(cells, ["event_type", "late"], "left")
+        .select("event_type", "late", F.coalesce(F.col("o"), F.lit(0)).alias("o"))
+    )
+    rt = dense.groupBy("event_type").agg(F.sum("o").alias("rtot"))
+    ct = dense.groupBy("late").agg(F.sum("o").alias("ctot"))
+    tot = dense.agg(F.sum("o").alias("tot"))
+    x = (
+        dense.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "late")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("e", F.col("rtot").cast("double") * F.col("ctot") / F.col("tot"))
+    )
+    od = F.col("o").cast("double")
+    contrib = x.withColumn(
+        "chi_micro",
+        F.floor(F.lit(1000000) * (od - F.col("e")) * (od - F.col("e")) / F.col("e"))
+        .cast("long"),
+    )
+    per = contrib.groupBy("event_type").agg(
+        F.sum(F.when(F.col("late") == 0, F.col("o")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_early"),
+        F.sum(F.when(F.col("late") == 1, F.col("o")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_late"),
+        F.sum("chi_micro").cast("long").alias("chi2_micro"),
+    )
+    w = Window.partitionBy()
+    return per.withColumn(
+        "chi2_total_micro", F.sum("chi2_micro").over(w).cast("long")
+    )
+
+
+@q(
+    "txt_zipf_fit",
+    f"""
+    WITH toks AS (SELECT unnest({TOKS_SQL}) AS tok FROM documents),
+    tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+    rk AS (SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok) AS r FROM tf),
+    pts AS (SELECT CAST(floor(1000 * ln(r)) AS BIGINT) AS x,
+                   CAST(floor(1000 * ln(c)) AS BIGINT) AS y
+            FROM rk),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx
+          FROM pts),
+    t AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM tf)
+    SELECT s.n AS n_types, t.n_tokens,
+           CAST(floor(1000.0 * (s.n * s.sxy - s.sx * s.sy)
+                      / (s.n * s.sxx - s.sx * s.sx)) AS BIGINT) AS slope_milli,
+           CAST(floor(CAST(s.sy AS DOUBLE) / s.n
+                      - CAST(s.n * s.sxy - s.sx * s.sy AS DOUBLE)
+                        / (s.n * s.sxx - s.sx * s.sx) * s.sx / s.n)
+               AS BIGINT) AS intercept_milli
+    FROM s, t
+    """,
+)
+def txt_zipf_fit(spark, sf_dir):
+    """Zipf power-law fit of the corpus token-frequency distribution:
+    least-squares slope of ln(freq) on ln(rank) — the classic
+    natural-text health check (clean prose fits slope ≈ −1; templated
+    or synthetic corpora bend away from it), reported in milli units
+    with the milli-ln intercept.
+
+    Exactness: each (ln rank, ln freq) point is floor-quantized to
+    milli-nats FIRST, so Σx, Σy, Σxy, Σx² are exact int64s (with a
+    31-type vocab the worst product n·Σxy is ~1e12; even a 100k-type
+    vocab stays under 2⁶²) and the closed-form slope is one double
+    division of exact integers — identical on both engines. Scale: one
+    map-side-combining token count (the txt_vocab_topk shuffle), a
+    |vocab|-row window rank, and a scalar fold; the corpus is scanned
+    once and never re-shuffled."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(text.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rk = tf.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("c").desc(), "tok"))
+    )
+    pts = rk.select(
+        F.floor(1000 * F.log(F.col("r"))).cast("long").alias("x"),
+        F.floor(1000 * F.log(F.col("c"))).cast("long").alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    t = tf.agg(F.sum("c").alias("n_tokens"))
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        s.crossJoin(t)
+        .select(
+            F.col("n").cast("long").alias("n_types"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.floor(F.lit(1000.0) * num / den).cast("long").alias("slope_milli"),
+            F.floor(
+                F.col("sy").cast("double") / F.col("n")
+                - num.cast("double") / den * F.col("sx") / F.col("n")
+            )
+            .cast("long")
+            .alias("intercept_milli"),
+        )
+    )
+
+
+@q(
+    "pipeline_integrity_audit",
+    """
+    WITH emb AS (SELECT DISTINCT vec_id FROM embeddings),
+    orphan AS (SELECT CAST(count(*) AS BIGINT) AS n_orphan_vecs
+               FROM embeddings v
+               LEFT JOIN (SELECT DISTINCT doc_id FROM documents) d
+                 ON d.doc_id = v.vec_id
+               WHERE d.doc_id IS NULL),
+    per AS (SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids,
+                   CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_with_embedding,
+                   CAST(sum(CASE WHEN d.text IS NULL
+                                   OR length(d.text) = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_empty,
+                   CAST(sum(CASE WHEN d.n_chars <> length(d.text)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_len_mismatch,
+                   CAST(min(length(d.text)) AS BIGINT) AS min_len,
+                   CAST(max(length(d.text)) AS BIGINT) AS max_len
+            FROM documents d LEFT JOIN emb e ON e.vec_id = d.doc_id
+            GROUP BY source)
+    SELECT source, n_docs, n_ids, n_with_embedding, n_empty, n_len_mismatch,
+           min_len, max_len,
+           CAST(n_with_embedding * 1000 // n_docs AS BIGINT) AS emb_cov_milli,
+           o.n_orphan_vecs
+    FROM per, orphan o
+    """,
+)
+def pipeline_integrity_audit(spark, sf_dir):
+    """Referential-integrity audit across the documents↔embeddings
+    pair — the pre-flight check every multi-table training pipeline
+    runs before a join-heavy stage: per-source doc counts, duplicate-id
+    detection (n_docs vs n_ids), embedding coverage (left join on
+    vec_id + permille rate), empty-text and declared-vs-actual length
+    mismatches, text length range, plus the global orphan-vector count
+    (embeddings whose id matches no document).
+
+    Scale: the doc→emb probe is a join on the id key (AQE broadcasts
+    the distinct-id leg when small; at 100 TB both sides hash-partition
+    on the id, the join every downstream stage needs anyway), the audit
+    itself is one map-side-combining rollup to |sources| rows, and the
+    orphan check is the mirror-image anti-join — nothing wider than the
+    id column ever shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_ids = emb.select("vec_id").distinct()
+    doc_ids = docs.select("doc_id").distinct()
+    orphan = (
+        emb.select("vec_id")
+        .join(doc_ids, emb.vec_id == doc_ids.doc_id, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphan_vecs"))
+    )
+    joined = docs.join(emb_ids, docs.doc_id == emb_ids.vec_id, "left")
+    tlen = F.length(F.col("text"))
+    per = joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("doc_id").alias("n_ids"),
+        F.sum(F.col("vec_id").isNotNull().cast("long")).alias("n_with_embedding"),
+        F.sum((F.col("text").isNull() | (tlen == 0)).cast("long")).alias("n_empty"),
+        F.sum((F.col("n_chars") != tlen).cast("long")).alias("n_len_mismatch"),
+        F.min(tlen).cast("long").alias("min_len"),
+        F.max(tlen).cast("long").alias("max_len"),
+    )
+    return per.crossJoin(F.broadcast(orphan)).select(
+        "source",
+        "n_docs",
+        "n_ids",
+        "n_with_embedding",
+        "n_empty",
+        "n_len_mismatch",
+        "min_len",
+        "max_len",
+        F.expr("n_with_embedding * 1000 div n_docs").cast("long").alias("emb_cov_milli"),
+        F.col("n_orphan_vecs").cast("long").alias("n_orphan_vecs"),
+    )

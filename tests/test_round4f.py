@@ -1,0 +1,194 @@
+"""Differential tests for the round-4f operators (containment dedup,
+chi-square drift, Zipf fit, integrity audit) — independent Python
+references over real testdata (hashlib md5, pure-float arithmetic
+mirroring the engine's operation order)."""
+
+import hashlib
+import math
+
+from collections import Counter
+
+import __spark_entry__ as entry
+from smoltable_spark.sources.relational import load_table
+
+P = 2_147_483_647
+NUM_HASHES = 16
+BANDS = 4
+
+
+def _toks(text):
+    return [t for t in text.lower().split(" ") if t]
+
+
+def _shingle_set(text, k=3):
+    ts = _toks(text)
+    hi = max(len(ts) - (k - 1), 1)
+    return {" ".join(ts[i : i + k]) for i in range(hi)}
+
+
+def _md5_long(s):
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _minhash_sig(sh):
+    hbs = [_md5_long(s) % P for s in sh]
+    sig = []
+    for i in range(NUM_HASHES):
+        a = 1_103_515_245 * (i + 1) % P or 1
+        b = (12_345 * (i + 1)) % P
+        sig.append(min((a * h + b) % P for h in hbs))
+    return sig
+
+
+def _band_buckets(sig):
+    rows = NUM_HASHES // BANDS
+    out = []
+    for b in range(BANDS):
+        acc = 0
+        for h in sig[b * rows : (b + 1) * rows]:
+            acc = acc * 31 + h
+        out.append((b, acc))
+    return out
+
+
+def test_dedup_containment_matches_python(spark, sf_dir):
+    got = {
+        (r["id_a"], r["id_b"]): (
+            r["common"],
+            r["size_a"],
+            r["size_b"],
+            r["contained_id"],
+        )
+        for r in entry.queries()["dedup_containment"](spark, sf_dir).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    sh = {d: _shingle_set(t) for d, t in docs.items()}
+    hashed = {d: {_md5_long(s) for s in v} for d, v in sh.items()}
+    buckets = {}
+    for d in sorted(docs):
+        for key in _band_buckets(_minhash_sig(sh[d])):
+            buckets.setdefault(key, []).append(d)
+    cands = set()
+    for members in buckets.values():
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                cands.add((min(a, b), max(a, b)))
+    want = {}
+    for a, b in sorted(cands):
+        common = len(hashed[a] & hashed[b])
+        sa, sb = len(hashed[a]), len(hashed[b])
+        if common * 1000 >= 800 * min(sa, sb):
+            contained = a if sa < sb else b if sb < sa else max(a, b)
+            want[(a, b)] = (common, sa, sb, contained)
+    assert got == want
+
+
+def test_chisq_drift_matches_python(spark, sf_dir):
+    rows = entry.queries()["rel_chisq_drift"](spark, sf_dir).collect()
+    got = {
+        r["event_type"]: (r["n_early"], r["n_late"], r["chi2_micro"])
+        for r in rows
+    }
+    totals = {r["chi2_total_micro"] for r in rows}
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type").collect()
+    tss = [r["ts"] for r in ev]
+    mid = (min(tss) + max(tss)) // 2
+    cells = Counter(
+        (r["event_type"], 1 if r["ts"] >= mid else 0) for r in ev
+    )
+    types = sorted({t for t, _ in cells})
+    rtot = {t: cells[(t, 0)] + cells[(t, 1)] for t in types}
+    ctot = {
+        late: sum(cells[(t, late)] for t in types) for late in (0, 1)
+    }
+    tot = len(ev)
+    want = {}
+    want_total = 0
+    for t in types:
+        chi = 0
+        for late in (0, 1):
+            o = cells[(t, late)]
+            e = float(rtot[t]) * ctot[late] / tot
+            chi += math.floor(1000000 * (float(o) - e) * (float(o) - e) / e)
+        want[t] = (cells[(t, 0)], cells[(t, 1)], chi)
+        want_total += chi
+    assert got == want
+    assert totals == {want_total}
+
+
+def test_zipf_fit_matches_python(spark, sf_dir):
+    row = entry.queries()["txt_zipf_fit"](spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    tf = Counter(t for r in docs for t in _toks(r["text"]))
+    ranked = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))
+    pts = [
+        (
+            math.floor(1000 * math.log(r)),
+            math.floor(1000 * math.log(c)),
+        )
+        for r, (_, c) in enumerate(ranked, start=1)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    assert row["n_types"] == n
+    assert row["n_tokens"] == sum(tf.values())
+    assert row["slope_milli"] == math.floor(1000.0 * num / den)
+    assert row["intercept_milli"] == math.floor(
+        float(sy) / n - float(num) / den * sx / n
+    )
+    # a natural-ish corpus should have a steep negative slope
+    assert row["slope_milli"] < 0
+
+
+def test_integrity_audit_matches_python(spark, sf_dir):
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["n_ids"],
+            r["n_with_embedding"],
+            r["n_empty"],
+            r["n_len_mismatch"],
+            r["min_len"],
+            r["max_len"],
+            r["emb_cov_milli"],
+            r["n_orphan_vecs"],
+        )
+        for r in entry.queries()["pipeline_integrity_audit"](
+            spark, sf_dir
+        ).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").collect()
+    vec_ids = {
+        r["vec_id"]
+        for r in load_table(spark, sf_dir, "embeddings").select("vec_id").collect()
+    }
+    doc_ids = {r["doc_id"] for r in docs}
+    n_orphan = sum(1 for v in vec_ids if v not in doc_ids)
+    by_src = {}
+    for r in docs:
+        by_src.setdefault(r["source"], []).append(r)
+    want = {}
+    for src, rows in by_src.items():
+        lens = [len(r["text"]) for r in rows]
+        n_docs = len(rows)
+        n_with = sum(1 for r in rows if r["doc_id"] in vec_ids)
+        want[src] = (
+            n_docs,
+            len({r["doc_id"] for r in rows}),
+            n_with,
+            sum(1 for r in rows if r["text"] is None or len(r["text"]) == 0),
+            sum(1 for r in rows if r["n_chars"] != len(r["text"])),
+            min(lens),
+            max(lens),
+            n_with * 1000 // n_docs,
+            n_orphan,
+        )
+    assert got == want
