@@ -183,6 +183,9 @@ HEADLINE = [
     "rel_chisq_drift",
     "txt_zipf_fit",
     "pipeline_integrity_audit",
+    "txt_proximity_search",
+    "rel_twap",
+    "rel_hll_merge",
 ]
 
 REGRESSION_FACTOR = 1.5

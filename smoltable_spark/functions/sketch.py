@@ -139,6 +139,83 @@ HLL_M = 256          # registers (2^8); standard error ~1.04/sqrt(m) ≈ 6.5%
 _HLL_W_BITS = 52     # md5_long yields 60 bits; 8 index the register
 
 
+def hll_registers(df, group_col: str, ident_col: str, seed: str = "hll"):
+    """(g, reg, mj): the per-group HLL register table — the MERGEABLE
+    form of the sketch. Registers from disjoint (or overlapping) input
+    partitions merge by ``union → groupBy(g, reg).max(mj)`` and the
+    merged table is IDENTICAL to the one built over the union of the
+    inputs (max is associative/commutative/idempotent) — the property
+    that makes HLL shippable: shard-local sketches at 100 TB, merge
+    ≤ m rows per group at the coordinator. ``hll_distinct`` =
+    ``hll_estimate(hll_registers(...))``."""
+    from pyspark.sql import functions as F
+
+    from smoltable_spark.functions.hashing import seeded
+
+    h = seeded(seed, F.col(ident_col).cast("string"))
+    return (
+        df.select(F.col(group_col).alias("g"), h.alias("h"))
+        .select(
+            "g",
+            F.pmod(F.col("h"), F.lit(HLL_M)).alias("reg"),
+            F.expr(f"h div {HLL_M}").alias("w"),
+        )
+        .select(
+            "g",
+            "reg",
+            F.when(F.col("w") == 0, F.lit(_HLL_W_BITS + 1)).otherwise(
+                F.lit(_HLL_W_BITS + 1) - F.length(F.conv(F.col("w"), 10, 2))
+            ).alias("rho"),
+        )
+        .groupBy("g", "reg")
+        .agg(F.max("rho").alias("mj"))
+    )
+
+
+def hll_merge(*register_tables):
+    """Merge register tables (each ``(g, reg, mj)``) into one — the
+    distributed-sketch combine step: union then per-register max."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    merged = reduce(lambda a, b: a.unionByName(b), register_tables)
+    return merged.groupBy("g", "reg").agg(F.max("mj").alias("mj"))
+
+
+def hll_estimate(regs, group_col: str):
+    """(group, approx_distinct) from a ``(g, reg, mj)`` register table:
+    grid-fill empty registers, integer harmonic sum, literal-table
+    linear counting (see ``hll_distinct`` for the portability
+    rationale)."""
+    from pyspark.sql import functions as F
+
+    spark = regs.sparkSession
+    grid = (
+        regs.select("g")
+        .distinct()
+        .crossJoin(spark.range(HLL_M).select(F.col("id").cast("long").alias("reg")))
+    )
+    filled = grid.join(regs, ["g", "reg"], "left").select(
+        "g", F.coalesce("mj", F.lit(0)).alias("mj")
+    )
+    alpha = 0.7213 / (1 + 1.079 / HLL_M)
+    agg = filled.groupBy("g").agg(
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(54 - mj AS INT))")
+        ).alias("s"),
+        F.sum(F.when(F.col("mj") == 0, 1).otherwise(0)).alias("v"),
+    )
+    raw = F.lit(alpha * HLL_M * HLL_M) * F.lit(float(2 ** 54)) / F.col("s")
+    lc = F.element_at(F.array(*[F.lit(x) for x in _LC_TABLE]), F.col("v").cast("int"))
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.when(
+            (raw <= 2.5 * HLL_M) & (F.col("v") > 0), lc
+        ).otherwise(raw).alias("approx_distinct"),
+    )
+
+
 def hll_distinct(df, group_col: str, ident_col: str, seed: str = "hll"):
     """(group, approx_distinct): mergeable HyperLogLog per group, built
     from md5-derived hashes so the whole sketch — register index, rank,
@@ -166,55 +243,7 @@ def hll_distinct(df, group_col: str, ident_col: str, seed: str = "hll"):
     — ≤ m rows per group survive the map side regardless of input size;
     the grid join that fills empty registers is |groups|×m.
     """
-    from pyspark.sql import functions as F
-
-    from smoltable_spark.functions.hashing import seeded
-
-    spark = df.sparkSession
-    h = seeded(seed, F.col(ident_col).cast("string"))
-    regs = (
-        df.select(F.col(group_col).alias("g"), h.alias("h"))
-        .select(
-            "g",
-            F.pmod(F.col("h"), F.lit(HLL_M)).alias("reg"),
-            F.expr(f"h div {HLL_M}").alias("w"),
-        )
-        .select(
-            "g",
-            "reg",
-            F.when(F.col("w") == 0, F.lit(_HLL_W_BITS + 1)).otherwise(
-                F.lit(_HLL_W_BITS + 1) - F.length(F.conv(F.col("w"), 10, 2))
-            ).alias("rho"),
-        )
-        .groupBy("g", "reg")
-        .agg(F.max("rho").alias("mj"))
-    )
-    # groups come from the ALREADY-AGGREGATED register table (≤ m rows
-    # per group), not a second scan of the raw input
-    grid = (
-        regs.select("g")
-        .distinct()
-        .crossJoin(spark.range(HLL_M).select(F.col("id").cast("long").alias("reg")))
-    )
-    filled = grid.join(regs, ["g", "reg"], "left").select(
-        "g", F.coalesce("mj", F.lit(0)).alias("mj")
-    )
-    alpha = 0.7213 / (1 + 1.079 / HLL_M)
-    agg = filled.groupBy("g").agg(
-        F.sum(
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(54 - mj AS INT))")
-        ).alias("s"),
-        F.sum(F.when(F.col("mj") == 0, 1).otherwise(0)).alias("v"),
-    )
-    raw = F.lit(alpha * HLL_M * HLL_M) * F.lit(float(2 ** 54)) / F.col("s")
-    lc = F.element_at(F.array(*[F.lit(x) for x in _LC_TABLE]), F.col("v").cast("int"))
-    est = agg.select(
-        F.col("g").alias(group_col),
-        F.when(
-            (raw <= 2.5 * HLL_M) & (F.col("v") > 0), lc
-        ).otherwise(raw).alias("approx_distinct"),
-    )
-    return est
+    return hll_estimate(hll_registers(df, group_col, ident_col, seed), group_col)
 
 
 #: linear-counting estimates m*ln(m/V) for V = 1..m, as literals — the
@@ -270,6 +299,45 @@ def hll_distinct_sql(table: str, group_col: str, ident_col: str, seed: str = "hl
            END AS approx_distinct
     FROM agg
     """
+
+
+def hll_registers_sql(src: str, group_col: str, ident_col: str, seed: str = "hll") -> str:
+    """DuckDB SELECT producing the ``(g, reg, mj)`` register table over
+    ``src`` (a table name or CTE) — same bits as ``hll_registers``."""
+    from smoltable_spark.functions.hashing import seeded_sql
+
+    h = seeded_sql(seed, ident_col)
+    b1 = _HLL_W_BITS + 1
+    return f"""SELECT g, reg, max(rho) AS mj FROM (
+        SELECT g, h % {HLL_M} AS reg,
+               CASE WHEN h // {HLL_M} = 0 THEN {b1}
+                    ELSE {b1} - length(bin(h // {HLL_M})) END AS rho
+        FROM (SELECT {group_col} AS g, {h} AS h FROM {src})
+    ) GROUP BY g, reg"""
+
+
+def hll_estimate_sql(regs_cte: str, group_col: str) -> str:
+    """DuckDB SELECT estimating distincts from a ``(g, reg, mj)`` CTE —
+    same grid-fill / integer harmonic sum / literal linear-counting
+    table as ``hll_estimate``. References ``regs_cte`` twice; declare
+    it MATERIALIZED in the caller."""
+    alpha = 0.7213 / (1 + 1.079 / HLL_M)
+    return f"""SELECT g AS {group_col},
+           CASE WHEN ({alpha * HLL_M * HLL_M} * {float(2 ** 54)} / s) <= {2.5 * HLL_M}
+                     AND v > 0
+                THEN [{", ".join(repr(x) for x in _LC_TABLE)}][CAST(v AS INT)]
+                ELSE {alpha * HLL_M * HLL_M} * {float(2 ** 54)} / s
+           END AS approx_distinct
+    FROM (
+        SELECT g,
+               sum(CAST(1 AS BIGINT) << CAST(54 - mj AS INT)) AS s,
+               sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS v
+        FROM (SELECT grid.g, coalesce(r.mj, 0) AS mj
+              FROM (SELECT DISTINCT m.g, rr.reg FROM {regs_cte} m,
+                    (SELECT unnest(range({HLL_M})) AS reg) rr) grid
+              LEFT JOIN {regs_cte} r ON grid.g = r.g AND grid.reg = r.reg)
+        GROUP BY g
+    )"""
 
 
 # ---------------------------------------------------------------------------

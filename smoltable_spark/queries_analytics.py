@@ -7304,3 +7304,184 @@ def pipeline_integrity_audit(spark, sf_dir):
         F.expr("n_with_embedding * 1000 div n_docs").cast("long").alias("emb_cov_milli"),
         F.col("n_orphan_vecs").cast("long").alias("n_orphan_vecs"),
     )
+
+
+#: proximity-search query terms and window (tokens apart, inclusive)
+_PROX_A, _PROX_B, _PROX_K = "hash", "join", 3
+
+
+@q(
+    "txt_proximity_search",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    pos AS (SELECT doc_id, j, toks[j] AS tok
+            FROM t, unnest(range(1, len(toks) + 1)) AS u(j)),
+    pa AS (SELECT doc_id, j FROM pos WHERE tok = '{_PROX_A}'),
+    pb AS (SELECT doc_id, j FROM pos WHERE tok = '{_PROX_B}'),
+    hits AS (SELECT pa.doc_id, abs(pa.j - pb.j) AS gap
+             FROM pa JOIN pb ON pb.doc_id = pa.doc_id
+             WHERE abs(pa.j - pb.j) <= {_PROX_K})
+    SELECT doc_id, CAST(min(gap) AS BIGINT) AS min_gap,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM hits GROUP BY doc_id
+    """,
+)
+def txt_proximity_search(spark, sf_dir):
+    """Positional proximity search — docs where 'hash' and 'join' occur
+    within K=3 tokens of each other (the phrase/NEAR operator of an IR
+    stack: ranking "hash join" mentions above scattered co-occurrence):
+    per doc, the min gap and the number of qualifying position pairs.
+
+    The positional index (doc, position, token) is filtered to the two
+    query terms' postings BEFORE any shuffle (the boolean_search
+    discipline), so the per-doc position join costs tf_a × tf_b — the
+    standard positional-intersection bound, tiny for real query terms —
+    and total cost scales with posting-list size, not corpus size. One
+    corpus scan, one join keyed on doc_id over the two slim posting
+    legs."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(text.tokens(F.col("text"))).alias("j0", "tok")
+    ).select("doc_id", (F.col("j0") + 1).alias("j"), "tok")
+    pa = pos.filter(F.col("tok") == _PROX_A).select("doc_id", F.col("j").alias("ja"))
+    pb = pos.filter(F.col("tok") == _PROX_B).select("doc_id", F.col("j").alias("jb"))
+    gap = F.abs(F.col("ja") - F.col("jb"))
+    hits = pa.join(pb, "doc_id").filter(gap <= _PROX_K).select(
+        "doc_id", gap.alias("gap")
+    )
+    return hits.groupBy("doc_id").agg(
+        F.min("gap").cast("long").alias("min_gap"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+
+
+@q(
+    "rel_twap",
+    f"""
+    WITH o AS (SELECT event_type, epoch_ns(ts) AS tns, {cents_sql('value')} AS c
+               FROM events),
+    seg AS (SELECT event_type, c,
+                   (lead(tns) OVER (PARTITION BY event_type
+                                    ORDER BY tns, c) - tns) // 1000000 AS dt_ms
+            FROM o),
+    w AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_segments,
+                 CAST(sum(dt_ms) AS BIGINT) AS total_ms,
+                 CAST(sum(c * dt_ms) AS BIGINT) AS wsum
+          FROM seg WHERE dt_ms IS NOT NULL GROUP BY 1)
+    SELECT event_type, n_segments, total_ms,
+           CAST(CASE WHEN total_ms > 0 THEN wsum // total_ms ELSE 0 END
+               AS BIGINT) AS twap_cents
+    FROM w
+    """,
+)
+def rel_twap(spark, sf_dir):
+    """Time-weighted average price/value per event series — the
+    irregular-timeseries mean a last-observation-carried-forward
+    integration gives (each observation weighted by how long it was
+    current), the standard fix for series whose sampling rate
+    correlates with the value. Exact integers end-to-end: weights are
+    millisecond holds (ns div 1e6 — cents × ms stays far under 2⁶³ at
+    any realistic scale), the weighted sum is an order-independent
+    integer, and the final TWAP is one integer floor-division. Ties on
+    ts are ordered by the cents value so lead() is deterministic in
+    both engines. One window shuffle partitioned by series — series
+    parallelism, no single-partition window — then a map-side-combining
+    rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    c = cents(F.col("value"))
+    o = ev.select("event_type", F.col("ts").alias("tns"), c.alias("c"))
+    w = Window.partitionBy("event_type").orderBy("tns", "c")
+    seg = o.select(
+        "event_type",
+        "c",
+        (F.lead("tns").over(w) - F.col("tns")).alias("dt_ns"),
+    ).withColumn("dt_ms", F.expr("dt_ns div 1000000"))
+    agg = (
+        seg.filter(F.col("dt_ns").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("dt_ms").cast("long").alias("total_ms"),
+            F.sum(F.col("c") * F.col("dt_ms")).cast("long").alias("wsum"),
+        )
+    )
+    return agg.select(
+        "event_type",
+        "n_segments",
+        "total_ms",
+        F.when(F.col("total_ms") > 0, F.expr("wsum div total_ms"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("twap_cents"),
+    )
+
+
+@q(
+    "rel_hll_merge",
+    f"""
+    WITH ea AS (SELECT user_id, event_type FROM events WHERE event_id % 2 = 0),
+    eb AS (SELECT user_id, event_type FROM events WHERE event_id % 2 = 1),
+    ra AS MATERIALIZED ({sketch.hll_registers_sql('ea', 'event_type', 'user_id')}),
+    rb AS MATERIALIZED ({sketch.hll_registers_sql('eb', 'event_type', 'user_id')}),
+    merged AS MATERIALIZED (
+        SELECT g, reg, max(mj) AS mj
+        FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY 1, 2),
+    fullr AS MATERIALIZED (
+        {sketch.hll_registers_sql('events', 'event_type', 'user_id')}),
+    est_m AS ({sketch.hll_estimate_sql('merged', 'event_type')}),
+    est_f AS ({sketch.hll_estimate_sql('fullr', 'event_type')}),
+    ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+               AS exact_distinct
+           FROM events GROUP BY 1)
+    SELECT m.event_type, m.approx_distinct AS merged_distinct,
+           f.approx_distinct AS full_distinct,
+           CAST(CASE WHEN m.approx_distinct = f.approx_distinct
+                THEN 1 ELSE 0 END AS BIGINT) AS merge_exact,
+           ex.exact_distinct
+    FROM est_m m JOIN est_f f ON f.event_type = m.event_type
+                 JOIN ex ON ex.event_type = m.event_type
+    """,
+)
+def rel_hll_merge(spark, sf_dir):
+    """HLL sketch MERGEABILITY, demonstrated and verified: the event
+    stream is split into two shards (event_id parity — two ingest
+    batches), each shard builds its own register table
+    (sketch.hll_registers), the shards merge by per-register max
+    (sketch.hll_merge), and the merged estimate is compared against the
+    sketch built over the whole stream. merge_exact = 1 for every group
+    BY CONSTRUCTION (max is associative/commutative/idempotent over a
+    partition of the input) — the property that makes the sketch
+    shippable at 100 TB: shard-local register tables (≤ 256 rows per
+    group each, whatever the shard size) flow to one ≤ |groups|×256-row
+    combine instead of re-scanning the corpus. The oracle re-derives
+    both estimates register-by-register, so the law is hash-pinned, not
+    asserted. Exact distinct included for calibration."""
+    ev = load_table(spark, sf_dir, "events")
+    ra = sketch.hll_registers(
+        ev.filter(F.col("event_id") % 2 == 0), "event_type", "user_id"
+    )
+    rb = sketch.hll_registers(
+        ev.filter(F.col("event_id") % 2 == 1), "event_type", "user_id"
+    )
+    merged = sketch.hll_estimate(sketch.hll_merge(ra, rb), "event_type").select(
+        "event_type", F.col("approx_distinct").alias("merged_distinct")
+    )
+    full = sketch.hll_estimate(
+        sketch.hll_registers(ev, "event_type", "user_id"), "event_type"
+    ).select("event_type", F.col("approx_distinct").alias("full_distinct"))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return (
+        merged.join(full, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "merged_distinct",
+            "full_distinct",
+            (F.col("merged_distinct") == F.col("full_distinct"))
+            .cast("long")
+            .alias("merge_exact"),
+            "exact_distinct",
+        )
+    )

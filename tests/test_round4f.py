@@ -148,6 +148,63 @@ def test_zipf_fit_matches_python(spark, sf_dir):
     assert row["slope_milli"] < 0
 
 
+def test_proximity_search_matches_python(spark, sf_dir):
+    got = {
+        r["doc_id"]: (r["min_gap"], r["n_pairs"])
+        for r in entry.queries()["txt_proximity_search"](spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").collect()
+    want = {}
+    for r in docs:
+        ts = _toks(r["text"])
+        pa = [i for i, t in enumerate(ts, start=1) if t == "hash"]
+        pb = [i for i, t in enumerate(ts, start=1) if t == "join"]
+        gaps = [abs(a - b) for a in pa for b in pb if abs(a - b) <= 3]
+        if gaps:
+            want[r["doc_id"]] = (min(gaps), len(gaps))
+    assert got == want
+
+
+def test_twap_matches_python(spark, sf_dir):
+    got = {
+        r["event_type"]: (r["n_segments"], r["total_ms"], r["twap_cents"])
+        for r in entry.queries()["rel_twap"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    ).collect()
+    series = {}
+    for r in ev:
+        c = int(math.copysign(math.floor(abs(r["value"] * 100) + 0.5), r["value"]))
+        series.setdefault(r["event_type"], []).append((r["ts"], c))
+    want = {}
+    for t, obs in series.items():
+        obs.sort()
+        segs = [
+            (c, (obs[i + 1][0] - tns) // 1_000_000)
+            for i, (tns, c) in enumerate(obs[:-1])
+        ]
+        total = sum(dt for _, dt in segs)
+        wsum = sum(c * dt for c, dt in segs)
+        want[t] = (len(segs), total, wsum // total if total > 0 else 0)
+    assert got == want
+
+
+def test_hll_merge_law_holds(spark, sf_dir):
+    rows = entry.queries()["rel_hll_merge"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # the mergeability law: sharded registers max-merge to the full
+        # sketch, so the estimates are IDENTICAL doubles
+        assert r["merge_exact"] == 1
+        assert r["merged_distinct"] == r["full_distinct"]
+        # and the estimate is a real estimate (HLL 256-register error
+        # envelope, generously bounded)
+        assert abs(r["merged_distinct"] - r["exact_distinct"]) <= (
+            0.3 * r["exact_distinct"] + 5
+        )
+
+
 def test_integrity_audit_matches_python(spark, sf_dir):
     got = {
         r["source"]: (
