@@ -186,6 +186,9 @@ HEADLINE = [
     "txt_proximity_search",
     "rel_twap",
     "rel_hll_merge",
+    "rel_bloom_join_filter",
+    "rel_kcore",
+    "rel_range_boundaries",
 ]
 
 REGRESSION_FACTOR = 1.5

@@ -7485,3 +7485,299 @@ def rel_hll_merge(spark, sf_dir):
             "exact_distinct",
         )
     )
+
+
+#: Bloom filter geometry for the join pre-filter: bits and hash count.
+#: ~3k urgent-order keys at sf0.01 → kn/m ≈ 0.73 → fpr ≈ 7% — dense
+#: enough that false positives actually occur and get counted.
+_BF_M, _BF_K = 16_384, 4
+
+
+def _bf_pos_sql(key_expr: str) -> list[str]:
+    return [
+        f"({seeded_sql(f'bf{i}', key_expr)} % {_BF_M})" for i in range(_BF_K)
+    ]
+
+
+@q(
+    "rel_bloom_join_filter",
+    f"""
+    WITH small AS (SELECT o_orderkey AS k FROM orders
+                   WHERE o_orderpriority = '1-URGENT'),
+    bits AS MATERIALIZED (
+        SELECT DISTINCT pos FROM small,
+        unnest([{', '.join(_bf_pos_sql("CAST(k AS VARCHAR)"))}]) AS u(pos)),
+    keys AS MATERIALIZED (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+    probe AS (SELECT k, pos FROM keys,
+              unnest([{', '.join(_bf_pos_sql("CAST(k AS VARCHAR)"))}]) AS u(pos)),
+    pass AS MATERIALIZED (
+        SELECT p.k FROM probe p JOIN bits b USING (pos)
+        GROUP BY p.k HAVING count(*) = {_BF_K}),
+    truek AS MATERIALIZED (SELECT k FROM keys WHERE k IN (SELECT k FROM small)),
+    rows_pass AS (SELECT count(*) AS c FROM lineitem
+                  WHERE l_orderkey IN (SELECT k FROM pass)),
+    rows_true AS (SELECT count(*) AS c FROM lineitem
+                  WHERE l_orderkey IN (SELECT k FROM truek))
+    SELECT CAST((SELECT count(*) FROM bits) AS BIGINT) AS n_bits_set,
+           CAST((SELECT count(*) FROM keys) AS BIGINT) AS n_probe_keys,
+           CAST((SELECT count(*) FROM pass) AS BIGINT) AS n_pass_keys,
+           CAST((SELECT count(*) FROM truek) AS BIGINT) AS n_true_keys,
+           CAST((SELECT c FROM rows_pass) AS BIGINT) AS n_rows_pass,
+           CAST((SELECT c FROM rows_true) AS BIGINT) AS n_rows_true,
+           CAST((SELECT count(*) FROM pass) - (SELECT count(*) FROM truek)
+               AS BIGINT) AS fp_keys,
+           CAST(((SELECT count(*) FROM pass) - (SELECT count(*) FROM truek))
+                * 1000000
+                // ((SELECT count(*) FROM keys) - (SELECT count(*) FROM truek))
+               AS BIGINT) AS fpr_micro
+    """,
+)
+def rel_bloom_join_filter(spark, sf_dir):
+    """Portable Bloom-filter join pre-filter — the runtime-filter
+    pruning primitive of a 100 TB join (Spark's own
+    InjectRuntimeFilter shape, built here from md5 bits so both
+    engines agree on every bit): the small side (urgent orders) sets
+    k=4 md5-derived positions in an m=16 Ki bit space; the probe side
+    keeps a key iff ALL its positions are set. Reports set-bit count,
+    key- and row-level pass/true counts, false-positive keys and the
+    measured key-level FPR (micro) — and no false negatives by
+    construction (pass ⊇ true, pinned by the test suite).
+
+    Scale: the filter is built in one pass over the SMALL side and is
+    ≤ m rows whatever that side's size; the probe pass computes 4
+    hashes per distinct key and joins the broadcast bit set — the big
+    side never shuffles on data, only its ≤|keys| distinct-key leg
+    does. At a real deployment the bit set ships as a bitmap in the
+    task closure; the DataFrame-join rendering keeps it oracle-
+    checkable row-for-row."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    small = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("k")
+    )
+
+    def positions(col):
+        return F.array(
+            *[
+                seeded(f"bf{i}", col.cast("string")) % _BF_M
+                for i in range(_BF_K)
+            ]
+        )
+
+    bits = small.select(
+        F.explode(positions(F.col("k"))).alias("pos")
+    ).distinct()
+    keys = li.select(F.col("l_orderkey").alias("k")).distinct()
+    probe = keys.select("k", F.explode(positions(F.col("k"))).alias("pos"))
+    passed = (
+        probe.join(F.broadcast(bits), "pos")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .filter(F.col("_hits") == _BF_K)
+        .select("k")
+    )
+    truek = keys.join(small, "k", "left_semi")
+    one = lambda df, name: F.broadcast(df.agg(F.count(F.lit(1)).alias(name)))
+    out = (
+        one(bits, "n_bits_set")
+        .crossJoin(one(keys, "n_probe_keys"))
+        .crossJoin(one(passed, "n_pass_keys"))
+        .crossJoin(one(truek, "n_true_keys"))
+        .crossJoin(one(li.join(passed, li.l_orderkey == passed.k, "left_semi"), "n_rows_pass"))
+        .crossJoin(one(li.join(truek, li.l_orderkey == truek.k, "left_semi"), "n_rows_true"))
+    )
+    return out.select(
+        "n_bits_set",
+        "n_probe_keys",
+        "n_pass_keys",
+        "n_true_keys",
+        "n_rows_pass",
+        "n_rows_true",
+        (F.col("n_pass_keys") - F.col("n_true_keys")).alias("fp_keys"),
+        F.expr(
+            "(n_pass_keys - n_true_keys) * 1000000"
+            " div (n_probe_keys - n_true_keys)"
+        ).alias("fpr_micro"),
+    )
+
+
+#: k-core parameters: degree threshold and fixed peel rounds (fixed
+#: rounds keep the oracle an unrolled CTE chain; the converged flag
+#: reports whether the trajectory had already stabilized)
+_KCORE_K, _KCORE_ROUNDS = 3, 6
+
+
+def _kcore_oracle() -> str:
+    ctes = [
+        f"""ok AS (SELECT l_orderkey FROM lineitem
+               GROUP BY 1 HAVING count(*) <= {_TRI_MAX_ITEMS}),
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a
+        JOIN ok ON a.l_orderkey = ok.l_orderkey
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey)"""
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        ctes.append(
+            f"""n{r} AS MATERIALIZED (
+        SELECT n FROM (SELECT u AS n FROM e{r-1} UNION ALL SELECT v FROM e{r-1})
+        GROUP BY n HAVING count(*) >= {_KCORE_K})"""
+        )
+        ctes.append(
+            f"""e{r} AS MATERIALIZED (
+        SELECT e.u, e.v FROM e{r-1} e
+        JOIN n{r} a ON a.n = e.u JOIN n{r} b ON b.n = e.v)"""
+        )
+    stats = [
+        """SELECT 0 AS round,
+           CAST((SELECT count(*) FROM (SELECT DISTINCT n FROM
+                (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0)))
+               AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM e0) AS BIGINT) AS n_edges"""
+    ] + [
+        f"""SELECT {r} AS round,
+           CAST((SELECT count(*) FROM n{r}) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM e{r}) AS BIGINT) AS n_edges"""
+        for r in range(1, _KCORE_ROUNDS + 1)
+    ]
+    union = " UNION ALL ".join(stats)
+    return f"""
+    WITH {','.join(ctes)},
+    tr AS ({union})
+    SELECT CAST(round AS BIGINT) AS round, n_nodes, n_edges,
+           CAST(CASE WHEN lag(n_nodes) OVER (ORDER BY round) = n_nodes
+                      AND lag(n_edges) OVER (ORDER BY round) = n_edges
+                THEN 1 ELSE 0 END AS BIGINT) AS converged
+    FROM tr
+    """
+
+
+@q("rel_kcore", _kcore_oracle())
+def rel_kcore(spark, sf_dir):
+    """Bounded-round k-core decomposition (k=3, 6 peel rounds) of the
+    co-purchase graph — the graph-density filter that strips hairball
+    periphery before community/motif analysis: each round drops nodes
+    with degree < k and their incident edges. Fixed rounds keep the
+    semantics an unrolled, engine-portable CTE chain (the
+    cluster_pairs discipline); the per-round (nodes, edges) trajectory
+    IS the output, with a converged flag once the peel stabilizes —
+    on this graph the fixed budget is enough to reach the true 3-core
+    (pinned by the test suite's run-to-fixpoint Python reference).
+
+    Scale: per round, one map-side-combining degree count plus two
+    semi-joins of the edge list against the ≤|nodes| surviving set —
+    edges localCheckpoint'ed per round so lineage stays flat (the
+    PageRank pattern); per-round scalars are the only driver traffic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ok = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") <= _TRI_MAX_ITEMS)
+        .select("l_orderkey")
+    )
+    items = li.join(ok, "l_orderkey").select("l_orderkey", "l_partkey")
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n0 = (
+        edges.select(F.col("u").alias("n"))
+        .unionByName(edges.select(F.col("v").alias("n")))
+        .distinct()
+        .count()
+    )
+    traj = [(0, n0, edges.count())]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        keep = (
+            edges.select(F.col("u").alias("n"))
+            .unionByName(edges.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select("n")
+        )
+        edges = (
+            edges.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        traj.append((r, keep.count(), edges.count()))
+    rows = [
+        (
+            r,
+            nn,
+            ne,
+            1 if i > 0 and (nn, ne) == traj[i - 1][1:] else 0,
+        )
+        for i, (r, nn, ne) in enumerate(traj)
+    ]
+    return spark.createDataFrame(
+        rows, "round long, n_nodes long, n_edges long, converged long"
+    )
+
+
+#: range-partitioner buckets for the boundary-planning probe
+_RANGE_BUCKETS = 8
+_RANGE_PERMILLES = tuple(i * 1000 // _RANGE_BUCKETS for i in range(1, _RANGE_BUCKETS))
+
+
+@q(
+    "rel_range_boundaries",
+    f"""
+    WITH bnd AS MATERIALIZED (
+        {profile.grouped_exact_quantiles_sql(
+            "orders", "1", cents_sql("o_totalprice"),
+            permilles=_RANGE_PERMILLES)}),
+    assigned AS (
+        SELECT {' + '.join(f"CASE WHEN {cents_sql('o_totalprice')} >= b.p{p} THEN 1 ELSE 0 END" for p in _RANGE_PERMILLES)} AS bucket,
+               {cents_sql('o_totalprice')} AS c
+        FROM orders, bnd b)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(c) AS BIGINT) AS min_cents,
+           CAST(max(c) AS BIGINT) AS max_cents
+    FROM assigned GROUP BY bucket
+    """,
+)
+def rel_range_boundaries(spark, sf_dir):
+    """Range-partitioner boundary planning — the 'how do you sort
+    100 TB' primitive: exact octile cut points of the order-value
+    distribution (inverse-CDF over a value histogram — the
+    grouped_exact_quantiles machinery, NOT a corpus sort and NOT an
+    engine-specific sampled RangePartitioner), then every row assigned
+    to its bucket and the per-bucket counts + value ranges reported,
+    proving the planned partitions are balanced before any shuffle is
+    scheduled.
+
+    Scale: one map-side-combining histogram aggregate (rows bounded by
+    |distinct values| — domain-bounded for a price column), a window
+    over that histogram, and one broadcast of the 7 boundary values
+    into a map-side bucket assignment + rollup. The corpus itself is
+    scanned twice and shuffled never."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = cents(F.col("o_totalprice"))
+    vals = orders.select(c.alias("c"), F.lit(1).alias("g"))
+    bnd = profile.grouped_exact_quantiles(
+        vals, "g", "c", permilles=_RANGE_PERMILLES
+    )
+    bucket = sum(
+        [F.when(F.col("c") >= F.col(f"p{p}"), 1).otherwise(0) for p in _RANGE_PERMILLES],
+        F.lit(0),
+    )
+    assigned = vals.crossJoin(
+        F.broadcast(bnd.select(*[f"p{p}" for p in _RANGE_PERMILLES]))
+    ).select(bucket.alias("bucket"), "c")
+    return assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("c").cast("long").alias("min_cents"),
+        F.max("c").cast("long").alias("max_cents"),
+    ).select(F.col("bucket").cast("long").alias("bucket"), "n_rows", "min_cents", "max_cents")

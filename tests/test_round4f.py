@@ -205,6 +205,117 @@ def test_hll_merge_law_holds(spark, sf_dir):
         )
 
 
+def test_bloom_join_filter_matches_python(spark, sf_dir):
+    row = entry.queries()["rel_bloom_join_filter"](spark, sf_dir).collect()[0]
+    M, K = 16_384, 4
+    orders = load_table(spark, sf_dir, "orders").collect()
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey").collect()
+    small = {r["o_orderkey"] for r in orders if r["o_orderpriority"] == "1-URGENT"}
+
+    def pos(k):
+        return [
+            int(
+                hashlib.md5(f"bf{i}|{k}".encode()).hexdigest()[:15], 16
+            ) % M
+            for i in range(K)
+        ]
+
+    bits = {p for k in small for p in pos(k)}
+    keys = {r["l_orderkey"] for r in li}
+    passed = {k for k in keys if all(p in bits for p in pos(k))}
+    truek = keys & small
+    # no false negatives: every true key passes the filter
+    assert truek <= passed
+    rows_pass = sum(1 for r in li if r["l_orderkey"] in passed)
+    rows_true = sum(1 for r in li if r["l_orderkey"] in truek)
+    assert (
+        row["n_bits_set"],
+        row["n_probe_keys"],
+        row["n_pass_keys"],
+        row["n_true_keys"],
+        row["n_rows_pass"],
+        row["n_rows_true"],
+        row["fp_keys"],
+        row["fpr_micro"],
+    ) == (
+        len(bits),
+        len(keys),
+        len(passed),
+        len(truek),
+        rows_pass,
+        rows_true,
+        len(passed) - len(truek),
+        (len(passed) - len(truek)) * 1_000_000 // (len(keys) - len(truek)),
+    )
+
+
+def test_kcore_matches_fixpoint_python(spark, sf_dir):
+    got = {
+        r["round"]: (r["n_nodes"], r["n_edges"], r["converged"])
+        for r in entry.queries()["rel_kcore"](spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    by_order = {}
+    for r in li:
+        by_order.setdefault(r["l_orderkey"], []).append(r["l_partkey"])
+    edges = {
+        (min(a, b), max(a, b))
+        for parts in by_order.values()
+        if len(parts) <= 8
+        for i, a in enumerate(parts)
+        for b in parts[i + 1 :]
+        if a != b
+    }
+    nodes = {n for e in edges for n in e}
+    traj = {0: (len(nodes), len(edges), 0)}
+    prev = (len(nodes), len(edges))
+    for r in range(1, 7):
+        deg = Counter(n for e in edges for n in e)
+        keep = {n for n, d in deg.items() if d >= 3}
+        edges = {(u, v) for u, v in edges if u in keep and v in keep}
+        cur = (len(keep), len(edges))
+        traj[r] = (*cur, 1 if cur == prev else 0)
+        prev = cur
+    assert got == traj
+    # the fixed 6-round budget reaches the true 3-core on this graph
+    assert got[6][2] == 1
+
+
+def test_range_boundaries_matches_python(spark, sf_dir):
+    got = {
+        r["bucket"]: (r["n_rows"], r["min_cents"], r["max_cents"])
+        for r in entry.queries()["rel_range_boundaries"](spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice").collect()
+    cents = sorted(
+        int(math.copysign(math.floor(abs(r["o_totalprice"] * 100) + 0.5),
+                          r["o_totalprice"]))
+        for r in orders
+    )
+    n = len(cents)
+    hist = Counter(cents)
+    bounds = []
+    for p in [i * 1000 // 8 for i in range(1, 8)]:
+        cum = 0
+        for v in sorted(hist):
+            cum += hist[v]
+            if cum * 1000 >= p * n:
+                bounds.append(v)
+                break
+    want = {}
+    for c in cents:
+        b = sum(1 for x in bounds if c >= x)
+        lo, hi, cnt = want.get(b, (c, c, 0))
+        want[b] = (min(lo, c), max(hi, c), cnt + 1)
+    want = {b: (cnt, lo, hi) for b, (lo, hi, cnt) in want.items()}
+    assert got == want
+    # the planned buckets are balanced: no bucket more than 2x the mean
+    mean = n / len(got)
+    assert all(cnt <= 2 * mean for cnt, _, _ in got.values())
+
+
 def test_integrity_audit_matches_python(spark, sf_dir):
     got = {
         r["source"]: (
