@@ -189,6 +189,9 @@ HEADLINE = [
     "rel_bloom_join_filter",
     "rel_kcore",
     "rel_range_boundaries",
+    "rel_rolling_active",
+    "rel_fuzzy_match",
+    "txt_inverted_index_persisted",
 ]
 
 REGRESSION_FACTOR = 1.5

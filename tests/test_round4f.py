@@ -316,6 +316,78 @@ def test_range_boundaries_matches_python(spark, sf_dir):
     assert all(cnt <= 2 * mean for cnt, _, _ in got.values())
 
 
+def _lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, start=1):
+        cur = [i]
+        for j, cb in enumerate(b, start=1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_rolling_active_matches_python(spark, sf_dir):
+    got = {
+        r["day"]: (r["dau"], r["wau"], r["stickiness_milli"])
+        for r in entry.queries()["rel_rolling_active"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts").collect()
+    DAY = 86_400_000_000_000
+    ud = {(r["user_id"], r["ts"] // DAY) for r in ev}
+    days = {d for _, d in ud}
+    want = {}
+    for d in days:
+        dau = len({u for u, dd in ud if dd == d})
+        wau = len({u for u, dd in ud if d - 6 <= dd <= d})
+        want[d] = (dau, wau, dau * 1000 // wau)
+    assert got == want
+
+
+def test_fuzzy_match_matches_python(spark, sf_dir):
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in entry.queries()["rel_fuzzy_match"](spark, sf_dir).collect()
+    }
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    ).collect()
+    by_blk = {}
+    for r in cust:
+        by_blk.setdefault(r["c_name"][:16], []).append((r["c_custkey"], r["c_name"]))
+    want = {}
+    for members in by_blk.values():
+        members.sort()
+        for i, (ka, na) in enumerate(members):
+            for kb, nb in members[i + 1 :]:
+                d = _lev(na, nb)
+                if d <= 1:
+                    want[(ka, kb)] = d
+    assert got == want
+    assert want  # the block scheme actually finds matches on this data
+
+
+def test_inverted_index_matches_python(spark, sf_dir):
+    got = [
+        (r["rank"], r["doc_id"], r["score"])
+        for r in entry.queries()["txt_inverted_index_persisted"](
+            spark, sf_dir
+        ).collect()
+    ]
+    docs = load_table(spark, sf_dir, "documents").collect()
+    hits = []
+    for r in docs:
+        tf = Counter(_toks(r["text"]))
+        if tf["vector"] > 0 and tf["merge"] > 0:
+            hits.append((r["doc_id"], tf["vector"] + tf["merge"]))
+    hits.sort(key=lambda t: (-t[1], t[0]))
+    want = [(i + 1, d, s) for i, (d, s) in enumerate(hits[:20])]
+    assert sorted(got) == want
+
+
 def test_integrity_audit_matches_python(spark, sf_dir):
     got = {
         r["source"]: (

@@ -120,11 +120,28 @@ def build(spark):
 
 
 def main():
+    import argparse
+
     from smoltable_spark.session import get_spark
     from smoltable_spark.api import ScanInput
     from smoltable_spark.operators import scan_cells, count_exact
     from smoltable_spark.sources.relational import orders_cells
     from smoltable_spark.functions import dedup, text
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated substrings: run only matching timed entries",
+    )
+    ap.add_argument(
+        "--append",
+        action="store_true",
+        help="merge this run's rows into the existing SCALE.md table "
+        "instead of rewriting it from only this run",
+    )
+    args = ap.parse_args()
+    only = [s for s in (args.only or "").split(",") if s]
 
     spark = get_spark("scale_smoke", cpus=32, shuffle_partitions=32)
     build(spark)
@@ -133,6 +150,8 @@ def main():
     results = {}
 
     def timed(name, fn):
+        if only and not any(s in name for s in only):
+            return
         fn()  # steady state: first run absorbs codegen/footer warmup (as bench.py)
         t0 = time.time()
         n = fn()
@@ -652,6 +671,23 @@ def main():
         "emb_outlier_topk",
         "pipeline_quality_classifier",
         "pipeline_classifier_gate",
+        # r4g additions: containment dedup (candidates scale with
+        # duplicate structure), chisq drift / zipf / twap / hll-merge /
+        # proximity over the 10x sets, bloom probe over 6M lineitem,
+        # k-core peel over the 10x co-purchase graph, octile planning
+        "dedup_containment",
+        "rel_chisq_drift",
+        "txt_zipf_fit",
+        "pipeline_integrity_audit",
+        "txt_proximity_search",
+        "rel_twap",
+        "rel_hll_merge",
+        "rel_bloom_join_filter",
+        "rel_kcore",
+        "rel_range_boundaries",
+        "rel_rolling_active",
+        "rel_fuzzy_match",
+        "txt_inverted_index_persisted",
     ):
         _fn = _AQ[_nq][0]
         timed(f"{_nq}_10x", lambda _f=_fn: _f(spark, OUT).count())
@@ -759,6 +795,14 @@ Steady-state timings (2nd run per op). Reading the table:
   `mm_luma_histogram_10x`: one aggregate / one adjacent-id join / one
   Arrow decode pass respectively — each linear in its input with
   constant-size output per group.
+- r4g rows (`dedup_containment_10x` … `rel_range_boundaries_10x`):
+  containment shares the MinHash candidate profile (pairs track
+  duplicate structure, not corpus size); the bloom probe is one pass
+  over 6M lineitem rows against a broadcast <=16Ki bit set; k-core is
+  6 peel rounds over the 10x co-purchase graph (degree agg + two
+  semi-joins per round); chisq/zipf/twap/hll-merge/proximity/octile
+  are one-or-two-pass aggregates whose post-agg state is
+  types/vocab/register-bounded.
 - `stream_*_1M` rows replay the 10x (1M-event) set as an 8-micro-batch
   availableNow stream (maxFilesPerTrigger=4 over 32 files) and report
   state-store PEAK alongside wall time — the watermark-bounded-state
@@ -768,11 +812,20 @@ Steady-state timings (2nd run per op). Reading the table:
   wall time is dominated by per-micro-batch fixed overhead (~0.5-1 s
   each), which at 100 TB amortizes over far larger batches.
 """
-    with open(os.path.join(os.path.dirname(OUT), "SCALE.md"), "w") as fh:
+    scale_path = os.path.join(os.path.dirname(OUT), "SCALE.md")
+    rows: dict[str, tuple] = {}
+    if args.append and os.path.exists(scale_path):
+        # carry the previous table forward; this run's rows win on key
+        for line in open(scale_path):
+            parts = [p.strip() for p in line.strip().strip("|").split("|")]
+            if len(parts) == 3 and parts[0] not in ("operation", "---"):
+                rows[parts[0]] = (parts[1], parts[2])
+    rows.update({k: (s, n) for k, (s, n) in results.items()})
+    with open(scale_path, "w") as fh:
         fh.write("# SCALE — 10x smoke (sf0.1 replicated 10x, local[32])\n")
         fh.write(notes + "\n")
         fh.write("| operation | seconds | result |\n|---|---|---|\n")
-        for k, (s, n) in results.items():
+        for k, (s, n) in rows.items():
             fh.write(f"| {k} | {s} | {n} |\n")
     print("wrote SCALE.md", file=sys.stderr)
     spark.stop()
