@@ -192,6 +192,10 @@ HEADLINE = [
     "rel_rolling_active",
     "rel_fuzzy_match",
     "txt_inverted_index_persisted",
+    "rel_cusum_changepoint",
+    "emb_centroid_drift",
+    "txt_kwic",
+    "rel_wow_change",
 ]
 
 REGRESSION_FACTOR = 1.5

@@ -7971,3 +7971,288 @@ def txt_inverted_index_persisted(spark, sf_dir):
         .filter(F.col("rank") <= 20)
         .select("doc_id", "score", "rank")
     )
+
+
+@q(
+    "rel_cusum_changepoint",
+    f"""
+    WITH o AS (SELECT event_type, epoch_ns(ts) AS tns, event_id,
+                      {cents_sql('value')} AS c
+               FROM events),
+    tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(c) AS BIGINT) AS s
+            FROM o GROUP BY 1),
+    run AS (SELECT o.event_type, o.tns, t.n, t.s,
+                   CAST(sum(o.c) OVER w AS BIGINT) AS rs,
+                   CAST(count(*) OVER w AS BIGINT) AS rn
+            FROM o JOIN tot t USING (event_type)
+            WINDOW w AS (PARTITION BY o.event_type ORDER BY o.tns, o.event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    dev AS (SELECT event_type, tns, n,
+                   abs(n * rs - rn * s) AS d
+            FROM run)
+    SELECT event_type, n,
+           CAST(min(tns) FILTER (WHERE d = md) AS BIGINT) AS cp_ts,
+           CAST(md AS BIGINT) AS max_dev_scaled
+    FROM (SELECT *, max(d) OVER (PARTITION BY event_type) AS md FROM dev)
+    GROUP BY event_type, n, md
+    """,
+)
+def rel_cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint detection per event series — where did the
+    level shift? The classic sequential-monitoring statistic, made
+    cross-engine exact by clearing denominators: the cumulative
+    deviation Σ_{{i≤k}}(c_i − μ) equals (n·RS_k − k·S)/n for running sum
+    RS and running count k, so the engine tracks the INTEGER
+    n·RS_k − k·S and reports the timestamp of its maximum absolute
+    value (ties → earliest) plus the scaled peak — no floating point
+    anywhere. Complements rel_chisq_drift (distribution mix) and
+    rel_anomaly_zscore (point outliers) with a WHEN answer.
+
+    Scale: one rollup for (n, S), one window cumsum partitioned by
+    series (series-parallel, never single-partition), one max-filter
+    pass. The cents×count products stay far inside int64 at any
+    realistic series size (6e5 rows × 6e10 cents-sum ≈ 3.6e16)."""
+    ev = load_table(spark, sf_dir, "events")
+    o = ev.select(
+        "event_type",
+        F.col("ts").alias("tns"),
+        "event_id",
+        cents(F.col("value")).alias("c"),
+    )
+    tot = o.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("s")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("tns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = o.join(tot, "event_type").select(
+        "event_type",
+        "tns",
+        "n",
+        "s",
+        F.sum("c").over(w).alias("rs"),
+        F.count(F.lit(1)).over(w).alias("rn"),
+    )
+    dev = run.select(
+        "event_type",
+        "tns",
+        "n",
+        F.abs(F.col("n") * F.col("rs") - F.col("rn") * F.col("s")).alias("d"),
+    )
+    md = dev.withColumn(
+        "md", F.max("d").over(Window.partitionBy("event_type"))
+    )
+    return md.groupBy("event_type", "n", "md").agg(
+        F.min(F.when(F.col("d") == F.col("md"), F.col("tns")))
+        .cast("long")
+        .alias("cp_ts"),
+    ).select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        "cp_ts",
+        F.col("md").cast("long").alias("max_dev_scaled"),
+    )
+
+
+@q(
+    "emb_centroid_drift",
+    f"""
+    WITH qv AS (SELECT vec_id, label, {_QVEC_SQL} AS q FROM embeddings),
+    flat AS (SELECT label, vec_id % 2 AS shard, i AS dim, q[i] AS v
+             FROM qv, unnest(range(1, len(q) + 1)) AS u(i)),
+    st AS (SELECT label, shard, dim, CAST(sum(v) AS BIGINT) AS s,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM flat GROUP BY 1, 2, 3),
+    arr AS (SELECT label, shard, array_agg(s ORDER BY dim) AS sa,
+                   any_value(n) AS n
+            FROM st GROUP BY 1, 2),
+    pair AS (SELECT a.label, a.sa AS sa, a.n AS na, b.sa AS sb, b.n AS nb
+             FROM arr a JOIN arr b ON b.label = a.label
+             WHERE a.shard = 0 AND b.shard = 1)
+    SELECT label, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           list_sum(list_transform(range(1, len(sa) + 1),
+               i -> (CAST(sa[i] * nb - sb[i] * na AS DOUBLE) / (na * nb))
+                    * (CAST(sa[i] * nb - sb[i] * na AS DOUBLE) / (na * nb))))
+               AS drift2
+    FROM pair
+    """,
+)
+def emb_centroid_drift(spark, sf_dir):
+    """Embedding-distribution drift monitor — the vector-space
+    counterpart of rel_chisq_drift: split each label's vectors into two
+    shards (vec_id parity — two ingest batches), compute both shard
+    centroids, and report the squared L2 distance between them in
+    quantized units. A healthy stable corpus shows near-zero drift;
+    an embedding-model change or data shift moves the centroids.
+
+    Determinism discipline: per-dim shard sums are exact integers; the
+    per-dim centroid difference clears denominators FIRST
+    ((sa·nb − sb·na), an exact int64 well inside 2⁵³, so its double
+    conversion is exact), one exact double division by na·nb, and the
+    64 squared terms fold SEQUENTIALLY (list_sum / F.aggregate — the
+    emb_outlier_topk rule) so double addition order is engine-fixed.
+    Scale: one (label, shard, dim)-grid aggregate — vectors never
+    shuffle raw, the grid is |labels|·2·|dims| rows — and a
+    |labels|-row join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * similarity.QUANT).cast("long"),
+    )
+    v = emb.select("vec_id", "label", qv.alias("q"))
+    flat = v.select(
+        "label",
+        (F.col("vec_id") % 2).alias("shard"),
+        F.posexplode("q").alias("pos", "x"),
+    ).select("label", "shard", (F.col("pos") + 1).alias("dim"), "x")
+    st = flat.groupBy("label", "shard", "dim").agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    arr = st.groupBy("label", "shard").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "s"))), lambda t: t["s"]
+        ).alias("sa"),
+        F.first("n").alias("n"),
+    )
+    a = arr.filter(F.col("shard") == 0).select(
+        "label", F.col("sa").alias("sa"), F.col("n").alias("na")
+    )
+    b = arr.filter(F.col("shard") == 1).select(
+        "label", F.col("sa").alias("sb"), F.col("n").alias("nb")
+    )
+    pair = a.join(b, "label")
+
+    def term(i):
+        diff = (
+            F.element_at("sa", i) * F.col("nb")
+            - F.element_at("sb", i) * F.col("na")
+        ).cast("double") / (F.col("na") * F.col("nb"))
+        return diff * diff
+
+    drift2 = F.aggregate(
+        F.transform(F.sequence(F.lit(1), F.size("sa")), term),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    return pair.select(
+        "label",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        drift2.alias("drift2"),
+    )
+
+
+#: keyword-in-context query term and one-sided context width (tokens)
+_KWIC_TERM, _KWIC_W = "vector", 2
+
+
+@q(
+    "txt_kwic",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    pos AS (SELECT doc_id, toks, j FROM t,
+            unnest(range(1, len(toks) + 1)) AS u(j)
+            WHERE toks[j] = '{_KWIC_TERM}')
+    SELECT doc_id, CAST(j AS BIGINT) AS pos,
+           array_to_string(
+               toks[greatest(j - {_KWIC_W}, 1):least(j + {_KWIC_W}, len(toks))],
+               ' ') AS context
+    FROM pos
+    """,
+)
+def txt_kwic(spark, sf_dir):
+    """Keyword-in-context (KWIC) extraction — every occurrence of the
+    query term with its ±2-token window, the concordance view an
+    annotation/debugging pipeline renders when deciding whether a
+    filter rule or a dedup hit makes sense. Pure positional array
+    slicing inside the row: one corpus scan, the only shuffle is
+    whatever the sink needs; emitted rows scale with term frequency,
+    not corpus size (the posting-list bound again)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", text.tokens(F.col("text")).alias("toks"))
+    pos = toked.select(
+        "doc_id", "toks", F.posexplode("toks").alias("p0", "tok")
+    ).filter(F.col("tok") == _KWIC_TERM).select(
+        "doc_id", "toks", (F.col("p0") + 1).alias("j")
+    )
+    start = F.greatest(F.col("j") - _KWIC_W, F.lit(1))
+    end = F.least(F.col("j") + _KWIC_W, F.size("toks"))
+    return pos.select(
+        "doc_id",
+        F.col("j").cast("long").alias("pos"),
+        F.concat_ws(
+            " ", F.slice(F.col("toks"), start, end - start + 1)
+        ).alias("context"),
+    )
+
+
+_WEEK_NS = 7 * 86_400_000_000_000
+
+
+@q(
+    "rel_wow_change",
+    f"""
+    WITH wk AS (SELECT event_type, epoch_ns(ts) // {_WEEK_NS} AS week,
+                       CAST(count(*) AS BIGINT) AS n_events,
+                       CAST(sum({cents_sql('value')}) AS BIGINT) AS total_cents
+                FROM events GROUP BY 1, 2),
+    lagd AS (SELECT event_type, week, n_events, total_cents,
+                    lag(total_cents) OVER (PARTITION BY event_type
+                                           ORDER BY week) AS prev_cents
+             FROM wk)
+    SELECT event_type, CAST(week AS BIGINT) AS week, n_events, total_cents,
+           CAST(coalesce(prev_cents, 0) AS BIGINT) AS prev_cents,
+           CAST(CASE WHEN prev_cents > 0
+                THEN (CASE WHEN total_cents >= prev_cents THEN 1 ELSE -1 END)
+                     * (abs(total_cents - prev_cents) * 1000 // prev_cents)
+                ELSE 0 END AS BIGINT) AS wow_milli
+    FROM lagd
+    """,
+)
+def rel_wow_change(spark, sf_dir):
+    """Week-over-week change report per event series: weekly event
+    counts and cents totals with the permille change vs the previous
+    OBSERVED week (gap weeks compare against the last week that had
+    data — the pragmatic reporting convention; gap-filled variants are
+    rel_gap_fill's territory). Integer end-to-end: cents totals, lag,
+    and a floor-division permille — note total_cents ≥ 0 here, where
+    floor-div and truncating div agree. One map-side-combining weekly
+    rollup, one lag window partitioned by series."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = (
+        ev.select(
+            "event_type",
+            F.expr(f"ts div {_WEEK_NS}").alias("week"),
+            cents(F.col("value")).alias("c"),
+        )
+        .groupBy("event_type", "week")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("c").alias("total_cents"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    lagd = wk.withColumn("prev_cents", F.lag("total_cents").over(w))
+    return lagd.select(
+        "event_type",
+        F.col("week").cast("long").alias("week"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_cents").cast("long").alias("total_cents"),
+        F.coalesce(F.col("prev_cents"), F.lit(0)).cast("long").alias("prev_cents"),
+        # sign × floor(|diff|·1000 / prev): on the magnitude both engines'
+        # integer division agree (floor ≡ trunc for non-negative operands),
+        # where a raw signed floor-div (DuckDB //) vs trunc-div (Spark div)
+        # would diverge on negative changes
+        F.when(
+            F.col("prev_cents") > 0,
+            F.when(F.col("total_cents") >= F.col("prev_cents"), F.lit(1))
+            .otherwise(F.lit(-1))
+            * F.expr("abs(total_cents - prev_cents) * 1000 div prev_cents"),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("wow_milli"),
+    )

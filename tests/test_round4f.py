@@ -388,6 +388,121 @@ def test_inverted_index_matches_python(spark, sf_dir):
     assert sorted(got) == want
 
 
+def test_cusum_changepoint_matches_python(spark, sf_dir):
+    got = {
+        r["event_type"]: (r["n"], r["cp_ts"], r["max_dev_scaled"])
+        for r in entry.queries()["rel_cusum_changepoint"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    ).collect()
+    series = {}
+    for r in ev:
+        c = int(math.copysign(math.floor(abs(r["value"] * 100) + 0.5), r["value"]))
+        series.setdefault(r["event_type"], []).append((r["ts"], r["event_id"], c))
+    want = {}
+    for t, obs in series.items():
+        obs.sort()
+        n = len(obs)
+        s = sum(c for _, _, c in obs)
+        rs = 0
+        best = (-1, None)
+        for k, (tns, _eid, c) in enumerate(obs, start=1):
+            rs += c
+            d = abs(n * rs - k * s)
+            if d > best[0]:
+                best = (d, tns)
+        want[t] = (n, best[1], best[0])
+    assert got == want
+
+
+def test_centroid_drift_matches_python(spark, sf_dir):
+    import numpy as np
+
+    rows = entry.queries()["emb_centroid_drift"](spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    by = {}
+    for r in emb:
+        q = [
+            int(math.copysign(math.floor(abs(float(x) * 1_000_000) + 0.5), x))
+            for x in r["embedding"]
+        ]
+        by.setdefault((r["label"], r["vec_id"] % 2), []).append(q)
+    for r in rows:
+        a = by[(r["label"], 0)]
+        b = by[(r["label"], 1)]
+        assert r["n_a"] == len(a) and r["n_b"] == len(b)
+        sa = [sum(col) for col in zip(*a)]
+        sb = [sum(col) for col in zip(*b)]
+        acc = 0.0
+        for i in range(len(sa)):
+            diff = float(sa[i] * len(b) - sb[i] * len(a)) / (len(a) * len(b))
+            acc += diff * diff
+        assert r["drift2"] == acc
+        # centroids in quantized units: drift should be tiny vs the
+        # typical coordinate magnitude unless the shards diverge
+        ca = np.array(sa) / len(a)
+        cb = np.array(sb) / len(b)
+        assert math.isclose(
+            float(((ca - cb) ** 2).sum()), r["drift2"], rel_tol=1e-9
+        )
+
+
+def test_kwic_matches_python(spark, sf_dir):
+    got = {
+        (r["doc_id"], r["pos"]): r["context"]
+        for r in entry.queries()["txt_kwic"](spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").collect()
+    want = {}
+    for r in docs:
+        ts = _toks(r["text"])
+        for j, t in enumerate(ts, start=1):
+            if t == "vector":
+                lo = max(j - 2, 1)
+                hi = min(j + 2, len(ts))
+                want[(r["doc_id"], j)] = " ".join(ts[lo - 1 : hi])
+    assert got == want
+
+
+def test_wow_change_matches_python(spark, sf_dir):
+    got = {
+        (r["event_type"], r["week"]): (
+            r["n_events"],
+            r["total_cents"],
+            r["prev_cents"],
+            r["wow_milli"],
+        )
+        for r in entry.queries()["rel_wow_change"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    ).collect()
+    WEEK = 7 * 86_400_000_000_000
+    agg = {}
+    for r in ev:
+        c = int(math.copysign(math.floor(abs(r["value"] * 100) + 0.5), r["value"]))
+        key = (r["event_type"], r["ts"] // WEEK)
+        n, s = agg.get(key, (0, 0))
+        agg[key] = (n + 1, s + c)
+    want = {}
+    by_type = {}
+    for (t, wk), (n, s) in sorted(agg.items()):
+        by_type.setdefault(t, []).append((wk, n, s))
+    for t, weeks in by_type.items():
+        prev = None
+        for wk, n, s in weeks:
+            p = prev if prev is not None else 0
+            if p > 0:
+                sign = 1 if s >= p else -1
+                wow = sign * (abs(s - p) * 1000 // p)
+            else:
+                wow = 0
+            want[(t, wk)] = (n, s, p, wow)
+            prev = s
+    assert got == want
+
+
 def test_integrity_audit_matches_python(spark, sf_dir):
     got = {
         r["source"]: (

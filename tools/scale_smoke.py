@@ -688,6 +688,10 @@ def main():
         "rel_rolling_active",
         "rel_fuzzy_match",
         "txt_inverted_index_persisted",
+        "rel_cusum_changepoint",
+        "emb_centroid_drift",
+        "txt_kwic",
+        "rel_wow_change",
     ):
         _fn = _AQ[_nq][0]
         timed(f"{_nq}_10x", lambda _f=_fn: _f(spark, OUT).count())
@@ -795,6 +799,14 @@ Steady-state timings (2nd run per op). Reading the table:
   `mm_luma_histogram_10x`: one aggregate / one adjacent-id join / one
   Arrow decode pass respectively — each linear in its input with
   constant-size output per group.
+- `rel_fuzzy_match_10x` emits ~14M pairs in ~22 s: the replicas REUSE
+  customer names (keys shift, names don't), so every block's occupancy
+  grows 10x and within-block pairs grow ~100x — the textbook
+  blocking-scheme caveat (pair volume tracks block-size^2, exact-dup
+  name collisions included). On real data with distinct names the
+  block-size bound (<= 100) holds and the verify stays linear in
+  blocks; the row demonstrates the failure mode a production blocking
+  key must be audited for (rel_skew_profile is that audit).
 - r4g rows (`dedup_containment_10x` … `rel_range_boundaries_10x`):
   containment shares the MinHash candidate profile (pairs track
   duplicate structure, not corpus size); the bloom probe is one pass
