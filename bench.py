@@ -196,6 +196,9 @@ HEADLINE = [
     "emb_centroid_drift",
     "txt_kwic",
     "rel_wow_change",
+    "wc_merge_upsert",
+    "pipeline_dup_source_matrix",
+    "rel_percentile_rank",
 ]
 
 REGRESSION_FACTOR = 1.5

@@ -8256,3 +8256,97 @@ def rel_wow_change(spark, sf_dir):
         .cast("long")
         .alias("wow_milli"),
     )
+
+
+@q(
+    "pipeline_dup_source_matrix",
+    f"""
+    WITH pairs AS MATERIALIZED (SELECT id_a, id_b FROM ({_minhash_oracle()})),
+    srcs AS (SELECT doc_id, source FROM documents),
+    lab AS (SELECT least(sa.source, sb.source) AS source_a,
+                   greatest(sa.source, sb.source) AS source_b
+            FROM pairs p JOIN srcs sa ON sa.doc_id = p.id_a
+                         JOIN srcs sb ON sb.doc_id = p.id_b)
+    SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_dup_pairs
+    FROM lab GROUP BY 1, 2
+    """,
+)
+def pipeline_dup_source_matrix(spark, sf_dir):
+    """Cross-source duplication forensics — WHO copies from WHOM: the
+    verified MinHash near-dup pairs (the dedup_minhash pipeline) rolled
+    up into an unordered (source_a, source_b) matrix. The report that
+    decides which feeds to down-weight or drop when building a mixture,
+    and the provenance complement of the dedup queries (which only
+    answer how much). Source pair is order-normalized (least/greatest)
+    so the matrix is triangular regardless of doc-id order.
+
+    Scale: inherits the LSH profile (pair volume tracks duplicate
+    structure, not corpus size); the provenance join touches only the
+    pair ids and the two-column source table; the rollup is at most
+    |sources|² rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(
+        docs, num_hashes=16, bands=4, k=3, threshold=0.5
+    ).select("id_a", "id_b")
+    srcs = docs.select("doc_id", "source")
+    sa = srcs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa"))
+    sb = srcs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb"))
+    lab = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+    )
+    return lab.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs")
+    )
+
+
+@q(
+    "rel_percentile_rank",
+    """
+    WITH spend AS (SELECT o_custkey,
+                          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                              AS BIGINT) AS total_cents
+                   FROM orders GROUP BY 1),
+    rk AS (SELECT o_custkey, total_cents,
+                  rank() OVER (ORDER BY total_cents) AS r,
+                  CAST(count(*) OVER () AS BIGINT) AS n
+           FROM spend)
+    SELECT o_custkey, total_cents,
+           CAST((r - 1) * 1000 // (n - 1) AS BIGINT) AS pct_rank_milli
+    FROM rk
+    """,
+)
+def rel_percentile_rank(spark, sf_dir):
+    """Exact percentile rank of every customer by lifetime spend — the
+    integer-permille rendering of SQL percent_rank() ((rank−1)/(n−1),
+    ties share a rank), which native Spark/DuckDB percent_rank would
+    return as engine-formatted doubles; the integer grid makes it
+    hash-pinnable. The segmentation input for 'top 1% / top 10%'
+    policies (rel_rfm_segments' continuous cousin). One rollup shuffle
+    to per-customer spend, one global rank window — the window operates
+    on |customers| aggregated rows, not raw orders; at extreme customer
+    counts the rank decomposes by the rel_concurrency_peak hierarchical
+    prefix-sum trick."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("total_cents")
+    )
+    w = Window.orderBy("total_cents")
+    wall = Window.partitionBy()
+    rk = spend.select(
+        "o_custkey",
+        "total_cents",
+        F.rank().over(w).alias("r"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    return rk.select(
+        "o_custkey",
+        "total_cents",
+        F.expr("(r - 1) * 1000 div (n - 1)").cast("long").alias("pct_rank_milli"),
+    )

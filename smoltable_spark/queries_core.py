@@ -1029,3 +1029,96 @@ def wc_value_index_lookup(spark, sf_dir):
         .join(F.broadcast(keys), "row_key")
         .select("row_key", F.col("v_f64").alias("totalprice"))
     )
+
+
+@q(
+    "wc_merge_upsert",
+    "WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_orders, "
+    "CAST(count(*) FILTER (WHERE o_orderkey % 3 = 0) AS BIGINT) AS n3, "
+    "CAST(count(*) FILTER (WHERE o_orderkey % 6 = 0) AS BIGINT) AS n6 "
+    "FROM orders) "
+    "SELECT n3 * 2 AS n_batch, n3 AS n_insert, n6 AS n_update, "
+    "n3 - n6 AS n_noop, n_orders * 5 + n3 + n6 AS cells_total_after, "
+    "n_orders * 5 + n3 AS visible_cells_after FROM n",
+)
+def wc_merge_upsert(spark, sf_dir):
+    """MERGE INTO (upsert) semantics over the cell store, end-to-end and
+    oracle-pinned: an incoming batch is classified against the CURRENT
+    VISIBLE cell per coordinate into insert / update / no-op, only the
+    first two are appended (write-avoidance: a no-op MERGE writes
+    nothing, so repeated idempotent loads don't grow the store), and the
+    post-merge store is audited (total versions, visible coordinates).
+
+    The batch: for every orderkey % 3 == 0, one totalprice cell on the
+    EXISTING row (value bumped when % 2 == 0 -> update; unchanged
+    otherwise -> no-op) and one cell on a brand-new row key -> insert.
+    Every reported count is derived from the orders table by the oracle
+    (n3/n6 modular counts), not recorded from the run.
+
+    Scale shape: classification is ONE left join of the batch against
+    the latest-version view on the coordinate key (both sides hash on
+    the same key the store is laid out by); the append is O(applied),
+    and the no-op class never touches disk. This is the Delta/Hudi-style
+    CDC merge expressed over the LSM chain the engine already has."""
+    import tempfile as _tf
+
+    from pyspark.sql import Window as _W
+
+    from smoltable_spark.sources.store import CellStore
+
+    store = CellStore(spark, _tf.mkdtemp(prefix="smoltable_merge_"))
+    store.save_families([ColumnFamilyDef("o")])
+    base = orders_cells(spark, sf_dir)
+    store.write(base)
+    key = F.regexp_extract("row_key", r"order#(\d+)", 1).cast("long")
+    src = base.filter((F.col("qualifier") == "totalprice") & (key % 3 == 0))
+    upserts = src.withColumn("ts", F.col("ts") + F.lit(1).cast("long")).withColumn(
+        "v_f64",
+        F.when(key % 2 == 0, F.col("v_f64") + F.lit(1.0)).otherwise(F.col("v_f64")),
+    )
+    inserts = src.withColumn(
+        "row_key", F.concat(F.col("row_key"), F.lit("#new"))
+    ).withColumn("ts", F.col("ts") + F.lit(1).cast("long"))
+    batch = upserts.unionByName(inserts)
+    w = _W.partitionBy("row_key", "family", "qualifier").orderBy(F.col("ts").desc())
+    visible = (
+        store.read()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "row_key", "family", "qualifier", F.col("v_f64").alias("_cur")
+        )
+    )
+    classed = batch.join(visible, ["row_key", "family", "qualifier"], "left")
+    n_insert = classed.filter(F.col("_cur").isNull()).count()
+    n_update = classed.filter(
+        F.col("_cur").isNotNull() & (F.col("v_f64") != F.col("_cur"))
+    ).count()
+    n_noop = classed.filter(
+        F.col("_cur").isNotNull() & (F.col("v_f64") == F.col("_cur"))
+    ).count()
+    applied = classed.filter(
+        F.col("_cur").isNull() | (F.col("v_f64") != F.col("_cur"))
+    ).drop("_cur")
+    store.append(applied)
+    after = store.read()
+    cells_total = after.count()
+    visible_after = (
+        after.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(batch.count()),
+                n_insert,
+                n_update,
+                n_noop,
+                cells_total,
+                visible_after,
+            )
+        ],
+        "n_batch long, n_insert long, n_update long, n_noop long, "
+        "cells_total_after long, visible_cells_after long",
+    )

@@ -503,6 +503,66 @@ def test_wow_change_matches_python(spark, sf_dir):
     assert got == want
 
 
+def test_merge_upsert_counts_derive_from_orders(spark, sf_dir):
+    row = entry.queries()["wc_merge_upsert"](spark, sf_dir).collect()[0]
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey").collect()
+    n = len(orders)
+    n3 = sum(1 for r in orders if r["o_orderkey"] % 3 == 0)
+    n6 = sum(1 for r in orders if r["o_orderkey"] % 6 == 0)
+    assert (
+        row["n_batch"],
+        row["n_insert"],
+        row["n_update"],
+        row["n_noop"],
+        row["cells_total_after"],
+        row["visible_cells_after"],
+    ) == (2 * n3, n3, n6, n3 - n6, n * 5 + n3 + n6, n * 5 + n3)
+
+
+def test_dup_source_matrix_consistent_with_minhash(spark, sf_dir):
+    rows = entry.queries()["pipeline_dup_source_matrix"](spark, sf_dir).collect()
+    from smoltable_spark.functions import dedup as _dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dedup.minhash_near_duplicates(
+        docs, num_hashes=16, bands=4, k=3, threshold=0.5
+    ).select("id_a", "id_b").collect()
+    src = {r["doc_id"]: r["source"] for r in docs.select("doc_id", "source").collect()}
+    want = Counter(
+        tuple(sorted((src[r["id_a"]], src[r["id_b"]])))
+        for r in pairs
+    )
+    got = {(r["source_a"], r["source_b"]): r["n_dup_pairs"] for r in rows}
+    assert got == dict(want)
+    assert sum(got.values()) == len(pairs)
+    for sa, sb in got:
+        assert sa <= sb  # order-normalized triangular matrix
+
+
+def test_percentile_rank_matches_python(spark, sf_dir):
+    got = {
+        r["o_custkey"]: (r["total_cents"], r["pct_rank_milli"])
+        for r in entry.queries()["rel_percentile_rank"](spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).collect()
+    spend = {}
+    for r in orders:
+        c = int(math.copysign(math.floor(abs(r["o_totalprice"] * 100) + 0.5),
+                              r["o_totalprice"]))
+        spend[r["o_custkey"]] = spend.get(r["o_custkey"], 0) + c
+    n = len(spend)
+    svals = sorted(spend.values())
+    import bisect
+
+    want = {}
+    for k, v in spend.items():
+        r = bisect.bisect_left(svals, v) + 1  # rank() with ties sharing min rank
+        want[k] = (v, (r - 1) * 1000 // (n - 1))
+    assert got == want
+
+
 def test_integrity_audit_matches_python(spark, sf_dir):
     got = {
         r["source"]: (

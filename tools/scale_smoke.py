@@ -692,6 +692,8 @@ def main():
         "emb_centroid_drift",
         "txt_kwic",
         "rel_wow_change",
+        "pipeline_dup_source_matrix",
+        "rel_percentile_rank",
     ):
         _fn = _AQ[_nq][0]
         timed(f"{_nq}_10x", lambda _f=_fn: _f(spark, OUT).count())
