@@ -199,6 +199,9 @@ HEADLINE = [
     "wc_merge_upsert",
     "pipeline_dup_source_matrix",
     "rel_percentile_rank",
+    "rel_mad_outliers",
+    "wc_scd2_intervals",
+    "stream_ingest_to_store",
 ]
 
 REGRESSION_FACTOR = 1.5

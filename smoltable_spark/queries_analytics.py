@@ -8350,3 +8350,140 @@ def rel_percentile_rank(spark, sf_dir):
         "total_cents",
         F.expr("(r - 1) * 1000 div (n - 1)").cast("long").alias("pct_rank_milli"),
     )
+
+
+@q(
+    "rel_mad_outliers",
+    f"""
+    WITH ec AS (SELECT event_type, {cents_sql('value')} AS c FROM events),
+    med AS MATERIALIZED (
+        SELECT g AS event_type, n, p500 AS median_cents
+        FROM ({profile.grouped_exact_quantiles_sql(
+            "ec", "event_type", "c", permilles=(500,))})),
+    dv AS (SELECT ec.event_type, abs(ec.c - m.median_cents) AS dev
+           FROM ec JOIN med m USING (event_type)),
+    mad AS MATERIALIZED (
+        SELECT g AS event_type, p500 AS mad_cents
+        FROM ({profile.grouped_exact_quantiles_sql(
+            "dv", "event_type", "dev", permilles=(500,))})),
+    outl AS (SELECT d.event_type,
+                    CAST(count(*) FILTER (WHERE d.dev > 5 * md.mad_cents)
+                        AS BIGINT) AS n_outliers
+             FROM dv d JOIN mad md USING (event_type) GROUP BY 1)
+    SELECT m.event_type, CAST(m.n AS BIGINT) AS n,
+           CAST(m.median_cents AS BIGINT) AS median_cents,
+           CAST(md.mad_cents AS BIGINT) AS mad_cents,
+           o.n_outliers
+    FROM med m JOIN mad md USING (event_type) JOIN outl o USING (event_type)
+    """,
+)
+def rel_mad_outliers(spark, sf_dir):
+    """Robust outlier detection by Median Absolute Deviation — the
+    heavy-tail-safe complement of rel_anomaly_zscore (whose mean/stddev
+    are themselves dragged by the outliers they hunt): per series, the
+    exact median, the exact MAD, and the count of points beyond
+    5×MAD. All-integer: both medians come from the histogram
+    inverse-CDF machinery (grouped_exact_quantiles — map-side-combining
+    value histograms, windows over |distinct values| rows, never a
+    corpus sort), deviations are integer absolute differences, the
+    threshold is an integer cross-multiply.
+
+    Scale: two histogram aggregates and one counting join — three
+    passes over the (type, cents) projection, each map-side
+    combinable; no floats anywhere, so nothing to drift."""
+    ev = load_table(spark, sf_dir, "events")
+    ec = ev.select("event_type", cents(F.col("value")).alias("c"))
+    med = profile.grouped_exact_quantiles(
+        ec, "event_type", "c", permilles=(500,)
+    ).select(
+        "event_type", "n", F.col("p500").alias("median_cents")
+    )
+    dv = ec.join(F.broadcast(med.select("event_type", "median_cents")), "event_type").select(
+        "event_type", F.abs(F.col("c") - F.col("median_cents")).alias("dev")
+    )
+    mad = profile.grouped_exact_quantiles(
+        dv, "event_type", "dev", permilles=(500,)
+    ).select("event_type", F.col("p500").alias("mad_cents"))
+    outl = (
+        dv.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("dev") > 5 * F.col("mad_cents")).cast("long")).alias(
+                "n_outliers"
+            )
+        )
+    )
+    return (
+        med.join(mad, "event_type")
+        .join(outl, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("median_cents").cast("long").alias("median_cents"),
+            F.col("mad_cents").cast("long").alias("mad_cents"),
+            F.col("n_outliers").cast("long").alias("n_outliers"),
+        )
+    )
+
+
+@q(
+    "stream_ingest_to_store",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT (user_id, epoch_ns(ts) // 1000)) AS BIGINT)
+               AS n_cells,
+           CAST(1 AS BIGINT) AS idempotent_ok,
+           'base' AS chain_kind_after_compact
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_ingest_to_store(spark, sf_dir):
+    """Streaming ingestion → versioned CellStore, end-state
+    oracle-pinned (the write path test_jobs_streaming exercises, made
+    driver-visible): the events stream replays through
+    stream_cells_into_store (each micro-batch one O(batch) delta — the
+    memtable-flush analog), a partial batch is RE-appended to model
+    at-least-once redelivery, the chain is compacted to a single base,
+    and the store is read back. Per-type visible cell counts must equal
+    the DISTINCT event coordinates (type#user row key × µs timestamp) —
+    LSM shadowing makes redelivery invisible — and idempotent_ok pins
+    that the re-append changed nothing. Micro-batch count and delivery
+    interleaving cannot affect any output column."""
+    import tempfile as _tf
+
+    from smoltable_spark.api import ColumnFamilyDef
+    from smoltable_spark.sources.relational import events_cells
+    from smoltable_spark.sources.store import CellStore
+    from smoltable_spark.streaming.ingest import (
+        events_to_cells_stream,
+        stream_cells_into_store,
+        stream_events,
+    )
+
+    tmp = _tf.mkdtemp(prefix="smoltable_stream_ingest_")
+    store = CellStore(spark, tmp + "/store")
+    store.save_families([ColumnFamilyDef("value", lg="")])
+    cells = events_to_cells_stream(
+        stream_events(spark, sf_dir, glob="events.parquet")
+    )
+    q_ = stream_cells_into_store(cells, store, tmp + "/ckpt")
+    q_.awaitTermination(300)
+    n_before = store.read().count()
+    # at-least-once redelivery: re-append a partial batch of the SAME
+    # coordinates — shadowing must keep the observable table identical
+    store.append(events_cells(spark, sf_dir).limit(500))
+    n_after = store.read().count()
+    store.compact()
+    kind = store._kind(store.current_version())
+    per_type = (
+        store.read()
+        .select(F.regexp_extract("row_key", r"^([^#]+)#", 1).alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_cells"))
+    )
+    return per_type.select(
+        "event_type",
+        "n_cells",
+        F.lit(1 if n_after == n_before else 0).cast("long").alias("idempotent_ok"),
+        F.lit(str(kind)).alias("chain_kind_after_compact"),
+    )

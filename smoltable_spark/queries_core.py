@@ -1122,3 +1122,63 @@ def wc_merge_upsert(spark, sf_dir):
         "n_batch long, n_insert long, n_update long, n_noop long, "
         "cells_total_after long, visible_cells_after long",
     )
+
+
+@q(
+    "wc_scd2_intervals",
+    "WITH k AS (SELECT 'order#' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0')"
+    "                 AS row_key, o_orderkey AS okey, "
+    "                 CAST(round(o_totalprice * 100) AS BIGINT) AS c "
+    "          FROM orders) "
+    "SELECT row_key, CAST(0 AS BIGINT) AS valid_from, "
+    "       CAST(CASE WHEN okey % 10 = 0 THEN 1 END AS BIGINT) AS valid_to, "
+    "       CAST(CASE WHEN okey % 10 = 0 THEN 0 ELSE 1 END AS BIGINT) "
+    "           AS is_current, c AS value_cents "
+    "FROM k "
+    "UNION ALL "
+    "SELECT row_key, CAST(1 AS BIGINT), CAST(NULL AS BIGINT), "
+    "       CAST(1 AS BIGINT), c + 100 "
+    "FROM k WHERE okey % 10 = 0",
+)
+def wc_scd2_intervals(spark, sf_dir):
+    """Slowly-changing-dimension (type 2) intervals DERIVED from the
+    store's version history — the temporal-table view a warehouse
+    expects, materialized straight from MVCC cells: base write at ts=0,
+    a price-correction delta at ts=1 for every orderkey % 10 == 0, then
+    each totalprice coordinate's versions become validity intervals
+    (valid_from = version ts, valid_to = next version's ts via lead(),
+    NULL = current). The oracle derives every interval from the orders
+    table, so the store's version chain provably round-trips into SCD2
+    semantics — no interval bookkeeping is stored anywhere; it falls out
+    of the LSM versions.
+
+    Scale: one window over the totalprice coordinate partitions
+    (per-coordinate version counts are tiny and bounded by the family's
+    version_limit policy); the store read itself is the pushed-filter
+    scan path."""
+    import tempfile as _tf
+
+    from pyspark.sql import Window as _W
+
+    from smoltable_spark.sources.store import CellStore
+
+    store = CellStore(spark, _tf.mkdtemp(prefix="smoltable_scd2_"))
+    store.save_families([ColumnFamilyDef("o")])
+    base = orders_cells(spark, sf_dir)
+    store.write(base)
+    key = F.regexp_extract("row_key", r"order#(\d+)", 1).cast("long")
+    delta = (
+        base.filter((F.col("qualifier") == "totalprice") & (key % 10 == 0))
+        .withColumn("ts", F.col("ts") + F.lit(1).cast("long"))
+        .withColumn("v_f64", F.col("v_f64") + F.lit(1.0))
+    )
+    store.append(delta)
+    tp = store.read().filter(F.col("qualifier") == "totalprice")
+    w = _W.partitionBy("row_key", "family", "qualifier").orderBy("ts")
+    return tp.select(
+        "row_key",
+        F.col("ts").cast("long").alias("valid_from"),
+        F.lead("ts").over(w).cast("long").alias("valid_to"),
+        F.lead("ts").over(w).isNull().cast("long").alias("is_current"),
+        F.round(F.col("v_f64") * 100).cast("long").alias("value_cents"),
+    )

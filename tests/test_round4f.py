@@ -563,6 +563,79 @@ def test_percentile_rank_matches_python(spark, sf_dir):
     assert got == want
 
 
+def test_mad_outliers_matches_python(spark, sf_dir):
+    got = {
+        r["event_type"]: (r["n"], r["median_cents"], r["mad_cents"], r["n_outliers"])
+        for r in entry.queries()["rel_mad_outliers"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    series = {}
+    for r in ev:
+        c = int(math.copysign(math.floor(abs(r["value"] * 100) + 0.5), r["value"]))
+        series.setdefault(r["event_type"], []).append(c)
+
+    def inv_cdf_median(vals):
+        # min{x : 1000*cum >= 500*n} — the grouped_exact_quantiles grid
+        hist = Counter(vals)
+        n, cum = len(vals), 0
+        for v in sorted(hist):
+            cum += hist[v]
+            if cum * 1000 >= 500 * n:
+                return v
+
+    want = {}
+    for t, vals in series.items():
+        med = inv_cdf_median(vals)
+        devs = [abs(c - med) for c in vals]
+        mad = inv_cdf_median(devs)
+        want[t] = (len(vals), med, mad, sum(1 for d in devs if d > 5 * mad))
+    assert got == want
+
+
+def test_scd2_intervals_match_orders(spark, sf_dir):
+    rows = entry.queries()["wc_scd2_intervals"](spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).collect()
+    want = {}
+    for r in orders:
+        rk = f"order#{r['o_orderkey']:012d}"
+        c = int(math.copysign(math.floor(abs(r["o_totalprice"] * 100) + 0.5),
+                              r["o_totalprice"]))
+        if r["o_orderkey"] % 10 == 0:
+            want[(rk, 0)] = (1, 0, c)
+            want[(rk, 1)] = (None, 1, c + 100)
+        else:
+            want[(rk, 0)] = (None, 1, c)
+    got = {
+        (r["row_key"], r["valid_from"]): (
+            r["valid_to"],
+            r["is_current"],
+            r["value_cents"],
+        )
+        for r in rows
+    }
+    assert got == want
+
+
+def test_stream_ingest_to_store_counts(spark, sf_dir):
+    rows = entry.queries()["stream_ingest_to_store"](spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "ts"
+    ).collect()
+    want = Counter()
+    seen = set()
+    for r in ev:
+        coord = (r["event_type"], r["user_id"], r["ts"] // 1000)
+        if coord not in seen:
+            seen.add(coord)
+            want[r["event_type"]] += 1
+    assert {r["event_type"]: r["n_cells"] for r in rows} == dict(want)
+    for r in rows:
+        assert r["idempotent_ok"] == 1
+        assert r["chain_kind_after_compact"] == "base"
+
+
 def test_integrity_audit_matches_python(spark, sf_dir):
     got = {
         r["source"]: (

@@ -694,6 +694,7 @@ def main():
         "rel_wow_change",
         "pipeline_dup_source_matrix",
         "rel_percentile_rank",
+        "rel_mad_outliers",
     ):
         _fn = _AQ[_nq][0]
         timed(f"{_nq}_10x", lambda _f=_fn: _f(spark, OUT).count())
