@@ -202,6 +202,9 @@ HEADLINE = [
     "rel_mad_outliers",
     "wc_scd2_intervals",
     "stream_ingest_to_store",
+    "rel_max_drawdown",
+    "rel_join_size_estimate",
+    "txt_bpe_fertility",
 ]
 
 REGRESSION_FACTOR = 1.5

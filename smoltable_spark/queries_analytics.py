@@ -8487,3 +8487,211 @@ def stream_ingest_to_store(spark, sf_dir):
         F.lit(1 if n_after == n_before else 0).cast("long").alias("idempotent_ok"),
         F.lit(str(kind)).alias("chain_kind_after_compact"),
     )
+
+
+@q(
+    "rel_max_drawdown",
+    f"""
+    WITH o AS (SELECT event_type, epoch_ns(ts) AS tns, event_id,
+                      {cents_sql('value')} AS c
+               FROM events),
+    tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(c) AS BIGINT) AS s
+            FROM o GROUP BY 1),
+    run AS (SELECT o.event_type, o.tns,
+                   CAST(t.n * CAST(sum(o.c) OVER w AS BIGINT)
+                        - CAST(count(*) OVER w AS BIGINT) * t.s
+                       AS BIGINT) AS cum
+            FROM o JOIN tot t USING (event_type)
+            WINDOW w AS (PARTITION BY o.event_type ORDER BY o.tns, o.event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    dd AS (SELECT event_type, tns, cum,
+                  CAST(max(cum) OVER w2 AS BIGINT) - cum AS d
+           FROM run
+           WINDOW w2 AS (PARTITION BY event_type ORDER BY tns, cum
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_type,
+           CAST(max(d) AS BIGINT) AS max_dd_scaled,
+           CAST(min(tns) FILTER (WHERE d = md) AS BIGINT) AS dd_ts,
+           CAST(max(cum) AS BIGINT) AS peak_scaled
+    FROM (SELECT *, max(d) OVER (PARTITION BY event_type) AS md FROM dd)
+    GROUP BY event_type, md
+    """,
+)
+def rel_max_drawdown(spark, sf_dir):
+    """Maximum drawdown per series — the nested-running-extrema
+    analytic (running peak of a random walk, then the deepest dip
+    below it) finance and SLO dashboards both live on. The walk is the
+    CENTERED cumulative Σ(c_i − μ), tracked as the denominator-cleared
+    integer n·RS_k − k·S (the rel_cusum_changepoint discipline) so it
+    genuinely rises and falls on an all-positive value stream (a raw
+    cents cumsum is monotone and its drawdown degenerately zero);
+    where CUSUM reports the walk's max |deviation| from start, this
+    reports the max PEAK-TO-TROUGH decline and when it bottomed
+    (earliest tie) plus the walk's peak — a different extremum of the
+    same exactly-reproducible path. The runmax window orders by
+    (tns, cum): equal (tns, cum) rows are interchangeable under a
+    running max, so ties stay engine-deterministic. Scale: one rollup
+    for (n, S), two stacked windows over series partitions, one max
+    rollup — series-parallel throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    o = ev.select(
+        "event_type",
+        F.col("ts").alias("tns"),
+        "event_id",
+        cents(F.col("value")).alias("c"),
+    )
+    tot = o.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("s")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("tns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = o.join(tot, "event_type").select(
+        "event_type",
+        "tns",
+        (
+            F.col("n") * F.sum("c").over(w)
+            - F.count(F.lit(1)).over(w) * F.col("s")
+        ).alias("cum"),
+    )
+    w2 = (
+        Window.partitionBy("event_type")
+        .orderBy("tns", "cum")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = run.select(
+        "event_type",
+        "tns",
+        "cum",
+        (F.max("cum").over(w2) - F.col("cum")).alias("d"),
+    )
+    md = dd.withColumn("md", F.max("d").over(Window.partitionBy("event_type")))
+    return md.groupBy("event_type", "md").agg(
+        F.max("d").cast("long").alias("max_dd_scaled"),
+        F.min(F.when(F.col("d") == F.col("md"), F.col("tns")))
+        .cast("long")
+        .alias("dd_ts"),
+        F.max("cum").cast("long").alias("peak_scaled"),
+    ).select("event_type", "max_dd_scaled", "dd_ts", "peak_scaled")
+
+
+@q(
+    "rel_join_size_estimate",
+    """
+    WITH co AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+                FROM orders GROUP BY 1),
+    cl AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+           FROM lineitem GROUP BY 1),
+    m AS (SELECT co.k, co.c AS c_o, cl.c AS c_l
+          FROM co JOIN cl USING (k)),
+    act AS (SELECT CAST(count(*) AS BIGINT) AS actual_rows
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+    SELECT CAST((SELECT count(*) FROM co) AS BIGINT) AS ndv_orders,
+           CAST((SELECT count(*) FROM cl) AS BIGINT) AS ndv_lineitem,
+           CAST((SELECT count(*) FROM m) AS BIGINT) AS n_join_keys,
+           CAST((SELECT sum(c_o * c_l) FROM m) AS BIGINT) AS predicted_rows,
+           act.actual_rows,
+           CAST(CASE WHEN (SELECT sum(c_o * c_l) FROM m) = act.actual_rows
+                THEN 1 ELSE 0 END AS BIGINT) AS estimate_exact
+    FROM act
+    """,
+)
+def rel_join_size_estimate(spark, sf_dir):
+    """Join-cardinality estimation from per-key statistics — the
+    optimizer's question answered from metadata-sized state BEFORE
+    paying for the join: per-key counts on both sides (the map-side-
+    combining key histogram, the exact form of an optimizer's NDV +
+    MCV stats), joined key-to-key, and Σ c_a·c_b as the predicted
+    output size. For an equi-join the key-histogram estimate is not an
+    estimate at all — it EQUALS the true cardinality, which this query
+    also materializes and compares (estimate_exact pins the law, like
+    rel_hll_merge pins mergeability). The planning artifact costs two
+    aggregates and a |keys|-row join instead of the full |A⋈B|
+    materialization — the asymmetry that makes stats-driven planning
+    viable at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    co = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c_o")
+    )
+    cl = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c_l")
+    )
+    m = co.join(cl, "k")
+    one = lambda df, name: F.broadcast(df.agg(F.count(F.lit(1)).alias(name)))
+    pred = F.broadcast(
+        m.agg(F.sum(F.col("c_o") * F.col("c_l")).cast("long").alias("predicted_rows"))
+    )
+    act = F.broadcast(
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .agg(F.count(F.lit(1)).alias("actual_rows"))
+    )
+    return (
+        one(co, "ndv_orders")
+        .crossJoin(one(cl, "ndv_lineitem"))
+        .crossJoin(one(m, "n_join_keys"))
+        .crossJoin(pred)
+        .crossJoin(act)
+        .select(
+            "ndv_orders",
+            "ndv_lineitem",
+            "n_join_keys",
+            "predicted_rows",
+            F.col("actual_rows").cast("long").alias("actual_rows"),
+            (F.col("predicted_rows") == F.col("actual_rows"))
+            .cast("long")
+            .alias("estimate_exact"),
+        )
+    )
+
+
+@q(
+    "txt_bpe_fertility",
+    _bpe_ctes(6)
+    + """SELECT * FROM (
+    WITH enc AS (SELECT CAST(split_part(seq, '#', 1) AS BIGINT) AS doc_id,
+                   CAST(count(DISTINCT seq) AS BIGINT) AS n_words,
+                   CAST(count(*) AS BIGINT) AS n_pieces
+            FROM t6 GROUP BY 1)
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(e.n_words) AS BIGINT) AS n_words,
+           CAST(sum(e.n_pieces) AS BIGINT) AS n_pieces,
+           CAST(sum(e.n_pieces) * 1000 // sum(e.n_words) AS BIGINT)
+               AS fertility_milli
+    FROM enc e JOIN documents d USING (doc_id)
+    GROUP BY d.lang)
+    """,
+)
+def txt_bpe_fertility(spark, sf_dir):
+    """Tokenizer fertility per language — BPE pieces per word, THE
+    metric that decides whether a tokenizer (and therefore a token
+    budget) treats each language fairly: languages the merge table
+    wasn't trained for fragment into more pieces and silently pay more
+    compute per word. Reuses the session-cached trained merge table
+    (the txt_bpe_encode lifecycle) and rolls the per-doc piece counts
+    up by language; the oracle re-derives everything from the unrolled
+    training chain, so one hash match certifies train → encode →
+    per-language report end to end. Scale: the encode is scan-speed
+    chained regex folds; the rollup is |langs| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    enc = text.bpe_apply(docs, _trained_bpe_merges(spark, sf_dir))
+    return (
+        enc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_pieces",
+            F.expr("n_pieces * 1000 div n_words").cast("long").alias("fertility_milli"),
+        )
+    )

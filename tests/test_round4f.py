@@ -636,6 +636,83 @@ def test_stream_ingest_to_store_counts(spark, sf_dir):
         assert r["chain_kind_after_compact"] == "base"
 
 
+def test_max_drawdown_matches_python(spark, sf_dir):
+    got = {
+        r["event_type"]: (r["max_dd_scaled"], r["dd_ts"], r["peak_scaled"])
+        for r in entry.queries()["rel_max_drawdown"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    ).collect()
+    series = {}
+    for r in ev:
+        c = int(math.copysign(math.floor(abs(r["value"] * 100) + 0.5), r["value"]))
+        series.setdefault(r["event_type"], []).append((r["ts"], r["event_id"], c))
+    want = {}
+    for t, obs in series.items():
+        obs.sort()
+        n, s = len(obs), sum(c for _, _, c in obs)
+        rs = 0
+        cum = peak = 0
+        best = (-1, None)
+        peak_all = None
+        first = True
+        for k, (tns, _eid, c) in enumerate(obs, start=1):
+            rs += c
+            cum = n * rs - k * s
+            peak = cum if first else max(peak, cum)
+            first = False
+            d = peak - cum
+            if d > best[0]:
+                best = (d, tns)
+            peak_all = peak if peak_all is None else max(peak_all, peak)
+        want[t] = (best[0], best[1], peak_all)
+    assert got == want
+    # the centered walk genuinely declines somewhere: drawdown nonzero
+    assert any(dd > 0 for dd, _, _ in want.values())
+
+
+def test_join_size_estimate_is_exact(spark, sf_dir):
+    row = entry.queries()["rel_join_size_estimate"](spark, sf_dir).collect()[0]
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey").collect()
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey").collect()
+    co = Counter(r["o_orderkey"] for r in orders)
+    cl = Counter(r["l_orderkey"] for r in li)
+    keys = set(co) & set(cl)
+    predicted = sum(co[k] * cl[k] for k in keys)
+    assert (
+        row["ndv_orders"],
+        row["ndv_lineitem"],
+        row["n_join_keys"],
+        row["predicted_rows"],
+        row["actual_rows"],
+        row["estimate_exact"],
+    ) == (len(co), len(cl), len(keys), predicted, predicted, 1)
+
+
+def test_bpe_fertility_rolls_up_encode(spark, sf_dir):
+    got = {
+        r["lang"]: (r["n_docs"], r["n_words"], r["n_pieces"], r["fertility_milli"])
+        for r in entry.queries()["txt_bpe_fertility"](spark, sf_dir).collect()
+    }
+    enc = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"])
+        for r in entry.queries()["txt_bpe_encode"](spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+    want = {}
+    for r in docs:
+        w, p = enc[r["doc_id"]]
+        n, tw, tp = want.get(r["lang"], (0, 0, 0))
+        want[r["lang"]] = (n + 1, tw + w, tp + p)
+    want = {
+        lang: (n, tw, tp, tp * 1000 // tw) for lang, (n, tw, tp) in want.items()
+    }
+    assert got == want
+    # fertility is >= 1000 by construction (a word is at least one piece)
+    assert all(f >= 1000 for _, _, _, f in got.values())
+
+
 def test_integrity_audit_matches_python(spark, sf_dir):
     got = {
         r["source"]: (

@@ -695,6 +695,9 @@ def main():
         "pipeline_dup_source_matrix",
         "rel_percentile_rank",
         "rel_mad_outliers",
+        "rel_max_drawdown",
+        "rel_join_size_estimate",
+        "txt_bpe_fertility",
     ):
         _fn = _AQ[_nq][0]
         timed(f"{_nq}_10x", lambda _f=_fn: _f(spark, OUT).count())
