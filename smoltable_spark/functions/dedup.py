@@ -321,10 +321,9 @@ def containment_near_duplicates(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 16,
-    bands: int = 4,
     k: int = 3,
     threshold: float = 0.8,
+    max_df: int = 20,
 ) -> DataFrame:
     """Shingle-CONTAINMENT near-dup detection: |A∩B| / min(|A|, |B|).
 
@@ -332,21 +331,45 @@ def containment_near_duplicates(
     pasted verbatim inside a much longer one has high containment but low
     Jaccard (the union is dominated by the long doc), so quote recycling,
     boilerplate embedding and doc-in-doc plagiarism slip through a
-    Jaccard gate. Candidates come from the same MinHash band buckets as
-    ``minhash_near_duplicates`` (the production shape: one LSH pass feeds
-    BOTH verifiers); verification reuses the array-intersect pair join,
+    Jaccard gate. Exactly BECAUSE those pairs have low Jaccard, MinHash
+    band buckets (whose collision probability tracks Jaccard) would
+    almost never surface them — so candidates come from a RARE-SHINGLE
+    inverted index instead: any two docs sharing a shingle whose
+    document frequency is in [2, max_df] become a pair. A true
+    subset-copy shares EVERY shingle of the contained doc, so it is
+    found whenever at least one of those shingles is discriminative —
+    recall is driven by shingle rarity, not by the Jaccard the operator
+    exists to ignore. Verification reuses the array-intersect pair join,
     swapping the union denominator for ``least(size_a, size_b)``. The
-    keep/drop hint ``contained_id`` names the smaller shingle set (the
-    doc that is "inside" the other; ties break to the higher id, so the
-    lower id is the natural keeper). Threshold is an exact integer
-    cross-multiply — both engines agree bit-for-bit.
+    keep/drop hint ``contained_id`` names the smaller shingle set (ties
+    break to the higher id, so the lower id is the natural keeper).
+    Threshold is an exact integer cross-multiply — both engines agree
+    bit-for-bit.
 
-    Scale: identical profile to the Jaccard path — signature shuffle,
-    band-bucket join (candidates scale with duplicate structure, not
-    corpus size), pair-local verify; nothing new materializes.
+    Scale: the posting join's pair volume is Σ df·(df−1)/2 over rare
+    shingles ≤ (max_df/2)·Σ df — linear in corpus shingle count with a
+    constant cap, never quadratic; ubiquitous boilerplate shingles
+    (df > max_df) are skipped exactly like stop-words in an IR index,
+    and the pair-local verify is unchanged from the Jaccard path.
     """
-    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, k)
-    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    sh = doc_shingles(docs, text_col, id_col, k)
+    shh = sh.select(
+        F.col(id_col), md5_long(F.col("shingle")).alias("hsh")
+    ).distinct()
+    rare = (
+        shh.groupBy("hsh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .select("hsh")
+    )
+    posts = shh.join(rare, "hsh")
+    a = posts.select("hsh", F.col(id_col).alias("id_a"))
+    b = posts.select(F.col("hsh").alias("_hb"), F.col(id_col).alias("id_b"))
+    cands = (
+        a.join(b, (F.col("hsh") == F.col("_hb")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     jac = jaccard_pairs(docs, cands, text_col, id_col, k)
     num, den = int(threshold * 1000), 1000
     mn = F.least(F.col("size_a"), F.col("size_b"))

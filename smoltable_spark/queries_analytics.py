@@ -6974,26 +6974,19 @@ def pipeline_classifier_gate(spark, sf_dir):
 # referential-integrity audit
 
 
-def _containment_oracle(
-    num_hashes: int = 16, bands: int = 4, threshold: float = 0.8
-) -> str:
-    from smoltable_spark.functions.dedup import MINHASH_P
-
-    rows = num_hashes // bands
-    band_parts = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, {_band_hash_sql(b, rows)} AS bucket FROM sigs"
-        for b in range(bands)
-    )
+def _containment_oracle(threshold: float = 0.8, max_df: int = 20) -> str:
     num = int(threshold * 1000)
     return f"""
     {_SHINGLES_SQL},
-    shh AS (SELECT doc_id, {md5_long_sql('shingle')} % {MINHASH_P} AS hb FROM sh),
-    sigs AS (SELECT doc_id, {_minhash_aggs_sql(num_hashes)} FROM shh GROUP BY doc_id),
-    buckets AS ({band_parts}),
+    shd AS MATERIALIZED (
+        SELECT DISTINCT doc_id, {md5_long_sql('shingle')} AS hsh FROM sh),
+    rare AS (SELECT hsh FROM shd GROUP BY hsh
+             HAVING count(*) BETWEEN 2 AND {max_df}),
+    posts AS MATERIALIZED (
+        SELECT d.doc_id, d.hsh FROM shd d JOIN rare USING (hsh)),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             FROM buckets a JOIN buckets b
-               ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-    shd AS (SELECT DISTINCT doc_id, {md5_long_sql('shingle')} AS hsh FROM sh),
+             FROM posts a JOIN posts b
+               ON b.hsh = a.hsh AND a.doc_id < b.doc_id),
     sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
     common AS (SELECT c.id_a, c.id_b, count(*) AS common
                FROM cand c JOIN shd sa ON sa.doc_id = c.id_a
@@ -7016,17 +7009,19 @@ def dedup_containment(spark, sf_dir):
     """Shingle-containment near-dup detection — |A∩B| / min(|A|,|B|),
     the subset-copy detector Jaccard misses (a short doc pasted inside
     a long one has high containment but low Jaccard because the union
-    is dominated by the long doc). Candidates come from the SAME
-    MinHash band buckets as dedup_minhash — one LSH pass feeds both
-    verifiers — and verification swaps the union denominator for
-    least(size); ``contained_id`` names the doc whose shingle set is
-    inside the other (the natural drop candidate). Threshold is an
-    exact integer cross-multiply. Same scale profile as the Jaccard
-    path: signature shuffle + band-bucket join + pair-local verify."""
+    is dominated by the long doc). Candidates come from a RARE-SHINGLE
+    inverted index (df ∈ [2, 20]) rather than MinHash buckets — band
+    collision probability tracks Jaccard, which is exactly the signal
+    this operator exists to ignore, so Jaccard-LSH would miss its
+    target class; a true subset-copy shares every contained shingle and
+    is found whenever one of them is discriminative. Verification swaps
+    the union denominator for least(size); ``contained_id`` names the
+    doc whose shingle set is inside the other (the natural drop
+    candidate). Threshold is an exact integer cross-multiply. Scale:
+    posting-pair volume ≤ (max_df/2)·Σdf — df-capped like an IR
+    stop-word list — then the pair-local verify."""
     docs = load_table(spark, sf_dir, "documents")
-    out = dedup.containment_near_duplicates(
-        docs, num_hashes=16, bands=4, k=3, threshold=0.8
-    )
+    out = dedup.containment_near_duplicates(docs, k=3, threshold=0.8, max_df=20)
     return out.select(
         "id_a",
         "id_b",
@@ -8467,7 +8462,12 @@ def stream_ingest_to_store(spark, sf_dir):
         stream_events(spark, sf_dir, glob="events.parquet")
     )
     q_ = stream_cells_into_store(cells, store, tmp + "/ckpt")
-    q_.awaitTermination(300)
+    if not q_.awaitTermination(300):
+        q_.stop()
+        raise TimeoutError(
+            "stream_ingest_to_store: availableNow replay did not finish "
+            "in 300s — refusing to report counts from a partial store"
+        )
     n_before = store.read().count()
     # at-least-once redelivery: re-append a partial batch of the SAME
     # coordinates — shadowing must keep the observable table identical
@@ -8498,7 +8498,7 @@ def stream_ingest_to_store(spark, sf_dir):
     tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(c) AS BIGINT) AS s
             FROM o GROUP BY 1),
-    run AS (SELECT o.event_type, o.tns,
+    run AS (SELECT o.event_type, o.tns, o.event_id,
                    CAST(t.n * CAST(sum(o.c) OVER w AS BIGINT)
                         - CAST(count(*) OVER w AS BIGINT) * t.s
                        AS BIGINT) AS cum
@@ -8508,7 +8508,7 @@ def stream_ingest_to_store(spark, sf_dir):
     dd AS (SELECT event_type, tns, cum,
                   CAST(max(cum) OVER w2 AS BIGINT) - cum AS d
            FROM run
-           WINDOW w2 AS (PARTITION BY event_type ORDER BY tns, cum
+           WINDOW w2 AS (PARTITION BY event_type ORDER BY tns, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
     SELECT event_type,
            CAST(max(d) AS BIGINT) AS max_dd_scaled,
@@ -8529,9 +8529,9 @@ def rel_max_drawdown(spark, sf_dir):
     where CUSUM reports the walk's max |deviation| from start, this
     reports the max PEAK-TO-TROUGH decline and when it bottomed
     (earliest tie) plus the walk's peak — a different extremum of the
-    same exactly-reproducible path. The runmax window orders by
-    (tns, cum): equal (tns, cum) rows are interchangeable under a
-    running max, so ties stay engine-deterministic. Scale: one rollup
+    same exactly-reproducible path. Both windows order by the SAME
+    (tns, event_id) key, so the walk and its running peak trace one
+    deterministic path even through timestamp ties. Scale: one rollup
     for (n, S), two stacked windows over series partitions, one max
     rollup — series-parallel throughout."""
     ev = load_table(spark, sf_dir, "events")
@@ -8552,14 +8552,19 @@ def rel_max_drawdown(spark, sf_dir):
     run = o.join(tot, "event_type").select(
         "event_type",
         "tns",
+        "event_id",
         (
             F.col("n") * F.sum("c").over(w)
             - F.count(F.lit(1)).over(w) * F.col("s")
         ).alias("cum"),
     )
+    # SAME (tns, event_id) order as the cumsum: ordering the runmax by a
+    # different key (e.g. cum) would re-trace timestamp ties in a
+    # different sequence than the walk was built in and understate the
+    # drawdown — the walk and its running peak must share one path
     w2 = (
         Window.partitionBy("event_type")
-        .orderBy("tns", "cum")
+        .orderBy("tns", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     dd = run.select(

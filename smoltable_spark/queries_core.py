@@ -1089,17 +1089,23 @@ def wc_merge_upsert(spark, sf_dir):
             "row_key", "family", "qualifier", F.col("v_f64").alias("_cur")
         )
     )
-    classed = batch.join(visible, ["row_key", "family", "qualifier"], "left")
-    n_insert = classed.filter(F.col("_cur").isNull()).count()
-    n_update = classed.filter(
-        F.col("_cur").isNotNull() & (F.col("v_f64") != F.col("_cur"))
-    ).count()
-    n_noop = classed.filter(
-        F.col("_cur").isNotNull() & (F.col("v_f64") == F.col("_cur"))
-    ).count()
-    applied = classed.filter(
-        F.col("_cur").isNull() | (F.col("v_f64") != F.col("_cur"))
-    ).drop("_cur")
+    # materialize the classification ONCE: the three class counts, the
+    # batch size and the append all consume the same join — without the
+    # checkpoint each action would re-scan the store and re-run the
+    # latest-version window
+    classed = batch.join(
+        visible, ["row_key", "family", "qualifier"], "left"
+    ).localCheckpoint(eager=True)
+    ins = F.col("_cur").isNull()
+    upd = F.col("_cur").isNotNull() & (F.col("v_f64") != F.col("_cur"))
+    noop = F.col("_cur").isNotNull() & (F.col("v_f64") == F.col("_cur"))
+    counts = classed.agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.sum(ins.cast("long")).alias("n_insert"),
+        F.sum(upd.cast("long")).alias("n_update"),
+        F.sum(noop.cast("long")).alias("n_noop"),
+    ).collect()[0]
+    applied = classed.filter(ins | upd).drop("_cur")
     store.append(applied)
     after = store.read()
     cells_total = after.count()
@@ -1111,10 +1117,10 @@ def wc_merge_upsert(spark, sf_dir):
     return spark.createDataFrame(
         [
             (
-                int(batch.count()),
-                n_insert,
-                n_update,
-                n_noop,
+                int(counts["n_batch"]),
+                int(counts["n_insert"]),
+                int(counts["n_update"]),
+                int(counts["n_noop"]),
                 cells_total,
                 visible_after,
             )

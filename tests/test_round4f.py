@@ -67,15 +67,17 @@ def test_dedup_containment_matches_python(spark, sf_dir):
     }
     sh = {d: _shingle_set(t) for d, t in docs.items()}
     hashed = {d: {_md5_long(s) for s in v} for d, v in sh.items()}
-    buckets = {}
-    for d in sorted(docs):
-        for key in _band_buckets(_minhash_sig(sh[d])):
-            buckets.setdefault(key, []).append(d)
+    # rare-shingle inverted index: df in [2, 20] generates candidates
+    postings = {}
+    for d, hs in hashed.items():
+        for h in hs:
+            postings.setdefault(h, []).append(d)
     cands = set()
-    for members in buckets.values():
-        for i, a in enumerate(members):
-            for b in members[i + 1 :]:
-                cands.add((min(a, b), max(a, b)))
+    for members in postings.values():
+        if 2 <= len(members) <= 20:
+            for i, a in enumerate(members):
+                for b in members[i + 1 :]:
+                    cands.add((min(a, b), max(a, b)))
     want = {}
     for a, b in sorted(cands):
         common = len(hashed[a] & hashed[b])

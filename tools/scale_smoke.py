@@ -142,6 +142,12 @@ def main():
     )
     args = ap.parse_args()
     only = [s for s in (args.only or "").split(",") if s]
+    if only and not args.append:
+        # a filtered run without merge would rewrite SCALE.md with ONLY
+        # the filtered rows, silently discarding the rest of the table
+        print("# --only implies --append (preserving existing rows)",
+              file=sys.stderr)
+        args.append = True
 
     spark = get_spark("scale_smoke", cpus=32, shuffle_partitions=32)
     build(spark)
