@@ -205,6 +205,9 @@ HEADLINE = [
     "rel_max_drawdown",
     "rel_join_size_estimate",
     "txt_bpe_fertility",
+    "rel_grouping_sets",
+    "pipeline_dataset_card",
+    "pipeline_interleave_datasets",
 ]
 
 REGRESSION_FACTOR = 1.5

@@ -8654,6 +8654,228 @@ def rel_join_size_estimate(spark, sf_dir):
 
 
 @q(
+    "rel_grouping_sets",
+    f"""
+    WITH e AS (SELECT event_type, epoch_ns(ts) // {_HOUR_NS} % 24 AS hour_of_day,
+                      {cents_sql('value')} AS c
+               FROM events)
+    SELECT coalesce(event_type, '(all)') AS event_type,
+           CAST(coalesce(hour_of_day, -1) AS BIGINT) AS hour_of_day,
+           CAST(grouping(event_type) * 2 + grouping(hour_of_day) AS BIGINT)
+               AS grouping_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(c) AS BIGINT) AS total_cents
+    FROM e
+    GROUP BY GROUPING SETS ((event_type), (hour_of_day), ())
+    """,
+)
+def rel_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — the third member of the multi-rollup
+    family (rel_events_rollup covers ROLLUP's prefix lattice,
+    rel_events_cube the full lattice; this picks ARBITRARY groupings in
+    one pass): per-type totals, per-hour-of-day totals, and the grand
+    total, disambiguated by the standard grouping_id bitmask with
+    sentinel labels for the grouped-out columns. One logical scan — the
+    engine expands the sets via a partial-aggregate replicate instead
+    of three separate jobs, which is the point of the operator at
+    scale (the input is read once, not once per report)."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.expr(f"(ts div {_HOUR_NS}) % 24").alias("hour_of_day"),
+        cents(F.col("value")).alias("c"),
+    )
+    g = e.groupingSets(
+        [["event_type"], ["hour_of_day"], []], "event_type", "hour_of_day"
+    ).agg(
+        F.grouping("event_type").alias("_ge"),
+        F.grouping("hour_of_day").alias("_gh"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("c").alias("total_cents"),
+    )
+    return g.select(
+        F.coalesce(F.col("event_type"), F.lit("(all)")).alias("event_type"),
+        F.coalesce(F.col("hour_of_day"), F.lit(-1)).cast("long").alias("hour_of_day"),
+        (F.col("_ge") * 2 + F.col("_gh")).cast("long").alias("grouping_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_cents").cast("long").alias("total_cents"),
+    )
+
+
+@q(
+    "pipeline_dataset_card",
+    f"""
+    WITH toks AS (SELECT doc_id, len({TOKS_SQL}) AS n_toks FROM documents),
+    fp AS (SELECT md5(text) AS h FROM documents),
+    dup AS (SELECT CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_dup_docs
+            FROM fp),
+    emb AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(min(len(embedding)) AS BIGINT) AS dim_min,
+                   CAST(max(len(embedding)) AS BIGINT) AS dim_max
+            FROM embeddings)
+    SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+           CAST((SELECT count(DISTINCT lang) FROM documents) AS BIGINT)
+               AS n_langs,
+           CAST((SELECT count(DISTINCT source) FROM documents) AS BIGINT)
+               AS n_sources,
+           CAST((SELECT sum(n_toks) FROM toks) AS BIGINT) AS n_tokens,
+           CAST((SELECT min(n_toks) FROM toks) AS BIGINT) AS min_doc_tokens,
+           CAST((SELECT max(n_toks) FROM toks) AS BIGINT) AS max_doc_tokens,
+           CAST((SELECT sum(n_toks) FROM toks)
+                // (SELECT count(*) FROM documents) AS BIGINT)
+               AS mean_doc_tokens,
+           d.n_dup_docs,
+           e.n_vecs, e.dim_min, e.dim_max,
+           CAST((SELECT count(*) FROM documents d2
+                 JOIN (SELECT DISTINCT vec_id FROM embeddings) v
+                   ON v.vec_id = d2.doc_id) * 1000
+                // (SELECT count(*) FROM documents) AS BIGINT)
+               AS emb_cov_milli
+    FROM dup d, emb e
+    """,
+)
+def pipeline_dataset_card(spark, sf_dir):
+    """The DATASET CARD — the one-row factsheet every corpus release
+    ships (HuggingFace dataset card / Datasheets-for-Datasets style):
+    document, language and source counts, token totals and doc-length
+    range/mean, exact-duplicate count, embedding-table shape and
+    coverage. Every number is an exact integer a release pipeline can
+    diff between versions; the existing deep reports (profile, quality
+    gate, integrity audit, dup matrix) are the drill-downs behind each
+    line. Scale: a handful of map-side-combining corpus aggregates —
+    one pass over documents (+1 for the md5 fingerprints), one over
+    embeddings, one id-join for coverage — fanned into a single
+    broadcast-composed row."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    toks = docs.select(
+        "doc_id", F.size(text.tokens(F.col("text"))).alias("n_toks")
+    )
+    d_agg = F.broadcast(
+        docs.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+    t_agg = F.broadcast(
+        toks.agg(
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.min("n_toks").cast("long").alias("min_doc_tokens"),
+            F.max("n_toks").cast("long").alias("max_doc_tokens"),
+        )
+    )
+    dup = F.broadcast(
+        docs.select(F.md5("text").alias("h")).agg(
+            (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_dup_docs")
+        )
+    )
+    e_agg = F.broadcast(
+        emb.agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min(F.size("embedding")).cast("long").alias("dim_min"),
+            F.max(F.size("embedding")).cast("long").alias("dim_max"),
+        )
+    )
+    cov = F.broadcast(
+        docs.join(
+            emb.select("vec_id").distinct(),
+            docs.doc_id == F.col("vec_id"),
+            "left_semi",
+        ).agg(F.count(F.lit(1)).alias("_n_cov"))
+    )
+    return (
+        d_agg.crossJoin(t_agg)
+        .crossJoin(dup)
+        .crossJoin(e_agg)
+        .crossJoin(cov)
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_langs").cast("long").alias("n_langs"),
+            F.col("n_sources").cast("long").alias("n_sources"),
+            "n_tokens",
+            "min_doc_tokens",
+            "max_doc_tokens",
+            F.expr("n_tokens div n_docs").cast("long").alias("mean_doc_tokens"),
+            F.col("n_dup_docs").cast("long").alias("n_dup_docs"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            "dim_min",
+            "dim_max",
+            F.expr("_n_cov * 1000 div n_docs").cast("long").alias("emb_cov_milli"),
+        )
+    )
+
+
+#: interleave ratio: docs from the 'en' stream per one from the rest
+_ILV_RATIO = 2
+
+
+@q(
+    "pipeline_interleave_datasets",
+    f"""
+    WITH a AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS r
+               FROM documents WHERE lang = 'en'),
+    b AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS r
+          FROM documents WHERE lang <> 'en'),
+    lab AS (SELECT doc_id, 'en' AS stream,
+                   r // {_ILV_RATIO} * ({_ILV_RATIO} + 1) + r % {_ILV_RATIO}
+                       AS ord
+            FROM a
+            UNION ALL
+            SELECT doc_id, 'other', r * ({_ILV_RATIO} + 1) + {_ILV_RATIO}
+            FROM b)
+    SELECT doc_id, stream, CAST(ord AS BIGINT) AS ord,
+           CAST(row_number() OVER (ORDER BY ord, doc_id) AS BIGINT)
+               AS train_pos
+    FROM lab
+    """,
+)
+def pipeline_interleave_datasets(spark, sf_dir):
+    """Deterministic dataset interleaving — the training-order mixer
+    (HF datasets' interleave_datasets / tf.data sample_from_datasets,
+    made reproducible): the 'en' stream and the rest are merged at a
+    fixed 2:1 cadence (en, en, other, en, en, other, …) by CLOSED-FORM
+    position arithmetic — stream-local rank r maps to global slot
+    r//2·3 + r%2 (en) or r·3 + 2 (other) — so the full training order
+    is a pure function of the corpus, not of partitioning, and any
+    shard of it can be regenerated independently (the
+    pipeline_shuffle_shards property, for mixing). When one stream
+    exhausts, the other's tail keeps its slots (ranks stay sparse,
+    train_pos re-densifies). One rank window per stream over compact
+    (id) projections; the merge is a union + one global ordering that
+    at scale becomes the range-partitioned sort the engine already
+    does for shuffle_shards."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.filter(F.col("lang") == "en").select("doc_id")
+    b = docs.filter(F.col("lang") != "en").select("doc_id")
+    wa = Window.orderBy("doc_id")
+    ra = a.select(
+        "doc_id", (F.row_number().over(wa) - 1).alias("r")
+    ).select(
+        "doc_id",
+        F.lit("en").alias("stream"),
+        (
+            F.col("r") / _ILV_RATIO
+        ).cast("long") * (_ILV_RATIO + 1) + F.col("r") % _ILV_RATIO,
+    ).toDF("doc_id", "stream", "ord")
+    rb = b.select(
+        "doc_id", (F.row_number().over(wa) - 1).alias("r")
+    ).select(
+        "doc_id",
+        F.lit("other").alias("stream"),
+        (F.col("r") * (_ILV_RATIO + 1) + _ILV_RATIO).cast("long"),
+    ).toDF("doc_id", "stream", "ord")
+    lab = ra.unionByName(rb)
+    wg = Window.orderBy("ord", "doc_id")
+    return lab.select(
+        "doc_id",
+        "stream",
+        F.col("ord").cast("long").alias("ord"),
+        F.row_number().over(wg).cast("long").alias("train_pos"),
+    )
+
+
+@q(
     "txt_bpe_fertility",
     _bpe_ctes(6)
     + """SELECT * FROM (

@@ -715,6 +715,85 @@ def test_bpe_fertility_rolls_up_encode(spark, sf_dir):
     assert all(f >= 1000 for _, _, _, f in got.values())
 
 
+def test_grouping_sets_matches_python(spark, sf_dir):
+    got = {
+        (r["event_type"], r["hour_of_day"]): (
+            r["grouping_id"],
+            r["n_events"],
+            r["total_cents"],
+        )
+        for r in entry.queries()["rel_grouping_sets"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    ).collect()
+    HOUR = 3_600_000_000_000
+    want = {}
+    for r in ev:
+        c = int(math.copysign(math.floor(abs(r["value"] * 100) + 0.5), r["value"]))
+        h = (r["ts"] // HOUR) % 24
+        for key, gid in (
+            ((r["event_type"], -1), 1),
+            (("(all)", h), 2),
+            (("(all)", -1), 3),
+        ):
+            g, n, s = want.get(key, (gid, 0, 0))
+            want[key] = (gid, n + 1, s + c)
+    assert got == want
+
+
+def test_dataset_card_matches_python(spark, sf_dir):
+    row = entry.queries()["pipeline_dataset_card"](spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents").collect()
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    ntoks = [len(_toks(r["text"])) for r in docs]
+    texts = [r["text"] for r in docs]
+    vec_ids = {r["vec_id"] for r in emb}
+    n_cov = sum(1 for r in docs if r["doc_id"] in vec_ids)
+    assert row["n_docs"] == len(docs)
+    assert row["n_langs"] == len({r["lang"] for r in docs})
+    assert row["n_sources"] == len({r["source"] for r in docs})
+    assert row["n_tokens"] == sum(ntoks)
+    assert row["min_doc_tokens"] == min(ntoks)
+    assert row["max_doc_tokens"] == max(ntoks)
+    assert row["mean_doc_tokens"] == sum(ntoks) // len(docs)
+    assert row["n_dup_docs"] == len(texts) - len(set(texts))
+    assert row["n_vecs"] == len(emb)
+    assert row["dim_min"] == min(len(r["embedding"]) for r in emb)
+    assert row["dim_max"] == max(len(r["embedding"]) for r in emb)
+    assert row["emb_cov_milli"] == n_cov * 1000 // len(docs)
+
+
+def test_interleave_datasets_matches_python(spark, sf_dir):
+    rows = entry.queries()["pipeline_interleave_datasets"](
+        spark, sf_dir
+    ).collect()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    ).collect()
+    en = sorted(r["doc_id"] for r in docs if r["lang"] == "en")
+    other = sorted(r["doc_id"] for r in docs if r["lang"] != "en")
+    slots = {}
+    for r, d in enumerate(en):
+        slots[d] = ("en", (r // 2) * 3 + r % 2)
+    for r, d in enumerate(other):
+        slots[d] = ("other", r * 3 + 2)
+    order = sorted(slots.items(), key=lambda kv: (kv[1][1], kv[0]))
+    want = {
+        d: (stream, ord_, pos)
+        for pos, (d, (stream, ord_)) in enumerate(order, start=1)
+    }
+    got = {
+        r["doc_id"]: (r["stream"], r["ord"], r["train_pos"]) for r in rows
+    }
+    assert got == want
+    # the cadence holds while both streams last: en, en, other, ...
+    head = [s for _, (s, _, _) in sorted(want.items(), key=lambda kv: kv[1][2])][:9]
+    assert head == ["en", "en", "other"] * 3
+
+
 def test_integrity_audit_matches_python(spark, sf_dir):
     got = {
         r["source"]: (

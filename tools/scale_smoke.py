@@ -704,6 +704,9 @@ def main():
         "rel_max_drawdown",
         "rel_join_size_estimate",
         "txt_bpe_fertility",
+        "rel_grouping_sets",
+        "pipeline_dataset_card",
+        "pipeline_interleave_datasets",
     ):
         _fn = _AQ[_nq][0]
         timed(f"{_nq}_10x", lambda _f=_fn: _f(spark, OUT).count())
