@@ -711,6 +711,14 @@ def main():
         _fn = _AQ[_nq][0]
         timed(f"{_nq}_10x", lambda _f=_fn: _f(spark, OUT).count())
 
+    # store-lifecycle queries at 10x: the write/append/classify path over
+    # 7.5M cells (1.5M orders), not just the read path the wc scans cover
+    from smoltable_spark.queries_core import CORE_QUERIES as _CQ
+
+    for _cq in ("wc_merge_upsert", "wc_scd2_intervals"):
+        _fn = _CQ[_cq][0]
+        timed(f"{_cq}_10x", lambda _f=_fn: _f(spark, OUT).count())
+
     notes = """
 Steady-state timings (2nd run per op). Reading the table:
 
