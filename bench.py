@@ -208,6 +208,8 @@ HEADLINE = [
     "rel_grouping_sets",
     "pipeline_dataset_card",
     "pipeline_interleave_datasets",
+    "pipeline_pit_features",
+    "rel_entity_clusters",
 ]
 
 REGRESSION_FACTOR = 1.5

@@ -8876,6 +8876,160 @@ def pipeline_interleave_datasets(spark, sf_dir):
 
 
 @q(
+    "pipeline_pit_features",
+    f"""
+    WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) AS tns,
+                       {cents_sql('value')} AS c
+                FROM events),
+    hist AS (SELECT event_id, user_id, tns,
+                    CAST(count(*) OVER w - 1 AS BIGINT) AS n_prior,
+                    CAST(sum(c) OVER w - c AS BIGINT) AS prior_value_cents,
+                    CAST(coalesce(tns - lag(tns) OVER w2, -1) AS BIGINT)
+                        AS ns_since_prev
+             FROM ev
+             WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                    w2 AS (PARTITION BY user_id ORDER BY tns, event_id)),
+    prof AS (SELECT o_custkey AS user_id, CAST(count(*) AS BIGINT) AS n_orders,
+                    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS lifetime_cents
+             FROM orders GROUP BY 1)
+    SELECT h.event_id, h.user_id, h.n_prior, h.prior_value_cents,
+           h.ns_since_prev,
+           CAST(coalesce(p.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(coalesce(p.lifetime_cents, 0) AS BIGINT) AS lifetime_cents
+    FROM hist h LEFT JOIN prof p USING (user_id)
+    """,
+)
+def pipeline_pit_features(spark, sf_dir):
+    """Point-in-time feature materialization — the feature-store
+    primitive that makes training data leakage-free: every event
+    becomes a training example carrying (a) BEHAVIORAL features from
+    strictly-before stream history (prior event count, prior value sum,
+    nanoseconds since the previous action — running windows minus the
+    current row, so the example never sees itself or its future) and
+    (b) PROFILE features from the entity dimension (order count,
+    lifetime value — the broadcast-joined static side). Training on
+    features computed this way is exactly what as-of semantics
+    guarantee at serving time.
+
+    Scale: one window pass partitioned by entity (entity-parallel, the
+    sessionize shuffle) and one broadcast join of the |entities|-row
+    profile — the example table is produced in a single pass over the
+    stream, never via per-example point lookups."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    e = ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("tns"),
+        cents(F.col("value")).alias("c"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w2 = Window.partitionBy("user_id").orderBy("tns", "event_id")
+    hist = e.select(
+        "event_id",
+        "user_id",
+        (F.count(F.lit(1)).over(w) - 1).cast("long").alias("n_prior"),
+        (F.sum("c").over(w) - F.col("c")).cast("long").alias("prior_value_cents"),
+        F.coalesce(F.col("tns") - F.lag("tns").over(w2), F.lit(-1))
+        .cast("long")
+        .alias("ns_since_prev"),
+    )
+    prof = orders.groupBy(F.col("o_custkey").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("lifetime_cents"),
+    )
+    return hist.join(F.broadcast(prof), "user_id", "left").select(
+        "event_id",
+        "user_id",
+        "n_prior",
+        "prior_value_cents",
+        "ns_since_prev",
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+        F.coalesce(F.col("lifetime_cents"), F.lit(0))
+        .cast("long")
+        .alias("lifetime_cents"),
+    )
+
+
+def _entity_clusters_oracle() -> str:
+    return f"""
+    WITH RECURSIVE c AS (SELECT c_custkey, c_name,
+                      substr(c_name, 1, {_FUZZ_PREFIX}) AS blk
+               FROM customer),
+    pairs AS MATERIALIZED (
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1),
+    nodes AS (SELECT DISTINCT id FROM
+              (SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs)),
+    e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst
+    ),
+    lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM lbl GROUP BY cluster_id
+    """
+
+
+@q("rel_entity_clusters", _entity_clusters_oracle())
+def rel_entity_clusters(spark, sf_dir):
+    """Record-linkage RESOLUTION: the blocked fuzzy-match pairs
+    (rel_fuzzy_match) collapsed into entity clusters by EXACT connected
+    components (the large-star/small-star machinery behind
+    dedup_clusters_cc, run to convergence — no diameter bound), each
+    labeled by its minimum member id with its size. The oracle
+    re-derives the closure with a recursive CTE, so the full
+    pair→entity pipeline is one hash match.
+
+    This is also the honest demonstration of the classic linkage
+    lesson: at edit-distance ≤ 1, transitive closure CHAINS — names
+    ...00 ↔ ...01 ↔ ... ↔ ...99 connect a whole block into one entity,
+    so cluster sizes here reflect the block structure, not 100 distinct
+    customers being one person. Production resolution inserts a
+    pairwise-score gate or a max-cluster-size audit (rel_skew_profile)
+    before merging; the operator exposes exactly the sizes that audit
+    needs. Scale: inherits fuzzy_match's blocked profile plus the
+    convergence-bounded CC iterations on the (small) pair graph."""
+    cust = load_table(spark, sf_dir, "customer")
+    c = cust.select(
+        "c_custkey",
+        "c_name",
+        F.substring("c_name", 1, _FUZZ_PREFIX).alias("blk"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .filter(dist <= 1)
+        .select(
+            F.col("a.c_custkey").alias("id_a"),
+            F.col("b.c_custkey").alias("id_b"),
+        )
+    )
+    return dedup.cluster_summary_cc(pairs).select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("n_docs").cast("long").alias("n_members"),
+    )
+
+
+@q(
     "txt_bpe_fertility",
     _bpe_ctes(6)
     + """SELECT * FROM (

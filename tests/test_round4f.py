@@ -794,6 +794,88 @@ def test_interleave_datasets_matches_python(spark, sf_dir):
     assert head == ["en", "en", "other"] * 3
 
 
+def test_pit_features_match_python(spark, sf_dir):
+    got = {
+        r["event_id"]: (
+            r["user_id"],
+            r["n_prior"],
+            r["prior_value_cents"],
+            r["ns_since_prev"],
+            r["n_orders"],
+            r["lifetime_cents"],
+        )
+        for r in entry.queries()["pipeline_pit_features"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    ).collect()
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).collect()
+    prof = {}
+    for r in orders:
+        c = int(math.copysign(math.floor(abs(r["o_totalprice"] * 100) + 0.5),
+                              r["o_totalprice"]))
+        n, s = prof.get(r["o_custkey"], (0, 0))
+        prof[r["o_custkey"]] = (n + 1, s + c)
+    series = {}
+    for r in ev:
+        c = int(math.copysign(math.floor(abs(r["value"] * 100) + 0.5), r["value"]))
+        series.setdefault(r["user_id"], []).append((r["ts"], r["event_id"], c))
+    want = {}
+    for u, obs in series.items():
+        obs.sort()
+        n = s = 0
+        prev = None
+        for tns, eid, c in obs:
+            po, pc = prof.get(u, (0, 0))
+            want[eid] = (u, n, s, tns - prev if prev is not None else -1, po, pc)
+            n += 1
+            s += c
+            prev = tns
+    assert got == want
+    # leakage check: no example's prior features include itself
+    for eid, (_, n_prior, _, _, _, _) in got.items():
+        assert n_prior >= 0
+
+
+def test_entity_clusters_match_python(spark, sf_dir):
+    got = {
+        r["cluster_id"]: r["n_members"]
+        for r in entry.queries()["rel_entity_clusters"](spark, sf_dir).collect()
+    }
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    ).collect()
+    by_blk = {}
+    for r in cust:
+        by_blk.setdefault(r["c_name"][:16], []).append((r["c_custkey"], r["c_name"]))
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    members = set()
+    for blk in by_blk.values():
+        blk.sort()
+        for i, (ka, na) in enumerate(blk):
+            for kb, nb in blk[i + 1 :]:
+                if _lev(na, nb) <= 1:
+                    union(ka, kb)
+                    members.add(ka)
+                    members.add(kb)
+    want = Counter(find(m) for m in members)
+    assert got == dict(want)
+
+
 def test_integrity_audit_matches_python(spark, sf_dir):
     got = {
         r["source"]: (

@@ -707,6 +707,8 @@ def main():
         "rel_grouping_sets",
         "pipeline_dataset_card",
         "pipeline_interleave_datasets",
+        "pipeline_pit_features",
+        "rel_entity_clusters",
     ):
         _fn = _AQ[_nq][0]
         timed(f"{_nq}_10x", lambda _f=_fn: _f(spark, OUT).count())
