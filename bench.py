@@ -210,6 +210,8 @@ HEADLINE = [
     "pipeline_interleave_datasets",
     "pipeline_pit_features",
     "rel_entity_clusters",
+    "rel_new_vs_returning",
+    "txt_gopher_rule_rates",
 ]
 
 REGRESSION_FACTOR = 1.5

@@ -9030,6 +9030,123 @@ def rel_entity_clusters(spark, sf_dir):
 
 
 @q(
+    "rel_new_vs_returning",
+    f"""
+    WITH ud AS (SELECT DISTINCT user_id, epoch_ns(ts) // {_DAY_NS} AS day
+                FROM events),
+    first AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1)
+    SELECT CAST(ud.day AS BIGINT) AS day,
+           CAST(count(*) FILTER (WHERE ud.day = f.first_day) AS BIGINT)
+               AS new_users,
+           CAST(count(*) FILTER (WHERE ud.day > f.first_day) AS BIGINT)
+               AS returning_users,
+           CAST(count(*) FILTER (WHERE ud.day = f.first_day) * 1000
+                // count(*) AS BIGINT) AS new_milli
+    FROM ud JOIN first f USING (user_id)
+    GROUP BY ud.day
+    """,
+)
+def rel_new_vs_returning(spark, sf_dir):
+    """New-vs-returning daily split — the growth-accounting companion
+    of rel_rolling_active: per day, users active for the first time
+    ever vs users seen on an earlier day, with the new-user permille.
+    Mechanism: dedup events to (user, day) once, take each user's
+    min day (the acquisition date — an |users|-row artifact), then one
+    classifying join + rollup. Scale: the (user, day) dedup shuffle
+    plus a join keyed on user_id against the broadcast-sized first-day
+    table; at extreme user counts both sides hash-partition on the
+    same key and co-locate."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.expr(f"ts div {_DAY_NS}").alias("day")
+    ).distinct()
+    first = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    j = ud.join(F.broadcast(first), "user_id")
+    return j.groupBy("day").agg(
+        F.sum((F.col("day") == F.col("first_day")).cast("long")).alias("new_users"),
+        F.sum((F.col("day") > F.col("first_day")).cast("long")).alias(
+            "returning_users"
+        ),
+    ).select(
+        F.col("day").cast("long").alias("day"),
+        F.col("new_users").cast("long").alias("new_users"),
+        F.col("returning_users").cast("long").alias("returning_users"),
+        F.expr("new_users * 1000 div (new_users + returning_users)")
+        .cast("long")
+        .alias("new_milli"),
+    )
+
+
+@q(
+    "txt_gopher_rule_rates",
+    f"""
+    WITH g AS (
+      SELECT d.source,
+        m.n_tokens BETWEEN {text.GOPHER_MIN_TOKENS} AND {text.GOPHER_MAX_TOKENS}
+            AS p_wc,
+        m.mean_word_len_milli BETWEEN {text.GOPHER_MEAN_WL_MILLI[0]}
+            AND {text.GOPHER_MEAN_WL_MILLI[1]} AS p_mwl,
+        m.nds >= {text.GOPHER_MIN_DISTINCT_STOPWORDS} AS p_stop,
+        m.repetition_milli <= {text.GOPHER_MAX_REPETITION_MILLI} AS p_rep
+      FROM (
+        SELECT doc_id,
+          CAST(len({TOKS_SQL}) AS INT) AS n_tokens,
+          CAST(CASE WHEN len({TOKS_SQL}) > 0
+               THEN floor(list_sum(list_transform({TOKS_SQL}, x -> length(x)))
+                    * 1000.0 / len({TOKS_SQL})) ELSE 0 END AS BIGINT)
+              AS mean_word_len_milli,
+          CAST(CASE WHEN len({TOKS_SQL}) > 0
+               THEN floor((len({TOKS_SQL}) - len(list_distinct({TOKS_SQL})))
+                    * 1000.0 / len({TOKS_SQL})) ELSE 0 END AS BIGINT)
+              AS repetition_milli,
+          len(list_distinct(list_filter({TOKS_SQL},
+              x -> list_contains({_GOPHER_STOP}, x)))) AS nds
+        FROM documents) m JOIN documents d USING (doc_id))
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE p_wc AND p_mwl AND p_stop AND p_rep)
+               AS BIGINT) AS n_keep,
+           CAST(count(*) FILTER (WHERE NOT p_wc AND p_mwl AND p_stop AND p_rep)
+               AS BIGINT) AS sole_fail_word_count,
+           CAST(count(*) FILTER (WHERE p_wc AND NOT p_mwl AND p_stop AND p_rep)
+               AS BIGINT) AS sole_fail_mean_word_len,
+           CAST(count(*) FILTER (WHERE p_wc AND p_mwl AND NOT p_stop AND p_rep)
+               AS BIGINT) AS sole_fail_stopwords,
+           CAST(count(*) FILTER (WHERE p_wc AND p_mwl AND p_stop AND NOT p_rep)
+               AS BIGINT) AS sole_fail_repetition
+    FROM g GROUP BY source
+    """,
+)
+def txt_gopher_rule_rates(spark, sf_dir):
+    """Quality-rule ABLATION report — which Gopher rule actually costs
+    you data, per source: keep counts plus each rule's SOLE-BLOCKER
+    count (docs that would be kept if exactly that one rule were
+    relaxed). Sole-blocker counts are the actionable statistic a
+    threshold review needs — a rule with a huge sole-fail count is the
+    one to re-tune; docs failing multiple rules move no single knob.
+    Built on the same flag battery as txt_gopher_quality (one
+    scan-speed projection), then one |sources|-row rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = text.gopher_quality_df(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    p_wc, p_mwl = F.col("pass_word_count"), F.col("pass_mean_word_len")
+    p_stop, p_rep = F.col("pass_stopwords"), F.col("pass_repetition")
+
+    def cnt(cond, name):
+        return F.sum(cond.cast("long")).alias(name)
+
+    return g.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        cnt(p_wc & p_mwl & p_stop & p_rep, "n_keep"),
+        cnt(~p_wc & p_mwl & p_stop & p_rep, "sole_fail_word_count"),
+        cnt(p_wc & ~p_mwl & p_stop & p_rep, "sole_fail_mean_word_len"),
+        cnt(p_wc & p_mwl & ~p_stop & p_rep, "sole_fail_stopwords"),
+        cnt(p_wc & p_mwl & p_stop & ~p_rep, "sole_fail_repetition"),
+    )
+
+
+@q(
     "txt_bpe_fertility",
     _bpe_ctes(6)
     + """SELECT * FROM (

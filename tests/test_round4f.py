@@ -876,6 +876,77 @@ def test_entity_clusters_match_python(spark, sf_dir):
     assert got == dict(want)
 
 
+def test_new_vs_returning_matches_python(spark, sf_dir):
+    got = {
+        r["day"]: (r["new_users"], r["returning_users"], r["new_milli"])
+        for r in entry.queries()["rel_new_vs_returning"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts").collect()
+    DAY = 86_400_000_000_000
+    ud = {(r["user_id"], r["ts"] // DAY) for r in ev}
+    first = {}
+    for u, d in ud:
+        first[u] = min(first.get(u, d), d)
+    want = {}
+    for u, d in ud:
+        new, ret = want.get(d, (0, 0))
+        if d == first[u]:
+            new += 1
+        else:
+            ret += 1
+        want[d] = (new, ret)
+    want = {
+        d: (new, ret, new * 1000 // (new + ret))
+        for d, (new, ret) in want.items()
+    }
+    assert got == want
+    # day 1 of the dataset: everyone is new
+    d0 = min(want)
+    assert got[d0][1] == 0 and got[d0][2] == 1000
+
+
+def test_gopher_rule_rates_consistent_with_flags(spark, sf_dir):
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["n_keep"],
+            r["sole_fail_word_count"],
+            r["sole_fail_mean_word_len"],
+            r["sole_fail_stopwords"],
+            r["sole_fail_repetition"],
+        )
+        for r in entry.queries()["txt_gopher_rule_rates"](spark, sf_dir).collect()
+    }
+    from smoltable_spark.functions import text as _text
+
+    docs = load_table(spark, sf_dir, "documents")
+    flags = {
+        r["doc_id"]: (
+            r["pass_word_count"],
+            r["pass_mean_word_len"],
+            r["pass_stopwords"],
+            r["pass_repetition"],
+        )
+        for r in _text.gopher_quality_df(docs).collect()
+    }
+    srcs = {
+        r["doc_id"]: r["source"]
+        for r in docs.select("doc_id", "source").collect()
+    }
+    want = {}
+    for d, (wc, mwl, stop, rep) in flags.items():
+        s = srcs[d]
+        n, keep, f1, f2, f3, f4 = want.get(s, (0, 0, 0, 0, 0, 0))
+        n += 1
+        keep += wc and mwl and stop and rep
+        f1 += (not wc) and mwl and stop and rep
+        f2 += wc and (not mwl) and stop and rep
+        f3 += wc and mwl and (not stop) and rep
+        f4 += wc and mwl and stop and (not rep)
+        want[s] = (n, keep, f1, f2, f3, f4)
+    assert got == want
+
+
 def test_integrity_audit_matches_python(spark, sf_dir):
     got = {
         r["source"]: (

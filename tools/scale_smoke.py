@@ -709,6 +709,8 @@ def main():
         "pipeline_interleave_datasets",
         "pipeline_pit_features",
         "rel_entity_clusters",
+        "rel_new_vs_returning",
+        "txt_gopher_rule_rates",
     ):
         _fn = _AQ[_nq][0]
         timed(f"{_nq}_10x", lambda _f=_fn: _f(spark, OUT).count())
