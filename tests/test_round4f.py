@@ -947,6 +947,38 @@ def test_gopher_rule_rates_consistent_with_flags(spark, sf_dir):
     assert got == want
 
 
+def test_containment_finds_subset_copy(spark, sf_dir):
+    """The recall property the candidate-generation fix exists for: a
+    short doc pasted verbatim inside a much longer one (high
+    containment, LOW Jaccard — the pair Jaccard-tuned MinHash LSH
+    would almost never surface) MUST be reported, because the
+    contained doc's shingles are shared and at least one is rare."""
+    from smoltable_spark.functions import dedup as _dedup
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i}" for i in range(200))
+    long_doc = filler + " " + short + " " + " ".join(
+        f"v{i}" for i in range(200)
+    )
+    df = spark.createDataFrame(
+        [(1, short), (2, long_doc), (3, "totally unrelated words here")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in _dedup.containment_near_duplicates(df).collect()
+    }
+    assert (1, 2) in out
+    assert out[(1, 2)] == 1.0  # full subset: every shingle of 1 is in 2
+    # sanity: the Jaccard of the found pair is tiny — the exact pair
+    # class a Jaccard gate (threshold 0.5) would discard
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in _dedup.minhash_near_duplicates(df, threshold=0.0).collect()
+    }
+    assert jac.get((1, 2), 0.0) < 0.5
+
+
 def test_integrity_audit_matches_python(spark, sf_dir):
     got = {
         r["source"]: (
