@@ -212,6 +212,7 @@ HEADLINE = [
     "rel_entity_clusters",
     "rel_new_vs_returning",
     "txt_gopher_rule_rates",
+    "ann_recall_probe",
 ]
 
 REGRESSION_FACTOR = 1.5

@@ -9147,6 +9147,70 @@ def txt_gopher_rule_rates(spark, sf_dir):
 
 
 @q(
+    "ann_recall_probe",
+    f"""
+    WITH bt AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM ({_ann_oracle(k=10)})),
+    iv AS MATERIALIZED (
+        SELECT query_id, neighbor_id
+        FROM ({_ann_ivf_oracle(k=10, n_centroids=8, nprobe=2)})),
+    ov AS (SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+           FROM bt b JOIN iv ON iv.query_id = b.query_id
+                            AND iv.neighbor_id = b.neighbor_id
+           GROUP BY 1)
+    SELECT b.query_id, CAST(count(*) AS BIGINT) AS k,
+           CAST(coalesce(any_value(ov.n_overlap), 0) AS BIGINT) AS n_overlap,
+           CAST(coalesce(any_value(ov.n_overlap), 0) * 1000 // count(*)
+               AS BIGINT) AS recall_milli
+    FROM bt b LEFT JOIN ov USING (query_id)
+    GROUP BY b.query_id
+    """,
+)
+def ann_recall_probe(spark, sf_dir):
+    """ANN recall, DRIVER-PINNED: per query, the overlap between the
+    exact brute-force cosine top-10 and the IVF (8 lists, nprobe=2)
+    top-10, as an exact integer recall permille. SCALE.md reports
+    recall on the 10x perturbed-clone sets; this row makes the metric
+    part of the hash-certified correctness surface — the oracle
+    re-derives BOTH retrievals and the overlap, so a silent recall
+    regression in the IVF path (quantizer drift, probe bug, tie-order
+    change) becomes a red driver row, not a benchmark footnote.
+
+    Scale: the probe runs both retrievals over the query batch (the
+    brute leg is the expensive one by design — it is the ground truth,
+    run at audit cadence, not per serving query); the overlap join is
+    |queries|·k rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    bt = similarity.cosine_topk_bruteforce(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    iv = similarity.cosine_topk_ivf(
+        emb, queries, k=10, n_centroids=8, nprobe=2
+    ).select(
+        F.col("query_id").alias("_qi"), F.col("neighbor_id").alias("_ni")
+    )
+    ov = (
+        bt.join(
+            iv,
+            (F.col("query_id") == F.col("_qi"))
+            & (F.col("neighbor_id") == F.col("_ni")),
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    per = bt.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+    return per.join(ov, "query_id", "left").select(
+        "query_id",
+        F.col("k").cast("long").alias("k"),
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+        F.expr("coalesce(n_overlap, 0) * 1000 div k")
+        .cast("long")
+        .alias("recall_milli"),
+    )
+
+
+@q(
     "txt_bpe_fertility",
     _bpe_ctes(6)
     + """SELECT * FROM (

@@ -979,6 +979,33 @@ def test_containment_finds_subset_copy(spark, sf_dir):
     assert jac.get((1, 2), 0.0) < 0.5
 
 
+def test_ann_recall_probe_consistent(spark, sf_dir):
+    rows = entry.queries()["ann_recall_probe"](spark, sf_dir).collect()
+    from smoltable_spark.functions import similarity as _sim
+    from smoltable_spark.sources.relational import load_table as _lt
+
+    emb = _lt(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 5")
+    bt = {
+        (r["query_id"], r["neighbor_id"])
+        for r in _sim.cosine_topk_bruteforce(emb, queries, k=10).collect()
+    }
+    iv = {
+        (r["query_id"], r["neighbor_id"])
+        for r in _sim.cosine_topk_ivf(
+            emb, queries, k=10, n_centroids=8, nprobe=2
+        ).collect()
+    }
+    for r in rows:
+        qb = {n for q, n in bt if q == r["query_id"]}
+        qi = {n for q, n in iv if q == r["query_id"]}
+        assert r["k"] == len(qb) == 10
+        assert r["n_overlap"] == len(qb & qi)
+        assert r["recall_milli"] == len(qb & qi) * 1000 // 10
+        # nprobe=2/8 should still find most true neighbors
+        assert r["recall_milli"] >= 500
+
+
 def test_integrity_audit_matches_python(spark, sf_dir):
     got = {
         r["source"]: (
