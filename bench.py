@@ -213,6 +213,7 @@ HEADLINE = [
     "rel_new_vs_returning",
     "txt_gopher_rule_rates",
     "ann_recall_probe",
+    "stream_restart_resume",
 ]
 
 REGRESSION_FACTOR = 1.5

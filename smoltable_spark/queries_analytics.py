@@ -9211,6 +9211,84 @@ def ann_recall_probe(spark, sf_dir):
 
 
 @q(
+    "stream_restart_resume",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT (user_id, epoch_ns(ts) // 1000)) AS BIGINT)
+               AS n_cells,
+           CAST((SELECT count(*) FROM events) AS BIGINT) AS physical_appends,
+           CAST(1 AS BIGINT) AS exactly_once
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_restart_resume(spark, sf_dir):
+    """Streaming CRASH-RECOVERY, end-state oracle-pinned: the event
+    stream is delivered in two PHASES against ONE checkpoint — phase 1
+    sees only the first half of the data, its query terminates (the
+    'crash'), more files land, and a brand-new query object resumes
+    from the same checkpoint. Structured Streaming's checkpointed
+    file-source tracking must process ONLY the new files: the proof is
+    physical_appends — the footer-only count of every row ever
+    appended across the store's delta chain — equaling the event count
+    EXACTLY (re-processing phase-1 files would double them; LSM
+    shadowing would hide that in the visible view, so the physical
+    count is the honest exactly-once witness, checked BEFORE the
+    shadowed read). Per-type visible cells match distinct event
+    coordinates as in stream_ingest_to_store.
+
+    Scale: recovery cost is reading the checkpoint's file log — O(file
+    count), independent of data volume; nothing is reprocessed."""
+    import os as _os
+    import tempfile as _tf
+
+    import pyarrow.parquet as _pq
+
+    from smoltable_spark.api import ColumnFamilyDef
+    from smoltable_spark.sources.store import CellStore
+    from smoltable_spark.streaming.ingest import (
+        events_to_cells_stream,
+        stream_cells_into_store,
+        stream_events,
+    )
+
+    tmp = _tf.mkdtemp(prefix="smoltable_restart_")
+    src = _os.path.join(tmp, "in")
+    _os.makedirs(src)
+    t = _pq.read_table(_os.path.join(sf_dir, "events.parquet"))
+    half = t.num_rows // 2
+    _pq.write_table(t.slice(0, half), _os.path.join(src, "a.parquet"))
+    store = CellStore(spark, tmp + "/store")
+    store.save_families([ColumnFamilyDef("value", lg="")])
+    ckpt = tmp + "/ckpt"
+
+    def run_phase():
+        cells = events_to_cells_stream(stream_events(spark, src))
+        q_ = stream_cells_into_store(cells, store, ckpt)
+        if not q_.awaitTermination(300):
+            q_.stop()
+            raise TimeoutError("stream_restart_resume: phase did not finish")
+
+    run_phase()  # phase 1: half the data, then 'crash' (query ends)
+    _pq.write_table(t.slice(half), _os.path.join(src, "b.parquet"))
+    run_phase()  # phase 2: NEW query, SAME checkpoint — resumes
+    physical = store.approximate_cell_count()
+    per_type = (
+        store.read()
+        .select(F.regexp_extract("row_key", r"^([^#]+)#", 1).alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_cells"))
+    )
+    return per_type.select(
+        "event_type",
+        "n_cells",
+        F.lit(physical).cast("long").alias("physical_appends"),
+        F.lit(1 if physical == t.num_rows else 0)
+        .cast("long")
+        .alias("exactly_once"),
+    )
+
+
+@q(
     "txt_bpe_fertility",
     _bpe_ctes(6)
     + """SELECT * FROM (

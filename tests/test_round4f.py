@@ -1006,6 +1006,26 @@ def test_ann_recall_probe_consistent(spark, sf_dir):
         assert r["recall_milli"] >= 500
 
 
+def test_stream_restart_resume_exactly_once(spark, sf_dir):
+    rows = entry.queries()["stream_restart_resume"](spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "ts"
+    ).collect()
+    want = Counter()
+    seen = set()
+    for r in ev:
+        coord = (r["event_type"], r["user_id"], r["ts"] // 1000)
+        if coord not in seen:
+            seen.add(coord)
+            want[r["event_type"]] += 1
+    assert {r["event_type"]: r["n_cells"] for r in rows} == dict(want)
+    for r in rows:
+        # the exactly-once witness: physical appends across the delta
+        # chain equal the event count — phase-1 files were NOT reprocessed
+        assert r["physical_appends"] == len(ev)
+        assert r["exactly_once"] == 1
+
+
 def test_integrity_audit_matches_python(spark, sf_dir):
     got = {
         r["source"]: (
