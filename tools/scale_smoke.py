@@ -712,6 +712,7 @@ def main():
         "rel_new_vs_returning",
         "txt_gopher_rule_rates",
         "ann_recall_probe",
+        "stream_restart_resume",
     ):
         _fn = _AQ[_nq][0]
         timed(f"{_nq}_10x", lambda _f=_fn: _f(spark, OUT).count())
