@@ -214,6 +214,7 @@ HEADLINE = [
     "txt_gopher_rule_rates",
     "ann_recall_probe",
     "stream_restart_resume",
+    "pipeline_token_caps",
 ]
 
 REGRESSION_FACTOR = 1.5

@@ -9288,6 +9288,68 @@ def stream_restart_resume(spark, sf_dir):
     )
 
 
+#: per-source token budget for the cap query
+_TOKEN_CAP = 1000
+
+
+@q(
+    "pipeline_token_caps",
+    f"""
+    WITH t AS (SELECT doc_id, source, len({TOKS_SQL}) AS n_toks
+               FROM documents),
+    r AS (SELECT doc_id, source, n_toks,
+                 CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum
+          FROM t)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs_total,
+           CAST(count(*) FILTER (WHERE cum <= {_TOKEN_CAP}) AS BIGINT)
+               AS n_docs_kept,
+           CAST(sum(CASE WHEN cum <= {_TOKEN_CAP} THEN n_toks ELSE 0 END)
+               AS BIGINT) AS tokens_kept,
+           CAST(sum(n_toks) AS BIGINT) AS tokens_total
+    FROM r GROUP BY source
+    """,
+)
+def pipeline_token_caps(spark, sf_dir):
+    """Per-source TOKEN-budget caps — the token-weighted sibling of
+    pipeline_source_caps (which caps documents): each source keeps
+    whole documents in deterministic doc_id order while its cumulative
+    token count stays within the budget — the mixture-building rule
+    when the contract is 'no more than N tokens from feed X', which is
+    how data deals and dedup-debt budgets are actually written. Keeps
+    are prefix-closed (a doc is kept iff the budget survives it), so
+    the decision is one running-sum window partitioned by source —
+    source-parallel, no global sort — and the report rolls up keep
+    counts and token totals per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(text.tokens(F.col("text"))).alias("n_toks")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = t.withColumn("cum", F.sum("n_toks").over(w))
+    kept = F.col("cum") <= _TOKEN_CAP
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_total"),
+        F.sum(kept.cast("long")).alias("n_docs_kept"),
+        F.sum(F.when(kept, F.col("n_toks")).otherwise(0))
+        .cast("long")
+        .alias("tokens_kept"),
+        F.sum("n_toks").cast("long").alias("tokens_total"),
+    ).select(
+        "source",
+        F.col("n_docs_total").cast("long").alias("n_docs_total"),
+        F.col("n_docs_kept").cast("long").alias("n_docs_kept"),
+        "tokens_kept",
+        "tokens_total",
+    )
+
+
 @q(
     "txt_bpe_fertility",
     _bpe_ctes(6)

@@ -1026,6 +1026,38 @@ def test_stream_restart_resume_exactly_once(spark, sf_dir):
         assert r["exactly_once"] == 1
 
 
+def test_token_caps_match_python(spark, sf_dir):
+    got = {
+        r["source"]: (
+            r["n_docs_total"],
+            r["n_docs_kept"],
+            r["tokens_kept"],
+            r["tokens_total"],
+        )
+        for r in entry.queries()["pipeline_token_caps"](spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").collect()
+    by_src = {}
+    for r in docs:
+        by_src.setdefault(r["source"], []).append(
+            (r["doc_id"], len(_toks(r["text"])))
+        )
+    want = {}
+    for src, rows in by_src.items():
+        rows.sort()
+        cum = kept = tk = tot = 0
+        for _d, n in rows:
+            cum += n
+            tot += n
+            if cum <= 1000:
+                kept += 1
+                tk += n
+        want[src] = (len(rows), kept, tk, tot)
+    assert got == want
+    # budgets actually bind on this corpus
+    assert any(kept < total for total, kept, _, _ in got.values())
+
+
 def test_integrity_audit_matches_python(spark, sf_dir):
     got = {
         r["source"]: (

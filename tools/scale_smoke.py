@@ -713,6 +713,7 @@ def main():
         "txt_gopher_rule_rates",
         "ann_recall_probe",
         "stream_restart_resume",
+        "pipeline_token_caps",
     ):
         _fn = _AQ[_nq][0]
         timed(f"{_nq}_10x", lambda _f=_fn: _f(spark, OUT).count())
