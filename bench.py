@@ -215,6 +215,7 @@ HEADLINE = [
     "ann_recall_probe",
     "stream_restart_resume",
     "pipeline_token_caps",
+    "pipeline_badwords_filter",
 ]
 
 REGRESSION_FACTOR = 1.5

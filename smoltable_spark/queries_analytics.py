@@ -9288,6 +9288,71 @@ def stream_restart_resume(spark, sf_dir):
     )
 
 
+#: blocklist for the C4-style badwords filter (stand-ins from the corpus
+#: vocabulary — the operator shape, not the production list)
+_BADWORDS = ("slow", "dup")
+
+
+@q(
+    "pipeline_badwords_filter",
+    f"""
+    WITH t AS (SELECT doc_id, source, {TOKS_SQL} AS toks FROM documents),
+    fl AS (SELECT doc_id, source,
+                  {' OR '.join(f"list_contains(toks, '{w}')" for w in _BADWORDS)}
+                      AS blocked,
+                  {', '.join(f"CAST(list_contains(toks, '{w}') AS INT) AS h{i}" for i, w in enumerate(_BADWORDS))}
+           FROM t)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE blocked) AS BIGINT) AS n_dropped,
+           CAST(count(*) FILTER (WHERE blocked) * 1000 // count(*) AS BIGINT)
+               AS drop_milli,
+           {', '.join(f"CAST(sum(h{i}) AS BIGINT) AS n_docs_{w}" for i, w in enumerate(_BADWORDS))}
+    FROM fl GROUP BY source
+    """,
+)
+def pipeline_badwords_filter(spark, sf_dir):
+    """The C4-style blocklist ('badwords') filter — drop any document
+    containing a banned term, with the audit a responsible pipeline
+    publishes: per-source doc counts, dropped counts and permille, and
+    per-term hit counts (which term is doing the dropping — the same
+    accountability txt_gopher_rule_rates gives the heuristic rules).
+    Token-exact membership (not substring — 'scunthorpe' problems are
+    a substring-filter artifact this operator avoids by construction).
+
+    Scale: the blocklist is a broadcast literal baked into a pure
+    column expression — one corpus scan at whole-stage-codegen speed,
+    one |sources|-row rollup; a production-sized list swaps the
+    literal for a broadcast join against the exploded token stream
+    (the txt_boolean_search posting path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    t = docs.select("doc_id", "source", toks.alias("toks"))
+    hits = [
+        F.array_contains(F.col("toks"), w).alias(f"h_{w}") for w in _BADWORDS
+    ]
+    fl = t.select("source", *hits).withColumn(
+        "blocked",
+        sum(
+            [F.col(f"h_{w}").cast("int") for w in _BADWORDS], F.lit(0)
+        ) > 0,
+    )
+    return fl.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("blocked").cast("long")).alias("n_dropped"),
+        *[
+            F.sum(F.col(f"h_{w}").cast("long")).alias(f"n_docs_{w}")
+            for w in _BADWORDS
+        ],
+    ).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+        F.expr("n_dropped * 1000 div n_docs").cast("long").alias("drop_milli"),
+        *[F.col(f"n_docs_{w}").cast("long").alias(f"n_docs_{w}") for w in _BADWORDS],
+    )
+
+
 #: per-source token budget for the cap query
 _TOKEN_CAP = 1000
 

@@ -1026,6 +1026,35 @@ def test_stream_restart_resume_exactly_once(spark, sf_dir):
         assert r["exactly_once"] == 1
 
 
+def test_badwords_filter_matches_python(spark, sf_dir):
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["n_dropped"],
+            r["drop_milli"],
+            r["n_docs_slow"],
+            r["n_docs_dup"],
+        )
+        for r in entry.queries()["pipeline_badwords_filter"](
+            spark, sf_dir
+        ).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").collect()
+    want = {}
+    for r in docs:
+        ts = set(_toks(r["text"]))
+        n, d, s, u = want.get(r["source"], (0, 0, 0, 0))
+        n += 1
+        s += "slow" in ts
+        u += "dup" in ts
+        d += ("slow" in ts) or ("dup" in ts)
+        want[r["source"]] = (n, d, s, u)
+    want = {
+        src: (n, d, d * 1000 // n, s, u) for src, (n, d, s, u) in want.items()
+    }
+    assert got == want
+
+
 def test_token_caps_match_python(spark, sf_dir):
     got = {
         r["source"]: (

@@ -714,6 +714,7 @@ def main():
         "ann_recall_probe",
         "stream_restart_resume",
         "pipeline_token_caps",
+        "pipeline_badwords_filter",
     ):
         _fn = _AQ[_nq][0]
         timed(f"{_nq}_10x", lambda _f=_fn: _f(spark, OUT).count())
