@@ -4792,18 +4792,24 @@ def rel_pagerank(spark, sf_dir):
         # k-means localCheckpoint pattern, similarity.py)
         .localCheckpoint()
     )
-    edges = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = (
+        pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        # rank/degree tables are node-sized — NODE count grows with the
+        # data (customers+suppliers), so no F.broadcast hints: pin the
+        # edge partitioning on src ONCE (localCheckpoint preserves it)
+        # and let every iteration's rank join reuse it. The node-sized
+        # side shuffles into that partitioning per step (AQE still
+        # broadcasts it while it measures small); the only other
+        # shuffle is the contribution aggregate on dst.
+        .repartition("src")
+        .localCheckpoint()
+    )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranks = deg.select(F.col("src").alias("node"), F.lit(_PR_SCALE).cast("long").alias("r"))
-    # rank/degree tables are node-sized (≪ edges in any real graph):
-    # broadcast them so each iteration's only shuffle is the contribution
-    # aggregate on dst. If |nodes| outgrows the broadcast budget, drop
-    # the hints and pre-partition edges by src once (localCheckpoint) so
-    # the per-iteration join reuses the edge partitioning.
     for _ in range(2):
         contrib = (
-            edges.join(F.broadcast(ranks), edges.src == ranks.node)
-            .join(F.broadcast(deg), "src")
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
             .select(F.col("dst").alias("node"), F.expr("r div deg").alias("c"))
         )
         ranks = contrib.groupBy("node").agg(
@@ -8909,14 +8915,20 @@ def pipeline_pit_features(spark, sf_dir):
     nanoseconds since the previous action — running windows minus the
     current row, so the example never sees itself or its future) and
     (b) PROFILE features from the entity dimension (order count,
-    lifetime value — the broadcast-joined static side). Training on
+    lifetime value — the |entities|-row static side). Training on
     features computed this way is exactly what as-of semantics
     guarantee at serving time.
 
     Scale: one window pass partitioned by entity (entity-parallel, the
-    sessionize shuffle) and one broadcast join of the |entities|-row
-    profile — the example table is produced in a single pass over the
-    stream, never via per-example point lookups."""
+    sessionize shuffle) and one join of the |entities|-row profile.
+    The profile side grows with entity count, so it carries NO
+    broadcast hint — the window pass already hash-partitions the
+    stream on user_id, the profile agg hashes on the same key, and
+    AQE picks broadcast only while the measured size allows it; at
+    100 TB the join degrades gracefully to co-partitioned sort-merge
+    instead of a driver OOM. The example table is produced in a
+    single pass over the stream, never via per-example point
+    lookups."""
     ev = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
     e = ev.select(
@@ -8946,7 +8958,7 @@ def pipeline_pit_features(spark, sf_dir):
         .cast("long")
         .alias("lifetime_cents"),
     )
-    return hist.join(F.broadcast(prof), "user_id", "left").select(
+    return hist.join(prof, "user_id", "left").select(
         "event_id",
         "user_id",
         "n_prior",
@@ -9053,15 +9065,17 @@ def rel_new_vs_returning(spark, sf_dir):
     Mechanism: dedup events to (user, day) once, take each user's
     min day (the acquisition date — an |users|-row artifact), then one
     classifying join + rollup. Scale: the (user, day) dedup shuffle
-    plus a join keyed on user_id against the broadcast-sized first-day
-    table; at extreme user counts both sides hash-partition on the
-    same key and co-locate."""
+    plus a join keyed on user_id against the first-day table; the
+    first-day side has unbounded cardinality (one row per distinct
+    user), so no broadcast hint — AQE broadcasts it at small scale and
+    falls back to a co-partitioned sort-merge join at 100 TB, where
+    both sides hash on user_id straight out of their aggregations."""
     ev = load_table(spark, sf_dir, "events")
     ud = ev.select(
         "user_id", F.expr(f"ts div {_DAY_NS}").alias("day")
     ).distinct()
     first = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
-    j = ud.join(F.broadcast(first), "user_id")
+    j = ud.join(first, "user_id")
     return j.groupBy("day").agg(
         F.sum((F.col("day") == F.col("first_day")).cast("long")).alias("new_users"),
         F.sum((F.col("day") > F.col("first_day")).cast("long")).alias(
