@@ -951,14 +951,25 @@ def mmr_rerank(
             scored = remaining.withColumn("_pen", penalty)
         else:
             remaining = c.join(selected, "doc_id", "left_anti")
+            # penalty via LEFT join + coalesce(0): a remaining candidate
+            # with no pair_sims row to any selected doc has zero measured
+            # redundancy and must stay in the race — an inner join here
+            # would silently eliminate it from every later round when the
+            # caller passes a sparse/partial similarity table (the
+            # pairwise_cosine contract guarantees completeness, but the
+            # operator shouldn't turn a sparse input into wrong output)
             pen = (
-                remaining.join(pair_sims, remaining.doc_id == pair_sims.a)
-                .join(selected.select(F.col("doc_id").alias("_sid")),
-                      F.col("b") == F.col("_sid"), "left_semi")
-                .groupBy("doc_id", "rel")
+                pair_sims.join(
+                    selected.select(F.col("doc_id").alias("_sid")),
+                    F.col("b") == F.col("_sid"),
+                    "left_semi",
+                )
+                .groupBy(F.col("a").alias("doc_id"))
                 .agg(F.max("sim").alias("_pen"))
             )
-            scored = pen
+            scored = remaining.join(pen, "doc_id", "left").withColumn(
+                "_pen", F.coalesce(F.col("_pen"), F.lit(0.0))
+            )
         pick = (
             scored.withColumn(
                 "mmr_score",

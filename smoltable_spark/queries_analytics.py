@@ -2455,7 +2455,7 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
         f"SELECT doc_id, {b} AS band, {_band_hash_sql(b, rows)} AS bucket FROM sigs"
         for b in range(bands)
     )
-    num = int(threshold * 1000)
+    num = round(threshold * 1000)
     return f"""
     {_SHINGLES_SQL},
     shh AS (SELECT doc_id, {md5_long_sql('shingle')} % {MINHASH_P} AS hb FROM sh),
@@ -2658,7 +2658,7 @@ def dedup_simhash(spark, sf_dir):
 
 
 def _blocked_jaccard_oracle(threshold: float = 0.5) -> str:
-    num = int(threshold * 1000)
+    num = round(threshold * 1000)
     return f"""
     {_SHINGLES_SQL},
     shd AS (SELECT DISTINCT doc_id, {md5_long_sql('shingle')} AS hsh FROM sh),
@@ -6980,16 +6980,27 @@ def pipeline_classifier_gate(spark, sf_dir):
 # referential-integrity audit
 
 
-def _containment_oracle(threshold: float = 0.8, max_df: int = 20) -> str:
-    num = int(threshold * 1000)
+def _containment_oracle(
+    threshold: float = 0.8, max_df: int = 20, min_postings: int = 2
+) -> str:
+    num = round(threshold * 1000)
     return f"""
     {_SHINGLES_SQL},
     shd AS MATERIALIZED (
         SELECT DISTINCT doc_id, {md5_long_sql('shingle')} AS hsh FROM sh),
-    rare AS (SELECT hsh FROM shd GROUP BY hsh
-             HAVING count(*) BETWEEN 2 AND {max_df}),
+    dfs AS (SELECT hsh, count(*) AS df FROM shd GROUP BY hsh
+            HAVING count(*) >= 2),
+    pall AS MATERIALIZED (
+        SELECT d.doc_id, d.hsh, f.df FROM shd d JOIN dfs f USING (hsh)),
     posts AS MATERIALIZED (
-        SELECT d.doc_id, d.hsh FROM shd d JOIN rare USING (hsh)),
+        SELECT doc_id, hsh FROM pall WHERE df <= {max_df}
+        UNION
+        SELECT doc_id, hsh FROM (
+            SELECT doc_id, hsh,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY df ASC, hsh ASC) AS rk
+            FROM pall) r
+        WHERE rk <= {min_postings}),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              FROM posts a JOIN posts b
                ON b.hsh = a.hsh AND a.doc_id < b.doc_id),
@@ -7016,7 +7027,10 @@ def dedup_containment(spark, sf_dir):
     the subset-copy detector Jaccard misses (a short doc pasted inside
     a long one has high containment but low Jaccard because the union
     is dominated by the long doc). Candidates come from a RARE-SHINGLE
-    inverted index (df ∈ [2, 20]) rather than MinHash buckets — band
+    inverted index (df ∈ [2, 20], plus every doc's 2 rarest shared
+    shingles regardless of the cap — the r5 recall floor: no doc is
+    orphaned even when all its shingles are ubiquitous) rather than
+    MinHash buckets — band
     collision probability tracks Jaccard, which is exactly the signal
     this operator exists to ignore, so Jaccard-LSH would miss its
     target class; a true subset-copy shares every contained shingle and
@@ -9474,5 +9488,96 @@ def txt_bpe_fertility(spark, sf_dir):
             "n_words",
             "n_pieces",
             F.expr("n_pieces * 1000 div n_words").cast("long").alias("fertility_milli"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 5: SRP single- vs multi-probe recall, driver-pinned (VERDICT r4 #7)
+
+
+@q(
+    "ann_recall_probe_srp",
+    f"""
+    WITH bt AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM ({_ann_oracle(k=10)})),
+    sp AS MATERIALIZED (
+        SELECT query_id, neighbor_id
+        FROM ({_ann_oracle(k=10, bucketed=True)})),
+    mp AS MATERIALIZED (
+        SELECT query_id, neighbor_id
+        FROM ({_ann_multiprobe_oracle(k=10, d=4)})),
+    ovs AS (SELECT b.query_id, count(*) AS n
+            FROM bt b JOIN sp USING (query_id, neighbor_id) GROUP BY 1),
+    ovm AS (SELECT b.query_id, count(*) AS n
+            FROM bt b JOIN mp USING (query_id, neighbor_id) GROUP BY 1)
+    SELECT b.query_id, CAST(count(*) AS BIGINT) AS k,
+           CAST(coalesce(any_value(ovs.n), 0) AS BIGINT) AS n_single,
+           CAST(coalesce(any_value(ovm.n), 0) AS BIGINT) AS n_multi,
+           CAST(coalesce(any_value(ovs.n), 0) * 1000 // count(*) AS BIGINT)
+               AS recall_single_milli,
+           CAST(coalesce(any_value(ovm.n), 0) * 1000 // count(*) AS BIGINT)
+               AS recall_multi_milli
+    FROM bt b LEFT JOIN ovs ON ovs.query_id = b.query_id
+              LEFT JOIN ovm ON ovm.query_id = b.query_id
+    GROUP BY b.query_id
+    """,
+)
+def ann_recall_probe_srp(spark, sf_dir):
+    """SRP-LSH recall, DRIVER-PINNED, single- vs multi-probe: per
+    query, the overlap of the exact brute-force cosine top-10 with
+    (a) the single-bucket SRP retrieval and (b) the Hamming-1
+    multi-probe retrieval, as exact integer permilles. SCALE.md
+    measures the same contrast on the 10x perturbed-clone sets (0.78
+    single vs 0.94 multiprobe — the number that justifies the
+    multiprobe default); this row moves the contrast onto the
+    hash-certified surface so a probe-fanout bug or sign-bucket drift
+    turns into a red driver row instead of a benchmark footnote.
+
+    Scale: identical probe economics to ann_recall_probe — the brute
+    leg is the audit-cadence ground truth, both SRP legs shuffle the
+    corpus only by bucket, and the overlap joins are |queries|*k
+    rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    bt = similarity.cosine_topk_bruteforce(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+
+    def overlap(approx, name):
+        ap = approx.select(
+            F.col("query_id").alias("_qi"), F.col("neighbor_id").alias("_ni")
+        )
+        return (
+            bt.join(
+                ap,
+                (F.col("query_id") == F.col("_qi"))
+                & (F.col("neighbor_id") == F.col("_ni")),
+            )
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    sp = similarity.cosine_topk_bucketed(
+        emb, queries, k=10, bucket_dims=[1, 2, 3, 4], multiprobe=False
+    )
+    mp = similarity.cosine_topk_bucketed(
+        emb, queries, k=10, bucket_dims=[1, 2, 3, 4], multiprobe=True
+    )
+    per = bt.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        per.join(overlap(sp, "n_single"), "query_id", "left")
+        .join(overlap(mp, "n_multi"), "query_id", "left")
+        .select(
+            "query_id",
+            F.col("k").cast("long").alias("k"),
+            F.coalesce(F.col("n_single"), F.lit(0)).cast("long").alias("n_single"),
+            F.coalesce(F.col("n_multi"), F.lit(0)).cast("long").alias("n_multi"),
+            F.expr("coalesce(n_single, 0) * 1000 div k")
+            .cast("long")
+            .alias("recall_single_milli"),
+            F.expr("coalesce(n_multi, 0) * 1000 div k")
+            .cast("long")
+            .alias("recall_multi_milli"),
         )
     )

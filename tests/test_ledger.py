@@ -80,3 +80,51 @@ def test_red_rows_outrank_stale_rows_in_window():
     head = set(order[:L.WINDOW])
     missing = {n for n in red if n in order} - head
     assert not missing, missing
+
+
+def test_certification_debt_is_changed_union_never_green(monkeypatch):
+    """VERDICT r4 ask #6: debt = stamp-changed ∪ never-driver-green,
+    each query counted once."""
+    merged = {f"q{i}": (None, None) for i in range(5)}
+    monkeypatch.setattr(L, "changed_queries", lambda m=None: ["q0", "q1"])
+    monkeypatch.setattr(L, "last_green_round", lambda: {"q1": 3, "q2": 2})
+    assert L.certification_debt(merged) == ["q0", "q1", "q3", "q4"]
+
+
+def test_window_check_enforces_debt_budget():
+    """--window-check must FAIL when the certification debt exceeds
+    WINDOW × budget-rounds (debt growth becomes a build error), and
+    pass under the default budget after a drain."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tool = os.path.join(repo, "tools", "oracle_ledger.py")
+    r0 = subprocess.run(
+        [sys.executable, tool, "--window-check", "--budget-rounds", "0"],
+        capture_output=True, text=True, cwd=repo,
+    )
+    # registry has >0 uncertified queries at any point mid-round
+    assert r0.returncode == 1 and "certification debt" in r0.stdout
+    r2 = subprocess.run(
+        [sys.executable, tool, "--window-check"],
+        capture_output=True, text=True, cwd=repo,
+    )
+    assert "debt ok" in r2.stdout or "certification debt" in r2.stdout
+
+
+def test_coverage_flag_is_dry_run_by_default():
+    """VERDICT r4 ask #8: a read-style flag must not mutate COVERAGE.md;
+    writing requires the explicit --write."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cov = os.path.join(repo, "COVERAGE.md")
+    before = open(cov).read() if os.path.exists(cov) else None
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "oracle_ledger.py"),
+         "--coverage"],
+        capture_output=True, text=True, cwd=repo,
+    )
+    after = open(cov).read() if os.path.exists(cov) else None
+    assert r.returncode == 0 and "dry-run" in r.stdout
+    assert before == after, "--coverage without --write mutated COVERAGE.md"

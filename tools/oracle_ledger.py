@@ -302,6 +302,21 @@ def changed_queries(merged: dict | None = None) -> list[str]:
     ]
 
 
+def certification_debt(merged: dict | None = None) -> list[str]:
+    """Queries with NO trustworthy driver-green CORRECTNESS row:
+    stamp-changed/new queries (their old rows are stale) plus queries
+    that have never had a fully-green driver row at all. This is the
+    backlog the driver's 50-per-round window has to drain — VERDICT r4
+    found it had silently grown to 53 and asked for a capacity guard
+    (ask #6) so debt growth is a build error, not a judge finding."""
+    if merged is None:
+        merged = _registry()
+    changed = set(changed_queries(merged))
+    rounds = last_green_round()
+    never = {n for n in merged if n not in rounds}
+    return sorted(changed | never)
+
+
 def last_green_round() -> dict[str, int]:
     """name -> latest driver round with a fully-green CORRECTNESS row."""
     out: dict[str, int] = {}
@@ -462,14 +477,32 @@ def main() -> int:
     ap.add_argument("--verify", action="store_true",
                     help="list queries whose stamp changed vs the ledger")
     ap.add_argument("--window-check", action="store_true",
-                    help="fail if a changed query falls outside the window")
+                    help="fail if a changed query falls outside the window, "
+                         "or if certification debt exceeds the budget")
+    ap.add_argument("--budget-rounds", type=int, default=2,
+                    help="how many future driver windows the certification "
+                         "debt (changed + never-driver-green) may occupy "
+                         "before --window-check fails (default 2 = debt "
+                         f"must drain within {2 * WINDOW} slots)")
     ap.add_argument("--coverage", action="store_true",
-                    help="write the per-query staleness table to COVERAGE.md")
+                    help="print the per-query staleness table (dry-run); "
+                         "add --write to update COVERAGE.md")
+    ap.add_argument("--write", action="store_true",
+                    help="with --coverage: write the table into COVERAGE.md "
+                         "(VERDICT r4 ask #8: a read-style flag must not "
+                         "mutate files by default)")
     args = ap.parse_args()
 
     if args.coverage:
-        worst = write_coverage_section()
-        print(f"COVERAGE.md staleness section updated; max staleness = {worst}")
+        if args.write:
+            worst = write_coverage_section()
+            print(f"COVERAGE.md staleness section updated; "
+                  f"max staleness = {worst}")
+        else:
+            section, worst = coverage_report()
+            print(section)
+            print(f"(dry-run; max staleness = {worst} — pass --write to "
+                  "update COVERAGE.md)")
         return 0
 
     merged = _registry()
@@ -490,6 +523,18 @@ def main() -> int:
             return 1
         print(f"window ok: all {len(changed)} changed queries inside "
               f"the first {WINDOW} of {len(order)} entries")
+        debt = certification_debt(merged)
+        cap = WINDOW * args.budget_rounds
+        if len(debt) > cap:
+            print(f"FAIL: certification debt {len(debt)} exceeds the "
+                  f"{args.budget_rounds}-round budget ({cap} slots): "
+                  "the driver cannot drain this backlog in the budgeted "
+                  "windows — stop adding queries or raise --budget-rounds "
+                  "deliberately. Debt head: "
+                  + ", ".join(debt[:10]) + (" …" if len(debt) > 10 else ""))
+            return 1
+        print(f"debt ok: {len(debt)} uncertified queries fit the "
+              f"{args.budget_rounds}-round budget ({cap} slots)")
     return 1 if (args.verify and changed) else 0
 
 
