@@ -17,16 +17,18 @@ Design (for a 100 TB media corpus):
   ``extract_features`` parses width/height/duration and the embedded
   content back out with pure ``struct``/``zlib`` — no codec libraries
   involved;
-- **pixel/sample decode is REAL where the format permits it in pure
-  Python** (round-4): uncompressed 24-bpp BMP pixel arrays, WAV
-  16-bit PCM samples, AND zlib-compressed grayscale-8 PNG image data
-  (zlib IS the PNG codec and it's stdlib — ``png_decode`` inflates the
-  IDAT stream and undoes all five PNG row filters) are fully decoded
-  with ``struct``/``zlib``/numpy — ``mean_luma`` and ``rms_amp`` are
-  computed from the actual decoded bytes and oracle-pinned. Only JPEG
-  entropy-coded scans remain stubbed (a real Huffman/DCT codec):
-  ``decode_stub=False`` raises ``NotImplementedError`` at exactly the
-  point that library would run.
+- **pixel/sample decode is REAL in pure Python** (rounds 4–5):
+  uncompressed 24-bpp BMP pixel arrays, WAV 16-bit PCM samples,
+  zlib-compressed grayscale-8 PNG image data (``png_decode`` inflates
+  the IDAT stream and undoes all five PNG row filters), AND
+  baseline-sequential grayscale JPEG scans (``jpeg_decode``: canonical
+  Huffman entropy decode, DQT dequantization, inverse zigzag, numpy
+  inverse DCT — the full T.81 baseline pipeline) are decoded with
+  ``struct``/``zlib``/numpy — ``mean_luma`` and ``rms_amp`` are
+  computed from the actual decoded bytes and oracle-pinned. The
+  remaining boundary is progressive (SOF2) and chroma-subsampled
+  multi-component JPEG, which ``jpeg_decode`` rejects with
+  ``NotImplementedError``; the synthesizer emits baseline grayscale.
 """
 
 from __future__ import annotations
@@ -174,19 +176,260 @@ def png_decode(idat: bytes, width: int, height: int) -> np.ndarray:
 
 _JPEG_COM_MAX = 60_000  # segment length field is u16; stay well under
 
+# --- baseline JPEG codec (public ITU-T T.81 spec; round-5, retiring the
+# --- last decode stub). Zigzag order and the BITS/HUFFVAL DHT encoding
+# --- are straight from the standard; the tables themselves are minimal
+# --- custom canonical tables (the spec's Annex-K tables would also work).
 
-def jpeg_bytes(width: int, height: int, content: bytes) -> bytes:
-    """Minimal JPEG: SOI + SOF0 (baseline frame header with height/width,
-    one 8-bit component) + ``content`` chunked into COM (comment)
-    segments + EOI. Marker framing is real; there is no entropy-coded
-    scan — pixel decode is the stub boundary."""
+#: zigzag scan order: _JPEG_ZIGZAG[k] = raster index of the k-th
+#: zigzag-ordered coefficient
+_JPEG_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+#: DC table: categories 0..11 as 12 canonical 4-bit codes (0000..1011 —
+#: the all-ones code 1111 stays unassigned per the spec's prefix rule).
+#: AC table: only EOB (0x00) as the single 1-bit code '0' — the encoder
+#: below emits DC-only blocks, but the DECODER handles arbitrary
+#: run/size AC symbols and ZRL from whatever DHT the file declares.
+_JPEG_DC_BITS = (0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+_JPEG_AC_BITS = (1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_AC_VALS = (0x00,)
+
+
+def _huff_canonical(bits: tuple, vals: tuple) -> dict:
+    """``symbol -> (code, length)`` from a DHT BITS/HUFFVAL spec (the
+    canonical code construction of T.81 Annex C)."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    """MSB-first bit packer with 0xFF byte stuffing and 1-padding."""
+
+    def __init__(self):
+        self._out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self._out.append(self._acc)
+                if self._acc == 0xFF:
+                    self._out.append(0x00)
+                self._acc = 0
+                self._n = 0
+
+    def done(self) -> bytes:
+        if self._n:
+            self.put((1 << (8 - self._n)) - 1, 8 - self._n)
+        return bytes(self._out)
+
+
+def _jpeg_category(v: int) -> int:
+    """DC/AC magnitude category: smallest s with |v| < 2**s."""
+    return int(abs(v)).bit_length()
+
+
+def jpeg_block_values(mid: int, width: int, height: int) -> np.ndarray:
+    """Deterministic per-8×8-block luma for media id ``mid``: block
+    (bx, by) on the padded MCU grid has every pixel equal to
+    ``(mid + by·bw + bx) % 256``. Block-constant content is the
+    DC-only case whose DCT round-trip is EXACT with a unit quant table
+    (DC = 8·(v−128), IDCT = DC/8 + 128 = v), so the decoded pixels are
+    oracle-recomputable in closed form — same discipline as
+    ``luma_pixels``/``pcm_samples``."""
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    idx = np.arange(bh, dtype=np.int64)[:, None] * bw + np.arange(bw, dtype=np.int64)
+    return ((mid + idx) % 256).astype(np.uint8)
+
+
+def jpeg_bytes(
+    width: int, height: int, content: bytes, block_vals: np.ndarray | None = None
+) -> bytes:
+    """Baseline-sequential JPEG (ITU-T T.81): SOI + COM segments carrying
+    ``content`` + DQT (unit 8-bit table) + SOF0 (8-bit, one component,
+    1×1 sampling) + DHT (canonical DC/AC tables) + SOS + a REAL
+    entropy-coded scan of ``block_vals`` (one constant luma per 8×8
+    block, difference-coded DC + EOB, 0xFF byte-stuffed) + EOI — every
+    marker, length field, and Huffman bit a standard decoder checks.
+    With ``block_vals=None`` the scan-bearing segments are omitted
+    (header-only container, the pre-round-5 shape kept for tests)."""
     sof0_payload = struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
-    out = [b"\xff\xd8", b"\xff\xc0", struct.pack(">H", 2 + len(sof0_payload)), sof0_payload]
+    out = [b"\xff\xd8"]
     for off in range(0, max(len(content), 1), _JPEG_COM_MAX):
         chunk = content[off : off + _JPEG_COM_MAX]
         out += [b"\xff\xfe", struct.pack(">H", 2 + len(chunk)), chunk]
-    out.append(b"\xff\xd9")
+    if block_vals is not None:
+        dqt = b"\x00" + bytes([1] * 64)
+        out += [b"\xff\xdb", struct.pack(">H", 2 + len(dqt)), dqt]
+    out += [b"\xff\xc0", struct.pack(">H", 2 + len(sof0_payload)), sof0_payload]
+    if block_vals is None:
+        out.append(b"\xff\xd9")
+        return b"".join(out)
+    dht = (
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    out += [b"\xff\xc4", struct.pack(">H", 2 + len(dht)), dht]
+    sos = b"\x01\x01\x00\x00\x3f\x00"
+    out += [b"\xff\xda", struct.pack(">H", 2 + len(sos)), sos]
+    dc_codes = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _JpegBitWriter()
+    pred = 0
+    for v in block_vals.astype(np.int64).ravel():
+        dc = 8 * (int(v) - 128)  # unit quant table: quantized == raw DC
+        diff = dc - pred
+        pred = dc
+        s = _jpeg_category(diff)
+        code, length = dc_codes[s]
+        w.put(code, length)
+        if s:
+            w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        code, length = ac_codes[0x00]  # EOB: all 63 AC coefficients zero
+        w.put(code, length)
+    out += [w.done(), b"\xff\xd9"]
     return b"".join(out)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over a destuffed scan; reads past the end
+    return 1-bits (the spec's byte-padding convention)."""
+
+    def __init__(self, data: bytes):
+        self._data = data
+        self._pos = 0  # bit position
+
+    def bit(self) -> int:
+        byte = self._pos >> 3
+        if byte >= len(self._data):
+            return 1
+        b = (self._data[byte] >> (7 - (self._pos & 7))) & 1
+        self._pos += 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode_table(bits: tuple, vals: tuple) -> dict:
+    """``(length, code) -> symbol`` from a DHT BITS/HUFFVAL spec."""
+    return {(length, code): sym
+            for sym, (code, length) in _huff_canonical(bits, vals).items()}
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the s received magnitude bits to the
+    signed coefficient value."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _idct_basis() -> np.ndarray:
+    """8×8 DCT-III basis C with C[u, x] = ½·c(u)·cos((2x+1)uπ/16),
+    c(0)=1/√2: the 2-D inverse DCT of T.81 A.3.3 is ``Cᵀ @ S @ C``."""
+    C = np.zeros((8, 8))
+    for u in range(8):
+        cu = 1.0 / math.sqrt(2.0) if u == 0 else 1.0
+        for x in range(8):
+            C[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    return C
+
+
+_IDCT_C = _idct_basis()
+
+
+def jpeg_decode(info: dict) -> np.ndarray:
+    """REAL baseline-sequential JPEG decode (ITU-T T.81) for a
+    single-component 8-bit grayscale frame, from a ``parse_container``
+    result: canonical-Huffman entropy decode of the destuffed scan
+    (DC difference coding + run/size AC symbols incl. ZRL/EOB), DQT
+    dequantization, inverse zigzag, 2-D inverse DCT (numpy separable
+    matrix form), level shift, clip, and crop from the padded MCU grid
+    to (height, width). Pure numpy — no codec library. Progressive
+    frames and multi-component (chroma-subsampled) images raise
+    ``NotImplementedError``: that is the remaining documented boundary,
+    and the synthesizer only emits baseline grayscale."""
+    if info.get("scan") is None or info.get("sos") is None:
+        raise ValueError("JPEG without an entropy-coded scan")
+    if info.get("sof_marker") == 0xC2:
+        raise NotImplementedError("progressive JPEG (SOF2) not supported")
+    if info.get("precision") != 8 or info.get("ncomp") != 1:
+        raise NotImplementedError(
+            f"only 8-bit single-component baseline JPEG is supported "
+            f"(precision={info.get('precision')}, ncomp={info.get('ncomp')})"
+        )
+    sos = info["sos"]
+    if sos["ss"] != 0 or sos["se"] != 63 or sos["ahal"] != 0:
+        raise NotImplementedError("non-sequential spectral selection")
+    _cid, hv, tq = info["sof_comps"][0]
+    if hv != 0x11:
+        raise NotImplementedError(f"subsampled component (HiVi={hv:#x})")
+    qt = info["dqt"][tq]  # zigzag order, as stored in the DQT segment
+    _scid, td, ta = sos["comps"][0]
+    dc_tab = _huff_decode_table(*info["dht"][(0, td)])
+    ac_tab = _huff_decode_table(*info["dht"][(1, ta)])
+
+    def read_symbol(reader: _JpegBitReader, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | reader.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG scan")
+
+    w, h = info["width"], info["height"]
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    out = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+    reader = _JpegBitReader(info["scan"])
+    pred = 0
+    for blk in range(bw * bh):
+        zz = np.zeros(64, dtype=np.int64)
+        s = read_symbol(reader, dc_tab)
+        pred += _jpeg_extend(reader.bits(s), s)
+        zz[0] = pred
+        k = 1
+        while k <= 63:
+            sym = read_symbol(reader, ac_tab)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL: 16 zeros
+                k += 16
+                continue
+            k += sym >> 4
+            if k > 63:
+                raise ValueError("AC run past block end in JPEG scan")
+            zz[k] = _jpeg_extend(reader.bits(sym & 0xF), sym & 0xF)
+            k += 1
+        coef = np.zeros(64, dtype=np.float64)
+        coef[_JPEG_ZIGZAG] = zz * qt  # dequantize + inverse zigzag
+        block = _IDCT_C.T @ coef.reshape(8, 8) @ _IDCT_C
+        px = np.clip(np.round(block) + 128, 0, 255).astype(np.uint8)
+        by, bx = divmod(blk, bw)
+        out[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = px
+    return out[:h, :w]
 
 
 def bmp_bytes(width: int, height: int, luma: bytes) -> bytes:
@@ -289,25 +532,88 @@ def parse_container(payload: bytes) -> dict:
     if payload.startswith(b"\xff\xd8"):
         width = height = None
         content = b""
+        precision = sof_marker = None
+        ncomp = 0
+        sof_comps: list[tuple] = []
+        dqt: dict[int, np.ndarray] = {}  # Tq -> 64 coefficients, zigzag order
+        dht: dict[tuple[int, int], tuple] = {}  # (class, id) -> (bits, vals)
+        sos = None
+        scan = None
         pos = 2
-        while pos + 4 <= len(payload):
+        while pos + 2 <= len(payload):
             if payload[pos] != 0xFF:
                 raise ValueError(f"JPEG marker expected at {pos}")
             marker = payload[pos + 1]
             if marker == 0xD9:  # EOI
                 break
+            if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # RST/TEM: no length
+                pos += 2
+                continue
             (seglen,) = struct.unpack_from(">H", payload, pos + 2)
             data = payload[pos + 4 : pos + 2 + seglen]
             if marker in (0xC0, 0xC2):  # SOF0 / SOF2
-                _prec, height, width = struct.unpack_from(">BHH", data, 0)
+                precision, height, width, ncomp = struct.unpack_from(">BHHB", data, 0)
+                sof_marker = marker
+                sof_comps = [
+                    (data[6 + 3 * i], data[7 + 3 * i], data[8 + 3 * i])
+                    for i in range(ncomp)
+                ]  # (component id, Hi<<4|Vi, quant table id)
             elif marker == 0xFE:  # COM
                 content += data
+            elif marker == 0xDB:  # DQT: one or more (Pq|Tq, 64|128B) tables
+                p = 0
+                while p < len(data):
+                    pq, tq = data[p] >> 4, data[p] & 0xF
+                    if pq != 0:
+                        raise ValueError("only 8-bit DQT tables supported")
+                    dqt[tq] = np.frombuffer(
+                        data[p + 1 : p + 65], dtype=np.uint8
+                    ).astype(np.int64)
+                    p += 65
+            elif marker == 0xC4:  # DHT: one or more (Tc|Th, BITS, VALS)
+                p = 0
+                while p < len(data):
+                    tc, th = data[p] >> 4, data[p] & 0xF
+                    bits = tuple(data[p + 1 : p + 17])
+                    n = sum(bits)
+                    dht[(tc, th)] = (bits, tuple(data[p + 17 : p + 17 + n]))
+                    p += 17 + n
+            elif marker == 0xDA:  # SOS header, then the entropy-coded scan
+                ns = data[0]
+                comps = [
+                    (data[1 + 2 * i], data[2 + 2 * i] >> 4, data[2 + 2 * i] & 0xF)
+                    for i in range(ns)
+                ]
+                ss, se, ahal = data[1 + 2 * ns], data[2 + 2 * ns], data[3 + 2 * ns]
+                sos = {"ns": ns, "comps": comps, "ss": ss, "se": se, "ahal": ahal}
+                p = pos + 2 + seglen
+                raw = bytearray()
+                while p < len(payload):  # destuff until a real marker
+                    b = payload[p]
+                    if b == 0xFF:
+                        nxt = payload[p + 1] if p + 1 < len(payload) else 0xD9
+                        if nxt == 0x00:  # stuffed data byte
+                            raw.append(0xFF)
+                            p += 2
+                            continue
+                        if 0xD0 <= nxt <= 0xD7:  # restart marker
+                            p += 2
+                            continue
+                        break
+                    raw.append(b)
+                    p += 1
+                scan = bytes(raw)
+                pos = p
+                continue
             pos += 2 + seglen
         if width is None:
             raise ValueError("JPEG without SOF frame header")
         return {
             "container": "jpeg", "width": int(width), "height": int(height),
             "duration_ms": None, "content": content,
+            "precision": int(precision), "ncomp": int(ncomp),
+            "sof_comps": sof_comps, "sof_marker": sof_marker,
+            "dqt": dqt, "dht": dht, "sos": sos, "scan": scan,
         }
     # 'BM' alone is two printable ASCII chars and occurs at the start of
     # ordinary text ("BMW announced..."), unlike the other containers'
@@ -426,7 +732,9 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
                     elif mid % 12 == 6:
                         payload = bmp_bytes(w, h, luma_pixels(mid, w, h))
                     else:
-                        payload = jpeg_bytes(w, h, content)
+                        payload = jpeg_bytes(
+                            w, h, content, jpeg_block_values(mid, w, h)
+                        )
                 elif mtype == "audio":
                     w, h = 64, 64
                     samples = pcm_samples(mid)
@@ -473,26 +781,24 @@ def extract_features(
        (exact integer byte-sum / pixel-count), WAV 16-bit PCM →
        ``rms_amp`` (exact integer sum-of-squares, one division, one
        correctly-rounded sqrt — bit-portable to the oracle).
-    3. **JPEG decode (STUB boundary)** — featurizing entropy-coded
-       JPEG scans requires a real Huffman/DCT codec;
-       ``decode_stub=False`` raises ``NotImplementedError`` here. The
-       stub features are content-derived and deterministic.
+    3. **JPEG decode (REAL, round-5)** — baseline-sequential scans are
+       fully entropy-decoded with the pure-numpy ``jpeg_decode``
+       (Huffman + dequant + inverse DCT) → ``mean_luma``; the remaining
+       boundary is progressive/multi-component JPEG, which raises
+       inside ``jpeg_decode``. ``decode_stub`` is retained for API
+       compatibility and no longer gates anything (every synthesized
+       format decodes for real); the ``feature`` column stays the
+       deterministic content-hash stand-in for a learned featurizer.
 
     The 100 TB shape: payloads never leave the executor, only parsed
     headers + (tiny) feature vectors come back. ``payload_sha`` hashes
     the recovered CONTENT, so an oracle over the source text verifies
     the entire container round-trip bit-exactly.
     """
+    del decode_stub  # retained for compatibility; all decode paths are real
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real JPEG scan decoding requires a Huffman/DCT codec "
-                    "library not present in this environment; use "
-                    "decode_stub=True (header parsing AND the PNG/BMP/PCM "
-                    "decode paths are real — see parse_container/png_decode)"
-                )
             rows = {k: [] for k in
                     ("media_id", "media_type", "container", "width", "height",
                      "duration_ms", "payload_sha", "feature", "mean_luma",
@@ -516,6 +822,10 @@ def extract_features(
                             f"(depth={info['depth']}, ct={info['color_type']})"
                         )
                     px = png_decode(info["idat"], info["width"], info["height"])
+                    mean_luma = float(int(px.sum(dtype=np.int64)) / px.size)
+                elif info["container"] == "jpeg" and info.get("scan") is not None:
+                    # REAL decode: Huffman + dequant + inverse DCT
+                    px = jpeg_decode(info)
                     mean_luma = float(int(px.sum(dtype=np.int64)) / px.size)
                 elif info["container"] == "wav" and len(content) >= 2:
                     n = len(content) // 2  # drop a trailing odd byte
@@ -545,11 +855,12 @@ def extract_features(
 def luma_histogram(media: DataFrame, n_buckets: int = 8) -> DataFrame:
     """Per-image luma histogram over FULLY DECODED pixels — the exposure/
     contrast profile a vision-data pipeline computes before filtering
-    (all-black frames, blown-out scans). Covers the formats decodable
-    without codec libs: BMP pixel arrays (every 3rd byte of the unpadded
-    BGR rows — one count per pixel, r=g=b by construction) and PNG image
-    data (zlib-inflate + per-row unfiltering via ``png_decode``); other
-    containers contribute no rows. Empty buckets are omitted.
+    (all-black frames, blown-out scans). Covers every decodable image
+    format: BMP pixel arrays (every 3rd byte of the unpadded BGR rows —
+    one count per pixel, r=g=b by construction), PNG image data
+    (zlib-inflate + per-row unfiltering via ``png_decode``), and
+    baseline JPEG scans (Huffman + dequant + IDCT via ``jpeg_decode``);
+    non-image containers contribute no rows. Empty buckets are omitted.
 
     Same 100 TB shape as ``extract_features``: payloads never leave the
     executor — only (media_id, bucket, n_px) rows come back, ≤ 8 per
@@ -570,6 +881,8 @@ def luma_histogram(media: DataFrame, n_buckets: int = 8) -> DataFrame:
                             "only grayscale-8 PNG decode is implemented"
                         )
                     px = png_decode(info["idat"], info["width"], info["height"]).ravel()
+                elif info["container"] == "jpeg" and info.get("scan") is not None:
+                    px = jpeg_decode(info).ravel()
                 if px is None:
                     continue
                 counts = np.bincount(px // width_b, minlength=n_buckets)

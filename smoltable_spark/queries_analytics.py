@@ -3680,6 +3680,22 @@ def dedup_semantic_keep_one(spark, sf_dir):
                16 + doc_id % 64 AS wv, 16 + doc_id % 48 AS hv,
                64 + doc_id % 192 AS nsamp
         FROM documents
+    ),
+    -- round-5: JPEG scans decode for real; the generator emits one
+    -- constant luma per 8x8 block ((id + by*bw + bx) % 256 on the padded
+    -- MCU grid), so the decoded mean is a closed-form sum over blocks
+    -- weighted by each block's pixel count inside the w x h crop
+    jml AS (
+        SELECT media_id,
+               CAST(sum(((media_id + bj.v * ((wv + 7) // 8) + bi.v) % 256)
+                        * least(8, wv - 8 * bi.v)
+                        * least(8, hv - 8 * bj.v)) AS DOUBLE)
+                   / any_value(wv * hv) AS ml
+        FROM base,
+             unnest(range((wv + 7) // 8)) AS bi(v),
+             unnest(range((hv + 7) // 8)) AS bj(v)
+        WHERE m3 = 0 AND m12 NOT IN (0, 6)
+        GROUP BY media_id
     )
     SELECT media_id,
            CASE m3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
@@ -3699,13 +3715,14 @@ def dedup_semantic_keep_one(spark, sf_dir):
            CASE WHEN m3 = 0 AND m12 IN (0, 6)
                 THEN CAST(list_sum(list_transform(range(wv * hv),
                           j -> (media_id + j) % 256)) AS DOUBLE) / (wv * hv)
+                WHEN m3 = 0 THEN jml.ml
                END AS mean_luma,
            CASE WHEN m3 = 1
                 THEN sqrt(CAST(list_sum(list_transform(range(nsamp),
                           i -> ((media_id + i) % 256 - 128)
                              * ((media_id + i) % 256 - 128))) AS DOUBLE) / nsamp)
                END AS rms_amp
-    FROM base
+    FROM base LEFT JOIN jml USING (media_id)
     """,
 )
 def mm_features(spark, sf_dir):
@@ -3721,16 +3738,20 @@ def mm_features(spark, sf_dir):
     data (inflate + real per-row unfiltering, ``png_decode``) →
     ``mean_luma`` (exact integer byte sum / count), WAV 16-bit PCM →
     ``rms_amp`` (exact integer sum-of-squares, one division,
-    correctly-rounded sqrt). The oracle
-    recomputes every value from the generator formulas — dims from the
-    id, WAV duration from the sample count (50 Hz × 16-bit mono ⟹
-    byte_rate 100 ⟹ ms = 2n bytes × 10), digest + first feature byte
-    from the text for text-content containers, and the decoded-content
-    features from the same exact integer arithmetic over
-    ``range(n)`` — so one hash-match pins build → frame → parse →
-    DECODE → extract end to end. Only JPEG pixel decode stays stubbed
-    (entropy-coded scans need a real Huffman/DCT codec; the documented
-    boundary).
+    correctly-rounded sqrt), and — round-5 — baseline JPEG scans
+    (``jpeg_decode``: canonical Huffman entropy decode, dequantization,
+    inverse zigzag, numpy inverse DCT) → ``mean_luma``. JPEG content is
+    block-constant (one luma per 8×8 MCU), the DC-only case whose DCT
+    round-trip is exact, so the decode is oracle-pinnable in closed
+    form. The oracle recomputes every value from the generator
+    formulas — dims from the id, WAV duration from the sample count
+    (50 Hz × 16-bit mono ⟹ byte_rate 100 ⟹ ms = 2n bytes × 10), digest
+    + first feature byte from the text for text-content containers, and
+    the decoded-content features from the same exact integer arithmetic
+    (per-pixel ``range(n)`` sums; per-block crop-weighted sums for
+    JPEG) — so one hash-match pins build → frame → parse → DECODE →
+    extract end to end. The remaining boundary is progressive /
+    multi-component JPEG, rejected inside ``jpeg_decode``.
     """
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.synthesize_media(docs)
@@ -5969,23 +5990,37 @@ def stream_ohlc_bars(spark, sf_dir):
         FROM documents WHERE doc_id % 3 = 0
     ),
     px AS (SELECT media_id,
-                  CAST(((media_id + j) % 256) // 32 AS INT) AS bucket
+                  CAST(((media_id + j) % 256) // 32 AS INT) AS bucket,
+                  CAST(1 AS BIGINT) AS npx
            FROM base, unnest(range(wv * hv)) AS u(j)
-           WHERE m12 IN (0, 6))
-    SELECT media_id, bucket, CAST(count(*) AS BIGINT) AS n_px
+           WHERE m12 IN (0, 6)
+           UNION ALL
+           -- round-5: JPEG decodes for real — block-constant pixels, one
+           -- bucket row per 8x8 block weighted by its in-crop pixel count
+           SELECT media_id,
+                  CAST(((media_id + bj.v * ((wv + 7) // 8) + bi.v) % 256)
+                       // 32 AS INT) AS bucket,
+                  CAST(least(8, wv - 8 * bi.v)
+                       * least(8, hv - 8 * bj.v) AS BIGINT) AS npx
+           FROM base,
+                unnest(range((wv + 7) // 8)) AS bi(v),
+                unnest(range((hv + 7) // 8)) AS bj(v)
+           WHERE m12 NOT IN (0, 6))
+    SELECT media_id, bucket, CAST(sum(npx) AS BIGINT) AS n_px
     FROM px GROUP BY 1, 2
     """,
 )
 def mm_luma_histogram(spark, sf_dir):
     """8-bucket luma histogram per decodable image (functions/
-    multimodal.py::luma_histogram): BMP pixel rows and zlib-inflated,
-    unfiltered PNG image data are decoded for real inside the Arrow
-    batch, histogrammed, and only ≤8 (media_id, bucket, count) rows per
-    image leave the executor. The oracle replays the pixel generator
-    formula ((id + j) mod 256 over storage order) through the same
+    multimodal.py::luma_histogram): BMP pixel rows, zlib-inflated
+    unfiltered PNG image data, AND entropy-decoded baseline JPEG scans
+    (round-5 ``jpeg_decode``: Huffman + dequant + IDCT) are decoded for
+    real inside the Arrow batch, histogrammed, and only ≤8 (media_id,
+    bucket, count) rows per image leave the executor. The oracle replays
+    both pixel generator formulas ((id + j) mod 256 over storage order;
+    (id + block_index) mod 256 per JPEG 8×8 block) through the same
     bucket arithmetic, so a hash match pins container framing →
-    compression → decode → per-pixel bucketing end to end. JPEG images
-    contribute no rows (the documented entropy-coded decode boundary)."""
+    compression → decode → per-pixel bucketing end to end."""
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.synthesize_media(docs)
     return multimodal.luma_histogram(media, n_buckets=8)

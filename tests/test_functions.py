@@ -197,10 +197,15 @@ def test_multimodal_features_roundtrip(spark, docs):
         assert all(0 <= x < 1 for x in r["feature"])
 
 
-def test_multimodal_stub_raises_without_codec(spark, docs):
+def test_multimodal_all_formats_decode_for_real(spark, docs):
+    # round-5: the JPEG scan decoder retired the last stub — every image
+    # (png/bmp/jpeg) now yields a real decoded mean_luma, with or without
+    # the legacy decode_stub flag
     media = multimodal.synthesize_media(docs)
-    with pytest.raises(Exception, match="NotImplementedError|decode"):
-        multimodal.extract_features(media, decode_stub=False).collect()
+    feats = multimodal.extract_features(media, decode_stub=False).collect()
+    for r in feats:
+        if r["media_type"] == "image":
+            assert r["mean_luma"] is not None, r["container"]
 
 
 def test_frame_plan_only_videos(spark, docs):
@@ -667,11 +672,19 @@ def test_multimodal_real_bmp_and_pcm_decode(spark):
         )
         assert r["rms_amp"] == expect
         assert r["mean_luma"] is None
-    # entropy-coded (jpeg) / opaque (raw) containers: no decoded features
-    assert all(
-        feats[i]["mean_luma"] is None and feats[i]["rms_amp"] is None
-        for i in (2, 3)
-    )
+    # round-5: JPEG scans are REAL too — the decoded mean_luma must match
+    # the block-constant generator formula (exact DC-only DCT round-trip)
+    r = feats[3]
+    w, h = 16 + 3 % 64, 16 + 3 % 48
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    expect = sum(
+        ((3 + by * bw + bx) % 256) * min(8, w - 8 * bx) * min(8, h - 8 * by)
+        for by in range(bh)
+        for bx in range(bw)
+    ) / (w * h)
+    assert r["mean_luma"] == expect and r["rms_amp"] is None
+    # opaque (raw) containers: no decoded features
+    assert feats[2]["mean_luma"] is None and feats[2]["rms_amp"] is None
 
 
 def test_png_decode_all_filter_types():

@@ -127,10 +127,18 @@ def test_luma_histogram_matches_generator(spark, sf_dir):
     ]
     ref = defaultdict(dict)
     for mid in ids:
-        if mid % 3 != 0 or mid % 12 not in (0, 6):
+        if mid % 3 != 0:
             continue
         w, h = 16 + mid % 64, 16 + mid % 48
-        c = Counter(((mid + j) % 256) // 32 for j in range(w * h))
+        if mid % 12 in (0, 6):  # png/bmp: per-pixel generator formula
+            c = Counter(((mid + j) % 256) // 32 for j in range(w * h))
+        else:  # jpeg (r5): block-constant pixels, crop-weighted 8x8 blocks
+            bw, bh = (w + 7) // 8, (h + 7) // 8
+            c = Counter()
+            for by in range(bh):
+                for bx in range(bw):
+                    v = (mid + by * bw + bx) % 256
+                    c[v // 32] += min(8, w - 8 * bx) * min(8, h - 8 * by)
         ref[mid] = dict(c)
     assert dict(got) == dict(ref)
 
