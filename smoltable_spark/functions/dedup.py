@@ -325,6 +325,7 @@ def containment_near_duplicates(
     threshold: float = 0.8,
     max_df: int = 20,
     min_postings: int = 2,
+    max_anchor_df: int | None = 100_000,
 ) -> DataFrame:
     """Shingle-CONTAINMENT near-dup detection: |A∩B| / min(|A|, |B|).
 
@@ -366,12 +367,20 @@ def containment_near_duplicates(
     shingles (df > max_df) are otherwise skipped exactly like
     stop-words in an IR index. The rarest-shingle channel adds at most
     ``min_postings`` postings per doc, and a hot shingle's posting list
-    there contains only the docs that rank it among their rarest — it
-    grows only when many docs share ALL their shingles, i.e. when the
-    true output itself is that large. The per-doc rank is a window
-    partitioned by doc (bounded by per-doc shingle count, never a
-    global sort), and the pair-local verify is unchanged from the
-    Jaccard path.
+    there contains only the docs that rank it among their rarest — on
+    duplicate-heavy corpora that list is OUTPUT-sized (clone groups are
+    true containment pairs, re-surfaced by this channel: the 10× SCALE
+    row's pair count tracks the clone structure, see SCALE.md). The
+    residual hazard is a corpus of near-identical-boilerplate docs
+    whose pairwise containment is still below threshold: there the
+    anchor lists grow without a matching true output, so —
+    mirroring ``blocked_jaccard_near_duplicates``' ``max_block_rows`` —
+    ``max_anchor_df`` guards the hottest anchor posting list and raises
+    (route such corpora through exact/MinHash dedup) instead of
+    launching that list's quadratic pair job; ``None`` disables. The
+    per-doc rank is a window partitioned by doc (bounded by per-doc
+    shingle count, never a global sort), and the pair-local verify is
+    unchanged from the Jaccard path.
     """
     from pyspark.sql import Window
 
@@ -392,6 +401,26 @@ def containment_near_duplicates(
         .filter(F.col("_rk") <= min_postings)
         .select(id_col, "hsh")
     )
+    if max_anchor_df is not None:
+        # materialize the anchor branch once (<= min_postings rows/doc):
+        # the guard aggregate and the posting union below both read the
+        # checkpoint, so the guard costs one tiny agg instead of a second
+        # full shingle+window pass
+        anchor_posts = anchor_posts.localCheckpoint(eager=True)
+        worst = (
+            anchor_posts.groupBy("hsh")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("mx"))
+            .collect()[0]["mx"]
+        )
+        if worst is not None and worst > max_anchor_df:
+            raise ValueError(
+                f"hottest rarest-shingle anchor posting list has {worst} "
+                f"docs (> max_anchor_df={max_anchor_df}); pair formation "
+                "would be quadratic in that list without a matching true "
+                "output — use exact/MinHash dedup for this corpus, or "
+                "raise/disable max_anchor_df"
+            )
     posts = rare_posts.union(anchor_posts).distinct()
     a = posts.select("hsh", F.col(id_col).alias("id_a"))
     b = posts.select(F.col("hsh").alias("_hb"), F.col(id_col).alias("id_b"))

@@ -339,3 +339,20 @@ class TestJpegBaselineCodec:
                 expect[v // 32] = expect.get(v // 32, 0) + npx
         got = dict(zip(jp["bucket"], jp["n_px"]))
         assert got == expect
+
+
+def test_containment_anchor_guard(spark):
+    """max_anchor_df: a pathological corpus whose anchor posting lists
+    exceed the guard raises instead of launching a quadratic pair job;
+    the default guard (100k) passes the same corpus."""
+    import pytest
+    from smoltable_spark.functions.dedup import containment_near_duplicates
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(6)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="max_anchor_df"):
+        containment_near_duplicates(docs, max_anchor_df=3).collect()
+    out = containment_near_duplicates(docs).collect()  # default guard: fine
+    assert len(out) == 15  # 6 identical docs -> all C(6,2) clone pairs
