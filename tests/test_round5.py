@@ -356,3 +356,64 @@ def test_containment_anchor_guard(spark):
         containment_near_duplicates(docs, max_anchor_df=3).collect()
     out = containment_near_duplicates(docs).collect()  # default guard: fine
     assert len(out) == 15  # 6 identical docs -> all C(6,2) clone pairs
+
+
+class TestJpegCodecProperties:
+    """Hypothesis property suites for the round-5 JPEG codec (no Spark)."""
+
+    @staticmethod
+    def _st():
+        from hypothesis import strategies as st
+
+        return st
+
+    def test_dc_only_roundtrip_property(self):
+        import numpy as np
+        from hypothesis import given, settings, strategies as st
+        from smoltable_spark.functions import multimodal as M
+
+        @settings(max_examples=120, deadline=None)
+        @given(
+            w=st.integers(1, 80),
+            h=st.integers(1, 64),
+            seed=st.integers(0, 2**31 - 1),
+            content=st.binary(max_size=200),
+        )
+        def prop(w, h, seed, content):
+            bw, bh = (w + 7) // 8, (h + 7) // 8
+            rng = np.random.default_rng(seed)
+            bv = rng.integers(0, 256, size=(bh, bw), dtype=np.int64).astype(
+                np.uint8
+            )
+            info = M.parse_container(M.jpeg_bytes(w, h, content, bv))
+            assert info["content"] == content
+            px = M.jpeg_decode(info)
+            expect = np.repeat(np.repeat(bv, 8, 0), 8, 1)[:h, :w]
+            assert px.shape == (h, w) and (px == expect).all()
+
+        prop()
+
+    def test_full_dct_roundtrip_property(self):
+        import numpy as np
+        from hypothesis import given, settings, strategies as st
+        from smoltable_spark.functions import multimodal as M
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            w=st.integers(1, 32),
+            h=st.integers(1, 24),
+            seed=st.integers(0, 2**31 - 1),
+        )
+        def prop(w, h, seed):
+            rng = np.random.default_rng(seed)
+            px = rng.integers(0, 256, size=w * h, dtype=np.int64).astype(
+                np.uint8
+            )
+            payload = TestJpegBaselineCodec._full_encode(px, w, h)
+            out = M.jpeg_decode(M.parse_container(payload))
+            err = np.abs(
+                out.astype(np.int64) - px.reshape(h, w).astype(np.int64)
+            )
+            assert err.max() <= 1
+
+        prop()
