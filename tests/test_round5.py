@@ -361,12 +361,6 @@ def test_containment_anchor_guard(spark):
 class TestJpegCodecProperties:
     """Hypothesis property suites for the round-5 JPEG codec (no Spark)."""
 
-    @staticmethod
-    def _st():
-        from hypothesis import strategies as st
-
-        return st
-
     def test_dc_only_roundtrip_property(self):
         import numpy as np
         from hypothesis import given, settings, strategies as st
