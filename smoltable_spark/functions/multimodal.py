@@ -311,6 +311,98 @@ def jpeg_bytes(
     return b"".join(out)
 
 
+#: full AC table for arbitrary-pixel encoding: EOB + ZRL + every
+#: (run 0-15, size 1-10) symbol as canonical 8-bit codes (162 of 256
+#: slots used; the all-ones code stays unassigned per the prefix rule)
+_JPEG_AC_FULL_VALS = tuple(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_JPEG_AC_FULL_BITS = tuple(
+    len(_JPEG_AC_FULL_VALS) if i == 7 else 0 for i in range(16)
+)
+
+
+def jpeg_bytes_pixels(
+    width: int, height: int, content: bytes, pixels: bytes | np.ndarray
+) -> bytes:
+    """Baseline-sequential JPEG of an ARBITRARY grayscale-8 pixel array
+    (round-5, backing the real ``resize_media``): real forward DCT per
+    8×8 block (edge blocks replicate the last row/column so partial MCUs
+    don't ring), unit quant table, zigzag run-length AC coding
+    (ZRL + EOB) with the full 162-symbol AC Huffman table, plus COM
+    segments carrying ``content``. With q=1 the only loss is coefficient
+    rounding: decode error is ≤ ±1 per pixel (pinned by the property
+    tests). ``pixels`` is one byte per pixel in storage order."""
+    px = np.frombuffer(
+        pixels if isinstance(pixels, (bytes, bytearray)) else
+        np.ascontiguousarray(pixels, dtype=np.uint8).tobytes(),
+        dtype=np.uint8,
+    )
+    if px.size != width * height:
+        raise ValueError(f"pixels must be {width * height} bytes, got {px.size}")
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    padded = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    padded[:height, :width] = px.reshape(height, width)
+    if width < bw * 8:  # replicate edges into the MCU padding
+        padded[:height, width:] = padded[:height, width - 1 : width]
+    if height < bh * 8:
+        padded[height:, :] = padded[height - 1 : height, :]
+    dc_codes = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_canonical(_JPEG_AC_FULL_BITS, _JPEG_AC_FULL_VALS)
+    C = _IDCT_C
+    wr = _JpegBitWriter()
+    pred = 0
+    for blk in range(bw * bh):
+        by, bx = divmod(blk, bw)
+        s_blk = padded[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] - 128.0
+        S = C @ s_blk @ C.T  # forward DCT (C orthogonal: inverse is Cᵀ·S·C)
+        zz = np.round(S.ravel()[_JPEG_ZIGZAG]).astype(np.int64)
+        diff = int(zz[0]) - pred
+        pred = int(zz[0])
+        s = _jpeg_category(diff)
+        code, length = dc_codes[s]
+        wr.put(code, length)
+        if s:
+            wr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                c, ln = ac_codes[0xF0]
+                wr.put(c, ln)
+                run -= 16
+            s = _jpeg_category(v)
+            c, ln = ac_codes[(run << 4) | s]
+            wr.put(c, ln)
+            wr.put(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run:
+            c, ln = ac_codes[0x00]
+            wr.put(c, ln)
+    sof0 = struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
+    dqt = b"\x00" + bytes([1] * 64)
+    dht = (
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\x10" + bytes(_JPEG_AC_FULL_BITS) + bytes(_JPEG_AC_FULL_VALS)
+    )
+    sos = b"\x01\x01\x00\x00\x3f\x00"
+    out = [b"\xff\xd8"]
+    for off in range(0, max(len(content), 1), _JPEG_COM_MAX):
+        chunk = content[off : off + _JPEG_COM_MAX]
+        out += [b"\xff\xfe", struct.pack(">H", 2 + len(chunk)), chunk]
+    out += [
+        b"\xff\xdb", struct.pack(">H", 2 + len(dqt)), dqt,
+        b"\xff\xc0", struct.pack(">H", 2 + len(sof0)), sof0,
+        b"\xff\xc4", struct.pack(">H", 2 + len(dht)), dht,
+        b"\xff\xda", struct.pack(">H", 2 + len(sos)), sos,
+        wr.done(), b"\xff\xd9",
+    ]
+    return b"".join(out)
+
+
 def _huff_decode_table(bits: tuple, vals: tuple) -> dict:
     """``(length, code) -> symbol`` from a DHT BITS/HUFFVAL spec."""
     return {(length, code): sym
@@ -920,27 +1012,65 @@ def luma_histogram(media: DataFrame, n_buckets: int = 8) -> DataFrame:
     )
 
 
-def resize_media(
-    media: DataFrame, width: int, height: int, decode_stub: bool = True
-) -> DataFrame:
-    """Arrow-batched resize: same schema out, payload re-encoded at the
-    target dimensions. Stubbed transform = deterministic passthrough with
-    a dimension-stamped header so tests can verify the batch path end to
-    end; ``decode_stub=False`` marks where a real image library resizes.
-    """
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Arrow-batched REAL resize (round-5, retiring the resize stub):
+    every decodable image payload is decoded (``png_decode`` /
+    BMP pixel rows / ``jpeg_decode``), nearest-neighbor resampled to
+    (width, height) with a numpy index map, and re-encoded in its OWN
+    container at the new dimensions — PNG keeps its tEXt content and
+    gets freshly filtered+zlib'd scanlines, BMP a new pixel array, JPEG
+    a full forward-DCT baseline scan (``jpeg_bytes_pixels``) keeping its
+    COM content. Non-image payloads (audio/video/raw) pass through
+    untouched — resampling PCM or opaque bytes as pixels would be wrong,
+    not conservative. Same 100 TB shape as the other media ops: one
+    Arrow pass, payloads never leave the executor."""
+    idx_err = f"resize target must be positive, got {width}x{height}"
+    if width < 1 or height < 1:
+        raise ValueError(idx_err)
+
+    def _resample(px: np.ndarray) -> np.ndarray:
+        h0, w0 = px.shape
+        iy = (np.arange(height, dtype=np.int64) * h0) // height
+        ix = (np.arange(width, dtype=np.int64) * w0) // width
+        return px[iy][:, ix]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real resize requires image libraries not present in "
-                    "this environment; use decode_stub=True"
-                )
-            header = f"resized:{width}x{height}:".encode()
             pdf = pdf.copy()
-            pdf["payload"] = [header + (p or b"") for p in pdf["payload"]]
-            pdf["width"] = width
-            pdf["height"] = height
+            payloads, widths, heights = [], [], []
+            for payload, w0, h0 in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                raw = bytes(payload) if payload is not None else b""
+                info = parse_container(raw)
+                cont = info["container"]
+                if cont == "png" and info.get("idat"):
+                    if (info["depth"], info["color_type"]) != (8, 0):
+                        raise NotImplementedError(
+                            "only grayscale-8 PNG resize is implemented"
+                        )
+                    px = _resample(
+                        png_decode(info["idat"], info["width"], info["height"])
+                    )
+                    out = png_bytes(width, height, info["content"], px.tobytes())
+                elif cont == "bmp" and info["content"]:
+                    px = _resample(
+                        np.frombuffer(info["content"], dtype=np.uint8)[::3]
+                        .reshape(info["height"], info["width"])
+                    )
+                    out = bmp_bytes(width, height, px.tobytes())
+                elif cont == "jpeg" and info.get("scan") is not None:
+                    px = _resample(jpeg_decode(info))
+                    out = jpeg_bytes_pixels(width, height, info["content"], px)
+                else:  # audio/video/raw (and scanless legacy JPEG): untouched
+                    payloads.append(raw)
+                    widths.append(w0)
+                    heights.append(h0)
+                    continue
+                payloads.append(out)
+                widths.append(width)
+                heights.append(height)
+            pdf["payload"] = payloads
+            pdf["width"] = widths
+            pdf["height"] = heights
             yield pdf
 
     from smoltable_spark.functions.dedup import spread

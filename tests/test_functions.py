@@ -417,20 +417,59 @@ def test_two_phase_agg_exact(spark):
     assert got == {"a": (100, 4950, 99), "b": (5, 10, 4)}
 
 
-def test_resize_media_plumbing(spark, docs):
-    import pytest
+def test_resize_media_real(spark, docs):
+    """Round-5: resize is REAL — images decode, nearest-neighbor resample,
+    and re-encode in their own container at the new dims; non-images pass
+    through untouched."""
+    import numpy as np
     from smoltable_spark.functions import multimodal as M
 
     media = M.synthesize_media(docs)
-    out = M.resize_media(media, 32, 32)
+    before = {r["media_id"]: r for r in media.collect()}
+    out = M.resize_media(media, 32, 24)
     assert [(f.name, f.dataType) for f in out.schema] == [
         (f.name, f.dataType) for f in media.schema
     ]
-    rows = out.collect()
-    assert all(r["width"] == 32 and r["height"] == 32 for r in rows)
-    assert all(bytes(r["payload"]).startswith(b"resized:32x32:") for r in rows)
-    with pytest.raises(Exception):  # stub boundary is explicit
-        M.resize_media(media, 32, 32, decode_stub=False).collect()
+    rows = {r["media_id"]: r for r in out.collect()}
+
+    def model_resample(px, h0, w0):
+        iy = (np.arange(24, dtype=np.int64) * h0) // 24
+        ix = (np.arange(32, dtype=np.int64) * w0) // 32
+        return px.reshape(h0, w0)[iy][:, ix]
+
+    for mid, r in rows.items():
+        if r["media_type"] != "image":  # audio/video: byte-identical
+            assert bytes(r["payload"]) == bytes(before[mid]["payload"])
+            assert (r["width"], r["height"]) == (
+                before[mid]["width"], before[mid]["height"]
+            )
+            continue
+        assert (r["width"], r["height"]) == (32, 24)
+        info = M.parse_container(bytes(r["payload"]))
+        assert (info["width"], info["height"]) == (32, 24)
+        w0, h0 = 16 + mid % 64, 16 + mid % 48
+        if info["container"] in ("png", "bmp"):
+            src = np.frombuffer(M.luma_pixels(mid, w0, h0), dtype=np.uint8)
+            expect = model_resample(src, h0, w0)
+            if info["container"] == "png":
+                got = M.png_decode(info["idat"], 32, 24)
+                # tEXt content (the document text) survives the re-encode
+                assert info["content"] == M.parse_container(
+                    bytes(before[mid]["payload"])
+                )["content"]
+            else:
+                got = np.frombuffer(info["content"], dtype=np.uint8)[::3].reshape(24, 32)
+            assert (got == expect).all()
+        else:  # jpeg: DC-only source decodes exactly; re-encode is +/-1
+            bv = M.jpeg_block_values(mid, w0, h0)
+            src = np.repeat(np.repeat(bv, 8, 0), 8, 1)[:h0, :w0]
+            expect = model_resample(src.ravel(), h0, w0)
+            got = M.jpeg_decode(info)
+            assert np.abs(got.astype(int) - expect.astype(int)).max() <= 1
+            # COM content (the document text) survives the re-encode
+            assert info["content"] == M.parse_container(
+                bytes(before[mid]["payload"])
+            )["content"]
 
 
 def test_hashed_embedding_fast_path_matches_expression(spark, docs):

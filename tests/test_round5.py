@@ -219,78 +219,12 @@ class TestJpegBaselineCodec:
             expect = np.repeat(np.repeat(bv, 8, 0), 8, 1)[:h, :w]
             assert (px == expect).all()
 
-    @staticmethod
-    def _full_encode(pixels, w, h):
-        """Test-only baseline encoder: real forward DCT, unit quant,
-        zigzag run-length AC coding (ZRL + EOB), canonical tables with
-        every (run, size) AC symbol at code length 8."""
-        import struct
-
-        import numpy as np
-        from smoltable_spark.functions import multimodal as M
-
-        ac_vals = [0x00, 0xF0] + [
-            (r << 4) | s for r in range(16) for s in range(1, 11)
-        ]
-        ac_bits = tuple(len(ac_vals) if i == 7 else 0 for i in range(16))
-        dc_codes = M._huff_canonical(M._JPEG_DC_BITS, M._JPEG_DC_VALS)
-        ac_codes = M._huff_canonical(ac_bits, tuple(ac_vals))
-        C = M._idct_basis()
-        bw, bh = (w + 7) // 8, (h + 7) // 8
-        padded = np.zeros((bh * 8, bw * 8), dtype=np.float64)
-        padded[:h, :w] = pixels.reshape(h, w)
-        wr = M._JpegBitWriter()
-        pred = 0
-        for blk in range(bw * bh):
-            by, bx = divmod(blk, bw)
-            s_blk = padded[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] - 128.0
-            S = C @ s_blk @ C.T  # forward DCT (C orthogonal)
-            zz = np.round(S.ravel()[M._JPEG_ZIGZAG]).astype(np.int64)
-            diff = int(zz[0]) - pred
-            pred = int(zz[0])
-            s = M._jpeg_category(diff)
-            code, length = dc_codes[s]
-            wr.put(code, length)
-            if s:
-                wr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
-            run = 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    c, ln = ac_codes[0xF0]
-                    wr.put(c, ln)
-                    run -= 16
-                s = M._jpeg_category(v)
-                c, ln = ac_codes[(run << 4) | s]
-                wr.put(c, ln)
-                wr.put(v if v >= 0 else v + (1 << s) - 1, s)
-                run = 0
-            if run:
-                c, ln = ac_codes[0x00]
-                wr.put(c, ln)
-        sof0 = struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00"
-        dht = (
-            b"\x00" + bytes(M._JPEG_DC_BITS) + bytes(M._JPEG_DC_VALS)
-            + b"\x10" + bytes(ac_bits) + bytes(ac_vals)
-        )
-        sos = b"\x01\x01\x00\x00\x3f\x00"
-        dqt = b"\x00" + bytes([1] * 64)
-        return (
-            b"\xff\xd8"
-            + b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
-            + b"\xff\xc0" + struct.pack(">H", 2 + len(sof0)) + sof0
-            + b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
-            + b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
-            + wr.done() + b"\xff\xd9"
-        )
-
     def test_general_scan_near_lossless(self):
-        """Arbitrary pixels through the full-DCT test encoder decode with
-        max error <= 1 (unit quant table: the only loss is coefficient
-        rounding) — exercising AC symbols, ZRL, zigzag, and EXTEND."""
+        """Arbitrary pixels through the library full-DCT encoder
+        (jpeg_bytes_pixels, promoted from a test helper to back the real
+        resize_media) decode with max error <= 1 (unit quant table: the
+        only loss is coefficient rounding) — exercising AC symbols, ZRL,
+        zigzag, and EXTEND."""
         import numpy as np
         from smoltable_spark.functions import multimodal as M
 
@@ -298,7 +232,7 @@ class TestJpegBaselineCodec:
         px = ((np.arange(w * h, dtype=np.int64) * 37 + 11) % 256).astype(
             np.uint8
         )
-        payload = self._full_encode(px, w, h)
+        payload = M.jpeg_bytes_pixels(w, h, b"", px)
         info = M.parse_container(payload)
         out = M.jpeg_decode(info)
         err = np.abs(out.astype(np.int64) - px.reshape(h, w).astype(np.int64))
@@ -403,7 +337,7 @@ class TestJpegCodecProperties:
             px = rng.integers(0, 256, size=w * h, dtype=np.int64).astype(
                 np.uint8
             )
-            payload = TestJpegBaselineCodec._full_encode(px, w, h)
+            payload = M.jpeg_bytes_pixels(w, h, b"", px)
             out = M.jpeg_decode(M.parse_container(payload))
             err = np.abs(
                 out.astype(np.int64) - px.reshape(h, w).astype(np.int64)
