@@ -492,11 +492,28 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     bucket_dims: list[int] | None = None,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold, bucketed (no all-pairs).
 
-    Pairs only form inside SRP buckets; at 100 TB add more bucket dims
-    (finer partition) and/or multi-probe for recall.
+    Pairs only form inside SRP buckets — the known LSH recall bias: a
+    true near-dup pair whose members differ in SIGN on a bucket dim
+    (value near zero on that axis) never collides, and the oracle
+    mirrors the bucketing, so the cert alone cannot catch the miss
+    (the candidate-generation-must-match-metric trap). The recall knobs:
+
+    - ``multiprobe=True`` (round-5): one side of the self-join fans out
+      to its primary bucket plus every bucket at Hamming distance 1
+      (flip each sign bit) — the same knob ``cosine_topk_bucketed``
+      exposes for retrieval. Every pair separated by ONE sign flip is
+      then found (each probe set collides with the partner's primary
+      bucket in at most one bucket, so pairs stay unique without a
+      dedup shuffle); pairs flipped on ≥2 bucket dims remain the
+      documented residual trade (probe cost grows ×(d+1), not ×2^d).
+      ``tests/test_round5.py::TestEmbeddingMultiprobe`` plants a
+      boundary pair that single-probe provably misses.
+    - at 100 TB also add more bucket dims (finer partition) so bucket
+      occupancy — and the within-bucket pair volume — stays bounded.
     """
     if bucket_dims is None:
         bucket_dims = [1, 2, 3, 4]
@@ -509,6 +526,24 @@ def embedding_near_duplicates(
     a = d.select(
         F.col(id_col).alias("id_a"), F.col("q").alias("qa"), F.col("nrm2").alias("na"), "bucket"
     )
+    if multiprobe:
+        nd = len(bucket_dims)
+        a = a.select(
+            "id_a",
+            "qa",
+            "na",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.col("bucket"),
+                        *[
+                            F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                            for i in range(nd)
+                        ],
+                    )
+                )
+            ).alias("bucket"),
+        )
     b = d.select(
         F.col(id_col).alias("id_b"), F.col("q").alias("qb"), F.col("nrm2").alias("nb"), "bucket"
     )

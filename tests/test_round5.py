@@ -345,3 +345,62 @@ class TestJpegCodecProperties:
             assert err.max() <= 1
 
         prop()
+
+
+class TestEmbeddingMultiprobe:
+    """Round-5: embedding_near_duplicates gains the multiprobe recall
+    knob — the same candidate-gen-vs-metric blind spot class that
+    containment had (a near-dup pair sign-flipped on one bucket dim
+    never collides, and the oracle mirrors the bucketing)."""
+
+    @pytest.fixture()
+    def boundary_vectors(self, spark):
+        # 0 and 1: cosine ~0.9995 but OPPOSITE sign on dim 1 (value near
+        # zero) -> different SRP buckets; 2 is unrelated
+        rows = [
+            (0, [0.01, 1.0, 0.5, 0.5]),
+            (1, [-0.01, 1.0, 0.5, 0.5]),
+            (2, [-1.0, -1.0, 0.3, -0.2]),
+        ]
+        return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+
+    def test_single_probe_misses_boundary_pair(self, spark, boundary_vectors):
+        from smoltable_spark.functions.similarity import embedding_near_duplicates
+
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_duplicates(
+                boundary_vectors, threshold=0.9, bucket_dims=[1, 2]
+            ).collect()
+        }
+        assert (0, 1) not in pairs  # the documented single-probe bias
+
+    def test_multiprobe_finds_boundary_pair(self, spark, boundary_vectors):
+        from smoltable_spark.functions.similarity import embedding_near_duplicates
+
+        out = embedding_near_duplicates(
+            boundary_vectors, threshold=0.9, bucket_dims=[1, 2], multiprobe=True
+        ).collect()
+        pairs = {(r["id_a"], r["id_b"]) for r in out}
+        assert (0, 1) in pairs
+        # uniqueness: probe fan-out must not duplicate pairs
+        assert len(pairs) == len(out)
+        # soundness: every emitted pair really meets the threshold
+        assert all(r["cosine"] >= 0.9 for r in out)
+
+    def test_multiprobe_superset_of_single(self, spark, boundary_vectors):
+        from smoltable_spark.functions.similarity import embedding_near_duplicates
+
+        single = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_duplicates(
+                boundary_vectors, threshold=0.9, bucket_dims=[1, 2]
+            ).collect()
+        }
+        multi = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_duplicates(
+                boundary_vectors, threshold=0.9, bucket_dims=[1, 2], multiprobe=True
+            ).collect()
+        }
+        assert single <= multi
