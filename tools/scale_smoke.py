@@ -719,6 +719,19 @@ def main():
         _fn = _AQ[_nq][0]
         timed(f"{_nq}_10x", lambda _f=_fn: _f(spark, OUT).count())
 
+    # r5: the real media transform path at 10x — synthesize 50k REAL
+    # containers, decode every image (zlib+unfilter / BMP rows / JPEG
+    # Huffman+IDCT), nearest-neighbor resample, re-encode in the same
+    # container (PNG filters+deflate, BMP, full forward-DCT JPEG)
+    from smoltable_spark.functions import multimodal as _MM
+
+    timed(
+        "mm_resize_32x24_50k",
+        lambda: _MM.resize_media(
+            _MM.synthesize_media(load_table(spark, OUT, "documents")), 32, 24
+        ).count(),
+    )
+
     # store-lifecycle queries at 10x: the write/append/classify path over
     # 7.5M cells (1.5M orders), not just the read path the wc scans cover
     from smoltable_spark.queries_core import CORE_QUERIES as _CQ
@@ -830,6 +843,10 @@ Steady-state timings (2nd run per op). Reading the table:
   `mm_luma_histogram_10x`: one aggregate / one adjacent-id join / one
   Arrow decode pass respectively — each linear in its input with
   constant-size output per group.
+- `mm_resize_32x24_50k` (r5): full decode → nearest-neighbor resample →
+  same-container re-encode (incl. forward-DCT JPEG) over 50k real
+  containers in one Arrow pass — payloads never leave the executor and
+  the cost is linear in pixels decoded + re-encoded.
 - `rel_fuzzy_match_10x` emits ~14M pairs in ~22 s: the replicas REUSE
   customer names (keys shift, names don't), so every block's occupancy
   grows 10x and within-block pairs grow ~100x — the textbook
