@@ -353,34 +353,36 @@ def containment_near_duplicates(
     df-cap alone has a blind spot: a contained doc whose EVERY shingle
     has df > max_df (content duplicated across >max_df docs, or pure
     boilerplate — the heavy-duplication corpora dedup exists for)
-    produced zero candidates. The fix is a second candidate channel:
-    every doc additionally indexes its ``min_postings`` RAREST shared
-    shingles (df ≥ 2, ranked by df then hash — deterministic)
-    regardless of the cap, so no doc is ever orphaned from the index.
-    A true subset-copy's container holds every contained shingle —
-    including the contained doc's rarest — so the pair now always
-    collides on at least one posting.
+    produced zero candidates. The fix is a second candidate channel in
+    two steps: (1) the ANCHOR SET — each doc's ``min_postings`` rarest
+    shared shingles (df ≥ 2, ranked by df then hash — deterministic)
+    regardless of the cap; (2) EVERY doc posts every anchor shingle it
+    contains (a posting from only the doc that ranked it rarest is not
+    enough: a container whose own rarest shingles are rarer than
+    everything inside a contained doc would never co-post — the
+    round-5 self-review's counterexample). With both steps, for any
+    true subset-copy A ⊆ B: A's rarest shared shingle s is an anchor
+    and B ⊇ A contains s, so BOTH post s and the pair always collides.
 
     Scale: the df-capped channel's pair volume is Σ df·(df−1)/2 over
     rare shingles ≤ (max_df/2)·Σ df — linear in corpus shingle count
     with a constant cap, never quadratic; ubiquitous boilerplate
     shingles (df > max_df) are otherwise skipped exactly like
-    stop-words in an IR index. The rarest-shingle channel adds at most
-    ``min_postings`` postings per doc, and a hot shingle's posting list
-    there contains only the docs that rank it among their rarest — on
-    duplicate-heavy corpora that list is OUTPUT-sized (clone groups are
-    true containment pairs, re-surfaced by this channel: the 10× SCALE
-    row's pair count tracks the clone structure, see SCALE.md). The
-    residual hazard is a corpus of near-identical-boilerplate docs
-    whose pairwise containment is still below threshold: there the
-    anchor lists grow without a matching true output, so —
-    mirroring ``blocked_jaccard_near_duplicates``' ``max_block_rows`` —
-    ``max_anchor_df`` guards the hottest anchor posting list and raises
-    (route such corpora through exact/MinHash dedup) instead of
-    launching that list's quadratic pair job; ``None`` disables. The
-    per-doc rank is a window partitioned by doc (bounded by per-doc
-    shingle count, never a global sort), and the pair-local verify is
-    unchanged from the Jaccard path.
+    stop-words in an IR index. The anchor channel's pair volume is
+    Σ df(s)²/2 over anchor shingles only — on duplicate-heavy corpora
+    that is OUTPUT-sized (clone groups are true containment pairs,
+    re-surfaced by this channel: the 10× SCALE row's pair count tracks
+    the clone structure, see SCALE.md). The residual hazard is a corpus
+    of near-identical-boilerplate docs whose pairwise containment is
+    still below threshold: an anchor shingle's df then grows without a
+    matching true output, so — mirroring
+    ``blocked_jaccard_near_duplicates``' ``max_block_rows`` —
+    ``max_anchor_df`` bounds the hottest anchor shingle's document
+    frequency and raises (route such corpora through exact/MinHash
+    dedup) instead of launching that list's quadratic pair job;
+    ``None`` disables. The per-doc rank is a window partitioned by doc
+    (bounded by per-doc shingle count, never a global sort), and the
+    pair-local verify is unchanged from the Jaccard path.
     """
     from pyspark.sql import Window
 
@@ -396,31 +398,37 @@ def containment_near_duplicates(
     pall = shh.join(dfs, "hsh")
     rare_posts = pall.filter(F.col("df") <= max_df).select(id_col, "hsh")
     wr = Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("hsh").asc())
-    anchor_posts = (
+    # the ANCHOR SHINGLE SET: every shingle that is some doc's rarest.
+    # Candidates need BOTH pair members to post a shared shingle, so the
+    # per-doc rarest postings alone are not a recall floor (a container
+    # whose own rarest shingles are rarer than everything in a contained
+    # doc would never co-post — found by the round-5 self-review); the
+    # second step below makes EVERY doc post every anchor shingle it
+    # contains, restoring the guarantee: for A ⊆ B, A's rarest shared
+    # shingle s is an anchor and B contains s, so both post s.
+    anchors = (
         pall.withColumn("_rk", F.row_number().over(wr))
         .filter(F.col("_rk") <= min_postings)
-        .select(id_col, "hsh")
+        .select("hsh")
+        .distinct()
+        # materialized once (small: <= min_postings distinct hashes per
+        # doc): the guard aggregate and the expansion join below both
+        # read the checkpoint instead of re-running the shingle pass
+        .localCheckpoint(eager=True)
     )
     if max_anchor_df is not None:
-        # materialize the anchor branch once (<= min_postings rows/doc):
-        # the guard aggregate and the posting union below both read the
-        # checkpoint, so the guard costs one tiny agg instead of a second
-        # full shingle+window pass
-        anchor_posts = anchor_posts.localCheckpoint(eager=True)
         worst = (
-            anchor_posts.groupBy("hsh")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .agg(F.max("n").alias("mx"))
-            .collect()[0]["mx"]
+            dfs.join(anchors, "hsh").agg(F.max("df").alias("mx")).collect()[0]["mx"]
         )
         if worst is not None and worst > max_anchor_df:
             raise ValueError(
-                f"hottest rarest-shingle anchor posting list has {worst} "
-                f"docs (> max_anchor_df={max_anchor_df}); pair formation "
-                "would be quadratic in that list without a matching true "
-                "output — use exact/MinHash dedup for this corpus, or "
-                "raise/disable max_anchor_df"
+                f"hottest anchor shingle appears in {worst} docs "
+                f"(> max_anchor_df={max_anchor_df}); its posting list's "
+                "pair formation would be quadratic without a matching "
+                "true output — use exact/MinHash dedup for this corpus, "
+                "or raise/disable max_anchor_df"
             )
+    anchor_posts = pall.join(anchors, "hsh").select(id_col, "hsh")
     posts = rare_posts.union(anchor_posts).distinct()
     a = posts.select("hsh", F.col(id_col).alias("id_a"))
     b = posts.select(F.col("hsh").alias("_hb"), F.col(id_col).alias("id_b"))

@@ -323,7 +323,11 @@ _JPEG_AC_FULL_BITS = tuple(
 
 
 def jpeg_bytes_pixels(
-    width: int, height: int, content: bytes, pixels: bytes | np.ndarray
+    width: int,
+    height: int,
+    content: bytes,
+    pixels: bytes | np.ndarray,
+    restart_interval: int = 0,
 ) -> bytes:
     """Baseline-sequential JPEG of an ARBITRARY grayscale-8 pixel array
     (round-5, backing the real ``resize_media``): real forward DCT per
@@ -332,7 +336,11 @@ def jpeg_bytes_pixels(
     (ZRL + EOB) with the full 162-symbol AC Huffman table, plus COM
     segments carrying ``content``. With q=1 the only loss is coefficient
     rounding: decode error is ≤ ±1 per pixel (pinned by the property
-    tests). ``pixels`` is one byte per pixel in storage order."""
+    tests). ``pixels`` is one byte per pixel in storage order.
+    ``restart_interval`` > 0 emits a DRI segment and an RSTm marker
+    every that many MCUs (byte-aligned, DC predictor reset — the
+    error-resilience framing real encoders emit, exercising the
+    decoder's restart path end to end)."""
     px = np.frombuffer(
         pixels if isinstance(pixels, (bytes, bytearray)) else
         np.ascontiguousarray(pixels, dtype=np.uint8).tobytes(),
@@ -352,7 +360,15 @@ def jpeg_bytes_pixels(
     C = _IDCT_C
     wr = _JpegBitWriter()
     pred = 0
+    scan_chunks: list[bytes] = []
+    rst = 0
     for blk in range(bw * bh):
+        if restart_interval and blk and blk % restart_interval == 0:
+            scan_chunks.append(wr.done())  # byte-align (1-padded)
+            scan_chunks.append(bytes([0xFF, 0xD0 + rst]))
+            rst = (rst + 1) % 8
+            wr = _JpegBitWriter()
+            pred = 0  # DC predictor resets at each restart
         by, bx = divmod(blk, bw)
         s_blk = padded[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] - 128.0
         S = C @ s_blk @ C.T  # forward DCT (C orthogonal: inverse is Cᵀ·S·C)
@@ -393,12 +409,17 @@ def jpeg_bytes_pixels(
     for off in range(0, max(len(content), 1), _JPEG_COM_MAX):
         chunk = content[off : off + _JPEG_COM_MAX]
         out += [b"\xff\xfe", struct.pack(">H", 2 + len(chunk)), chunk]
+    scan_chunks.append(wr.done())
     out += [
         b"\xff\xdb", struct.pack(">H", 2 + len(dqt)), dqt,
         b"\xff\xc0", struct.pack(">H", 2 + len(sof0)), sof0,
         b"\xff\xc4", struct.pack(">H", 2 + len(dht)), dht,
+    ]
+    if restart_interval:
+        out += [b"\xff\xdd", struct.pack(">HH", 4, restart_interval)]
+    out += [
         b"\xff\xda", struct.pack(">H", 2 + len(sos)), sos,
-        wr.done(), b"\xff\xd9",
+        b"".join(scan_chunks), b"\xff\xd9",
     ]
     return b"".join(out)
 
@@ -436,10 +457,13 @@ def jpeg_decode(info: dict) -> np.ndarray:
     (DC difference coding + run/size AC symbols incl. ZRL/EOB), DQT
     dequantization, inverse zigzag, 2-D inverse DCT (numpy separable
     matrix form), level shift, clip, and crop from the padded MCU grid
-    to (height, width). Pure numpy — no codec library. Progressive
-    frames and multi-component (chroma-subsampled) images raise
-    ``NotImplementedError``: that is the remaining documented boundary,
-    and the synthesizer only emits baseline grayscale."""
+    to (height, width) — including DRI restart intervals (the scan's
+    byte-aligned RST segments decode independently with the DC
+    predictor reset at each restart, T.81 E.2.4). Pure numpy — no codec
+    library. Progressive frames and multi-component (chroma-subsampled)
+    images raise ``NotImplementedError``: that is the remaining
+    documented boundary, and the synthesizer only emits baseline
+    grayscale."""
     if info.get("scan") is None or info.get("sos") is None:
         raise ValueError("JPEG without an entropy-coded scan")
     if info.get("sof_marker") == 0xC2:
@@ -463,16 +487,36 @@ def jpeg_decode(info: dict) -> np.ndarray:
     w, h = info["width"], info["height"]
     bw, bh = (w + 7) // 8, (h + 7) // 8
     out = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+    # restart intervals (T.81 E.2.4): the scan splits into byte-aligned
+    # segments at RST markers; the DC predictor resets at each restart.
+    # With 1x1 sampling and one component, 1 MCU = 1 block.
+    segments = info.get("scan_segments") or [info["scan"]]
+    dri = int(info.get("dri") or 0)
+    if len(segments) > 1 and dri == 0:
+        raise ValueError("JPEG restart markers present without a DRI segment")
+
+    def _seg_bits(seg: bytes) -> list:
+        return np.unpackbits(np.frombuffer(seg, dtype=np.uint8)).tolist()
+
     # MSB-first bit cursor over the destuffed scan; reads past the end
     # return 1-bits (the spec's byte-padding convention). A flat Python
     # list + inline cursor is ~4x faster than a per-bit method call —
     # this runs per image inside the Arrow batch, so it is the hot loop.
-    bits_arr = np.unpackbits(np.frombuffer(info["scan"], dtype=np.uint8)).tolist()
+    seg_idx = 0
+    bits_arr = _seg_bits(segments[0])
     n_bits = len(bits_arr)
     pos = 0
     qt0 = int(qt[0])
     pred = 0
     for blk in range(bw * bh):
+        if dri and blk and blk % dri == 0:  # restart boundary
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG scan missing a restart segment")
+            bits_arr = _seg_bits(segments[seg_idx])
+            n_bits = len(bits_arr)
+            pos = 0
+            pred = 0
         # DC: canonical Huffman walk + EXTEND of the category bits
         code = 0
         length = 0
@@ -647,6 +691,8 @@ def parse_container(payload: bytes) -> dict:
         dht: dict[tuple[int, int], tuple] = {}  # (class, id) -> (bits, vals)
         sos = None
         scan = None
+        scan_segments: list[bytes] | None = None
+        dri = 0  # restart interval in MCUs (0 = none), from a DRI segment
         pos = 2
         while pos + 2 <= len(payload):
             if payload[pos] != 0xFF:
@@ -657,6 +703,8 @@ def parse_container(payload: bytes) -> dict:
             if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # RST/TEM: no length
                 pos += 2
                 continue
+            if pos + 4 > len(payload):
+                raise ValueError(f"truncated JPEG segment at {pos}")
             (seglen,) = struct.unpack_from(">H", payload, pos + 2)
             data = payload[pos + 4 : pos + 2 + seglen]
             if marker in (0xC0, 0xC2):  # SOF0 / SOF2
@@ -686,6 +734,8 @@ def parse_container(payload: bytes) -> dict:
                     n = sum(bits)
                     dht[(tc, th)] = (bits, tuple(data[p + 17 : p + 17 + n]))
                     p += 17 + n
+            elif marker == 0xDD:  # DRI: restart interval in MCUs
+                (dri,) = struct.unpack_from(">H", data, 0)
             elif marker == 0xDA:  # SOS header, then the entropy-coded scan
                 ns = data[0]
                 comps = [
@@ -696,6 +746,7 @@ def parse_container(payload: bytes) -> dict:
                 sos = {"ns": ns, "comps": comps, "ss": ss, "se": se, "ahal": ahal}
                 p = pos + 2 + seglen
                 raw = bytearray()
+                scan_segments = []
                 while p < len(payload):  # destuff until a real marker
                     ff = payload.find(b"\xff", p)
                     if ff == -1:
@@ -708,12 +759,15 @@ def parse_container(payload: bytes) -> dict:
                         raw.append(0xFF)
                         p = ff + 2
                         continue
-                    if 0xD0 <= nxt <= 0xD7:  # restart marker
+                    if 0xD0 <= nxt <= 0xD7:  # restart marker: segment ends
+                        scan_segments.append(bytes(raw))
+                        raw = bytearray()
                         p = ff + 2
                         continue
                     p = ff
                     break
-                scan = bytes(raw)
+                scan_segments.append(bytes(raw))
+                scan = b"".join(scan_segments)
                 pos = p
                 continue
             pos += 2 + seglen
@@ -725,6 +779,7 @@ def parse_container(payload: bytes) -> dict:
             "precision": int(precision), "ncomp": int(ncomp),
             "sof_comps": sof_comps, "sof_marker": sof_marker,
             "dqt": dqt, "dht": dht, "sos": sos, "scan": scan,
+            "scan_segments": scan_segments, "dri": int(dri),
         }
     # 'BM' alone is two printable ASCII chars and occurs at the start of
     # ordinary text ("BMW announced..."), unlike the other containers'

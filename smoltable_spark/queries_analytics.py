@@ -7027,15 +7027,17 @@ def _containment_oracle(
             HAVING count(*) >= 2),
     pall AS MATERIALIZED (
         SELECT d.doc_id, d.hsh, f.df FROM shd d JOIN dfs f USING (hsh)),
-    posts AS MATERIALIZED (
-        SELECT doc_id, hsh FROM pall WHERE df <= {max_df}
-        UNION
-        SELECT doc_id, hsh FROM (
-            SELECT doc_id, hsh,
+    anch AS MATERIALIZED (
+        SELECT DISTINCT hsh FROM (
+            SELECT hsh,
                    row_number() OVER (PARTITION BY doc_id
                                       ORDER BY df ASC, hsh ASC) AS rk
             FROM pall) r
         WHERE rk <= {min_postings}),
+    posts AS MATERIALIZED (
+        SELECT doc_id, hsh FROM pall WHERE df <= {max_df}
+        UNION
+        SELECT p.doc_id, p.hsh FROM pall p JOIN anch USING (hsh)),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              FROM posts a JOIN posts b
                ON b.hsh = a.hsh AND a.doc_id < b.doc_id),
@@ -7062,10 +7064,10 @@ def dedup_containment(spark, sf_dir):
     the subset-copy detector Jaccard misses (a short doc pasted inside
     a long one has high containment but low Jaccard because the union
     is dominated by the long doc). Candidates come from a RARE-SHINGLE
-    inverted index (df ∈ [2, 20], plus every doc's 2 rarest shared
-    shingles regardless of the cap — the r5 recall floor: no doc is
-    orphaned even when all its shingles are ubiquitous) rather than
-    MinHash buckets — band
+    inverted index (df ∈ [2, 20], plus the r5 recall floor: the ANCHOR
+    SET of every doc's 2 rarest shared shingles is posted by EVERY doc
+    containing them, so for any subset copy A ⊆ B both sides co-post
+    A's rarest shingle) rather than MinHash buckets — band
     collision probability tracks Jaccard, which is exactly the signal
     this operator exists to ignore, so Jaccard-LSH would miss its
     target class; a true subset-copy shares every contained shingle and

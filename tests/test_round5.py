@@ -71,6 +71,23 @@ class TestContainmentRecallFloor:
         pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
         assert (22, 23) in pairs  # the planted subset-copy pair
 
+    def test_container_with_rarer_own_shingles(self, spark):
+        """The round-5 self-review counterexample: container B's OWN
+        rarest shingles (a df-2 tail shared with C) are rarer than
+        everything inside the contained boilerplate A, so B's per-doc
+        rarest postings never overlap A's — the single-step anchor
+        channel missed all 24 (A_i, B) containment-1.0 pairs. The
+        two-step fix (every doc posts every ANCHOR shingle it contains)
+        must find them all."""
+        tail = "completely unique trailing sentence shared by two docs only"
+        texts = [BOILER] * 24 + [BOILER + " " + tail, "prefix words " + tail]
+        out = dedup.containment_near_duplicates(
+            _docs(spark, texts), k=3, threshold=0.8, max_df=20
+        )
+        pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+        for i in range(24):  # every (A_i, B) subset-copy pair
+            assert (i, 24) in pairs, f"missed containment-1.0 pair ({i}, 24)"
+
     def test_full_containment_pairs_always_found(self, spark):
         """Brute-force differential for the r5 guarantee: every pair with
         containment == 1.0 (true subset copies) is in the output,
@@ -404,3 +421,53 @@ class TestEmbeddingMultiprobe:
             ).collect()
         }
         assert single <= multi
+
+
+class TestJpegRestartIntervals:
+    """Round-5 self-review fix: DRI/RST restart intervals decode for real
+    (byte-aligned segments, DC predictor reset) instead of being
+    silently stripped into garbage; malformed shapes raise ValueError."""
+
+    def test_restart_roundtrip_near_lossless(self):
+        import numpy as np
+        from smoltable_spark.functions import multimodal as M
+
+        w, h = 37, 21
+        px = ((np.arange(w * h, dtype=np.int64) * 57 + 5) % 256).astype(
+            np.uint8
+        )
+        for interval in (1, 3, 7):
+            info = M.parse_container(
+                M.jpeg_bytes_pixels(w, h, b"c", px, restart_interval=interval)
+            )
+            assert info["dri"] == interval
+            assert len(info["scan_segments"]) == -(-15 // interval)  # ceil
+            out = M.jpeg_decode(info)
+            err = np.abs(
+                out.astype(np.int64) - px.reshape(h, w).astype(np.int64)
+            )
+            assert err.max() <= 1
+
+    def test_restarts_without_dri_raise(self):
+        import numpy as np
+        import pytest
+        from smoltable_spark.functions import multimodal as M
+
+        px = np.zeros(64, dtype=np.uint8)
+        payload = bytearray(M.jpeg_bytes_pixels(16, 8, b"c", np.tile(px, 2),
+                                                restart_interval=1))
+        i = payload.index(b"\xff\xdd")
+        del payload[i : i + 6]  # strip the DRI segment, keep the RST marker
+        info = M.parse_container(bytes(payload))
+        assert len(info["scan_segments"]) > 1 and info["dri"] == 0
+        with pytest.raises(ValueError, match="without a DRI"):
+            M.jpeg_decode(info)
+
+    def test_truncated_segment_raises_valueerror(self):
+        import pytest
+        from smoltable_spark.functions import multimodal as M
+
+        # truncated length field must surface as the documented
+        # corrupt-media ValueError, not a struct.error
+        with pytest.raises(ValueError, match="truncated JPEG segment"):
+            M.parse_container(b"\xff\xd8\xff\xfe")
