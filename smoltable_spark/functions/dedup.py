@@ -409,7 +409,11 @@ def containment_near_duplicates(
     anchors = (
         pall.withColumn("_rk", F.row_number().over(wr))
         .filter(F.col("_rk") <= min_postings)
-        .select("hsh")
+        # df rides along (functionally dependent on hsh, so the distinct
+        # set is unchanged) precisely so the guard below is a tiny agg
+        # over this checkpoint — joining back to `dfs` would re-run the
+        # whole shingle+groupBy pass at collect() time
+        .select("hsh", "df")
         .distinct()
         # materialized once (small: <= min_postings distinct hashes per
         # doc): the guard aggregate and the expansion join below both
@@ -417,9 +421,7 @@ def containment_near_duplicates(
         .localCheckpoint(eager=True)
     )
     if max_anchor_df is not None:
-        worst = (
-            dfs.join(anchors, "hsh").agg(F.max("df").alias("mx")).collect()[0]["mx"]
-        )
+        worst = anchors.agg(F.max("df").alias("mx")).collect()[0]["mx"]
         if worst is not None and worst > max_anchor_df:
             raise ValueError(
                 f"hottest anchor shingle appears in {worst} docs "
@@ -428,7 +430,7 @@ def containment_near_duplicates(
                 "true output — use exact/MinHash dedup for this corpus, "
                 "or raise/disable max_anchor_df"
             )
-    anchor_posts = pall.join(anchors, "hsh").select(id_col, "hsh")
+    anchor_posts = pall.join(anchors.select("hsh"), "hsh").select(id_col, "hsh")
     posts = rare_posts.union(anchor_posts).distinct()
     a = posts.select("hsh", F.col(id_col).alias("id_a"))
     b = posts.select(F.col("hsh").alias("_hb"), F.col(id_col).alias("id_b"))

@@ -262,6 +262,45 @@ def jpeg_block_values(mid: int, width: int, height: int) -> np.ndarray:
     return ((mid + idx) % 256).astype(np.uint8)
 
 
+def _jpeg_marker_segments(
+    width: int,
+    height: int,
+    content: bytes,
+    ac_bits: tuple | None = None,
+    ac_vals: tuple | None = None,
+    restart_interval: int = 0,
+) -> list[bytes]:
+    """The marker stream both JPEG builders share: SOI + chunked COM
+    segments carrying ``content`` + (for scan-bearing frames) unit DQT +
+    SOF0 (8-bit, one component, 1×1 sampling) + DHT (canonical DC table
+    plus the given AC table) + optional DRI + SOS. With ``ac_bits=None``
+    only SOI + COM + SOF0 are emitted (the header-only container — the
+    caller appends EOI). The caller appends the entropy-coded scan."""
+    sof0 = struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
+    out = [b"\xff\xd8"]
+    for off in range(0, max(len(content), 1), _JPEG_COM_MAX):
+        chunk = content[off : off + _JPEG_COM_MAX]
+        out += [b"\xff\xfe", struct.pack(">H", 2 + len(chunk)), chunk]
+    if ac_bits is None or ac_vals is None:
+        out += [b"\xff\xc0", struct.pack(">H", 2 + len(sof0)), sof0]
+        return out
+    dqt = b"\x00" + bytes([1] * 64)
+    dht = (
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\x10" + bytes(ac_bits) + bytes(ac_vals)
+    )
+    sos = b"\x01\x01\x00\x00\x3f\x00"
+    out += [
+        b"\xff\xdb", struct.pack(">H", 2 + len(dqt)), dqt,
+        b"\xff\xc0", struct.pack(">H", 2 + len(sof0)), sof0,
+        b"\xff\xc4", struct.pack(">H", 2 + len(dht)), dht,
+    ]
+    if restart_interval:
+        out += [b"\xff\xdd", struct.pack(">HH", 4, restart_interval)]
+    out += [b"\xff\xda", struct.pack(">H", 2 + len(sos)), sos]
+    return out
+
+
 def jpeg_bytes(
     width: int, height: int, content: bytes, block_vals: np.ndarray | None = None
 ) -> bytes:
@@ -273,25 +312,13 @@ def jpeg_bytes(
     marker, length field, and Huffman bit a standard decoder checks.
     With ``block_vals=None`` the scan-bearing segments are omitted
     (header-only container, the pre-round-5 shape kept for tests)."""
-    sof0_payload = struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
-    out = [b"\xff\xd8"]
-    for off in range(0, max(len(content), 1), _JPEG_COM_MAX):
-        chunk = content[off : off + _JPEG_COM_MAX]
-        out += [b"\xff\xfe", struct.pack(">H", 2 + len(chunk)), chunk]
-    if block_vals is not None:
-        dqt = b"\x00" + bytes([1] * 64)
-        out += [b"\xff\xdb", struct.pack(">H", 2 + len(dqt)), dqt]
-    out += [b"\xff\xc0", struct.pack(">H", 2 + len(sof0_payload)), sof0_payload]
     if block_vals is None:
-        out.append(b"\xff\xd9")
-        return b"".join(out)
-    dht = (
-        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
-        + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+        return b"".join(
+            _jpeg_marker_segments(width, height, content) + [b"\xff\xd9"]
+        )
+    out = _jpeg_marker_segments(
+        width, height, content, _JPEG_AC_BITS, _JPEG_AC_VALS
     )
-    out += [b"\xff\xc4", struct.pack(">H", 2 + len(dht)), dht]
-    sos = b"\x01\x01\x00\x00\x3f\x00"
-    out += [b"\xff\xda", struct.pack(">H", 2 + len(sos)), sos]
     dc_codes = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
     w = _JpegBitWriter()
@@ -398,29 +425,12 @@ def jpeg_bytes_pixels(
         if run:
             c, ln = ac_codes[0x00]
             wr.put(c, ln)
-    sof0 = struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
-    dqt = b"\x00" + bytes([1] * 64)
-    dht = (
-        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
-        + b"\x10" + bytes(_JPEG_AC_FULL_BITS) + bytes(_JPEG_AC_FULL_VALS)
-    )
-    sos = b"\x01\x01\x00\x00\x3f\x00"
-    out = [b"\xff\xd8"]
-    for off in range(0, max(len(content), 1), _JPEG_COM_MAX):
-        chunk = content[off : off + _JPEG_COM_MAX]
-        out += [b"\xff\xfe", struct.pack(">H", 2 + len(chunk)), chunk]
     scan_chunks.append(wr.done())
-    out += [
-        b"\xff\xdb", struct.pack(">H", 2 + len(dqt)), dqt,
-        b"\xff\xc0", struct.pack(">H", 2 + len(sof0)), sof0,
-        b"\xff\xc4", struct.pack(">H", 2 + len(dht)), dht,
-    ]
-    if restart_interval:
-        out += [b"\xff\xdd", struct.pack(">HH", 4, restart_interval)]
-    out += [
-        b"\xff\xda", struct.pack(">H", 2 + len(sos)), sos,
-        b"".join(scan_chunks), b"\xff\xd9",
-    ]
+    out = _jpeg_marker_segments(
+        width, height, content,
+        _JPEG_AC_FULL_BITS, _JPEG_AC_FULL_VALS, restart_interval,
+    )
+    out += [b"".join(scan_chunks), b"\xff\xd9"]
     return b"".join(out)
 
 
@@ -707,6 +717,8 @@ def parse_container(payload: bytes) -> dict:
                 raise ValueError(f"truncated JPEG segment at {pos}")
             (seglen,) = struct.unpack_from(">H", payload, pos + 2)
             data = payload[pos + 4 : pos + 2 + seglen]
+            if seglen < 2 or len(data) != seglen - 2:
+                raise ValueError(f"truncated JPEG segment at {pos}")
             if marker in (0xC0, 0xC2):  # SOF0 / SOF2
                 precision, height, width, ncomp = struct.unpack_from(">BHHB", data, 0)
                 sof_marker = marker
@@ -735,6 +747,8 @@ def parse_container(payload: bytes) -> dict:
                     dht[(tc, th)] = (bits, tuple(data[p + 17 : p + 17 + n]))
                     p += 17 + n
             elif marker == 0xDD:  # DRI: restart interval in MCUs
+                if len(data) < 2:  # seglen=2 passes the guard above
+                    raise ValueError(f"truncated DRI segment at {pos}")
                 (dri,) = struct.unpack_from(">H", data, 0)
             elif marker == 0xDA:  # SOS header, then the entropy-coded scan
                 ns = data[0]
@@ -810,7 +824,8 @@ def parse_container(payload: bytes) -> dict:
             rows.append(row)
         return {
             "container": "bmp", "width": int(width), "height": h,
-            "duration_ms": None, "content": b"".join(rows),  # unpadded BGR
+            "duration_ms": None, "content": b"".join(rows),  # unpadded BGR, stored row order
+            "top_down": height < 0,
         }
     if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
         byte_rate = None
@@ -1107,10 +1122,21 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
                     )
                     out = png_bytes(width, height, info["content"], px.tobytes())
                 elif cont == "bmp" and info["content"]:
-                    px = _resample(
-                        np.frombuffer(info["content"], dtype=np.uint8)[::3]
-                        .reshape(info["height"], info["width"])
-                    )
+                    arr = np.frombuffer(info["content"], dtype=np.uint8)
+                    if not (
+                        np.array_equal(arr[0::3], arr[1::3])
+                        and np.array_equal(arr[1::3], arr[2::3])
+                    ):
+                        raise NotImplementedError(
+                            "only grayscale BMP resize is implemented"
+                        )
+                    px = arr[::3].reshape(info["height"], info["width"])
+                    if info.get("top_down"):
+                        # content is in stored row order; bmp_bytes always
+                        # re-encodes bottom-up, so top-down rows must flip
+                        # or the output is vertically mirrored
+                        px = px[::-1]
+                    px = _resample(px)
                     out = bmp_bytes(width, height, px.tobytes())
                 elif cont == "jpeg" and info.get("scan") is not None:
                     px = _resample(jpeg_decode(info))

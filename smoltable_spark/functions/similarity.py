@@ -142,6 +142,32 @@ def srp_bucket(vec_col, dims: list[int]):
     return b
 
 
+def _multiprobe_expand(
+    df: DataFrame, n_dims: int, keep_cols: list[str], bucket_col: str = "bucket"
+) -> DataFrame:
+    """Fan each row out to its primary SRP bucket plus every bucket at
+    Hamming distance 1 (flip each of the ``n_dims`` sign bits) — the
+    multi-probe LSH recall knob shared by ``cosine_topk_bucketed`` and
+    ``embedding_near_duplicates``: d+1 probes instead of 2^d more
+    tables. ``array_distinct`` keeps the fan-out exact when a flip
+    collides with the primary bucket (it cannot here, but the guard is
+    free)."""
+    return df.select(
+        *keep_cols,
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.col(bucket_col),
+                    *[
+                        F.col(bucket_col).bitwiseXOR(F.lit(1 << i))
+                        for i in range(n_dims)
+                    ],
+                )
+            )
+        ).alias(bucket_col),
+    )
+
+
 def cosine_topk_bucketed(
     corpus: DataFrame,
     queries: DataFrame,
@@ -177,23 +203,7 @@ def cosine_topk_bucketed(
         srp_bucket(F.col(vec_col), bucket_dims).alias("bucket"),
     )
     if multiprobe:
-        d = len(bucket_dims)
-        qd = qd.select(
-            "query_id",
-            "qq",
-            "qn",
-            F.explode(
-                F.array_distinct(
-                    F.array(
-                        F.col("bucket"),
-                        *[
-                            F.col("bucket").bitwiseXOR(F.lit(1 << i))
-                            for i in range(d)
-                        ],
-                    )
-                )
-            ).alias("bucket"),
-        )
+        qd = _multiprobe_expand(qd, len(bucket_dims), ["query_id", "qq", "qn"])
     scored = (
         c.join(F.broadcast(qd), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -527,23 +537,7 @@ def embedding_near_duplicates(
         F.col(id_col).alias("id_a"), F.col("q").alias("qa"), F.col("nrm2").alias("na"), "bucket"
     )
     if multiprobe:
-        nd = len(bucket_dims)
-        a = a.select(
-            "id_a",
-            "qa",
-            "na",
-            F.explode(
-                F.array_distinct(
-                    F.array(
-                        F.col("bucket"),
-                        *[
-                            F.col("bucket").bitwiseXOR(F.lit(1 << i))
-                            for i in range(nd)
-                        ],
-                    )
-                )
-            ).alias("bucket"),
-        )
+        a = _multiprobe_expand(a, len(bucket_dims), ["id_a", "qa", "na"])
     b = d.select(
         F.col(id_col).alias("id_b"), F.col("q").alias("qb"), F.col("nrm2").alias("nb"), "bucket"
     )

@@ -471,3 +471,78 @@ class TestJpegRestartIntervals:
         # corrupt-media ValueError, not a struct.error
         with pytest.raises(ValueError, match="truncated JPEG segment"):
             M.parse_container(b"\xff\xd8\xff\xfe")
+
+    def test_truncated_dri_raises_valueerror(self):
+        """Post-review fix: a DRI whose segment body is missing or cut
+        mid-segment raised struct.error (not a ValueError subclass), so
+        callers following the corrupt-media contract crashed."""
+        import pytest
+        from smoltable_spark.functions import multimodal as M
+
+        # DRI claiming seglen=2 (empty body — DRI requires 2 bytes)
+        with pytest.raises(ValueError, match="truncated DRI"):
+            M.parse_container(b"\xff\xd8\xff\xdd\x00\x02\xff\xd9")
+        # DRI payload cut mid-segment
+        with pytest.raises(ValueError, match="truncated JPEG segment"):
+            M.parse_container(b"\xff\xd8\xff\xdd\x00\x04\x00")
+
+
+class TestBmpResizeOrientation:
+    """Post-review fixes: resize_media must not silently flip top-down
+    (negative-height) BMPs, and must refuse color BMPs instead of
+    emitting their blue channel as grayscale."""
+
+    @staticmethod
+    def _top_down_variant(bu: bytes, w: int, h: int) -> bytes:
+        """Rewrite a bottom-up BMP as the SAME raster image stored
+        top-down (rows reversed, negative biHeight)."""
+        import struct
+
+        stride = (w * 3 + 3) & ~3
+        off = 54
+        rows = [bu[off + r * stride : off + (r + 1) * stride] for r in range(h)]
+        td = bu[:off] + b"".join(reversed(rows))
+        return td[:22] + struct.pack("<i", -h) + td[26:]
+
+    def test_top_down_bmp_not_flipped(self, spark):
+        import numpy as np
+        from smoltable_spark.functions import multimodal as M
+
+        w, h = 6, 4
+        luma = (np.arange(w * h) % 256).astype(np.uint8)
+        bu = M.bmp_bytes(w, h, luma.tobytes())
+        td = self._top_down_variant(bu, w, h)
+        assert M.parse_container(td)["top_down"]
+        media = spark.createDataFrame(
+            [(0, "image", bu, w, h, None), (1, "image", td, w, h, None)],
+            M.MEDIA_SCHEMA,
+        )
+        rows = {
+            r["media_id"]: r for r in M.resize_media(media, 3, 2).collect()
+        }
+        img = {}
+        for mid, r in rows.items():
+            info = M.parse_container(bytes(r["payload"]))
+            assert not info["top_down"]  # both re-encode bottom-up
+            img[mid] = np.frombuffer(info["content"], dtype=np.uint8)[::3]
+        # same source raster => same resized raster, regardless of the
+        # input's stored row order
+        assert (img[0] == img[1]).all()
+
+    def test_color_bmp_raises(self, spark):
+        import struct
+
+        import numpy as np
+        import pytest
+        from smoltable_spark.functions import multimodal as M
+
+        w, h = 4, 2
+        bu = bytearray(M.bmp_bytes(w, h, bytes(w * h)))
+        bu[54] = 200  # first pixel's B channel only: no longer grayscale
+        payload = bytes(bu)
+        assert M.parse_container(payload)["container"] == "bmp"
+        media = spark.createDataFrame(
+            [(0, "image", payload, w, h, None)], M.MEDIA_SCHEMA
+        )
+        with pytest.raises(Exception, match="grayscale BMP"):
+            M.resize_media(media, 2, 1).collect()
