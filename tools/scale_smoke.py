@@ -740,6 +740,31 @@ def main():
         _fn = _CQ[_cq][0]
         timed(f"{_cq}_10x", lambda _f=_fn: _f(spark, OUT).count())
 
+    # r5 gap-close (VERDICT r4 "not micro, outside the gate" list): the
+    # remaining registry queries with no 10x evidence row — BPE encode over
+    # 50k docs (the scan-speed anchored-regex path), embedding keep-one
+    # dedup over 320k vectors, stateful running stats over 1M events,
+    # persisted-IVF serving, and the GC write paths over the 7.5M-cell
+    # store (version trim + the full worker cycle with short-circuit)
+    for _nq in (
+        "txt_bpe_encode",
+        "dedup_semantic_keep_one",
+        "ann_ivf_persisted",
+    ):
+        _fn = _AQ[_nq][0]
+        timed(f"{_nq}_10x", lambda _f=_fn: _f(spark, OUT).count())
+    # stream_running_stats reads sf_dir/events.parquet as ONE file (the
+    # testdata layout); the 10x set is a 32-file directory, so replay it
+    # through the same run_stream harness the other 1M-event rows use
+    # (update-mode sink: row count = total state updates emitted)
+    if not only or any(s in "stream_running_stats_1M" for s in only):
+        run_stream(
+            "stream_running_stats_1M", ingest.running_stats_stream, "update"
+        )
+    for _cq in ("wc_gc_versions", "wc_gc_worker_cycle"):
+        _fn = _CQ[_cq][0]
+        timed(f"{_cq}_10x", lambda _f=_fn: _f(spark, OUT).count())
+
     notes = """
 Steady-state timings (2nd run per op). Reading the table:
 
