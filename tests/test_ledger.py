@@ -128,3 +128,41 @@ def test_coverage_flag_is_dry_run_by_default():
     after = open(cov).read() if os.path.exists(cov) else None
     assert r.returncode == 0 and "dry-run" in r.stdout
     assert before == after, "--coverage without --write mutated COVERAGE.md"
+
+
+def test_corrupt_ledger_degrades_to_never_stamped(tmp_path, monkeypatch):
+    """A torn/corrupt ORACLE_LEDGER.json must read as {} (every query
+    "changed" → --window-check fails loudly), NOT raise — an exception
+    here would propagate into __spark_entry__._ordered's silent
+    definition-order fallback and the driver would quietly stop
+    rotating the certification backlog through its first-50 window."""
+    bad = tmp_path / "ledger.json"
+    bad.write_text('{"wc_scan_all": {"stamp": "abc", tr')  # torn mid-write
+    monkeypatch.setattr(L, "LEDGER_PATH", str(bad))
+    assert L.load_ledger() == {}
+    merged = {f"q{i}": (None, None) for i in range(4)}
+    monkeypatch.setattr(L, "compute_stamps", lambda m=None: {n: "s" for n in merged})
+    monkeypatch.setattr(L, "red_in_latest_round", lambda: set())
+    monkeypatch.setattr(L, "last_green_round", lambda: {})
+    assert set(L.changed_queries(merged)) == set(merged)
+    assert L.window_order(merged) == list(merged)  # deterministic, no raise
+
+
+def test_missing_ledger_means_all_changed(tmp_path, monkeypatch):
+    monkeypatch.setattr(L, "LEDGER_PATH", str(tmp_path / "absent.json"))
+    assert L.load_ledger() == {}
+
+
+def test_non_dict_ledger_degrades_to_empty(tmp_path, monkeypatch):
+    bad = tmp_path / "ledger.json"
+    bad.write_text('["not", "a", "dict"]')
+    monkeypatch.setattr(L, "LEDGER_PATH", str(bad))
+    assert L.load_ledger() == {}
+
+
+def test_save_ledger_is_atomic_and_leaves_no_tmp(tmp_path, monkeypatch):
+    dest = tmp_path / "ledger.json"
+    monkeypatch.setattr(L, "LEDGER_PATH", str(dest))
+    L.save_ledger({"q": {"stamp": "s", "sf": "x", "checked_utc": "t"}})
+    assert not os.path.exists(str(dest) + ".tmp")
+    assert L.load_ledger()["q"]["stamp"] == "s"

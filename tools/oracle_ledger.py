@@ -266,16 +266,28 @@ def _registry() -> dict:
 # ledger I/O
 
 def load_ledger() -> dict:
+    """A corrupt ledger (crash mid-write, bad merge) degrades to {} —
+    every query then reads as never-stamped/"changed", which makes
+    --window-check fail LOUDLY (changed > window) instead of an
+    exception propagating into __spark_entry__._ordered's silent
+    definition-order fallback, where the driver would quietly stop
+    rotating the backlog through its first-50 window."""
     if os.path.exists(LEDGER_PATH):
-        with open(LEDGER_PATH) as f:
-            return json.load(f)
+        try:
+            with open(LEDGER_PATH) as f:
+                data = json.load(f)
+            return data if isinstance(data, dict) else {}
+        except (json.JSONDecodeError, OSError, UnicodeDecodeError):
+            return {}
     return {}
 
 
 def save_ledger(ledger: dict) -> None:
-    with open(LEDGER_PATH, "w") as f:
+    tmp = LEDGER_PATH + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(ledger, f, indent=1, sort_keys=True)
         f.write("\n")
+    os.replace(tmp, LEDGER_PATH)  # atomic: no torn ledger on crash
 
 
 def record_green(names: list[str], sf: str, checked_utc: str,
