@@ -418,34 +418,43 @@ def main():
     #   - BENCH_HISTORY.json: per-query warm/cold timings keyed by round,
     #     so any regression is attributable across rounds even when the
     #     driver's capture fails.
-    here = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
-            json.dump(result, fh)
-            fh.write("\n")
-        latest = _latest_round()
-        round_key = f"r{(latest[0] if latest else 0) + 1:02d}"
-        hist_path = os.path.join(here, "BENCH_HISTORY.json")
-        try:
-            with open(hist_path) as fh:
-                hist = json.load(fh)
-            if not isinstance(hist, dict):
-                hist = {}
-        except (OSError, ValueError):
-            hist = {}
-        hist[round_key] = {
-            "sf": result["sf"],
-            "total": total,
-            "env_drift_median_ratio": env_drift,
-            "queries": timings,
-            "cold_queries": cold,
-        }
-        with open(hist_path, "w") as fh:
-            json.dump(hist, fh, indent=1, sort_keys=True)
-            fh.write("\n")
+        _write_records(os.path.dirname(os.path.abspath(__file__)), result)
     except OSError as e:
         print(f"# WARN could not write bench records: {e}", file=sys.stderr)
     spark.stop()
+
+
+def _write_records(here: str, result: dict) -> None:
+    """Write both durable records atomically (tmp + os.replace): a
+    driver kill mid-write must never tear the fallback baseline the
+    next round's regression gate reads."""
+    local_path = os.path.join(here, "BENCH_LOCAL.json")
+    with open(local_path + ".tmp", "w") as fh:
+        json.dump(result, fh)
+        fh.write("\n")
+    os.replace(local_path + ".tmp", local_path)
+    latest = _latest_round()
+    round_key = f"r{(latest[0] if latest else 0) + 1:02d}"
+    hist_path = os.path.join(here, "BENCH_HISTORY.json")
+    try:
+        with open(hist_path) as fh:
+            hist = json.load(fh)
+        if not isinstance(hist, dict):
+            hist = {}
+    except (OSError, ValueError):
+        hist = {}
+    hist[round_key] = {
+        "sf": result["sf"],
+        "total": result["value"],
+        "env_drift_median_ratio": result["env_drift_median_ratio"],
+        "queries": result["queries"],
+        "cold_queries": result["cold_queries"],
+    }
+    with open(hist_path + ".tmp", "w") as fh:
+        json.dump(hist, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    os.replace(hist_path + ".tmp", hist_path)
 
 
 if __name__ == "__main__":

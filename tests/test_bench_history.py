@@ -48,3 +48,25 @@ def test_load_prev_prefers_driver_record_when_parseable(tmp_path, monkeypatch):
     prev, source = bench._load_prev()
     assert source == "BENCH_LOCAL.json"
     assert prev["queries"] == {"q": 1.0}
+
+
+def test_write_records_atomic_into_tmpdir(tmp_path, monkeypatch):
+    """Both durable records are written via tmp+os.replace into the given
+    directory — no .tmp leftovers, valid JSON, history keyed by the next
+    round — and a pre-existing corrupt history is tolerated, not fatal."""
+    monkeypatch.setattr(bench, "_latest_round", lambda: (5, "ignored"))
+    (tmp_path / "BENCH_HISTORY.json").write_text('{"r05": {tor')  # torn
+    result = {
+        "metric": "total_headline_sec", "value": 1.23, "unit": "sec",
+        "queries": {"q": 0.5}, "cold_queries": {"q": 0.9}, "sf": 0.1,
+        "prev_round_total": None, "prev_source": None,
+        "env_drift_median_ratio": 1.0, "regressions": {},
+        "cold_regressions": {},
+    }
+    bench._write_records(str(tmp_path), result)
+    names = sorted(p.name for p in tmp_path.iterdir())
+    assert names == ["BENCH_HISTORY.json", "BENCH_LOCAL.json"]
+    local = json.loads((tmp_path / "BENCH_LOCAL.json").read_text())
+    assert local == result
+    hist = json.loads((tmp_path / "BENCH_HISTORY.json").read_text())
+    assert hist["r06"]["total"] == 1.23 and hist["r06"]["queries"] == {"q": 0.5}
