@@ -288,3 +288,31 @@ def test_hybrid_rrf_legs_take_ordered_no_corpus_shuffle(spark, sf_dir):
     df = txt_hybrid_rrf(spark, sf_dir)
     plan = plans.physical_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_rewrite_plans_md_preserves_header_and_merges(tmp_path, monkeypatch):
+    """tools/audit_plans.py --write: the prose header survives, merge
+    keeps un-audited rows, replace drops them, writes are atomic (no
+    .tmp leftover), and rows follow the given registry order."""
+    from tools import audit_plans as AP
+
+    doc = tmp_path / "PLANS.md"
+    doc.write_text(
+        "# PLANS header\n\nprose with `inline code`\n\n"
+        "```\nq_old {\"shuffles\": 9}\nq_b {\"shuffles\": 2}\n```\n"
+    )
+    monkeypatch.setattr(AP, "PLANS_PATH", str(doc))
+    AP.rewrite_plans_md(
+        {"q_a": '{"shuffles": 1}'}, order=["q_a", "q_b"], merge=True
+    )
+    text = doc.read_text()
+    assert text.startswith("# PLANS header\n\nprose with `inline code`")
+    body = text.split("```")[1].strip().splitlines()
+    assert body == ['q_a {"shuffles": 1}', 'q_b {"shuffles": 2}',
+                    'q_old {"shuffles": 9}']  # stray rows kept at the end
+    AP.rewrite_plans_md(
+        {"q_a": '{"shuffles": 0}'}, order=["q_a", "q_b"], merge=False
+    )
+    body = doc.read_text().split("```")[1].strip().splitlines()
+    assert body == ['q_a {"shuffles": 0}']  # replace: un-audited rows drop
+    assert not (tmp_path / "PLANS.md.tmp").exists()
