@@ -166,3 +166,18 @@ def test_save_ledger_is_atomic_and_leaves_no_tmp(tmp_path, monkeypatch):
     L.save_ledger({"q": {"stamp": "s", "sf": "x", "checked_utc": "t"}})
     assert not os.path.exists(str(dest) + ".tmp")
     assert L.load_ledger()["q"]["stamp"] == "s"
+
+
+def test_non_dict_correctness_files_are_skipped(tmp_path, monkeypatch):
+    """A CORRECTNESS_r*.json that parses but is not a dict (or has a
+    non-numeric round suffix) must be skipped, not raise through
+    window_order into the silent registry-order fallback."""
+    (tmp_path / "CORRECTNESS_r01.json").write_text('["not", "a", "dict"]')
+    (tmp_path / "CORRECTNESS_rbad.json").write_text("{}")
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        '{"q1": {"rows_match": true, "schema_match": true, "hash_match": true},'
+        ' "q2": {"rows_match": false, "schema_match": true, "hash_match": true}}'
+    )
+    monkeypatch.setattr(L, "REPO", str(tmp_path))
+    assert L.last_green_round() == {"q1": 2}
+    assert L.red_in_latest_round() == {"q2"}

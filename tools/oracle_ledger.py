@@ -341,6 +341,8 @@ def last_green_round() -> dict[str, int]:
             data = json.load(open(path))
         except (ValueError, OSError):
             continue
+        if not isinstance(data, dict):
+            continue
         for name, row in data.items():
             if (
                 isinstance(row, dict)
@@ -357,14 +359,18 @@ def red_in_latest_round() -> set:
     known-red rows outrank merely-stale ones: a red row the driver never
     re-checks would stay red in the judge's eyes forever."""
     paths = sorted(
-        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
-        key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
+        p
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        if re.search(r"_r(\d+)\.json$", p)
     )
+    paths.sort(key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)))
     if not paths:
         return set()
     try:
         data = json.load(open(paths[-1]))
     except (ValueError, OSError):
+        return set()
+    if not isinstance(data, dict):
         return set()
     return {
         name
