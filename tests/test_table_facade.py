@@ -131,3 +131,29 @@ def test_explain_scan_prunes_locality_group(spark, tmp_path):
     )
     # meta family lives in lg_meta: partition pruning must show it
     assert any("lg_meta" in f for f in info["partition_filters"]), info
+
+
+def test_f64_specials_roundtrip_exactly(spark, tmp_path):
+    """NaN, ±Inf, signed zero, and the smallest denormal survive the
+    write→parquet→read path bit-exactly — multimodal/embedding features
+    store f64 cells, so a lossy special would silently corrupt scores."""
+    import math
+
+    from smoltable_spark import ColumnFamilyDef, Smoltable
+
+    t = Smoltable.open(spark, str(tmp_path / "ftbl"))
+    t.create_column_families([ColumnFamilyDef("v")])
+    vals = {"nan": float("nan"), "pinf": float("inf"),
+            "ninf": float("-inf"), "nzero": -0.0, "tiny": 5e-324}
+    t.write([
+        {"row_key": k,
+         "cells": [{"column_key": "v:x", "value": {"f64": v}, "timestamp": 1}]}
+        for k, v in vals.items()
+    ])
+    got = {r.row_key: r.v_f64 for r in t.store.read().collect()}
+    for k, v in vals.items():
+        g = got[k]
+        if math.isnan(v):
+            assert math.isnan(g)
+        else:
+            assert g == v and math.copysign(1.0, g) == math.copysign(1.0, v)
