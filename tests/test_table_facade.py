@@ -157,3 +157,38 @@ def test_f64_specials_roundtrip_exactly(spark, tmp_path):
             assert math.isnan(g)
         else:
             assert g == v and math.copysign(1.0, g) == math.copysign(1.0, v)
+
+
+def test_i64_extremes_roundtrip_exactly(spark, tmp_path):
+    from smoltable_spark import ColumnFamilyDef, Smoltable
+
+    t = Smoltable.open(spark, str(tmp_path / "itbl"))
+    t.create_column_families([ColumnFamilyDef("v")])
+    t.write([
+        {"row_key": "lo",
+         "cells": [{"column_key": "v:x", "value": {"i64": -(2**63)},
+                    "timestamp": 1}]},
+        {"row_key": "hi",
+         "cells": [{"column_key": "v:x", "value": {"i64": 2**63 - 1},
+                    "timestamp": 1}]},
+    ])
+    got = {r.row_key: r.v_i64 for r in t.store.read().collect()}
+    assert got == {"lo": -(2**63), "hi": 2**63 - 1}
+
+
+def test_write_rejects_non_ident_qualifier(spark, tmp_path):
+    """The write path enforces the reference's column-key charset
+    ([A-Za-z0-9-_.#$], column_key.rs:4-11) — the same validation the
+    filter API applies, so no unfilterable cells can enter a table."""
+    import pytest
+
+    from smoltable_spark import ColumnFamilyDef, Smoltable
+
+    t = Smoltable.open(spark, str(tmp_path / "qtbl"))
+    t.create_column_families([ColumnFamilyDef("v")])
+    with pytest.raises(ValueError, match="invalid qualifier"):
+        t.write([
+            {"row_key": "u",
+             "cells": [{"column_key": "v:é\U0001f600",
+                        "value": {"string": "a"}, "timestamp": 1}]},
+        ])
