@@ -192,3 +192,18 @@ def test_write_rejects_non_ident_qualifier(spark, tmp_path):
              "cells": [{"column_key": "v:é\U0001f600",
                         "value": {"string": "a"}, "timestamp": 1}]},
         ])
+
+
+def test_ident_length_boundary_matches_reference():
+    """Reference column_key.rs requires len < 512: 511 accepted, 512
+    rejected — for both family and qualifier. Pure validation, no Spark."""
+    import pytest
+
+    from smoltable_spark.api import ColumnKey
+
+    ColumnKey("f", "q" * 511)
+    ColumnKey("f" * 511, None)
+    with pytest.raises(ValueError, match="invalid qualifier"):
+        ColumnKey("f", "q" * 512)
+    with pytest.raises(ValueError, match="invalid family"):
+        ColumnKey("f" * 512, None)
