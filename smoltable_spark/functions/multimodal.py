@@ -1160,6 +1160,199 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
     return spread(media, target).mapInPandas(run, MEDIA_SCHEMA)
 
 
+def _decode_pixels(info: dict) -> "np.ndarray | None":
+    """Decode a parsed image container to its logical (top-down) pixel
+    matrix, or None for non-image / undecodable payloads. One shared
+    decode used by hashing/resize-style consumers so orientation handling
+    lives in exactly one place (BMP stored rows flip when ``top_down``,
+    mirroring ``resize_media``)."""
+    cont = info["container"]
+    if cont == "bmp" and info["content"]:
+        arr = np.frombuffer(info["content"], dtype=np.uint8)
+        if not (
+            np.array_equal(arr[0::3], arr[1::3])
+            and np.array_equal(arr[1::3], arr[2::3])
+        ):
+            raise NotImplementedError("only grayscale BMP decode is implemented")
+        px = arr[::3].reshape(info["height"], info["width"])
+        return px[::-1] if info.get("top_down") else px
+    if cont == "png" and info.get("idat"):
+        if (info["depth"], info["color_type"]) != (8, 0):
+            raise NotImplementedError("only grayscale-8 PNG decode is implemented")
+        return png_decode(info["idat"], info["width"], info["height"])
+    if cont == "jpeg" and info.get("scan") is not None:
+        return jpeg_decode(info)
+    return None
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched audio featurizer over REAL decoded WAV PCM: one row
+    per audio clip with the classic pre-ML screening features a speech /
+    audio data pipeline gates on — sample count, peak amplitude (clipping
+    detector), zero-crossing count (crude spectral brightness), exact
+    integer energy, and RMS. All integer columns are exact int64
+    arithmetic over the decoded samples and the sqrt is the one
+    correctly-rounded division+sqrt, so every value is oracle-pinnable.
+
+    100 TB shape: payloads never leave the executor — 6 scalar columns
+    per clip come back, whatever the clip length; non-audio rows produce
+    no output (metadata pruning means their payload bytes are never
+    shipped to Python when the caller pre-filters on ``media_type``)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "n_samples", "peak_abs", "zcr", "energy",
+                    "rms_amp")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                info = parse_container(bytes(payload) if payload is not None else b"")
+                content = info["content"]
+                if info["container"] != "wav" or len(content) < 2:
+                    continue
+                n = len(content) // 2  # drop a trailing odd byte
+                s = np.frombuffer(content[: 2 * n], dtype="<i2").astype(np.int64)
+                energy = int((s * s).sum())
+                out["media_id"].append(int(mid))
+                out["n_samples"].append(n)
+                out["peak_abs"].append(int(np.abs(s).max()))
+                out["zcr"].append(int(((s[:-1] * s[1:]) < 0).sum()))
+                out["energy"].append(energy)
+                out["rms_amp"].append(math.sqrt(energy / n))
+            yield pd.DataFrame(out)
+
+    from smoltable_spark.functions.dedup import spread
+
+    target = min(media.sparkSession.sparkContext.defaultParallelism, 8)
+    return spread(media, target).mapInPandas(
+        run,
+        "media_id long, n_samples int, peak_abs int, zcr int, "
+        "energy long, rms_amp double",
+    )
+
+
+def ahash_media(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash (aHash) over FULLY DECODED pixels: decode
+    (PNG inflate+unfilter / BMP rows / baseline-JPEG Huffman+IDCT),
+    nearest-neighbor resample to a ``grid``×``grid`` thumb with the same
+    integer index map as ``resize_media``, then one bit per thumb pixel:
+    ``grid² · p_j > Σp`` (strict, exact integer — no float mean). The 64
+    bits pack MSB-first into two 32-bit halves (``ahash_hi``/``ahash_lo``,
+    both < 2³², so BIGINT-safe in every engine).
+
+    This is the image-dedup primitive: equal hashes ⇒ near-identical
+    thumbs regardless of source resolution, and Hamming distance on the
+    halves ranks near-duplicates. 100 TB shape: pure per-row map — one
+    Arrow pass, 5 scalar columns out per image, payloads never leave the
+    executor; the downstream dedup is a hash groupBy."""
+    if grid * grid != 64:
+        raise ValueError(f"ahash grid must pack to 64 bits, got {grid}x{grid}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "width", "height", "ahash_hi", "ahash_lo")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                info = parse_container(bytes(payload) if payload is not None else b"")
+                px = _decode_pixels(info)
+                if px is None:
+                    continue
+                h0, w0 = px.shape
+                iy = (np.arange(grid, dtype=np.int64) * h0) // grid
+                ix = (np.arange(grid, dtype=np.int64) * w0) // grid
+                t = px[iy][:, ix].astype(np.int64).ravel()
+                bits = (t.size * t) > int(t.sum())
+                hi = lo = 0
+                for j in range(32):
+                    hi |= int(bits[j]) << (31 - j)
+                    lo |= int(bits[32 + j]) << (31 - j)
+                out["media_id"].append(int(mid))
+                out["width"].append(int(info["width"]))
+                out["height"].append(int(info["height"]))
+                out["ahash_hi"].append(hi)
+                out["ahash_lo"].append(lo)
+            yield pd.DataFrame(out)
+
+    from smoltable_spark.functions.dedup import spread
+
+    target = min(media.sparkSession.sparkContext.defaultParallelism, 8)
+    return spread(media, target).mapInPandas(
+        run, "media_id long, width int, height int, ahash_hi long, ahash_lo long"
+    )
+
+
+def ahash_near_pairs(
+    hashes: DataFrame, max_df: int = 32, max_hamming: int = 4
+) -> DataFrame:
+    """Near-duplicate pairs from an aHash table (media_id, ahash_hi,
+    ahash_lo) via banded LSH + exact Hamming verify.
+
+    Candidate channels:
+
+    1. **Banded**: the 64-bit hash splits into 4×16-bit bands; rows
+       sharing a band value become candidates. Bands hotter than
+       ``max_df`` postings are dropped — hot buckets (the
+       all-black-thumbnail problem) are non-discriminative and make the
+       self-join quadratic; this is the deliberate, documented recall
+       bound.
+    2. **Exact star**: rows with IDENTICAL hashes pair to their group's
+       min-id keeper — O(family) not O(family²), and exempt from the
+       df-cap, so exact-dup families are found even when every band is
+       hot.
+
+    Every candidate is verified with the exact Hamming distance over the
+    full 64 bits; pairs with distance ≤ ``max_hamming`` survive. Pair
+    volume is bounded by max_df²·bands + Σ family sizes."""
+    h = hashes.select("media_id", "ahash_hi", "ahash_lo")
+    bands = h.select(
+        "media_id",
+        F.expr(
+            "stack(4, 0, shiftright(ahash_hi, 16), 1, ahash_hi % 65536, "
+            "2, shiftright(ahash_lo, 16), 3, ahash_lo % 65536) "
+            "AS (band_no, band_val)"
+        ),
+    )
+    df = bands.groupBy("band_no", "band_val").agg(F.count("*").alias("_df"))
+    capped = bands.join(df, ["band_no", "band_val"]).filter(
+        F.col("_df") <= max_df
+    )
+    a = capped.select("band_no", "band_val", F.col("media_id").alias("id_a"))
+    b = capped.select("band_no", "band_val", F.col("media_id").alias("id_b"))
+    banded = (
+        a.join(b, ["band_no", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    anchor = h.groupBy("ahash_hi", "ahash_lo").agg(
+        F.min("media_id").alias("id_a")
+    )
+    star = (
+        h.join(anchor, ["ahash_hi", "ahash_lo"])
+        .filter(F.col("media_id") > F.col("id_a"))
+        .select("id_a", F.col("media_id").alias("id_b"))
+    )
+    cand = banded.union(star).distinct()
+    ha = h.select(
+        F.col("media_id").alias("id_a"),
+        F.col("ahash_hi").alias("_hi_a"),
+        F.col("ahash_lo").alias("_lo_a"),
+    )
+    hb = h.select(
+        F.col("media_id").alias("id_b"),
+        F.col("ahash_hi").alias("_hi_b"),
+        F.col("ahash_lo").alias("_lo_b"),
+    )
+    hamming = F.bit_count(
+        F.col("_hi_a").bitwiseXOR(F.col("_hi_b"))
+    ) + F.bit_count(F.col("_lo_a").bitwiseXOR(F.col("_lo_b")))
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling *plan*: one output row per frame to extract.
 

@@ -3794,6 +3794,275 @@ def mm_frame_plan(spark, sf_dir):
     return multimodal.frame_sample_plan(media, every_ms=1000)
 
 
+@q(
+    "mm_resize_roundtrip",
+    """
+    WITH base AS (
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(doc_id % 3 AS INT) AS m3,
+               CAST(doc_id % 12 AS INT) AS m12,
+               16 + doc_id % 64 AS wv, 16 + doc_id % 48 AS hv,
+               64 + doc_id % 192 AS nsamp
+        FROM documents
+    ),
+    -- nearest-neighbor 12x10 thumb of the (mid + r*w0 + c) % 256 source:
+    -- resized pixel (r, c) samples source row r*h0//10, col c*w0//12
+    rml AS (
+        SELECT media_id,
+               CAST(sum((media_id + ((rj.v * hv) // 10) * wv
+                                  + ((ci.v * wv) // 12)) % 256) AS DOUBLE)
+                   / 120 AS ml
+        FROM base, unnest(range(10)) AS rj(v), unnest(range(12)) AS ci(v)
+        WHERE m3 = 0 AND m12 IN (0, 6)
+        GROUP BY media_id
+    )
+    SELECT media_id,
+           CASE m3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CASE m3
+                WHEN 0 THEN (CASE WHEN m12 = 0 THEN 'png'
+                                  WHEN m12 = 6 THEN 'bmp' ELSE 'jpeg' END)
+                WHEN 1 THEN 'wav' ELSE 'raw' END AS container,
+           CASE WHEN m3 = 0 THEN 12 END AS width,
+           CASE WHEN m3 = 0 THEN 10 END AS height,
+           CASE WHEN m3 = 1 THEN CAST(nsamp * 20 AS BIGINT) END AS duration_ms,
+           CASE WHEN m3 = 0 AND m12 IN (0, 6) THEN rml.ml END AS mean_luma,
+           CASE WHEN m3 = 1
+                THEN sqrt(CAST(list_sum(list_transform(range(nsamp),
+                          i -> ((media_id + i) % 256 - 128)
+                             * ((media_id + i) % 256 - 128))) AS DOUBLE) / nsamp)
+               END AS rms_amp
+    FROM base LEFT JOIN rml USING (media_id)
+    """,
+)
+def mm_resize_roundtrip(spark, sf_dir):
+    """REAL resize → re-encode → re-extract roundtrip: every decodable
+    image is decoded, nearest-neighbor resampled to 12×10, re-encoded in
+    its own container (fresh PNG filter+zlib / BMP rows / full
+    forward-DCT baseline JPEG scan), then ``extract_features`` parses and
+    DECODES the resized payload back. The oracle recomputes the resized
+    mean luma in closed form from the generator formula (pixel (r,c) of
+    the thumb samples source index (r·h0//10)·w0 + (c·w0//12)), pinning
+    decode → resample → re-encode → re-decode end to end for PNG and BMP.
+    JPEG mean_luma is nulled on BOTH sides: the resized thumb is no
+    longer block-constant, so its forward-DCT re-encode quantizes
+    (measured ≤1/pixel off) — real lossy-codec behavior, not
+    closed-form-pinnable. Audio/video payloads pass through untouched
+    (resampling PCM as pixels would be wrong): their rms/duration re-pin
+    the passthrough path. 100 TB shape: two Arrow passes, payloads never
+    leave the executors, 8 scalar columns per row come back."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(docs)
+    resized = multimodal.resize_media(media, 12, 10)
+    feats = multimodal.extract_features(resized)
+    return feats.select(
+        "media_id",
+        "media_type",
+        "container",
+        "width",
+        "height",
+        "duration_ms",
+        F.when(F.col("container") != "jpeg", F.col("mean_luma")).alias(
+            "mean_luma"
+        ),
+        "rms_amp",
+    )
+
+
+@q(
+    "mm_audio_features",
+    """
+    WITH a AS (
+        SELECT CAST(doc_id AS BIGINT) AS media_id, 64 + doc_id % 192 AS n
+        FROM documents WHERE CAST(doc_id % 3 AS INT) = 1
+    ), s AS (
+        SELECT media_id, n,
+               list_transform(range(n),
+                              i -> (media_id + i) % 256 - 128) AS sm
+        FROM a
+    )
+    SELECT media_id,
+           CAST(n AS INT) AS n_samples,
+           CAST(list_max(list_transform(sm, x -> abs(x))) AS INT) AS peak_abs,
+           CAST(list_sum(list_transform(range(n - 1),
+                i -> CASE WHEN sm[i + 1] * sm[i + 2] < 0
+                     THEN 1 ELSE 0 END)) AS INT) AS zcr,
+           CAST(list_sum(list_transform(sm, x -> x * x)) AS BIGINT) AS energy,
+           sqrt(CAST(list_sum(list_transform(sm, x -> x * x)) AS DOUBLE) / n)
+               AS rms_amp
+    FROM s
+    """,
+)
+def mm_audio_features(spark, sf_dir):
+    """Audio screening features over REAL decoded WAV PCM
+    (functions/multimodal.py::audio_features): per-clip sample count,
+    peak amplitude, zero-crossing count, exact integer energy, RMS — the
+    gate columns an audio-data pipeline filters on (clipping, silence,
+    tone-vs-noise). The metadata filter on ``media_type`` runs BEFORE the
+    Arrow stage, so image/video payload bytes are never shipped to
+    Python. Oracle recomputes every value from the PCM generator
+    (sample_i = (id+i) % 256 − 128) with exact integer arithmetic; the
+    one float (rms) is a single division + correctly-rounded sqrt, the
+    cross-engine-stable recipe."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(docs).filter(
+        F.col("media_type") == "audio"
+    )
+    return multimodal.audio_features(media)
+
+
+def _ahash_sql() -> str:
+    """Shared oracle CTEs computing the 64-bit average-hash exactly as
+    ``ahash_media`` does, from the pixel generator formulas: thumb pixel
+    j (row j//8, col j%8) samples the source at nearest-neighbor indices,
+    PNG/BMP sources are (mid + r·w0 + c) % 256, JPEG sources are
+    block-constant (mid + (r//8)·ceil(w0/8) + c//8) % 256. Bit j is the
+    strict integer comparison 64·p_j > Σp; bits pack MSB-first into two
+    32-bit halves."""
+    return """
+    img AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             16 + doc_id % 64 AS wv, 16 + doc_id % 48 AS hv,
+             CAST(doc_id % 12 AS INT) AS m12
+      FROM documents WHERE CAST(doc_id % 3 AS INT) = 0
+    ), tpx AS (
+      SELECT media_id,
+             list_transform(range(64), j ->
+               CASE WHEN m12 IN (0, 6)
+                    THEN (media_id + (((j // 8) * hv) // 8) * wv
+                                   + (((j % 8) * wv) // 8)) % 256
+                    ELSE (media_id
+                          + ((((j // 8) * hv) // 8) // 8) * ((wv + 7) // 8)
+                          + ((((j % 8) * wv) // 8) // 8)) % 256
+               END) AS t
+      FROM img
+    ), hsh AS (
+      SELECT media_id,
+             CAST(list_sum(list_transform(range(32), j ->
+                CASE WHEN 64 * t[j + 1] > s
+                     THEN CAST(1 AS BIGINT) << (31 - j) ELSE 0 END))
+                 AS BIGINT) AS ahash_hi,
+             CAST(list_sum(list_transform(range(32), j ->
+                CASE WHEN 64 * t[j + 33] > s
+                     THEN CAST(1 AS BIGINT) << (31 - j) ELSE 0 END))
+                 AS BIGINT) AS ahash_lo
+      FROM (SELECT media_id, t, list_sum(t) AS s FROM tpx)
+    )"""
+
+
+@q(
+    "mm_ahash_dups",
+    f"""
+    WITH {_ahash_sql()},
+    grp AS (
+      SELECT ahash_hi, ahash_lo, COUNT(*) AS group_n,
+             MIN(media_id) AS keeper
+      FROM hsh GROUP BY 1, 2
+    )
+    SELECT h.media_id, h.ahash_hi, h.ahash_lo,
+           CAST(g.group_n AS BIGINT) AS group_n,
+           CAST(CASE WHEN h.media_id = g.keeper THEN 1 ELSE 0 END AS INT)
+               AS kept
+    FROM hsh h JOIN grp g USING (ahash_hi, ahash_lo)
+    """,
+)
+def mm_ahash_dups(spark, sf_dir):
+    """IMAGE dedup via perceptual average-hash: decode → 8×8 thumb →
+    64-bit aHash executor-side (functions/multimodal.py::ahash_media),
+    then exact-hash grouping — images whose thumbs binarize identically
+    (re-encodes, resolution changes of the same content) collapse into
+    one group; keeper = min id, everything else drops. Output is the
+    full keep/drop assignment a pipeline joins back onto the media
+    corpus. 100 TB shape: the hash is a pure per-row Arrow map (payloads
+    never leave executors), the grouping is one co-keyed groupBy + join
+    on a 64-bit key — no pair enumeration anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(docs)
+    h = multimodal.ahash_media(media)
+    groups = h.groupBy("ahash_hi", "ahash_lo").agg(
+        F.count("*").alias("group_n"),
+        F.min("media_id").alias("_keeper"),
+    )
+    return (
+        h.join(groups, ["ahash_hi", "ahash_lo"])
+        .select(
+            "media_id",
+            "ahash_hi",
+            "ahash_lo",
+            "group_n",
+            (F.col("media_id") == F.col("_keeper")).cast("int").alias("kept"),
+        )
+    )
+
+
+#: LSH band df-cap for mm_ahash_near: buckets hotter than this are
+#: non-discriminative (the all-black-frame problem) and are dropped from
+#: candidate generation; exact-equal hashes keep a star channel to the
+#: group keeper regardless, so hot exact-dup families are never lost.
+_AHASH_MAX_DF = 32
+
+
+@q(
+    "mm_ahash_near",
+    f"""
+    WITH {_ahash_sql()},
+    post AS (
+      SELECT media_id, b.band_no,
+             CASE b.band_no WHEN 0 THEN ahash_hi // 65536
+                            WHEN 1 THEN ahash_hi % 65536
+                            WHEN 2 THEN ahash_lo // 65536
+                            ELSE ahash_lo % 65536 END AS band_val
+      FROM hsh, (VALUES (0), (1), (2), (3)) AS b(band_no)
+    ), capped AS (
+      SELECT * FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band_no, band_val) AS df
+        FROM post)
+      WHERE df <= {_AHASH_MAX_DF}
+    ), anchor AS (
+      SELECT ahash_hi, ahash_lo, MIN(media_id) AS keeper
+      FROM hsh GROUP BY 1, 2
+    ), cand AS (
+      SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+      FROM capped a
+      JOIN capped b ON a.band_no = b.band_no AND a.band_val = b.band_val
+                   AND a.media_id < b.media_id
+      UNION
+      SELECT g.keeper AS id_a, h.media_id AS id_b
+      FROM hsh h JOIN anchor g USING (ahash_hi, ahash_lo)
+      WHERE h.media_id > g.keeper
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(a.ahash_hi, b.ahash_hi))
+              + bit_count(xor(a.ahash_lo, b.ahash_lo)) AS INT) AS hamming
+    FROM cand JOIN hsh a ON a.media_id = cand.id_a
+              JOIN hsh b ON b.media_id = cand.id_b
+    WHERE bit_count(xor(a.ahash_hi, b.ahash_hi))
+        + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= 4
+    """,
+)
+def mm_ahash_near(spark, sf_dir):
+    """NEAR-duplicate image pairs via banded LSH over the average-hash:
+    the 64-bit aHash splits into 4×16-bit bands; images sharing a band
+    value become candidates (Hamming ≤ 4 over 64 bits guarantees ≥1
+    clean band by pigeonhole — 4 errors can dirty at most 4 of... at
+    most 4 bands, but with ≤4 bit errors at least one of the 4 bands is
+    untouched whenever the errors don't spread 1-per-band; the df-cap is
+    the deliberate recall bound, documented below), then the exact
+    Hamming distance verifies each candidate. Two scale controls, both
+    mirrored by the oracle: (1) bands hotter than _AHASH_MAX_DF (32)
+    postings are dropped — hot buckets are non-discriminative (the
+    all-black-thumbnail problem) and quadratic; (2) exact-equal hashes
+    pair through a star to the group keeper (O(n) per family, never
+    O(n²)), and that channel ignores the cap, so exact dup families are
+    found even when every band is hot. 100 TB shape: posting-list
+    equi-joins on (band_no, band_val), no global sort, pair volume
+    bounded by cap²·bands + exact-family sizes."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(docs)
+    h = multimodal.ahash_media(media)
+    return multimodal.ahash_near_pairs(h, max_df=_AHASH_MAX_DF, max_hamming=4)
+
+
 # ---------------------------------------------------------------------------
 # distribution profiling / exact grouped quantiles (round 3)
 

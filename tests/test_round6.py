@@ -1,0 +1,203 @@
+"""Round-6 suite: audio screening features, perceptual average-hash
+image dedup (exact + banded near-dup channels), and the resize →
+re-encode → re-extract roundtrip pins."""
+
+import numpy as np
+import pytest
+
+from smoltable_spark.functions import multimodal as M
+
+
+def _gen_thumb(mid: int, grid: int = 8) -> np.ndarray:
+    """Independent model of the 8x8 thumb straight from the GENERATOR
+    formulas (never from the decoders): PNG/BMP pixels are
+    (mid + r*w0 + c) % 256, JPEG pixels are block-constant
+    (mid + (r//8)*ceil(w0/8) + c//8) % 256."""
+    w0, h0 = 16 + mid % 64, 16 + mid % 48
+    r = (np.arange(grid) * h0) // grid
+    c = (np.arange(grid) * w0) // grid
+    if mid % 12 in (0, 6):
+        return (mid + r[:, None] * w0 + c[None, :]) % 256
+    bw = (w0 + 7) // 8
+    return (mid + (r[:, None] // 8) * bw + (c[None, :] // 8)) % 256
+
+
+def _pack(bits) -> tuple[int, int]:
+    hi = lo = 0
+    for j in range(32):
+        hi |= int(bits[j]) << (31 - j)
+        lo |= int(bits[32 + j]) << (31 - j)
+    return hi, lo
+
+
+def _model_ahash(mid: int) -> tuple[int, int]:
+    t = _gen_thumb(mid).astype(np.int64).ravel()
+    return _pack((64 * t) > int(t.sum()))
+
+
+class TestAhashMedia:
+    def test_matches_generator_model_all_formats(self, spark):
+        """decode -> resample -> binarize -> pack equals the pure
+        arithmetic model for PNG (0,12), BMP (6,18) and JPEG (1,3,57)."""
+        ids = [0, 12, 6, 18, 3, 9, 57]
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in ids], "doc_id long, text string"
+        )
+        got = {
+            r["media_id"]: (r["ahash_hi"], r["ahash_lo"])
+            for r in M.ahash_media(M.synthesize_media(docs)).collect()
+        }
+        assert set(got) == set(ids)
+        for mid in ids:
+            assert got[mid] == _model_ahash(mid), mid
+        # halves stay inside 32 bits -> BIGINT-portable to any engine
+        for hi, lo in got.values():
+            assert 0 <= hi < 2**32 and 0 <= lo < 2**32
+
+    def test_exact_dup_ids_collide(self, spark):
+        """mid and mid+1536 share dims (lcm(64,48) | 1536) and pixels
+        (256 | 1536) -> identical payload content -> identical hash."""
+        docs = spark.createDataFrame(
+            [(0, "a"), (1536, "b"), (6, "c")], "doc_id long, text string"
+        )
+        got = {
+            r["media_id"]: (r["ahash_hi"], r["ahash_lo"])
+            for r in M.ahash_media(M.synthesize_media(docs)).collect()
+        }
+        assert got[0] == got[1536]
+        assert got[0] != got[6]
+
+    def test_grid_must_pack_to_64_bits(self, spark):
+        docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="64 bits"):
+            M.ahash_media(M.synthesize_media(docs), grid=4)
+
+    def test_non_images_produce_no_rows(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "audio doc"), (2, "video doc")], "doc_id long, text string"
+        )
+        assert M.ahash_media(M.synthesize_media(docs)).count() == 0
+
+
+def _bmp_media(spark, rows):
+    """Build a media frame of grayscale BMPs from (media_id, px) pairs."""
+    recs = [
+        (
+            int(mid),
+            "image",
+            M.bmp_bytes(px.shape[1], px.shape[0], px.astype(np.uint8).tobytes()),
+            int(px.shape[1]),
+            int(px.shape[0]),
+            None,
+        )
+        for mid, px in rows
+    ]
+    return spark.createDataFrame(recs, M.MEDIA_SCHEMA)
+
+
+class TestAhashNearPairs:
+    def test_planted_perturbed_clone_found(self, spark):
+        """Adversarial recall: a clone with one corrupted sampled pixel
+        lands at small nonzero Hamming distance and MUST surface through
+        the banded channel (the exact-star channel can't see it)."""
+        rng = np.random.RandomState(7)
+        base = rng.randint(0, 256, size=(32, 40)).astype(np.uint8)
+        clone = base.copy()
+        clone[0, 0] = 255 if base[0, 0] < 128 else 0  # sampled at thumb (0,0)
+        # distinct filler images keep every band bucket under the cap
+        fillers = [
+            (100 + k, rng.randint(0, 256, size=(24, 24)).astype(np.uint8))
+            for k in range(6)
+        ]
+        media = _bmp_media(spark, [(1, base), (2, clone)] + fillers)
+        h = M.ahash_media(media)
+        hm = {
+            r["media_id"]: (r["ahash_hi"], r["ahash_lo"]) for r in h.collect()
+        }
+        dist = bin(
+            (hm[1][0] ^ hm[2][0]) | ((hm[1][1] ^ hm[2][1]) << 32)
+        ).count("1")
+        assert 0 < dist <= 4  # genuinely a NEAR (not exact) duplicate
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in M.ahash_near_pairs(h).collect()
+        }
+        assert pairs.get((1, 2)) == dist
+
+    def test_hot_exact_family_found_via_star_despite_cap(self, spark):
+        """40 identical images blow past max_df=32 in EVERY band, so the
+        banded channel drops them entirely — the exact-star channel must
+        still emit all 39 (keeper, member) pairs at Hamming 0."""
+        px = (np.arange(20 * 20).reshape(20, 20) % 256).astype(np.uint8)
+        media = _bmp_media(spark, [(i, px) for i in range(40)])
+        pairs = M.ahash_near_pairs(M.ahash_media(media), max_df=32).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert got == {(0, i) for i in range(1, 40)}
+        assert all(r["hamming"] == 0 for r in pairs)
+
+    def test_pairs_are_ordered_and_unique(self, spark):
+        rng = np.random.RandomState(3)
+        media = _bmp_media(
+            spark,
+            [(i, rng.randint(0, 256, size=(16, 16)).astype(np.uint8))
+             for i in range(12)],
+        )
+        rows = M.ahash_near_pairs(M.ahash_media(media)).collect()
+        keys = [(r["id_a"], r["id_b"]) for r in rows]
+        assert all(a < b for a, b in keys)
+        assert len(keys) == len(set(keys))
+
+
+class TestAudioFeatures:
+    def test_closed_form_all_columns(self, spark):
+        """n/peak/zcr/energy/rms all match exact integer arithmetic over
+        the PCM generator sample_i = (mid+i) % 256 - 128."""
+        ids = [1, 7, 250]  # all % 3 == 1 -> audio
+        docs = spark.createDataFrame(
+            [(i, f"clip {i}") for i in ids], "doc_id long, text string"
+        )
+        media = M.synthesize_media(docs)
+        got = {r["media_id"]: r for r in M.audio_features(media).collect()}
+        assert set(got) == set(ids)
+        for mid in ids:
+            n = 64 + mid % 192
+            s = ((np.arange(n, dtype=np.int64) + mid) % 256) - 128
+            r = got[mid]
+            assert r["n_samples"] == n
+            assert r["peak_abs"] == int(np.abs(s).max())
+            assert r["zcr"] == int(((s[:-1] * s[1:]) < 0).sum())
+            energy = int((s * s).sum())
+            assert r["energy"] == energy
+            assert r["rms_amp"] == pytest.approx(
+                (energy / n) ** 0.5, rel=0, abs=0
+            )
+
+    def test_non_audio_rows_skipped(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "image doc"), (2, "video doc")], "doc_id long, text string"
+        )
+        assert M.audio_features(M.synthesize_media(docs)).count() == 0
+
+
+class TestResizeRoundtrip:
+    def test_registry_query_pins(self, spark, sf_dir):
+        from smoltable_spark.queries_analytics import ANALYTICS_QUERIES
+
+        fn, _oracle = ANALYTICS_QUERIES["mm_resize_roundtrip"]
+        rows = {r["media_id"]: r for r in fn(spark, sf_dir).collect()}
+        assert rows  # sf0.001 corpus is non-empty
+        for mid, r in rows.items():
+            if r["media_type"] == "image":
+                assert (r["width"], r["height"]) == (12, 10)
+                w0, h0 = 16 + mid % 64, 16 + mid % 48
+                if r["container"] in ("png", "bmp"):
+                    iy = (np.arange(10) * h0) // 10
+                    ix = (np.arange(12) * w0) // 12
+                    exp = ((mid + iy[:, None] * w0 + ix[None, :]) % 256).mean()
+                    assert r["mean_luma"] == pytest.approx(exp, rel=0, abs=0)
+                else:  # jpeg: quantized re-encode -> nulled on both sides
+                    assert r["mean_luma"] is None
+            elif r["media_type"] == "audio":
+                n = 64 + mid % 192
+                assert r["duration_ms"] == n * 20  # passthrough untouched
+                assert r["rms_amp"] is not None
