@@ -1301,8 +1301,14 @@ def ahash_near_pairs(
 
     Every candidate is verified with the exact Hamming distance over the
     full 64 bits; pairs with distance ≤ ``max_hamming`` survive. Pair
-    volume is bounded by max_df²·bands + Σ family sizes."""
-    h = hashes.select("media_id", "ahash_hi", "ahash_lo")
+    volume is bounded by max_df²·bands + Σ family sizes.
+
+    The hash table is ``localCheckpoint``-ed first: it feeds FOUR
+    branches (band melt, exact-star anchor, both verify sides), and
+    without materialization each branch would re-run the upstream
+    decode+hash Arrow pass — 4× the full media decode for a table of
+    5 scalar columns per image."""
+    h = hashes.select("media_id", "ahash_hi", "ahash_lo").localCheckpoint()
     bands = h.select(
         "media_id",
         F.expr(

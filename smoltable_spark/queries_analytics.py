@@ -3978,7 +3978,9 @@ def mm_ahash_dups(spark, sf_dir):
     on a 64-bit key — no pair enumeration anywhere."""
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.synthesize_media(docs)
-    h = multimodal.ahash_media(media)
+    # materialize once: the hash table feeds both the group rollup and
+    # the join-back — without this the decode+hash Arrow pass runs twice
+    h = multimodal.ahash_media(media).localCheckpoint()
     groups = h.groupBy("ahash_hi", "ahash_lo").agg(
         F.count("*").alias("group_n"),
         F.min("media_id").alias("_keeper"),

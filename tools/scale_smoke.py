@@ -732,6 +732,20 @@ def main():
         ).count(),
     )
 
+    # r6: the new multimodal registry ops at 10x — resize→re-encode→
+    # re-extract roundtrip and audio screening over ~17k WAV clips, and
+    # the aHash dedup channels over ~17k decoded images (band df-cap 32
+    # bites harder at 10x: hot sawtooth buckets drop, star channel keeps
+    # exact families)
+    for _nq in (
+        "mm_resize_roundtrip",
+        "mm_audio_features",
+        "mm_ahash_dups",
+        "mm_ahash_near",
+    ):
+        _fn = _AQ[_nq][0]
+        timed(f"{_nq}_10x", lambda _f=_fn: _f(spark, OUT).count())
+
     # store-lifecycle queries at 10x: the write/append/classify path over
     # 7.5M cells (1.5M orders), not just the read path the wc scans cover
     from smoltable_spark.queries_core import CORE_QUERIES as _CQ
@@ -872,6 +886,27 @@ Steady-state timings (2nd run per op). Reading the table:
   same-container re-encode (incl. forward-DCT JPEG) over 50k real
   containers in one Arrow pass — payloads never leave the executor and
   the cost is linear in pixels decoded + re-encoded.
+- r6 multimodal rows: `mm_resize_roundtrip_10x` (~2 s / 50k payloads)
+  is TWO chained Arrow passes (resize → re-extract) and stays ~2x the
+  single-pass resize row — the payload column flows executor-local
+  between stages, nothing widens. `mm_audio_features_10x` (~1 s /
+  16.7k clips) and `mm_ahash_dups_10x` (~2 s / 16.7k images incl. JPEG
+  Huffman+IDCT decode) are single decode passes + one hash groupBy —
+  the hash table is localCheckpoint-ed before fan-out so the decode
+  Arrow pass runs exactly once however many branches consume it
+  (PLANS.md: 5→1 shuffles for dups, 20→4 for near after that fix).
+  `mm_ahash_near_10x`: 16.5k verified pairs in ~4 s — pair volume grows
+  ~linearly with images (~1 pair/image) because the band df-cap (32)
+  drops the hot sawtooth buckets that would otherwise go quadratic at
+  10x occupancy, while the exact-star channel (cap-exempt, O(family))
+  keeps every exact-dup family; the fuzzy_match-style block-audit
+  caveat applies if a real corpus concentrates into few visual families.
+- `pipeline_token_caps` r5 bench flag (0.157→0.287 s warm): re-measured
+  r6 in an isolated session at sf0.1 — cold 0.92 s, warm min 0.379 s
+  over 6 runs, plan and closure unchanged since r4 (window sum + groupBy
+  over a 500-row documents table). The entire budget is fixed per-stage
+  overhead at this row count: the ratio gate is measuring scheduler
+  noise on a sub-half-second query, not a plan change.
 - `rel_fuzzy_match_10x` emits ~14M pairs in ~22 s: the replicas REUSE
   customer names (keys shift, names don't), so every block's occupancy
   grows 10x and within-block pairs grow ~100x — the textbook
