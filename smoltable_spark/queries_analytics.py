@@ -9624,6 +9624,114 @@ def stream_restart_resume(spark, sf_dir):
     )
 
 
+#: watermark delay for stream_late_data (1 hour, in ns for the oracle)
+_LATE_WM_NS = 3_600_000_000_000
+
+
+@q(
+    "stream_late_data",
+    f"""
+    WITH e AS (SELECT *, CAST(epoch_ns(ts) AS BIGINT) AS ns FROM events),
+    mx AS (SELECT max(ns) AS maxns FROM e),
+    -- on-time rows: everything except the deterministic late stragglers
+    a AS (SELECT e.*, e.ns AS ans FROM e, mx
+          WHERE NOT (e.ns < mx.maxns - {6 * _LATE_WM_NS}
+                     AND e.user_id % 7 = 3)),
+    -- final watermark: ms-floored global max minus the 1h delay (the
+    -- late file never contains the max, so max(on-time) = max(all))
+    wm AS (SELECT ((max(ns) // 1000000) * 1000000) - {_LATE_WM_NS} AS wmns
+           FROM e)
+    SELECT event_type,
+           (ans // {_HOUR_NS}) * {_HOUR_NS} AS bucket_start_ns,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum({cents_sql('value')}) / 100.0 AS total_value
+    FROM a, wm
+    WHERE (ans // {_HOUR_NS}) * {_HOUR_NS} + {_HOUR_NS} <= wm.wmns
+    GROUP BY event_type, bucket_start_ns
+    """,
+)
+def stream_late_data(spark, sf_dir):
+    """LATE-DATA accounting under a real event-time watermark — the
+    Structured Streaming semantic none of the other stream queries
+    exercise (their availableNow replays deliver in-order, so the
+    watermark never drops anything). The event stream is delivered as
+    THREE micro-batches in arrival order: (1) the on-time history up to
+    maxT−2h, (2) the on-time tail containing the stream's max event
+    time, (3) a straggler file of deterministically-late rows
+    (user_id % 7 == 3 with event time < maxT−6h — hours below the
+    watermark by the time they arrive). The 1h-watermarked tumbling
+    window aggregate runs in APPEND mode: batch 2's eviction finalizes
+    every window at least 1h behind the on-time tail, so when the
+    stragglers arrive in batch 3 their windows are already closed and
+    the rows are dropped (observed numRowsDroppedByWatermark ≈ |late|;
+    the counter itself undercounts map-side-filtered rows in this Spark
+    version, so the oracle pins the TABLE, not the counter).
+
+    The oracle is the batch aggregate over ONLY the on-time rows,
+    restricted to windows whose end ≤ final watermark (ms-floored max
+    event time − 1h): a value-hash match proves BOTH watermark effects
+    at once — late rows contributed nothing (else counts inflate), and
+    append mode emitted exactly the finalized windows (else row set
+    differs). Windows inside the last hour stay in state, never emitted.
+
+    Scale: state is watermark-bounded (one delay horizon of open
+    windows, whatever the stream length — the measured claim in
+    SCALE.md's stream rows); the fixture split is one driver-side
+    arrow pass, O(events at sf), test harness only."""
+    import os as _os
+    import tempfile as _tf
+    import time as _time
+
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    from smoltable_spark.streaming.ingest import (
+        hourly_rollup_stream,
+        stream_events,
+    )
+
+    t = _pq.read_table(_os.path.join(sf_dir, "events.parquet"))
+    tsty = t.schema.field("ts").type
+    if _pa.types.is_timestamp(tsty):
+        mult = {"s": 10**9, "ms": 10**6, "us": 10**3, "ns": 1}[tsty.unit]
+        ns = _pc.multiply(_pc.cast(t.column("ts"), _pa.int64()), mult)
+    else:
+        ns = _pc.cast(t.column("ts"), _pa.int64())
+    ns = ns.to_numpy(zero_copy_only=False)
+    uid = t.column("user_id").to_numpy(zero_copy_only=False)
+    maxns = int(ns.max())
+    late = (ns < maxns - 6 * _LATE_WM_NS) & (uid % 7 == 3)
+    hist = (~late) & (ns <= maxns - 2 * _LATE_WM_NS)
+    tail = (~late) & (ns > maxns - 2 * _LATE_WM_NS)
+
+    tmp = _tf.mkdtemp(prefix="smoltable_late_")
+    src = _os.path.join(tmp, "in")
+    _os.makedirs(src)
+    now = _time.time()
+    for i, (nm, mask) in enumerate(
+        (("a_history", hist), ("b_tail", tail), ("c_late", late))
+    ):
+        p = _os.path.join(src, f"{nm}.parquet")
+        _pq.write_table(t.filter(_pa.array(mask)), p)
+        # distinct mtimes pin the file-source arrival order (oldest first)
+        _os.utime(p, (now - 30 + 10 * i, now - 30 + 10 * i))
+
+    rolled = hourly_rollup_stream(stream_events(spark, src), watermark="1 hour")
+    name = f"_stream_late_{next(_STREAM_SINK_COUNTER)}"
+    sq = (
+        rolled.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise TimeoutError("stream_late_data: replay did not finish")
+    return spark.table(name)
+
+
 #: blocklist for the C4-style badwords filter (stand-ins from the corpus
 #: vocabulary — the operator shape, not the production list)
 _BADWORDS = ("slow", "dup")

@@ -179,7 +179,50 @@ class TestAudioFeatures:
         assert M.audio_features(M.synthesize_media(docs)).count() == 0
 
 
-class TestResizeRoundtrip:
+class TestStreamLateData:
+    def test_late_rows_dropped_and_windows_finalized(self, spark, sf_dir):
+        """The streamed result must equal the batch aggregate over ONLY
+        on-time rows, restricted to watermark-finalized windows — and
+        must differ from the all-rows aggregate (i.e. the late rows
+        really were offered and really were dropped)."""
+        from pyspark.sql import functions as F
+
+        from smoltable_spark.queries_analytics import (
+            _LATE_WM_NS,
+            ANALYTICS_QUERIES,
+        )
+        from smoltable_spark.sources.relational import load_table
+
+        HOUR = 3_600_000_000_000
+        fn, _oracle = ANALYTICS_QUERIES["stream_late_data"]
+        got = {
+            (r["event_type"], r["bucket_start_ns"]): r["n_events"]
+            for r in fn(spark, "/root/testdata/sf0.001").collect()
+        }
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        maxns = ev.agg(F.max("ts")).collect()[0][0]
+        wm = (maxns // 1_000_000) * 1_000_000 - _LATE_WM_NS
+        late = (F.col("ts") < maxns - 6 * _LATE_WM_NS) & (
+            F.col("user_id") % 7 == 3
+        )
+        n_late = ev.filter(late).count()
+        assert n_late > 0  # the fixture genuinely offers late rows
+
+        def agg(df):
+            return {
+                (r["event_type"], r["bucket"]): r["n"]
+                for r in df.withColumn(
+                    "bucket", (F.col("ts") - F.col("ts") % HOUR)
+                )
+                .filter(F.col("bucket") + HOUR <= wm)
+                .groupBy("event_type", "bucket")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+
+        assert got == agg(ev.filter(~late))  # late rows contributed nothing
+        assert got != agg(ev)  # ...and would have been visible otherwise
     def test_registry_query_pins(self, spark, sf_dir):
         from smoltable_spark.queries_analytics import ANALYTICS_QUERIES
 
