@@ -1188,3 +1188,102 @@ def wc_scd2_intervals(spark, sf_dir):
         F.lead("ts").over(w).isNull().cast("long").alias("is_current"),
         F.round(F.col("v_f64") * 100).cast("long").alias("value_cents"),
     )
+
+
+@q(
+    "wc_ingest_json_wire",
+    """
+    WITH d AS (
+        SELECT 'doc#' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS row_key,
+               doc_id, lang, n_chars
+        FROM documents
+    )
+    SELECT row_key, 'meta' AS family, 'lang' AS qualifier,
+           CAST(doc_id AS BIGINT) AS ts, 'string' AS vtype,
+           lang AS v_str, CAST(NULL AS BOOLEAN) AS v_bool,
+           CAST(NULL AS BIGINT) AS v_i64, CAST(NULL AS DOUBLE) AS v_f64
+    FROM d
+    UNION ALL
+    SELECT row_key, 'meta', 'n_chars', CAST(42 AS BIGINT), 'i64',
+           NULL, NULL, CAST(n_chars AS BIGINT), NULL
+    FROM d
+    UNION ALL
+    SELECT row_key, 'meta', 'long', CAST(doc_id AS BIGINT), 'boolean',
+           NULL, n_chars > 200, NULL, NULL
+    FROM d
+    UNION ALL
+    SELECT row_key, 'score', '', CAST(42 AS BIGINT), 'f64',
+           NULL, NULL, NULL, CAST(n_chars AS DOUBLE) / 4.0
+    FROM d
+    """,
+)
+def wc_ingest_json_wire(spark, sf_dir):
+    """DISTRIBUTED wire-format ingest (S1's REST body, executor-side):
+    render one reference-shaped JSON write batch per document with
+    ``to_json`` (null variants dropped, exactly like the serde enum),
+    then parse the raw strings back through
+    sources/wire.py::cells_from_json_wire — from_json → explode →
+    column-key split → typed-variant dispatch → strict whole-batch
+    validation (reference server/src/api/write.rs:23-132 rejects the
+    request on any malformed cell). Four cells per row cover string /
+    i64 / boolean / f64 variants, explicit and absent timestamps (the
+    absent ones take the deterministic default_ts=42, writer.rs:28-33).
+    The oracle recomputes every typed cell relationally, so a hash match
+    pins render → wire parse → dispatch end to end.
+
+    100 TB shape: ingest parallelism is executor-count (a JSON body
+    column from Kafka/landing buckets parses where it lands, no
+    driver-side loop like sources/writer.py::rows_to_cells); the strict
+    gate is ONE count aggregate over the same scan."""
+    from smoltable_spark.sources.relational import load_table
+    from smoltable_spark.sources.wire import cells_from_json_wire
+
+    docs = load_table(spark, sf_dir, "documents")
+    nullv = {
+        "string": F.lit(None).cast("string"),
+        "boolean": F.lit(None).cast("boolean"),
+        "byte": F.lit(None).cast("smallint"),
+        "i32": F.lit(None).cast("int"),
+        "i64": F.lit(None).cast("long"),
+        "f32": F.lit(None).cast("float"),
+        "f64": F.lit(None).cast("double"),
+    }
+
+    def value(**kw):
+        return F.struct(
+            *[kw.get(t, nullv[t]).alias(t) if t in kw else nullv[t].alias(t)
+              for t in nullv]
+        )
+
+    def cell(ck, val, ts=None):
+        return F.struct(
+            F.lit(ck).alias("column_key"),
+            (F.lit(None).cast("long") if ts is None else ts.cast("long"))
+            .alias("timestamp"),
+            val.alias("value"),
+        )
+
+    rk = F.concat(
+        F.lit("doc#"), F.lpad(F.col("doc_id").cast("string"), 8, "0")
+    )
+    item = F.struct(
+        rk.alias("row_key"),
+        F.array(
+            cell("meta:lang", value(string=F.col("lang")), ts=F.col("doc_id")),
+            cell("meta:n_chars", value(i64=F.col("n_chars"))),
+            cell(
+                "meta:long",
+                value(boolean=F.col("n_chars") > 200),
+                ts=F.col("doc_id"),
+            ),
+            cell("score:", value(f64=F.col("n_chars").cast("double") / 4.0)),
+        ).alias("cells"),
+    )
+    bodies = docs.select(
+        F.to_json(F.struct(F.array(item).alias("items"))).alias("body")
+    )
+    cells = cells_from_json_wire(bodies, default_ts=42, strict=True)
+    return cells.select(
+        "row_key", "family", "qualifier", "ts", "vtype",
+        "v_str", "v_bool", "v_i64", "v_f64",
+    )

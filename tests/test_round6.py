@@ -223,6 +223,68 @@ class TestStreamLateData:
 
         assert got == agg(ev.filter(~late))  # late rows contributed nothing
         assert got != agg(ev)  # ...and would have been visible otherwise
+
+
+class TestWireIngest:
+    def _parse(self, spark, bodies, **kw):
+        from smoltable_spark.sources.wire import cells_from_json_wire
+
+        df = spark.createDataFrame([(b,) for b in bodies], "body string")
+        return cells_from_json_wire(df, **kw)
+
+    def test_typed_roundtrip_and_default_ts(self, spark):
+        body = (
+            '{"items": [{"row_key": "r1", "cells": ['
+            '{"column_key": "f:q", "timestamp": 7, "value": {"string": "x"}},'
+            '{"column_key": "f:n", "value": {"i64": 5}},'
+            '{"column_key": "g:", "value": {"f64": 0.25}},'
+            '{"column_key": "famonly", "value": {"boolean": true}}]}]}'
+        )
+        rows = {
+            (r["family"], r["qualifier"]): r
+            for r in self._parse(spark, [body], default_ts=99).collect()
+        }
+        assert rows[("f", "q")]["ts"] == 7
+        assert rows[("f", "q")]["v_str"] == "x"
+        assert rows[("f", "n")]["ts"] == 99  # absent timestamp -> default
+        assert rows[("f", "n")]["v_i64"] == 5
+        assert rows[("g", "")]["v_f64"] == 0.25
+        # family-only key: qualifier normalizes to "" (reference rule)
+        assert rows[("famonly", "")]["vtype"] == "boolean"
+        assert rows[("famonly", "")]["v_bool"] is True
+
+    def test_strict_rejects_whole_batch(self, spark):
+        good = (
+            '{"items": [{"row_key": "r", "cells": '
+            '[{"column_key": "f:q", "value": {"i64": 1}}]}]}'
+        )
+        for bad in (
+            '{"items": [{"row_key": "r", "cells": '
+            '[{"column_key": "bad key!", "value": {"i64": 1}}]}]}',
+            '{"items": [{"row_key": "r", "cells": [{"column_key": "f:q"}]}]}',
+            "not json at all",
+        ):
+            with pytest.raises(ValueError, match="wire batch rejected"):
+                self._parse(spark, [good, bad]).collect()
+
+    def test_empty_batches_are_valid(self, spark):
+        out = self._parse(
+            spark,
+            ['{"items": []}', '{"items": [{"row_key": "r", "cells": []}]}'],
+        )
+        assert out.count() == 0  # nothing malformed, nothing ingested
+
+    def test_lenient_mode_drops_only_bad_cells(self, spark):
+        body = (
+            '{"items": [{"row_key": "r", "cells": ['
+            '{"column_key": "f:q", "value": {"i64": 1}},'
+            '{"column_key": "bad key!", "value": {"i64": 2}}]}]}'
+        )
+        out = self._parse(spark, [body], strict=False).collect()
+        assert len(out) == 1 and out[0]["v_i64"] == 1
+
+
+class TestResizeRoundtrip:
     def test_registry_query_pins(self, spark, sf_dir):
         from smoltable_spark.queries_analytics import ANALYTICS_QUERIES
 
