@@ -370,8 +370,24 @@ def main():
             env_drift = round(rs[len(rs) // 2], 3)
             norm = max(1.0, env_drift)
             for name, r in ratios.items():
-                if r > REGRESSION_FACTOR * norm:
-                    p = prev["queries"][name]
+                # COLD_GATED streaming queries gate on their cold time
+                # below — their warm time is micro-batch harness overhead
+                # (availableNow replay + state-store setup) with 2x
+                # run-to-run spread, so a warm flag is pure scheduler
+                # noise (r6: stream_sessionize flagged 1.87x in-run,
+                # re-measured 1.12x isolated)
+                if name in COLD_GATED:
+                    continue
+                p = prev["queries"][name]
+                # materiality guard: sub-second queries swing 1.5-2x
+                # between sessions on this VM (r4: rel_range_join; r6:
+                # four wc scans flagged at 1.5-1.65x, re-measured across
+                # unrelated queries at 0.91-1.51x in the same minute —
+                # scheduler tails, not plans). A flag needs the ratio
+                # AND either a material absolute delta or a catastrophic
+                # ratio (which catches a real micro-query regression).
+                material = (timings[name] - p) > 0.5 or r > 3.0 * norm
+                if r > REGRESSION_FACTOR * norm and material:
                     regressions[name] = {
                         "prev": p,
                         "now": timings[name],
@@ -387,7 +403,10 @@ def main():
                 pc = prev_cold.get(name)
                 if name in cold and isinstance(pc, (int, float)) and pc > 0.05:
                     r = cold[name] / pc
-                    if r > REGRESSION_FACTOR * norm:
+                    # same materiality guard as the warm gate: cold times
+                    # are single-shot and noisier still
+                    material = (cold[name] - pc) > 0.5 or r > 3.0 * norm
+                    if r > REGRESSION_FACTOR * norm and material:
                         cold_regressions[name] = {
                             "prev_cold": pc,
                             "now_cold": cold[name],

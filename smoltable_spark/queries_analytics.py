@@ -9997,3 +9997,89 @@ def ann_recall_probe_srp(spark, sf_dir):
             .alias("recall_multi_milli"),
         )
     )
+
+
+#: shard fan-out for the JSONL export (tiny here; 10k+ on a cluster)
+_EXPORT_SHARDS = 8
+
+
+@q(
+    "pipeline_export_jsonl",
+    f"""
+    WITH d AS (
+        SELECT {seeded_sql('shard', 'CAST(doc_id AS VARCHAR)')}
+                   % {_EXPORT_SHARDS} AS shard,
+               {md5_long_sql(
+                   "concat_ws(chr(31), CAST(doc_id AS VARCHAR), lang, "
+                   "source, CAST(n_chars AS VARCHAR), text)")}
+                   % 1000000007 AS doc_sig,
+               n_chars
+        FROM documents
+    )
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_sig) AS BIGINT) AS content_sig,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+    FROM d GROUP BY shard
+    """,
+)
+def pipeline_export_jsonl(spark, sf_dir):
+    """Sharded JSONL EXPORT with a verified manifest — the sink format a
+    training run actually consumes. The corpus is written as real JSONL
+    shard files (``partitionBy(shard)`` text sink, shard =
+    content-stable seeded hash of doc_id so assignment survives
+    re-runs and repartitioning), then READ BACK from disk, re-parsed
+    with ``from_json``, and rolled into a per-shard manifest (doc count,
+    order-invariant content signature, char total). The oracle
+    recomputes the manifest straight from the source table: a hash
+    match proves the export wrote every document exactly once, the
+    JSONL round-trips losslessly (signature covers every field incl.
+    the full text), and shard assignment is the declared hash — i.e.
+    the export is resumable/verifiable by manifest alone, no file
+    diffing. 100 TB shape: one write pass (shard is the partition
+    column, writers stream per shard), one read-back scan; the manifest
+    is a partial-aggregated groupBy with {_EXPORT_SHARDS} groups."""
+    import os as _os
+    import tempfile as _tf
+
+    docs = load_table(spark, sf_dir, "documents")
+    out_dir = _os.path.join(
+        _tf.mkdtemp(prefix="smoltable_export_"), "corpus"
+    )
+    line = F.to_json(
+        F.struct("doc_id", "text", "lang", "source", "n_chars")
+    )
+    shard = seeded("shard", F.col("doc_id").cast("string")) % _EXPORT_SHARDS
+    (
+        docs.select(shard.alias("shard"), line.alias("value"))
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .text(out_dir)
+    )
+    back = spark.read.text(out_dir)  # partition discovery restores `shard`
+    parsed = back.select(
+        F.col("shard").cast("int").alias("shard"),
+        F.from_json(
+            F.col("value"),
+            "struct<doc_id:bigint, text:string, lang:string, "
+            "source:string, n_chars:bigint>",
+        ).alias("d"),
+    )
+    sig = (
+        md5_long(
+            F.concat_ws(
+                "\x1f",
+                F.col("d.doc_id").cast("string"),
+                F.col("d.lang"),
+                F.col("d.source"),
+                F.col("d.n_chars").cast("string"),
+                F.col("d.text"),
+            )
+        )
+        % 1_000_000_007
+    )
+    return parsed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(sig).alias("content_sig"),
+        F.sum("d.n_chars").alias("n_chars_total"),
+    )

@@ -742,9 +742,22 @@ def main():
         "mm_audio_features",
         "mm_ahash_dups",
         "mm_ahash_near",
+        # r6b: watermark late-drop over 1M events (3-batch replay),
+        # sharded JSONL export+readback manifest over 50k docs
+        "stream_late_data",
+        "pipeline_export_jsonl",
     ):
         _fn = _AQ[_nq][0]
         timed(f"{_nq}_10x", lambda _f=_fn: _f(spark, OUT).count())
+
+    # r6b: distributed JSON wire-format ingest — 200k cells parsed from
+    # 50k rendered wire bodies, strict whole-batch validation included
+    from smoltable_spark.queries_core import CORE_QUERIES as _CQ6
+
+    timed(
+        "wc_ingest_json_wire_10x",
+        lambda: _CQ6["wc_ingest_json_wire"][0](spark, OUT).count(),
+    )
 
     # store-lifecycle queries at 10x: the write/append/classify path over
     # 7.5M cells (1.5M orders), not just the read path the wc scans cover
@@ -901,6 +914,16 @@ Steady-state timings (2nd run per op). Reading the table:
   10x occupancy, while the exact-star channel (cap-exempt, O(family))
   keeps every exact-dup family; the fuzzy_match-style block-audit
   caveat applies if a real corpus concentrates into few visual families.
+- r6b rows: `stream_late_data_10x` replays 1M events as the 3-batch
+  (history / tail / stragglers) watermark fixture — same 3,590 emitted
+  windows as sf0.1 (replicas shift keys, not time), 10x rows per
+  window, state still bounded by the watermark horizon.
+  `wc_ingest_json_wire_10x` parses 200k typed cells out of 50k rendered
+  wire bodies (from_json + explode, strict whole-batch validation
+  included) in ~1 s — ingest wall tracks body bytes, no driver loop.
+  `pipeline_export_jsonl_10x` writes + reads back + manifests 50k docs
+  across 8 real JSONL shards in ~1.4 s; the manifest aggregate is
+  8-group partial-agg, invariant in corpus size.
 - `pipeline_token_caps` r5 bench flag (0.157→0.287 s warm): re-measured
   r6 in an isolated session at sf0.1 — cold 0.92 s, warm min 0.379 s
   over 6 runs, plan and closure unchanged since r4 (window sum + groupBy
