@@ -11,8 +11,11 @@ import re
 from dataclasses import dataclass, field
 
 #: identifier charset for families/qualifiers
-#: (reference smoltable/src/column_key.rs:4-11: [A-Za-z0-9-_.#$], len < 512)
-_IDENT_RE = re.compile(r"^[A-Za-z0-9\-_.#$]*$")
+#: (reference smoltable/src/column_key.rs:4-11: [A-Za-z0-9-_.#$], len < 512).
+#: \A..\Z, NOT ^..$: Python $ matches before a trailing newline, so
+#: "f\n" would pass a $-anchored charset check (same hole fixed with
+#: \A..\z in sources/wire.py's Java-regex twin)
+_IDENT_RE = re.compile(r"\A[A-Za-z0-9\-_.#$]*\Z")
 
 
 def _check_ident(s: str, what: str) -> None:

@@ -990,23 +990,12 @@ def extract_features(
                 info = parse_container(bytes(payload) if payload is not None else b"")
                 content = info["content"]
                 mean_luma = rms_amp = None
-                if info["container"] == "bmp" and content:
-                    # grayscale BGR triplets: the mean over ALL bytes IS
-                    # the mean luma (r=g=b); integer sum stays exact
-                    px = np.frombuffer(content, dtype=np.uint8)
-                    mean_luma = float(int(px.sum(dtype=np.int64)) / px.size)
-                elif info["container"] == "png" and info.get("idat"):
-                    # REAL decode: zlib-inflate + PNG unfiltering
-                    if (info["depth"], info["color_type"]) != (8, 0):
-                        raise NotImplementedError(
-                            "only grayscale-8 PNG decode is implemented "
-                            f"(depth={info['depth']}, ct={info['color_type']})"
-                        )
-                    px = png_decode(info["idat"], info["width"], info["height"])
-                    mean_luma = float(int(px.sum(dtype=np.int64)) / px.size)
-                elif info["container"] == "jpeg" and info.get("scan") is not None:
-                    # REAL decode: Huffman + dequant + inverse DCT
-                    px = jpeg_decode(info)
+                # REAL decode via the shared dispatch (_decode_pixels:
+                # BMP rows / PNG inflate+unfilter / JPEG Huffman+IDCT);
+                # the mean is orientation-invariant so stored row order
+                # is fine, and the integer sum stays exact
+                px = _decode_pixels(info)
+                if px is not None:
                     mean_luma = float(int(px.sum(dtype=np.int64)) / px.size)
                 elif info["container"] == "wav" and len(content) >= 2:
                     n = len(content) // 2  # drop a trailing odd byte
@@ -1053,20 +1042,12 @@ def luma_histogram(media: DataFrame, n_buckets: int = 8) -> DataFrame:
             out = {"media_id": [], "bucket": [], "n_px": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 info = parse_container(bytes(payload) if payload is not None else b"")
-                px = None
-                if info["container"] == "bmp" and info["content"]:
-                    px = np.frombuffer(info["content"], dtype=np.uint8)[::3]
-                elif info["container"] == "png" and info.get("idat"):
-                    if (info["depth"], info["color_type"]) != (8, 0):
-                        raise NotImplementedError(
-                            "only grayscale-8 PNG decode is implemented"
-                        )
-                    px = png_decode(info["idat"], info["width"], info["height"]).ravel()
-                elif info["container"] == "jpeg" and info.get("scan") is not None:
-                    px = jpeg_decode(info).ravel()
+                # shared decode dispatch; the histogram is a bag of pixel
+                # values, so stored row order is irrelevant
+                px = _decode_pixels(info)
                 if px is None:
                     continue
-                counts = np.bincount(px // width_b, minlength=n_buckets)
+                counts = np.bincount(px.ravel() // width_b, minlength=n_buckets)
                 for b in range(n_buckets):
                     if counts[b]:
                         out["media_id"].append(int(mid))
@@ -1161,11 +1142,21 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def _decode_pixels(info: dict) -> "np.ndarray | None":
-    """Decode a parsed image container to its logical (top-down) pixel
-    matrix, or None for non-image / undecodable payloads. One shared
-    decode used by hashing/resize-style consumers so orientation handling
-    lives in exactly one place (BMP stored rows flip when ``top_down``,
-    mirroring ``resize_media``)."""
+    """Decode a parsed image container to its pixel matrix in STORED
+    content-row order, or None for non-image / undecodable payloads.
+
+    Orientation contract: rows come back exactly as the container stores
+    them — no BMP bottom-up/top-down normalization is applied. Every
+    consumer of this helper is flip-invariant (mean, histogram, the
+    average-hash mean-threshold bits are computed from values only, and
+    the hash is consistent across copies because identical payload bytes
+    decode identically); the repo's own synthesizer writes BMP rows in
+    logical order, so stored order IS logical for synthesized media.
+    A future orientation-SENSITIVE consumer (crop, OCR-style features)
+    must normalize itself: logical = stored[::-1] for spec-compliant
+    positive-height BMPs (``top_down`` False), stored as-is otherwise.
+    ``resize_media`` keeps its own decode: its flip serves re-encode row
+    alignment, a different contract."""
     cont = info["container"]
     if cont == "bmp" and info["content"]:
         arr = np.frombuffer(info["content"], dtype=np.uint8)
@@ -1174,8 +1165,7 @@ def _decode_pixels(info: dict) -> "np.ndarray | None":
             and np.array_equal(arr[1::3], arr[2::3])
         ):
             raise NotImplementedError("only grayscale BMP decode is implemented")
-        px = arr[::3].reshape(info["height"], info["width"])
-        return px[::-1] if info.get("top_down") else px
+        return arr[::3].reshape(info["height"], info["width"])
     if cont == "png" and info.get("idat"):
         if (info["depth"], info["color_type"]) != (8, 0):
             raise NotImplementedError("only grayscale-8 PNG decode is implemented")
@@ -1230,12 +1220,17 @@ def audio_features(media: DataFrame) -> DataFrame:
     )
 
 
-def ahash_media(media: DataFrame, grid: int = 8) -> DataFrame:
+#: aHash thumb edge: 8×8 = 64 bits, packed MSB-first into two 32-bit
+#: halves — fixed because the packing and the oracle SQL both assume it
+_AHASH_GRID = 8
+
+
+def ahash_media(media: DataFrame) -> DataFrame:
     """Perceptual average-hash (aHash) over FULLY DECODED pixels: decode
     (PNG inflate+unfilter / BMP rows / baseline-JPEG Huffman+IDCT),
-    nearest-neighbor resample to a ``grid``×``grid`` thumb with the same
-    integer index map as ``resize_media``, then one bit per thumb pixel:
-    ``grid² · p_j > Σp`` (strict, exact integer — no float mean). The 64
+    nearest-neighbor resample to an 8×8 thumb with the same integer
+    index map as ``resize_media``, then one bit per thumb pixel:
+    ``64 · p_j > Σp`` (strict, exact integer — no float mean). The 64
     bits pack MSB-first into two 32-bit halves (``ahash_hi``/``ahash_lo``,
     both < 2³², so BIGINT-safe in every engine).
 
@@ -1244,8 +1239,7 @@ def ahash_media(media: DataFrame, grid: int = 8) -> DataFrame:
     halves ranks near-duplicates. 100 TB shape: pure per-row map — one
     Arrow pass, 5 scalar columns out per image, payloads never leave the
     executor; the downstream dedup is a hash groupBy."""
-    if grid * grid != 64:
-        raise ValueError(f"ahash grid must pack to 64 bits, got {grid}x{grid}")
+    grid = _AHASH_GRID
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1281,7 +1275,7 @@ def ahash_media(media: DataFrame, grid: int = 8) -> DataFrame:
 
 
 def ahash_near_pairs(
-    hashes: DataFrame, max_df: int = 32, max_hamming: int = 4
+    hashes: DataFrame, max_df: int = 32, max_hamming: int = 3
 ) -> DataFrame:
     """Near-duplicate pairs from an aHash table (media_id, ahash_hi,
     ahash_lo) via banded LSH + exact Hamming verify.
@@ -1289,19 +1283,28 @@ def ahash_near_pairs(
     Candidate channels:
 
     1. **Banded**: the 64-bit hash splits into 4×16-bit bands; rows
-       sharing a band value become candidates. Bands hotter than
-       ``max_df`` postings are dropped — hot buckets (the
-       all-black-thumbnail problem) are non-discriminative and make the
-       self-join quadratic; this is the deliberate, documented recall
-       bound.
+       sharing a band value become candidates. Pigeonhole gives
+       exhaustive candidate generation only for ``max_hamming ≤ 3``
+       (bands − 1 = 3 errors cannot dirty all 4 bands) — the same
+       d ≤ bands−1 bound dedup_simhash_pairs pins against its
+       brute-force oracle; larger ``max_hamming`` is best-effort (a
+       pair with one flipped bit in every band is structurally missed).
+       Bands hotter than ``max_df`` postings are dropped — hot buckets
+       (the all-black-thumbnail problem) are non-discriminative and
+       make the self-join quadratic; this is the second deliberate,
+       documented recall bound: a d ≤ 3 pair whose only clean band is
+       hot is missed too (cap-induced, like blocked Jaccard's
+       max_block_rows tradeoff).
     2. **Exact star**: rows with IDENTICAL hashes pair to their group's
        min-id keeper — O(family) not O(family²), and exempt from the
        df-cap, so exact-dup families are found even when every band is
        hot.
 
-    Every candidate is verified with the exact Hamming distance over the
-    full 64 bits; pairs with distance ≤ ``max_hamming`` survive. Pair
-    volume is bounded by max_df²·bands + Σ family sizes.
+    Every surviving candidate is verified with the exact Hamming
+    distance over the full 64 bits; pairs with distance ≤
+    ``max_hamming`` survive. Recall = exhaustive for d ≤ 3 modulo the
+    df-cap; precision = exact (verified). Pair volume is bounded by
+    max_df²·bands + Σ family sizes.
 
     The hash table is ``localCheckpoint``-ed first: it feeds FOUR
     branches (band melt, exact-star anchor, both verify sides), and

@@ -4039,30 +4039,31 @@ _AHASH_MAX_DF = 32
     FROM cand JOIN hsh a ON a.media_id = cand.id_a
               JOIN hsh b ON b.media_id = cand.id_b
     WHERE bit_count(xor(a.ahash_hi, b.ahash_hi))
-        + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= 4
+        + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= 3
     """,
 )
 def mm_ahash_near(spark, sf_dir):
     """NEAR-duplicate image pairs via banded LSH over the average-hash:
     the 64-bit aHash splits into 4×16-bit bands; images sharing a band
-    value become candidates (Hamming ≤ 4 over 64 bits guarantees ≥1
-    clean band by pigeonhole — 4 errors can dirty at most 4 of... at
-    most 4 bands, but with ≤4 bit errors at least one of the 4 bands is
-    untouched whenever the errors don't spread 1-per-band; the df-cap is
-    the deliberate recall bound, documented below), then the exact
-    Hamming distance verifies each candidate. Two scale controls, both
-    mirrored by the oracle: (1) bands hotter than _AHASH_MAX_DF (32)
+    value become candidates. Threshold Hamming ≤ 3 = bands − 1, the
+    pigeonhole-exhaustive regime (3 bit errors cannot dirty all 4
+    bands, so every qualifying pair shares ≥1 clean band — the same
+    d ≤ bands−1 bound dedup_simhash_pairs uses), then the exact Hamming
+    distance verifies each candidate. Two scale controls, both mirrored
+    by the oracle AND pinned by adversarial tests
+    (tests/test_round6.py): (1) bands hotter than _AHASH_MAX_DF (32)
     postings are dropped — hot buckets are non-discriminative (the
-    all-black-thumbnail problem) and quadratic; (2) exact-equal hashes
-    pair through a star to the group keeper (O(n) per family, never
-    O(n²)), and that channel ignores the cap, so exact dup families are
-    found even when every band is hot. 100 TB shape: posting-list
-    equi-joins on (band_no, band_val), no global sort, pair volume
-    bounded by cap²·bands + exact-family sizes."""
+    all-black-thumbnail problem) and quadratic; a d ≤ 3 pair whose only
+    clean band is hot is the documented cap-induced miss; (2)
+    exact-equal hashes pair through a star to the group keeper (O(n)
+    per family, never O(n²)), and that channel ignores the cap, so
+    exact dup families are found even when every band is hot. 100 TB
+    shape: posting-list equi-joins on (band_no, band_val), no global
+    sort, pair volume bounded by cap²·bands + exact-family sizes."""
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.synthesize_media(docs)
     h = multimodal.ahash_media(media)
-    return multimodal.ahash_near_pairs(h, max_df=_AHASH_MAX_DF, max_hamming=4)
+    return multimodal.ahash_near_pairs(h, max_df=_AHASH_MAX_DF, max_hamming=3)
 
 
 # ---------------------------------------------------------------------------

@@ -35,9 +35,11 @@ WIRE_SCHEMA = (
 )
 
 #: reference identifier rule (smoltable/src/column_key.rs:4-11):
-#: [A-Za-z0-9-_.#$], len < 512; family non-empty, qualifier may be empty
-_IDENT_SQL = r"^[A-Za-z0-9\-_.#$]{1,511}$"
-_QUAL_SQL = r"^[A-Za-z0-9\-_.#$]{0,511}$"
+#: [A-Za-z0-9-_.#$], len < 512; family non-empty, qualifier may be empty.
+#: \A..\z anchors, NOT ^..$: Java regex $ matches before a trailing line
+#: terminator, so "f\n" would pass a $-anchored charset check
+_IDENT_SQL = r"\A[A-Za-z0-9\-_.#$]{1,511}\z"
+_QUAL_SQL = r"\A[A-Za-z0-9\-_.#$]{0,511}\z"
 
 _VTYPES = ("string", "boolean", "byte", "i32", "i64", "f32", "f64")
 _VCOLS = {
@@ -73,15 +75,16 @@ def cells_from_json_wire(
     is rejected, nothing partial commits.
     """
     parsed = batches.select(
-        F.from_json(F.col(json_col), WIRE_SCHEMA).alias("b"),
+        F.from_json(F.col(json_col), WIRE_SCHEMA).alias("b")
+    ).select(
+        "b",
         # unparseable body ⟺ null struct/items; an EMPTY items array is a
-        # valid (if pointless) batch and must NOT be flagged
-        (
-            F.from_json(F.col(json_col), WIRE_SCHEMA).isNull()
-            | F.from_json(F.col(json_col), WIRE_SCHEMA)
-            .getField("items")
-            .isNull()
-        ).alias("_parse_fail"),
+        # valid (if pointless) batch and must NOT be flagged. Deriving
+        # the flag from the already-parsed alias keeps from_json to ONE
+        # evaluation per body.
+        (F.col("b").isNull() | F.col("b.items").isNull()).alias(
+            "_parse_fail"
+        ),
     )
     rows = parsed.select(
         "_parse_fail", F.explode_outer(F.col("b.items")).alias("item")
@@ -92,6 +95,12 @@ def cells_from_json_wire(
         F.explode_outer(F.col("item.cells")).alias("c"),
     )
     fam_split = F.split(F.col("c.column_key"), ":", 2)
+    # the serde enum carries EXACTLY one variant; a hand-rolled body with
+    # zero or several non-null variants is malformed (rows_to_cells, the
+    # driver-side twin, raises on the same input)
+    n_variants = sum(
+        F.col(f"c.value.{t}").isNotNull().cast("int") for t in _VTYPES
+    )
     vtype = F.coalesce(
         *[
             F.when(F.col(f"c.value.{t}").isNotNull(), F.lit(t))
@@ -124,15 +133,19 @@ def cells_from_json_wire(
                 | ~F.coalesce(F.get(fam_split, 1), F.lit("")).rlike(
                     _QUAL_SQL
                 )
-                | vtype.isNull()
+                | (n_variants != 1)
                 | F.col("row_key").isNull()
             )
         ).alias("_bad"),
         has_cell.alias("_has_cell"),
     )
     if strict:
-        # reference 400 parity: one aggregate, whole batch rejected on
-        # any malformed cell or unparseable body
+        # reference 400 parity: whole batch rejected on any malformed
+        # cell or unparseable body. Materialize the parsed cells ONCE
+        # (localCheckpoint) so the gate's count and the returned
+        # DataFrame's consumption don't each re-scan + re-parse every
+        # body.
+        typed = typed.localCheckpoint()
         bad = typed.filter(F.col("_bad") | F.col("_parse_fail")).count()
         if bad:
             raise ValueError(

@@ -67,11 +67,6 @@ class TestAhashMedia:
         assert got[0] == got[1536]
         assert got[0] != got[6]
 
-    def test_grid_must_pack_to_64_bits(self, spark):
-        docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
-        with pytest.raises(ValueError, match="64 bits"):
-            M.ahash_media(M.synthesize_media(docs), grid=4)
-
     def test_non_images_produce_no_rows(self, spark):
         docs = spark.createDataFrame(
             [(1, "audio doc"), (2, "video doc")], "doc_id long, text string"
@@ -117,12 +112,52 @@ class TestAhashNearPairs:
         dist = bin(
             (hm[1][0] ^ hm[2][0]) | ((hm[1][1] ^ hm[2][1]) << 32)
         ).count("1")
-        assert 0 < dist <= 4  # genuinely a NEAR (not exact) duplicate
+        assert 0 < dist <= 3  # genuinely a NEAR (not exact) duplicate
         pairs = {
             (r["id_a"], r["id_b"]): r["hamming"]
             for r in M.ahash_near_pairs(h).collect()
         }
         assert pairs.get((1, 2)) == dist
+
+    @staticmethod
+    def _bitmask_image(on_bits):
+        """8x8 image whose aHash bits are EXACTLY ``on_bits``: with
+        pixels in {0, 255} and 1 <= k <= 63 pixels at 255, bit_j =
+        (64*p_j > 255k) <=> p_j == 255 — full bit-level hash control
+        (an 8x8 source makes the thumb the identity map)."""
+        px = np.zeros(64, dtype=np.uint8)
+        px[list(on_bits)] = 255
+        return px.reshape(8, 8)
+
+    def test_pigeonhole_exhaustive_at_hamming_3(self, spark):
+        """d = 3 with one error in three DIFFERENT bands leaves band 4
+        clean — the pair MUST surface (the pigeonhole contract)."""
+        base = set(range(8, 28))  # 20 on-bits
+        d3 = (base ^ {5}) ^ {21} ^ {37}  # one flip in bands 0, 1, 2
+        media = _bmp_media(
+            spark,
+            [(1, self._bitmask_image(base)), (2, self._bitmask_image(d3))],
+        )
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in M.ahash_near_pairs(M.ahash_media(media)).collect()
+        }
+        assert pairs == {(1, 2): 3}
+
+    def test_band_spread_hamming_4_documented_miss(self, spark):
+        """d = 4 with one error in EVERY band dirties all 4 bands: no
+        banded candidate, hashes unequal so no star — the structural
+        recall bound the docstring documents (and the reason the
+        default threshold is bands-1 = 3). Pinned so the bound is a
+        contract, not an accident."""
+        base = set(range(8, 28))
+        d4 = ((base ^ {5}) ^ {21} ^ {37}) ^ {53}  # one flip per band
+        media = _bmp_media(
+            spark,
+            [(1, self._bitmask_image(base)), (2, self._bitmask_image(d4))],
+        )
+        out = M.ahash_near_pairs(M.ahash_media(media), max_hamming=4).collect()
+        assert out == []  # would need a 5th band (or brute force) to find
 
     def test_hot_exact_family_found_via_star_despite_cap(self, spark):
         """40 identical images blow past max_df=32 in EVERY band, so the
@@ -261,7 +296,16 @@ class TestWireIngest:
         for bad in (
             '{"items": [{"row_key": "r", "cells": '
             '[{"column_key": "bad key!", "value": {"i64": 1}}]}]}',
+            # zero variants
             '{"items": [{"row_key": "r", "cells": [{"column_key": "f:q"}]}]}',
+            # AMBIGUOUS: two variants — rows_to_cells raises on the same
+            # input, the distributed path must reject it too
+            '{"items": [{"row_key": "r", "cells": [{"column_key": "f:q", '
+            '"value": {"string": "x", "i64": 7}}]}]}',
+            # trailing newline inside the family: $-anchored regexes
+            # would let this through (Java $ matches before a final \n)
+            '{"items": [{"row_key": "r", "cells": [{"column_key": "f\\n:q", '
+            '"value": {"i64": 1}}]}]}',
             "not json at all",
         ):
             with pytest.raises(ValueError, match="wire batch rejected"):

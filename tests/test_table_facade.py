@@ -207,3 +207,18 @@ def test_ident_length_boundary_matches_reference():
         ColumnKey("f", "q" * 512)
     with pytest.raises(ValueError, match="invalid family"):
         ColumnKey("f" * 512, None)
+
+
+def test_ident_rejects_trailing_newline():
+    """$-anchored regexes match before a trailing newline (Python re AND
+    Java rlike), so 'f\\n' used to pass the charset check and enter the
+    store as an unfilterable key. \\A..\\Z anchoring closes it — same
+    fix as sources/wire.py's distributed twin."""
+    import pytest
+
+    from smoltable_spark.api import ColumnKey
+
+    with pytest.raises(ValueError, match="invalid family"):
+        ColumnKey("f\n", None)
+    with pytest.raises(ValueError, match="invalid qualifier"):
+        ColumnKey("f", "q\n")
