@@ -1,0 +1,60 @@
+"""Persisted-ANN-index MAINTENANCE: incremental adds without retrain.
+
+``build_ivf_index`` (functions/similarity.py) pays the corpus assignment
+shuffle once and materializes inverted lists ``partitionBy(list_id)``.
+At serving scale the corpus is not static — new vectors land every day —
+and re-building a 100 TB index per batch is not viable. The standard
+IVF answer (FAISS ``add``): keep the coarse quantizer FROZEN, assign
+only the new vectors, and append them to their lists. Here that maps to
+a parquet ``mode("append")`` into the same ``list_id=`` directories —
+new row-files land beside the old ones (LSM-style: the "delta" is just
+more files in the partition), queries keep reading base+delta
+transparently through the same partition-pruned scan, and nothing is
+rewritten.
+
+The tradeoff is the honest one from the ANN literature: a frozen
+quantizer drifts as the distribution shifts — lists imbalance and
+recall decays — so production systems re-train centroids at a slow
+cadence (the rebuild path that already exists) while ``append`` serves
+the fast path. That split, fast appends + slow rebuilds, is exactly the
+compaction story the CellStore uses for table data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from smoltable_spark.functions.similarity import (
+    _nearest_centroids,
+    with_quantized_norm,
+)
+
+
+def append_ivf_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Add vectors to a persisted IVF index WITHOUT retraining: assign
+    each new vector to its nearest list under the index's own persisted
+    centroids (the quantizer stays frozen, so existing assignments —
+    and therefore existing files — remain valid), then parquet-append
+    into the same ``partitionBy(list_id)`` layout. Cost: one broadcast
+    assignment pass + O(new rows) write; the base index is never read
+    or rewritten. ``query_ivf_index`` serves base + appended rows
+    through the identical partition-pruned scan with no code change."""
+    cents = spark.read.parquet(path.rstrip("/") + "/_centroids")
+    nv = with_quantized_norm(new_vectors, vec_col).select(
+        F.col(id_col).alias("vec_id"), "q", "nrm2"
+    )
+    assign = _nearest_centroids(nv, cents, nprobe=1).select(
+        "vec_id", "list_id"
+    )
+    (
+        nv.join(assign, "vec_id")
+        .write.mode("append")
+        .partitionBy("list_id")
+        .parquet(path)
+    )

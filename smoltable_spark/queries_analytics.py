@@ -2831,6 +2831,50 @@ def ann_ivf_persisted(spark, sf_dir):
     ).withColumn("rank", F.col("rank").cast("int"))
 
 
+@q("ann_ivf_incremental", _ann_ivf_oracle(k=10, n_centroids=8, nprobe=2))
+def ann_ivf_incremental(spark, sf_dir):
+    """Persisted-index MAINTENANCE: incremental vector adds without
+    retrain (functions/ann_index.py::append_ivf_index — FAISS ``add``
+    semantics). Day-1 (even vec_ids) builds the index; day-2 (odd
+    vec_ids) is APPENDED under the frozen persisted quantizer — a
+    parquet ``mode(\"append\")`` into the same ``list_id=`` partitions,
+    so the new rows are just extra files beside the old ones (the
+    LSM-delta shape) and nothing is read back or rewritten. The oracle
+    is ann_ivf_persisted's full-rebuild oracle VERBATIM: because the
+    quantizer is frozen (explicit vec_id < 8 centroids over the full
+    corpus), append-then-query must be BIT-IDENTICAL to
+    build-everything-then-query — the equivalence that makes
+    incremental maintenance trustworthy. Frozen-quantizer drift (list
+    imbalance as the distribution shifts) is the documented tradeoff;
+    the slow-cadence re-train path is the existing
+    ann_cosine_ivf_kmeans + build, exactly the CellStore's
+    fast-append / slow-compaction split."""
+    from smoltable_spark.functions.ann_index import append_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = (spark.sparkContext.applicationId, sf_dir, "ivf_incr")
+    if key not in _INDEX_PATH_CACHE:
+        import tempfile as _tf
+
+        path = _tf.mkdtemp(prefix="smoltable_ivf_incr_") + "/ivf"
+        cents = similarity.with_quantized_norm(
+            emb.filter(F.col("vec_id") < 8), "embedding"
+        ).select(
+            F.col("vec_id").alias("cid"),
+            F.col("q").alias("cq"),
+            F.col("nrm2").alias("cn2"),
+        )
+        similarity.build_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 0), path, centroids=cents
+        )
+        append_ivf_index(spark, path, emb.filter(F.col("vec_id") % 2 == 1))
+        _INDEX_PATH_CACHE[key] = path
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.query_ivf_index(
+        spark, _INDEX_PATH_CACHE[key], queries, k=10, nprobe=2
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
 def _ann_ivf_kmeans_oracle(
     k: int = 10, n_centroids: int = 8, nprobe: int = 2, iters: int = 2, dim: int = 64
 ) -> str:

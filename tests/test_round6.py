@@ -328,6 +328,63 @@ class TestWireIngest:
         assert len(out) == 1 and out[0]["v_i64"] == 1
 
 
+class TestIvfIncremental:
+    def test_append_equals_rebuild_and_preserves_base_files(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Appending under the frozen quantizer must (a) serve results
+        bit-identical to a full rebuild, (b) leave every base index file
+        untouched on disk (pure file-append, nothing rewritten)."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from smoltable_spark.functions import similarity
+        from smoltable_spark.functions.ann_index import append_ivf_index
+        from smoltable_spark.sources.relational import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = similarity.with_quantized_norm(
+            emb.filter(F.col("vec_id") < 8), "embedding"
+        ).select(
+            F.col("vec_id").alias("cid"),
+            F.col("q").alias("cq"),
+            F.col("nrm2").alias("cn2"),
+        )
+        queries = emb.filter(F.col("vec_id") < 5)
+
+        full = str(tmp_path / "full")
+        similarity.build_ivf_index(emb, full, centroids=cents)
+        want = sorted(
+            map(tuple, similarity.query_ivf_index(
+                spark, full, queries, k=10, nprobe=2).collect())
+        )
+
+        incr = str(tmp_path / "incr")
+        similarity.build_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 0), incr, centroids=cents
+        )
+        before = {
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(incr)
+            for f in fs
+            if f.endswith(".parquet")
+        }
+        append_ivf_index(spark, incr, emb.filter(F.col("vec_id") % 2 == 1))
+        after = {
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(incr)
+            for f in fs
+            if f.endswith(".parquet")
+        }
+        assert before < after  # base files intact, new files appended
+        got = sorted(
+            map(tuple, similarity.query_ivf_index(
+                spark, incr, queries, k=10, nprobe=2).collect())
+        )
+        assert got == want  # append ≡ rebuild under the frozen quantizer
+
+
 class TestResizeRoundtrip:
     def test_registry_query_pins(self, spark, sf_dir):
         from smoltable_spark.queries_analytics import ANALYTICS_QUERIES
