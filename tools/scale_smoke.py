@@ -746,6 +746,9 @@ def main():
         # sharded JSONL export+readback manifest over 50k docs
         "stream_late_data",
         "pipeline_export_jsonl",
+        # r6c: frozen-quantizer incremental adds over the 500k-vector
+        # corpus (build even half, append odd half, serve both)
+        "ann_ivf_incremental",
     ):
         _fn = _AQ[_nq][0]
         timed(f"{_nq}_10x", lambda _f=_fn: _f(spark, OUT).count())
@@ -924,6 +927,12 @@ Steady-state timings (2nd run per op). Reading the table:
   `pipeline_export_jsonl_10x` writes + reads back + manifests 50k docs
   across 8 real JSONL shards in ~1.4 s; the manifest aggregate is
   8-group partial-agg, invariant in corpus size.
+- `ann_ivf_incremental_10x` (~1 s to serve after build+append over the
+  320k-vector set): day-2 vectors append into the persisted index's
+  list_id= partitions under the frozen quantizer — one broadcast
+  assignment pass + O(new) write, base files untouched, and the query
+  path is unchanged partition-pruned serving. The green oracle row is
+  the strong claim: append-then-query ≡ full-rebuild bit-exactly.
 - `pipeline_token_caps` r5 bench flag (0.157→0.287 s warm): re-measured
   r6 in an isolated session at sf0.1 — cold 0.92 s, warm min 0.379 s
   over 6 runs, plan and closure unchanged since r4 (window sum + groupBy
