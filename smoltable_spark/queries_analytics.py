@@ -6848,6 +6848,99 @@ def rel_events_day_prune(spark, sf_dir):
     )
 
 
+_ZORDER_STORE_CACHE: dict = {}
+
+#: the 2-D box the z-order query reads: day buckets {2,3,4} × user
+#: buckets {1..5} ⟹ 15 of the 64 Morton partitions
+_Z_DAYS = [2, 3, 4]
+_Z_USERS = [1, 2, 3, 4, 5]
+
+
+def _events_zorder_store(spark, sf_dir):
+    from smoltable_spark.functions.layout import morton2
+
+    key = (spark.sparkContext.applicationId, sf_dir, "zorder")
+    if key not in _ZORDER_STORE_CACHE:
+        import tempfile as _tf
+
+        path = _tf.mkdtemp(prefix="smoltable_zorder_") + "/events_z"
+        ev = load_table(spark, sf_dir, "events")
+        zb = morton2(
+            F.expr(f"ts div {_DAY_NS}") % 8,
+            (F.col("user_id") % 8).cast("int"),
+            bits=3,
+        )
+        (
+            ev.withColumn("zb", zb)
+            .repartition("zb")
+            .write.partitionBy("zb")
+            .parquet(path)
+        )
+        _ZORDER_STORE_CACHE[key] = path
+    return _ZORDER_STORE_CACHE[key]
+
+
+@q(
+    "rel_events_zorder_prune",
+    f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum({cents_sql('value')}) AS BIGINT) AS total_cents,
+           CAST({len(_Z_DAYS) * len(_Z_USERS)} AS INT) AS n_parts_read,
+           CAST(64 AS INT) AS n_parts_total
+    FROM events
+    WHERE (epoch_ns(ts) // {_DAY_NS}) % 8 BETWEEN {_Z_DAYS[0]} AND {_Z_DAYS[-1]}
+      AND user_id % 8 BETWEEN {_Z_USERS[0]} AND {_Z_USERS[-1]}
+    GROUP BY event_type
+    """,
+)
+def rel_events_zorder_prune(spark, sf_dir):
+    """Z-ORDER layout: 2-D partition pruning for a (time range AND key
+    range) box. The events table is materialized ONCE partitioned by
+    the Morton interleave of (day bucket, user bucket)
+    (functions/layout.py::morton2 — the Delta/Iceberg Z-ORDER idea with
+    the key surfaced as an explicit partition column), so a box
+    predicate touching 3 day buckets × 5 user buckets reads exactly
+    15 of 64 partitions: the covering set is closed-form from the box
+    bounds (zorder_covering) and appears in the plan as a metadata-level
+    ``zb IN (...)`` partition filter (PLANS.md). A 1-D day layout would
+    read all 8 user buckets of those days — 24 cells — and a 1-D user
+    layout all 8 days — 40; the interleave reads the true 15. The
+    residual exact predicates keep correctness independent of the
+    covering math (morton2 is a bijection, so the set is exact, but the
+    oracle shouldn't have to trust that); day/user buckets are modulo
+    reductions so every bucket is populated at every SF — a production
+    deployment would use real dates and coarser key ranges, same plan
+    shape. n_parts_read/total are the pinned pruning constants, the
+    wc_plan_probe pattern."""
+    from smoltable_spark.functions.layout import zorder_covering
+
+    path = _events_zorder_store(spark, sf_dir)
+    store = spark.read.parquet(path)
+    covering = zorder_covering(_Z_DAYS, _Z_USERS, bits=3)
+    day_b = F.expr(f"ts div {_DAY_NS}") % 8
+    user_b = F.col("user_id") % 8
+    return (
+        store.filter(F.col("zb").isin(covering))  # partition pruning
+        .filter(
+            day_b.between(_Z_DAYS[0], _Z_DAYS[-1])
+            & user_b.between(_Z_USERS[0], _Z_USERS[-1])
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents(F.col("value"))).alias("total_cents"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "total_cents",
+            F.lit(len(covering)).cast("int").alias("n_parts_read"),
+            F.lit(64).cast("int").alias("n_parts_total"),
+        )
+    )
+
+
 @q(
     "rel_events_json_extract",
     f"""

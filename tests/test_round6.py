@@ -385,6 +385,71 @@ class TestIvfIncremental:
         assert got == want  # append ≡ rebuild under the frozen quantizer
 
 
+class TestZorderLayout:
+    def test_morton_bijection_and_covering(self, spark):
+        """morton2 (Column) and morton2_py agree, form a bijection over
+        [0,8)^2, and the covering set is exactly the box's cells."""
+        from pyspark.sql import functions as F
+
+        from smoltable_spark.functions.layout import (
+            morton2,
+            morton2_py,
+            zorder_covering,
+        )
+
+        grid = spark.createDataFrame(
+            [(a, b) for a in range(8) for b in range(8)], "a int, b int"
+        )
+        got = {
+            (r["a"], r["b"]): r["z"]
+            for r in grid.select(
+                "a", "b", morton2(F.col("a"), F.col("b")).alias("z")
+            ).collect()
+        }
+        zs = set()
+        for (a, b), z in got.items():
+            assert z == morton2_py(a, b)
+            zs.add(z)
+        assert zs == set(range(64))  # bijection onto [0, 64)
+        cov = zorder_covering([2, 3, 4], [1, 2, 3, 4, 5])
+        assert len(cov) == 15 and cov == sorted(cov)
+        assert set(cov) == {morton2_py(a, b) for a in (2, 3, 4)
+                            for b in (1, 2, 3, 4, 5)}
+
+    def test_query_matches_unpartitioned_box(self, spark, sf_dir):
+        """The pruned read over the z-store must equal the same box
+        aggregate over the raw table — pruning may never change results."""
+        from pyspark.sql import functions as F
+
+        from smoltable_spark.queries_analytics import (
+            _DAY_NS,
+            ANALYTICS_QUERIES,
+        )
+        from smoltable_spark.queries_util import cents
+        from smoltable_spark.sources.relational import load_table
+
+        fn, _oracle = ANALYTICS_QUERIES["rel_events_zorder_prune"]
+        got = {
+            r["event_type"]: (r["n_events"], r["total_cents"])
+            for r in fn(spark, sf_dir).collect()
+        }
+        ev = load_table(spark, sf_dir, "events")
+        day_b = F.expr(f"ts div {_DAY_NS}") % 8
+        want = {
+            r["event_type"]: (r["n"], r["tc"])
+            for r in ev.filter(
+                day_b.between(2, 4) & (F.col("user_id") % 8).between(1, 5)
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(cents(F.col("value"))).alias("tc"),
+            )
+            .collect()
+        }
+        assert got == want
+
+
 class TestResizeRoundtrip:
     def test_registry_query_pins(self, spark, sf_dir):
         from smoltable_spark.queries_analytics import ANALYTICS_QUERIES

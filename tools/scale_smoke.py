@@ -749,6 +749,9 @@ def main():
         # r6c: frozen-quantizer incremental adds over the 500k-vector
         # corpus (build even half, append odd half, serve both)
         "ann_ivf_incremental",
+        # r6c: Morton-partitioned 2-D box read over 1M events
+        # (15 of 64 partitions — the z-order pruning claim at 10x)
+        "rel_events_zorder_prune",
     ):
         _fn = _AQ[_nq][0]
         timed(f"{_nq}_10x", lambda _f=_fn: _f(spark, OUT).count())
@@ -933,6 +936,11 @@ Steady-state timings (2nd run per op). Reading the table:
   assignment pass + O(new) write, base files untouched, and the query
   path is unchanged partition-pruned serving. The green oracle row is
   the strong claim: append-then-query ≡ full-rebuild bit-exactly.
+- `rel_events_zorder_prune_10x` (~0.6 s over 1M events): the Morton
+  composite partition key turns the (3 day-buckets × 5 user-buckets)
+  box into a metadata-level `zb IN (15 of 64)` partition filter —
+  wall tracks the box's share of the table, not the table; a 1-D day
+  layout would read 24 cells and a 1-D user layout 40 for the same box.
 - `pipeline_token_caps` r5 bench flag (0.157→0.287 s warm): re-measured
   r6 in an isolated session at sf0.1 — cold 0.92 s, warm min 0.379 s
   over 6 runs, plan and closure unchanged since r4 (window sum + groupBy
