@@ -941,6 +941,11 @@ Steady-state timings (2nd run per op). Reading the table:
   box into a metadata-level `zb IN (15 of 64)` partition filter —
   wall tracks the box's share of the table, not the table; a 1-D day
   layout would read 24 cells and a 1-D user layout 40 for the same box.
+- `txt_bigram_lm` r6 bench flag (1.21→2.08 s warm in the final run):
+  isolated re-measure 1.49 s min over 5 runs (ratio 1.23, within the
+  gate; closure unchanged all round) — the same in-run scheduler-tail
+  noise as the four wc scans below, just over the 0.5 s materiality
+  floor. The committed record keeps the honest in-run number.
 - `pipeline_token_caps` r5 bench flag (0.157→0.287 s warm): re-measured
   r6 in an isolated session at sf0.1 — cold 0.92 s, warm min 0.379 s
   over 6 runs, plan and closure unchanged since r4 (window sum + groupBy
