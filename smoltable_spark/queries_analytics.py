@@ -10221,3 +10221,104 @@ def pipeline_export_jsonl(spark, sf_dir):
         F.sum(sig).alias("content_sig"),
         F.sum("d.n_chars").alias("n_chars_total"),
     )
+
+
+#: Matryoshka truncation width for the dimension-adaptive recall probe
+_MRL_DIMS = 16
+
+
+def _ann_trunc_oracle(k: int = 10, dims: int = _MRL_DIMS) -> str:
+    """Brute-force cosine top-k over the FIRST ``dims`` dimensions only —
+    the truncated leg of the Matryoshka probe (same quantize-then-dot
+    exactness discipline; slicing commutes with per-element rounding)."""
+    qvec = (
+        f"list_transform(embedding[1:{dims}], "
+        f"x -> CAST(round(CAST(x AS DOUBLE) * {_QUANT}) AS BIGINT))"
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, {qvec} AS q FROM embeddings),
+    n AS (SELECT vec_id, q,
+                 list_sum(list_transform(q, x -> x * x)) AS nrm2 FROM v),
+    qs AS (SELECT * FROM n WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(c.q) + 1),
+                 i -> c.q[i] * q.q[i])) /
+             (sqrt(CAST(c.nrm2 AS DOUBLE)) * sqrt(CAST(q.nrm2 AS DOUBLE)))
+                 AS cosine
+      FROM n c JOIN qs q ON c.vec_id <> q.vec_id),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@q(
+    "ann_matryoshka_recall",
+    f"""
+    WITH bt AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM ({_ann_oracle(k=10)})),
+    tr AS MATERIALIZED (
+        SELECT query_id, neighbor_id
+        FROM ({_ann_trunc_oracle(k=10, dims=_MRL_DIMS)})),
+    ov AS (SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+           FROM bt b JOIN tr ON tr.query_id = b.query_id
+                            AND tr.neighbor_id = b.neighbor_id
+           GROUP BY 1)
+    SELECT b.query_id, CAST(count(*) AS BIGINT) AS k,
+           CAST(coalesce(any_value(ov.n_overlap), 0) AS BIGINT) AS n_overlap,
+           CAST(coalesce(any_value(ov.n_overlap), 0) * 1000 // count(*)
+               AS BIGINT) AS recall_milli
+    FROM bt b LEFT JOIN ov USING (query_id)
+    GROUP BY b.query_id
+    """,
+)
+def ann_matryoshka_recall(spark, sf_dir):
+    """Matryoshka (dimension-truncated) retrieval recall, driver-pinned:
+    per query, the overlap between the exact full-dimension cosine
+    top-10 and the top-10 computed over only the FIRST 16 of 64
+    dimensions — the MRL serving question ("how much recall does a 4×
+    cheaper prefix-embedding retrieval keep?") as an exact integer
+    permille. Prefix truncation is the dimension-adaptive analogue of
+    PQ's code compression: the first-stage retrieval scans 16-float
+    vectors (4× less IO and dot-product work per candidate), and the
+    full vectors re-rank only the survivors — ann_adc_refined's
+    coarse-then-refine shape with slicing instead of codebooks. Both
+    legs quantize AFTER slicing, which equals slicing the quantized
+    vector (per-element rounding commutes), so the oracle's list-slice
+    arithmetic is bit-identical. At 100 TB the truncated leg is the
+    same broadcast zero-shuffle corpus scan as ann_cosine_topk, just
+    on a 4×-narrower column."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    trunc = emb.select(
+        "vec_id", F.slice(F.col("embedding"), 1, _MRL_DIMS).alias("embedding")
+    )
+    queries_full = emb.filter(F.col("vec_id") < 5)
+    queries_trunc = trunc.filter(F.col("vec_id") < 5)
+    bt = similarity.cosine_topk_bruteforce(emb, queries_full, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    tr = similarity.cosine_topk_bruteforce(
+        trunc, queries_trunc, k=10
+    ).select(
+        F.col("query_id").alias("_qi"), F.col("neighbor_id").alias("_ni")
+    )
+    ov = (
+        bt.join(
+            tr,
+            (F.col("query_id") == F.col("_qi"))
+            & (F.col("neighbor_id") == F.col("_ni")),
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    per = bt.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+    return per.join(ov, "query_id", "left").select(
+        "query_id",
+        F.col("k").cast("long").alias("k"),
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+        F.expr("coalesce(n_overlap, 0) * 1000 div k")
+        .cast("long")
+        .alias("recall_milli"),
+    )

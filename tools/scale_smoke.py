@@ -752,6 +752,8 @@ def main():
         # r6c: Morton-partitioned 2-D box read over 1M events
         # (15 of 64 partitions — the z-order pruning claim at 10x)
         "rel_events_zorder_prune",
+        # r6c: Matryoshka prefix-dim recall probe over 320k vectors
+        "ann_matryoshka_recall",
     ):
         _fn = _AQ[_nq][0]
         timed(f"{_nq}_10x", lambda _f=_fn: _f(spark, OUT).count())
@@ -941,6 +943,13 @@ Steady-state timings (2nd run per op). Reading the table:
   box into a metadata-level `zb IN (15 of 64)` partition filter —
   wall tracks the box's share of the table, not the table; a 1-D day
   layout would read 24 cells and a 1-D user layout 40 for the same box.
+- `ann_matryoshka_recall_10x`: the truncated leg is the same
+  zero-shuffle broadcast corpus scan on a 4x-narrower slice; recall vs
+  the full-dim top-10 is LOW on this corpus (10-30%) and that is the
+  honest reading — synthetic embeddings have no MRL-style information
+  concentration in their prefix dims, which is precisely what the probe
+  measures (an MRL-trained model would hold 90%+ here; the probe is the
+  acceptance gate for enabling prefix-dim first-stage retrieval).
 - `txt_bigram_lm` r6 bench flag (1.21→2.08 s warm in the final run):
   isolated re-measure 1.49 s min over 5 runs (ratio 1.23, within the
   gate; closure unchanged all round) — the same in-run scheduler-tail
