@@ -322,10 +322,26 @@ class TestWireIngest:
         body = (
             '{"items": [{"row_key": "r", "cells": ['
             '{"column_key": "f:q", "value": {"i64": 1}},'
-            '{"column_key": "bad key!", "value": {"i64": 2}}]}]}'
+            '{"column_key": "bad key!", "value": {"i64": 2}},'
+            '{"column_key": "f:two", "value": {"i64": 3, "string": "x"}}]}]}'
         )
         out = self._parse(spark, [body], strict=False).collect()
         assert len(out) == 1 and out[0]["v_i64"] == 1
+
+
+def test_matryoshka_quantize_slice_commutes():
+    """The oracle slices THEN quantizes; the engine quantizes (inside
+    with_quantized_norm) a pre-sliced vector. Per-element rounding makes
+    the two orders identical — the property the bit-exact cert rests on."""
+    import numpy as np
+
+    from smoltable_spark.functions.similarity import QUANT
+
+    rng = np.random.RandomState(11)
+    v = rng.randn(64).astype(np.float32)
+    quantized_then_sliced = np.round(v.astype(np.float64) * QUANT)[:16]
+    sliced_then_quantized = np.round(v[:16].astype(np.float64) * QUANT)
+    assert np.array_equal(quantized_then_sliced, sliced_then_quantized)
 
 
 class TestIvfIncremental:
