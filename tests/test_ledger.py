@@ -91,25 +91,39 @@ def test_certification_debt_is_changed_union_never_green(monkeypatch):
     assert L.certification_debt(merged) == ["q0", "q1", "q3", "q4"]
 
 
-def test_window_check_enforces_debt_budget():
+def test_window_check_enforces_debt_budget(tmp_path, monkeypatch, capsys):
     """--window-check must FAIL when the certification debt exceeds
-    WINDOW × budget-rounds (debt growth becomes a build error), and
-    pass under the default budget after a drain."""
-    import subprocess
+    WINDOW × budget-rounds (debt growth becomes a build error).
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    tool = os.path.join(repo, "tools", "oracle_ledger.py")
-    r0 = subprocess.run(
-        [sys.executable, tool, "--window-check", "--budget-rounds", "0"],
-        capture_output=True, text=True, cwd=repo,
-    )
-    # registry has >0 uncertified queries at any point mid-round
-    assert r0.returncode == 1 and "certification debt" in r0.stdout
-    r2 = subprocess.run(
-        [sys.executable, tool, "--window-check"],
-        capture_output=True, text=True, cwd=repo,
-    )
-    assert "debt ok" in r2.stdout or "certification debt" in r2.stdout
+    VERDICT r6 finding #1: the old form asserted the LIVE repo has >0
+    uncertified queries, which is false in exactly the end-of-round
+    drained state the driver ships — so this now plants a synthetic
+    ledger (real ledger minus a few stamps → guaranteed debt) instead
+    of asserting live-repo debt, and keeps a live-repo run only for
+    the rc-0 "debt ok" direction under the default budget."""
+    import json
+
+    real = L.load_ledger()
+    assert len(real) > 3, "live ledger unexpectedly tiny"
+    planted = dict(real)
+    for n in list(planted)[:3]:
+        del planted[n]  # 3 queries now read as never-stamped → debt ≥ 3
+    bad = tmp_path / "ledger.json"
+    bad.write_text(json.dumps(planted))
+    monkeypatch.setattr(L, "LEDGER_PATH", str(bad))
+    monkeypatch.setattr(sys, "argv",
+                        ["oracle_ledger.py", "--window-check",
+                         "--budget-rounds", "0"])
+    rc = L.main()
+    out = capsys.readouterr().out
+    assert rc == 1 and "certification debt" in out
+
+    # live repo, default budget: must not blow the 2-round budget
+    monkeypatch.undo()  # restore the real LEDGER_PATH (and argv)
+    monkeypatch.setattr(sys, "argv", ["oracle_ledger.py", "--window-check"])
+    rc2 = L.main()
+    out2 = capsys.readouterr().out
+    assert rc2 == 0 and "debt ok" in out2
 
 
 def test_coverage_flag_is_dry_run_by_default():
