@@ -44,7 +44,13 @@ def append_ivf_index(
     into the same ``partitionBy(list_id)`` layout. Cost: one broadcast
     assignment pass + O(new rows) write; the base index is never read
     or rewritten. ``query_ivf_index`` serves base + appended rows
-    through the identical partition-pruned scan with no code change."""
+    through the identical partition-pruned scan with no code change.
+
+    Concurrency contract: readers may run concurrently with an append
+    (staged write + per-file rename publish — see inline comment), but
+    appends assume a SINGLE writer per index (the staging dir is a fixed
+    name; two concurrent appenders would collide). Serialize appends per
+    index, exactly like LSM memtable flushes."""
     cents = spark.read.parquet(path.rstrip("/") + "/_centroids")
     nv = with_quantized_norm(new_vectors, vec_col).select(
         F.col(id_col).alias("vec_id"), "q", "nrm2"
@@ -52,9 +58,37 @@ def append_ivf_index(
     assign = _nearest_centroids(nv, cents, nprobe=1).select(
         "vec_id", "list_id"
     )
+    # ADVICE r6: a bare mode("append") exposes partially-committed task
+    # files to a concurrent reader while the committer moves them. Stage
+    # the delta under a dot-prefixed dir INSIDE the index (same
+    # filesystem, so renames are metadata ops; parquet partition
+    # discovery ignores dot/underscore-prefixed paths, so readers never
+    # see the staging area), then move the finished files into their
+    # ``list_id=`` partitions LAST — the LSM "atomic memtable flush"
+    # shape. Each rename is atomic, so a reader concurrent with the
+    # publish step observes a clean prefix of the delta's files, never a
+    # torn file; full all-or-nothing visibility would need a manifest
+    # (snapshot isolation), which is the table-format layer's job.
+    base = path.rstrip("/")
+    staging = base + "/.staging-append"
     (
         nv.join(assign, "vec_id")
-        .write.mode("append")
+        .write.mode("overwrite")
         .partitionBy("list_id")
-        .parquet(path)
+        .parquet(staging)
     )
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path
+    fs = jpath(base).getFileSystem(spark._jsc.hadoopConfiguration())
+    for part in fs.listStatus(jpath(staging)):
+        if not part.isDirectory():
+            continue  # _SUCCESS marker
+        dst_dir = jpath(base, part.getPath().getName())
+        fs.mkdirs(dst_dir)
+        for f in fs.listStatus(part.getPath()):
+            name = f.getPath().getName()
+            if name.startswith("_") or name.startswith("."):
+                continue
+            # task-UUID filenames: no collision with base files
+            fs.rename(f.getPath(), jpath(dst_dir, name))
+    fs.delete(jpath(staging), True)

@@ -1142,21 +1142,19 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def _decode_pixels(info: dict) -> "np.ndarray | None":
-    """Decode a parsed image container to its pixel matrix in STORED
-    content-row order, or None for non-image / undecodable payloads.
+    """Decode a parsed image container to its pixel matrix in LOGICAL
+    (top-down) row order, or None for non-image / undecodable payloads.
 
-    Orientation contract: rows come back exactly as the container stores
-    them — no BMP bottom-up/top-down normalization is applied. Every
-    consumer of this helper is flip-invariant (mean, histogram, the
-    average-hash mean-threshold bits are computed from values only, and
-    the hash is consistent across copies because identical payload bytes
-    decode identically); the repo's own synthesizer writes BMP rows in
-    logical order, so stored order IS logical for synthesized media.
-    A future orientation-SENSITIVE consumer (crop, OCR-style features)
-    must normalize itself: logical = stored[::-1] for spec-compliant
-    positive-height BMPs (``top_down`` False), stored as-is otherwise.
-    ``resize_media`` keeps its own decode: its flip serves re-encode row
-    alignment, a different contract."""
+    Orientation contract (ADVICE r6): rows come back in logical order for
+    every container — a spec-compliant positive-height BMP stores rows
+    bottom-up, so it is flipped here (``logical = stored[::-1]`` when
+    ``top_down`` is False). This matters for the one orientation-SENSITIVE
+    consumer, ``ahash_media``: a vertical flip permutes the 64 hash bits,
+    so without normalization a bottom-up BMP and a PNG of the same logical
+    image would hash differently and cross-container dedup would miss the
+    pair. The flip-invariant consumers (mean, histogram) are unaffected by
+    row order. ``resize_media`` keeps its own decode: its flip serves
+    re-encode row alignment, a different contract."""
     cont = info["container"]
     if cont == "bmp" and info["content"]:
         arr = np.frombuffer(info["content"], dtype=np.uint8)
@@ -1165,7 +1163,10 @@ def _decode_pixels(info: dict) -> "np.ndarray | None":
             and np.array_equal(arr[1::3], arr[2::3])
         ):
             raise NotImplementedError("only grayscale BMP decode is implemented")
-        return arr[::3].reshape(info["height"], info["width"])
+        px = arr[::3].reshape(info["height"], info["width"])
+        if not info.get("top_down"):
+            px = px[::-1]  # positive height ⇒ bottom-up storage ⇒ flip
+        return px
     if cont == "png" and info.get("idat"):
         if (info["depth"], info["color_type"]) != (8, 0):
             raise NotImplementedError("only grayscale-8 PNG decode is implemented")
@@ -1299,12 +1300,24 @@ def ahash_near_pairs(
        min-id keeper — O(family) not O(family²), and exempt from the
        df-cap, so exact-dup families are found even when every band is
        hot.
+    3. **Rarest band** (VERDICT r6 ask #4, the containment-anchor
+       analogue of dedup.py's rare-shingle channel): every image's
+       lowest-df band posting survives regardless of the cap (ties break
+       on band_no), so an image whose every band is hot still posts
+       exactly one candidate key. A near-pair whose only clean band is
+       hot is found whenever that band is both images' rarest — the
+       planted adversarial case in tests/test_round7.py. The channel has
+       its own df-cap over the 1-per-image rarest postings (same
+       ``max_df``), so the residual miss needs the conjunction: every
+       clean band hot AND > max_df other images electing the same
+       (band, value) as their rarest — strictly rarer than the old
+       single-cap bound, and the pair volume stays bounded.
 
     Every surviving candidate is verified with the exact Hamming
     distance over the full 64 bits; pairs with distance ≤
     ``max_hamming`` survive. Recall = exhaustive for d ≤ 3 modulo the
-    df-cap; precision = exact (verified). Pair volume is bounded by
-    max_df²·bands + Σ family sizes.
+    (now two-level) df-cap; precision = exact (verified). Pair volume is
+    bounded by max_df²·bands + max_df²·rarest-buckets + Σ family sizes.
 
     The hash table is ``localCheckpoint``-ed first: it feeds FOUR
     branches (band melt, exact-star anchor, both verify sides), and
@@ -1339,7 +1352,36 @@ def ahash_near_pairs(
         .filter(F.col("media_id") > F.col("id_a"))
         .select("id_a", F.col("media_id").alias("id_b"))
     )
-    cand = banded.union(star).distinct()
+    # rarest-band channel: one cap-exempt posting per image — its
+    # lowest-df band (ties on band_no; deterministic: band_no is unique
+    # within an image). A second df-cap over these 1-per-image postings
+    # keeps the self-join bounded without reintroducing the hot-band miss
+    # for small elect-groups.
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("media_id").orderBy("_df", "band_no")
+    )
+    rarest = (
+        bands.join(df, ["band_no", "band_val"])
+        .withColumn("_rk", rk)
+        .filter(F.col("_rk") == 1)
+        .select("band_no", "band_val", "media_id")
+    )
+    rdf = rarest.groupBy("band_no", "band_val").agg(
+        F.count("*").alias("_rdf")
+    )
+    rcap = rarest.join(rdf, ["band_no", "band_val"]).filter(
+        F.col("_rdf") <= max_df
+    )
+    ra = rcap.select("band_no", "band_val", F.col("media_id").alias("id_a"))
+    rb = rcap.select("band_no", "band_val", F.col("media_id").alias("id_b"))
+    rare_pairs = (
+        ra.join(rb, ["band_no", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    cand = banded.union(star).union(rare_pairs).distinct()
     ha = h.select(
         F.col("media_id").alias("id_a"),
         F.col("ahash_hi").alias("_hi_a"),

@@ -3959,7 +3959,10 @@ def _ahash_sql() -> str:
     """Shared oracle CTEs computing the 64-bit average-hash exactly as
     ``ahash_media`` does, from the pixel generator formulas: thumb pixel
     j (row j//8, col j%8) samples the source at nearest-neighbor indices,
-    PNG/BMP sources are (mid + r·w0 + c) % 256, JPEG sources are
+    PNG sources are (mid + r·w0 + c) % 256 in logical order, BMP sources
+    are the same generator but stored bottom-up (positive-height BMP), so
+    after the ADVICE-r6 orientation normalization the logical row r reads
+    stored row h0−1−r: (mid + (h0−1−r)·w0 + c) % 256. JPEG sources are
     block-constant (mid + (r//8)·ceil(w0/8) + c//8) % 256. Bit j is the
     strict integer comparison 64·p_j > Σp; bits pack MSB-first into two
     32-bit halves."""
@@ -3972,8 +3975,11 @@ def _ahash_sql() -> str:
     ), tpx AS (
       SELECT media_id,
              list_transform(range(64), j ->
-               CASE WHEN m12 IN (0, 6)
+               CASE WHEN m12 = 0
                     THEN (media_id + (((j // 8) * hv) // 8) * wv
+                                   + (((j % 8) * wv) // 8)) % 256
+                    WHEN m12 = 6
+                    THEN (media_id + (hv - 1 - (((j // 8) * hv) // 8)) * wv
                                    + (((j % 8) * wv) // 8)) % 256
                     ELSE (media_id
                           + ((((j // 8) * hv) // 8) // 8) * ((wv + 7) // 8)
@@ -4059,11 +4065,22 @@ _AHASH_MAX_DF = 32
                             WHEN 2 THEN ahash_lo // 65536
                             ELSE ahash_lo % 65536 END AS band_val
       FROM hsh, (VALUES (0), (1), (2), (3)) AS b(band_no)
+    ), dfd AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY band_no, band_val) AS df
+      FROM post
     ), capped AS (
+      SELECT * FROM dfd WHERE df <= {_AHASH_MAX_DF}
+    ), rarest AS (
+      SELECT media_id, band_no, band_val FROM (
+        SELECT *, row_number() OVER (PARTITION BY media_id
+                                     ORDER BY df, band_no) AS rk
+        FROM dfd)
+      WHERE rk = 1
+    ), rcap AS (
       SELECT * FROM (
-        SELECT *, COUNT(*) OVER (PARTITION BY band_no, band_val) AS df
-        FROM post)
-      WHERE df <= {_AHASH_MAX_DF}
+        SELECT *, COUNT(*) OVER (PARTITION BY band_no, band_val) AS rdf
+        FROM rarest)
+      WHERE rdf <= {_AHASH_MAX_DF}
     ), anchor AS (
       SELECT ahash_hi, ahash_lo, MIN(media_id) AS keeper
       FROM hsh GROUP BY 1, 2
@@ -4076,6 +4093,11 @@ _AHASH_MAX_DF = 32
       SELECT g.keeper AS id_a, h.media_id AS id_b
       FROM hsh h JOIN anchor g USING (ahash_hi, ahash_lo)
       WHERE h.media_id > g.keeper
+      UNION
+      SELECT a.media_id AS id_a, b.media_id AS id_b
+      FROM rcap a
+      JOIN rcap b ON a.band_no = b.band_no AND a.band_val = b.band_val
+                 AND a.media_id < b.media_id
     )
     SELECT id_a, id_b,
            CAST(bit_count(xor(a.ahash_hi, b.ahash_hi))
@@ -4101,9 +4123,15 @@ def mm_ahash_near(spark, sf_dir):
     clean band is hot is the documented cap-induced miss; (2)
     exact-equal hashes pair through a star to the group keeper (O(n)
     per family, never O(n²)), and that channel ignores the cap, so
-    exact dup families are found even when every band is hot. 100 TB
-    shape: posting-list equi-joins on (band_no, band_val), no global
-    sort, pair volume bounded by cap²·bands + exact-family sizes."""
+    exact dup families are found even when every band is hot; (3) the
+    rarest-band channel (VERDICT r6 ask #4): each image's lowest-df
+    band posts regardless of the cap, with its own second-level df-cap
+    over the 1-per-image postings — the residual miss now needs every
+    clean band hot AND >cap images electing the same rarest key
+    (adversarial planted test: tests/test_round7.py). 100 TB shape:
+    posting-list equi-joins on (band_no, band_val), no global sort,
+    pair volume bounded by cap²·bands + cap²·rarest-buckets +
+    exact-family sizes."""
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.synthesize_media(docs)
     h = multimodal.ahash_media(media)

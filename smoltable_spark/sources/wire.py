@@ -73,6 +73,20 @@ def cells_from_json_wire(
     malformed inputs (unparseable body, no/ambiguous value variant, bad
     identifier charset) and raises before returning — the whole batch
     is rejected, nothing partial commits.
+
+    Known divergences from the reference's write path (ADVICE r6 — the
+    parity claim is "whole-batch atomicity on malformed input", not
+    byte-for-byte validator parity with server/src/api/write.rs):
+
+    - **empty items array**: the reference returns 400 on ``items: []``
+      (write.rs:31-33); this accepts it as a valid no-op batch — an
+      empty micro-batch is routine in a distributed ingest and
+      rejecting it would poison the stream;
+    - **multi-colon column keys**: the reference's ``ColumnKey::try_from``
+      accepts ``"a:b:c"`` (qualifier ``b``, third segment silently
+      dropped) and never validates the qualifier charset; this rejects
+      the whole batch for both — silent truncation is data loss at
+      scale, so the stricter check is deliberate.
     """
     parsed = batches.select(
         F.from_json(F.col(json_col), WIRE_SCHEMA).alias("b")

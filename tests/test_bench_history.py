@@ -50,6 +50,50 @@ def test_load_prev_prefers_driver_record_when_parseable(tmp_path, monkeypatch):
     assert prev["queries"] == {"q": 1.0}
 
 
+def test_load_prev_skips_partial_compact_records(tmp_path, monkeypatch):
+    """The compact tail-summary line (marked "partial": true, top-N slowest
+    only) must never be adopted as a baseline — that would shrink the
+    regression gate from the whole registry to N queries."""
+    here = str(tmp_path)
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: os.path.join(here, "bench.py")
+    )
+    with open(os.path.join(here, "BENCH_r07.json"), "w") as fh:
+        json.dump({"parsed": {"sf": 0.1, "value": 1.0, "partial": True,
+                              "queries": {"q": 0.5}}}, fh)
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
+        json.dump({"sf": 0.1, "value": 2.0, "queries": {"q": 1.0}}, fh)
+    prev, source = bench._load_prev()
+    assert source == "BENCH_LOCAL.json"
+    assert prev["queries"] == {"q": 1.0}
+
+
+def test_compact_summary_tail_parses():
+    """The compact line must stay under 1900 chars even for a 300-query
+    result, be marked partial, and survive the driver's tail capture:
+    json.loads on the last 2000 chars of (pad + line) must succeed."""
+    result = {
+        "metric": "total_headline_sec", "value": 250.0, "unit": "sec",
+        "sf": 0.1,
+        "queries": {f"query_with_a_rather_long_name_{i:03d}": i * 0.037
+                    for i in range(300)},
+        "prev_round_total": 240.0, "env_drift_median_ratio": 1.02,
+        "regressions": {"q_bad": {"prev": 0.2, "now": 1.4, "ratio": 7.0,
+                                  "ratio_vs_median": 6.9, "isolated": 1.3,
+                                  "isolated_ratio": 6.5}},
+        "cold_regressions": {}, "pending_flags": {},
+    }
+    line = bench._compact_summary(result)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert parsed["partial"] is True
+    assert parsed["n_queries"] == 300
+    assert "q_bad" in parsed["regressions"]
+    stream = json.dumps(result) + "\n" + " " * 2100 + "\n" + line
+    tail = stream[-2000:]
+    assert json.loads(tail) == parsed
+
+
 def test_write_records_atomic_into_tmpdir(tmp_path, monkeypatch):
     """Both durable records are written via tmp+os.replace into the given
     directory — no .tmp leftovers, valid JSON, history keyed by the next

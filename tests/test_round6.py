@@ -10,14 +10,19 @@ from smoltable_spark.functions import multimodal as M
 
 def _gen_thumb(mid: int, grid: int = 8) -> np.ndarray:
     """Independent model of the 8x8 thumb straight from the GENERATOR
-    formulas (never from the decoders): PNG/BMP pixels are
-    (mid + r*w0 + c) % 256, JPEG pixels are block-constant
+    formulas (never from the decoders): PNG pixels are
+    (mid + r*w0 + c) % 256 in logical order; BMP carries the same
+    generator bytes but positive-height BMP stores rows bottom-up, so
+    after the ADVICE-r6 orientation normalization logical row r reads
+    generator row h0-1-r; JPEG pixels are block-constant
     (mid + (r//8)*ceil(w0/8) + c//8) % 256."""
     w0, h0 = 16 + mid % 64, 16 + mid % 48
     r = (np.arange(grid) * h0) // grid
     c = (np.arange(grid) * w0) // grid
-    if mid % 12 in (0, 6):
+    if mid % 12 == 0:
         return (mid + r[:, None] * w0 + c[None, :]) % 256
+    if mid % 12 == 6:
+        return (mid + (h0 - 1 - r[:, None]) * w0 + c[None, :]) % 256
     bw = (w0 + 7) // 8
     return (mid + (r[:, None] // 8) * bw + (c[None, :] // 8)) % 256
 
@@ -98,7 +103,9 @@ class TestAhashNearPairs:
         rng = np.random.RandomState(7)
         base = rng.randint(0, 256, size=(32, 40)).astype(np.uint8)
         clone = base.copy()
-        clone[0, 0] = 255 if base[0, 0] < 128 else 0  # sampled at thumb (0,0)
+        # stored row 31 = logical row 0 after the bottom-up flip, so this
+        # pixel is the one sampled at thumb (0,0)
+        clone[31, 0] = 255 if base[31, 0] < 128 else 0
         # distinct filler images keep every band bucket under the cap
         fillers = [
             (100 + k, rng.randint(0, 256, size=(24, 24)).astype(np.uint8))
@@ -127,7 +134,9 @@ class TestAhashNearPairs:
         (an 8x8 source makes the thumb the identity map)."""
         px = np.zeros(64, dtype=np.uint8)
         px[list(on_bits)] = 255
-        return px.reshape(8, 8)
+        # bits are defined in LOGICAL bit space; BMP storage is bottom-up,
+        # so store the flip — decode normalizes back to the intended rows
+        return px.reshape(8, 8)[::-1]
 
     def test_pigeonhole_exhaustive_at_hamming_3(self, spark):
         """d = 3 with one error in three DIFFERENT bands leaves band 4
@@ -394,6 +403,11 @@ class TestIvfIncremental:
             if f.endswith(".parquet")
         }
         assert before < after  # base files intact, new files appended
+        # staged publish (ADVICE r6): the dot-prefixed staging dir must
+        # be fully consumed and deleted — nothing hidden left behind
+        assert not any(".staging" in p for p in after)
+        assert not any(".staging" in d for _r, ds, _f in os.walk(incr)
+                       for d in ds)
         got = sorted(
             map(tuple, similarity.query_ivf_index(
                 spark, incr, queries, k=10, nprobe=2).collect())

@@ -1,0 +1,214 @@
+"""Round-7 suite: aHash rarest-band recall channel (VERDICT r6 ask #4),
+BMP orientation normalization for cross-container dedup (ADVICE r6), and
+codec-boundary contract pins (VERDICT r6 stretch #8)."""
+
+import numpy as np
+import pytest
+
+from smoltable_spark.functions import multimodal as M
+
+
+def _bitmask_bmp(on_bits) -> bytes:
+    """8x8 BMP whose aHash bits are EXACTLY ``on_bits`` in LOGICAL bit
+    space: pixels in {0, 255} with 1 <= k <= 63 on-pixels make
+    bit_j = (64*p_j > 255k) <=> p_j == 255, and an 8x8 source makes the
+    thumb the identity map. BMP stores bottom-up, so the logical rows
+    are written flipped — decode normalizes them back."""
+    px = np.zeros(64, dtype=np.uint8)
+    px[list(on_bits)] = 255
+    return M.bmp_bytes(8, 8, px.reshape(8, 8)[::-1].tobytes())
+
+
+def _media(spark, rows):
+    """rows: (media_id, on_bits) -> media frame of 8x8 bitmask BMPs."""
+    recs = [
+        (int(mid), "image", _bitmask_bmp(bits), 8, 8, None)
+        for mid, bits in rows
+    ]
+    return spark.createDataFrame(recs, M.MEDIA_SCHEMA)
+
+
+#: the planted fixture: pair (1, 2) at Hamming 2 (dirty band 3), with
+#: EVERY band of both images hot at max_df=2 — invisible to the capped
+#: banded channel AND to the exact star (hashes differ). Fillers:
+#: f1/f2 heat bands 0-2 (shared with the pair, far band 3); g*/h* heat
+#: the pair's band-3 values so band 3 never wins the rarest election.
+_A = frozenset({0, 1, 2, 3, 16, 17, 18, 32, 33, 34, 48, 49, 50})
+_B = (_A - {50}) | {51}
+_PLANT = [
+    (1, _A),
+    (2, _B),
+    (3, (_A - {48, 49, 50}) | {54, 55, 56, 57, 58, 59, 60, 61}),  # f1
+    (4, (_A - {48, 49, 50}) | {52, 53, 62, 63}),                  # f2
+    (5, {4, 5, 6, 7, 20, 21, 22, 23, 36, 37, 38, 39, 48, 49, 50}),   # g1
+    (6, {8, 9, 10, 11, 24, 25, 26, 27, 40, 41, 42, 43, 48, 49, 50}), # g2
+    (7, {12, 13, 14, 15, 28, 29, 30, 31, 44, 45, 46, 47, 48, 49, 50}),  # g3
+    (8, {4, 5, 20, 21, 36, 37, 48, 49, 51}),                      # h1
+    (9, {8, 9, 24, 25, 40, 41, 48, 49, 51}),                      # h2
+    (10, {12, 13, 28, 29, 44, 45, 48, 49, 51}),                   # h3
+]
+
+
+class TestAhashRarestBandChannel:
+    def test_hot_band_near_pair_found_via_rarest_channel(self, spark):
+        """VERDICT r6 ask #4: a d<=3 pair whose EVERY clean band exceeds
+        max_df postings was structurally missed (and the oracle mirrored
+        the miss). The rarest-band channel must now surface it: all four
+        band dfs tie at 4, the election takes band 0 (lowest band_no)
+        for both images, and only the pair elects that key (rdf=2)."""
+        h = M.ahash_media(_media(spark, _PLANT))
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in M.ahash_near_pairs(h, max_df=2, max_hamming=3).collect()
+        }
+        assert pairs.get((1, 2)) == 2
+
+    def test_capped_channels_alone_miss_the_plant(self, spark):
+        """The same plant stays invisible to the banded+star channels:
+        band postings of ids 1/2 all have df=4 > max_df=2 and the hashes
+        are unequal. Guard that the fixture really exercises the rarest
+        channel (if this starts passing, the fixture rotted)."""
+        h = M.ahash_media(_media(spark, _PLANT)).localCheckpoint()
+        hm = {r["media_id"]: (r["ahash_hi"], r["ahash_lo"]) for r in h.collect()}
+        assert hm[1] != hm[2]
+        import pyspark.sql.functions as F
+
+        bands = h.select(
+            "media_id",
+            F.expr(
+                "stack(4, 0, shiftright(ahash_hi, 16), 1, ahash_hi % 65536, "
+                "2, shiftright(ahash_lo, 16), 3, ahash_lo % 65536) "
+                "AS (band_no, band_val)"
+            ),
+        )
+        df = (
+            bands.groupBy("band_no", "band_val")
+            .count()
+            .join(bands.filter(F.col("media_id").isin(1, 2)),
+                  ["band_no", "band_val"])
+        )
+        assert df.filter(F.col("count") <= 2).count() == 0
+
+    def test_rarest_channel_has_its_own_cap(self, spark):
+        """Residual bound as contract: when more than max_df images elect
+        the SAME rarest key, the bucket is dropped and the pair is missed
+        again (bounded pair volume beats unbounded recall). Extend the
+        plant with two more band-0-electing images -> rdf=4 > 2."""
+        extra = [
+            (11, (_A - {48, 49, 50}) | {56, 57, 58, 59}),
+            (12, (_A - {48, 49, 50}) | {60, 61, 62, 63}),
+            # heat the band-3 values of 11/12 so they elect band 0 too
+            (13, {4, 5, 6, 20, 21, 22, 36, 37, 38, 56, 57, 58, 59}),
+            (14, {8, 9, 10, 24, 25, 26, 40, 41, 42, 56, 57, 58, 59}),
+            (15, {12, 13, 14, 28, 29, 30, 44, 45, 46, 56, 57, 58, 59}),
+            (16, {4, 6, 7, 20, 22, 23, 36, 38, 39, 60, 61, 62, 63}),
+            (17, {8, 10, 11, 24, 26, 27, 40, 42, 43, 60, 61, 62, 63}),
+            (18, {12, 14, 15, 28, 30, 31, 44, 46, 47, 60, 61, 62, 63}),
+        ]
+        h = M.ahash_media(_media(spark, _PLANT + extra))
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in M.ahash_near_pairs(h, max_df=2, max_hamming=3).collect()
+        }
+        assert (1, 2) not in pairs
+
+    def test_default_cap_unchanged_on_clean_data(self, spark):
+        """The new channel must not create pairs that fail the Hamming
+        verify: random distinct images produce only verified d<=3 pairs,
+        ordered and unique."""
+        rng = np.random.RandomState(11)
+        rows = []
+        for i in range(16):
+            bits = set(rng.choice(64, size=20, replace=False).tolist())
+            rows.append((i, bits))
+        out = M.ahash_near_pairs(
+            M.ahash_media(_media(spark, rows)), max_df=4, max_hamming=3
+        ).collect()
+        keys = [(r["id_a"], r["id_b"]) for r in out]
+        assert all(a < b for a, b in keys)
+        assert len(keys) == len(set(keys))
+        assert all(r["hamming"] <= 3 for r in out)
+
+
+class TestBmpOrientation:
+    def test_png_and_bottom_up_bmp_of_same_logical_image_hash_equal(
+        self, spark
+    ):
+        """ADVICE r6: aHash is orientation-sensitive, so a spec-compliant
+        bottom-up BMP and a PNG of the SAME logical image must produce
+        the same hash after normalization. Before the fix the BMP decoded
+        in stored (flipped) order and the cross-container dup was missed."""
+        rng = np.random.RandomState(5)
+        logical = rng.randint(0, 256, size=(24, 16)).astype(np.uint8)
+        png = M.png_bytes(16, 24, b"t", logical.tobytes())
+        bmp = M.bmp_bytes(16, 24, logical[::-1].tobytes())  # bottom-up
+        media = spark.createDataFrame(
+            [(1, "image", png, 16, 24, None), (2, "image", bmp, 16, 24, None)],
+            M.MEDIA_SCHEMA,
+        )
+        got = {
+            r["media_id"]: (r["ahash_hi"], r["ahash_lo"])
+            for r in M.ahash_media(media).collect()
+        }
+        assert got[1] == got[2]
+
+    def test_flip_invariant_consumers_unchanged(self, spark):
+        """mean_luma and the luma histogram are value-only statistics —
+        the orientation normalization must not change them (same bytes,
+        any row order)."""
+        rng = np.random.RandomState(9)
+        logical = rng.randint(0, 256, size=(12, 12)).astype(np.uint8)
+        bmp = M.bmp_bytes(12, 12, logical[::-1].tobytes())
+        media = spark.createDataFrame(
+            [(1, "image", bmp, 12, 12, None)], M.MEDIA_SCHEMA
+        )
+        feats = M.extract_features(media).collect()
+        assert len(feats) == 1
+        assert feats[0]["mean_luma"] == pytest.approx(float(logical.mean()))
+        hist = M.luma_histogram(media, n_buckets=4).collect()
+        got = {r["bucket"]: r["n_px"] for r in hist}
+        want = {}
+        for v in logical.ravel():
+            want[int(v) // 64] = want.get(int(v) // 64, 0) + 1
+        assert got == want
+
+
+class TestCodecBoundaryContracts:
+    """VERDICT r6 stretch #8: the documented NotImplementedError
+    boundaries are contracts, not comments."""
+
+    def test_progressive_jpeg_sof2_raises(self, spark):
+        """A JPEG whose frame marker is SOF2 (progressive) must raise
+        NotImplementedError at decode, not silently mis-decode."""
+        payload = bytearray(M.jpeg_bytes(16, 16, b"t", M.jpeg_block_values(1, 16, 16)))
+        i = payload.find(b"\xff\xc0")
+        assert i > 0
+        payload[i + 1] = 0xC2  # SOF0 -> SOF2
+        info = M.parse_container(bytes(payload))
+        with pytest.raises(NotImplementedError):
+            M.jpeg_decode(info)
+
+    def test_non_grayscale_bmp_raises(self):
+        """A BMP whose BGR triplets are not gray must be rejected by the
+        pixel decode (only grayscale is implemented)."""
+        bmp = bytearray(M.bmp_bytes(8, 8, bytes(range(64))))
+        bmp[-3] = (bmp[-3] + 1) % 256  # make one triplet non-gray
+        info = M.parse_container(bytes(bmp))
+        with pytest.raises(NotImplementedError):
+            M._decode_pixels(info)
+
+    def test_non_grayscale8_png_raises(self):
+        """PNG decode only implements 8-bit grayscale (depth 8, color
+        type 0); an RGB color-type header must raise, not mis-decode."""
+        png = bytearray(M.png_bytes(8, 8, b"t", bytes(range(64))))
+        # IHDR layout: 8-byte sig + 4 len + 4 'IHDR' + 4 w + 4 h + depth + color
+        assert png[12:16] == b"IHDR"
+        png[25] = 2  # color type 0 (gray) -> 2 (truecolor)
+        import struct
+        import zlib
+
+        crc = zlib.crc32(bytes(png[12:29])) & 0xFFFFFFFF
+        png[29:33] = struct.pack(">I", crc)
+        info = M.parse_container(bytes(png))
+        with pytest.raises(NotImplementedError):
+            M._decode_pixels(info)
