@@ -1287,3 +1287,117 @@ def wc_ingest_json_wire(spark, sf_dir):
         "row_key", "family", "qualifier", "ts", "vtype",
         "v_str", "v_bool", "v_i64", "v_f64",
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-ordered CellStore scan (round 7, VERDICT r6 ask #5)
+
+_ZSTORE_CACHE: dict = {}
+
+#: the 2-D box: user buckets {1..5} × day buckets {2..4} ⟹ 15 of the 64
+#: Morton partitions (same box shape rel_events_zorder_prune pins on the
+#: dedicated events store — here it prunes the CellStore itself)
+_Z_USER_BUCKETS = [1, 2, 3, 4, 5]
+_Z_DAY_BUCKETS = [2, 3, 4]
+_Z_DAY_NS = 86_400_000_000_000
+
+
+def _events_zstore(spark, sf_dir):
+    """Build-once Z-ordered CellStore of the events melt: base snapshots
+    partition by (lg, zb) where zb interleaves (user bucket, day bucket)
+    — the cell-table analogue of the reference's inverted-ts key
+    component (smoltable/src/cell.rs:168-182 keys ``row:cf:cq:!ts`` so
+    "newest versions of a key range" skip blocks; here the skip is
+    metadata-level partition pruning)."""
+    from smoltable_spark.sources.store_layout import ZorderCellStore
+
+    key = sf_dir
+    if key not in _ZSTORE_CACHE:
+        path = os.path.join(
+            tempfile.gettempdir(), "smoltable_zstore_" + re.sub(r"\W", "_", sf_dir)
+        )
+        store = ZorderCellStore(
+            spark,
+            path,
+            a_bucket=lambda: F.substring(F.col("row_key"), -6, 6).cast("long")
+            % 8,
+            b_bucket=lambda: F.expr(f"(ts div {_Z_DAY_NS}) % 8"),
+            bits=3,
+        )
+        store.save_families([ColumnFamilyDef("value")])
+        if store.current_version() == 0:
+            store.write(events_cells(spark, sf_dir))
+        _ZSTORE_CACHE[key] = store
+    return _ZSTORE_CACHE[key]
+
+
+@q(
+    "wc_store_zorder_scan",
+    f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_series,
+           CAST(sum(round(value * 100)) AS BIGINT) AS total_cents,
+           CAST(min(epoch_ns(ts)) AS BIGINT) AS min_ts,
+           CAST(max(epoch_ns(ts)) AS BIGINT) AS max_ts,
+           CAST({len(_Z_USER_BUCKETS) * len(_Z_DAY_BUCKETS)} AS INT)
+               AS n_parts_read,
+           CAST(64 AS INT) AS n_parts_total
+    FROM events
+    WHERE user_id % 8 BETWEEN {_Z_USER_BUCKETS[0]} AND {_Z_USER_BUCKETS[-1]}
+      AND (epoch_ns(ts) // {_Z_DAY_NS}) % 8
+          BETWEEN {_Z_DAY_BUCKETS[0]} AND {_Z_DAY_BUCKETS[-1]}
+    GROUP BY event_type
+    """,
+)
+def wc_store_zorder_scan(spark, sf_dir):
+    """Z-ORDER partition pruning ON THE CELLSTORE ITSELF (VERDICT r6 ask
+    #5): the events melt is written once through ZorderCellStore
+    (sources/store_layout.py), whose base snapshots partition by
+    (lg, zb) with zb = Morton(user bucket, day bucket). A "key range AND
+    time window" scan — 5 user buckets × 3 day buckets — then reads
+    exactly 15 of 64 zb partitions: box_scan computes the closed-form
+    covering set driver-side (functions/layout.py::zorder_covering) and
+    it appears in the plan as a metadata-level ``zb IN (...)`` partition
+    filter on the CellStore scan (PLANS.md row; the SURVEY §4 ts_inv
+    file-skipping note realized as layout). Residual exact predicates on
+    the cell columns keep correctness independent of the covering math;
+    n_parts_read/total are the pinned pruning constants (the
+    wc_plan_probe pattern). At 100 TB the win is the same as
+    Delta/Iceberg Z-ORDER: the scan cost tracks the box volume
+    (15/64 ≈ 23%), not the stripe volume a 1-D layout reads (3/8 of
+    users or 5/8 of days)."""
+    store = _events_zstore(spark, sf_dir)
+    cells = store.box_scan(
+        a_values=_Z_USER_BUCKETS, b_values=_Z_DAY_BUCKETS
+    )
+    user_b = F.substring(F.col("row_key"), -6, 6).cast("long") % 8
+    day_b = F.expr(f"(ts div {_Z_DAY_NS}) % 8")
+    return (
+        cells.filter(
+            user_b.between(_Z_USER_BUCKETS[0], _Z_USER_BUCKETS[-1])
+            & day_b.between(_Z_DAY_BUCKETS[0], _Z_DAY_BUCKETS[-1])
+        )
+        .groupBy(F.split(F.col("row_key"), "#").getItem(0).alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.countDistinct("row_key").alias("n_series"),
+            F.sum(F.round(F.col("v_f64") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+        .select(
+            "event_type",
+            "n_cells",
+            F.col("n_series").cast("long").alias("n_series"),
+            "total_cents",
+            "min_ts",
+            "max_ts",
+            F.lit(len(_Z_USER_BUCKETS) * len(_Z_DAY_BUCKETS))
+            .cast("int")
+            .alias("n_parts_read"),
+            F.lit(64).cast("int").alias("n_parts_total"),
+        )
+    )

@@ -173,6 +173,107 @@ class TestBmpOrientation:
         assert got == want
 
 
+def _mk_cells(spark, rows):
+    """rows: (row_key, ts, v) -> canonical single-family cell frame."""
+    return spark.createDataFrame(
+        [(rk, "value", "", ts, "f64", None, None, None, None, None, None,
+          float(v))
+         for rk, ts, v in rows],
+        "row_key string, family string, qualifier string, ts long, "
+        "vtype string, v_str string, v_bool boolean, v_byte int, "
+        "v_i32 int, v_i64 long, v_f32 float, v_f64 double",
+    )
+
+
+class TestZorderCellStore:
+    """sources/store_layout.py: the Morton composite partition key wired
+    into the CellStore write path (VERDICT r6 ask #5)."""
+
+    @staticmethod
+    def _store(spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from smoltable_spark.api import ColumnFamilyDef
+        from smoltable_spark.sources.store_layout import ZorderCellStore
+
+        s = ZorderCellStore(
+            spark,
+            str(tmp_path / "zstore"),
+            a_bucket=lambda: F.col("ts") % 4,
+            b_bucket=lambda: F.length("row_key") % 4,
+            bits=2,
+        )
+        s.save_families([ColumnFamilyDef("value")])
+        return s
+
+    def test_roundtrip_matches_plain_store(self, spark, tmp_path):
+        """Same cells in, same cells out: the layout changes WHERE rows
+        live, never WHAT the table contains."""
+        from smoltable_spark.api import ColumnFamilyDef
+        from smoltable_spark.sources.store import CellStore
+
+        rows = [(f"k{i:03d}", i * 7 % 13, i) for i in range(40)]
+        zs = self._store(spark, tmp_path)
+        zs.write(_mk_cells(spark, rows))
+        ps = CellStore(spark, str(tmp_path / "plain"))
+        ps.save_families([ColumnFamilyDef("value")])
+        ps.write(_mk_cells(spark, rows))
+        key = ["row_key", "family", "qualifier", "ts", "v_f64"]
+        got = sorted(map(tuple, zs.read().select(*key).collect()))
+        want = sorted(map(tuple, ps.read().select(*key).collect()))
+        assert got == want
+
+    def test_box_scan_prunes_and_is_exact(self, spark, tmp_path):
+        """box_scan + residual predicates == the full-scan filter, and
+        the physical plan carries the zb partition filter (metadata-level
+        pruning, the PLANS.md property)."""
+        from pyspark.sql import functions as F
+
+        rows = [(f"k{'x' * (i % 7)}", i, i) for i in range(64)]
+        zs = self._store(spark, tmp_path)
+        zs.write(_mk_cells(spark, rows))
+        box = zs.box_scan(a_values=[1, 2], b_values=[0, 1]).filter(
+            ((F.col("ts") % 4).isin(1, 2))
+            & ((F.length("row_key") % 4).isin(0, 1))
+        )
+        full = zs.read().filter(
+            ((F.col("ts") % 4).isin(1, 2))
+            & ((F.length("row_key") % 4).isin(0, 1))
+        )
+        cols = ["row_key", "ts", "v_f64"]
+        assert sorted(map(tuple, box.select(*cols).collect())) == sorted(
+            map(tuple, full.select(*cols).collect())
+        )
+        plan = box._jdf.queryExecution().executedPlan().toString()
+        assert "zb" in plan and ("INSET" in plan or " IN (" in plan), plan
+
+    def test_delta_append_carries_zb_and_compaction_rezorders(
+        self, spark, tmp_path
+    ):
+        """Deltas commit O(batch) with zb as a data column (read() unions
+        by name); compact() folds them into a base whose zb is a real
+        partition dir again."""
+        import os
+
+        zs = self._store(spark, tmp_path)
+        zs.write(_mk_cells(spark, [(f"a{i}", i, i) for i in range(8)]))
+        zs.append(_mk_cells(spark, [(f"b{i}", i, 100 + i) for i in range(4)]))
+        assert zs.read().count() == 12
+        assert "zb" in zs.read().columns
+        v = zs.compact()
+        base_dir = zs._version_dir(v)
+        assert any(
+            d.startswith("lg=") for d in os.listdir(base_dir)
+        )
+        lg_dir = next(
+            os.path.join(base_dir, d)
+            for d in os.listdir(base_dir)
+            if d.startswith("lg=")
+        )
+        assert any(d.startswith("zb=") for d in os.listdir(lg_dir))
+        assert zs.read(version=v).count() == 12
+
+
 class TestCodecBoundaryContracts:
     """VERDICT r6 stretch #8: the documented NotImplementedError
     boundaries are contracts, not comments."""

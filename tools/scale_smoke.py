@@ -800,6 +800,16 @@ def main():
         _fn = _CQ[_cq][0]
         timed(f"{_cq}_10x", lambda _f=_fn: _f(spark, OUT).count())
 
+    # r7 additions: the z-ordered CellStore box scan over 1M event cells
+    # (build-once store; the timed run measures the pruned read) and the
+    # structured-spectrum Matryoshka probe over 320k vectors
+    for _cq in ("wc_store_zorder_scan",):
+        _fn = _CQ[_cq][0]
+        timed(f"{_cq}_10x", lambda _f=_fn: _f(spark, OUT).count())
+    for _nq in ("ann_matryoshka_structured",):
+        _fn = _AQ[_nq][0]
+        timed(f"{_nq}_10x", lambda _f=_fn: _f(spark, OUT).count())
+
     notes = """
 Steady-state timings (2nd run per op). Reading the table:
 
@@ -950,6 +960,21 @@ Steady-state timings (2nd run per op). Reading the table:
   concentration in their prefix dims, which is precisely what the probe
   measures (an MRL-trained model would hold 90%+ here; the probe is the
   acceptance gate for enabling prefix-dim first-stage retrieval).
+- `ann_matryoshka_structured_10x` (r7): the same probe after scaling
+  dim i by 1/i^1.5 — the energy decay an MRL encoder actually produces
+  (tail past dim 16 carries ~0.2% of squared norm) — reads recall
+  900-1000 permille, demonstrating the high-recall regime; together
+  with the uniform-spectrum row the pair brackets the MRL tradeoff.
+  (1/i alone still reads 700-900 at sf0.1 — measured before settling
+  on 1.5.)
+- `wc_store_zorder_scan_10x` (r7): rel_events_zorder_prune's Morton
+  layout wired into the CellStore ITSELF (sources/store_layout.py) —
+  base snapshots partition by (lg, zb), the 5x3 user/day box reads
+  15/64 partitions as a metadata `zb INSET` filter on the cell-table
+  scan (PLANS.md row), deltas carry zb as a data column until
+  compaction re-z-orders them. The SURVEY §4 ts_inv file-skipping
+  note realized as layout: "newest cells for a key range" cost tracks
+  the box volume, not the table.
 - `txt_bigram_lm` r6 bench flag (1.21→2.08 s warm in the final run):
   isolated re-measure 1.49 s min over 5 runs (ratio 1.23, within the
   gate; closure unchanged all round) — the same in-run scheduler-tail
