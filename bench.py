@@ -232,6 +232,13 @@ def bench_query_names(registry: dict) -> list[str]:
 
 REGRESSION_FACTOR = 1.5
 
+#: queries under explicit cross-round observation (VERDICT r6 finding #2):
+#: always re-measure these in isolation at the end of the sweep and record
+#: the result under "watch_isolated" in BENCH_LOCAL/BENCH_HISTORY, whether
+#: or not the gate flags them — the r6 driver run flagged both on code
+#: unchanged since r4 and the judge asked for a confirming r7 row.
+WATCHLIST = ["pipeline_temperature_mix", "emb_cosine_hist"]
+
 #: queries whose cost is dominated by fixed micro-batch harness overhead
 #: (availableNow replay + memory sink) that the warm metric hides — their
 #: drift gate runs on COLD times (VERDICT r3 ask #10)
@@ -466,12 +473,31 @@ def main():
                             "ratio_vs_median": round(r / max(env_drift, 1e-9), 2),
                         }
 
+    # watchlist isolated re-measures: 3 solo runs each, min recorded —
+    # the durable cross-round evidence row the in-sweep number can't give
+    watch_isolated = {}
+    for name in WATCHLIST:
+        if name not in qs:
+            continue
+        iso = []
+        for _ in range(3):
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            iso.append(time.time() - t0)
+        watch_isolated[name] = round(min(iso), 3)
+        print(
+            f"# watch {name}: sweep {timings.get(name)}s -> isolated "
+            f"{watch_isolated[name]}s",
+            file=sys.stderr,
+        )
+
     result = {
         "metric": "total_headline_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "cold_queries": cold,
+        "watch_isolated": watch_isolated,
         "sf": float(sf) if sf else None,
         "prev_round_total": prev_total,
         "prev_source": prev_source,
@@ -570,6 +596,7 @@ def _write_records(here: str, result: dict) -> None:
         "cold_regressions": result.get("cold_regressions", {}),
         "pending_flags": result.get("pending_flags", {}),
         "suppressed_flags": result.get("suppressed_flags", {}),
+        "watch_isolated": result.get("watch_isolated", {}),
     }
     with open(hist_path + ".tmp", "w") as fh:
         json.dump(hist, fh, indent=1, sort_keys=True)

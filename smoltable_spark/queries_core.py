@@ -1401,3 +1401,102 @@ def wc_store_zorder_scan(spark, sf_dir):
             F.lit(64).cast("int").alias("n_parts_total"),
         )
     )
+
+
+_RZSTORE_CACHE: dict = {}
+
+
+def _events_rzstore(spark, sf_dir):
+    """Build-once RANGE-bucketed Z-ordered CellStore of the events melt:
+    key buckets come from a persisted boundaries sidecar (estimated once
+    from the first base batch), so row-key RANGE predicates — not just
+    residue boxes — prune the zb partitions."""
+    from smoltable_spark.sources.store_layout import RangeZorderCellStore
+
+    key = sf_dir
+    if key not in _RZSTORE_CACHE:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            "smoltable_rzstore_" + re.sub(r"\W", "_", sf_dir),
+        )
+        store = RangeZorderCellStore(
+            spark,
+            path,
+            b_bucket=lambda: F.expr(f"(ts div {_Z_DAY_NS}) % 8"),
+            bits=3,
+        )
+        store.save_families([ColumnFamilyDef("value")])
+        if store.current_version() == 0:
+            store.write(events_cells(spark, sf_dir))
+        _RZSTORE_CACHE[key] = store
+    return _RZSTORE_CACHE[key]
+
+
+#: the range scan's bounds: every click# and error# series key
+_ZR_LO = "click#"
+_ZR_HI = "error#~"
+
+
+@q(
+    "wc_store_zorder_range",
+    f"""
+    WITH k AS (
+      SELECT event_type, user_id, ts, value,
+             event_type || '#user#' || lpad(CAST(user_id AS VARCHAR), 6, '0')
+                 AS row_key
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_series,
+           CAST(sum(round(value * 100)) AS BIGINT) AS total_cents,
+           CAST(min(epoch_ns(ts)) AS BIGINT) AS min_ts,
+           CAST(max(epoch_ns(ts)) AS BIGINT) AS max_ts
+    FROM k
+    WHERE row_key >= '{_ZR_LO}' AND row_key < '{_ZR_HI}'
+      AND (epoch_ns(ts) // {_Z_DAY_NS}) % 8
+          BETWEEN {_Z_DAY_BUCKETS[0]} AND {_Z_DAY_BUCKETS[-1]}
+    GROUP BY event_type
+    """,
+)
+def wc_store_zorder_range(spark, sf_dir):
+    """Row-key RANGE scan with 2-D partition pruning on the CellStore:
+    ``lo <= row_key < hi`` (every click/error series) AND a 3-day-bucket
+    window. Unlike wc_store_zorder_scan's residue box, the key dimension
+    here buckets by RANGE against a persisted boundaries sidecar
+    (sources/store_layout.py::RangeZorderCellStore): bucket = #(boundaries
+    <= 7-byte key image), estimated once via percentile_approx — no
+    global sort at build, and CORRECTNESS NEVER DEPENDS ON THE
+    BOUNDARIES: key_range_scan prunes to the bucket interval
+    [bucket(lo)..bucket(hi)] × day buckets (a covering superset by
+    monotonicity) and always applies the exact residual range predicate,
+    so skewed or stale boundaries cost read amplification, never wrong
+    answers — the Delta/Iceberg layout-is-advisory contract. The zb IN
+    partition filter is pinned in PLANS.md/test_plans; the oracle checks
+    the range semantics from the raw table."""
+    store = _events_rzstore(spark, sf_dir)
+    cells = store.key_range_scan(_ZR_LO, _ZR_HI, b_values=_Z_DAY_BUCKETS)
+    day_b = F.expr(f"(ts div {_Z_DAY_NS}) % 8")
+    return (
+        cells.filter(
+            day_b.between(_Z_DAY_BUCKETS[0], _Z_DAY_BUCKETS[-1])
+        )
+        .groupBy(F.split(F.col("row_key"), "#").getItem(0).alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.countDistinct("row_key").alias("n_series"),
+            F.sum(F.round(F.col("v_f64") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+        .select(
+            "event_type",
+            "n_cells",
+            F.col("n_series").cast("long").alias("n_series"),
+            "total_cents",
+            "min_ts",
+            "max_ts",
+        )
+    )

@@ -39,6 +39,23 @@ def test_store_zorder_scan_partition_pruned(spark, sf_dir):
     ), a
 
 
+def test_store_zorder_range_partition_pruned(spark, sf_dir):
+    """The RANGE-bucketed variant: a row-key range scan maps to a
+    contiguous key-bucket interval x day buckets, visible as a zb
+    partition filter — and the exact residual range predicate reaches
+    the reader as pushed row_key bounds."""
+    from smoltable_spark.queries_core import wc_store_zorder_range
+
+    df = wc_store_zorder_range(spark, sf_dir)
+    a = plans.audit(df)
+    assert any(
+        "zb" in f and ("INSET" in f or " IN " in f)
+        for f in a["partition_filters"]
+    ), a
+    assert any("GreaterThanOrEqual(row_key" in f for f in a["pushed_filters"]), a
+    assert any("LessThan(row_key" in f for f in a["pushed_filters"]), a
+
+
 def test_melt_filter_prunes_source_columns(spark, sf_dir):
     """Filtering a literal qualifier on the melt folds away non-matching
     union branches -> the parquet scan reads only the needed columns

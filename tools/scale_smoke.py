@@ -803,7 +803,7 @@ def main():
     # r7 additions: the z-ordered CellStore box scan over 1M event cells
     # (build-once store; the timed run measures the pruned read) and the
     # structured-spectrum Matryoshka probe over 320k vectors
-    for _cq in ("wc_store_zorder_scan",):
+    for _cq in ("wc_store_zorder_scan", "wc_store_zorder_range"):
         _fn = _CQ[_cq][0]
         timed(f"{_cq}_10x", lambda _f=_fn: _f(spark, OUT).count())
     for _nq in ("ann_matryoshka_structured",):
@@ -975,11 +975,32 @@ Steady-state timings (2nd run per op). Reading the table:
   compaction re-z-orders them. The SURVEY §4 ts_inv file-skipping
   note realized as layout: "newest cells for a key range" cost tracks
   the box volume, not the table.
+- `wc_store_zorder_range_10x` (r7): the RANGE-bucketed variant — key
+  buckets from a persisted percentile_approx boundaries sidecar (no
+  global sort at build), so a true `lo <= row_key < hi` range maps to
+  a contiguous bucket interval x day buckets. Correctness never
+  depends on boundary quality: the covering is a superset by
+  monotonicity and the exact residual range always applies (pushed to
+  the reader as row_key bounds) — skew costs read amplification,
+  never wrong answers.
 - `txt_bigram_lm` r6 bench flag (1.21→2.08 s warm in the final run):
   isolated re-measure 1.49 s min over 5 runs (ratio 1.23, within the
   gate; closure unchanged all round) — the same in-run scheduler-tail
   noise as the four wc scans below, just over the 0.5 s materiality
   floor. The committed record keeps the honest in-run number.
+- r6 driver bench flags, r7 confirming rows (VERDICT r6 ask #2):
+  `pipeline_temperature_mix` flagged 0.194→0.866 s (4.46x) in the r6
+  driver sweep — isolated r7 re-measure at sf0.1: runs
+  [2.46 cold, 0.544, 0.475, 0.424, 0.384, 0.409], min 0.384 s; and
+  `emb_cosine_hist` flagged 0.467→1.436 s (3.07x) — isolated r7:
+  [1.46 cold, 0.817, 0.788, 0.659, 0.655, 0.621], min 0.621 s (ratio
+  1.33, inside the gate). Both queries' code and plans unchanged since
+  r4; the in-sweep numbers were 231-query contention, matching the
+  judge's own isolated minima (0.441 / 0.512). bench.py now carries
+  both on WATCHLIST (always isolated-re-measured, recorded under
+  watch_isolated in BENCH_HISTORY) and isolated-confirms every flag
+  before recording it, so the committed and driver records can no
+  longer disagree.
 - `pipeline_token_caps` r5 bench flag (0.157→0.287 s warm): re-measured
   r6 in an isolated session at sf0.1 — cold 0.92 s, warm min 0.379 s
   over 6 runs, plan and closure unchanged since r4 (window sum + groupBy
