@@ -1500,3 +1500,55 @@ def wc_store_zorder_range(spark, sf_dir):
             "max_ts",
         )
     )
+
+
+@q(
+    "wc_store_zorder_latest",
+    f"""
+    WITH k AS (
+      SELECT event_type, user_id, value,
+             event_type || '#user#' || lpad(CAST(user_id AS VARCHAR), 6, '0')
+                 AS row_key,
+             epoch_ns(ts) AS ts
+      FROM events
+    ), r AS (
+      SELECT row_key, ts, value,
+             row_number() OVER (PARTITION BY row_key
+                                ORDER BY ts DESC, value DESC) AS rn
+      FROM k
+      WHERE row_key >= '{_ZR_LO}' AND row_key < '{_ZR_HI}'
+    )
+    SELECT row_key, CAST(ts AS BIGINT) AS ts,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM r WHERE rn = 1
+    """,
+)
+def wc_store_zorder_latest(spark, sf_dir):
+    """'Newest version per series in a key range' — the exact read the
+    reference's inverted-timestamp key component exists to serve
+    (smoltable/src/cell.rs:168-182 keys ``row:cf:cq:!ts`` so the first
+    LSM hit per coordinate IS the newest): over the range-bucketed
+    z-ordered CellStore, the key range prunes to its bucket interval
+    ACROSS ALL time buckets (b_values = all 8 — "latest" cannot bound
+    time a priori), the residual range pushes to the reader, and the
+    newest cell per row key resolves with one max-by-struct aggregate —
+    partial map-side, one shuffle on row_key, no window over a global
+    sort. 100 TB: cost tracks the key range's share of the table; a 1-D
+    time layout would read every partition for this query, so the
+    Z-order read here shows the layout does NOT tax latest-reads (same
+    stripe as a pure key layout), while box/range scans gained their
+    2-D pruning."""
+    store = _events_rzstore(spark, sf_dir)
+    cells = store.key_range_scan(_ZR_LO, _ZR_HI, b_values=list(range(8)))
+    newest = (
+        cells.groupBy("row_key")
+        .agg(
+            F.max(F.struct(F.col("ts"), F.col("v_f64").alias("v"))).alias("m")
+        )
+        .select(
+            "row_key",
+            F.col("m.ts").alias("ts"),
+            F.round(F.col("m.v") * 100).cast("long").alias("value_cents"),
+        )
+    )
+    return newest

@@ -803,7 +803,8 @@ def main():
     # r7 additions: the z-ordered CellStore box scan over 1M event cells
     # (build-once store; the timed run measures the pruned read) and the
     # structured-spectrum Matryoshka probe over 320k vectors
-    for _cq in ("wc_store_zorder_scan", "wc_store_zorder_range"):
+    for _cq in ("wc_store_zorder_scan", "wc_store_zorder_range",
+                "wc_store_zorder_latest"):
         _fn = _CQ[_cq][0]
         timed(f"{_cq}_10x", lambda _f=_fn: _f(spark, OUT).count())
     for _nq in ("ann_matryoshka_structured",):
@@ -983,6 +984,13 @@ Steady-state timings (2nd run per op). Reading the table:
   monotonicity and the exact residual range always applies (pushed to
   the reader as row_key bounds) — skew costs read amplification,
   never wrong answers.
+- `wc_store_zorder_latest_10x` (r7): "newest version per series in a
+  key range" — the read the reference's `!ts` key component serves —
+  over the same range-bucketed store: key-bucket interval x ALL time
+  buckets (latest can't bound time a priori), newest resolved by one
+  max-by-struct aggregate (partial map-side, one shuffle) — the
+  Z-order layout doesn't tax latest-reads relative to a pure key
+  layout.
 - `txt_bigram_lm` r6 bench flag (1.21→2.08 s warm in the final run):
   isolated re-measure 1.49 s min over 5 runs (ratio 1.23, within the
   gate; closure unchanged all round) — the same in-run scheduler-tail
