@@ -25,10 +25,13 @@ Design (for a 100 TB media corpus):
   Huffman entropy decode, DQT dequantization, inverse zigzag, numpy
   inverse DCT — the full T.81 baseline pipeline) are decoded with
   ``struct``/``zlib``/numpy — ``mean_luma`` and ``rms_amp`` are
-  computed from the actual decoded bytes and oracle-pinned. The
-  remaining boundary is progressive (SOF2) and chroma-subsampled
-  multi-component JPEG, which ``jpeg_decode`` rejects with
-  ``NotImplementedError``; the synthesizer emits baseline grayscale.
+  computed from the actual decoded bytes and oracle-pinned. Round 7
+  adds PROGRESSIVE (SOF2) grayscale decode — spectral selection with
+  the EOBn band-end run coding of T.81 G.1.2.2 — plus a progressive
+  encoder for the roundtrip query. The remaining boundaries are
+  successive-approximation progressive scans (Ah/Al != 0) and
+  chroma-subsampled multi-component JPEG, which raise
+  ``NotImplementedError``; the synthesizer emits grayscale only.
 """
 
 from __future__ import annotations
@@ -434,6 +437,138 @@ def jpeg_bytes_pixels(
     return b"".join(out)
 
 
+#: progressive AC table: the sequential run/size symbols PLUS the EOBn
+#: band-end symbols (r<<4, r 0-14: "the next 2^r-1+ext blocks end here",
+#: T.81 G.1.2.2) — 176 symbols, all canonical 8-bit codes (≤255 at one
+#: length keeps the all-ones prefix free)
+_JPEG_AC_PROG_VALS = tuple(
+    [r << 4 for r in range(15)] + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_JPEG_AC_PROG_BITS = tuple(
+    len(_JPEG_AC_PROG_VALS) if i == 7 else 0 for i in range(16)
+)
+
+
+def jpeg_bytes_progressive(
+    width: int, height: int, content: bytes, pixels: bytes | np.ndarray
+) -> bytes:
+    """PROGRESSIVE (SOF2) grayscale JPEG via spectral selection — the
+    two-scan script real encoders emit for 'blurry-then-sharp' delivery:
+    scan 1 carries every block's DC coefficient (Ss=Se=0), scan 2 the
+    full AC band (Ss=1, Se=63), both at full precision (Ah=Al=0 — no
+    successive approximation, the documented sub-boundary). The AC scan
+    uses real EOBn band-end run coding: consecutive blocks whose whole
+    band is zero batch into one EOBRUN symbol (r<<4 + r extension bits),
+    which is the coding feature that distinguishes progressive AC from
+    baseline and the path the decoder must implement. Coefficients are
+    the same rounded forward-DCT values ``jpeg_bytes_pixels`` produces,
+    so decoding this stream yields bit-identical pixels to decoding the
+    baseline encoding of the same input."""
+    px = np.frombuffer(
+        pixels if isinstance(pixels, (bytes, bytearray)) else
+        np.ascontiguousarray(pixels, dtype=np.uint8).tobytes(),
+        dtype=np.uint8,
+    )
+    if px.size != width * height:
+        raise ValueError(f"pixels must be {width * height} bytes, got {px.size}")
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    padded = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    padded[:height, :width] = px.reshape(height, width)
+    if width < bw * 8:
+        padded[:height, width:] = padded[:height, width - 1 : width]
+    if height < bh * 8:
+        padded[height:, :] = padded[height - 1 : height, :]
+    C = _IDCT_C
+    coefs = np.zeros((bw * bh, 64), dtype=np.int64)  # zigzag order
+    for blk in range(bw * bh):
+        by, bx = divmod(blk, bw)
+        s_blk = padded[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] - 128.0
+        S = C @ s_blk @ C.T
+        coefs[blk] = np.round(S.ravel()[_JPEG_ZIGZAG]).astype(np.int64)
+
+    dc_codes = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_canonical(_JPEG_AC_PROG_BITS, _JPEG_AC_PROG_VALS)
+
+    # scan 1: DC band, difference-coded exactly like sequential
+    w1 = _JpegBitWriter()
+    pred = 0
+    for blk in range(bw * bh):
+        diff = int(coefs[blk, 0]) - pred
+        pred = int(coefs[blk, 0])
+        s = _jpeg_category(diff)
+        code, length = dc_codes[s]
+        w1.put(code, length)
+        if s:
+            w1.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+    # scan 2: AC band 1..63 with EOBn batching (T.81 G.1.2.2)
+    w2 = _JpegBitWriter()
+    eobrun = 0
+
+    def _flush_eobrun():
+        nonlocal eobrun
+        if not eobrun:
+            return
+        r = eobrun.bit_length() - 1
+        code, length = ac_codes[r << 4]
+        w2.put(code, length)
+        if r:
+            w2.put(eobrun - (1 << r), r)
+        eobrun = 0
+
+    for blk in range(bw * bh):
+        zz = coefs[blk]
+        nz = np.nonzero(zz[1:])[0]
+        if nz.size == 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:  # EOBRUN is capped at 2^15-1
+                _flush_eobrun()
+            continue
+        _flush_eobrun()
+        run = 0
+        last = int(nz[-1]) + 1
+        for k in range(1, last + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, length = ac_codes[0xF0]
+                w2.put(code, length)
+                run -= 16
+            s = _jpeg_category(v)
+            code, length = ac_codes[(run << 4) | s]
+            w2.put(code, length)
+            w2.put(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < 63:
+            eobrun += 1  # the block's own band-end joins the run
+    _flush_eobrun()
+
+    sof2 = struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
+    dqt = b"\x00" + bytes([1] * 64)
+    dht = (
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\x10" + bytes(_JPEG_AC_PROG_BITS) + bytes(_JPEG_AC_PROG_VALS)
+    )
+    out = [b"\xff\xd8"]
+    for off in range(0, max(len(content), 1), _JPEG_COM_MAX):
+        chunk = content[off : off + _JPEG_COM_MAX]
+        out += [b"\xff\xfe", struct.pack(">H", 2 + len(chunk)), chunk]
+    out += [
+        b"\xff\xdb", struct.pack(">H", 2 + len(dqt)), dqt,
+        b"\xff\xc2", struct.pack(">H", 2 + len(sof2)), sof2,
+        b"\xff\xc4", struct.pack(">H", 2 + len(dht)), dht,
+        b"\xff\xda", struct.pack(">H", 8), b"\x01\x01\x00\x00\x00\x00",
+        w1.done(),
+        b"\xff\xda", struct.pack(">H", 8), b"\x01\x01\x00\x01\x3f\x00",
+        w2.done(),
+        b"\xff\xd9",
+    ]
+    return b"".join(out)
+
+
 def _huff_decode_table(bits: tuple, vals: tuple) -> dict:
     """``(length, code) -> symbol`` from a DHT BITS/HUFFVAL spec."""
     return {(length, code): sym
@@ -460,6 +595,134 @@ def _idct_basis() -> np.ndarray:
 _IDCT_C = _idct_basis()
 
 
+class _JpegBitReader:
+    """MSB-first bit cursor over a destuffed scan segment; reads past the
+    end return 1-bits (the padding convention), mirroring the inline
+    cursor in the baseline decoder."""
+
+    def __init__(self, seg: bytes):
+        self._bits = np.unpackbits(np.frombuffer(seg, dtype=np.uint8)).tolist()
+        self._n = len(self._bits)
+        self._pos = 0
+
+    def bit(self) -> int:
+        b = self._bits[self._pos] if self._pos < self._n else 1
+        self._pos += 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict, what: str) -> int:
+        code = 0
+        length = 0
+        while True:
+            code = (code << 1) | self.bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+            if length >= 16:
+                raise ValueError(f"invalid Huffman code in JPEG {what} scan")
+
+
+def _jpeg_decode_progressive(info: dict) -> np.ndarray:
+    """PROGRESSIVE (SOF2) grayscale decode — spectral selection at full
+    precision: every scan deposits its coefficient band into a shared
+    per-block coefficient store (DC scans difference-coded like
+    sequential; AC scans with the EOBn band-end run coding of T.81
+    G.1.2.2, including mid-block band ends), then one dequantize +
+    inverse-zigzag + IDCT pass renders the accumulated coefficients.
+    Successive approximation (Ah/Al != 0) raises NotImplementedError —
+    the remaining documented JPEG boundary. Restart intervals reset the
+    DC predictor / EOB run per segment, as in the baseline path."""
+    _cid, hv, tq = info["sof_comps"][0]
+    if hv != 0x11:
+        raise NotImplementedError(f"subsampled component (HiVi={hv:#x})")
+    w, h = info["width"], info["height"]
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    nblk = bw * bh
+    coefs = np.zeros((nblk, 64), dtype=np.int64)  # zigzag order
+    if not info.get("scans"):
+        raise ValueError("progressive JPEG without any scan")
+    for scan in info["scans"]:
+        sos = scan["sos"]
+        ss, se = sos["ss"], sos["se"]
+        ah, al = sos["ahal"] >> 4, sos["ahal"] & 0xF
+        if ah or al:
+            raise NotImplementedError(
+                "successive-approximation progressive JPEG (Ah/Al != 0) "
+                "not supported"
+            )
+        _scid, td, ta = sos["comps"][0]
+        segments = scan["segments"] or [b""]
+        dri = int(scan.get("dri") or 0)
+        if len(segments) > 1 and dri == 0:
+            raise ValueError("JPEG restart markers present without DRI")
+        if ss == 0:
+            if se != 0:
+                raise ValueError(
+                    "progressive DC scan must carry the DC band alone "
+                    "(Ss=0 requires Se=0)"
+                )
+            dc_tab = _huff_decode_table(*scan["dht"][(0, td)])
+            rd = _JpegBitReader(segments[0])
+            seg_idx = 0
+            pred = 0
+            for blk in range(nblk):
+                if dri and blk and blk % dri == 0:
+                    seg_idx += 1
+                    rd = _JpegBitReader(segments[seg_idx])
+                    pred = 0
+                s = rd.huff(dc_tab, "DC")
+                if s:
+                    pred += _jpeg_extend(rd.bits(s), s)
+                coefs[blk, 0] = pred
+        else:
+            ac_tab = _huff_decode_table(*scan["dht"][(1, ta)])
+            rd = _JpegBitReader(segments[0])
+            seg_idx = 0
+            eobrun = 0
+            for blk in range(nblk):
+                if dri and blk and blk % dri == 0:
+                    seg_idx += 1
+                    rd = _JpegBitReader(segments[seg_idx])
+                    eobrun = 0
+                if eobrun:
+                    eobrun -= 1  # whole band already declared zero
+                    continue
+                k = ss
+                while k <= se:
+                    sym = rd.huff(ac_tab, "AC")
+                    r, s = sym >> 4, sym & 0xF
+                    if s == 0:
+                        if r == 15:  # ZRL: 16 zero coefficients
+                            k += 16
+                            continue
+                        # EOBn: this band ends; (2^r - 1 + ext) more do too
+                        eobrun = (1 << r) - 1 + (rd.bits(r) if r else 0)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run past band end in JPEG scan")
+                    coefs[blk, k] = _jpeg_extend(rd.bits(s), s)
+                    k += 1
+    qt = info["dqt"][tq]
+    out = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+    for blk in range(nblk):
+        by, bx = divmod(blk, bw)
+        coef = np.zeros(64, dtype=np.float64)
+        coef[_JPEG_ZIGZAG] = coefs[blk] * qt
+        block = _IDCT_C.T @ coef.reshape(8, 8) @ _IDCT_C
+        out[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = np.clip(
+            np.round(block) + 128, 0, 255
+        ).astype(np.uint8)
+    return out[:h, :w]
+
+
 def jpeg_decode(info: dict) -> np.ndarray:
     """REAL baseline-sequential JPEG decode (ITU-T T.81) for a
     single-component 8-bit grayscale frame, from a ``parse_container``
@@ -470,19 +733,21 @@ def jpeg_decode(info: dict) -> np.ndarray:
     to (height, width) — including DRI restart intervals (the scan's
     byte-aligned RST segments decode independently with the DC
     predictor reset at each restart, T.81 E.2.4). Pure numpy — no codec
-    library. Progressive frames and multi-component (chroma-subsampled)
-    images raise ``NotImplementedError``: that is the remaining
-    documented boundary, and the synthesizer only emits baseline
-    grayscale."""
+    library. PROGRESSIVE (SOF2) frames route to
+    ``_jpeg_decode_progressive`` (round 7: spectral selection with EOBn
+    band-end runs, the r6 stretch item). The remaining documented
+    boundaries raise ``NotImplementedError``: successive-approximation
+    progressive scans (Ah/Al != 0) and multi-component
+    (chroma-subsampled) images — the synthesizer only emits grayscale."""
     if info.get("scan") is None or info.get("sos") is None:
         raise ValueError("JPEG without an entropy-coded scan")
-    if info.get("sof_marker") == 0xC2:
-        raise NotImplementedError("progressive JPEG (SOF2) not supported")
     if info.get("precision") != 8 or info.get("ncomp") != 1:
         raise NotImplementedError(
-            f"only 8-bit single-component baseline JPEG is supported "
+            f"only 8-bit single-component JPEG is supported "
             f"(precision={info.get('precision')}, ncomp={info.get('ncomp')})"
         )
+    if info.get("sof_marker") == 0xC2:
+        return _jpeg_decode_progressive(info)
     sos = info["sos"]
     if sos["ss"] != 0 or sos["se"] != 63 or sos["ahal"] != 0:
         raise NotImplementedError("non-sequential spectral selection")
@@ -702,6 +967,7 @@ def parse_container(payload: bytes) -> dict:
         sos = None
         scan = None
         scan_segments: list[bytes] | None = None
+        scans: list[dict] = []  # every SOS, in order (progressive: several)
         dri = 0  # restart interval in MCUs (0 = none), from a DRI segment
         pos = 2
         while pos + 2 <= len(payload):
@@ -782,6 +1048,12 @@ def parse_container(payload: bytes) -> dict:
                     break
                 scan_segments.append(bytes(raw))
                 scan = b"".join(scan_segments)
+                # per-scan record (progressive frames carry several SOS;
+                # each uses the DHT/DRI state as of ITS header, so snapshot)
+                scans.append({
+                    "sos": sos, "segments": scan_segments,
+                    "dht": dict(dht), "dri": int(dri),
+                })
                 pos = p
                 continue
             pos += 2 + seglen
@@ -793,7 +1065,7 @@ def parse_container(payload: bytes) -> dict:
             "precision": int(precision), "ncomp": int(ncomp),
             "sof_comps": sof_comps, "sof_marker": sof_marker,
             "dqt": dqt, "dht": dht, "sos": sos, "scan": scan,
-            "scan_segments": scan_segments, "dri": int(dri),
+            "scan_segments": scan_segments, "scans": scans, "dri": int(dri),
         }
     # 'BM' alone is two printable ASCII chars and occurs at the start of
     # ordinary text ("BMW announced..."), unlike the other containers'
@@ -1218,6 +1490,52 @@ def audio_features(media: DataFrame) -> DataFrame:
         run,
         "media_id long, n_samples int, peak_abs int, zcr int, "
         "energy long, rms_amp double",
+    )
+
+
+def progressive_roundtrip(media: DataFrame) -> DataFrame:
+    """Decode → re-encode PROGRESSIVE (SOF2) → re-decode, per JPEG image
+    (round 7): the acceptance harness for the progressive codec path —
+    baseline-decoded pixels are re-encoded as a two-scan spectral-
+    selection stream (DC scan + EOBn-coded AC scan) and decoded again;
+    ``n_exact`` counts pixels identical between the two decodes (the
+    coefficients are shared, so the contract is n_exact == n_px, which
+    the oracle pins), and ``sum_luma`` is the exact integer pixel sum of
+    the progressive decode (generator-recomputable). Non-JPEG rows
+    produce no output. 100 TB shape: one Arrow pass, 5 scalars out per
+    image, payloads never leave the executor."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "width", "height", "n_px", "n_exact",
+                    "sum_luma")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                info = parse_container(
+                    bytes(payload) if payload is not None else b""
+                )
+                if info["container"] != "jpeg" or info.get("scan") is None:
+                    continue
+                base = jpeg_decode(info)
+                h0, w0 = base.shape
+                prog = jpeg_decode(parse_container(
+                    jpeg_bytes_progressive(w0, h0, b"", base.tobytes())
+                ))
+                out["media_id"].append(int(mid))
+                out["width"].append(w0)
+                out["height"].append(h0)
+                out["n_px"].append(w0 * h0)
+                out["n_exact"].append(int((base == prog).sum()))
+                out["sum_luma"].append(int(prog.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    from smoltable_spark.functions.dedup import spread
+
+    target = min(media.sparkSession.sparkContext.defaultParallelism, 8)
+    return spread(media, target).mapInPandas(
+        run,
+        "media_id long, width int, height int, n_px long, n_exact long, "
+        "sum_luma long",
     )
 
 

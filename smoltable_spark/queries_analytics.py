@@ -10468,3 +10468,46 @@ def ann_matryoshka_structured(spark, sf_dir):
         .cast("long")
         .alias("recall_milli"),
     )
+
+
+@q(
+    "mm_progressive_roundtrip",
+    """
+    WITH img AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             16 + doc_id % 64 AS wv, 16 + doc_id % 48 AS hv
+      FROM documents
+      WHERE doc_id % 3 = 0 AND CAST(doc_id % 12 AS INT) NOT IN (0, 6)
+    ), blocks AS (
+      SELECT media_id, wv, hv,
+             (media_id + bj.v * ((wv + 7) // 8) + bi.v) % 256 AS bval,
+             least(8, wv - 8 * bi.v) * least(8, hv - 8 * bj.v) AS npx
+      FROM img,
+           unnest(range((wv + 7) // 8)) AS bi(v),
+           unnest(range((hv + 7) // 8)) AS bj(v)
+    )
+    SELECT media_id,
+           CAST(any_value(wv) AS INT) AS width,
+           CAST(any_value(hv) AS INT) AS height,
+           CAST(any_value(wv) * any_value(hv) AS BIGINT) AS n_px,
+           CAST(any_value(wv) * any_value(hv) AS BIGINT) AS n_exact,
+           CAST(sum(bval * npx) AS BIGINT) AS sum_luma
+    FROM blocks GROUP BY media_id
+    """,
+)
+def mm_progressive_roundtrip(spark, sf_dir):
+    """PROGRESSIVE JPEG roundtrip (round 7, retiring the r6 SOF2
+    boundary): every synthesized baseline JPEG is decoded, re-encoded as
+    a REAL two-scan progressive stream (SOF2, spectral selection: DC
+    scan + EOBn band-end-run AC scan, functions/multimodal.py::
+    jpeg_bytes_progressive), and decoded again through the progressive
+    path (_jpeg_decode_progressive). The oracle pins EXACTNESS — the
+    encoders share the rounded forward-DCT coefficients, so
+    n_exact == n_px for every image — plus the generator-recomputed
+    pixel sum of the progressive decode (the mm_luma_histogram
+    block-weighting recipe). A decode defect in either direction breaks
+    the hash match. 100 TB shape: pure per-row Arrow map, 6 scalar
+    columns out per image."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(docs)
+    return multimodal.progressive_roundtrip(media)

@@ -264,7 +264,12 @@ class TestJpegBaselineCodec:
         payload = bytearray(M.jpeg_bytes(16, 16, b"x", bv))
         i = payload.index(b"\xff\xc0")
         payload[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-        with pytest.raises(NotImplementedError, match="progressive"):
+        # r7: SOF2 now DECODES (spectral selection); a baseline stream
+        # with a flipped marker is a CORRUPT progressive stream (its
+        # single scan claims Ss=0, Se=63 — illegal for a DC scan), so
+        # the raise tightened from NotImplementedError to ValueError.
+        # tests/test_round7.py pins the narrowed Ah/Al boundary.
+        with pytest.raises(ValueError, match="Ss=0 requires Se=0"):
             M.jpeg_decode(M.parse_container(bytes(payload)))
         with pytest.raises(ValueError, match="scan"):
             M.jpeg_decode(M.parse_container(M.jpeg_bytes(8, 8, b"x")))

@@ -354,20 +354,92 @@ class TestRangeZorderCellStore:
         assert out.count() == 3
 
 
+class TestProgressiveJpeg:
+    """Round-7: REAL progressive (SOF2) grayscale decode — spectral
+    selection with EOBn band-end runs (T.81 G.1.2.2). The r6 stretch
+    item, upgraded from a guard to an implementation."""
+
+    def test_progressive_equals_baseline_decode(self):
+        """Both encoders quantize the same forward-DCT coefficients, so
+        the progressive stream must decode bit-identically to the
+        baseline stream of the same pixels — including non-MCU-aligned
+        shapes (edge-block crop)."""
+        rng = np.random.RandomState(42)
+        for (w, h) in [(16, 16), (20, 12), (37, 29), (8, 8)]:
+            px = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+            d_base = M.jpeg_decode(
+                M.parse_container(M.jpeg_bytes_pixels(w, h, b"t", px))
+            )
+            d_prog = M.jpeg_decode(
+                M.parse_container(M.jpeg_bytes_progressive(w, h, b"t", px))
+            )
+            assert np.array_equal(d_base, d_prog), (w, h)
+            assert np.abs(d_base.astype(int) - px.astype(int)).max() <= 1
+
+    def test_eobn_batching_roundtrip(self):
+        """A constant image makes EVERY block's AC band empty — the
+        encoder batches them into EOBn runs (with extension bits for
+        runs that are not a power of two), and the decoder must unwind
+        them exactly: constant in, constant out (DC roundtrip is exact
+        at q=1)."""
+        px = np.full((32, 40), 77, dtype=np.uint8)  # 20 blocks, EOBRUN=20
+        payload = M.jpeg_bytes_progressive(40, 32, b"t", px)
+        info = M.parse_container(payload)
+        assert info["sof_marker"] == 0xC2 and len(info["scans"]) == 2
+        assert np.array_equal(M.jpeg_decode(info), px)
+        # mixed content: EOB runs interleave with real AC blocks
+        rng = np.random.RandomState(3)
+        px = rng.randint(0, 256, size=(24, 48)).astype(np.uint8)
+        px[:, 24:] = 128
+        d_prog = M.jpeg_decode(
+            M.parse_container(M.jpeg_bytes_progressive(48, 24, b"t", px))
+        )
+        d_base = M.jpeg_decode(
+            M.parse_container(M.jpeg_bytes_pixels(48, 24, b"t", px))
+        )
+        assert np.array_equal(d_prog, d_base)
+
+    def test_content_roundtrips_through_progressive_com(self):
+        """The COM-segment text channel works the same in both frame
+        types — extract_features-style parsing must see the content."""
+        payload = M.jpeg_bytes_progressive(
+            16, 16, b"hello progressive", np.zeros((16, 16), np.uint8)
+        )
+        assert M.parse_container(payload)["content"] == b"hello progressive"
+
+    def test_successive_approximation_raises(self):
+        """Ah/Al != 0 (successive approximation) is the remaining
+        documented boundary — must raise NotImplementedError, not
+        mis-decode."""
+        payload = bytearray(
+            M.jpeg_bytes_progressive(16, 16, b"t", np.zeros((16, 16), np.uint8))
+        )
+        # patch the AC scan's ahal byte (last byte of the 2nd SOS header)
+        first = payload.find(b"\xff\xda")
+        second = payload.find(b"\xff\xda", first + 2)
+        assert second > 0
+        payload[second + 9] = 0x01  # Al = 1
+        with pytest.raises(NotImplementedError):
+            M.jpeg_decode(M.parse_container(bytes(payload)))
+
+    def test_flipped_marker_is_corrupt_not_silent(self):
+        """A baseline stream whose SOF marker is flipped to SOF2 is NOT a
+        valid progressive stream (its single scan claims Ss=0, Se=63 —
+        illegal for a progressive DC scan): decode must raise ValueError,
+        never return wrong pixels."""
+        payload = bytearray(
+            M.jpeg_bytes(16, 16, b"t", M.jpeg_block_values(1, 16, 16))
+        )
+        i = payload.find(b"\xff\xc0")
+        assert i > 0
+        payload[i + 1] = 0xC2
+        with pytest.raises(ValueError):
+            M.jpeg_decode(M.parse_container(bytes(payload)))
+
+
 class TestCodecBoundaryContracts:
     """VERDICT r6 stretch #8: the documented NotImplementedError
     boundaries are contracts, not comments."""
-
-    def test_progressive_jpeg_sof2_raises(self, spark):
-        """A JPEG whose frame marker is SOF2 (progressive) must raise
-        NotImplementedError at decode, not silently mis-decode."""
-        payload = bytearray(M.jpeg_bytes(16, 16, b"t", M.jpeg_block_values(1, 16, 16)))
-        i = payload.find(b"\xff\xc0")
-        assert i > 0
-        payload[i + 1] = 0xC2  # SOF0 -> SOF2
-        info = M.parse_container(bytes(payload))
-        with pytest.raises(NotImplementedError):
-            M.jpeg_decode(info)
 
     def test_non_grayscale_bmp_raises(self):
         """A BMP whose BGR triplets are not gray must be rejected by the

@@ -807,7 +807,7 @@ def main():
                 "wc_store_zorder_latest"):
         _fn = _CQ[_cq][0]
         timed(f"{_cq}_10x", lambda _f=_fn: _f(spark, OUT).count())
-    for _nq in ("ann_matryoshka_structured",):
+    for _nq in ("ann_matryoshka_structured", "mm_progressive_roundtrip"):
         _fn = _AQ[_nq][0]
         timed(f"{_nq}_10x", lambda _f=_fn: _f(spark, OUT).count())
 
@@ -984,6 +984,13 @@ Steady-state timings (2nd run per op). Reading the table:
   monotonicity and the exact residual range always applies (pushed to
   the reader as row_key bounds) — skew costs read amplification,
   never wrong answers.
+- `mm_progressive_roundtrip_10x` (r7): baseline decode → progressive
+  (SOF2, spectral selection + EOBn band-end runs) re-encode → decode,
+  per JPEG image — retires the r6 "progressive JPEG" boundary with a
+  real two-scan codec path; the oracle pins bit-exactness (shared
+  rounded DCT coefficients) and the generator pixel sum. One Arrow
+  pass, 6 scalars out per image; the remaining boundary narrows to
+  successive approximation (Ah/Al != 0) and chroma subsampling.
 - `wc_store_zorder_latest_10x` (r7): "newest version per series in a
   key range" — the read the reference's `!ts` key component serves —
   over the same range-bucketed store: key-bucket interval x ALL time
