@@ -26,11 +26,12 @@ Design (for a 100 TB media corpus):
   inverse DCT — the full T.81 baseline pipeline) are decoded with
   ``struct``/``zlib``/numpy — ``mean_luma`` and ``rms_amp`` are
   computed from the actual decoded bytes and oracle-pinned. Round 7
-  adds PROGRESSIVE (SOF2) grayscale decode — spectral selection with
-  the EOBn band-end run coding of T.81 G.1.2.2 — plus a progressive
-  encoder for the roundtrip query. The remaining boundaries are
-  successive-approximation progressive scans (Ah/Al != 0) and
-  chroma-subsampled multi-component JPEG, which raise
+  adds FULL PROGRESSIVE (SOF2) grayscale decode — spectral selection
+  with EOBn band-end runs (T.81 G.1.2.2) AND successive approximation
+  (DC/AC refinement scans, G.1.2.3) — plus a progressive encoder
+  emitting either script for the roundtrip query, which reconstructs
+  bit-identical pixels at every refinement depth. The remaining
+  boundary is chroma-subsampled multi-component JPEG, which raises
   ``NotImplementedError``; the synthesizer emits grayscale only.
 """
 
@@ -451,20 +452,29 @@ _JPEG_AC_PROG_BITS = tuple(
 
 
 def jpeg_bytes_progressive(
-    width: int, height: int, content: bytes, pixels: bytes | np.ndarray
+    width: int,
+    height: int,
+    content: bytes,
+    pixels: bytes | np.ndarray,
+    al: int = 0,
 ) -> bytes:
-    """PROGRESSIVE (SOF2) grayscale JPEG via spectral selection — the
-    two-scan script real encoders emit for 'blurry-then-sharp' delivery:
-    scan 1 carries every block's DC coefficient (Ss=Se=0), scan 2 the
-    full AC band (Ss=1, Se=63), both at full precision (Ah=Al=0 — no
-    successive approximation, the documented sub-boundary). The AC scan
-    uses real EOBn band-end run coding: consecutive blocks whose whole
-    band is zero batch into one EOBRUN symbol (r<<4 + r extension bits),
-    which is the coding feature that distinguishes progressive AC from
-    baseline and the path the decoder must implement. Coefficients are
-    the same rounded forward-DCT values ``jpeg_bytes_pixels`` produces,
-    so decoding this stream yields bit-identical pixels to decoding the
-    baseline encoding of the same input."""
+    """PROGRESSIVE (SOF2) grayscale JPEG. With ``al=0`` (default): the
+    two-scan spectral-selection script — scan 1 carries every block's DC
+    coefficient (Ss=Se=0), scan 2 the full AC band (Ss=1, Se=63), both
+    at full precision. With ``al>0``: the full SUCCESSIVE-APPROXIMATION
+    script (round 7b, T.81 G.1.2.3) — first scans carry the point-
+    transformed coefficients (DC arithmetic-shifted, AC magnitude-
+    shifted by ``al``), then one refinement scan pair per precision
+    level (Ah=a, Al=a−1 for a = al..1): DC refinement is one raw bit
+    per block; AC refinement interleaves newly-significant ±1·2^Al
+    coefficients (run-coded over INSIGNIFICANT positions only) with
+    correction bits for already-significant ones, batching band ends
+    into EOBn runs whose buffered correction bits flush after the EOBn
+    symbol — the hardest coding mode in T.81. AC scans use real EOBn
+    band-end run coding throughout. All scans together reconstruct the
+    exact rounded forward-DCT coefficients ``jpeg_bytes_pixels``
+    produces, so decoding this stream yields bit-identical pixels to
+    decoding the baseline encoding of the same input, at every ``al``."""
     px = np.frombuffer(
         pixels if isinstance(pixels, (bytes, bytearray)) else
         np.ascontiguousarray(pixels, dtype=np.uint8).tobytes(),
@@ -489,62 +499,153 @@ def jpeg_bytes_progressive(
 
     dc_codes = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _huff_canonical(_JPEG_AC_PROG_BITS, _JPEG_AC_PROG_VALS)
+    nblk = bw * bh
 
-    # scan 1: DC band, difference-coded exactly like sequential
-    w1 = _JpegBitWriter()
-    pred = 0
-    for blk in range(bw * bh):
-        diff = int(coefs[blk, 0]) - pred
-        pred = int(coefs[blk, 0])
-        s = _jpeg_category(diff)
-        code, length = dc_codes[s]
-        w1.put(code, length)
-        if s:
-            w1.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    def _dc_first_scan(a: int) -> bytes:
+        """DC band at point transform a: diffs of (DC >> a), arithmetic
+        shift (T.81 G.1.2.1 / libjpeg convention), sequential DC coding."""
+        w = _JpegBitWriter()
+        pred = 0
+        for blk in range(nblk):
+            cur = int(coefs[blk, 0]) >> a
+            diff = cur - pred
+            pred = cur
+            s = _jpeg_category(diff)
+            code, length = dc_codes[s]
+            w.put(code, length)
+            if s:
+                w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        return w.done()
 
-    # scan 2: AC band 1..63 with EOBn batching (T.81 G.1.2.2)
-    w2 = _JpegBitWriter()
-    eobrun = 0
+    def _dc_refine_scan(a: int) -> bytes:
+        """DC refinement (Ah=a+1, Al=a): one raw bit per block —
+        bit a of the (two's-complement) DC value."""
+        w = _JpegBitWriter()
+        for blk in range(nblk):
+            w.put((int(coefs[blk, 0]) >> a) & 1, 1)
+        return w.done()
 
-    def _flush_eobrun():
-        nonlocal eobrun
-        if not eobrun:
-            return
-        r = eobrun.bit_length() - 1
-        code, length = ac_codes[r << 4]
-        w2.put(code, length)
-        if r:
-            w2.put(eobrun - (1 << r), r)
+    def _ac_first_scan(a: int) -> bytes:
+        """AC band 1..63 at point transform a (magnitude shift,
+        sign-preserving) with EOBn band-end run batching (G.1.2.2)."""
+        w = _JpegBitWriter()
         eobrun = 0
 
-    for blk in range(bw * bh):
-        zz = coefs[blk]
-        nz = np.nonzero(zz[1:])[0]
-        if nz.size == 0:
-            eobrun += 1
-            if eobrun == 0x7FFF:  # EOBRUN is capped at 2^15-1
-                _flush_eobrun()
-            continue
-        _flush_eobrun()
-        run = 0
-        last = int(nz[-1]) + 1
-        for k in range(1, last + 1):
-            v = int(zz[k])
-            if v == 0:
-                run += 1
+        def flush_eobrun():
+            nonlocal eobrun
+            if not eobrun:
+                return
+            r = eobrun.bit_length() - 1
+            code, length = ac_codes[r << 4]
+            w.put(code, length)
+            if r:
+                w.put(eobrun - (1 << r), r)
+            eobrun = 0
+
+        for blk in range(nblk):
+            zz = coefs[blk]
+            vals = [
+                (abs(int(zz[k])) >> a) * (1 if int(zz[k]) >= 0 else -1)
+                for k in range(1, 64)
+            ]
+            nz = [i for i, v in enumerate(vals) if v]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:  # EOBRUN caps at 2^15-1
+                    flush_eobrun()
                 continue
-            while run >= 16:
-                code, length = ac_codes[0xF0]
-                w2.put(code, length)
-                run -= 16
-            s = _jpeg_category(v)
-            code, length = ac_codes[(run << 4) | s]
-            w2.put(code, length)
-            w2.put(v if v >= 0 else v + (1 << s) - 1, s)
+            flush_eobrun()
             run = 0
-        if last < 63:
-            eobrun += 1  # the block's own band-end joins the run
-    _flush_eobrun()
+            last = nz[-1] + 1
+            for k in range(1, last + 1):
+                v = vals[k - 1]
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, length = ac_codes[0xF0]
+                    w.put(code, length)
+                    run -= 16
+                s = _jpeg_category(v)
+                code, length = ac_codes[(run << 4) | s]
+                w.put(code, length)
+                w.put(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last < 63:
+                eobrun += 1  # the block's own band end joins the run
+        flush_eobrun()
+        return w.done()
+
+    def _ac_refine_scan(a: int) -> bytes:
+        """AC refinement (Ah=a+1, Al=a), T.81 G.1.2.3: newly-significant
+        coefficients (|v|>>a == 1) are run-coded over INSIGNIFICANT
+        positions only; already-significant ones contribute one
+        correction bit each (bit a of |v|), buffered and flushed after
+        the next symbol; whole-band ends batch into EOBn runs whose
+        buffered correction bits follow the EOBn code."""
+        w = _JpegBitWriter()
+        eobrun = 0
+        be: list[int] = []  # correction bits pending across EOB blocks
+
+        def flush_eobrun():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, length = ac_codes[r << 4]
+                w.put(code, length)
+                if r:
+                    w.put(eobrun - (1 << r), r)
+                eobrun = 0
+            for b in be:
+                w.put(b, 1)
+            be.clear()
+
+        for blk in range(nblk):
+            zz = coefs[blk]
+            absval = [abs(int(zz[k])) >> a for k in range(1, 64)]
+            eob = 0  # 1 past the last newly-significant coefficient
+            for i, t in enumerate(absval):
+                if t == 1:
+                    eob = i + 1
+            r = 0
+            br: list[int] = []  # this block's pending correction bits
+            for k in range(1, 64):
+                t = absval[k - 1]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob:
+                    flush_eobrun()
+                    code, length = ac_codes[0xF0]
+                    w.put(code, length)
+                    r -= 16
+                    for b in br:
+                        w.put(b, 1)
+                    br = []
+                if t > 1:  # already significant: one correction bit
+                    br.append(t & 1)
+                    continue
+                flush_eobrun()
+                code, length = ac_codes[(r << 4) | 1]
+                w.put(code, length)
+                w.put(1 if int(zz[k]) >= 0 else 0, 1)
+                for b in br:
+                    w.put(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                be.extend(br)
+                if eobrun == 0x7FFF:
+                    flush_eobrun()
+        flush_eobrun()
+        return w.done()
+
+    def _sos(ss: int, se: int, ah: int, a: int) -> list[bytes]:
+        return [
+            b"\xff\xda", struct.pack(">H", 8),
+            bytes([1, 1, 0, ss, se, (ah << 4) | a]),
+        ]
 
     sof2 = struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
     dqt = b"\x00" + bytes([1] * 64)
@@ -560,12 +661,13 @@ def jpeg_bytes_progressive(
         b"\xff\xdb", struct.pack(">H", 2 + len(dqt)), dqt,
         b"\xff\xc2", struct.pack(">H", 2 + len(sof2)), sof2,
         b"\xff\xc4", struct.pack(">H", 2 + len(dht)), dht,
-        b"\xff\xda", struct.pack(">H", 8), b"\x01\x01\x00\x00\x00\x00",
-        w1.done(),
-        b"\xff\xda", struct.pack(">H", 8), b"\x01\x01\x00\x01\x3f\x00",
-        w2.done(),
-        b"\xff\xd9",
     ]
+    out += _sos(0, 0, 0, al) + [_dc_first_scan(al)]
+    out += _sos(1, 63, 0, al) + [_ac_first_scan(al)]
+    for a in range(al, 0, -1):  # refinement pairs, coarse -> fine
+        out += _sos(0, 0, a, a - 1) + [_dc_refine_scan(a - 1)]
+        out += _sos(1, 63, a, a - 1) + [_ac_refine_scan(a - 1)]
+    out.append(b"\xff\xd9")
     return b"".join(out)
 
 
@@ -630,15 +732,17 @@ class _JpegBitReader:
 
 
 def _jpeg_decode_progressive(info: dict) -> np.ndarray:
-    """PROGRESSIVE (SOF2) grayscale decode — spectral selection at full
-    precision: every scan deposits its coefficient band into a shared
-    per-block coefficient store (DC scans difference-coded like
-    sequential; AC scans with the EOBn band-end run coding of T.81
-    G.1.2.2, including mid-block band ends), then one dequantize +
-    inverse-zigzag + IDCT pass renders the accumulated coefficients.
-    Successive approximation (Ah/Al != 0) raises NotImplementedError —
-    the remaining documented JPEG boundary. Restart intervals reset the
-    DC predictor / EOB run per segment, as in the baseline path."""
+    """PROGRESSIVE (SOF2) grayscale decode — spectral selection AND
+    successive approximation: every scan deposits its coefficient band
+    into a shared per-block coefficient store (first DC scans
+    difference-coded like sequential, shifted by Al; DC refinements one
+    raw bit per block; first AC scans with the EOBn band-end run coding
+    of T.81 G.1.2.2; AC refinements per G.1.2.3 — newly-significant
+    ±2^Al values run-coded over insignificant positions, correction
+    bits for significant ones, band-end sweeps under EOB runs), then
+    one dequantize + inverse-zigzag + IDCT pass renders the accumulated
+    coefficients. Restart intervals reset the DC predictor / EOB run
+    per segment, as in the baseline path."""
     _cid, hv, tq = info["sof_comps"][0]
     if hv != 0x11:
         raise NotImplementedError(f"subsampled component (HiVi={hv:#x})")
@@ -652,11 +756,6 @@ def _jpeg_decode_progressive(info: dict) -> np.ndarray:
         sos = scan["sos"]
         ss, se = sos["ss"], sos["se"]
         ah, al = sos["ahal"] >> 4, sos["ahal"] & 0xF
-        if ah or al:
-            raise NotImplementedError(
-                "successive-approximation progressive JPEG (Ah/Al != 0) "
-                "not supported"
-            )
         _scid, td, ta = sos["comps"][0]
         segments = scan["segments"] or [b""]
         dri = int(scan.get("dri") or 0)
@@ -668,20 +767,34 @@ def _jpeg_decode_progressive(info: dict) -> np.ndarray:
                     "progressive DC scan must carry the DC band alone "
                     "(Ss=0 requires Se=0)"
                 )
-            dc_tab = _huff_decode_table(*scan["dht"][(0, td)])
             rd = _JpegBitReader(segments[0])
             seg_idx = 0
-            pred = 0
-            for blk in range(nblk):
-                if dri and blk and blk % dri == 0:
-                    seg_idx += 1
-                    rd = _JpegBitReader(segments[seg_idx])
-                    pred = 0
-                s = rd.huff(dc_tab, "DC")
-                if s:
-                    pred += _jpeg_extend(rd.bits(s), s)
-                coefs[blk, 0] = pred
-        else:
+            if ah == 0:
+                # first DC scan: sequential difference coding of the
+                # point-transformed values; store << Al
+                dc_tab = _huff_decode_table(*scan["dht"][(0, td)])
+                pred = 0
+                for blk in range(nblk):
+                    if dri and blk and blk % dri == 0:
+                        seg_idx += 1
+                        rd = _JpegBitReader(segments[seg_idx])
+                        pred = 0
+                    s = rd.huff(dc_tab, "DC")
+                    if s:
+                        pred += _jpeg_extend(rd.bits(s), s)
+                    coefs[blk, 0] = pred << al
+            else:
+                # DC refinement (G.1.2.1): one raw bit per block sets
+                # bit Al of the (two's-complement) DC value
+                for blk in range(nblk):
+                    if dri and blk and blk % dri == 0:
+                        seg_idx += 1
+                        rd = _JpegBitReader(segments[seg_idx])
+                    if rd.bit():
+                        coefs[blk, 0] |= 1 << al
+        elif ah == 0:
+            # first AC scan for this band: run/size coding with EOBn
+            # band-end runs; values land at magnitude << Al
             ac_tab = _huff_decode_table(*scan["dht"][(1, ta)])
             rd = _JpegBitReader(segments[0])
             seg_idx = 0
@@ -708,8 +821,63 @@ def _jpeg_decode_progressive(info: dict) -> np.ndarray:
                     k += r
                     if k > se:
                         raise ValueError("AC run past band end in JPEG scan")
-                    coefs[blk, k] = _jpeg_extend(rd.bits(s), s)
+                    coefs[blk, k] = _jpeg_extend(rd.bits(s), s) << al
                     k += 1
+        else:
+            # AC refinement (G.1.2.3): newly-significant ±2^Al values
+            # run-coded over insignificant positions; every significant
+            # position passed (or swept after a band end) consumes one
+            # correction bit that may add ±2^Al toward its magnitude
+            ac_tab = _huff_decode_table(*scan["dht"][(1, ta)])
+            rd = _JpegBitReader(segments[0])
+            seg_idx = 0
+            eobrun = 0
+            p1, m1 = 1 << al, -1 << al
+
+            def _correct(blk: int, k: int) -> None:
+                if rd.bit() and not (int(coefs[blk, k]) & p1):
+                    coefs[blk, k] += p1 if coefs[blk, k] >= 0 else m1
+
+            for blk in range(nblk):
+                if dri and blk and blk % dri == 0:
+                    seg_idx += 1
+                    rd = _JpegBitReader(segments[seg_idx])
+                    eobrun = 0
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        sym = rd.huff(ac_tab, "AC")
+                        r, s = sym >> 4, sym & 0xF
+                        if s == 0:
+                            if r != 15:
+                                eobrun = (1 << r) + (rd.bits(r) if r else 0)
+                                break
+                            newval = 0  # ZRL: skip 16 insignificant slots
+                        elif s == 1:
+                            newval = p1 if rd.bit() else m1
+                        else:
+                            raise ValueError(
+                                "refinement scan magnitude must be 1"
+                            )
+                        while k <= se:
+                            if coefs[blk, k] != 0:
+                                _correct(blk, k)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= se:
+                            coefs[blk, k] = newval
+                        k += 1
+                if eobrun > 0:
+                    # band end: sweep remaining significant positions
+                    # for their correction bits, then consume one EOB
+                    while k <= se:
+                        if coefs[blk, k] != 0:
+                            _correct(blk, k)
+                        k += 1
+                    eobrun -= 1
     qt = info["dqt"][tq]
     out = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
     for blk in range(nblk):
@@ -735,10 +903,10 @@ def jpeg_decode(info: dict) -> np.ndarray:
     predictor reset at each restart, T.81 E.2.4). Pure numpy — no codec
     library. PROGRESSIVE (SOF2) frames route to
     ``_jpeg_decode_progressive`` (round 7: spectral selection with EOBn
-    band-end runs, the r6 stretch item). The remaining documented
-    boundaries raise ``NotImplementedError``: successive-approximation
-    progressive scans (Ah/Al != 0) and multi-component
-    (chroma-subsampled) images — the synthesizer only emits grayscale."""
+    band-end runs AND full successive approximation — DC/AC refinement
+    scans per T.81 G.1.2.3). The remaining documented boundary raises
+    ``NotImplementedError``: multi-component (chroma-subsampled) images
+    — the synthesizer only emits grayscale."""
     if info.get("scan") is None or info.get("sos") is None:
         raise ValueError("JPEG without an entropy-coded scan")
     if info.get("precision") != 8 or info.get("ncomp") != 1:
@@ -1496,14 +1664,16 @@ def audio_features(media: DataFrame) -> DataFrame:
 def progressive_roundtrip(media: DataFrame) -> DataFrame:
     """Decode → re-encode PROGRESSIVE (SOF2) → re-decode, per JPEG image
     (round 7): the acceptance harness for the progressive codec path —
-    baseline-decoded pixels are re-encoded as a two-scan spectral-
-    selection stream (DC scan + EOBn-coded AC scan) and decoded again;
-    ``n_exact`` counts pixels identical between the two decodes (the
-    coefficients are shared, so the contract is n_exact == n_px, which
-    the oracle pins), and ``sum_luma`` is the exact integer pixel sum of
-    the progressive decode (generator-recomputable). Non-JPEG rows
-    produce no output. 100 TB shape: one Arrow pass, 5 scalars out per
-    image, payloads never leave the executor."""
+    baseline-decoded pixels are re-encoded as a FOUR-scan successive-
+    approximation stream (point-transformed DC + EOBn-coded AC at Al=1,
+    then the DC/AC refinement scan pair of T.81 G.1.2.3) and decoded
+    again; ``n_exact`` counts pixels identical between the two decodes
+    (full refinement reconstructs the shared coefficients exactly, so
+    the contract is n_exact == n_px, which the oracle pins), and
+    ``sum_luma`` is the exact integer pixel sum of the progressive
+    decode (generator-recomputable). Non-JPEG rows produce no output.
+    100 TB shape: one Arrow pass, 5 scalars out per image, payloads
+    never leave the executor."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1519,7 +1689,7 @@ def progressive_roundtrip(media: DataFrame) -> DataFrame:
                 base = jpeg_decode(info)
                 h0, w0 = base.shape
                 prog = jpeg_decode(parse_container(
-                    jpeg_bytes_progressive(w0, h0, b"", base.tobytes())
+                    jpeg_bytes_progressive(w0, h0, b"", base.tobytes(), al=1)
                 ))
                 out["media_id"].append(int(mid))
                 out["width"].append(w0)

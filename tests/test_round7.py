@@ -407,20 +407,66 @@ class TestProgressiveJpeg:
         )
         assert M.parse_container(payload)["content"] == b"hello progressive"
 
-    def test_successive_approximation_raises(self):
-        """Ah/Al != 0 (successive approximation) is the remaining
-        documented boundary — must raise NotImplementedError, not
-        mis-decode."""
-        payload = bytearray(
-            M.jpeg_bytes_progressive(16, 16, b"t", np.zeros((16, 16), np.uint8))
+    def test_successive_approximation_exact_at_every_depth(self):
+        """Round 7b: Ah/Al != 0 DECODES — the full successive-
+        approximation script (point-transformed first scans + DC/AC
+        refinement pairs, T.81 G.1.2.3) must reconstruct the exact
+        coefficients at every refinement depth, so the decode equals the
+        baseline decode bit-for-bit for al = 1..3."""
+        rng = np.random.RandomState(7)
+        for al in (1, 2, 3):
+            for (w, h) in [(16, 16), (37, 29), (8, 8)]:
+                px = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+                base = M.jpeg_decode(
+                    M.parse_container(M.jpeg_bytes_pixels(w, h, b"t", px))
+                )
+                sa = M.jpeg_decode(M.parse_container(
+                    M.jpeg_bytes_progressive(w, h, b"t", px, al=al)
+                ))
+                assert np.array_equal(base, sa), (al, w, h)
+
+    def test_sa_eobn_correction_interplay(self):
+        """The G.1.2.3 stress shape: a half-constant image makes the
+        refinement scan mix EOBn band-end runs (whose buffered
+        correction bits flush after the EOBn symbol) with runs of
+        newly-significant coefficients and mid-run correction bits."""
+        rng = np.random.RandomState(13)
+        px = rng.randint(0, 256, size=(24, 48)).astype(np.uint8)
+        px[:, 24:] = 128
+        base = M.jpeg_decode(
+            M.parse_container(M.jpeg_bytes_pixels(48, 24, b"t", px))
         )
-        # patch the AC scan's ahal byte (last byte of the 2nd SOS header)
-        first = payload.find(b"\xff\xda")
-        second = payload.find(b"\xff\xda", first + 2)
-        assert second > 0
-        payload[second + 9] = 0x01  # Al = 1
-        with pytest.raises(NotImplementedError):
-            M.jpeg_decode(M.parse_container(bytes(payload)))
+        for al in (1, 2):
+            sa = M.jpeg_decode(M.parse_container(
+                M.jpeg_bytes_progressive(48, 24, b"t", px, al=al)
+            ))
+            assert np.array_equal(base, sa), al
+        # and the scan count is the full script: 2 + 2 per refinement level
+        info = M.parse_container(
+            M.jpeg_bytes_progressive(48, 24, b"t", px, al=2)
+        )
+        assert len(info["scans"]) == 6
+
+    def test_refinement_magnitude_violation_raises(self):
+        """A refinement scan symbol with magnitude size > 1 is corrupt
+        (G.1.2.3 allows only newly-significant ±1): must raise, never
+        mis-accumulate."""
+        payload = bytearray(
+            M.jpeg_bytes_progressive(
+                16, 16, b"t",
+                np.arange(256, dtype=np.uint8).reshape(16, 16), al=1
+            )
+        )
+        # find the AC refinement scan (4th SOS) and corrupt its data
+        pos = -1
+        for _ in range(4):
+            pos = payload.find(b"\xff\xda", pos + 1)
+        assert pos > 0
+        scan_start = pos + 10
+        payload[scan_start:scan_start + 4] = b"\x15\x15\x15\x15"
+        info = M.parse_container(bytes(payload))
+        with pytest.raises(ValueError):
+            M.jpeg_decode(info)
 
     def test_flipped_marker_is_corrupt_not_silent(self):
         """A baseline stream whose SOF marker is flipped to SOF2 is NOT a

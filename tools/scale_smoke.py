@@ -984,13 +984,17 @@ Steady-state timings (2nd run per op). Reading the table:
   monotonicity and the exact residual range always applies (pushed to
   the reader as row_key bounds) — skew costs read amplification,
   never wrong answers.
-- `mm_progressive_roundtrip_10x` (r7): baseline decode → progressive
-  (SOF2, spectral selection + EOBn band-end runs) re-encode → decode,
-  per JPEG image — retires the r6 "progressive JPEG" boundary with a
-  real two-scan codec path; the oracle pins bit-exactness (shared
-  rounded DCT coefficients) and the generator pixel sum. One Arrow
+- `mm_progressive_roundtrip_10x` (r7): baseline decode → FULL
+  progressive (SOF2) re-encode → decode, per JPEG image — retires the
+  r6 "progressive JPEG" boundary completely: the stream is the 4-scan
+  successive-approximation script (point-transformed DC + EOBn-coded
+  AC at Al=1, then the DC/AC refinement pair of T.81 G.1.2.3 — newly-
+  significant run coding, correction bits, band-end sweeps), and the
+  oracle pins bit-exactness (full refinement reconstructs the shared
+  rounded DCT coefficients) plus the generator pixel sum. One Arrow
   pass, 6 scalars out per image; the remaining boundary narrows to
-  successive approximation (Ah/Al != 0) and chroma subsampling.
+  chroma-subsampled multi-component JPEG (unreachable — the
+  synthesizer is grayscale-only).
 - `wc_store_zorder_latest_10x` (r7): "newest version per series in a
   key range" — the read the reference's `!ts` key component serves —
   over the same range-bucketed store: key-bucket interval x ALL time
