@@ -56,6 +56,24 @@ def test_store_zorder_range_partition_pruned(spark, sf_dir):
     assert any("LessThan(row_key" in f for f in a["pushed_filters"]), a
 
 
+def test_store_zorder_latest_prunes_key_stripe(spark, sf_dir):
+    """'Latest per series in a key range' reads the key-bucket interval
+    across ALL time buckets — still a zb partition filter (the stripe a
+    pure key layout would read; the z-order layout must not tax
+    latest-reads), with the exact range pushed to the reader and newest
+    resolved by one max-by-struct aggregate (no window, one shuffle)."""
+    from smoltable_spark.queries_core import wc_store_zorder_latest
+
+    df = wc_store_zorder_latest(spark, sf_dir)
+    a = plans.audit(df)
+    assert any(
+        "zb" in f and ("INSET" in f or " IN " in f)
+        for f in a["partition_filters"]
+    ), a
+    assert any("GreaterThanOrEqual(row_key" in f for f in a["pushed_filters"]), a
+    assert a["shuffles"] <= 2, a  # partial agg + final agg exchange only
+
+
 def test_melt_filter_prunes_source_columns(spark, sf_dir):
     """Filtering a literal qualifier on the melt folds away non-matching
     union branches -> the parquet scan reads only the needed columns
