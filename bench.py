@@ -334,6 +334,17 @@ def main():
         .count()
     )
 
+    def _isolated_min(name: str, runs: int = 3) -> float:
+        """Solo re-measure: the ONE isolation protocol shared by the
+        gate's isolated-confirm pass and the watchlist, so their numbers
+        stay comparable by construction."""
+        iso = []
+        for _ in range(runs):
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            iso.append(time.time() - t0)
+        return round(min(iso), 3)
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in bench_query_names(qs):
@@ -428,12 +439,7 @@ def main():
             # min — and only record a regression the isolated time confirms,
             # so the committed record and the driver record stop disagreeing.
             for name, info in candidates.items():
-                iso = []
-                for _ in range(3):
-                    t0 = time.time()
-                    qs[name](spark, sf_dir).count()
-                    iso.append(time.time() - t0)
-                iso_min = round(min(iso), 3)
+                iso_min = _isolated_min(name)
                 info["isolated"] = iso_min
                 p = info["prev"]
                 r_iso = iso_min / p
@@ -479,12 +485,7 @@ def main():
     for name in WATCHLIST:
         if name not in qs:
             continue
-        iso = []
-        for _ in range(3):
-            t0 = time.time()
-            qs[name](spark, sf_dir).count()
-            iso.append(time.time() - t0)
-        watch_isolated[name] = round(min(iso), 3)
+        watch_isolated[name] = _isolated_min(name)
         print(
             f"# watch {name}: sweep {timings.get(name)}s -> isolated "
             f"{watch_isolated[name]}s",
@@ -563,6 +564,29 @@ def _compact_summary(result: dict) -> str:
         compact["queries"] = dict(
             list(compact["queries"].items())[: len(compact["queries"]) // 2]
         )
+        line = json.dumps(compact)
+    # a high-regression round can blow the budget on the flag dicts alone
+    # (~130 chars per entry) — shed those too, worst-by-ratio first, then
+    # fall back to bare counts: the tail-parse guarantee must hold in
+    # exactly the round where the record matters most (full detail is
+    # always in BENCH_LOCAL.json)
+    flag_keys = ("regressions", "cold_regressions", "pending_flags")
+    if len(line) > 1900:
+        for key in flag_keys:
+            d = compact.get(key) or {}
+            if len(d) > 5:
+                compact[key] = dict(
+                    sorted(d.items(),
+                           key=lambda kv: -(kv[1].get("ratio") or 0))[:5]
+                )
+                compact[key + "_dropped"] = len(d) - 5
+        line = json.dumps(compact)
+    if len(line) > 1900:
+        for key in flag_keys:
+            d = compact.get(key)
+            if isinstance(d, dict) and d and "n_flagged" not in d:
+                compact[key] = {"n_flagged": len(d)}
+            compact.pop(key + "_dropped", None)
         line = json.dumps(compact)
     return line
 

@@ -89,6 +89,17 @@ def append_ivf_index(
             name = f.getPath().getName()
             if name.startswith("_") or name.startswith("."):
                 continue
-            # task-UUID filenames: no collision with base files
-            fs.rename(f.getPath(), jpath(dst_dir, name))
+            # task-UUID filenames: no collision with base files. Hadoop
+            # rename reports failure via its RETURN VALUE, not an
+            # exception — an unchecked false (dst exists, concurrent
+            # appender on the fixed staging path, fs quirk) would leave
+            # the file in staging and the delete below would destroy it:
+            # a silent data-loss append. Fail loudly instead.
+            if not fs.rename(f.getPath(), jpath(dst_dir, name)):
+                raise IOError(
+                    f"IVF append publish failed: could not rename "
+                    f"{f.getPath()} into {dst_dir}; staging left in place "
+                    f"for inspection (single-writer contract violated, or "
+                    f"a stale destination file exists)"
+                )
     fs.delete(jpath(staging), True)

@@ -10498,16 +10498,18 @@ def ann_matryoshka_structured(spark, sf_dir):
 def mm_progressive_roundtrip(spark, sf_dir):
     """PROGRESSIVE JPEG roundtrip (round 7, retiring the r6 SOF2
     boundary): every synthesized baseline JPEG is decoded, re-encoded as
-    a REAL two-scan progressive stream (SOF2, spectral selection: DC
-    scan + EOBn band-end-run AC scan, functions/multimodal.py::
+    a REAL FOUR-scan successive-approximation stream (SOF2, al=1: point-
+    transformed DC + EOBn band-end-run AC first scans, then the DC/AC
+    refinement scan pair of T.81 G.1.2.3 — functions/multimodal.py::
     jpeg_bytes_progressive), and decoded again through the progressive
-    path (_jpeg_decode_progressive). The oracle pins EXACTNESS — the
-    encoders share the rounded forward-DCT coefficients, so
-    n_exact == n_px for every image — plus the generator-recomputed
+    path (_jpeg_decode_progressive). The oracle pins EXACTNESS — full
+    refinement reconstructs the shared rounded forward-DCT coefficients,
+    so n_exact == n_px for every image — plus the generator-recomputed
     pixel sum of the progressive decode (the mm_luma_histogram
-    block-weighting recipe). A decode defect in either direction breaks
-    the hash match. 100 TB shape: pure per-row Arrow map, 6 scalar
-    columns out per image."""
+    block-weighting recipe). A defect anywhere in the SA coding chain
+    (correction-bit order, EOBn buffering, newly-significant runs)
+    breaks the hash match. 100 TB shape: pure per-row Arrow map, 6
+    scalar columns out per image."""
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.synthesize_media(docs)
     return multimodal.progressive_roundtrip(media)

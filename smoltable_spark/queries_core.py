@@ -1302,6 +1302,59 @@ _Z_DAY_BUCKETS = [2, 3, 4]
 _Z_DAY_NS = 86_400_000_000_000
 
 
+def _events_cells_seq(spark, sf_dir):
+    """events_cells plus an explicit ``_seq`` write-sequence column
+    (= event_id): two events of the same (type, user) whose timestamps
+    collide after µs truncation map to ONE cell coordinate, and without
+    a seq the _dedup_coords winner would be file-order-dependent — the
+    exact situation store.py's ordering contract says MUST pass
+    ``seq_col``. With _seq = event_id the survivor is deterministically
+    the max-event_id duplicate, which the DuckDB oracles mirror with a
+    ``row_number() OVER (PARTITION BY row_key, ts ORDER BY event_id
+    DESC)`` dedup CTE, so the pin holds at any scale (no collisions
+    exist at the tested SFs; this closes the latent scale hole)."""
+    from smoltable_spark.sources.relational import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.concat(
+            F.col("event_type"), F.lit("#user#"),
+            F.lpad(F.col("user_id").cast("string"), 6, "0"),
+        ).alias("row_key"),
+        F.lit("value").alias("family"),
+        F.lit("").alias("qualifier"),
+        F.expr("(ts div 1000) * 1000").cast("long").alias("ts"),
+        F.lit("f64").alias("vtype"),
+        F.lit(None).cast("string").alias("v_str"),
+        F.lit(None).cast("boolean").alias("v_bool"),
+        F.lit(None).cast("short").alias("v_byte"),
+        F.lit(None).cast("int").alias("v_i32"),
+        F.lit(None).cast("long").alias("v_i64"),
+        F.lit(None).cast("float").alias("v_f32"),
+        F.col("value").cast("double").alias("v_f64"),
+        F.col("event_id").cast("long").alias("_seq"),
+    )
+
+
+#: shared oracle CTEs mirroring _events_cells_seq + _dedup_coords: the
+#: melted key/ts, then one row per (row_key, ts) coordinate keeping the
+#: max-event_id duplicate (the engine's seq_col winner)
+_Z_CELLS_SQL = """
+    k AS (
+      SELECT event_type, user_id, event_id, value,
+             event_type || '#user#' || lpad(CAST(user_id AS VARCHAR), 6, '0')
+                 AS row_key,
+             epoch_ns(ts) AS ts
+      FROM events
+    ), d AS (
+      SELECT * FROM (
+        SELECT k.*, row_number() OVER (PARTITION BY row_key, ts
+                                       ORDER BY event_id DESC) AS _dr
+        FROM k)
+      WHERE _dr = 1
+    )"""
+
+
 def _events_zstore(spark, sf_dir):
     """Build-once Z-ordered CellStore of the events melt: base snapshots
     partition by (lg, zb) where zb interleaves (user bucket, day bucket)
@@ -1326,7 +1379,7 @@ def _events_zstore(spark, sf_dir):
         )
         store.save_families([ColumnFamilyDef("value")])
         if store.current_version() == 0:
-            store.write(events_cells(spark, sf_dir))
+            store.write(_events_cells_seq(spark, sf_dir), seq_col="_seq")
         _ZSTORE_CACHE[key] = store
     return _ZSTORE_CACHE[key]
 
@@ -1334,20 +1387,22 @@ def _events_zstore(spark, sf_dir):
 @q(
     "wc_store_zorder_scan",
     f"""
-    SELECT event_type,
+    WITH {_Z_CELLS_SQL}
+    SELECT split_part(row_key, '#', 1) AS event_type,
            CAST(count(*) AS BIGINT) AS n_cells,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS n_series,
+           CAST(count(DISTINCT row_key) AS BIGINT) AS n_series,
            CAST(sum(round(value * 100)) AS BIGINT) AS total_cents,
-           CAST(min(epoch_ns(ts)) AS BIGINT) AS min_ts,
-           CAST(max(epoch_ns(ts)) AS BIGINT) AS max_ts,
+           CAST(min(ts) AS BIGINT) AS min_ts,
+           CAST(max(ts) AS BIGINT) AS max_ts,
            CAST({len(_Z_USER_BUCKETS) * len(_Z_DAY_BUCKETS)} AS INT)
                AS n_parts_read,
            CAST(64 AS INT) AS n_parts_total
-    FROM events
-    WHERE user_id % 8 BETWEEN {_Z_USER_BUCKETS[0]} AND {_Z_USER_BUCKETS[-1]}
-      AND (epoch_ns(ts) // {_Z_DAY_NS}) % 8
+    FROM d
+    WHERE CAST(right(row_key, 6) AS BIGINT) % 8
+          BETWEEN {_Z_USER_BUCKETS[0]} AND {_Z_USER_BUCKETS[-1]}
+      AND (ts // {_Z_DAY_NS}) % 8
           BETWEEN {_Z_DAY_BUCKETS[0]} AND {_Z_DAY_BUCKETS[-1]}
-    GROUP BY event_type
+    GROUP BY 1
     """,
 )
 def wc_store_zorder_scan(spark, sf_dir):
@@ -1366,7 +1421,13 @@ def wc_store_zorder_scan(spark, sf_dir):
     wc_plan_probe pattern). At 100 TB the win is the same as
     Delta/Iceberg Z-ORDER: the scan cost tracks the box volume
     (15/64 ≈ 23%), not the stripe volume a 1-D layout reads (3/8 of
-    users or 5/8 of days)."""
+    users or 5/8 of days). Both engine AND oracle derive the user
+    bucket from the ROW KEY's last 6 digits (not raw user_id): lpad
+    truncates ids past 6 digits, so a raw-id oracle would silently
+    diverge at ~1.5M users — key-derived on both sides is truncation-
+    consistent at any scale. The store is written with an explicit
+    _seq (= event_id) so µs-collision dedup is deterministic and the
+    oracle's dedup CTE (_Z_CELLS_SQL) mirrors it exactly."""
     store = _events_zstore(spark, sf_dir)
     cells = store.box_scan(
         a_values=_Z_USER_BUCKETS, b_values=_Z_DAY_BUCKETS
@@ -1427,7 +1488,7 @@ def _events_rzstore(spark, sf_dir):
         )
         store.save_families([ColumnFamilyDef("value")])
         if store.current_version() == 0:
-            store.write(events_cells(spark, sf_dir))
+            store.write(_events_cells_seq(spark, sf_dir), seq_col="_seq")
         _RZSTORE_CACHE[key] = store
     return _RZSTORE_CACHE[key]
 
@@ -1440,23 +1501,18 @@ _ZR_HI = "error#~"
 @q(
     "wc_store_zorder_range",
     f"""
-    WITH k AS (
-      SELECT event_type, user_id, ts, value,
-             event_type || '#user#' || lpad(CAST(user_id AS VARCHAR), 6, '0')
-                 AS row_key
-      FROM events
-    )
-    SELECT event_type,
+    WITH {_Z_CELLS_SQL}
+    SELECT split_part(row_key, '#', 1) AS event_type,
            CAST(count(*) AS BIGINT) AS n_cells,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS n_series,
+           CAST(count(DISTINCT row_key) AS BIGINT) AS n_series,
            CAST(sum(round(value * 100)) AS BIGINT) AS total_cents,
-           CAST(min(epoch_ns(ts)) AS BIGINT) AS min_ts,
-           CAST(max(epoch_ns(ts)) AS BIGINT) AS max_ts
-    FROM k
+           CAST(min(ts) AS BIGINT) AS min_ts,
+           CAST(max(ts) AS BIGINT) AS max_ts
+    FROM d
     WHERE row_key >= '{_ZR_LO}' AND row_key < '{_ZR_HI}'
-      AND (epoch_ns(ts) // {_Z_DAY_NS}) % 8
+      AND (ts // {_Z_DAY_NS}) % 8
           BETWEEN {_Z_DAY_BUCKETS[0]} AND {_Z_DAY_BUCKETS[-1]}
-    GROUP BY event_type
+    GROUP BY 1
     """,
 )
 def wc_store_zorder_range(spark, sf_dir):
@@ -1505,17 +1561,10 @@ def wc_store_zorder_range(spark, sf_dir):
 @q(
     "wc_store_zorder_latest",
     f"""
-    WITH k AS (
-      SELECT event_type, user_id, value,
-             event_type || '#user#' || lpad(CAST(user_id AS VARCHAR), 6, '0')
-                 AS row_key,
-             epoch_ns(ts) AS ts
-      FROM events
-    ), r AS (
+    WITH {_Z_CELLS_SQL}, r AS (
       SELECT row_key, ts, value,
-             row_number() OVER (PARTITION BY row_key
-                                ORDER BY ts DESC, value DESC) AS rn
-      FROM k
+             row_number() OVER (PARTITION BY row_key ORDER BY ts DESC) AS rn
+      FROM d
       WHERE row_key >= '{_ZR_LO}' AND row_key < '{_ZR_HI}'
     )
     SELECT row_key, CAST(ts AS BIGINT) AS ts,
@@ -1537,7 +1586,11 @@ def wc_store_zorder_latest(spark, sf_dir):
     time layout would read every partition for this query, so the
     Z-order read here shows the layout does NOT tax latest-reads (same
     stripe as a pure key layout), while box/range scans gained their
-    2-D pruning."""
+    2-D pruning. The store carries _seq = event_id, so coordinate dedup
+    is deterministic and post-dedup ts is UNIQUE per row key — the
+    max-by-struct pick needs no value tie-break, and the oracle's
+    row_number over the dedup CTE is well-defined at any scale (µs ts
+    collisions included)."""
     store = _events_rzstore(spark, sf_dir)
     cells = store.key_range_scan(_ZR_LO, _ZR_HI, b_values=list(range(8)))
     newest = (

@@ -94,6 +94,33 @@ def test_compact_summary_tail_parses():
     assert json.loads(tail) == parsed
 
 
+def test_compact_summary_sheds_flag_floods():
+    """A high-regression round (the round where the record matters most)
+    must not blow the 1900-char budget on the flag dicts: shed to the
+    5 worst-by-ratio, then to bare counts — the tail parse guarantee is
+    unconditional."""
+    flood = {
+        f"query_{i:03d}": {"prev": 0.2, "now": 1.4, "ratio": 7.0 - i * 0.01,
+                           "ratio_vs_median": 6.9, "isolated": 1.3,
+                           "isolated_ratio": 6.5}
+        for i in range(40)
+    }
+    result = {
+        "metric": "total_headline_sec", "value": 250.0, "unit": "sec",
+        "sf": 0.1, "queries": {f"q{i}": 0.5 for i in range(300)},
+        "prev_round_total": 240.0, "env_drift_median_ratio": 1.0,
+        "regressions": dict(flood), "cold_regressions": dict(flood),
+        "pending_flags": dict(flood),
+    }
+    line = bench._compact_summary(result)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert parsed["partial"] is True
+    # the flag information survives in some form: entries or counts
+    reg = parsed["regressions"]
+    assert reg.get("n_flagged") == 40 or len(reg) >= 1
+
+
 def test_write_records_atomic_into_tmpdir(tmp_path, monkeypatch):
     """Both durable records are written via tmp+os.replace into the given
     directory — no .tmp leftovers, valid JSON, history keyed by the next
