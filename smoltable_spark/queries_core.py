@@ -1605,3 +1605,65 @@ def wc_store_zorder_latest(spark, sf_dir):
         )
     )
     return newest
+
+
+@q(
+    "wc_store_zorder_compact_cycle",
+    f"""
+    WITH {_Z_CELLS_SQL}
+    SELECT CAST(1 AS INT) AS v_base, CAST(2 AS INT) AS v_delta,
+           CAST(3 AS INT) AS v_compacted,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(CASE WHEN (ts // {_Z_DAY_NS}) % 8 >= 6
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_delta_cells,
+           CAST(count(DISTINCT row_key) AS BIGINT) AS n_series,
+           CAST(sum(round(value * 100)) AS BIGINT) AS total_cents
+    FROM d
+    """,
+)
+def wc_store_zorder_compact_cycle(spark, sf_dir):
+    """Full LSM lifecycle ON the Z-ordered store, as a driver row (the
+    delta-carry + re-z-order path was pytest-only): a fresh store takes
+    a base snapshot of the day-bucket<6 cells (partitioned by lg+zb),
+    an O(batch) delta append of the rest (zb carried as a DATA column —
+    read() unions legs by name and box_scan's filter still applies via
+    row-group stats), then compact() folds both into one re-z-ordered
+    base whose zb is a partition dir again. The verified claim: the
+    compacted snapshot holds exactly the union (nothing lost at any
+    boundary, version numbers deterministic 1/2/3), pinned against the
+    raw table through the shared dedup CTE. 100 TB: the delta stays
+    O(batch) like a memtable flush; compaction is the one table-size
+    write, exactly the reference's levelled fold (mod.rs:156-165), and
+    it re-establishes metadata-level 2-D pruning for everything
+    ingested since the last fold."""
+    import tempfile as _tf
+
+    from smoltable_spark.sources.store_layout import ZorderCellStore
+
+    cells = _events_cells_seq(spark, sf_dir)
+    day_b = F.expr(f"(ts div {_Z_DAY_NS}) % 8")
+    store = ZorderCellStore(
+        spark,
+        _tf.mkdtemp(prefix="smoltable_zcycle_") + "/store",
+        a_bucket=lambda: F.substring(F.col("row_key"), -6, 6).cast("long")
+        % 8,
+        b_bucket=lambda: F.expr(f"(ts div {_Z_DAY_NS}) % 8"),
+        bits=3,
+    )
+    store.save_families([ColumnFamilyDef("value")])
+    v_base = store.write(cells.filter(day_b < 6), seq_col="_seq")
+    v_delta = store.append(cells.filter(day_b >= 6), seq_col="_seq")
+    v_compacted = store.compact()
+    out = store.read(version=v_compacted)
+    day_out = F.expr(f"(ts div {_Z_DAY_NS}) % 8")
+    return out.agg(
+        F.lit(v_base).cast("int").alias("v_base"),
+        F.lit(v_delta).cast("int").alias("v_delta"),
+        F.lit(v_compacted).cast("int").alias("v_compacted"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum((day_out >= 6).cast("long")).alias("n_delta_cells"),
+        F.countDistinct("row_key").cast("long").alias("n_series"),
+        F.sum(F.round(F.col("v_f64") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+    )

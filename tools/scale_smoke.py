@@ -804,7 +804,7 @@ def main():
     # (build-once store; the timed run measures the pruned read) and the
     # structured-spectrum Matryoshka probe over 320k vectors
     for _cq in ("wc_store_zorder_scan", "wc_store_zorder_range",
-                "wc_store_zorder_latest"):
+                "wc_store_zorder_latest", "wc_store_zorder_compact_cycle"):
         _fn = _CQ[_cq][0]
         timed(f"{_cq}_10x", lambda _f=_fn: _f(spark, OUT).count())
     for _nq in ("ann_matryoshka_structured", "mm_progressive_roundtrip"):
@@ -995,6 +995,12 @@ Steady-state timings (2nd run per op). Reading the table:
   pass, 6 scalars out per image; the remaining boundary narrows to
   chroma-subsampled multi-component JPEG (unreachable — the
   synthesizer is grayscale-only).
+- `wc_store_zorder_compact_cycle_10x` (r7): the full base → O(batch)
+  delta append (zb carried as a data column) → compact() re-z-order
+  lifecycle over 1M event cells, verified against the raw table — the
+  delta path stays memtable-cheap and compaction re-establishes the
+  metadata-level 2-D pruning for everything ingested since the last
+  fold (the reference's levelled-compaction fold, mod.rs:156-165).
 - `wc_store_zorder_latest_10x` (r7): "newest version per series in a
   key range" — the read the reference's `!ts` key component serves —
   over the same range-bucketed store: key-bucket interval x ALL time
