@@ -71,15 +71,34 @@ def append_ivf_index(
     # (snapshot isolation), which is the table-format layer's job.
     base = path.rstrip("/")
     staging = base + "/.staging-append"
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path
+    fs = jpath(base).getFileSystem(spark._jsc.hadoopConfiguration())
+    # ADVICE r7: a crash mid-publish leaves SOME delta files already
+    # renamed into the index with the staging dir still present; blindly
+    # re-running the append would overwrite staging and re-publish the
+    # whole delta under fresh task-UUID filenames, silently DUPLICATING
+    # the partially-published vectors. Fail fast instead — recovery is
+    # explicit (inspect staging: finish the publish by moving the
+    # remaining files, or delete staging to roll back), matching the
+    # single-writer contract above. Retry semantics: an append that
+    # raised here has NOT consumed its input; re-run it only after the
+    # staging dir is reconciled.
+    if fs.exists(jpath(staging)):
+        raise IOError(
+            f"IVF append aborted: staging dir {staging} already exists — "
+            "a previous append crashed mid-publish (or a concurrent "
+            "appender is running, violating the single-writer contract). "
+            "Reconcile: move its remaining files into their list_id= "
+            "partitions to finish that publish, or delete the staging dir "
+            "to roll it back; then retry this append."
+        )
     (
         nv.join(assign, "vec_id")
         .write.mode("overwrite")
         .partitionBy("list_id")
         .parquet(staging)
     )
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path
-    fs = jpath(base).getFileSystem(spark._jsc.hadoopConfiguration())
     for part in fs.listStatus(jpath(staging)):
         if not part.isDirectory():
             continue  # _SUCCESS marker

@@ -1294,6 +1294,27 @@ def wc_ingest_json_wire(spark, sf_dir):
 
 _ZSTORE_CACHE: dict = {}
 
+
+def _store_code_tag() -> str:
+    """Code-version fingerprint baked into build-once store cache paths
+    (ADVICE r7: a tempdir store written by an OLDER code revision — or
+    surviving a testdata regeneration — used to be served stale because
+    the builder skipped rebuild whenever current_version() != 0, and the
+    resulting cert failure pointed at the query, not the cache). Hashing
+    the store/layout/melt source files means any revision that could
+    change the on-disk store lands in a FRESH path — the same
+    invalidation discipline the oracle ledger applies to stamps. The
+    data shape is already in the path via sf_dir."""
+    import hashlib
+
+    from smoltable_spark.sources import relational, store, store_layout
+
+    h = hashlib.sha256()
+    for m in (store, store_layout, relational):
+        with open(m.__file__, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()[:10]
+
 #: the 2-D box: user buckets {1..5} × day buckets {2..4} ⟹ 15 of the 64
 #: Morton partitions (same box shape rel_events_zorder_prune pins on the
 #: dedicated events store — here it prunes the CellStore itself)
@@ -1367,7 +1388,11 @@ def _events_zstore(spark, sf_dir):
     key = sf_dir
     if key not in _ZSTORE_CACHE:
         path = os.path.join(
-            tempfile.gettempdir(), "smoltable_zstore_" + re.sub(r"\W", "_", sf_dir)
+            tempfile.gettempdir(),
+            "smoltable_zstore_"
+            + _store_code_tag()
+            + "_"
+            + re.sub(r"\W", "_", sf_dir),
         )
         store = ZorderCellStore(
             spark,
@@ -1478,7 +1503,10 @@ def _events_rzstore(spark, sf_dir):
     if key not in _RZSTORE_CACHE:
         path = os.path.join(
             tempfile.gettempdir(),
-            "smoltable_rzstore_" + re.sub(r"\W", "_", sf_dir),
+            "smoltable_rzstore_"
+            + _store_code_tag()
+            + "_"
+            + re.sub(r"\W", "_", sf_dir),
         )
         store = RangeZorderCellStore(
             spark,

@@ -209,13 +209,24 @@ class CellStore:
         "parquet.block.size": str(64 * 1024 * 1024),  # ≈ levelled target size
     }
 
+    def _layout(self, df: DataFrame, kind: str) -> tuple[DataFrame, list[str]]:
+        """Hook: final physical layout of a snapshot about to commit —
+        returns (possibly transformed df, partition columns). Layout
+        subclasses (e.g. Z-order bucketing in ``store_layout.py``)
+        override ONLY this; the commit sequence itself (version dir,
+        WRITE_OPTIONS, kind marker, atomic pointer rename) stays here so
+        it can never drift between layouts (ADVICE r7: the Z-ordered
+        base path used to re-implement the whole sequence)."""
+        return df, ["lg"]
+
     def _commit_snapshot(self, df: DataFrame, kind: str) -> int:
+        df, part_cols = self._layout(df, kind)
         n = self.current_version() + 1
         d = self._version_dir(n)
         w = df.write.mode("overwrite")
         for k, v in self.WRITE_OPTIONS.items():
             w = w.option(k, v)
-        w.partitionBy("lg").parquet(d)
+        w.partitionBy(*part_cols).parquet(d)
         with open(os.path.join(d, self._KIND_FILE), "w") as fh:
             fh.write(kind)
         self._commit_version(n)  # pointer rename = the commit point

@@ -16,7 +16,7 @@ scan becomes a metadata-level ``zb IN (covering set)`` partition filter
 from the box bounds (``zorder_covering``), never data-dependent.
 
 Everything else is inherited unchanged: manifest/versioning, delta
-appends, compaction (which re-runs through the overridden commit and so
+appends, compaction (which re-runs through the layout hook and so
 re-z-orders), GC, vacuum. Deltas stay small and unpartitioned-by-zb is
 fine for them (LSM: deltas are scanned fully anyway until compaction
 folds them into the z-ordered base).
@@ -29,6 +29,7 @@ import os
 from pyspark.sql import DataFrame, functions as F
 
 from smoltable_spark.functions.layout import morton2, zorder_covering
+from smoltable_spark.schema import CELL_COLUMNS
 from smoltable_spark.sources.store import CellStore
 
 
@@ -49,7 +50,10 @@ class ZorderCellStore(CellStore):
         self._b_bucket = b_bucket
         self._bits = bits
 
-    def _commit_snapshot(self, df: DataFrame, kind: str) -> int:
+    def _layout(self, df: DataFrame, kind: str) -> tuple[DataFrame, list[str]]:
+        """Layout hook override (ADVICE r7: the commit sequence itself —
+        version dir, kind marker, atomic pointer — stays in the parent's
+        ``_commit_snapshot``; only the physical arrangement lives here)."""
         zb = morton2(
             self._a_bucket().cast("int"),
             self._b_bucket().cast("int"),
@@ -57,13 +61,13 @@ class ZorderCellStore(CellStore):
         )
         df = df.withColumn("zb", zb)
         if kind != "base":
-            # deltas commit through the parent path (O(batch) memtable
-            # flushes, partitioned by lg only) but CARRY zb as a data
-            # column: read() unions legs by name, and box_scan's zb
-            # filter then applies to delta rows via row-group stats
-            # instead of partition pruning — compaction folds them into
-            # the z-ordered base
-            return super()._commit_snapshot(df, kind)
+            # deltas keep the parent layout (O(batch) memtable flushes,
+            # partitioned by lg only) but CARRY zb as a data column:
+            # read() unions legs by name, and box_scan's zb filter then
+            # applies to delta rows via row-group stats instead of
+            # partition pruning — compaction folds them into the
+            # z-ordered base
+            return df, ["lg"]
         df = (
             df.repartition(F.col("lg"), F.col("zb"))
             .sortWithinPartitions(
@@ -73,19 +77,11 @@ class ZorderCellStore(CellStore):
                 F.col("ts").desc(),
             )
         )
-        n = self.current_version() + 1
-        d = self._version_dir(n)
-        w = df.write.mode("overwrite")
-        for k, v in self.WRITE_OPTIONS.items():
-            w = w.option(k, v)
-        w.partitionBy("lg", "zb").parquet(d)
-        with open(os.path.join(d, self._KIND_FILE), "w") as fh:
-            fh.write(kind)
-        self._commit_version(n)  # pointer rename = the commit point
-        return n
+        return df, ["lg", "zb"]
 
     def box_scan(
-        self, a_values: list[int], b_values: list[int]
+        self, a_values: list[int], b_values: list[int],
+        version: int | None = None,
     ) -> DataFrame:
         """Read only the partitions whose Morton cell intersects the 2-D
         box ``a_values × b_values``: the covering set is computed
@@ -95,7 +91,7 @@ class ZorderCellStore(CellStore):
         job (the covering set is exact because morton2 is a bijection,
         but correctness should not have to trust the covering math)."""
         covering = zorder_covering(a_values, b_values, bits=self._bits)
-        return self.read().filter(F.col("zb").isin(covering))
+        return self.read(version).filter(F.col("zb").isin(covering))
 
 
 # ---------------------------------------------------------------------------
@@ -106,18 +102,24 @@ _KEY_IMAGE_BYTES = 7  # 7 big-endian bytes < 2^56: no signed-long overflow
 
 
 def _key_image_col(col) -> "F.Column":
-    """Monotone numeric image of a row key: its first 7 bytes packed
-    big-endian into a long. For single-byte-charset keys (the store's
-    identifier charset is ASCII) ``k1 < k2 ⇒ image(k1) <= image(k2)``,
-    which is all monotone bucketing needs. Pure JVM expressions — the
-    image is computed inside the scan/write stage, never in Python."""
-    img = F.lit(0).cast("long")
-    for i in range(_KEY_IMAGE_BYTES):
-        c = F.when(
-            F.length(col) > i, F.ascii(F.substring(col, i + 1, 1))
-        ).otherwise(F.lit(0))
-        img = img * 256 + c
-    return img
+    """Monotone numeric image of a row key: its first 7 UTF-8 **bytes**
+    packed big-endian into a long — the SAME byte image ``_key_image_py``
+    computes, so write-side buckets and scan-side buckets can never
+    diverge (ADVICE r7 medium: the previous ``F.ascii`` form read Unicode
+    CODEPOINTS, which exceed 255 for non-ASCII keys and break base-256
+    monotonicity, letting ``key_range_scan`` prune partitions that held
+    in-range rows). ``hex(encode(key,'UTF-8'))`` yields two hex digits
+    per byte; taking the first 14, right-padding with '0' (= trailing
+    NUL bytes) and ``conv(16→10)`` is exactly
+    ``int.from_bytes(key.encode()[:7].ljust(7, b'\\0'), 'big')``.
+    Pure JVM expressions — the image is computed inside the scan/write
+    stage, never in Python."""
+    h = F.rpad(
+        F.substring(F.hex(F.encode(col, "UTF-8")), 1, 2 * _KEY_IMAGE_BYTES),
+        2 * _KEY_IMAGE_BYTES,
+        "0",
+    )
+    return F.conv(h, 16, 10).cast("long")
 
 
 def _key_image_py(key: str) -> int:
@@ -128,42 +130,83 @@ def _key_image_py(key: str) -> int:
 class RangeZorderCellStore(ZorderCellStore):
     """ZorderCellStore whose KEY dimension buckets by RANGE, not residue:
     bucket = #(boundaries <= key image), with the 2^bits − 1 boundaries
-    estimated from the first base batch (``percentile_approx`` over the
-    key image — partition-parallel, no global sort) and persisted in an
-    underscore-prefixed sidecar next to the manifest.
+    estimated by ``percentile_approx`` over the key image —
+    partition-parallel, no global sort — and persisted in an
+    underscore-prefixed VERSIONED sidecar next to the manifest
+    (``_layout_boundaries/v=<n>`` applies to snapshots >= n).
+
+    Boundary lifecycle (VERDICT r7 ask #1 — drift-adaptive re-bucketing):
+    the first batch establishes boundaries; every ``compact()``
+    RECOMPUTES them from the full compacted snapshot and writes a new
+    sidecar version keyed by the compacted snapshot's number — the
+    reference's compaction-owns-layout stance
+    (smoltable/src/table/mod.rs:156-165). Old snapshot versions keep
+    reading with the boundaries they were written under (time travel
+    never breaks), because reads resolve the newest sidecar <= the read
+    version. Under key-distribution drift the read amplification of
+    ``key_range_scan`` therefore resets to the fresh distribution at
+    each compaction instead of decaying toward a full scan.
 
     The design invariant that keeps this scale-safe: CORRECTNESS NEVER
     DEPENDS ON THE BOUNDARIES. ``key_range_scan`` computes its covering
     set from the same stored boundaries the writer used, so the covering
     is a superset of the range by monotonicity, and the residual
     ``lo <= row_key < hi`` predicate (always applied) makes the result
-    exact whatever the boundary quality — skewed or approximate
-    boundaries cost read amplification, never wrong answers. That is
-    exactly Delta/Iceberg's Z-ORDER contract (layout is advisory;
-    predicates decide)."""
+    exact whatever the boundary quality — skewed or stale boundaries
+    cost read amplification, never wrong answers. That is exactly
+    Delta/Iceberg's Z-ORDER contract (layout is advisory; predicates
+    decide)."""
 
     def __init__(self, spark, path: str, b_bucket, bits: int = 3):
         super().__init__(
             spark, path, a_bucket=self._key_bucket, b_bucket=b_bucket,
             bits=bits,
         )
-        self._boundaries_cache: list[int] | None = None
+        self._boundaries_cache: dict[int, list[int]] = {}
 
     # -- boundaries sidecar ------------------------------------------------
 
     @property
-    def _boundaries_path(self) -> str:
+    def _boundaries_root(self) -> str:
         return os.path.join(self.path, "_layout_boundaries")
 
-    def _load_boundaries(self) -> list[int]:
-        if self._boundaries_cache is None:
-            rows = self.spark.read.parquet(self._boundaries_path).collect()
-            self._boundaries_cache = sorted(r["boundary"] for r in rows)
-        return self._boundaries_cache
+    def boundary_versions(self) -> list[int]:
+        """Snapshot versions at which a boundary set takes effect. A
+        pre-versioning sidecar (parquet files directly in the root dir)
+        reads as version 1 — it applied to the whole store."""
+        root = self._boundaries_root
+        if not os.path.isdir(root):
+            return []
+        vs: set[int] = set()
+        for name in os.listdir(root):
+            if name.startswith("v="):
+                vs.add(int(name.split("=", 1)[1]))
+            elif name.endswith(".parquet"):
+                vs.add(1)
+        return sorted(vs)
 
-    def _ensure_boundaries(self, cells: DataFrame) -> None:
-        if os.path.isdir(self._boundaries_path):
-            return
+    def _boundaries_dir(self, bv: int) -> str:
+        d = os.path.join(self._boundaries_root, f"v={bv}")
+        if not os.path.isdir(d) and bv == 1:
+            return self._boundaries_root  # legacy flat sidecar
+        return d
+
+    def boundaries_for(self, version: int) -> list[int]:
+        """Boundary set in effect for snapshot ``version``: the newest
+        sidecar version <= it (a snapshot is always written with the
+        boundaries current at its own commit)."""
+        eligible = [v for v in self.boundary_versions() if v <= version]
+        if not eligible:
+            raise FileNotFoundError(
+                f"no layout boundaries <= v{version} in {self._boundaries_root}"
+            )
+        bv = max(eligible)
+        if bv not in self._boundaries_cache:
+            rows = self.spark.read.parquet(self._boundaries_dir(bv)).collect()
+            self._boundaries_cache[bv] = sorted(r["boundary"] for r in rows)
+        return self._boundaries_cache[bv]
+
+    def _compute_boundaries(self, cells: DataFrame) -> list[int]:
         n = (1 << self._bits) - 1
         qs = [(i + 1) / (1 << self._bits) for i in range(n)]
         img = _key_image_col(F.col("row_key"))
@@ -172,13 +215,46 @@ class RangeZorderCellStore(ZorderCellStore):
             .agg(F.percentile_approx("img", qs, 10_000).alias("bs"))
             .collect()[0]["bs"]
         )
+        return [int(b) for b in (bounds or [])]
+
+    def _migrate_legacy_sidecar(self) -> None:
+        """Move a pre-versioning flat sidecar (parquet files directly in
+        the root) into ``v=1/`` — mixing loose files and ``v=`` subdirs
+        in one dir would break parquet reads of the flat path."""
+        root = self._boundaries_root
+        if not os.path.isdir(root):
+            return
+        loose = [n for n in os.listdir(root) if not n.startswith("v=")]
+        if not any(n.endswith(".parquet") for n in loose):
+            return
+        v1 = os.path.join(root, "v=1")
+        os.makedirs(v1, exist_ok=True)
+        for n in loose:
+            os.replace(os.path.join(root, n), os.path.join(v1, n))
+        self._boundaries_cache.pop(1, None)
+
+    def _write_boundaries(self, cells: DataFrame, at_version: int) -> None:
+        self._migrate_legacy_sidecar()
+        bounds = self._compute_boundaries(cells)
+        d = os.path.join(self._boundaries_root, f"v={at_version}")
         self.spark.createDataFrame(
-            [(int(b),) for b in (bounds or [])], "boundary long"
-        ).coalesce(1).write.mode("overwrite").parquet(self._boundaries_path)
-        self._boundaries_cache = None
+            [(b,) for b in bounds], "boundary long"
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        # a crash after this write but before the snapshot commit leaves a
+        # sidecar no snapshot references: harmless (reads resolve <= their
+        # version; a retried compact overwrites it)
+        self._boundaries_cache.pop(at_version, None)
+
+    def _ensure_boundaries(self, cells: DataFrame) -> None:
+        if self.boundary_versions():
+            return
+        self._write_boundaries(cells, at_version=self.current_version() + 1)
 
     def _key_bucket(self):
-        bounds = self._load_boundaries()
+        # write side: the commit in flight becomes current_version()+1,
+        # so it uses the boundaries in effect AT that version — after a
+        # compact() this is the freshly recomputed set
+        bounds = self.boundaries_for(self.current_version() + 1)
         img = _key_image_col(F.col("row_key"))
         bucket = F.lit(0)
         for b in bounds:
@@ -194,23 +270,44 @@ class RangeZorderCellStore(ZorderCellStore):
         self._ensure_boundaries(cells)
         return super().append(cells, seq_col)
 
+    def compact(self, num_range_partitions=None) -> int:
+        """Fold base+deltas into a new base AND recompute the key-range
+        boundaries from the full folded snapshot (drift-adaptive
+        re-bucketing): ingest whose key distribution drifted away from
+        the first batch's estimate gets a fresh, representative bucket
+        split, so post-compact ``key_range_scan`` read amplification
+        reflects the data as it is now, not as it first arrived. The new
+        boundary set is versioned at the compacted snapshot's number;
+        pre-compact snapshots still resolve their own boundaries (time
+        travel reads stay exactly as written)."""
+        n = self.current_version()
+        if n == 0 or self._kind(n) == "base":
+            return n
+        cells = self.read().select(*CELL_COLUMNS)
+        self._write_boundaries(cells, at_version=n + 1)
+        return self.write(cells, num_range_partitions)
+
     # -- range reads ---------------------------------------------------------
 
-    def _bucket_of(self, key: str) -> int:
+    def _bucket_of(self, key: str, version: int | None = None) -> int:
+        v = self.current_version() if version is None else version
         img = _key_image_py(key)
-        return sum(1 for b in self._load_boundaries() if img >= b)
+        return sum(1 for b in self.boundaries_for(v) if img >= b)
 
     def key_range_scan(
-        self, lo: str, hi: str, b_values: list[int]
+        self, lo: str, hi: str, b_values: list[int],
+        version: int | None = None,
     ) -> DataFrame:
         """Cells with ``lo <= row_key < hi`` whose time bucket is in
         ``b_values``, reading only the zb partitions the range can touch:
         key buckets [bucket(lo) .. bucket(hi)] × b_values (closed-form,
         driver-side, metadata pruning) — then the exact residual range
         predicate. The time-dimension residual stays the caller's job,
-        symmetrical with box_scan."""
-        lo_b, hi_b = self._bucket_of(lo), self._bucket_of(hi)
+        symmetrical with box_scan. ``version`` time-travels, resolving
+        the boundary set that snapshot was written under."""
+        v = self.current_version() if version is None else version
+        lo_b, hi_b = self._bucket_of(lo, v), self._bucket_of(hi, v)
         a_values = list(range(lo_b, hi_b + 1))
-        return self.box_scan(a_values, b_values).filter(
+        return self.box_scan(a_values, b_values, version=v).filter(
             (F.col("row_key") >= lo) & (F.col("row_key") < hi)
         )
