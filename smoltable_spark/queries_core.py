@@ -1695,3 +1695,375 @@ def wc_store_zorder_compact_cycle(spark, sf_dir):
             "total_cents"
         ),
     )
+
+
+@q(
+    "wc_store_zorder_rebucket",
+    f"""
+    WITH {_Z_CELLS_SQL}
+    SELECT CAST(1 AS INT) AS v_base, CAST(2 AS INT) AS v_delta,
+           CAST(3 AS INT) AS v_compacted,
+           CAST(2 AS INT) AS n_boundary_sets,
+           CAST(1 AS INT) AS old_version_match,
+           (SELECT CAST(count(*) AS BIGINT) FROM d
+            WHERE split_part(row_key, '#', 1) = 'error')
+               AS scanned_compacted,
+           (SELECT CAST(count(*) AS BIGINT) FROM d
+            WHERE split_part(row_key, '#', 1)
+                  IN ('click', 'error', 'purchase', 'signup'))
+               AS scanned_stale,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(count(DISTINCT row_key) AS BIGINT) AS n_series,
+           CAST(sum(round(value * 100)) AS BIGINT) AS total_cents,
+           CAST(min(ts) AS BIGINT) AS min_ts,
+           CAST(max(ts) AS BIGINT) AS max_ts
+    FROM d
+    WHERE row_key >= 'error#' AND row_key < 'error#~'
+    """,
+)
+def wc_store_zorder_rebucket(spark, sf_dir):
+    """DRIFT-ADAPTIVE key-range re-bucketing as a driver row (VERDICT r7
+    ask #1): the first base batch holds only click/view series, so the
+    percentile boundaries of the RangeZorderCellStore sidecar all lie in
+    {click-image, view-image}; the delta batch then drifts the key
+    distribution (error/purchase/signup). compact() recomputes the
+    boundaries from the folded snapshot and versions the sidecar at the
+    compacted snapshot (sources/store_layout.py::compact), so the same
+    error-range scan reads:
+
+    - STALE layout (time travel to the pre-compact version): the one
+      mid bucket holds every non-view series — pre-residual scanned
+      cells = click+error+purchase+signup (oracle-pinned EXACTLY);
+    - REBUCKETED layout: every event type has mass ≥ 1/8, so the fresh
+      quantiles provably place boundaries exactly at the error and
+      purchase key images (the 6-byte image is double-exact, so
+      percentile_approx returns true data values) — the covering
+      collapses to the error partitions alone and the pre-residual
+      scanned set is EXACTLY the error cells (oracle-pinned).
+
+    Correctness never depends on either layout (residual range
+    predicate always applied): old_version_match pins that the
+    pre-compact snapshot, read under ITS OWN boundary set, returns
+    bit-identical range aggregates — time travel survives rebucketing.
+    100 TB: compaction already rewrites the data; the boundary
+    re-estimate is one percentile_approx over the same pass, and read
+    amplification tracks the data as it is NOW, not as it first
+    arrived."""
+    import tempfile as _tf
+
+    from smoltable_spark.sources.store_layout import RangeZorderCellStore
+
+    cells = _events_cells_seq(spark, sf_dir)
+    etype = F.split(F.col("row_key"), "#").getItem(0)
+    store = RangeZorderCellStore(
+        spark,
+        _tf.mkdtemp(prefix="smoltable_rebucket_") + "/store",
+        b_bucket=lambda: F.expr(f"(ts div {_Z_DAY_NS}) % 8"),
+        bits=3,
+    )
+    store.save_families([ColumnFamilyDef("value")])
+    v_base = store.write(
+        cells.filter(etype.isin("click", "view")), seq_col="_seq"
+    )
+    v_delta = store.append(
+        cells.filter(etype.isin("error", "purchase", "signup")),
+        seq_col="_seq",
+    )
+    v_compacted = store.compact()
+    n_boundary_sets = len(store.boundary_versions())
+
+    lo, hi = "error#", "error#~"
+    all_days = list(range(8))
+
+    def range_agg(version):
+        out = store.key_range_scan(lo, hi, b_values=all_days, version=version)
+        return out.agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.countDistinct("row_key").cast("long").alias("n_series"),
+            F.sum(F.round(F.col("v_f64") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        ).collect()[0]
+
+    def scanned(version):
+        # the covering read BEFORE the residual predicate — what the
+        # layout actually pulls off disk for this range
+        a_vals = list(
+            range(
+                store._bucket_of(lo, version),
+                store._bucket_of(hi, version) + 1,
+            )
+        )
+        return store.box_scan(a_vals, all_days, version=version).count()
+
+    agg_new, agg_old = range_agg(v_compacted), range_agg(v_delta)
+    row = [
+        (
+            v_base,
+            v_delta,
+            v_compacted,
+            n_boundary_sets,
+            1 if tuple(agg_new) == tuple(agg_old) else 0,
+            scanned(v_compacted),
+            scanned(v_delta),
+            int(agg_new["n_cells"]),
+            int(agg_new["n_series"]),
+            int(agg_new["total_cents"]),
+            int(agg_new["min_ts"]),
+            int(agg_new["max_ts"]),
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "v_base int, v_delta int, v_compacted int, n_boundary_sets int, "
+        "old_version_match int, scanned_compacted long, scanned_stale long, "
+        "n_cells long, n_series long, total_cents long, "
+        "min_ts long, max_ts long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# S8 table list/stats + the reference docs' locality-group read-amp numbers
+
+#: the 8 rows of the reference's locality-group guide
+#: (docs/src/content/docs/guides/locality-groups.md and
+#: docs/public/scripts/example-no-locality.sh) — ingested verbatim so the
+#: documented cells/bytes read-amplification numbers can be pinned.
+_LG_DOCS_ROWS = [
+    ("org.apache.spark",
+     "Apache Spark™ - Unified Engine for large-scale data analytics"),
+    ("org.apache.solr", "Welcome to Apache Solr - Apache Solr"),
+    ("org.apache.hbase", "Apache HBase - Apache HBase™ Home"),
+    ("org.apache.lucene", "Apache Lucene - Welcome to Apache Lucene"),
+    ("org.apache.kafka", "Apache Kafka"),
+    ("org.apache.cassandra",
+     "Apache Cassandra | Apache Cassandra Documentation"),
+    ("org.apache.parquet", "Apache Parquet"),
+    ("org.apache.arrow", "Apache Arrow | Apache Arrow"),
+]
+
+
+def _lg_docs_items():
+    return [
+        {
+            "row_key": rk,
+            "cells": [
+                {"column_key": "title:", "value": {"string": title}},
+                {"column_key": "language:", "value": {"string": "EN"}},
+            ],
+        }
+        for rk, title in _LG_DOCS_ROWS
+    ]
+
+
+def _wire_cell_bytes():
+    """EXACT reference wire size of a cell: LSM key ``row:cf:cq:`` +
+    16-byte inverted-u128 timestamp (smoltable/src/cell.rs:167-182
+    format_key) plus value = 1-byte type tag + payload (cell.rs:43-50;
+    string payload is the raw UTF-8 bytes). bytes_scanned in the
+    reference sums exactly key.len()+value.len() per visited cell
+    (smoltable/src/table/reader.rs:106-117)."""
+    return (
+        F.octet_length(F.col("row_key"))
+        + F.octet_length(F.col("family"))
+        + F.octet_length(F.col("qualifier"))
+        + F.lit(3 + 16 + 1)
+        + F.coalesce(F.octet_length(F.col("v_str")), F.lit(0))
+    )
+
+
+@q(
+    "wc_lg_read_amp",
+    """
+    SELECT CAST(16 AS BIGINT) AS cells_scanned_nolg,
+           CAST(984 AS BIGINT) AS bytes_scanned_nolg,
+           CAST(8 AS BIGINT) AS cells_scanned_lg,
+           CAST(610 AS BIGINT) AS bytes_scanned_lg,
+           CAST(8 AS BIGINT) AS lang_cells_scanned_lg,
+           CAST(374 AS BIGINT) AS lang_bytes_scanned_lg,
+           CAST(8 AS BIGINT) AS cell_count,
+           CAST(8 AS BIGINT) AS row_count,
+           CAST(2 AS INT) AS read_amp_nolg,
+           CAST(1 AS INT) AS read_amp_lg,
+           CAST(1 AS INT) AS results_equal
+    """,
+)
+def wc_lg_read_amp(spark, sf_dir):
+    """The reference docs' locality-group READ-AMPLIFICATION example,
+    numbers replicated exactly (VERDICT r7 ask #4; docs/guides/
+    locality-groups.md:150-340): the same 8 two-cell rows are ingested
+    into a table WITHOUT locality groups and one where ``title`` has its
+    own group. A title-only scan then measures what the storage layer
+    yields before column filtering — the reference's cells_scanned /
+    bytes_scanned observability:
+
+    - no locality groups: 16 cells / 984 bytes scanned to return 8
+      cells (read amplification 2);
+    - title in its own group: 8 cells / 610 bytes (read amplification
+      1), because lg partition pruning (operators/filters.py::
+      affected_locality_groups → Catalyst PartitionFilters) never opens
+      the default group's files;
+    - scanning ``language:`` on the lg table reads the default group
+      only: 8 cells / 374 bytes.
+
+    Byte counts use the reference's exact wire format (raw LSM
+    key+value lengths, _wire_cell_bytes) so all six numbers match the
+    published example verbatim; results_equal pins that both layouts
+    return identical cells. sf-independent by design — the fixture IS
+    the workload (like the reference's own docs example)."""
+    import tempfile as _tf
+
+    from smoltable_spark.table import Smoltable
+
+    base = _tf.mkdtemp(prefix="smoltable_lgamp_")
+    nolg = Smoltable.open(spark, base + "/no_lg")
+    nolg.create_column_families(
+        [ColumnFamilyDef("language"), ColumnFamilyDef("title")]
+    )
+    withlg = Smoltable.open(spark, base + "/with_lg")
+    withlg.create_column_families(
+        [ColumnFamilyDef("language"), ColumnFamilyDef("title", lg="lg_title")]
+    )
+    items = _lg_docs_items()
+    nolg.write(items, default_ts=1)
+    withlg.write(items, default_ts=1)
+
+    def measure(table, fam):
+        cf = ColumnFilter.key(f"{fam}:")
+        visited = table.store.read_for_filter(cf).drop("lg")
+        m = visited.agg(
+            F.count(F.lit(1)).cast("long").alias("cells"),
+            F.sum(_wire_cell_bytes()).cast("long").alias("bytes"),
+        ).collect()[0]
+        returned = sorted(
+            map(
+                tuple,
+                scan_cells(visited, ScanInput(prefix="", column_filter=cf))
+                .select("row_key", "family", "qualifier", "ts", "v_str")
+                .collect(),
+            )
+        )
+        return int(m["cells"]), int(m["bytes"]), returned
+
+    c_nolg, b_nolg, got_nolg = measure(nolg, "title")
+    c_lg, b_lg, got_lg = measure(withlg, "title")
+    c_lang, b_lang, _ = measure(withlg, "language")
+    row = [
+        (
+            c_nolg,
+            b_nolg,
+            c_lg,
+            b_lg,
+            c_lang,
+            b_lang,
+            len(got_lg),
+            len({t[0] for t in got_lg}),
+            c_nolg // max(len(got_nolg), 1),
+            c_lg // max(len(got_lg), 1),
+            1 if got_nolg == got_lg else 0,
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "cells_scanned_nolg long, bytes_scanned_nolg long, "
+        "cells_scanned_lg long, bytes_scanned_lg long, "
+        "lang_cells_scanned_lg long, lang_bytes_scanned_lg long, "
+        "cell_count long, row_count long, "
+        "read_amp_nolg int, read_amp_lg int, results_equal int",
+    )
+
+
+@q(
+    "wc_table_stats",
+    """
+    SELECT CAST(2 AS INT) AS n_families,
+           CAST(1 AS INT) AS n_locality_groups,
+           CAST(1 AS INT) AS v_first, CAST(2 AS INT) AS v_second,
+           CAST(3 AS INT) AS v_compacted,
+           CAST(18 AS BIGINT) AS approx_cells_before_compact,
+           CAST(17 AS BIGINT) AS approx_cells_after_compact,
+           CAST(17 AS BIGINT) AS exact_cells,
+           CAST(9 AS BIGINT) AS exact_rows,
+           CAST(2 AS INT) AS segments_after_compact,
+           CAST(1 AS INT) AS du_positive
+    """,
+)
+def wc_table_stats(spark, sf_dir):
+    """S8 table list/stats as a driver row (VERDICT r7 ask #3; reference
+    server/src/api/list_tables.rs:39-111 returns column families,
+    locality groups, disk space, and per-partition segment stats). The
+    lifecycle pins every stat against its reconstruction from the write
+    set:
+
+    - manifest: 2 families, 1 user locality group;
+    - A3 contract numerically: after a second batch OVERWRITES one cell
+      coordinate, the footer-only approximate_cell_count is the honest
+      UPPER BOUND 18 (shadowed duplicate counted per occurrence,
+      store.py::approximate_cell_count) while the exact count is 17;
+      compact() folds the chain and the approximation lands exactly on
+      17 — approximate converges to exact at compaction, which is the
+      reference's segment-item-count semantics (mod.rs:299-306);
+    - segment_count (LSM segment analog, mod.rs:888-904): compacting to
+      one range partition leaves exactly one parquet file per locality
+      group = 2;
+    - disk_space_usage (mod.rs:906-922) pinned as a >0 flag (bytes are
+      compression/layout dependent — the reference reports real fs
+      bytes too, and those are not stable constants either)."""
+    import tempfile as _tf
+
+    from smoltable_spark.table import Smoltable
+
+    t = Smoltable.open(spark, _tf.mkdtemp(prefix="smoltable_stats_") + "/t")
+    t.create_column_families(
+        [ColumnFamilyDef("language"), ColumnFamilyDef("title", lg="lg_title")]
+    )
+    v1 = t.write(_lg_docs_items(), default_ts=1)
+    # second batch: one overwrite (same coordinate, same ts) + one new row
+    v2 = t.write(
+        [
+            {
+                "row_key": "org.apache.arrow",
+                "cells": [
+                    {"column_key": "title:",
+                     "value": {"string": "Apache Arrow | Home"}},
+                ],
+            },
+            {
+                "row_key": "org.apache.iceberg",
+                "cells": [
+                    {"column_key": "title:",
+                     "value": {"string": "Apache Iceberg"}},
+                ],
+            },
+        ],
+        default_ts=1,
+    )
+    approx_before = t.approximate_cell_count()
+    v3 = t.compact(num_range_partitions=1)
+    approx_after = t.approximate_cell_count()
+    exact = t.count().collect()[0]
+    fams = t.column_families()
+    row = [
+        (
+            len(fams),
+            len({f.lg for f in fams if f.lg}),
+            v1,
+            v2,
+            v3,
+            approx_before,
+            approx_after,
+            int(exact["cell_count"]),
+            int(exact["row_count"]),
+            t.segment_count(),
+            1 if t.disk_space_usage() > 0 else 0,
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_families int, n_locality_groups int, v_first int, v_second int, "
+        "v_compacted int, approx_cells_before_compact long, "
+        "approx_cells_after_compact long, exact_cells long, exact_rows long, "
+        "segments_after_compact int, du_positive int",
+    )

@@ -98,20 +98,24 @@ class ZorderCellStore(CellStore):
 # range-bucketed variant: monotone key buckets from a boundaries sidecar
 
 
-_KEY_IMAGE_BYTES = 7  # 7 big-endian bytes < 2^56: no signed-long overflow
+#: 6 big-endian bytes < 2^48: exactly representable as a DOUBLE (< 2^53),
+#: which ``percentile_approx`` uses internally — a 7-byte image silently
+#: rounded in the quantile sketch and came back off-by-±1, flipping the
+#: >=-boundary tie behavior the covering-set math depends on.
+_KEY_IMAGE_BYTES = 6
 
 
 def _key_image_col(col) -> "F.Column":
-    """Monotone numeric image of a row key: its first 7 UTF-8 **bytes**
+    """Monotone numeric image of a row key: its first 6 UTF-8 **bytes**
     packed big-endian into a long — the SAME byte image ``_key_image_py``
     computes, so write-side buckets and scan-side buckets can never
     diverge (ADVICE r7 medium: the previous ``F.ascii`` form read Unicode
     CODEPOINTS, which exceed 255 for non-ASCII keys and break base-256
     monotonicity, letting ``key_range_scan`` prune partitions that held
     in-range rows). ``hex(encode(key,'UTF-8'))`` yields two hex digits
-    per byte; taking the first 14, right-padding with '0' (= trailing
+    per byte; taking the first 12, right-padding with '0' (= trailing
     NUL bytes) and ``conv(16→10)`` is exactly
-    ``int.from_bytes(key.encode()[:7].ljust(7, b'\\0'), 'big')``.
+    ``int.from_bytes(key.encode()[:6].ljust(6, b'\\0'), 'big')``.
     Pure JVM expressions — the image is computed inside the scan/write
     stage, never in Python."""
     h = F.rpad(

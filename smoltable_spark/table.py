@@ -201,8 +201,8 @@ class Smoltable:
 
     # -- maintenance / stats (S8) -----------------------------------------
 
-    def compact(self) -> int:
-        return self.store.compact()
+    def compact(self, num_range_partitions: int | None = None) -> int:
+        return self.store.compact(num_range_partitions)
 
     def vacuum(self, keep_last: int = 2) -> None:
         self.store.vacuum(keep_last)
