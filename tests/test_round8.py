@@ -1,141 +1,143 @@
-"""Round-8 tests: ADVICE r7 hardening (IVF append crash recovery) and
-the new driver-row machinery (reference locality-group read-amp numbers,
-table stats, CellStore CDC streaming source)."""
+"""Round-8 suite: baseline COLOR JPEG (YCbCr, chroma subsampling) —
+encoder/decoder roundtrips across sampling modes, restart intervals,
+table binding, the T.871 conversion contract, and the Spark
+``synthesize_color_media`` -> ``color_features`` pipeline
+(VERDICT r7 ask #7, retiring the multi-component codec boundary)."""
 
-import os
-
+import numpy as np
 import pytest
-from pyspark.sql import functions as F
+
+from smoltable_spark.functions import multimodal as M
 
 
-class TestIvfAppendCrashRecovery:
-    def test_append_fails_fast_on_leftover_staging(self, spark, sf_dir, tmp_path):
-        """ADVICE r7: a leftover .staging-append dir means a previous
-        append crashed mid-publish; a blind retry would re-publish the
-        whole delta and DUPLICATE the partially-published vectors. The
-        append must refuse to run and leave the staging dir untouched
-        for reconciliation."""
-        from smoltable_spark.functions import similarity
-        from smoltable_spark.functions.ann_index import append_ivf_index
-        from smoltable_spark.sources.relational import load_table
-
-        emb = load_table(spark, sf_dir, "embeddings")
-        cents = similarity.with_quantized_norm(
-            emb.filter(F.col("vec_id") < 4), "embedding"
-        ).select(
-            F.col("vec_id").alias("cid"),
-            F.col("q").alias("cq"),
-            F.col("nrm2").alias("cn2"),
-        )
-        idx = str(tmp_path / "idx")
-        similarity.build_ivf_index(
-            emb.filter(F.col("vec_id") % 2 == 0), idx, centroids=cents
-        )
-        # simulate the crashed publish
-        staging = os.path.join(idx, ".staging-append")
-        os.makedirs(os.path.join(staging, "list_id=0"))
-        marker = os.path.join(staging, "list_id=0", "part-orphan.parquet")
-        open(marker, "w").close()
-
-        with pytest.raises(IOError, match="staging"):
-            append_ivf_index(
-                spark, idx, emb.filter(F.col("vec_id") % 2 == 1)
-            )
-        # staging left in place for inspection, nothing published
-        assert os.path.exists(marker)
+def _expected_rgb_const(mid: int, w: int, h: int) -> np.ndarray:
+    """Closed-form decode of the block-constant 4:2:0 synthesis — the
+    same arithmetic the mm_color_features oracle runs in SQL."""
+    mw, mh = (w + 15) // 16, (h + 15) // 16
+    bw = 2 * mw
+    bx = np.arange(w) // 8
+    by = np.arange(h) // 8
+    yv = (mid + by[:, None] * bw + bx[None, :]) % 256
+    mi, mj = bx // 2, by // 2
+    midx = mj[:, None] * mw + mi[None, :]
+    cb = (3 * mid + midx + 101) % 256
+    cr = (7 * mid + midx + 53) % 256
+    return M.ycbcr_to_rgb(yv, cb, cr)
 
 
-class TestStoreCdc:
-    @staticmethod
-    def _mk_cells(spark, rows):
-        """rows: (row_key, ts, value) → canonical cells."""
-        from smoltable_spark.schema import CELLS_SCHEMA
+@pytest.mark.parametrize("mid,w,h", [(0, 16, 16), (3, 17, 23), (12, 79, 63), (7, 21, 19)])
+def test_color_block_constant_roundtrip_exact(mid, w, h):
+    y, cb, cr = M.color_block_values(mid, w, h)
+    payload = M.jpeg_bytes_color(w, h, b"color!", y, cb, cr)
+    info = M.parse_container(payload)
+    assert info["container"] == "jpeg"
+    assert (info["ncomp"], info["width"], info["height"]) == (3, w, h)
+    assert info["sof_comps"][0][1] == 0x22  # 4:2:0 HiVi byte
+    assert info["content"] == b"color!"
+    rgb = M.jpeg_decode_color(info)
+    assert rgb.shape == (h, w, 3)
+    assert np.array_equal(rgb, _expected_rgb_const(mid, w, h))
 
-        recs = [
-            {
-                "row_key": rk, "family": "value", "qualifier": "",
-                "ts": ts, "vtype": "f64", "v_str": None, "v_bool": None,
-                "v_byte": None, "v_i32": None, "v_i64": None,
-                "v_f32": None, "v_f64": float(v),
-            }
-            for rk, ts, v in rows
-        ]
-        return spark.createDataFrame(recs, CELLS_SCHEMA)
 
-    def _setup(self, spark, tmp_path):
-        from smoltable_spark.api import ColumnFamilyDef
-        from smoltable_spark.sources.store import CellStore
-        from smoltable_spark.streaming.store_cdc import StoreChangeRollup
+def test_color_restart_interval_matches_unrestarted():
+    y, cb, cr = M.color_block_values(5, 40, 40)
+    plain = M.jpeg_decode_color(
+        M.parse_container(M.jpeg_bytes_color(40, 40, b"", y, cb, cr))
+    )
+    restarted = M.parse_container(
+        M.jpeg_bytes_color(40, 40, b"", y, cb, cr, restart_interval=2)
+    )
+    assert len(restarted["scan_segments"]) > 1  # RSTm really present
+    assert np.array_equal(M.jpeg_decode_color(restarted), plain)
 
-        store = CellStore(spark, str(tmp_path / "store"))
-        store.save_families([ColumnFamilyDef("value", lg="")])
-        rollup = StoreChangeRollup(
-            spark, str(tmp_path / "roll"), keys=["family"],
-            sums={"total": "cast(v_f64 as long)"}, store=store,
-        )
-        return store, rollup
 
-    def _drain(self, spark, store, rollup, ckpt):
-        from smoltable_spark.streaming.store_cdc import (
-            stream_store_changes, stream_store_rollup)
+@pytest.mark.parametrize("sampling", [(2, 2), (2, 1), (1, 2), (1, 1)])
+def test_color_pixels_roundtrip_all_samplings(sampling):
+    """Arbitrary-plane encode (real forward DCT, full AC tables) decodes
+    within the rounding budget: coefficient rounding perturbs each YCbCr
+    sample by <= 1, and the T.871 transform amplifies a (dy, dcb, dcr)
+    unit box by < 3 per RGB channel."""
+    rng = np.random.RandomState(42 + sampling[0] * 10 + sampling[1])
+    hy, vy = sampling
+    w, h = 37, 29
+    yp = rng.randint(0, 256, (h, w))
+    cw, ch = -(-w // hy), -(-h // vy)
+    cbp = rng.randint(0, 256, (ch, cw))
+    crp = rng.randint(0, 256, (ch, cw))
+    payload = M.jpeg_bytes_color_pixels(
+        w, h, b"x", yp, cbp, crp, sampling=sampling, restart_interval=3
+    )
+    info = M.parse_container(payload)
+    assert info["sof_comps"][0][1] == (hy << 4) | vy
+    rgb = M.jpeg_decode_color(info)
+    cbref = np.repeat(np.repeat(cbp, vy, axis=0), hy, axis=1)[:h, :w]
+    crref = np.repeat(np.repeat(crp, vy, axis=0), hy, axis=1)[:h, :w]
+    exp = M.ycbcr_to_rgb(yp, cbref, crref)
+    assert np.abs(rgb.astype(int) - exp.astype(int)).max() <= 3
 
-        q = stream_store_rollup(
-            stream_store_changes(spark, store), rollup, ckpt)
-        assert q.awaitTermination(300)
 
-    def test_incremental_equals_recompute_and_replay_is_idempotent(
-        self, spark, tmp_path
-    ):
-        store, rollup = self._setup(spark, tmp_path)
-        ckpt = str(tmp_path / "ckpt")
-        store.append(self._mk_cells(spark, [("a", 1, 10), ("b", 2, 5)]))
-        self._drain(spark, store, rollup, ckpt)
-        store.append(self._mk_cells(spark, [("c", 3, 7)]))
-        self._drain(spark, store, rollup, ckpt)  # restart, same checkpoint
-        out = rollup.result().collect()
-        assert [(r["family"], r["total"], r["_rows"]) for r in out] == [
-            ("value", 22, 3)
-        ]
-        assert rollup.processed_rows() == store.approximate_cell_count() == 3
-        # foreachBatch replay of an already-folded batch must be a no-op
-        batch = store.read().withColumn("v", F.lit(1))
-        meta_before = rollup._meta()
-        rollup.process_batch(batch, batch_id=0)  # stale id: skipped
-        assert rollup._meta() == meta_before
-        assert rollup.processed_rows() == 3
+def test_color_uses_chroma_tables():
+    """Chroma components bind DHT/DQT id 1, luma id 0 — a decoder that
+    ignores per-component table ids would still pass the value tests
+    (the shipped tables are identical), so pin the BINDING itself from
+    the parsed header."""
+    y, cb, cr = M.color_block_values(1, 16, 16)
+    info = M.parse_container(M.jpeg_bytes_color(16, 16, b"", y, cb, cr))
+    assert [tq for _, _, tq in info["sof_comps"]] == [0, 1, 1]
+    assert [(td, ta) for _, td, ta in info["sos"]["comps"]] == [(0, 0), (1, 1), (1, 1)]
+    assert set(info["dht"]) >= {(0, 0), (1, 0), (0, 1), (1, 1)}
+    assert set(info["dqt"]) == {0, 1}
 
-    def test_base_rewrite_raises_resync_error(self, spark, tmp_path):
-        store, rollup = self._setup(spark, tmp_path)
-        ckpt = str(tmp_path / "ckpt")
-        store.append(self._mk_cells(spark, [("a", 1, 1)]))
-        self._drain(spark, store, rollup, ckpt)
-        store.compact()  # base rewrite: changes no longer derivable
-        with pytest.raises(Exception, match="base rewrite"):
-            self._drain(spark, store, rollup, ckpt)
-        # the rollup was not corrupted by the failed batch
-        assert rollup.processed_rows() == 1
 
-    def test_preexisting_base_is_initial_snapshot_not_changes(
-        self, spark, tmp_path
-    ):
-        """A store whose chain STARTS with a base (write) before the
-        rollup is attached: the base files are the initial snapshot; the
-        first drain folds them plus any deltas, and only base rewrites
-        AFTER attach raise."""
-        from smoltable_spark.api import ColumnFamilyDef
-        from smoltable_spark.sources.store import CellStore
-        from smoltable_spark.streaming.store_cdc import StoreChangeRollup
+def test_ycbcr_to_rgb_contract():
+    # gray axis: Cb = Cr = 128 -> R = G = B = Y
+    y = np.arange(256).reshape(16, 16)
+    n = np.full((16, 16), 128)
+    rgb = M.ycbcr_to_rgb(y, n, n)
+    assert np.array_equal(rgb[..., 0], y)
+    assert np.array_equal(rgb[..., 1], y)
+    assert np.array_equal(rgb[..., 2], y)
+    # primary checkpoints (T.871 worked values)
+    one = np.array([[76]])
+    r = M.ycbcr_to_rgb(one, np.array([[85]]), np.array([[255]]))
+    assert tuple(r[0, 0]) == (254, 0, 0)  # ~pure red
+    # clamp both ends: G underflows at (0, 255, 255); B overflows at
+    # (255, 255, ...): 255 + 1.772*127 = 480 -> 255
+    lo = M.ycbcr_to_rgb(np.array([[0]]), np.array([[255]]), np.array([[255]]))
+    hi = M.ycbcr_to_rgb(np.array([[255]]), np.array([[255]]), np.array([[128]]))
+    assert lo[0, 0, 1] == 0 and hi[0, 0, 2] == 255
 
-        store = CellStore(spark, str(tmp_path / "store"))
-        store.save_families([ColumnFamilyDef("value", lg="")])
-        store.write(self._mk_cells(spark, [("a", 1, 3), ("b", 2, 4)]))
-        rollup = StoreChangeRollup(
-            spark, str(tmp_path / "roll"), keys=["family"],
-            sums={"total": "cast(v_f64 as long)"}, store=store,
-        )
-        store.append(self._mk_cells(spark, [("c", 3, 5)]))
-        self._drain(spark, store, rollup, str(tmp_path / "ckpt"))
-        out = rollup.result().collect()
-        assert [(r["family"], r["total"], r["_rows"]) for r in out] == [
-            ("value", 12, 3)
-        ]
+
+def test_grayscale_decoder_rejects_color():
+    y, cb, cr = M.color_block_values(2, 16, 16)
+    info = M.parse_container(M.jpeg_bytes_color(16, 16, b"", y, cb, cr))
+    with pytest.raises(NotImplementedError, match="jpeg_decode_color"):
+        M.jpeg_decode(info)
+
+
+def test_color_decoder_rejects_grayscale():
+    info = M.parse_container(
+        M.jpeg_bytes(16, 16, b"", M.jpeg_block_values(1, 16, 16))
+    )
+    with pytest.raises(NotImplementedError, match="3-component"):
+        M.jpeg_decode_color(info)
+
+
+def test_color_features_pipeline(spark):
+    """synthesize_color_media -> color_features end to end on a tiny
+    documents frame: parsed dims/sampling and the exact channel means."""
+    docs = spark.createDataFrame(
+        [(0, "alpha"), (3, "beta"), (6, "gamma"), (12, "delta")],
+        "doc_id long, text string",
+    )
+    media = M.synthesize_color_media(docs)
+    rows = {r["media_id"]: r for r in M.color_features(media).collect()}
+    assert set(rows) == {0, 3, 6, 12}
+    for mid, row in rows.items():
+        w, h = 16 + mid % 64, 16 + mid % 48
+        assert (row["width"], row["height"], row["sampling"]) == (w, h, 0x22)
+        exp = _expected_rgb_const(mid, w, h).astype(np.int64)
+        n = w * h
+        assert row["mean_r"] == exp[..., 0].sum() / n
+        assert row["mean_g"] == exp[..., 1].sum() / n
+        assert row["mean_b"] == exp[..., 2].sum() / n
