@@ -455,6 +455,153 @@ _JPEG_AC_PROG_BITS = tuple(
 )
 
 
+def _pad_plane(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-replicate ``plane`` into a (ph, pw) float array so partial
+    MCUs don't ring (the padding recipe every encoder here shares)."""
+    plane = np.asarray(plane, dtype=np.float64)
+    out = np.zeros((ph, pw))
+    h0, w0 = plane.shape
+    out[:h0, :w0] = plane
+    if w0 < pw:
+        out[:h0, w0:] = out[:h0, w0 - 1 : w0]
+    if h0 < ph:
+        out[h0:, :] = out[h0 - 1 : h0, :]
+    return out
+
+
+def _fdct_coefs(padded: np.ndarray) -> np.ndarray:
+    """(bh, bw, 64) rounded zigzag-ordered forward-DCT coefficients of a
+    block-aligned padded plane (unit quant table)."""
+    bh, bw = padded.shape[0] // 8, padded.shape[1] // 8
+    out = np.zeros((bh, bw, 64), dtype=np.int64)
+    for by in range(bh):
+        for bx in range(bw):
+            blk = padded[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] - 128.0
+            S = _IDCT_C @ blk @ _IDCT_C.T
+            out[by, bx] = np.round(S.ravel()[_JPEG_ZIGZAG]).astype(np.int64)
+    return out
+
+
+def _emit_ac_first(views: list, ac_codes: dict, a: int) -> bytes:
+    """Progressive AC FIRST scan (band 1..63 at point transform ``a``)
+    over ``views`` — (64,) zigzag coefficient rows in data-unit order —
+    with EOBn band-end run batching (T.81 G.1.2.2). Shared by the
+    grayscale and color progressive encoders: the coding is order-
+    agnostic, only the data-unit sequence differs."""
+    w = _JpegBitWriter()
+    eobrun = 0
+
+    def flush_eobrun():
+        nonlocal eobrun
+        if not eobrun:
+            return
+        r = eobrun.bit_length() - 1
+        code, length = ac_codes[r << 4]
+        w.put(code, length)
+        if r:
+            w.put(eobrun - (1 << r), r)
+        eobrun = 0
+
+    for zz in views:
+        vals = [
+            (abs(int(zz[k])) >> a) * (1 if int(zz[k]) >= 0 else -1)
+            for k in range(1, 64)
+        ]
+        nz = [i for i, v in enumerate(vals) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:  # EOBRUN caps at 2^15-1
+                flush_eobrun()
+            continue
+        flush_eobrun()
+        run = 0
+        last = nz[-1] + 1
+        for k in range(1, last + 1):
+            v = vals[k - 1]
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, length = ac_codes[0xF0]
+                w.put(code, length)
+                run -= 16
+            s = _jpeg_category(v)
+            code, length = ac_codes[(run << 4) | s]
+            w.put(code, length)
+            w.put(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < 63:
+            eobrun += 1  # the block's own band end joins the run
+    flush_eobrun()
+    return w.done()
+
+
+def _emit_ac_refine(views: list, ac_codes: dict, a: int) -> bytes:
+    """Progressive AC REFINEMENT scan (Ah=a+1, Al=a) over ``views`` in
+    data-unit order, per T.81 G.1.2.3: newly-significant coefficients
+    (|v|>>a == 1) run-coded over INSIGNIFICANT positions only;
+    already-significant ones contribute one correction bit each (bit a
+    of |v|), buffered and flushed after the next symbol; whole-band
+    ends batch into EOBn runs whose buffered correction bits follow
+    the EOBn code."""
+    w = _JpegBitWriter()
+    eobrun = 0
+    be: list[int] = []  # correction bits pending across EOB blocks
+
+    def flush_eobrun():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, length = ac_codes[r << 4]
+            w.put(code, length)
+            if r:
+                w.put(eobrun - (1 << r), r)
+            eobrun = 0
+        for b in be:
+            w.put(b, 1)
+        be.clear()
+
+    for zz in views:
+        absval = [abs(int(zz[k])) >> a for k in range(1, 64)]
+        eob = 0  # 1 past the last newly-significant coefficient
+        for i, t in enumerate(absval):
+            if t == 1:
+                eob = i + 1
+        r = 0
+        br: list[int] = []  # this block's pending correction bits
+        for k in range(1, 64):
+            t = absval[k - 1]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                flush_eobrun()
+                code, length = ac_codes[0xF0]
+                w.put(code, length)
+                r -= 16
+                for b in br:
+                    w.put(b, 1)
+                br = []
+            if t > 1:  # already significant: one correction bit
+                br.append(t & 1)
+                continue
+            flush_eobrun()
+            code, length = ac_codes[(r << 4) | 1]
+            w.put(code, length)
+            w.put(1 if int(zz[k]) >= 0 else 0, 1)
+            for b in br:
+                w.put(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            be.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eobrun()
+    flush_eobrun()
+    return w.done()
+
+
 def jpeg_bytes_progressive(
     width: int,
     height: int,
@@ -530,120 +677,10 @@ def jpeg_bytes_progressive(
         return w.done()
 
     def _ac_first_scan(a: int) -> bytes:
-        """AC band 1..63 at point transform a (magnitude shift,
-        sign-preserving) with EOBn band-end run batching (G.1.2.2)."""
-        w = _JpegBitWriter()
-        eobrun = 0
-
-        def flush_eobrun():
-            nonlocal eobrun
-            if not eobrun:
-                return
-            r = eobrun.bit_length() - 1
-            code, length = ac_codes[r << 4]
-            w.put(code, length)
-            if r:
-                w.put(eobrun - (1 << r), r)
-            eobrun = 0
-
-        for blk in range(nblk):
-            zz = coefs[blk]
-            vals = [
-                (abs(int(zz[k])) >> a) * (1 if int(zz[k]) >= 0 else -1)
-                for k in range(1, 64)
-            ]
-            nz = [i for i, v in enumerate(vals) if v]
-            if not nz:
-                eobrun += 1
-                if eobrun == 0x7FFF:  # EOBRUN caps at 2^15-1
-                    flush_eobrun()
-                continue
-            flush_eobrun()
-            run = 0
-            last = nz[-1] + 1
-            for k in range(1, last + 1):
-                v = vals[k - 1]
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    code, length = ac_codes[0xF0]
-                    w.put(code, length)
-                    run -= 16
-                s = _jpeg_category(v)
-                code, length = ac_codes[(run << 4) | s]
-                w.put(code, length)
-                w.put(v if v >= 0 else v + (1 << s) - 1, s)
-                run = 0
-            if last < 63:
-                eobrun += 1  # the block's own band end joins the run
-        flush_eobrun()
-        return w.done()
+        return _emit_ac_first(list(coefs), ac_codes, a)
 
     def _ac_refine_scan(a: int) -> bytes:
-        """AC refinement (Ah=a+1, Al=a), T.81 G.1.2.3: newly-significant
-        coefficients (|v|>>a == 1) are run-coded over INSIGNIFICANT
-        positions only; already-significant ones contribute one
-        correction bit each (bit a of |v|), buffered and flushed after
-        the next symbol; whole-band ends batch into EOBn runs whose
-        buffered correction bits follow the EOBn code."""
-        w = _JpegBitWriter()
-        eobrun = 0
-        be: list[int] = []  # correction bits pending across EOB blocks
-
-        def flush_eobrun():
-            nonlocal eobrun
-            if eobrun:
-                r = eobrun.bit_length() - 1
-                code, length = ac_codes[r << 4]
-                w.put(code, length)
-                if r:
-                    w.put(eobrun - (1 << r), r)
-                eobrun = 0
-            for b in be:
-                w.put(b, 1)
-            be.clear()
-
-        for blk in range(nblk):
-            zz = coefs[blk]
-            absval = [abs(int(zz[k])) >> a for k in range(1, 64)]
-            eob = 0  # 1 past the last newly-significant coefficient
-            for i, t in enumerate(absval):
-                if t == 1:
-                    eob = i + 1
-            r = 0
-            br: list[int] = []  # this block's pending correction bits
-            for k in range(1, 64):
-                t = absval[k - 1]
-                if t == 0:
-                    r += 1
-                    continue
-                while r > 15 and k <= eob:
-                    flush_eobrun()
-                    code, length = ac_codes[0xF0]
-                    w.put(code, length)
-                    r -= 16
-                    for b in br:
-                        w.put(b, 1)
-                    br = []
-                if t > 1:  # already significant: one correction bit
-                    br.append(t & 1)
-                    continue
-                flush_eobrun()
-                code, length = ac_codes[(r << 4) | 1]
-                w.put(code, length)
-                w.put(1 if int(zz[k]) >= 0 else 0, 1)
-                for b in br:
-                    w.put(b, 1)
-                br = []
-                r = 0
-            if r > 0 or br:
-                eobrun += 1
-                be.extend(br)
-                if eobrun == 0x7FFF:
-                    flush_eobrun()
-        flush_eobrun()
-        return w.done()
+        return _emit_ac_refine(list(coefs), ac_codes, a)
 
     def _sos(ss: int, se: int, ah: int, a: int) -> list[bytes]:
         return [
@@ -2120,22 +2157,9 @@ def jpeg_bytes_color_pixels(
     hy, vy = sampling
     mw = (width + 8 * hy - 1) // (8 * hy)
     mh = (height + 8 * vy - 1) // (8 * vy)
-    cw, ch = (width + hy - 1) // hy, (height + vy - 1) // vy
-
-    def _pad(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
-        plane = np.asarray(plane, dtype=np.float64)
-        out = np.zeros((ph, pw))
-        h0, w0 = plane.shape
-        out[:h0, :w0] = plane
-        if w0 < pw:
-            out[:h0, w0:] = out[:h0, w0 - 1 : w0]
-        if h0 < ph:
-            out[h0:, :] = out[h0 - 1 : h0, :]
-        return out
-
-    yp = _pad(y_plane, mh * vy * 8, mw * hy * 8)
-    cbp = _pad(cb_plane, mh * 8, mw * 8)
-    crp = _pad(cr_plane, mh * 8, mw * 8)
+    yp = _pad_plane(y_plane, mh * vy * 8, mw * hy * 8)
+    cbp = _pad_plane(cb_plane, mh * 8, mw * 8)
+    crp = _pad_plane(cr_plane, mh * 8, mw * 8)
     dc_codes = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _huff_canonical(_JPEG_AC_FULL_BITS, _JPEG_AC_FULL_VALS)
     wr = _JpegBitWriter()
@@ -2219,25 +2243,67 @@ def _decode_block_zz(rd: _JpegBitReader, dc_tab: dict, ac_tab: dict,
 
 
 def jpeg_decode_color(info: dict) -> np.ndarray:
-    """REAL baseline multi-component JPEG decode (ITU-T T.81 interleaved
-    MCU order, A.2.3) from a ``parse_container`` result: per-component
-    Huffman/quant table binding, independent DC predictors, restart
-    intervals resetting ALL predictors, per-component plane assembly at
-    native (subsampled) resolution, replication chroma upsample to the
-    luma grid, crop, and the T.871 YCbCr->RGB transform — returns an
-    (height, width, 3) uint8 RGB array. Supports any sampling factors
-    H,V in 1..4 (4:2:0 / 4:2:2 / 4:4:4 and beyond); single-component
-    frames should use ``jpeg_decode``. Progressive color remains the
-    documented NotImplementedError boundary."""
-    if info.get("scan") is None or info.get("sos") is None:
-        raise ValueError("JPEG without an entropy-coded scan")
+    """REAL multi-component JPEG decode (ITU-T T.81) from a
+    ``parse_container`` result — returns an (height, width, 3) uint8
+    RGB array. BASELINE frames decode in interleaved MCU order (A.2.3)
+    with per-component Huffman/quant table binding, independent DC
+    predictors, and restart intervals resetting ALL predictors;
+    PROGRESSIVE (SOF2) frames route to the multi-scan color path
+    (round 8b: interleaved DC scans + per-component non-interleaved AC
+    scans with spectral selection and successive approximation). Both
+    share the tail: per-component plane assembly at native
+    (subsampled) resolution, replication chroma upsample to the luma
+    grid, crop, and the T.871 YCbCr->RGB transform. Supports any
+    sampling factors H,V in 1..4 (4:2:0 / 4:2:2 / 4:4:4 and beyond);
+    single-component frames should use ``jpeg_decode``."""
+    planes, hvs, hmax, vmax = _decode_color_planes(info)
+    w, h = info["width"], info["height"]
+    full = []
+    for (h_i, v_i), plane in zip(hvs, planes):
+        up = np.repeat(np.repeat(plane, vmax // v_i, axis=0), hmax // h_i, axis=1)
+        full.append(up[:h, :w])
+    return ycbcr_to_rgb(full[0], full[1], full[2])
+
+
+def jpeg_decode_ycbcr(
+    info: dict,
+) -> tuple[list[np.ndarray], tuple[int, int]]:
+    """Decode a color frame to its NATIVE-resolution [Y, Cb, Cr] planes
+    (each cropped to its own component dims, T.81 A.1.1: ceil(w*Hi/Hmax)
+    x ceil(h*Vi/Vmax)) plus the luma sampling factors — the shape the
+    progressive re-encoder consumes (re-encoding from upsampled RGB
+    would double-convert and lose exactness)."""
+    planes, hvs, hmax, vmax = _decode_color_planes(info)
+    w, h = info["width"], info["height"]
+    out = []
+    for (h_i, v_i), plane in zip(hvs, planes):
+        cw = (w * h_i + hmax - 1) // hmax
+        ch = (h * v_i + vmax - 1) // vmax
+        out.append(plane[:ch, :cw])
+    return out, hvs[0]
+
+
+def _decode_color_planes(
+    info: dict,
+) -> tuple[list[np.ndarray], list[tuple[int, int]], int, int]:
+    """Shared color entry: validate, then decode to MCU-padded
+    per-component planes via the baseline or progressive path. Returns
+    (planes, [(Hi, Vi)], Hmax, Vmax)."""
     if info.get("precision") != 8 or info.get("ncomp") != 3:
         raise NotImplementedError(
-            f"jpeg_decode_color: need 8-bit 3-component baseline "
+            f"jpeg_decode_color: need 8-bit 3-component frames "
             f"(precision={info.get('precision')}, ncomp={info.get('ncomp')})"
         )
-    if info.get("sof_marker") != 0xC0:
-        raise NotImplementedError("progressive color JPEG is not supported")
+    if info.get("sof_marker") == 0xC2:
+        return _jpeg_decode_progressive_color_planes(info)
+    return _jpeg_decode_baseline_color_planes(info)
+
+
+def _jpeg_decode_baseline_color_planes(
+    info: dict,
+) -> tuple[list[np.ndarray], list[tuple[int, int]], int, int]:
+    if info.get("scan") is None or info.get("sos") is None:
+        raise ValueError("JPEG without an entropy-coded scan")
     sos = info["sos"]
     if sos["ss"] != 0 or sos["se"] != 63 or sos["ahal"] != 0:
         raise NotImplementedError("non-sequential spectral selection")
@@ -2293,11 +2359,7 @@ def jpeg_decode_color(info: dict) -> np.ndarray:
                     coef[_JPEG_ZIGZAG] = zz * qt
                     block = _IDCT_C.T @ coef.reshape(8, 8) @ _IDCT_C
                     sl[:] = np.clip(np.round(block) + 128, 0, 255).astype(np.uint8)
-    full = []
-    for (h_i, v_i, _, _, _), plane in zip(comps, planes):
-        up = np.repeat(np.repeat(plane, vmax // v_i, axis=0), hmax // h_i, axis=1)
-        full.append(up[:h, :w])
-    return ycbcr_to_rgb(full[0], full[1], full[2])
+    return planes, [(h_i, v_i) for h_i, v_i, _, _, _ in comps], hmax, vmax
 
 
 COLOR_FEATURES_SCHEMA = T.StructType(
@@ -2389,3 +2451,369 @@ def color_features(media: DataFrame) -> DataFrame:
 
     target = min(media.sparkSession.sparkContext.defaultParallelism, 8)
     return spread(media, target).mapInPandas(run, COLOR_FEATURES_SCHEMA)
+
+
+def _mcu_block_order(comps: list[tuple[int, int]], mw: int, mh: int):
+    """Interleaved data-unit order (T.81 A.2.3): per MCU in raster
+    order, for each component its Vi x Hi blocks in raster order.
+    Yields (comp_index, by, bx) on each component's MCU-padded grid."""
+    for mcu in range(mw * mh):
+        mj, mi = divmod(mcu, mw)
+        for ci, (h_i, v_i) in enumerate(comps):
+            for r in range(v_i):
+                for c in range(h_i):
+                    yield ci, mj * v_i + r, mi * h_i + c
+
+
+def _noninterleaved_grid(
+    w: int, h: int, h_i: int, v_i: int, hmax: int, vmax: int
+) -> tuple[int, int]:
+    """(block-grid width, height) of a NON-interleaved scan for one
+    component (T.81 A.2.2): ceil over the component's OWN sample dims
+    ceil(w*Hi/Hmax) x ceil(h*Vi/Vmax) — SMALLER than the MCU-padded
+    grid whenever that ceil is odd, so interleaved and non-interleaved
+    scans of the same component cover different block sets; getting
+    this wrong desynchronizes every later scan."""
+    cw = (w * h_i + hmax - 1) // hmax
+    ch = (h * v_i + vmax - 1) // vmax
+    return (cw + 7) // 8, (ch + 7) // 8
+
+
+def jpeg_bytes_progressive_color(
+    width: int,
+    height: int,
+    content: bytes,
+    y_plane: np.ndarray,
+    cb_plane: np.ndarray,
+    cr_plane: np.ndarray,
+    sampling: tuple[int, int] = (2, 2),
+    al: int = 1,
+) -> bytes:
+    """PROGRESSIVE (SOF2) COLOR JPEG (round 8b, retiring the last codec
+    boundary): the standard multi-scan script real progressive encoders
+    emit — one fully-INTERLEAVED DC first scan (ns=3, MCU order,
+    per-component predictors, point transform ``al``), one
+    NON-interleaved AC first scan per component (T.81 mandates ns=1
+    for progressive AC; data units raster over the component's own
+    grid) with EOBn band-end runs, then per precision level one
+    interleaved DC refinement plus per-component AC refinements
+    (G.1.2.3). Planes as in ``jpeg_bytes_color_pixels`` (Y full-res,
+    chroma at subsampled dims). Full refinement reconstructs the exact
+    rounded forward-DCT coefficients, so the progressive decode is
+    BIT-IDENTICAL to the baseline decode of the same planes — the
+    roundtrip contract mm_color_progressive pins."""
+    hy, vy = sampling
+    mw = (width + 8 * hy - 1) // (8 * hy)
+    mh = (height + 8 * vy - 1) // (8 * vy)
+    comps = [(hy, vy), (1, 1), (1, 1)]
+    planes = [
+        _pad_plane(y_plane, mh * vy * 8, mw * hy * 8),
+        _pad_plane(cb_plane, mh * 8, mw * 8),
+        _pad_plane(cr_plane, mh * 8, mw * 8),
+    ]
+    coefs = [_fdct_coefs(p) for p in planes]
+    dc_codes = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_canonical(_JPEG_AC_PROG_BITS, _JPEG_AC_PROG_VALS)
+    order = list(_mcu_block_order(comps, mw, mh))
+    grids = [
+        _noninterleaved_grid(width, height, h_i, v_i, hy, vy)
+        for h_i, v_i in comps
+    ]
+
+    def dc_first(a: int) -> bytes:
+        w = _JpegBitWriter()
+        preds = [0, 0, 0]
+        for ci, by, bx in order:
+            cur = int(coefs[ci][by, bx, 0]) >> a
+            diff = cur - preds[ci]
+            preds[ci] = cur
+            s = _jpeg_category(diff)
+            code, length = dc_codes[s]
+            w.put(code, length)
+            if s:
+                w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        return w.done()
+
+    def dc_refine(a: int) -> bytes:
+        w = _JpegBitWriter()
+        for ci, by, bx in order:
+            w.put((int(coefs[ci][by, bx, 0]) >> a) & 1, 1)
+        return w.done()
+
+    def comp_views(ci: int) -> list:
+        nbw, nbh = grids[ci]
+        return [coefs[ci][by, bx] for by in range(nbh) for bx in range(nbw)]
+
+    def sos_interleaved(ss: int, se: int, ah: int, a: int) -> list[bytes]:
+        body = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, ss, se, (ah << 4) | a])
+        return [b"\xff\xda", struct.pack(">H", 2 + len(body)), body]
+
+    def sos_single(cid: int, ss: int, se: int, ah: int, a: int) -> list[bytes]:
+        ta = 0 if cid == 1 else 1
+        body = bytes([1, cid, (ta << 4) | ta, ss, se, (ah << 4) | a])
+        return [b"\xff\xda", struct.pack(">H", 2 + len(body)), body]
+
+    sof2 = struct.pack(">BHHB", 8, height, width, 3) + bytes(
+        [1, (hy << 4) | vy, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    dqt = b"\x00" + bytes([1] * 64) + b"\x01" + bytes([1] * 64)
+    dht = b"".join(
+        bytes([(tc << 4) | th])
+        + bytes(_JPEG_DC_BITS if tc == 0 else _JPEG_AC_PROG_BITS)
+        + bytes(_JPEG_DC_VALS if tc == 0 else _JPEG_AC_PROG_VALS)
+        for th in (0, 1)
+        for tc in (0, 1)
+    )
+    out = [b"\xff\xd8"]
+    for off in range(0, max(len(content), 1), _JPEG_COM_MAX):
+        chunk = content[off : off + _JPEG_COM_MAX]
+        out += [b"\xff\xfe", struct.pack(">H", 2 + len(chunk)), chunk]
+    out += [
+        b"\xff\xdb", struct.pack(">H", 2 + len(dqt)), dqt,
+        b"\xff\xc2", struct.pack(">H", 2 + len(sof2)), sof2,
+        b"\xff\xc4", struct.pack(">H", 2 + len(dht)), dht,
+    ]
+    out += sos_interleaved(0, 0, 0, al) + [dc_first(al)]
+    for cid in (1, 2, 3):
+        out += sos_single(cid, 1, 63, 0, al) + [
+            _emit_ac_first(comp_views(cid - 1), ac_codes, al)
+        ]
+    for a in range(al, 0, -1):  # refinement rounds, coarse -> fine
+        out += sos_interleaved(0, 0, a, a - 1) + [dc_refine(a - 1)]
+        for cid in (1, 2, 3):
+            out += sos_single(cid, 1, 63, a, a - 1) + [
+                _emit_ac_refine(comp_views(cid - 1), ac_codes, a - 1)
+            ]
+    out.append(b"\xff\xd9")
+    return b"".join(out)
+
+
+def _jpeg_decode_progressive_color_planes(
+    info: dict,
+) -> tuple[list[np.ndarray], list[tuple[int, int]], int, int]:
+    """PROGRESSIVE (SOF2) COLOR decode to MCU-padded planes: DC scans
+    either fully interleaved in MCU order or single-component
+    (restarts count MCUs resp. data units, resetting the scan's
+    predictors), AC scans single-component over the component's OWN
+    non-interleaved grid (T.81 A.2.2), spectral selection with EOBn
+    runs AND full successive approximation exactly as the grayscale
+    progressive path; one dequant + IDCT pass renders the accumulated
+    coefficients per component."""
+    w, h = info["width"], info["height"]
+    sof = info["sof_comps"]
+    samp = {cid: (hv >> 4, hv & 0xF) for cid, hv, _tq in sof}
+    hmax = max(hv >> 4 for _c, hv, _t in sof)
+    vmax = max(hv & 0xF for _c, hv, _t in sof)
+    mw = (w + 8 * hmax - 1) // (8 * hmax)
+    mh = (h + 8 * vmax - 1) // (8 * vmax)
+    coefs = {
+        cid: np.zeros((mh * v_i, mw * h_i, 64), dtype=np.int64)
+        for cid, (h_i, v_i) in samp.items()
+    }
+    if not info.get("scans"):
+        raise ValueError("progressive JPEG without any scan")
+    for scan in info["scans"]:
+        sos = scan["sos"]
+        ss, se = sos["ss"], sos["se"]
+        ah, a = sos["ahal"] >> 4, sos["ahal"] & 0xF
+        segments = scan["segments"] or [b""]
+        dri = int(scan.get("dri") or 0)
+        if len(segments) > 1 and dri == 0:
+            raise ValueError("JPEG restart markers present without DRI")
+        if ss == 0:
+            if se != 0:
+                raise ValueError(
+                    "progressive DC scan must carry the DC band alone"
+                )
+            if sos["ns"] > 1:
+                scomps = [(cid, *samp[cid]) for cid, _td, _ta in sos["comps"]]
+                order = [
+                    (cid, mj * v_i + r, mi * h_i + c)
+                    for mcu in range(mw * mh)
+                    for mj, mi in [divmod(mcu, mw)]
+                    for cid, h_i, v_i in scomps
+                    for r in range(v_i)
+                    for c in range(h_i)
+                ]
+                blocks_per_mcu = sum(h_i * v_i for _c, h_i, v_i in scomps)
+            else:
+                cid = sos["comps"][0][0]
+                nbw, nbh = _noninterleaved_grid(w, h, *samp[cid], hmax, vmax)
+                order = [
+                    (cid, by, bx) for by in range(nbh) for bx in range(nbw)
+                ]
+                blocks_per_mcu = 1  # non-interleaved: DRI counts data units
+            rd = _JpegBitReader(segments[0])
+            seg_idx = 0
+            if ah == 0:
+                dc_tabs = {
+                    cid: _huff_decode_table(*scan["dht"][(0, td)])
+                    for cid, td, _ta in sos["comps"]
+                }
+                preds = {cid: 0 for cid, _td, _ta in sos["comps"]}
+                for i, (cid, by, bx) in enumerate(order):
+                    if dri and i and i % (dri * blocks_per_mcu) == 0:
+                        seg_idx += 1
+                        rd = _JpegBitReader(segments[seg_idx])
+                        preds = {c: 0 for c in preds}
+                    s = rd.huff(dc_tabs[cid], "DC")
+                    if s:
+                        preds[cid] += _jpeg_extend(rd.bits(s), s)
+                    coefs[cid][by, bx, 0] = preds[cid] << a
+            else:
+                for i, (cid, by, bx) in enumerate(order):
+                    if dri and i and i % (dri * blocks_per_mcu) == 0:
+                        seg_idx += 1
+                        rd = _JpegBitReader(segments[seg_idx])
+                    if rd.bit():
+                        coefs[cid][by, bx, 0] |= 1 << a
+            continue
+        if sos["ns"] != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        cid, _td, ta = sos["comps"][0]
+        nbw, nbh = _noninterleaved_grid(w, h, *samp[cid], hmax, vmax)
+        views = [coefs[cid][by, bx] for by in range(nbh) for bx in range(nbw)]
+        ac_tab = _huff_decode_table(*scan["dht"][(1, ta)])
+        rd = _JpegBitReader(segments[0])
+        seg_idx = 0
+        eobrun = 0
+        if ah == 0:
+            for i, zz in enumerate(views):
+                if dri and i and i % dri == 0:
+                    seg_idx += 1
+                    rd = _JpegBitReader(segments[seg_idx])
+                    eobrun = 0
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = rd.huff(ac_tab, "AC")
+                    r, s = sym >> 4, sym & 0xF
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1 + (rd.bits(r) if r else 0)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run past band end in JPEG scan")
+                    zz[k] = _jpeg_extend(rd.bits(s), s) << a
+                    k += 1
+        else:
+            p1, m1 = 1 << a, -1 << a
+
+            def _correct(zz: np.ndarray, k: int) -> None:
+                if rd.bit() and not (int(zz[k]) & p1):
+                    zz[k] += p1 if zz[k] >= 0 else m1
+
+            for i, zz in enumerate(views):
+                if dri and i and i % dri == 0:
+                    seg_idx += 1
+                    rd = _JpegBitReader(segments[seg_idx])
+                    eobrun = 0
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        sym = rd.huff(ac_tab, "AC")
+                        r, s = sym >> 4, sym & 0xF
+                        if s == 0:
+                            if r != 15:
+                                eobrun = (1 << r) + (rd.bits(r) if r else 0)
+                                break
+                            newval = 0  # ZRL: skip 16 insignificant slots
+                        elif s == 1:
+                            newval = p1 if rd.bit() else m1
+                        else:
+                            raise ValueError(
+                                "refinement scan magnitude must be 1"
+                            )
+                        while k <= se:
+                            if zz[k] != 0:
+                                _correct(zz, k)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= se:
+                            zz[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if zz[k] != 0:
+                            _correct(zz, k)
+                        k += 1
+                    eobrun -= 1
+    planes = []
+    hvs = []
+    for cid, hv, tq in sof:
+        h_i, v_i = hv >> 4, hv & 0xF
+        qt = info["dqt"][tq]
+        plane = np.zeros((mh * v_i * 8, mw * h_i * 8), dtype=np.uint8)
+        carr = coefs[cid]
+        for by in range(carr.shape[0]):
+            for bx in range(carr.shape[1]):
+                coef = np.zeros(64, dtype=np.float64)
+                coef[_JPEG_ZIGZAG] = carr[by, bx] * qt
+                block = _IDCT_C.T @ coef.reshape(8, 8) @ _IDCT_C
+                plane[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = np.clip(
+                    np.round(block) + 128, 0, 255
+                ).astype(np.uint8)
+        planes.append(plane)
+        hvs.append((h_i, v_i))
+    return planes, hvs, hmax, vmax
+
+
+def progressive_color_roundtrip(media: DataFrame) -> DataFrame:
+    """Decode -> re-encode PROGRESSIVE COLOR (SOF2, al=1 successive
+    approximation) -> re-decode, per color JPEG (round 8b): the
+    acceptance harness for the progressive color path. Baseline-decoded
+    NATIVE YCbCr planes (``jpeg_decode_ycbcr`` — re-encoding from
+    upsampled RGB would double-convert) are re-encoded as the full
+    interleaved-DC / per-component-AC multi-scan script and decoded
+    again through ``_jpeg_decode_progressive_color_planes``; ``n_exact``
+    counts pixels whose RGB triple is identical between the two decodes
+    (full refinement reconstructs the shared coefficients exactly, so
+    the contract is n_exact == n_px) and the per-channel sums of the
+    progressive decode are generator-recomputable. 100 TB shape: one
+    Arrow pass, 7 scalars out per image."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "width", "height", "n_px", "n_exact",
+                    "sum_r", "sum_g", "sum_b")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                info = parse_container(bytes(payload) if payload is not None else b"")
+                if info["container"] != "jpeg" or info.get("ncomp") != 3:
+                    continue
+                base_rgb = jpeg_decode_color(info)
+                (yp, cbp, crp), sampling = jpeg_decode_ycbcr(info)
+                prog = jpeg_bytes_progressive_color(
+                    info["width"], info["height"], info["content"],
+                    yp, cbp, crp, sampling=sampling, al=1,
+                )
+                prog_rgb = jpeg_decode_color(parse_container(prog))
+                n_px = info["width"] * info["height"]
+                n_exact = int((base_rgb == prog_rgb).all(axis=-1).sum())
+                sums = prog_rgb.astype(np.int64).sum(axis=(0, 1))
+                out["media_id"].append(int(mid))
+                out["width"].append(info["width"])
+                out["height"].append(info["height"])
+                out["n_px"].append(n_px)
+                out["n_exact"].append(n_exact)
+                out["sum_r"].append(int(sums[0]))
+                out["sum_g"].append(int(sums[1]))
+                out["sum_b"].append(int(sums[2]))
+            yield pd.DataFrame(out)
+
+    from smoltable_spark.functions.dedup import spread
+
+    target = min(media.sparkSession.sparkContext.defaultParallelism, 8)
+    return spread(media, target).mapInPandas(
+        run,
+        "media_id long, width int, height int, n_px long, n_exact long, "
+        "sum_r long, sum_g long, sum_b long",
+    )

@@ -10693,3 +10693,66 @@ def mm_color_features(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.synthesize_color_media(docs)
     return multimodal.color_features(media)
+
+
+@q(
+    "mm_color_progressive",
+    """
+    WITH img AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             16 + doc_id % 64 AS wv, 16 + doc_id % 48 AS hv,
+             (16 + doc_id % 64 + 15) // 16 AS mw,
+             (16 + doc_id % 48 + 15) // 16 AS mh
+      FROM documents WHERE doc_id % 3 = 0
+    ), blocks AS (
+      SELECT media_id, wv, hv,
+             (media_id + bj.v * (2 * mw) + bi.v) % 256 AS yv,
+             (3 * media_id + (bj.v // 2) * mw + (bi.v // 2) + 101) % 256
+                 AS cbv,
+             (7 * media_id + (bj.v // 2) * mw + (bi.v // 2) + 53) % 256
+                 AS crv,
+             greatest(0, least(8, wv - 8 * bi.v))
+               * greatest(0, least(8, hv - 8 * bj.v)) AS npx
+      FROM img,
+           unnest(range(2 * mw)) AS bi(v),
+           unnest(range(2 * mh)) AS bj(v)
+    )
+    SELECT media_id,
+           CAST(any_value(wv) AS INT) AS width,
+           CAST(any_value(hv) AS INT) AS height,
+           CAST(any_value(wv) * any_value(hv) AS BIGINT) AS n_px,
+           CAST(any_value(wv) * any_value(hv) AS BIGINT) AS n_exact,
+           CAST(sum(least(255, greatest(0,
+                floor(yv + 1.402 * (crv - 128) + 0.5))) * npx) AS BIGINT)
+               AS sum_r,
+           CAST(sum(least(255, greatest(0,
+                floor(yv - 0.344136 * (cbv - 128) - 0.714136 * (crv - 128)
+                      + 0.5))) * npx) AS BIGINT) AS sum_g,
+           CAST(sum(least(255, greatest(0,
+                floor(yv + 1.772 * (cbv - 128) + 0.5))) * npx) AS BIGINT)
+               AS sum_b
+    FROM blocks GROUP BY media_id
+    """,
+)
+def mm_color_progressive(spark, sf_dir):
+    """PROGRESSIVE COLOR JPEG roundtrip (round 8b, retiring the LAST
+    codec boundary): every synthesized baseline 4:2:0 color JPEG is
+    decoded, its NATIVE YCbCr planes re-encoded as a REAL multi-scan
+    progressive stream (functions/multimodal.py::
+    jpeg_bytes_progressive_color — interleaved ns=3 DC first scan in
+    MCU order, per-component NON-interleaved AC first scans over each
+    component's own T.81 A.2.2 block grid with EOBn band-end runs,
+    then the al=1 successive-approximation refinement round: one
+    interleaved DC refine + three AC refines per G.1.2.3), and decoded
+    again through the progressive color path. The oracle pins
+    EXACTNESS (n_exact == n_px: full refinement reconstructs the
+    shared rounded forward-DCT coefficients, so the progressive decode
+    is bit-identical to the baseline decode) plus the closed-form
+    per-channel pixel sums of the mm_color_features recipe. A defect
+    anywhere in the color-progressive chain — MCU vs non-interleaved
+    data-unit order, the A.2.2 grid ceil, per-component predictors,
+    EOBn/refinement coding — breaks the hash match. 100 TB shape: one
+    Arrow pass, 7 scalars per image."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_color_media(docs)
+    return multimodal.progressive_color_roundtrip(media)

@@ -141,3 +141,74 @@ def test_color_features_pipeline(spark):
         assert row["mean_r"] == exp[..., 0].sum() / n
         assert row["mean_g"] == exp[..., 1].sum() / n
         assert row["mean_b"] == exp[..., 2].sum() / n
+
+
+# --- progressive color (round 8b) ---------------------------------------
+
+
+@pytest.mark.parametrize("sampling", [(2, 2), (2, 1), (1, 1)])
+@pytest.mark.parametrize("al", [0, 1, 2])
+def test_progressive_color_bit_identical_to_baseline(sampling, al):
+    """Full refinement reconstructs the exact rounded forward-DCT
+    coefficients, so progressive and baseline decodes of the same
+    planes are BIT-identical — at every sampling and refinement
+    depth, including odd dims where the non-interleaved A.2.2 grid
+    is smaller than the MCU-padded grid."""
+    rng = np.random.RandomState(al * 10 + sampling[0] + sampling[1])
+    hy, vy = sampling
+    w, h = 17, 23  # ceil(17/8)=3 odd: exercises the grid mismatch
+    yp = rng.randint(0, 256, (h, w))
+    cbp = rng.randint(0, 256, (-(-h // vy), -(-w // hy)))
+    crp = rng.randint(0, 256, (-(-h // vy), -(-w // hy)))
+    base = M.jpeg_decode_color(M.parse_container(
+        M.jpeg_bytes_color_pixels(w, h, b"b", yp, cbp, crp, sampling=sampling)
+    ))
+    info = M.parse_container(M.jpeg_bytes_progressive_color(
+        w, h, b"p", yp, cbp, crp, sampling=sampling, al=al
+    ))
+    assert info["sof_marker"] == 0xC2 and info["ncomp"] == 3
+    assert len(info["scans"]) == 4 + 4 * al  # 1 DC + 3 AC per level + firsts
+    assert np.array_equal(M.jpeg_decode_color(info), base)
+
+
+def test_progressive_color_dc_scan_is_interleaved():
+    """The DC first scan must carry all three components (ns=3) and the
+    AC scans exactly one — the script shape T.81 mandates."""
+    y, cb, cr = M.color_block_values(4, 33, 25)
+    yp = np.repeat(np.repeat(y, 8, 0), 8, 1)[:25, :33]
+    cbp = np.repeat(np.repeat(cb, 8, 0), 8, 1)[:13, :17]
+    crp = np.repeat(np.repeat(cr, 8, 0), 8, 1)[:13, :17]
+    info = M.parse_container(
+        M.jpeg_bytes_progressive_color(33, 25, b"", yp, cbp, crp, al=1)
+    )
+    ns = [s["sos"]["ns"] for s in info["scans"]]
+    ss = [s["sos"]["ss"] for s in info["scans"]]
+    assert ns == [3, 1, 1, 1, 3, 1, 1, 1]
+    assert ss == [0, 1, 1, 1, 0, 1, 1, 1]
+
+
+def test_jpeg_decode_ycbcr_native_dims():
+    y, cb, cr = M.color_block_values(3, 17, 23)
+    info = M.parse_container(M.jpeg_bytes_color(17, 23, b"t", y, cb, cr))
+    (yp, cbp, crp), samp = M.jpeg_decode_ycbcr(info)
+    assert samp == (2, 2)
+    assert yp.shape == (23, 17)            # luma at image dims
+    assert cbp.shape == crp.shape == (12, 9)  # ceil(23/2) x ceil(17/2)
+    # the planes are the block constants themselves
+    assert yp[0, 0] == y[0, 0] and cbp[0, 0] == cb[0, 0]
+
+
+def test_progressive_color_roundtrip_pipeline(spark):
+    docs = spark.createDataFrame(
+        [(0, "a"), (3, "b"), (12, "c")], "doc_id long, text string"
+    )
+    media = M.synthesize_color_media(docs)
+    rows = {r["media_id"]: r for r in
+            M.progressive_color_roundtrip(media).collect()}
+    assert set(rows) == {0, 3, 12}
+    for mid, row in rows.items():
+        assert row["n_exact"] == row["n_px"] == row["width"] * row["height"]
+        exp = _expected_rgb_const(mid, row["width"], row["height"]).astype(np.int64)
+        assert (row["sum_r"], row["sum_g"], row["sum_b"]) == (
+            exp[..., 0].sum(), exp[..., 1].sum(), exp[..., 2].sum(),
+        )
