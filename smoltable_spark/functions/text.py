@@ -1166,3 +1166,88 @@ def bpe_apply(
             F.sum("n").cast("long").alias("n_pieces"),
         )
     )
+
+
+def pack_split(
+    docs: DataFrame,
+    length: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Concatenate-then-chunk sequence packing WITH document splitting —
+    the GPT-style batch construction where the whole corpus is one token
+    stream chopped into fixed-``length`` training sequences, so every
+    sequence except the last is exactly full and documents straddle
+    boundaries. Returns one row per (doc, sequence) overlap:
+    ``(doc_id, seq_id, tok_in_seq)``.
+
+    Unlike ``pipeline_pack``'s per-stream running sum, the global token
+    offset here needs a TOTAL-order cumulative sum — the naive
+    ``Window.orderBy(doc_id)`` plan collapses the whole corpus into ONE
+    partition (the classic global-window scale killer). This computes
+    it as a TWO-PHASE cumsum instead:
+
+    1. range-bucket by ``doc_id`` into ``n_buckets`` contiguous slices
+       (bucket width from an in-plan broadcast max — no driver collect);
+    2. per-bucket window cumsum (parallel across buckets; each window
+       partition is corpus/n_buckets rows);
+    3. bucket base offsets via one window over the ``n_buckets``-row
+       per-bucket totals (bounded, broadcast back).
+
+    offset(doc) = bucket_base(bucket) + local_cumsum - ntok, after which
+    chunking is pure arithmetic: the doc spans sequences
+    ``offset div L .. (offset+ntok-1) div L`` (integer ``div``, exact
+    past 2^53 where float division would not be). At 100 TB the heavy
+    shuffle is the bucket repartition; no single-partition stage touches
+    corpus-sized data."""
+    toked = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        token_count(F.col(text_col)).cast("long").alias("ntok"),
+    ).filter(F.col("ntok") > 0)
+    mx = toked.agg(F.max("doc_id").alias("_mx"))
+    bucketed = toked.crossJoin(F.broadcast(mx)).withColumn(
+        "b",
+        F.expr(f"doc_id div (((_mx + 1) + {n_buckets} - 1) div {n_buckets})"),
+    )
+    w_local = (
+        Window.partitionBy("b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.withColumn(
+        "local_off", F.sum("ntok").over(w_local) - F.col("ntok")
+    )
+    # n_buckets rows: the single-partition window here is bounded by the
+    # bucket count, not the corpus (the two-phase cumsum's whole point)
+    w_base = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bases = (
+        bucketed.groupBy("b")
+        .agg(F.sum("ntok").alias("_tot"))
+        .withColumn("base", F.coalesce(F.sum("_tot").over(w_base), F.lit(0)))
+        .select("b", "base")
+    )
+    placed = local.join(F.broadcast(bases), "b").withColumn(
+        "off", F.col("base") + F.col("local_off")
+    )
+    spans = placed.select(
+        "doc_id",
+        "ntok",
+        "off",
+        F.explode(
+            F.sequence(
+                F.expr(f"off div {length}"),
+                F.expr(f"(off + ntok - 1) div {length}"),
+            )
+        ).alias("seq_id"),
+    )
+    return spans.select(
+        "doc_id",
+        "seq_id",
+        (
+            F.least((F.col("seq_id") + 1) * length, F.col("off") + F.col("ntok"))
+            - F.greatest(F.col("seq_id") * length, F.col("off"))
+        ).cast("long").alias("tok_in_seq"),
+    )

@@ -10756,3 +10756,49 @@ def mm_color_progressive(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.synthesize_color_media(docs)
     return multimodal.progressive_color_roundtrip(media)
+
+
+@q(
+    "pipeline_pack_split",
+    f"""
+    WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                      len({TOKS_SQL}) AS ntok FROM documents),
+         p AS (SELECT doc_id, ntok,
+                      CAST(sum(ntok) OVER (ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - ntok AS BIGINT) AS off
+               FROM t WHERE ntok > 0),
+         s AS (SELECT sq.v AS seq_id,
+                      least((sq.v + 1) * {_CTX_TOKENS}, off + ntok)
+                        - greatest(sq.v * {_CTX_TOKENS}, off) AS tok
+               FROM p, unnest(range(off // {_CTX_TOKENS},
+                                    (off + ntok - 1) // {_CTX_TOKENS} + 1))
+                       AS sq(v))
+    SELECT CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS n_tokens,
+           CAST(sum(tok) = {_CTX_TOKENS} AS INT) AS is_full
+    FROM s GROUP BY seq_id
+    """,
+)
+def pipeline_pack_split(spark, sf_dir):
+    """Concatenate-then-chunk sequence packing WITH document splitting
+    (functions/text.py::pack_split) — the GPT-style batch construction:
+    the corpus is one global token stream chopped into 512-token
+    training sequences, documents straddle boundaries, and every
+    sequence except the final one is exactly full (``is_full`` pins
+    that invariant row by row; the oracle recomputes the packing from a
+    global window cumsum). The SCALE point is the offset computation:
+    a naive ``Window.orderBy(doc_id)`` global cumsum collapses the
+    corpus into one partition, so pack_split runs the TWO-PHASE cumsum
+    instead — per-range-bucket parallel windows plus one bounded
+    n_buckets-row base-offset window, with the bucket width derived
+    from an in-plan broadcast max (no driver collect). Chunk spans use
+    integer ``div`` (exact past 2^53, where a float floor-divide would
+    corrupt offsets at real corpus scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = text.pack_split(docs, length=_CTX_TOKENS)
+    return spans.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok_in_seq").cast("long").alias("n_tokens"),
+        (F.sum("tok_in_seq") == _CTX_TOKENS).cast("int").alias("is_full"),
+    )

@@ -212,3 +212,52 @@ def test_progressive_color_roundtrip_pipeline(spark):
         assert (row["sum_r"], row["sum_g"], row["sum_b"]) == (
             exp[..., 0].sum(), exp[..., 1].sum(), exp[..., 2].sum(),
         )
+
+
+# --- pack_split: concatenate-then-chunk packing (round 8c) ---------------
+
+
+def test_pack_split_matches_python_reference(spark):
+    from smoltable_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range((i * 7) % 23 + 1)))
+         for i in range(50)],
+        "doc_id long, text string",
+    )
+    rows = T.pack_split(docs, length=16).collect()
+    got = {(r["doc_id"], r["seq_id"]): r["tok_in_seq"] for r in rows}
+    # reference: sequential cumsum + span arithmetic
+    exp = {}
+    off = 0
+    for i in range(50):
+        n = (i * 7) % 23 + 1
+        for s in range(off // 16, (off + n - 1) // 16 + 1):
+            exp[(i, s)] = min((s + 1) * 16, off + n) - max(s * 16, off)
+        off += n
+    assert got == exp
+    # every sequence full except the last; token conservation
+    per_seq = {}
+    for (_d, s), t in got.items():
+        per_seq[s] = per_seq.get(s, 0) + t
+    last = max(per_seq)
+    assert all(v == 16 for s, v in per_seq.items() if s != last)
+    assert sum(per_seq.values()) == off
+
+
+def test_pack_split_heavy_window_is_bucketed(spark):
+    """The corpus-sized cumsum window must partition by the range
+    bucket — a plan regression to a global single-partition window is
+    the scale killer this operator exists to avoid."""
+    from smoltable_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(10)], "doc_id long, text string"
+    )
+    plan = T.pack_split(docs)._jdf.queryExecution().executedPlan().toString()
+    heavy = [
+        ln for ln in plan.splitlines()
+        if "Window" in ln and "ntok" in ln and "doc_id" in ln
+    ]
+    assert heavy, plan
+    assert all("windowspecdefinition(b#" in ln for ln in heavy), heavy[0]

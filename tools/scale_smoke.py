@@ -811,6 +811,16 @@ def main():
         _fn = _AQ[_nq][0]
         timed(f"{_nq}_10x", lambda _f=_fn: _f(spark, OUT).count())
 
+    # r8 additions: full color JPEG decode (50k/3 images, interleaved
+    # 4:2:0 entropy decode + chroma upsample + RGB convert), the
+    # progressive-color roundtrip (decode + multi-scan re-encode +
+    # re-decode per image), and concatenate-then-chunk packing whose
+    # two-phase cumsum is the thing that must stay flat at 10x
+    for _nq in ("mm_color_features", "mm_color_progressive",
+                "pipeline_pack_split"):
+        _fn = _AQ[_nq][0]
+        timed(f"{_nq}_10x", lambda _f=_fn: _f(spark, OUT).count())
+
     notes = """
 Steady-state timings (2nd run per op). Reading the table:
 
