@@ -772,6 +772,127 @@ class _JpegBitReader:
                 raise ValueError(f"invalid Huffman code in JPEG {what} scan")
 
 
+def _decode_dc_scan(entries, dc_tabs, segments, dri_units, ah, al) -> None:
+    """One progressive DC scan (T.81 G.1.2.1) over ``entries`` =
+    [(comp_key, zz_view)] in scan order, where ``zz_view`` is the
+    block's 64-slot zigzag coefficient view (mutated in place). First
+    scans (Ah=0) difference-code the point-transformed DC per component
+    predictor; refinements deposit one raw bit at position Al. A
+    restart boundary every ``dri_units`` entries switches to the next
+    entropy segment and resets all predictors. Shared by the grayscale
+    (single component, unit MCUs) and color (interleaved or
+    single-component scans) progressive decoders — the two paths differ
+    only in how they enumerate ``entries``."""
+    rd = _JpegBitReader(segments[0])
+    seg_idx = 0
+    if ah == 0:
+        preds = {c: 0 for c in dc_tabs}
+        for i, (cid, zz) in enumerate(entries):
+            if dri_units and i and i % dri_units == 0:
+                seg_idx += 1
+                rd = _JpegBitReader(segments[seg_idx])
+                preds = {c: 0 for c in preds}
+            s = rd.huff(dc_tabs[cid], "DC")
+            if s:
+                preds[cid] += _jpeg_extend(rd.bits(s), s)
+            zz[0] = preds[cid] << al
+    else:
+        # DC refinement: one raw bit per block sets bit Al of the
+        # (two's-complement) DC value
+        for i, (_cid, zz) in enumerate(entries):
+            if dri_units and i and i % dri_units == 0:
+                seg_idx += 1
+                rd = _JpegBitReader(segments[seg_idx])
+            if rd.bit():
+                zz[0] |= 1 << al
+
+
+def _decode_ac_scan(views, ac_tab, segments, dri, ss, se, ah, al) -> None:
+    """One progressive AC scan over ``views`` = per-block zigzag
+    coefficient views in the component's non-interleaved order
+    (T.81 A.2.2; AC scans are always single-component). Ah=0: run/size
+    coding with EOBn band-end runs, values landing at magnitude << Al
+    (G.1.2.2). Ah>0: refinement — newly-significant ±2^Al values
+    run-coded over insignificant positions; every significant position
+    passed (or swept after a band end) consumes one correction bit that
+    may add ±2^Al toward its magnitude (G.1.2.3). Restart boundaries
+    every ``dri`` data units reset the EOB run. Shared by the grayscale
+    and color progressive decoders."""
+    rd = _JpegBitReader(segments[0])
+    seg_idx = 0
+    eobrun = 0
+    if ah == 0:
+        for i, zz in enumerate(views):
+            if dri and i and i % dri == 0:
+                seg_idx += 1
+                rd = _JpegBitReader(segments[seg_idx])
+                eobrun = 0
+            if eobrun:
+                eobrun -= 1  # whole band already declared zero
+                continue
+            k = ss
+            while k <= se:
+                sym = rd.huff(ac_tab, "AC")
+                r, s = sym >> 4, sym & 0xF
+                if s == 0:
+                    if r == 15:  # ZRL: 16 zero coefficients
+                        k += 16
+                        continue
+                    # EOBn: this band ends; (2^r - 1 + ext) more do too
+                    eobrun = (1 << r) - 1 + (rd.bits(r) if r else 0)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC run past band end in JPEG scan")
+                zz[k] = _jpeg_extend(rd.bits(s), s) << al
+                k += 1
+        return
+    p1, m1 = 1 << al, -1 << al
+
+    def _correct(zz: np.ndarray, k: int) -> None:
+        if rd.bit() and not (int(zz[k]) & p1):
+            zz[k] += p1 if zz[k] >= 0 else m1
+
+    for i, zz in enumerate(views):
+        if dri and i and i % dri == 0:
+            seg_idx += 1
+            rd = _JpegBitReader(segments[seg_idx])
+            eobrun = 0
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                sym = rd.huff(ac_tab, "AC")
+                r, s = sym >> 4, sym & 0xF
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r) + (rd.bits(r) if r else 0)
+                        break
+                    newval = 0  # ZRL: skip 16 insignificant slots
+                elif s == 1:
+                    newval = p1 if rd.bit() else m1
+                else:
+                    raise ValueError("refinement scan magnitude must be 1")
+                while k <= se:
+                    if zz[k] != 0:
+                        _correct(zz, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    zz[k] = newval
+                k += 1
+        if eobrun > 0:
+            # band end: sweep remaining significant positions for
+            # their correction bits, then consume one EOB
+            while k <= se:
+                if zz[k] != 0:
+                    _correct(zz, k)
+                k += 1
+            eobrun -= 1
+
+
 def _jpeg_decode_progressive(info: dict) -> np.ndarray:
     """PROGRESSIVE (SOF2) grayscale decode — spectral selection AND
     successive approximation: every scan deposits its coefficient band
@@ -808,117 +929,18 @@ def _jpeg_decode_progressive(info: dict) -> np.ndarray:
                     "progressive DC scan must carry the DC band alone "
                     "(Ss=0 requires Se=0)"
                 )
-            rd = _JpegBitReader(segments[0])
-            seg_idx = 0
-            if ah == 0:
-                # first DC scan: sequential difference coding of the
-                # point-transformed values; store << Al
-                dc_tab = _huff_decode_table(*scan["dht"][(0, td)])
-                pred = 0
-                for blk in range(nblk):
-                    if dri and blk and blk % dri == 0:
-                        seg_idx += 1
-                        rd = _JpegBitReader(segments[seg_idx])
-                        pred = 0
-                    s = rd.huff(dc_tab, "DC")
-                    if s:
-                        pred += _jpeg_extend(rd.bits(s), s)
-                    coefs[blk, 0] = pred << al
-            else:
-                # DC refinement (G.1.2.1): one raw bit per block sets
-                # bit Al of the (two's-complement) DC value
-                for blk in range(nblk):
-                    if dri and blk and blk % dri == 0:
-                        seg_idx += 1
-                        rd = _JpegBitReader(segments[seg_idx])
-                    if rd.bit():
-                        coefs[blk, 0] |= 1 << al
-        elif ah == 0:
-            # first AC scan for this band: run/size coding with EOBn
-            # band-end runs; values land at magnitude << Al
-            ac_tab = _huff_decode_table(*scan["dht"][(1, ta)])
-            rd = _JpegBitReader(segments[0])
-            seg_idx = 0
-            eobrun = 0
-            for blk in range(nblk):
-                if dri and blk and blk % dri == 0:
-                    seg_idx += 1
-                    rd = _JpegBitReader(segments[seg_idx])
-                    eobrun = 0
-                if eobrun:
-                    eobrun -= 1  # whole band already declared zero
-                    continue
-                k = ss
-                while k <= se:
-                    sym = rd.huff(ac_tab, "AC")
-                    r, s = sym >> 4, sym & 0xF
-                    if s == 0:
-                        if r == 15:  # ZRL: 16 zero coefficients
-                            k += 16
-                            continue
-                        # EOBn: this band ends; (2^r - 1 + ext) more do too
-                        eobrun = (1 << r) - 1 + (rd.bits(r) if r else 0)
-                        break
-                    k += r
-                    if k > se:
-                        raise ValueError("AC run past band end in JPEG scan")
-                    coefs[blk, k] = _jpeg_extend(rd.bits(s), s) << al
-                    k += 1
+            _decode_dc_scan(
+                [(0, coefs[blk]) for blk in range(nblk)],
+                {0: _huff_decode_table(*scan["dht"][(0, td)])}
+                if ah == 0 else {},
+                segments, dri, ah, al,
+            )
         else:
-            # AC refinement (G.1.2.3): newly-significant ±2^Al values
-            # run-coded over insignificant positions; every significant
-            # position passed (or swept after a band end) consumes one
-            # correction bit that may add ±2^Al toward its magnitude
-            ac_tab = _huff_decode_table(*scan["dht"][(1, ta)])
-            rd = _JpegBitReader(segments[0])
-            seg_idx = 0
-            eobrun = 0
-            p1, m1 = 1 << al, -1 << al
-
-            def _correct(blk: int, k: int) -> None:
-                if rd.bit() and not (int(coefs[blk, k]) & p1):
-                    coefs[blk, k] += p1 if coefs[blk, k] >= 0 else m1
-
-            for blk in range(nblk):
-                if dri and blk and blk % dri == 0:
-                    seg_idx += 1
-                    rd = _JpegBitReader(segments[seg_idx])
-                    eobrun = 0
-                k = ss
-                if eobrun == 0:
-                    while k <= se:
-                        sym = rd.huff(ac_tab, "AC")
-                        r, s = sym >> 4, sym & 0xF
-                        if s == 0:
-                            if r != 15:
-                                eobrun = (1 << r) + (rd.bits(r) if r else 0)
-                                break
-                            newval = 0  # ZRL: skip 16 insignificant slots
-                        elif s == 1:
-                            newval = p1 if rd.bit() else m1
-                        else:
-                            raise ValueError(
-                                "refinement scan magnitude must be 1"
-                            )
-                        while k <= se:
-                            if coefs[blk, k] != 0:
-                                _correct(blk, k)
-                            else:
-                                if r == 0:
-                                    break
-                                r -= 1
-                            k += 1
-                        if newval and k <= se:
-                            coefs[blk, k] = newval
-                        k += 1
-                if eobrun > 0:
-                    # band end: sweep remaining significant positions
-                    # for their correction bits, then consume one EOB
-                    while k <= se:
-                        if coefs[blk, k] != 0:
-                            _correct(blk, k)
-                        k += 1
-                    eobrun -= 1
+            _decode_ac_scan(
+                [coefs[blk] for blk in range(nblk)],
+                _huff_decode_table(*scan["dht"][(1, ta)]),
+                segments, dri, ss, se, ah, al,
+            )
     qt = info["dqt"][tq]
     out = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
     for blk in range(nblk):
@@ -2253,16 +2275,34 @@ def jpeg_decode_color(info: dict) -> np.ndarray:
     scans with spectral selection and successive approximation). Both
     share the tail: per-component plane assembly at native
     (subsampled) resolution, replication chroma upsample to the luma
-    grid, crop, and the T.871 YCbCr->RGB transform. Supports any
-    sampling factors H,V in 1..4 (4:2:0 / 4:2:2 / 4:4:4 and beyond);
-    single-component frames should use ``jpeg_decode``."""
+    grid, crop, and the T.871 YCbCr->RGB transform. Supports sampling
+    factors H,V in 1..4 with integer upsampling ratios (4:2:0 / 4:2:2 /
+    4:4:4 and beyond); single-component frames should use
+    ``jpeg_decode``."""
     planes, hvs, hmax, vmax = _decode_color_planes(info)
-    w, h = info["width"], info["height"]
+    return _planes_to_rgb(planes, hvs, hmax, vmax,
+                          info["width"], info["height"])
+
+
+def _planes_to_rgb(planes, hvs, hmax, vmax, w: int, h: int) -> np.ndarray:
+    """Replication-upsample each component to the luma grid, crop, and
+    convert (the tail both decode paths and the roundtrip share)."""
     full = []
     for (h_i, v_i), plane in zip(hvs, planes):
         up = np.repeat(np.repeat(plane, vmax // v_i, axis=0), hmax // h_i, axis=1)
         full.append(up[:h, :w])
     return ycbcr_to_rgb(full[0], full[1], full[2])
+
+
+def _native_planes(planes, hvs, hmax, vmax, w: int, h: int):
+    """Crop MCU-padded planes to their T.81 A.1.1 component dims
+    (ceil(w*Hi/Hmax) x ceil(h*Vi/Vmax))."""
+    out = []
+    for (h_i, v_i), plane in zip(hvs, planes):
+        cw = (w * h_i + hmax - 1) // hmax
+        ch = (h * v_i + vmax - 1) // vmax
+        out.append(plane[:ch, :cw])
+    return out
 
 
 def jpeg_decode_ycbcr(
@@ -2274,12 +2314,8 @@ def jpeg_decode_ycbcr(
     progressive re-encoder consumes (re-encoding from upsampled RGB
     would double-convert and lose exactness)."""
     planes, hvs, hmax, vmax = _decode_color_planes(info)
-    w, h = info["width"], info["height"]
-    out = []
-    for (h_i, v_i), plane in zip(hvs, planes):
-        cw = (w * h_i + hmax - 1) // hmax
-        ch = (h * v_i + vmax - 1) // vmax
-        out.append(plane[:ch, :cw])
+    out = _native_planes(planes, hvs, hmax, vmax,
+                         info["width"], info["height"])
     return out, hvs[0]
 
 
@@ -2294,6 +2330,18 @@ def _decode_color_planes(
             f"jpeg_decode_color: need 8-bit 3-component frames "
             f"(precision={info.get('precision')}, ncomp={info.get('ncomp')})"
         )
+    hvs_raw = [(hv >> 4, hv & 0xF) for _cid, hv, _tq in info["sof_comps"]]
+    hmax = max(h_i for h_i, _ in hvs_raw)
+    vmax = max(v_i for _, v_i in hvs_raw)
+    for h_i, v_i in hvs_raw:
+        # T.81 allows e.g. Y at H=3 with chroma at H=2 (a 3/2 ratio);
+        # the replication upsample only handles integer ratios, so
+        # reject cleanly instead of producing misaligned planes
+        if hmax % h_i or vmax % v_i:
+            raise NotImplementedError(
+                f"non-integer chroma upsampling ratio "
+                f"(Hmax={hmax}/Hi={h_i}, Vmax={vmax}/Vi={v_i})"
+            )
     if info.get("sof_marker") == 0xC2:
         return _jpeg_decode_progressive_color_planes(info)
     return _jpeg_decode_baseline_color_planes(info)
@@ -2643,109 +2691,25 @@ def _jpeg_decode_progressive_color_planes(
                     (cid, by, bx) for by in range(nbh) for bx in range(nbw)
                 ]
                 blocks_per_mcu = 1  # non-interleaved: DRI counts data units
-            rd = _JpegBitReader(segments[0])
-            seg_idx = 0
-            if ah == 0:
-                dc_tabs = {
+            _decode_dc_scan(
+                [(cid, coefs[cid][by, bx]) for cid, by, bx in order],
+                {
                     cid: _huff_decode_table(*scan["dht"][(0, td)])
                     for cid, td, _ta in sos["comps"]
                 }
-                preds = {cid: 0 for cid, _td, _ta in sos["comps"]}
-                for i, (cid, by, bx) in enumerate(order):
-                    if dri and i and i % (dri * blocks_per_mcu) == 0:
-                        seg_idx += 1
-                        rd = _JpegBitReader(segments[seg_idx])
-                        preds = {c: 0 for c in preds}
-                    s = rd.huff(dc_tabs[cid], "DC")
-                    if s:
-                        preds[cid] += _jpeg_extend(rd.bits(s), s)
-                    coefs[cid][by, bx, 0] = preds[cid] << a
-            else:
-                for i, (cid, by, bx) in enumerate(order):
-                    if dri and i and i % (dri * blocks_per_mcu) == 0:
-                        seg_idx += 1
-                        rd = _JpegBitReader(segments[seg_idx])
-                    if rd.bit():
-                        coefs[cid][by, bx, 0] |= 1 << a
+                if ah == 0 else {},
+                segments, dri * blocks_per_mcu, ah, a,
+            )
             continue
         if sos["ns"] != 1:
             raise ValueError("progressive AC scan must be single-component")
         cid, _td, ta = sos["comps"][0]
         nbw, nbh = _noninterleaved_grid(w, h, *samp[cid], hmax, vmax)
-        views = [coefs[cid][by, bx] for by in range(nbh) for bx in range(nbw)]
-        ac_tab = _huff_decode_table(*scan["dht"][(1, ta)])
-        rd = _JpegBitReader(segments[0])
-        seg_idx = 0
-        eobrun = 0
-        if ah == 0:
-            for i, zz in enumerate(views):
-                if dri and i and i % dri == 0:
-                    seg_idx += 1
-                    rd = _JpegBitReader(segments[seg_idx])
-                    eobrun = 0
-                if eobrun:
-                    eobrun -= 1
-                    continue
-                k = ss
-                while k <= se:
-                    sym = rd.huff(ac_tab, "AC")
-                    r, s = sym >> 4, sym & 0xF
-                    if s == 0:
-                        if r == 15:
-                            k += 16
-                            continue
-                        eobrun = (1 << r) - 1 + (rd.bits(r) if r else 0)
-                        break
-                    k += r
-                    if k > se:
-                        raise ValueError("AC run past band end in JPEG scan")
-                    zz[k] = _jpeg_extend(rd.bits(s), s) << a
-                    k += 1
-        else:
-            p1, m1 = 1 << a, -1 << a
-
-            def _correct(zz: np.ndarray, k: int) -> None:
-                if rd.bit() and not (int(zz[k]) & p1):
-                    zz[k] += p1 if zz[k] >= 0 else m1
-
-            for i, zz in enumerate(views):
-                if dri and i and i % dri == 0:
-                    seg_idx += 1
-                    rd = _JpegBitReader(segments[seg_idx])
-                    eobrun = 0
-                k = ss
-                if eobrun == 0:
-                    while k <= se:
-                        sym = rd.huff(ac_tab, "AC")
-                        r, s = sym >> 4, sym & 0xF
-                        if s == 0:
-                            if r != 15:
-                                eobrun = (1 << r) + (rd.bits(r) if r else 0)
-                                break
-                            newval = 0  # ZRL: skip 16 insignificant slots
-                        elif s == 1:
-                            newval = p1 if rd.bit() else m1
-                        else:
-                            raise ValueError(
-                                "refinement scan magnitude must be 1"
-                            )
-                        while k <= se:
-                            if zz[k] != 0:
-                                _correct(zz, k)
-                            else:
-                                if r == 0:
-                                    break
-                                r -= 1
-                            k += 1
-                        if newval and k <= se:
-                            zz[k] = newval
-                        k += 1
-                if eobrun > 0:
-                    while k <= se:
-                        if zz[k] != 0:
-                            _correct(zz, k)
-                        k += 1
-                    eobrun -= 1
+        _decode_ac_scan(
+            [coefs[cid][by, bx] for by in range(nbh) for bx in range(nbw)],
+            _huff_decode_table(*scan["dht"][(1, ta)]),
+            segments, dri, ss, se, ah, a,
+        )
     planes = []
     hvs = []
     for cid, hv, tq in sof:
@@ -2789,11 +2753,16 @@ def progressive_color_roundtrip(media: DataFrame) -> DataFrame:
                 info = parse_container(bytes(payload) if payload is not None else b"")
                 if info["container"] != "jpeg" or info.get("ncomp") != 3:
                     continue
-                base_rgb = jpeg_decode_color(info)
-                (yp, cbp, crp), sampling = jpeg_decode_ycbcr(info)
+                # one entropy decode serves both the RGB reference and
+                # the native planes (the Huffman+IDCT pass dominates
+                # this query's cost; decoding twice would double it)
+                planes, hvs, hmax, vmax = _decode_color_planes(info)
+                w0, h0 = info["width"], info["height"]
+                base_rgb = _planes_to_rgb(planes, hvs, hmax, vmax, w0, h0)
+                yp, cbp, crp = _native_planes(planes, hvs, hmax, vmax, w0, h0)
                 prog = jpeg_bytes_progressive_color(
-                    info["width"], info["height"], info["content"],
-                    yp, cbp, crp, sampling=sampling, al=1,
+                    w0, h0, info["content"],
+                    yp, cbp, crp, sampling=hvs[0], al=1,
                 )
                 prog_rgb = jpeg_decode_color(parse_container(prog))
                 n_px = info["width"] * info["height"]

@@ -1188,10 +1188,16 @@ def pack_split(
     partition (the classic global-window scale killer). This computes
     it as a TWO-PHASE cumsum instead:
 
-    1. range-bucket by ``doc_id`` into ``n_buckets`` contiguous slices
-       (bucket width from an in-plan broadcast max — no driver collect);
+    1. range-bucket by ``doc_id`` at its approximate QUANTILES
+       (in-plan ``percentile_approx`` boundaries, broadcast — no driver
+       collect): splitting by rank rather than id VALUE keeps the
+       buckets balanced whatever the id density (a post-filter corpus
+       whose surviving ids cluster in one range, or one outlier id,
+       would collapse value-width buckets back into the single
+       partition this function exists to avoid); any monotone split is
+       correct — accuracy only shapes balance;
     2. per-bucket window cumsum (parallel across buckets; each window
-       partition is corpus/n_buckets rows);
+       partition is ~corpus/n_buckets rows);
     3. bucket base offsets via one window over the ``n_buckets``-row
        per-bucket totals (bounded, broadcast back).
 
@@ -1205,11 +1211,13 @@ def pack_split(
         F.col(id_col).cast("long").alias("doc_id"),
         token_count(F.col(text_col)).cast("long").alias("ntok"),
     ).filter(F.col("ntok") > 0)
-    mx = toked.agg(F.max("doc_id").alias("_mx"))
-    bucketed = toked.crossJoin(F.broadcast(mx)).withColumn(
-        "b",
-        F.expr(f"doc_id div (((_mx + 1) + {n_buckets} - 1) div {n_buckets})"),
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bnds = toked.agg(
+        F.percentile_approx("doc_id", qs, 10_000).alias("_bnds")
     )
+    bucketed = toked.crossJoin(F.broadcast(bnds)).withColumn(
+        "b", F.expr("size(filter(_bnds, x -> x <= doc_id))").cast("long")
+    ).drop("_bnds")
     w_local = (
         Window.partitionBy("b")
         .orderBy("doc_id")

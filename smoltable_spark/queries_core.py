@@ -1315,6 +1315,31 @@ def _store_code_tag() -> str:
             h.update(fh.read())
     return h.hexdigest()[:10]
 
+
+def _store_cache_path(prefix: str, sf_dir: str) -> str:
+    """Tempdir path for a build-once store cache, tagged with the
+    current code revision — and SWEEP superseded revisions' dirs for
+    the same (prefix, sf_dir) while at it: every edit to the hashed
+    sources changes the tag, so without the sweep each iteration on the
+    store code leaves a complete orphaned base+delta parquet tree in
+    /tmp forever (unbounded growth on any machine that iterates). The
+    glob is pinned to this prefix AND this sf_dir suffix, so a
+    concurrent run at another SF (or the other store family) is never
+    touched; deleting a dir another live SparkSession of a DIFFERENT
+    revision still holds is acceptable — that session would rebuild,
+    and two revisions never certify concurrently."""
+    tag = _store_code_tag()
+    suffix = "_" + re.sub(r"\W", "_", sf_dir)
+    tmp = tempfile.gettempdir()
+    current = os.path.join(tmp, prefix + tag + suffix)
+    import glob as _glob
+    import shutil
+
+    for d in _glob.glob(os.path.join(tmp, prefix + "*" + suffix)):
+        if d != current:
+            shutil.rmtree(d, ignore_errors=True)
+    return current
+
 #: the 2-D box: user buckets {1..5} × day buckets {2..4} ⟹ 15 of the 64
 #: Morton partitions (same box shape rel_events_zorder_prune pins on the
 #: dedicated events store — here it prunes the CellStore itself)
@@ -1387,13 +1412,7 @@ def _events_zstore(spark, sf_dir):
 
     key = sf_dir
     if key not in _ZSTORE_CACHE:
-        path = os.path.join(
-            tempfile.gettempdir(),
-            "smoltable_zstore_"
-            + _store_code_tag()
-            + "_"
-            + re.sub(r"\W", "_", sf_dir),
-        )
+        path = _store_cache_path("smoltable_zstore_", sf_dir)
         store = ZorderCellStore(
             spark,
             path,
@@ -1501,13 +1520,7 @@ def _events_rzstore(spark, sf_dir):
 
     key = sf_dir
     if key not in _RZSTORE_CACHE:
-        path = os.path.join(
-            tempfile.gettempdir(),
-            "smoltable_rzstore_"
-            + _store_code_tag()
-            + "_"
-            + re.sub(r"\W", "_", sf_dir),
-        )
+        path = _store_cache_path("smoltable_rzstore_", sf_dir)
         store = RangeZorderCellStore(
             spark,
             path,

@@ -167,6 +167,10 @@ class RangeZorderCellStore(ZorderCellStore):
             bits=bits,
         )
         self._boundaries_cache: dict[int, list[int]] = {}
+        #: version of a BASE snapshot currently being committed: its
+        #: sidecar (written moments earlier) is valid for the in-flight
+        #: layout even though the snapshot dir does not exist yet
+        self._pending_base: int | None = None
 
     # -- boundaries sidecar ------------------------------------------------
 
@@ -195,11 +199,38 @@ class RangeZorderCellStore(ZorderCellStore):
             return self._boundaries_root  # legacy flat sidecar
         return d
 
+    def _valid_boundary_versions(self) -> list[int]:
+        """Sidecar versions that actually took effect. A boundary set
+        only governs a physical re-bucketing, which only BASE commits
+        perform — so a sidecar is valid iff it is v=1 (the store's
+        founding set: every commit before the next base is bucketed
+        under it), its version is a committed base snapshot, or it is
+        the base commit currently in flight (``_pending_base``). This
+        excludes ORPHANS from an aborted ``compact()`` (sidecar written,
+        snapshot never committed): without the kind check, a later
+        ``append()`` would bucket its delta under the orphan set while
+        the un-rewritten base still sits under the old one, and
+        ``key_range_scan``'s covering pruning would silently drop
+        in-range base rows."""
+        cur = self.current_version()
+        out = []
+        for bv in self.boundary_versions():
+            if bv == 1 or bv == self._pending_base or (
+                bv <= cur and self._kind(bv) == "base"
+            ):
+                out.append(bv)
+        return out
+
     def boundaries_for(self, version: int) -> list[int]:
         """Boundary set in effect for snapshot ``version``: the newest
-        sidecar version <= it (a snapshot is always written with the
-        boundaries current at its own commit)."""
-        eligible = [v for v in self.boundary_versions() if v <= version]
+        VALID sidecar version <= it (a snapshot is always written with
+        the boundaries current at its own commit; orphaned sidecars
+        from aborted compacts never become current —
+        ``_valid_boundary_versions``)."""
+        eligible = [
+            v for v in self._valid_boundary_versions()
+            if v <= version or v == self._pending_base
+        ]
         if not eligible:
             raise FileNotFoundError(
                 f"no layout boundaries <= v{version} in {self._boundaries_root}"
@@ -268,7 +299,13 @@ class RangeZorderCellStore(ZorderCellStore):
     def write(self, cells: DataFrame, num_range_partitions=None,
               seq_col=None) -> int:
         self._ensure_boundaries(cells)
-        return super().write(cells, num_range_partitions, seq_col)
+        # base commit in flight: its sidecar (if one was just written at
+        # this version) is the set this snapshot is being bucketed under
+        self._pending_base = self.current_version() + 1
+        try:
+            return super().write(cells, num_range_partitions, seq_col)
+        finally:
+            self._pending_base = None
 
     def append(self, cells: DataFrame, seq_col=None) -> int:
         self._ensure_boundaries(cells)

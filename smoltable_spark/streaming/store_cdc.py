@@ -60,7 +60,23 @@ def stream_store_changes(
     stream's checkpoint position forward, tagged with its commit version
     ``v``. Pair with ``StoreChangeRollup`` (or any foreachBatch sink);
     the checkpoint makes delivery exactly-once per file across
-    restarts."""
+    restarts.
+
+    Layout subclasses (ZorderCellStore and descendants) are rejected up
+    front: their BASE snapshots nest a third ``zb=`` partition level, so
+    one basePath would mix partition depths across version dirs and
+    Spark's partition discovery dies with a cryptic
+    'conflicting partition column names' AnalysisException mid-stream —
+    fail at construction with the actual reason instead."""
+    from smoltable_spark.sources.store import CellStore
+
+    if type(store)._layout is not CellStore._layout:
+        raise ValueError(
+            f"stream_store_changes requires a flat-layout CellStore "
+            f"(v=/lg= partitioning); {type(store).__name__} overrides the "
+            f"snapshot layout (zb= partitions) which the streaming file "
+            f"source cannot discover under one basePath"
+        )
     r = spark.readStream.schema(_cdc_schema())
     if max_files_per_trigger is not None:
         r = r.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -89,6 +89,9 @@ BOUNDED_BROADCASTS: dict[tuple[str, str], str] = {
     ("functions/text.py", "ccnet_buckets"):
         "per-language quantile cuts: |languages| rows, a fixed "
         "dimension of the language-ID model",
+    ("functions/text.py", "pack_split"):
+        "scalar: 1-row percentile_approx boundary array "
+        "(n_buckets-1 values, a caller-fixed parallelism knob)",
     ("functions/text.py", "oov_rate_df"):
         "k-cut: vocabulary is LIMIT vocab_size after the corpus "
         "rollup",

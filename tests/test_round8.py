@@ -261,3 +261,150 @@ def test_pack_split_heavy_window_is_bucketed(spark):
     ]
     assert heavy, plan
     assert all("windowspecdefinition(b#" in ln for ln in heavy), heavy[0]
+
+
+# --- round-8d review-fix guards -------------------------------------------
+
+
+def test_pack_split_sparse_clustered_ids(spark):
+    """Quantile (rank) bucketing keeps pack_split correct AND balanced
+    when doc ids are sparse or clustered: one outlier id of 10^12 used
+    to stretch the value-width buckets so every real doc fell into
+    bucket 0 (the single-partition window the operator exists to
+    avoid). Correctness is id-density-independent either way; this pins
+    the packing under the pathological id shape."""
+    from smoltable_spark.functions import text as T
+
+    ids = [100_000 + i for i in range(40)] + [10**12]
+    docs = spark.createDataFrame(
+        [(d, " ".join(f"w{j}" for j in range((d * 7) % 23 + 1)))
+         for d in ids],
+        "doc_id long, text string",
+    )
+    rows = T.pack_split(docs, length=16).collect()
+    got = {(r["doc_id"], r["seq_id"]): r["tok_in_seq"] for r in rows}
+    exp = {}
+    off = 0
+    for d in sorted(ids):
+        n = (d * 7) % 23 + 1
+        for s in range(off // 16, (off + n - 1) // 16 + 1):
+            exp[(d, s)] = min((s + 1) * 16, off + n) - max(s * 16, off)
+        off += n
+    assert got == exp
+
+
+def test_orphan_boundary_sidecar_is_ignored(spark, tmp_path):
+    """An aborted compact() leaves a boundary sidecar whose snapshot was
+    never committed. Later commits must keep bucketing under the LAST
+    EFFECTIVE set — if the orphan took effect, a post-abort delta would
+    bucket under the new set while the un-rewritten base sits under the
+    old one, and key_range_scan's covering pruning would silently drop
+    in-range base rows (the round-8 review finding)."""
+    from pyspark.sql import functions as F
+
+    from smoltable_spark.api import ColumnFamilyDef
+    from smoltable_spark.sources.store_layout import RangeZorderCellStore
+
+    from test_round7 import _mk_cells
+
+    s = RangeZorderCellStore(
+        spark, str(tmp_path / "rz"), b_bucket=lambda: F.col("ts") % 4,
+        bits=2,
+    )
+    s.save_families([ColumnFamilyDef("value")])
+    s.write(_mk_cells(spark, [(f"k{i:02d}", i, i) for i in range(12)]))
+    # drifted delta, then a compact that dies between sidecar write and
+    # snapshot commit (exactly compact()'s first half)
+    s.append(_mk_cells(spark, [(f"zz{i}", i, 100 + i) for i in range(6)]))
+    s._write_boundaries(
+        s.read().select("row_key", "family", "qualifier", "ts", "vtype",
+                        "v_str", "v_bool", "v_byte", "v_i32", "v_i64",
+                        "v_f32", "v_f64"),
+        at_version=s.current_version() + 1,
+    )
+    assert 3 in s.boundary_versions()  # the orphan exists on disk...
+    assert s._valid_boundary_versions() == [1]  # ...but never takes effect
+    # a post-abort append buckets under v=1 and every row stays served
+    s.append(_mk_cells(spark, [(f"zx{i}", i, 200 + i) for i in range(3)]))
+    out = s.key_range_scan("k", "zz~", b_values=[0, 1, 2, 3])
+    assert out.count() == 21
+    assert s.boundaries_for(s.current_version()) == s.boundaries_for(1)
+    # a RETRIED compact commits base+sidecar together and takes over
+    v = s.compact()
+    assert s._kind(v) == "base"
+    assert v in s._valid_boundary_versions()
+    assert s.key_range_scan("k", "zz~", b_values=[0, 1, 2, 3]).count() == 21
+
+
+def test_cdc_stream_rejects_layout_subclasses(spark, tmp_path):
+    """Zorder bases nest a third zb= partition level, which the one-
+    basePath streaming file source cannot discover — reject at
+    construction with the real reason, not a mid-stream
+    AnalysisException."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from smoltable_spark.api import ColumnFamilyDef
+    from smoltable_spark.sources.store_layout import ZorderCellStore
+    from smoltable_spark.streaming.store_cdc import stream_store_changes
+
+    zs = ZorderCellStore(
+        spark, str(tmp_path / "z"),
+        a_bucket=lambda: F.col("ts") % 4,
+        b_bucket=lambda: F.length("row_key") % 4, bits=2,
+    )
+    zs.save_families([ColumnFamilyDef("value")])
+    with _pytest.raises(ValueError, match="flat-layout"):
+        stream_store_changes(spark, zs)
+
+
+def test_color_decode_rejects_noninteger_upsample_ratio():
+    """T.81 allows Y at H=3 with chroma at H=2 (a 3/2 ratio); the
+    replication upsample only handles integer ratios, so the decoder
+    must raise cleanly instead of producing misaligned planes (the
+    round-8 review finding: numpy broadcast crash or silent chroma
+    shift)."""
+    import pytest as _pytest
+
+    from smoltable_spark.functions.multimodal import _decode_color_planes
+
+    info = {
+        "precision": 8, "ncomp": 3,
+        "sof_comps": [(1, 0x31, 0), (2, 0x21, 1), (3, 0x21, 1)],
+    }
+    with _pytest.raises(NotImplementedError, match="non-integer"):
+        _decode_color_planes(info)
+
+
+def test_store_cache_path_sweeps_superseded_revisions(tmp_path):
+    """Every code revision retags the build-once store cache path;
+    without the sweep each iteration leaves a full orphaned parquet
+    store in /tmp forever (the round-8 review finding). Sibling dirs of
+    the SAME prefix+sf but a stale tag are removed; other SFs and other
+    prefixes are never touched."""
+    import os
+    import tempfile
+
+    from smoltable_spark.queries_core import _store_cache_path
+
+    tmp = tempfile.gettempdir()
+    sf = "/pytest/sweep/sfA"
+    other_sf = "/pytest/sweep/sfB"
+    stale = os.path.join(tmp, "smoltable_zstore_deadbeef00__pytest_sweep_sfA")
+    other = os.path.join(tmp, "smoltable_zstore_deadbeef00__pytest_sweep_sfB")
+    os.makedirs(stale, exist_ok=True)
+    os.makedirs(other, exist_ok=True)
+    try:
+        current = _store_cache_path("smoltable_zstore_", sf)
+        assert not os.path.isdir(stale)  # superseded revision swept
+        assert os.path.isdir(other)  # other SF untouched
+        assert current.endswith("__pytest_sweep_sfA")
+        # idempotent: the current path itself is never deleted
+        os.makedirs(current, exist_ok=True)
+        assert _store_cache_path("smoltable_zstore_", sf) == current
+        assert os.path.isdir(current)
+    finally:
+        import shutil
+
+        for d in (stale, other, current):
+            shutil.rmtree(d, ignore_errors=True)
