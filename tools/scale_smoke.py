@@ -1078,6 +1078,17 @@ Steady-state timings (2nd run per op). Reading the table:
   watermark+window horizon of clicks+purchases), NOT the stream length;
   wall time is dominated by per-micro-batch fixed overhead (~0.5-1 s
   each), which at 100 TB amortizes over far larger batches.
+- r8 rows: `mm_color_features_10x` (~2.6 s / 16.7k images) is the full
+  interleaved-MCU color path per image — Huffman+IDCT on 3 components,
+  replication chroma upsample, T.871 RGB — in one Arrow pass, linear in
+  pixels like the grayscale row. `mm_color_progressive_10x` (~5.8 s)
+  chains decode → 10-scan progressive re-encode → decode per image;
+  the single shared entropy decode (the r8 fix) keeps it at ~2.2x the
+  one-decode row instead of ~3.2x. `pipeline_pack_split_10x` (~1 s /
+  5,288 sequences from 50k docs) is the two-phase cumsum: per-bucket
+  windows over quantile-balanced id ranges + one bounded
+  (n_buckets-row) offset window — the global-window scale killer never
+  appears at any corpus size, and the span explode is output-sized.
 """
     scale_path = os.path.join(os.path.dirname(OUT), "SCALE.md")
     rows: dict[str, tuple] = {}
