@@ -10791,10 +10791,11 @@ def pipeline_pack_split(spark, sf_dir):
     a naive ``Window.orderBy(doc_id)`` global cumsum collapses the
     corpus into one partition, so pack_split runs the TWO-PHASE cumsum
     instead — per-range-bucket parallel windows plus one bounded
-    n_buckets-row base-offset window, with the bucket width derived
-    from an in-plan broadcast max (no driver collect). Chunk spans use
-    integer ``div`` (exact past 2^53, where a float floor-divide would
-    corrupt offsets at real corpus scale)."""
+    n_buckets-row base-offset window, with bucket boundaries from an
+    in-plan broadcast percentile_approx over doc_id (rank-balanced, so
+    sparse or clustered ids cannot collapse the buckets; no driver
+    collect). Chunk spans use integer ``div`` (exact past 2^53, where a
+    float floor-divide would corrupt offsets at real corpus scale)."""
     docs = load_table(spark, sf_dir, "documents")
     spans = text.pack_split(docs, length=_CTX_TOKENS)
     return spans.groupBy("seq_id").agg(
@@ -10802,3 +10803,106 @@ def pipeline_pack_split(spark, sf_dir):
         F.sum("tok_in_seq").cast("long").alias("n_tokens"),
         (F.sum("tok_in_seq") == _CTX_TOKENS).cast("int").alias("is_full"),
     )
+
+
+def _minhash_inc_oracle(num_hashes: int = 16, bands: int = 4,
+                        threshold: float = 0.5) -> str:
+    """DuckDB mirror of the incremental MinHash admit decision: the
+    same md5/affine hash family, band polynomials and integer-threshold
+    Jaccard as functions/dedup_incremental.py, with the corpus/batch
+    split (doc_id % 4) applied to the shared shingle CTEs."""
+    from smoltable_spark.functions.dedup import MINHASH_P
+
+    rows = num_hashes // bands
+    band_parts = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_band_hash_sql(b, rows)} AS bucket "
+        "FROM sigs"
+        for b in range(bands)
+    )
+    num = round(threshold * 1000)
+    verify = (
+        "SELECT DISTINCT m.new_id FROM common_{s} m "
+        "JOIN sigs za ON za.doc_id = m.new_id "
+        "JOIN sigs zb ON zb.doc_id = m.old_id "
+        f"WHERE m.common * 1000 >= {num} * (za.sz + zb.sz - m.common)"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+           FROM t, unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS u(i)),
+    shh AS (SELECT DISTINCT doc_id, {md5_long_sql('shingle')} AS h64 FROM sh),
+    sigs AS (SELECT doc_id, count(DISTINCT h64) AS sz,
+                    {_minhash_aggs_sql(num_hashes)}
+             FROM (SELECT doc_id, h64, h64 % {MINHASH_P} AS hb FROM shh)
+             GROUP BY doc_id),
+    buckets AS ({band_parts}),
+    nb AS (SELECT * FROM buckets WHERE doc_id % 4 = 0),
+    ob AS (SELECT * FROM buckets WHERE doc_id % 4 != 0),
+    cand_c AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+               FROM nb n JOIN ob o
+                 ON n.band = o.band AND n.bucket = o.bucket),
+    cand_b AS (SELECT DISTINCT a.doc_id AS old_id, b.doc_id AS new_id
+               FROM nb a JOIN nb b
+                 ON a.band = b.band AND a.bucket = b.bucket
+                AND a.doc_id < b.doc_id),
+    common_c AS (SELECT c.new_id, c.old_id, count(*) AS common
+                 FROM cand_c c
+                 JOIN shh sa ON sa.doc_id = c.new_id
+                 JOIN shh sb ON sb.doc_id = c.old_id AND sb.h64 = sa.h64
+                 GROUP BY c.new_id, c.old_id),
+    common_b AS (SELECT c.new_id, c.old_id, count(*) AS common
+                 FROM cand_b c
+                 JOIN shh sa ON sa.doc_id = c.new_id
+                 JOIN shh sb ON sb.doc_id = c.old_id AND sb.h64 = sa.h64
+                 GROUP BY c.new_id, c.old_id),
+    vc AS ({verify.format(s='c')}),
+    vb AS ({verify.format(s='b')})
+    SELECT s.doc_id, CAST(s.sz AS BIGINT) AS sz,
+           CAST(CASE WHEN vc.new_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+               AS corpus_dup,
+           CAST(CASE WHEN vb.new_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+               AS batch_dup,
+           CAST(CASE WHEN vc.new_id IS NULL AND vb.new_id IS NULL
+                     THEN 1 ELSE 0 END AS INT) AS admitted
+    FROM sigs s
+    LEFT JOIN vc ON vc.new_id = s.doc_id
+    LEFT JOIN vb ON vb.new_id = s.doc_id
+    WHERE s.doc_id % 4 = 0
+    """
+
+
+@q("dedup_minhash_incremental", _minhash_inc_oracle())
+def dedup_minhash_incremental(spark, sf_dir):
+    """Incremental near-dup admission against a PERSISTED corpus LSH
+    index (functions/dedup_incremental.py): the corpus (doc_id % 4 != 0)
+    is indexed once — per-doc shingle-hash set + banded MinHash buckets
+    written to parquet, the only corpus state kept — and the new batch
+    (doc_id % 4 == 0) is admitted by probing that index: skinny
+    (band, bucket) candidate joins (batch-vs-index and batch-internal
+    min-id-wins), then exact-Jaccard verification over the stored hash
+    sets for the surviving candidates only. The steady-state crawl
+    loop: corpus text is never re-read, per-batch cost is
+    O(batch + matched buckets), verification traffic is output-sized.
+    This is the near-duplicate counterpart of pipeline_incremental_dedup
+    (exact fingerprints) and completes the index-serving family with
+    txt_inverted_index_persisted / ann_ivf_persisted.
+
+    Oracle recomputes the identical admit decision from raw documents —
+    the persisted index must be invisible in the result."""
+    from smoltable_spark.functions.dedup_incremental import (
+        lsh_index,
+        minhash_dedup_incremental,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    key = (spark.sparkContext.applicationId, sf_dir, "lshidx")
+    if key not in _INDEX_PATH_CACHE:
+        import tempfile as _tf
+
+        path = _tf.mkdtemp(prefix="smoltable_lsh_idx_") + "/lsh"
+        lsh_index(corpus).write.mode("overwrite").parquet(path)
+        _INDEX_PATH_CACHE[key] = path
+    idx = spark.read.parquet(_INDEX_PATH_CACHE[key])
+    return minhash_dedup_incremental(idx, batch)

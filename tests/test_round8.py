@@ -408,3 +408,145 @@ def test_store_cache_path_sweeps_superseded_revisions(tmp_path):
 
         for d in (stale, other, current):
             shutil.rmtree(d, ignore_errors=True)
+
+
+# --- incremental MinHash dedup (round 8e) ---------------------------------
+
+
+def _mh_ref(corpus, batch, num_hashes=16, bands=4, k=3, threshold=0.5):
+    """Pure-Python reference of functions/dedup_incremental.py: same
+    md5/affine family, band polynomials, integer-threshold Jaccard and
+    min-id-wins batch convention."""
+    import hashlib
+
+    from smoltable_spark.functions.dedup import MINHASH_P, minhash_params
+
+    def md5l(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def hset(t):
+        ts = [w for w in t.lower().split(" ") if w]
+        n = len(ts)
+        return {
+            md5l(" ".join(ts[i - 1 : i - 1 + k]))
+            for i in range(1, max(n - (k - 1), 1) + 1)
+        }
+
+    params = minhash_params(num_hashes)
+    rows = num_hashes // bands
+
+    def buckets(hs):
+        sig = [min((a * (h % MINHASH_P) + b) % MINHASH_P for h in hs)
+               for a, b in params]
+        out = set()
+        for b in range(bands):
+            x = 0
+            for i in range(b * rows, (b + 1) * rows):
+                x = x * 31 + sig[i]
+            out.add((b, x))
+        return out
+
+    num = round(threshold * 1000)
+
+    def verified(ha, hb_):
+        common = len(ha & hb_)
+        return common * 1000 >= num * (len(ha) + len(hb_) - common)
+
+    cidx = {i: hset(t) for i, t in corpus}
+    cbkt = {i: buckets(h) for i, h in cidx.items()}
+    bidx = {i: hset(t) for i, t in batch}
+    bbkt = {i: buckets(h) for i, h in bidx.items()}
+    out = {}
+    for i, h in bidx.items():
+        cd = any(
+            bbkt[i] & cbkt[j] and verified(h, cidx[j]) for j in cidx
+        )
+        bd = any(
+            j < i and bbkt[i] & bbkt[j] and verified(h, bidx[j])
+            for j in bidx
+        )
+        out[i] = (len(h), int(cd), int(bd), int(not (cd or bd)))
+    return out
+
+
+def test_minhash_incremental_matches_reference(spark):
+    from smoltable_spark.functions.dedup_incremental import (
+        lsh_index,
+        minhash_dedup_incremental,
+    )
+
+    base = " ".join(f"tok{j}" for j in range(60))
+    corpus = [
+        (1, base),
+        (2, " ".join(f"alt{j}" for j in range(40))),
+        (3, "completely different short text here now"),
+    ]
+    near_a = base.replace("tok30", "changed")
+    text_c = " ".join(f"beta{j}" for j in range(50))
+    near_c = text_c.replace("beta7", "edited")
+    batch = [
+        (4, near_a),          # near-dup of corpus doc 1
+        (8, text_c),          # novel -> admitted
+        (12, near_c),         # near-dup of batch doc 8 -> batch_dup
+        (16, "a wholly unrelated document about nothing at all"),
+    ]
+    exp = _mh_ref(corpus, batch)
+    # the planted pairs must actually exercise both dup channels
+    assert exp[4][1] == 1, "planted corpus near-dup did not collide"
+    assert exp[12][2] == 1, "planted batch near-dup did not collide"
+    assert exp[8][3] == 1 and exp[16][3] == 1
+
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    bdf = spark.createDataFrame(batch, "doc_id long, text string")
+    idx = lsh_index(cdf)
+    got = {
+        r["doc_id"]: (r["sz"], r["corpus_dup"], r["batch_dup"], r["admitted"])
+        for r in minhash_dedup_incremental(idx, bdf).collect()
+    }
+    assert got == exp
+
+
+def test_minhash_incremental_index_survives_parquet(spark, tmp_path):
+    """The persisted-index detour must be invisible: probing a parquet
+    round-tripped index gives the same admit set as probing the live
+    DataFrame (the steady-state loop stores ONLY the index)."""
+    from smoltable_spark.functions.dedup_incremental import (
+        lsh_index,
+        minhash_dedup_incremental,
+    )
+
+    docs = [(i, " ".join(f"w{(i * 13 + j) % 40}" for j in range(25)))
+            for i in range(30)]
+    cdf = spark.createDataFrame(docs[:20], "doc_id long, text string")
+    bdf = spark.createDataFrame(docs[20:], "doc_id long, text string")
+    live = lsh_index(cdf)
+    p = str(tmp_path / "lsh")
+    live.write.parquet(p)
+    from_disk = spark.read.parquet(p)
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(minhash_dedup_incremental(live, bdf)) == key(
+        minhash_dedup_incremental(from_disk, bdf)
+    )
+
+
+def test_minhash_incremental_hot_bucket_guard(spark):
+    """max_bucket_df raises (fail-loud, like blocked Jaccard's
+    max_block_rows) when an index band bucket exceeds the cap."""
+    import pytest as _pytest
+
+    from smoltable_spark.functions.dedup_incremental import (
+        lsh_index,
+        minhash_dedup_incremental,
+    )
+
+    same = "identical boilerplate text repeated across the corpus body"
+    cdf = spark.createDataFrame(
+        [(i, same) for i in range(5)], "doc_id long, text string"
+    )
+    bdf = spark.createDataFrame([(100, same)], "doc_id long, text string")
+    idx = lsh_index(cdf)
+    with _pytest.raises(ValueError, match="max_bucket_df"):
+        minhash_dedup_incremental(idx, bdf, max_bucket_df=2)
+    # generous cap: runs, and every batch doc is a corpus dup
+    out = minhash_dedup_incremental(idx, bdf, max_bucket_df=100).collect()
+    assert out[0]["corpus_dup"] == 1 and out[0]["admitted"] == 0
