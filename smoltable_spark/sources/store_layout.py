@@ -226,10 +226,14 @@ class RangeZorderCellStore(ZorderCellStore):
         VALID sidecar version <= it (a snapshot is always written with
         the boundaries current at its own commit; orphaned sidecars
         from aborted compacts never become current —
-        ``_valid_boundary_versions``)."""
+        ``_valid_boundary_versions``). The in-flight base's sidecar
+        (``_pending_base`` = current+1) is covered by ``v <= version``
+        on the write path, which asks for exactly that version — a
+        bare pending-membership test here would leak the NEW boundary
+        set into reads of OLDER versions issued while a commit is in
+        flight."""
         eligible = [
-            v for v in self._valid_boundary_versions()
-            if v <= version or v == self._pending_base
+            v for v in self._valid_boundary_versions() if v <= version
         ]
         if not eligible:
             raise FileNotFoundError(

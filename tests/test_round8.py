@@ -550,3 +550,63 @@ def test_minhash_incremental_hot_bucket_guard(spark):
     # generous cap: runs, and every batch doc is a corpus dup
     out = minhash_dedup_incremental(idx, bdf, max_bucket_df=100).collect()
     assert out[0]["corpus_dup"] == 1 and out[0]["admitted"] == 0
+
+
+def test_lsh_index_append_equals_rebuild(spark):
+    """The steady-state loop appends lsh_index(admitted batch) to the
+    persisted index. Because the index is strictly per-document under a
+    FROZEN hash family (no cross-doc state — unlike IVF centroids),
+    append ≡ rebuild exactly: index(corpus ∪ batch) is row-identical to
+    index(corpus) ∪ index(batch)."""
+    from smoltable_spark.functions.dedup_incremental import lsh_index
+
+    docs = [(i, " ".join(f"w{(i * 7 + j) % 31}" for j in range(20)))
+            for i in range(24)]
+    a = spark.createDataFrame(docs[:16], "doc_id long, text string")
+    b = spark.createDataFrame(docs[16:], "doc_id long, text string")
+    both = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def norm(df):
+        return sorted(
+            (r["doc_id"], r["sz"], tuple(sorted(r["hshs"])),
+             tuple(sorted((x["band"], x["bucket"]) for x in r["buckets"])))
+            for r in df.collect()
+        )
+
+    assert norm(lsh_index(a).unionByName(lsh_index(b))) == norm(lsh_index(both))
+
+
+def test_pending_boundaries_never_leak_to_older_reads(spark, tmp_path):
+    """During a base commit the in-flight sidecar (``_pending_base``) is
+    visible ONLY to the write path, which resolves exactly that
+    version; a read of an older snapshot issued mid-commit must keep
+    resolving the old set (the write-side covering and the base rows on
+    disk would otherwise disagree)."""
+    from pyspark.sql import functions as F
+
+    from smoltable_spark.api import ColumnFamilyDef
+    from smoltable_spark.sources.store_layout import RangeZorderCellStore
+
+    from test_round7 import _mk_cells
+
+    s = RangeZorderCellStore(
+        spark, str(tmp_path / "rz"), b_bucket=lambda: F.col("ts") % 4,
+        bits=2,
+    )
+    s.save_families([ColumnFamilyDef("value")])
+    s.write(_mk_cells(spark, [(f"k{i:02d}", i, i) for i in range(12)]))
+    s.append(_mk_cells(spark, [(f"zz{i}", i, 100 + i) for i in range(6)]))
+    b1 = s.boundaries_for(1)
+    # mimic compact()'s first half with the commit still in flight
+    s._write_boundaries(s.read().select(
+        "row_key", "family", "qualifier", "ts", "vtype", "v_str",
+        "v_bool", "v_byte", "v_i32", "v_i64", "v_f32", "v_f64",
+    ), at_version=3)
+    s._pending_base = 3
+    try:
+        b3 = s.boundaries_for(3)  # the write path sees the new set
+        assert b3 != b1
+        assert s.boundaries_for(2) == b1  # older reads never do
+        assert s.boundaries_for(1) == b1
+    finally:
+        s._pending_base = None
