@@ -41,7 +41,6 @@ from smoltable_spark.functions.dedup import (
     MINHASH_P,
     doc_shingles,
     minhash_params,
-    spread,
 )
 from smoltable_spark.functions.hashing import md5_long
 
@@ -172,8 +171,10 @@ def minhash_dedup_incremental(
     fail-loud hot-bucket guard; leave None to mirror plain
     ``dedup_minhash`` exposure.
     """
+    # (doc_shingles inside lsh_index owns the spread() parallelism fix —
+    # wrapping batch again here would repartition twice)
     bidx = lsh_index(
-        spread(batch), text_col, id_col, num_hashes, bands, k
+        batch, text_col, id_col, num_hashes, bands, k
     ).localCheckpoint(eager=True)  # built once, consumed by 4 plan branches
     nb = _skinny_buckets(bidx, id_col, "new_id")
     ob = _skinny_buckets(index, id_col, "old_id")

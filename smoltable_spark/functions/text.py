@@ -1206,11 +1206,32 @@ def pack_split(
     ``offset div L .. (offset+ntok-1) div L`` (integer ``div``, exact
     past 2^53 where float division would not be). At 100 TB the heavy
     shuffle is the bucket repartition; no single-partition stage touches
-    corpus-sized data."""
+    corpus-sized data.
+
+    Ids must cast to long (non-null): a silently-NULL cast would pack
+    the doc at an arbitrary offset and return unattributable spans, so
+    the cast is guarded by an in-plan ``raise_error``. The slim
+    (doc_id, ntok) frame is materialized once (``localCheckpoint``):
+    three plan branches consume it — the boundary aggregate, the
+    per-bucket window, and the bucket totals — and without the
+    materialization each branch re-runs the corpus tokenization."""
+    # try_cast: NULL on malformed instead of the ANSI-mode-dependent
+    # CAST_INVALID_INPUT, so the guard below raises the same
+    # descriptive error whatever spark.sql.ansi.enabled is
+    did = F.col(id_col).try_cast("long")
     toked = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
+        F.when(
+            did.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"pack_split: {id_col} value not castable to "
+                          f"non-null long: "),
+                    F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")),
+                )
+            ).cast("long"),
+        ).otherwise(did).alias("doc_id"),
         token_count(F.col(text_col)).cast("long").alias("ntok"),
-    ).filter(F.col("ntok") > 0)
+    ).filter(F.col("ntok") > 0).localCheckpoint(eager=True)
     qs = [i / n_buckets for i in range(1, n_buckets)]
     bnds = toked.agg(
         F.percentile_approx("doc_id", qs, 10_000).alias("_bnds")

@@ -1323,11 +1323,16 @@ def _store_cache_path(prefix: str, sf_dir: str) -> str:
     sources changes the tag, so without the sweep each iteration on the
     store code leaves a complete orphaned base+delta parquet tree in
     /tmp forever (unbounded growth on any machine that iterates). The
-    glob is pinned to this prefix AND this sf_dir suffix, so a
-    concurrent run at another SF (or the other store family) is never
-    touched; deleting a dir another live SparkSession of a DIFFERENT
-    revision still holds is acceptable — that session would rebuild,
-    and two revisions never certify concurrently."""
+    glob is pinned to this prefix, an exact-width tag slot, AND this
+    sf_dir suffix, so a concurrent run at another SF (or the other
+    store family) is never touched — the tag wildcard is ten ``?``s,
+    not ``*``, because a ``*`` would also swallow the tag + the HEAD of
+    a longer sanitized sf path whose tail equals this suffix (e.g.
+    ``/big/data/sf1`` ends with ``/data/sf1``'s suffix) and delete a
+    live store out from under that session. Deleting a dir another
+    live session of a DIFFERENT revision holds at the SAME sf is
+    acceptable — that session would rebuild, and two revisions never
+    certify concurrently."""
     tag = _store_code_tag()
     suffix = "_" + re.sub(r"\W", "_", sf_dir)
     tmp = tempfile.gettempdir()
@@ -1335,7 +1340,7 @@ def _store_cache_path(prefix: str, sf_dir: str) -> str:
     import glob as _glob
     import shutil
 
-    for d in _glob.glob(os.path.join(tmp, prefix + "*" + suffix)):
+    for d in _glob.glob(os.path.join(tmp, prefix + "?" * len(tag) + suffix)):
         if d != current:
             shutil.rmtree(d, ignore_errors=True)
     return current

@@ -131,6 +131,16 @@ def _key_image_py(key: str) -> int:
     return int.from_bytes(b.ljust(_KEY_IMAGE_BYTES, b"\0"), "big")
 
 
+#: version of the key-image formula above. Bump on ANY change to
+#: ``_key_image_col``/``_key_image_py``: a store's sidecar boundaries
+#: AND its on-disk zb partition assignments were computed under the
+#: image current at write time, so reading them with a different image
+#: makes ``key_range_scan``'s covering prune partitions that hold
+#: in-range rows — silently. v1 = the original 7-byte codepoint image
+#: (stores written before the marker existed); v2 = 6-byte UTF-8 image.
+_KEY_IMAGE_VERSION = 2
+
+
 class RangeZorderCellStore(ZorderCellStore):
     """ZorderCellStore whose KEY dimension buckets by RANGE, not residue:
     bucket = #(boundaries <= key image), with the 2^bits − 1 boundaries
@@ -232,6 +242,7 @@ class RangeZorderCellStore(ZorderCellStore):
         bare pending-membership test here would leak the NEW boundary
         set into reads of OLDER versions issued while a commit is in
         flight."""
+        self._check_image_version()
         eligible = [
             v for v in self._valid_boundary_versions() if v <= version
         ]
@@ -272,9 +283,44 @@ class RangeZorderCellStore(ZorderCellStore):
             os.replace(os.path.join(root, n), os.path.join(v1, n))
         self._boundaries_cache.pop(1, None)
 
+    def _image_version_path(self) -> str:
+        return os.path.join(self._boundaries_root, "_IMAGE_VERSION")
+
+    def _check_image_version(self) -> None:
+        """Refuse to serve a store laid out under a DIFFERENT key-image
+        formula (round-8 review finding): its sidecar boundaries and its
+        on-disk zb assignments were both computed with the image current
+        at write time, so mixing in this code's image silently breaks
+        the write-side/scan-side bucket agreement the covering-set
+        correctness argument rests on — ``key_range_scan`` would prune
+        partitions holding in-range rows. A store with a sidecar but no
+        marker predates the marker (= image v1). Fail loudly; full
+        ``read()`` scans of the old store remain safe for a rebuild."""
+        if not os.path.isdir(self._boundaries_root):
+            return
+        p = self._image_version_path()
+        have = 1
+        if os.path.exists(p):
+            with open(p) as fh:
+                have = int(fh.read().strip() or 1)
+        if have != _KEY_IMAGE_VERSION:
+            raise ValueError(
+                f"store at {self.path} was range-bucketed under key-image "
+                f"v{have}; this code computes v{_KEY_IMAGE_VERSION} — "
+                "key_range_scan pruning would silently drop rows. Rebuild "
+                "the store (full read() into a fresh RangeZorderCellStore) "
+                "or pin the library version that wrote it."
+            )
+
     def _write_boundaries(self, cells: DataFrame, at_version: int) -> None:
+        self._check_image_version()
         self._migrate_legacy_sidecar()
         bounds = self._compute_boundaries(cells)
+        os.makedirs(self._boundaries_root, exist_ok=True)
+        tmp = self._image_version_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(_KEY_IMAGE_VERSION))
+        os.replace(tmp, self._image_version_path())
         d = os.path.join(self._boundaries_root, f"v={at_version}")
         self.spark.createDataFrame(
             [(b,) for b in bounds], "boundary long"

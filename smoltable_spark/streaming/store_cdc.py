@@ -125,10 +125,19 @@ class StoreChangeRollup:
         self.store = store
         self.keep_last = keep_last
         os.makedirs(path, exist_ok=True)
-        #: base legs at/below this version existed before the stream
-        #: started and are NOT change data (the initial snapshot); only
-        #: base rewrites AFTER it violate the append-only contract
-        self._start_version = store.current_version() if store else 0
+        # Base legs at/below the START VERSION existed before the stream
+        # started and are NOT change data (the initial snapshot); only
+        # base rewrites AFTER it violate the append-only contract. The
+        # horizon is PERSISTED in the rollup meta on first construction
+        # and read back thereafter (round-8 review finding: deriving it
+        # from current_version() on every reconstruction would bless any
+        # rewrite committed while the process was down, and the resumed
+        # stream would silently double-count the rewritten table).
+        meta = self._meta()
+        if "start_version" not in meta:
+            meta["start_version"] = store.current_version() if store else 0
+            self._commit_meta(meta)
+        self._start_version = int(meta["start_version"])
 
     # -- meta / versions -----------------------------------------------------
 
@@ -148,6 +157,37 @@ class StoreChangeRollup:
 
     def _version_dir(self, n: int) -> str:
         return os.path.join(self.path, f"v={n}")
+
+    def _bind_checkpoint(self, checkpoint_dir: str) -> None:
+        """Bind the rollup to its streaming checkpoint (round-8 review
+        finding): foreachBatch batch ids are only monotone WITHIN one
+        checkpoint generation, so the ``batch_id <= last_batch_id``
+        replay skip is sound only against the checkpoint that produced
+        ``last_batch_id``. A fresh checkpoint numbers batches from 0
+        again — pairing it with an existing rollup would silently
+        swallow every batch up to the stale last_batch_id. Fail loudly
+        on a different checkpoint path, and on a rebuilt checkpoint at
+        the SAME path (dir missing but batches already folded)."""
+        meta = self._meta()
+        cp = os.path.abspath(checkpoint_dir)
+        bound = meta.get("checkpoint")
+        if bound is None:
+            self._commit_meta({**meta, "checkpoint": cp})
+            return
+        if bound != cp:
+            raise ValueError(
+                f"rollup at {self.path} is bound to checkpoint {bound}; "
+                f"starting it with {cp} would replay batch ids from 0 and "
+                "the idempotency skip would silently drop them — rebuild "
+                "the rollup together with the new checkpoint"
+            )
+        if meta.get("last_batch_id", -1) >= 0 and not os.path.isdir(cp):
+            raise ValueError(
+                f"rollup at {self.path} has folded batches from checkpoint "
+                f"{cp}, but that checkpoint no longer exists — a fresh "
+                "checkpoint restarts batch ids at 0, which the replay skip "
+                "would silently swallow; rebuild the rollup too"
+            )
 
     # -- the foreachBatch hook -------------------------------------------------
 
@@ -197,7 +237,7 @@ class StoreChangeRollup:
         )
         n = meta["version"] + 1
         merged.coalesce(1).write.mode("overwrite").parquet(self._version_dir(n))
-        self._commit_meta({"last_batch_id": batch_id, "version": n})
+        self._commit_meta({**meta, "last_batch_id": batch_id, "version": n})
         # prune versions no reader can need (pointer already moved)
         for name in os.listdir(self.path):
             if name.startswith("v=") and int(name[2:]) <= n - self.keep_last:
@@ -228,6 +268,7 @@ def stream_store_rollup(
 ):
     """Wire a store CDC stream into a maintained rollup. Returns the
     StreamingQuery; callers own awaitTermination/stop."""
+    rollup._bind_checkpoint(checkpoint_dir)
     w = cells_stream.writeStream.foreachBatch(rollup.process_batch).option(
         "checkpointLocation", checkpoint_dir
     )

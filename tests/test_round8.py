@@ -610,3 +610,134 @@ def test_pending_boundaries_never_leak_to_older_reads(spark, tmp_path):
         assert s.boundaries_for(1) == b1
     finally:
         s._pending_base = None
+
+
+# --- round-8f review-fix guards -------------------------------------------
+
+
+def test_key_image_version_marker_rejects_old_stores(spark, tmp_path):
+    """A store range-bucketed under a DIFFERENT key-image formula must
+    refuse to serve key_range_scan (its sidecar boundaries and on-disk
+    zb assignments disagree with this code's image — silent row loss
+    otherwise). New stores stamp the marker; a sidecar without one
+    reads as image v1 and is rejected."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from smoltable_spark.api import ColumnFamilyDef
+    from smoltable_spark.sources.store_layout import RangeZorderCellStore
+
+    from test_round7 import _mk_cells
+
+    s = RangeZorderCellStore(
+        spark, str(tmp_path / "rz"), b_bucket=lambda: F.col("ts") % 4,
+        bits=2,
+    )
+    s.save_families([ColumnFamilyDef("value")])
+    s.write(_mk_cells(spark, [(f"k{i:02d}", i, i) for i in range(8)]))
+    marker = s._image_version_path()
+    assert os.path.exists(marker)
+    assert s.key_range_scan("k", "k~", b_values=[0, 1, 2, 3]).count() == 8
+    os.remove(marker)  # simulate a store written before the marker / v1
+    s._boundaries_cache.clear()
+    with _pytest.raises(ValueError, match="key-image"):
+        s.key_range_scan("k", "k~", b_values=[0, 1, 2, 3])
+    with _pytest.raises(ValueError, match="key-image"):
+        s.append(_mk_cells(spark, [("zz", 1, 1)]))  # write side too
+
+
+def test_rollup_start_version_survives_restart(spark, tmp_path):
+    """The base-rewrite guard horizon is persisted at first
+    construction: a rollup RECONSTRUCTED after a rewrite must still
+    flag the rewrite (deriving the horizon from current_version() at
+    reconstruction would bless it and double-count)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from smoltable_spark.api import ColumnFamilyDef
+    from smoltable_spark.sources.store import CellStore
+    from smoltable_spark.streaming.store_cdc import StoreChangeRollup
+
+    from test_round7 import _mk_cells
+
+    store = CellStore(spark, str(tmp_path / "store"))
+    store.save_families([ColumnFamilyDef("value")])
+    roll = StoreChangeRollup(
+        spark, str(tmp_path / "roll"), keys=["family"],
+        sums={"total": "cast(v_f64 as long)"}, store=store,
+    )
+    assert roll._start_version == 0
+    store.append(_mk_cells(spark, [("a", 1, 1.0)]))
+    store.compact()  # base rewrite at v2, process "down" meanwhile
+    re_roll = StoreChangeRollup(
+        spark, str(tmp_path / "roll"), keys=["family"],
+        sums={"total": "cast(v_f64 as long)"}, store=store,
+    )
+    assert re_roll._start_version == 0  # persisted, NOT current_version()
+    batch = store.read().withColumn("v", F.lit(2)).withColumn(
+        "lg", F.lit("")
+    )
+    with _pytest.raises(ValueError, match="base rewrite"):
+        re_roll._guard_append_only(batch)
+
+
+def test_rollup_rejects_checkpoint_swap(spark, tmp_path):
+    """Batch ids are monotone only within one checkpoint generation:
+    pairing an existing rollup with a different (or rebuilt) checkpoint
+    must fail loudly instead of silently swallowing replayed ids."""
+    import os
+
+    import pytest as _pytest
+
+    from smoltable_spark.streaming.store_cdc import StoreChangeRollup
+
+    roll = StoreChangeRollup(
+        spark, str(tmp_path / "roll"), keys=["k"], sums={"s": "1"},
+    )
+    ck1 = str(tmp_path / "ck1")
+    roll._bind_checkpoint(ck1)
+    roll._bind_checkpoint(ck1)  # idempotent
+    with _pytest.raises(ValueError, match="bound to checkpoint"):
+        roll._bind_checkpoint(str(tmp_path / "ck2"))
+    # same path but checkpoint rebuilt after batches were folded
+    roll._commit_meta({**roll._meta(), "last_batch_id": 3})
+    assert not os.path.isdir(ck1)
+    with _pytest.raises(ValueError, match="no longer exists"):
+        roll._bind_checkpoint(ck1)
+
+
+def test_pack_split_raises_on_uncastable_ids(spark):
+    import pytest as _pytest
+
+    from smoltable_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [("doc-1", "a b c"), ("2", "d e")], "doc_id string, text string"
+    )
+    with _pytest.raises(Exception, match="not castable"):
+        T.pack_split(docs, length=4)
+
+
+def test_store_cache_sweep_never_crosses_sf_suffixes(tmp_path):
+    """The tag slot is an exact-width wildcard: a longer sanitized sf
+    path whose TAIL equals this sf's suffix (e.g. /big/data/sf1 vs
+    /data/sf1) must never be swept."""
+    import os
+    import shutil
+    import tempfile
+
+    from smoltable_spark.queries_core import _store_cache_path
+
+    tmp = tempfile.gettempdir()
+    victim = os.path.join(
+        tmp, "smoltable_zstore_deadbeef00__big_pytest2_data_sf1"
+    )
+    os.makedirs(victim, exist_ok=True)
+    try:
+        cur = _store_cache_path("smoltable_zstore_", "/pytest2/data/sf1")
+        assert os.path.isdir(victim)  # tail-overlapping SF untouched
+    finally:
+        shutil.rmtree(victim, ignore_errors=True)
+        shutil.rmtree(cur, ignore_errors=True)
