@@ -1328,8 +1328,9 @@ def _store_cache_path(prefix: str, sf_dir: str) -> str:
     store family) is never touched — the tag wildcard is ten ``?``s,
     not ``*``, because a ``*`` would also swallow the tag + the HEAD of
     a longer sanitized sf path whose tail equals this suffix (e.g.
-    ``/big/data/sf1`` ends with ``/data/sf1``'s suffix) and delete a
-    live store out from under that session. Deleting a dir another
+    ``/a/.data/sf1`` sanitizes to ``_a__data_sf1``, which ends with
+    ``/data/sf1``'s ``__data_sf1`` suffix) and delete a live store out
+    from under that session. Deleting a dir another
     live session of a DIFFERENT revision holds at the SAME sf is
     acceptable — that session would rebuild, and two revisions never
     certify concurrently."""

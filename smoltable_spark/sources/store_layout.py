@@ -304,11 +304,17 @@ class RangeZorderCellStore(ZorderCellStore):
             with open(p) as fh:
                 have = int(fh.read().strip() or 1)
         if have != _KEY_IMAGE_VERSION:
+            detail = (
+                f"declares key-image v{have}" if os.path.exists(p) else
+                "predates the image-version marker (image v1, or an "
+                "unmarked early v2 build — bucket agreement cannot be "
+                "verified either way)"
+            )
             raise ValueError(
-                f"store at {self.path} was range-bucketed under key-image "
-                f"v{have}; this code computes v{_KEY_IMAGE_VERSION} — "
-                "key_range_scan pruning would silently drop rows. Rebuild "
-                "the store (full read() into a fresh RangeZorderCellStore) "
+                f"store at {self.path} {detail}; this code computes "
+                f"v{_KEY_IMAGE_VERSION} — key_range_scan pruning would "
+                "silently drop rows if the images differ. Rebuild the "
+                "store (full read() into a fresh RangeZorderCellStore) "
                 "or pin the library version that wrote it."
             )
 

@@ -134,10 +134,28 @@ class StoreChangeRollup:
         # rewrite committed while the process was down, and the resumed
         # stream would silently double-count the rewritten table).
         meta = self._meta()
-        if "start_version" not in meta:
-            meta["start_version"] = store.current_version() if store else 0
+        if "start_version" in meta:
+            self._start_version = int(meta["start_version"])
+        elif store is None:
+            # read-side instance (polling result()): never stamp — a
+            # persisted 0 here would poison the horizon the later
+            # streaming instance reads back, making it flag the store's
+            # own initial base snapshot as a forbidden rewrite
+            self._start_version = 0
+        elif meta.get("last_batch_id", -1) >= 0:
+            # batches were folded under a revision that never recorded
+            # the horizon: back-stamping current_version() here would
+            # bless any rewrite committed while the process was down
+            raise ValueError(
+                f"rollup at {path} has folded batches but no recorded "
+                "start_version (written by an older revision); the "
+                "base-rewrite horizon cannot be reconstructed safely — "
+                "rebuild the rollup from the current base snapshot"
+            )
+        else:
+            meta["start_version"] = store.current_version()
             self._commit_meta(meta)
-        self._start_version = int(meta["start_version"])
+            self._start_version = int(meta["start_version"])
 
     # -- meta / versions -----------------------------------------------------
 
@@ -169,9 +187,26 @@ class StoreChangeRollup:
         on a different checkpoint path, and on a rebuilt checkpoint at
         the SAME path (dir missing but batches already folded)."""
         meta = self._meta()
-        cp = os.path.abspath(checkpoint_dir)
+        # URI checkpoints (hdfs://, s3a://) are legal for Spark's
+        # checkpointLocation: compare them verbatim and skip the local
+        # existence probe (abspath would cwd-mangle the URI and isdir is
+        # always False for it, bricking every restart)
+        is_uri = "://" in checkpoint_dir
+        cp = checkpoint_dir if is_uri else os.path.abspath(checkpoint_dir)
         bound = meta.get("checkpoint")
+        folded = meta.get("last_batch_id", -1) >= 0
         if bound is None:
+            if folded:
+                # batches were folded before bindings existed: ANY
+                # checkpoint offered now might be a fresh one whose
+                # batch ids restart at 0 — unverifiable, so fail loudly
+                raise ValueError(
+                    f"rollup at {self.path} has folded batches but no "
+                    "recorded checkpoint binding (written by an older "
+                    "revision); whether this checkpoint produced its "
+                    "batch ids cannot be verified — rebuild the rollup "
+                    "together with the checkpoint"
+                )
             self._commit_meta({**meta, "checkpoint": cp})
             return
         if bound != cp:
@@ -181,7 +216,7 @@ class StoreChangeRollup:
                 "the idempotency skip would silently drop them — rebuild "
                 "the rollup together with the new checkpoint"
             )
-        if meta.get("last_batch_id", -1) >= 0 and not os.path.isdir(cp):
+        if folded and not is_uri and not os.path.isdir(cp):
             raise ValueError(
                 f"rollup at {self.path} has folded batches from checkpoint "
                 f"{cp}, but that checkpoint no longer exists — a fresh "

@@ -642,9 +642,9 @@ def test_key_image_version_marker_rejects_old_stores(spark, tmp_path):
     assert s.key_range_scan("k", "k~", b_values=[0, 1, 2, 3]).count() == 8
     os.remove(marker)  # simulate a store written before the marker / v1
     s._boundaries_cache.clear()
-    with _pytest.raises(ValueError, match="key-image"):
+    with _pytest.raises(ValueError, match="pruning would"):
         s.key_range_scan("k", "k~", b_values=[0, 1, 2, 3])
-    with _pytest.raises(ValueError, match="key-image"):
+    with _pytest.raises(ValueError, match="pruning would"):
         s.append(_mk_cells(spark, [("zz", 1, 1)]))  # write side too
 
 
@@ -721,9 +721,14 @@ def test_pack_split_raises_on_uncastable_ids(spark):
 
 
 def test_store_cache_sweep_never_crosses_sf_suffixes(tmp_path):
-    """The tag slot is an exact-width wildcard: a longer sanitized sf
-    path whose TAIL equals this sf's suffix (e.g. /big/data/sf1 vs
-    /data/sf1) must never be swept."""
+    """The tag slot is an exact-width wildcard: another sf whose
+    sanitized path ENDS with this sf's suffix (``/a/.pytest2/data/sf1``
+    sanitizes to ``_a__pytest2_data_sf1``, which ends with
+    ``/pytest2/data/sf1``'s ``__pytest2_data_sf1``) must never be
+    swept. The victim below matches the naive ``prefix + '*' + suffix``
+    glob — the test fails against that unfixed pattern — but not the
+    exact-width one."""
+    import fnmatch
     import os
     import shutil
     import tempfile
@@ -731,9 +736,14 @@ def test_store_cache_sweep_never_crosses_sf_suffixes(tmp_path):
     from smoltable_spark.queries_core import _store_cache_path
 
     tmp = tempfile.gettempdir()
+    suffix = "__pytest2_data_sf1"
     victim = os.path.join(
-        tmp, "smoltable_zstore_deadbeef00__big_pytest2_data_sf1"
+        tmp, "smoltable_zstore_deadbeef00_a" + suffix
     )
+    # the naive glob really would have swept it (guards test vacuity)
+    assert fnmatch.fnmatch(victim, os.path.join(
+        tmp, "smoltable_zstore_" + "*" + suffix
+    ))
     os.makedirs(victim, exist_ok=True)
     try:
         cur = _store_cache_path("smoltable_zstore_", "/pytest2/data/sf1")
@@ -741,3 +751,75 @@ def test_store_cache_sweep_never_crosses_sf_suffixes(tmp_path):
     finally:
         shutil.rmtree(victim, ignore_errors=True)
         shutil.rmtree(cur, ignore_errors=True)
+
+
+def test_rollup_legacy_meta_fails_loudly(spark, tmp_path):
+    """A rollup whose meta predates horizon/binding recording but has
+    already folded batches cannot be resumed safely: back-stamping the
+    horizon would bless rewrites committed while down, and any offered
+    checkpoint might number batches from 0 — both must raise, not
+    guess."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from smoltable_spark.api import ColumnFamilyDef
+    from smoltable_spark.sources.store import CellStore
+    from smoltable_spark.streaming.store_cdc import StoreChangeRollup
+
+    store = CellStore(spark, str(tmp_path / "store"))
+    store.save_families([ColumnFamilyDef("value")])
+    p = str(tmp_path / "roll")
+    os.makedirs(p)
+    with open(os.path.join(p, "_ROLLUP_META.json"), "w") as fh:
+        json.dump({"last_batch_id": 5, "version": 3}, fh)  # old revision
+    with _pytest.raises(ValueError, match="no recorded start_version"):
+        StoreChangeRollup(spark, p, keys=["k"], sums={"s": "1"},
+                          store=store)
+    # read-side (store=None) may still open it for result() polling...
+    roll = StoreChangeRollup(spark, p, keys=["k"], sums={"s": "1"})
+    # ...but binding a checkpoint to it is equally unverifiable
+    with _pytest.raises(ValueError, match="no recorded checkpoint"):
+        roll._bind_checkpoint(str(tmp_path / "ck"))
+
+
+def test_rollup_read_side_never_stamps_horizon(spark, tmp_path):
+    """A store=None (read-side) construction must not persist a horizon:
+    the later streaming instance owns that stamp, computed from ITS
+    store at first construction."""
+    import json
+    import os
+
+    from smoltable_spark.api import ColumnFamilyDef
+    from smoltable_spark.sources.store import CellStore
+    from smoltable_spark.streaming.store_cdc import StoreChangeRollup
+
+    from test_round7 import _mk_cells
+
+    store = CellStore(spark, str(tmp_path / "store"))
+    store.save_families([ColumnFamilyDef("value")])
+    store.write(_mk_cells(spark, [("a", 1, 1.0)]))  # initial base, v1
+    p = str(tmp_path / "roll")
+    reader = StoreChangeRollup(spark, p, keys=["k"], sums={"s": "1"})
+    meta_path = os.path.join(p, "_ROLLUP_META.json")
+    assert not os.path.exists(meta_path) or "start_version" not in json.load(
+        open(meta_path)
+    )
+    streamer = StoreChangeRollup(spark, p, keys=["k"], sums={"s": "1"},
+                                 store=store)
+    assert streamer._start_version == 1  # the store's version, not 0
+
+
+def test_rollup_uri_checkpoint_binding(spark, tmp_path):
+    """URI checkpoint locations bind verbatim (no abspath mangling) and
+    skip the local-dir existence probe so restarts keep working."""
+    from smoltable_spark.streaming.store_cdc import StoreChangeRollup
+
+    roll = StoreChangeRollup(spark, str(tmp_path / "roll"), keys=["k"],
+                             sums={"s": "1"})
+    uri = "hdfs://nn:8020/ck/rollup"
+    roll._bind_checkpoint(uri)
+    assert roll._meta()["checkpoint"] == uri
+    roll._commit_meta({**roll._meta(), "last_batch_id": 7})
+    roll._bind_checkpoint(uri)  # folded + URI: no isdir probe, no raise
