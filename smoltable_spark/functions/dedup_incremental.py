@@ -91,7 +91,7 @@ def lsh_index(
 
     return g.select(
         F.col(id_col),
-        F.size("hshs").alias("sz"),
+        F.size("hshs").cast("long").alias("sz"),
         F.col("hshs"),
         F.array(*[band_bucket(b) for b in range(bands)]).alias("buckets"),
     )
@@ -134,9 +134,16 @@ def _verified(
         ),
         rcol,
     )
-    common = F.size(F.array_intersect("_ha", "_hb"))
+    # all arithmetic in LONG: F.size() is int, and `common * 1000` /
+    # `num * union` overflow 32 bits for documents beyond ~2.1M distinct
+    # shingles — silently wrapping under non-ANSI Spark and flipping the
+    # admit decision, while the DuckDB oracle computes the same predicate
+    # in BIGINT (advisor r8, medium).
+    common = F.size(F.array_intersect("_ha", "_hb")).cast("long")
     return j.filter(
-        common * 1000 >= F.lit(num) * (F.col("_sza") + F.col("_szb") - common)
+        common * F.lit(1000).cast("long")
+        >= F.lit(num).cast("long")
+        * (F.col("_sza").cast("long") + F.col("_szb").cast("long") - common)
     ).select(lcol, rcol)
 
 
@@ -179,21 +186,27 @@ def minhash_dedup_incremental(
     nb = _skinny_buckets(bidx, id_col, "new_id")
     ob = _skinny_buckets(index, id_col, "old_id")
     if max_bucket_df is not None:
-        hot = (
-            ob.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") > max_bucket_df)
-            .limit(1)
-            .collect()
-        )
-        if hot:
-            r = hot[0]
-            raise ValueError(
-                f"lsh index band bucket (band={r['band']}, bucket={r['bucket']}) "
-                f"holds {r['n']} docs > max_bucket_df={max_bucket_df}: "
-                "candidate join would go quadratic in bucket occupancy — "
-                "raise the cap knowingly or shrink bands/rows"
+        # guard BOTH sides (advisor r8): the index join is linear in index
+        # bucket occupancy, but the within-batch self-join (cand_b) is
+        # QUADRATIC in batch bucket occupancy — a boilerplate-heavy batch
+        # concentrating in one bucket goes n² with no index involvement.
+        for side, skinny in (("index", ob), ("batch", nb)):
+            hot = (
+                skinny.groupBy("band", "bucket")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > max_bucket_df)
+                .limit(1)
+                .collect()
             )
+            if hot:
+                r = hot[0]
+                raise ValueError(
+                    f"lsh {side} band bucket (band={r['band']}, "
+                    f"bucket={r['bucket']}) holds {r['n']} docs > "
+                    f"max_bucket_df={max_bucket_df}: candidate join would go "
+                    "quadratic in bucket occupancy — raise the cap knowingly "
+                    "or shrink bands/rows"
+                )
     cand_c = nb.join(ob, ["band", "bucket"]).select("new_id", "old_id").distinct()
     a, b = nb.alias("a"), nb.alias("b")
     cand_b = (

@@ -790,6 +790,8 @@ def _decode_dc_scan(entries, dc_tabs, segments, dri_units, ah, al) -> None:
         for i, (cid, zz) in enumerate(entries):
             if dri_units and i and i % dri_units == 0:
                 seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("JPEG scan missing a restart segment")
                 rd = _JpegBitReader(segments[seg_idx])
                 preds = {c: 0 for c in preds}
             s = rd.huff(dc_tabs[cid], "DC")
@@ -802,6 +804,8 @@ def _decode_dc_scan(entries, dc_tabs, segments, dri_units, ah, al) -> None:
         for i, (_cid, zz) in enumerate(entries):
             if dri_units and i and i % dri_units == 0:
                 seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("JPEG scan missing a restart segment")
                 rd = _JpegBitReader(segments[seg_idx])
             if rd.bit():
                 zz[0] |= 1 << al
@@ -825,6 +829,8 @@ def _decode_ac_scan(views, ac_tab, segments, dri, ss, se, ah, al) -> None:
         for i, zz in enumerate(views):
             if dri and i and i % dri == 0:
                 seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("JPEG scan missing a restart segment")
                 rd = _JpegBitReader(segments[seg_idx])
                 eobrun = 0
             if eobrun:
@@ -856,6 +862,8 @@ def _decode_ac_scan(views, ac_tab, segments, dri, ss, se, ah, al) -> None:
     for i, zz in enumerate(views):
         if dri and i and i % dri == 0:
             seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG scan missing a restart segment")
             rd = _JpegBitReader(segments[seg_idx])
             eobrun = 0
         k = ss

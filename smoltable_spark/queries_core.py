@@ -1330,19 +1330,35 @@ def _store_cache_path(prefix: str, sf_dir: str) -> str:
     a longer sanitized sf path whose tail equals this suffix (e.g.
     ``/a/.data/sf1`` sanitizes to ``_a__data_sf1``, which ends with
     ``/data/sf1``'s ``__data_sf1`` suffix) and delete a live store out
-    from under that session. Deleting a dir another
-    live session of a DIFFERENT revision holds at the SAME sf is
-    acceptable — that session would rebuild, and two revisions never
-    certify concurrently."""
+    from under that session. A superseded-revision dir is only swept
+    once it has been QUIET for an hour (dir-tree mtime check): a
+    concurrent session running a different code revision at the same SF
+    keeps touching its cache's marker files, so the sweep can no longer
+    yank a live store out from under a mid-scan reader (advisor r8) —
+    truly orphaned trees still age out on the next run after the hour."""
     tag = _store_code_tag()
     suffix = "_" + re.sub(r"\W", "_", sf_dir)
     tmp = tempfile.gettempdir()
     current = os.path.join(tmp, prefix + tag + suffix)
     import glob as _glob
     import shutil
+    import time
 
+    quiet_s = 3600.0
+    now = time.time()
     for d in _glob.glob(os.path.join(tmp, prefix + "?" * len(tag) + suffix)):
-        if d != current:
+        if d == current:
+            continue
+        try:
+            # newest mtime across the dir root and its immediate children
+            # (version dirs / marker files get rewritten by live builders)
+            newest = os.path.getmtime(d)
+            with os.scandir(d) as it:
+                for e in it:
+                    newest = max(newest, e.stat().st_mtime)
+        except OSError:
+            continue  # vanished mid-scan: another sweeper got it
+        if now - newest > quiet_s:
             shutil.rmtree(d, ignore_errors=True)
     return current
 

@@ -380,10 +380,13 @@ def test_store_cache_path_sweeps_superseded_revisions(tmp_path):
     """Every code revision retags the build-once store cache path;
     without the sweep each iteration leaves a full orphaned parquet
     store in /tmp forever (the round-8 review finding). Sibling dirs of
-    the SAME prefix+sf but a stale tag are removed; other SFs and other
-    prefixes are never touched."""
+    the SAME prefix+sf but a stale tag are removed — but only once
+    QUIET for an hour (advisor r9: a concurrent session on a different
+    code revision must not lose its live cache mid-scan); other SFs and
+    other prefixes are never touched."""
     import os
     import tempfile
+    import time
 
     from smoltable_spark.queries_core import _store_cache_path
 
@@ -391,12 +394,17 @@ def test_store_cache_path_sweeps_superseded_revisions(tmp_path):
     sf = "/pytest/sweep/sfA"
     other_sf = "/pytest/sweep/sfB"
     stale = os.path.join(tmp, "smoltable_zstore_deadbeef00__pytest_sweep_sfA")
+    live = os.path.join(tmp, "smoltable_zstore_deadbeef11__pytest_sweep_sfA")
     other = os.path.join(tmp, "smoltable_zstore_deadbeef00__pytest_sweep_sfB")
     os.makedirs(stale, exist_ok=True)
+    os.makedirs(live, exist_ok=True)
     os.makedirs(other, exist_ok=True)
+    old = time.time() - 7200
+    os.utime(stale, (old, old))  # quiet for two hours → sweepable
     try:
         current = _store_cache_path("smoltable_zstore_", sf)
-        assert not os.path.isdir(stale)  # superseded revision swept
+        assert not os.path.isdir(stale)  # superseded + quiet: swept
+        assert os.path.isdir(live)  # superseded but ACTIVE: kept
         assert os.path.isdir(other)  # other SF untouched
         assert current.endswith("__pytest_sweep_sfA")
         # idempotent: the current path itself is never deleted
@@ -406,7 +414,7 @@ def test_store_cache_path_sweeps_superseded_revisions(tmp_path):
     finally:
         import shutil
 
-        for d in (stale, other, current):
+        for d in (stale, live, other, current):
             shutil.rmtree(d, ignore_errors=True)
 
 

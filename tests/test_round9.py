@@ -1,0 +1,98 @@
+"""Round-9 additions: advisor-r8 hardening fixes.
+
+- LONG arithmetic in the incremental-dedup exact-Jaccard verify (int32
+  `common * 1000` wrapped for >2.1M-shingle docs under non-ANSI Spark);
+- batch-side hot-bucket guard in minhash_dedup_incremental (the
+  within-batch self-join is quadratic in batch bucket occupancy);
+- descriptive error (not bare IndexError) for truncated progressive
+  JPEG streams missing a restart segment.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+# --- truncated progressive JPEG streams ------------------------------------
+
+
+def test_progressive_dc_scan_missing_restart_segment_raises_valueerror():
+    """A truncated progressive stream whose restart segment is missing
+    must fail with the same descriptive ValueError as the baseline
+    color path, not a bare IndexError (advisor r8)."""
+    from smoltable_spark.functions.multimodal import (
+        _decode_dc_scan,
+        _huff_decode_table,
+    )
+
+    # canonical 1-symbol DC table: one code of length 1 for symbol 0
+    tab = _huff_decode_table((1,) + (0,) * 15, (0,))
+    blocks = [np.zeros(64, dtype=np.int32) for _ in range(4)]
+    entries = [(0, b) for b in blocks]
+    # dri_units=1 → a restart boundary after every entry, but only ONE
+    # entropy segment supplied for four entries
+    with pytest.raises(ValueError, match="missing a restart segment"):
+        _decode_dc_scan(entries, {0: tab}, [b"\x00\x00"], 1, 0, 0)
+
+
+def test_progressive_ac_scan_missing_restart_segment_raises_valueerror():
+    from smoltable_spark.functions.multimodal import (
+        _decode_ac_scan,
+        _huff_decode_table,
+    )
+
+    # symbol 0x00 = EOB with run length 1 (terminates each block cheaply)
+    tab = _huff_decode_table((1,) + (0,) * 15, (0x00,))
+    views = [np.zeros(64, dtype=np.int32) for _ in range(4)]
+    with pytest.raises(ValueError, match="missing a restart segment"):
+        _decode_ac_scan(views, tab, [b"\x00\x00"], 1, 1, 5, 0, 0)
+
+
+# --- incremental dedup: long math + batch-side guard ------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_incremental_verify_uses_long_arithmetic():
+    """The verify predicate must compare in LONG: plan-level pin that no
+    32-bit multiply remains (advisor r8 medium — `common * 1000`
+    overflows int for >2.1M-shingle docs and silently wraps)."""
+    import inspect
+
+    from smoltable_spark.functions import dedup_incremental as di
+
+    src = inspect.getsource(di._verified)
+    assert "cast(\"long\")" in src or "cast('long')" in src
+
+
+def test_incremental_dedup_batch_side_hot_bucket_guard(spark):
+    """max_bucket_df must also audit the BATCH side: a boilerplate-heavy
+    batch concentrating in one band bucket makes the within-batch
+    self-join quadratic with no index involvement (advisor r8)."""
+    from smoltable_spark.functions.dedup_incremental import (
+        lsh_index,
+        minhash_dedup_incremental,
+    )
+
+    corpus = _docs(
+        spark,
+        [("c%03d" % i, f"corpus document number {i} entirely distinct words")
+         for i in range(4)],
+    )
+    index = lsh_index(corpus)
+    # identical batch texts → every batch doc lands in the same buckets
+    batch = _docs(spark, [("b%03d" % i, "the same boilerplate text repeated")
+                          for i in range(6)])
+    with pytest.raises(ValueError, match="lsh batch band bucket"):
+        minhash_dedup_incremental(index, batch, max_bucket_df=3)
+    # and a diverse batch under the cap still passes both guards
+    ok = minhash_dedup_incremental(
+        index,
+        _docs(spark, [("b%03d" % i, f"fresh batch text number {i} unique")
+                      for i in range(3)]),
+        max_bucket_df=3,
+    )
+    assert ok.count() == 3
