@@ -22,12 +22,18 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 
 def ranked_row_keys(
-    cells: DataFrame, num_partitions: int | None = None, descending: bool = False
+    cells: DataFrame,
+    num_partitions: int | None = None,
+    descending: bool = False,
+    col: str = "row_key",
 ) -> DataFrame:
-    """Return DataFrame(row_key STRING, rk LONG) with global 1-based rank
-    (in descending key order when ``descending`` — backward scans)."""
-    order = F.col("row_key").desc() if descending else F.col("row_key").asc()
-    keys = cells.select("row_key").distinct()
+    """Return DataFrame(``col`` , rk LONG) with global 1-based rank over
+    the DISTINCT values of ``col`` (descending order when ``descending``
+    — backward scans). ``col`` defaults to the cell schema's row_key but
+    any orderable column works — e.g. the unique interleave slot ids in
+    ``pipeline_interleave_datasets``."""
+    order = F.col(col).desc() if descending else F.col(col).asc()
+    keys = cells.select(col).distinct()
     if num_partitions is None:
         num_partitions = max(keys.sparkSession.sparkContext.defaultParallelism, 8)
     keys = keys.repartitionByRange(num_partitions, order)
@@ -55,9 +61,111 @@ def ranked_row_keys(
     out = (
         keys.join(F.broadcast(off_df), "_pid")
         .withColumn("rk", (F.col("_rn") + F.col("_off")).cast("long"))
-        .select("row_key", "rk")
+        .select(col, "rk")
     )
     return out
+
+
+def ranked_rows(
+    df: DataFrame,
+    order: list,
+    rk_col: str = "rk",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global ``row_number()`` over an arbitrary multi-column ordering
+    WITHOUT an unpartitioned window — the row-level generalization of
+    :func:`ranked_row_keys` (keeps every input column, no distinct).
+
+    ``order`` is a list of Column expressions (e.g. ``[F.col('c').desc(),
+    F.col('tok').asc()]``). Rows are range-partitioned on the ordering,
+    ranked by a NARROW per-partition window, and offset by collected
+    per-partition counts (one row each). Ties straddling a range
+    boundary are fine: ``row_number`` is tie-arbitrary by definition —
+    pass a total order (include a unique tiebreaker) when determinism
+    matters, as every caller here does.
+    """
+    if num_partitions is None:
+        num_partitions = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    rows = df.repartitionByRange(num_partitions, *order)
+    rows = rows.withColumn("_pid", F.spark_partition_id())
+    # freeze the physical partitioning (same reasoning as ranked_row_keys)
+    rows = rows.localCheckpoint(eager=True)
+    w = Window.partitionBy("_pid").orderBy(*order)
+    rows = rows.withColumn("_rn", F.row_number().over(w))
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in rows.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = df.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid INT, _off LONG"
+    )
+    return (
+        rows.join(F.broadcast(off_df), "_pid")
+        .withColumn(rk_col, (F.col("_rn") + F.col("_off")).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
+def value_min_ranks(
+    df: DataFrame, value_col: str, num_partitions: int | None = None
+) -> tuple[DataFrame, int]:
+    """SQL ``rank()`` (ties share the MIN rank) over ALL rows of
+    ``value_col``, without a single-partition window — the hierarchical
+    prefix-sum decomposition (VERDICT r8 ask #1 for
+    ``rel_percentile_rank``).
+
+    ``rank(v) = 1 + #rows with value < v``, so it is a pure function of
+    the per-value multiplicity histogram:
+
+    1. ``groupBy(value) → cnt`` (map-side combine keeps the shuffle
+       output one row per DISTINCT value),
+    2. ``repartitionByRange(value)`` → every distinct value lands in
+       exactly ONE partition (no tie can straddle a boundary, unlike
+       range-partitioning the raw rows),
+    3. narrow per-partition running sum of ``cnt`` in value order,
+    4. per-partition totals (one row per partition, collected) →
+       cumulative offsets; ``rank = offset + running - cnt + 1``.
+
+    Returns ``(DataFrame(value_col, r LONG), n)`` with one row per
+    distinct value and ``n`` = total input rows (free: the sum of the
+    per-partition totals already collected) — callers join ranks back
+    to their id-carrying rows on ``value_col`` and use ``n`` as the
+    window-free ``count() OVER ()`` replacement.
+    """
+    counts = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    if num_partitions is None:
+        num_partitions = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    counts = counts.repartitionByRange(num_partitions, F.col(value_col).asc())
+    counts = counts.withColumn("_pid", F.spark_partition_id())
+    # freeze the physical partitioning (same reasoning as ranked_row_keys)
+    counts = counts.localCheckpoint(eager=True)
+    w = Window.partitionBy("_pid").orderBy(F.col(value_col).asc())
+    counts = counts.withColumn("_run", F.sum("_cnt").over(w))
+    totals = {
+        r["_pid"]: r["t"]
+        for r in counts.groupBy("_pid").agg(F.sum("_cnt").alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid INT, _off LONG"
+    )
+    ranks = (
+        counts.join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            "r",
+            (F.col("_off") + F.col("_run") - F.col("_cnt") + 1).cast("long"),
+        )
+        .select(value_col, "r")
+    )
+    return ranks, acc
 
 
 def grouped_ranked_values(

@@ -365,3 +365,20 @@ def test_rewrite_plans_md_preserves_header_and_merges(tmp_path, monkeypatch):
     body = doc.read_text().split("```")[1].strip().splitlines()
     assert body == ['q_a {"shuffles": 0}']  # replace: un-audited rows drop
     assert not (tmp_path / "PLANS.md.tmp").exists()
+
+
+def test_topk_windows_push_group_limit(spark, sf_dir):
+    """VERDICT r8 ask #2: the accepted global top-k windows
+    (tests/test_window_audit.py's "rank<=k" entries) rely on Spark
+    pruning the single-partition sort — either LimitPushDownThroughWindow
+    (the rank filter becomes a distributed TakeOrderedAndProject feeding
+    the tiny window) or WindowGroupLimit (rank filter pushed into the
+    sort). Pin that on the canonical case so a Spark-version change
+    can't silently reintroduce a full vocab-sized one-executor sort."""
+    from smoltable_spark.queries_analytics import txt_vocab_topk
+
+    df = txt_vocab_topk(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan, plan
+    # and the window must not be fed by an unpruned SinglePartition sort
+    assert "Exchange SinglePartition" not in plan, plan

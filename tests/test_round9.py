@@ -96,3 +96,46 @@ def test_incremental_dedup_batch_side_hot_bucket_guard(spark):
         max_bucket_df=3,
     )
     assert ok.count() == 3
+
+
+# --- two-phase global rank helpers (VERDICT r8 ask #1) ----------------------
+
+
+def test_value_min_ranks_matches_sql_rank(spark):
+    """value_min_ranks == SQL rank() (ties share the MIN rank) and n ==
+    total input rows, on a multiset with heavy ties."""
+    import random
+
+    from pyspark.sql import Window, functions as F
+
+    from smoltable_spark.operators.rank import value_min_ranks
+
+    rnd = random.Random(9)
+    rows = [(i, rnd.choice([10, 20, 20, 30, 45, 45, 45, 60])) for i in range(200)]
+    df = spark.createDataFrame(rows, "id int, v int")
+    ranks, n = value_min_ranks(df, "v", num_partitions=5)
+    assert n == 200
+    got = {r["v"]: r["r"] for r in ranks.collect()}
+    w = Window.orderBy("v")
+    ref = {
+        r["v"]: r["r"]
+        for r in df.select("v", F.rank().over(w).alias("r")).distinct().collect()
+    }
+    assert got == ref
+
+
+def test_ranked_rows_multi_column_ordering(spark):
+    """ranked_rows == row_number over (c desc, tok asc), all columns
+    kept, across an order that straddles range-partition boundaries."""
+    from pyspark.sql import functions as F
+
+    from smoltable_spark.operators.rank import ranked_rows
+
+    rows = [(f"t{i:03d}", (i * 7) % 13) for i in range(100)]
+    df = spark.createDataFrame(rows, "tok string, c int")
+    out = ranked_rows(
+        df, [F.col("c").desc(), F.col("tok").asc()], rk_col="r", num_partitions=6
+    )
+    got = sorted((r["r"], r["tok"], r["c"]) for r in out.collect())
+    ref = sorted(rows, key=lambda t: (-t[1], t[0]))
+    assert got == [(i + 1, tok, c) for i, (tok, c) in enumerate(ref)]
