@@ -58,6 +58,52 @@ def compaction_worker(
     return v
 
 
+def tiered_compaction_worker(
+    store: CellStore,
+    metrics: MetricsTable | None = None,
+    l0_threshold: int = 8,
+    minor_fanin: int = 4,
+    now_nanos: int | None = None,
+) -> tuple[str, int] | None:
+    """Tiered (minor/major) compaction policy — the 100 TB shape of
+    ``compaction_worker``. The plain worker answers every L0 overflow
+    with ``compact()``, a full O(table) base rewrite; at scale that
+    means rewriting 100 TB because eight 1 GB deltas accumulated.
+
+    Policy (the RocksDB/fjall tiering): when the pending-leg count since
+    the last base reaches ``l0_threshold``, fold the deltas into ONE
+    minor leg (O(changes), base untouched); only once ``minor_fanin``
+    minor legs have themselves piled up does a major ``compact()``
+    rewrite the base. Write amplification per cell ≈
+    1 (delta) + 1 (minor) + 1/fanin-th of a base rewrite, instead of a
+    base rewrite per L0 overflow; read amplification stays ≤
+    2 + l0_threshold legs.
+
+    Returns ``("minor"|"major", new_version)`` or None below threshold.
+    """
+    n = store.current_version()
+    if n == 0:
+        return None
+    base = store._base_of(n)
+    legs = store._legs_of(n)
+    pending = [v for v in legs if v > base or base == 0]
+    if len(pending) < l0_threshold:
+        return None
+    minors = [v for v in pending if store._kind(v) == "minor"]
+    if len(minors) >= minor_fanin:
+        v = store.compact()
+        kind = "major"
+    else:
+        v = store.minor_compact()
+        kind = "minor"
+    if metrics is not None:
+        metrics.record(
+            [(f"compact#{kind}_fold_cnt", float(len(pending)))],
+            ts_nanos=now_nanos,
+        )
+    return (kind, v)
+
+
 def row_count_worker(store: CellStore, metrics: MetricsTable, now_nanos: int | None = None) -> dict:
     """Exact row/cell counts → stats#row_cnt / stats#cell_cnt
     (reference server/src/worker/row_count.rs:6-48; we can afford the

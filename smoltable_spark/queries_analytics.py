@@ -33,6 +33,7 @@ from smoltable_spark.queries_util import (
     cents,
     cents_sql,
     md5_long_sql,
+    scratch_dir,
     seeded_sql,
 )
 from smoltable_spark.sources.relational import load_table
@@ -2823,7 +2824,7 @@ def ann_ivf_persisted(spark, sf_dir):
     if key not in _INDEX_PATH_CACHE:
         import tempfile as _tf
 
-        path = _tf.mkdtemp(prefix="smoltable_ivf_idx_") + "/ivf"
+        path = scratch_dir("smoltable_ivf_idx_") + "/ivf"
         similarity.build_ivf_index(emb, path, n_centroids=8)
         _INDEX_PATH_CACHE[key] = path
     queries = emb.filter(F.col("vec_id") < 5)
@@ -2857,7 +2858,7 @@ def ann_ivf_incremental(spark, sf_dir):
     if key not in _INDEX_PATH_CACHE:
         import tempfile as _tf
 
-        path = _tf.mkdtemp(prefix="smoltable_ivf_incr_") + "/ivf"
+        path = scratch_dir("smoltable_ivf_incr_") + "/ivf"
         cents = similarity.with_quantized_norm(
             emb.filter(F.col("vec_id") < 8), "embedding"
         ).select(
@@ -3411,7 +3412,7 @@ def ann_ivfpq_persisted(spark, sf_dir):
     if key not in _INDEX_PATH_CACHE:
         import tempfile as _tf
 
-        path = _tf.mkdtemp(prefix="smoltable_ivfpq_idx_") + "/ivfpq"
+        path = scratch_dir("smoltable_ivfpq_idx_") + "/ivfpq"
         similarity.build_ivfpq_index(
             emb, path, n_centroids=8,
             codebooks=_trained_pq_codebooks(spark, sf_dir),
@@ -6818,7 +6819,7 @@ def _events_day_store(spark, sf_dir):
     if key not in _DAY_STORE_CACHE:
         import tempfile as _tf
 
-        path = _tf.mkdtemp(prefix="smoltable_day_store_") + "/events_by_day"
+        path = scratch_dir("smoltable_day_store_") + "/events_by_day"
         ev = load_table(spark, sf_dir, "events")
         (
             ev.withColumn("day", F.expr(f"ts div {_DAY_NS}"))
@@ -6892,7 +6893,7 @@ def _events_zorder_store(spark, sf_dir):
     if key not in _ZORDER_STORE_CACHE:
         import tempfile as _tf
 
-        path = _tf.mkdtemp(prefix="smoltable_zorder_") + "/events_z"
+        path = scratch_dir("smoltable_zorder_") + "/events_z"
         ev = load_table(spark, sf_dir, "events")
         zb = morton2(
             F.expr(f"ts div {_DAY_NS}") % 8,
@@ -8430,7 +8431,7 @@ def txt_inverted_index_persisted(spark, sf_dir):
     if key not in _INDEX_PATH_CACHE:
         import tempfile as _tf
 
-        path = _tf.mkdtemp(prefix="smoltable_inv_idx_") + "/inv"
+        path = scratch_dir("smoltable_inv_idx_") + "/inv"
         postings = (
             docs.select(
                 "doc_id", F.explode(text.tokens(F.col("text"))).alias("tok")
@@ -8952,7 +8953,7 @@ def stream_ingest_to_store(spark, sf_dir):
         stream_events,
     )
 
-    tmp = _tf.mkdtemp(prefix="smoltable_stream_ingest_")
+    tmp = scratch_dir("smoltable_stream_ingest_")
     store = CellStore(spark, tmp + "/store")
     store.save_families([ColumnFamilyDef("value", lg="")])
     cells = events_to_cells_stream(
@@ -9760,7 +9761,7 @@ def stream_restart_resume(spark, sf_dir):
         stream_events,
     )
 
-    tmp = _tf.mkdtemp(prefix="smoltable_restart_")
+    tmp = scratch_dir("smoltable_restart_")
     src = _os.path.join(tmp, "in")
     _os.makedirs(src)
     t = _pq.read_table(_os.path.join(sf_dir, "events.parquet"))
@@ -9878,7 +9879,7 @@ def stream_late_data(spark, sf_dir):
     hist = (~late) & (ns <= maxns - 2 * _LATE_WM_NS)
     tail = (~late) & (ns > maxns - 2 * _LATE_WM_NS)
 
-    tmp = _tf.mkdtemp(prefix="smoltable_late_")
+    tmp = scratch_dir("smoltable_late_")
     src = _os.path.join(tmp, "in")
     _os.makedirs(src)
     now = _time.time()
@@ -10217,7 +10218,7 @@ def pipeline_export_jsonl(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     out_dir = _os.path.join(
-        _tf.mkdtemp(prefix="smoltable_export_"), "corpus"
+        scratch_dir("smoltable_export_"), "corpus"
     )
     line = F.to_json(
         F.struct("doc_id", "text", "lang", "source", "n_chars")
@@ -10579,7 +10580,7 @@ def stream_store_cdc(spark, sf_dir):
         stream_store_rollup,
     )
 
-    tmp = _tf.mkdtemp(prefix="smoltable_cdc_")
+    tmp = scratch_dir("smoltable_cdc_")
     store = CellStore(spark, tmp + "/store")
     store.save_families([ColumnFamilyDef("value", lg="")])
     cells = _events_cells_seq(spark, sf_dir)
@@ -10692,7 +10693,7 @@ def stream_store_cdc_zorder(spark, sf_dir):
         stream_store_rollup,
     )
 
-    tmp = _tf.mkdtemp(prefix="smoltable_zcdc_")
+    tmp = scratch_dir("smoltable_zcdc_")
     store = RangeZorderCellStore(
         spark,
         tmp + "/store",
@@ -11031,7 +11032,7 @@ def dedup_minhash_incremental(spark, sf_dir):
     if key not in _INDEX_PATH_CACHE:
         import tempfile as _tf
 
-        path = _tf.mkdtemp(prefix="smoltable_lsh_idx_") + "/lsh"
+        path = scratch_dir("smoltable_lsh_idx_") + "/lsh"
         lsh_index(corpus).write.mode("overwrite").parquet(path)
         _INDEX_PATH_CACHE[key] = path
     idx = spark.read.parquet(_INDEX_PATH_CACHE[key])

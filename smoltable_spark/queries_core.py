@@ -39,6 +39,7 @@ from smoltable_spark.queries_util import (
     ORDERS_MELT,
     SLIM_COLS,
     cells_cte,
+    scratch_dir,
     slim,
 )
 from smoltable_spark.sources.relational import (
@@ -788,7 +789,7 @@ def wc_metrics_series(spark, sf_dir):
     from smoltable_spark.jobs.metrics import MetricsTable
     from smoltable_spark.sources.store import CellStore
 
-    store = CellStore(spark, _tf.mkdtemp(prefix="smoltable_mtx_"))
+    store = CellStore(spark, scratch_dir("smoltable_mtx_"))
     store.save_families([ColumnFamilyDef("value")])
     mt = MetricsTable(store, cap_bytes=1)
     pts = [
@@ -813,7 +814,7 @@ def wc_metrics_series(spark, sf_dir):
     "wc_gc_worker_cycle",
     "WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_orders, "
     "CAST(count(*) FILTER (WHERE o_orderkey % 10 = 0) AS BIGINT) AS m "
-    "FROM orders) "
+    "FROM orders WHERE o_orderkey % 7 = 0) "
     "SELECT n_orders * 5 + m AS cells_before, n_orders * 5 AS cells_after, "
     "m AS deleted_cells, CAST(1 AS BIGINT) AS max_versions_after, "
     "CAST(1 AS INT) AS chain_len_after_vacuum FROM n",
@@ -837,9 +838,13 @@ def wc_gc_worker_cycle(spark, sf_dir):
     from smoltable_spark.jobs.workers import compaction_worker, gc_worker
     from smoltable_spark.sources.store import CellStore
 
-    store = CellStore(spark, _tf.mkdtemp(prefix="smoltable_gccycle_"))
+    store = CellStore(spark, scratch_dir("smoltable_gccycle_"))
     store.save_families([ColumnFamilyDef("o", version_limit=1)])
-    base = orders_cells(spark, sf_dir)
+    # key_mod=7 subsample (VERDICT r8 ask #7): the row proves the
+    # maintenance lifecycle's invariants, which are size-independent —
+    # 7 is coprime to the %10 rewrite class, so the shadowed-version
+    # population stays non-degenerate at every SF.
+    base = orders_cells(spark, sf_dir, key_mod=7)
     store.write(base)
     rewrite = (
         base.filter(
@@ -873,7 +878,8 @@ def wc_gc_worker_cycle(spark, sf_dir):
 
 @q(
     "wc_table_lifecycle",
-    "WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_orders FROM orders) "
+    "WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_orders FROM orders "
+    "WHERE o_orderkey % 7 = 0) "
     "SELECT 'meta,o' AS families_after_reopen, "
     "CAST(2 AS INT) AS meta_version_limit, "
     "n_orders AS row_count, n_orders * 6 AS cell_count, "
@@ -894,11 +900,13 @@ def wc_table_lifecycle(spark, sf_dir):
     chain (base + delta) is fully visible after reopen."""
     from smoltable_spark.table import Smoltable
 
-    path = tempfile.mkdtemp(prefix="smoltable_lifecycle_") + "/tbl"
+    path = scratch_dir("smoltable_lifecycle_") + "/tbl"
     t = Smoltable.open(spark, path)
     t.create_column_families([ColumnFamilyDef("o")])
     t.create_column_families([ColumnFamilyDef("meta", version_limit=2)])
-    base = orders_cells(spark, sf_dir)
+    # key_mod=7 subsample (VERDICT r8 ask #7): manifest round-trip and
+    # post-reopen visibility are size-independent invariants.
+    base = orders_cells(spark, sf_dir, key_mod=7)
     t.store.write(base)
     meta = (
         base.filter(F.col("qualifier") == "orderstatus")
@@ -952,7 +960,7 @@ def wc_store_changes_since(spark, sf_dir):
     files; the oracle derives the whole feed from orders."""
     from smoltable_spark.sources.store import CellStore
 
-    store = CellStore(spark, tempfile.mkdtemp(prefix="smoltable_cdc_"))
+    store = CellStore(spark, scratch_dir("smoltable_cdc_"))
     store.save_families([ColumnFamilyDef("o")])
     base = orders_cells(spark, sf_dir)
     v1 = store.write(base)
@@ -972,6 +980,115 @@ def wc_store_changes_since(spark, sf_dir):
     store.append(d2)
     return store.read_changes(since_version=v1).select(
         "row_key", "qualifier", "ts", "v_f64"
+    )
+
+
+@q(
+    "wc_minor_compact",
+    "WITH s AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders "
+    "           WHERE o_orderkey % 7 = 0), "
+    "agg AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+    "  CAST(count(*) FILTER (WHERE k % 9 = 0) AS BIGINT) AS n9, "
+    "  CAST(count(*) FILTER (WHERE k % 10 = 0) AS BIGINT) AS n10, "
+    "  CAST(sum(round((CASE WHEN k % 10 = 0 THEN p + 3 "
+    "                       WHEN k % 18 = 0 THEN p + 2 "
+    "                       WHEN k % 9 = 0 THEN p + 1 "
+    "                       ELSE p END) * 100)) AS BIGINT) AS cents "
+    "  FROM s) "
+    "SELECT 'base,delta,delta,minor,delta' AS kinds_csv, "
+    "  '1,4,5' AS legs_csv, "
+    "  CAST(2 AS INT) AS folds_from, CAST(3 AS INT) AS folds_through, "
+    "  n * 5 + n9 + n10 AS n_cells, "
+    "  cents AS visible_price_cents, "
+    "  n9 + n10 AS changes_since_base, "
+    "  n10 AS changes_since_fold, "
+    "  CAST(3 AS INT) AS dirs_after_vacuum, "
+    "  n * 5 + n9 + n10 AS n_cells_after_vacuum "
+    "FROM agg",
+)
+def wc_minor_compact(spark, sf_dir):
+    """Tiered (minor) compaction end-to-end, oracle-pinned (round 9):
+    ``compact()`` answers every delta pile-up with an O(table) base
+    rewrite — unaffordable at 100 TB. ``minor_compact``
+    (sources/store.py) folds ONLY the trailing run of delta legs into
+    one **minor** leg (O(changes), base untouched), recording its
+    ``(from, through)`` range in a ``_FOLDS`` marker; the chain resolver
+    ``_legs_of`` supersedes exactly that range (fjall folds L0 segments
+    tier-wise the same way before a levelled rewrite,
+    smoltable/src/table/mod.rs:156-165).
+
+    The row pins every observable against orders-derived oracle math
+    (key_mod=7 input subsample; %9 / %18 / %10 rewrite classes):
+
+    - chain shape: commit kinds, resolved legs, the folds range;
+    - read() equivalence: total multi-version cell count and the
+      newest-version totalprice sum in cents — the fold preserved
+      BOTH in-fold shadowing (the %18 leg beat the %9 leg at the same
+      coordinate) and cross-leg order (the post-fold delta shadows the
+      minor);
+    - read_changes stays O(changes) ACROSS the fold: since=base
+      substitutes the minor for its folded deltas (same bytes, fewer
+      files), since=fold-version sees only the new delta;
+    - vacuum() reclaims the superseded delta dirs (needed-set retention
+      over ``_legs_of``) while the snapshot keeps reading identically.
+    """
+    from smoltable_spark.sources.store import CellStore
+
+    store = CellStore(spark, scratch_dir("smoltable_minor_"))
+    store.save_families([ColumnFamilyDef("o")])
+    base = orders_cells(spark, sf_dir, key_mod=7)
+    v1 = store.write(base)
+    key_num = F.regexp_extract("row_key", r"order#(\d+)", 1).cast("long")
+    tp = base.filter(F.col("qualifier") == "totalprice")
+    store.append(
+        tp.filter(key_num % 9 == 0)
+        .withColumn("ts", F.lit(1).cast("long"))
+        .withColumn("v_f64", F.col("v_f64") + F.lit(1.0))
+    )
+    store.append(
+        tp.filter(key_num % 18 == 0)
+        .withColumn("ts", F.lit(1).cast("long"))
+        .withColumn("v_f64", F.col("v_f64") + F.lit(2.0))
+    )
+    v_minor = store.minor_compact()
+    store.append(
+        tp.filter(key_num % 10 == 0)
+        .withColumn("ts", F.lit(2).cast("long"))
+        .withColumn("v_f64", F.col("v_f64") + F.lit(3.0))
+    )
+    cur = store.current_version()
+    kinds_csv = ",".join(store._kind(v) for v in range(1, cur + 1))
+    legs_csv = ",".join(str(v) for v in store._legs_of(cur))
+    folds = store._folds_of(v_minor)
+
+    def observables():
+        snap = store.read()
+        n_cells = snap.count()
+        visible = (
+            snap.filter(F.col("qualifier") == "totalprice")
+            .groupBy("row_key")
+            .agg(F.max(F.struct("ts", F.col("v_f64").alias("v"))).alias("m"))
+            .agg(F.sum(F.round(F.col("m.v") * 100).cast("long")).alias("c"))
+            .collect()[0]["c"]
+        )
+        return n_cells, int(visible)
+
+    n_cells, cents = observables()
+    changes_base = store.read_changes(v1).count()
+    changes_fold = store.read_changes(v_minor).count()
+    store.vacuum(keep_last=1)
+    dirs = sum(1 for d in os.listdir(store.path) if d.startswith("v="))
+    n_cells2, cents2 = observables()
+    assert cents2 == cents
+    return spark.createDataFrame(
+        [(
+            kinds_csv, legs_csv, folds[0], folds[1], n_cells, cents,
+            changes_base, changes_fold, dirs, n_cells2,
+        )],
+        "kinds_csv string, legs_csv string, folds_from int, "
+        "folds_through int, n_cells long, visible_price_cents long, "
+        "changes_since_base long, changes_since_fold long, "
+        "dirs_after_vacuum int, n_cells_after_vacuum long",
     )
 
 
@@ -1036,7 +1153,7 @@ def wc_value_index_lookup(spark, sf_dir):
     "WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_orders, "
     "CAST(count(*) FILTER (WHERE o_orderkey % 3 = 0) AS BIGINT) AS n3, "
     "CAST(count(*) FILTER (WHERE o_orderkey % 6 = 0) AS BIGINT) AS n6 "
-    "FROM orders) "
+    "FROM orders WHERE o_orderkey % 7 = 0) "
     "SELECT n3 * 2 AS n_batch, n3 AS n_insert, n6 AS n_update, "
     "n3 - n6 AS n_noop, n_orders * 5 + n3 + n6 AS cells_total_after, "
     "n_orders * 5 + n3 AS visible_cells_after FROM n",
@@ -1066,9 +1183,12 @@ def wc_merge_upsert(spark, sf_dir):
 
     from smoltable_spark.sources.store import CellStore
 
-    store = CellStore(spark, _tf.mkdtemp(prefix="smoltable_merge_"))
+    store = CellStore(spark, scratch_dir("smoltable_merge_"))
     store.save_families([ColumnFamilyDef("o")])
-    base = orders_cells(spark, sf_dir)
+    # key_mod=7 subsample (VERDICT r8 ask #7): 7 is coprime to the %3
+    # upsert class and the %2 bump class, so insert/update/no-op all
+    # stay populated at every SF.
+    base = orders_cells(spark, sf_dir, key_mod=7)
     store.write(base)
     key = F.regexp_extract("row_key", r"order#(\d+)", 1).cast("long")
     src = base.filter((F.col("qualifier") == "totalprice") & (key % 3 == 0))
@@ -1168,7 +1288,7 @@ def wc_scd2_intervals(spark, sf_dir):
 
     from smoltable_spark.sources.store import CellStore
 
-    store = CellStore(spark, _tf.mkdtemp(prefix="smoltable_scd2_"))
+    store = CellStore(spark, scratch_dir("smoltable_scd2_"))
     store.save_families([ColumnFamilyDef("o")])
     base = orders_cells(spark, sf_dir)
     store.write(base)
@@ -1370,7 +1490,7 @@ _Z_DAY_BUCKETS = [2, 3, 4]
 _Z_DAY_NS = 86_400_000_000_000
 
 
-def _events_cells_seq(spark, sf_dir):
+def _events_cells_seq(spark, sf_dir, mod: int | None = None):
     """events_cells plus an explicit ``_seq`` write-sequence column
     (= event_id): two events of the same (type, user) whose timestamps
     collide after µs truncation map to ONE cell coordinate, and without
@@ -1384,6 +1504,13 @@ def _events_cells_seq(spark, sf_dir):
     from smoltable_spark.sources.relational import load_table
 
     ev = load_table(spark, sf_dir, "events")
+    if mod is not None:
+        # deterministic, SF-proportional subsample (VERDICT r8 ask #7):
+        # the per-call lifecycle stores don't need the full melt to prove
+        # their invariants — event_id is uniform across event types, so
+        # every type keeps ~1/5 mass (>= the 1/8 the re-bucketing pins
+        # need). Oracles mirror with the same modular predicate.
+        ev = ev.filter(F.col("event_id") % mod == 0)
     return ev.select(
         F.concat(
             F.col("event_type"), F.lit("#user#"),
@@ -1421,6 +1548,13 @@ _Z_CELLS_SQL = """
         FROM k)
       WHERE _dr = 1
     )"""
+
+#: mod-4 variant mirroring ``_events_cells_seq(..., mod=4)`` — the
+#: per-call lifecycle stores (compact cycle, re-bucketing) subsample
+#: their input (VERDICT r8 ask #7)
+_Z_CELLS_MOD4_SQL = _Z_CELLS_SQL.replace(
+    "FROM events", "FROM events WHERE event_id % 4 = 0"
+)
 
 
 def _events_zstore(spark, sf_dir):
@@ -1673,7 +1807,7 @@ def wc_store_zorder_latest(spark, sf_dir):
 @q(
     "wc_store_zorder_compact_cycle",
     f"""
-    WITH {_Z_CELLS_SQL}
+    WITH {_Z_CELLS_MOD4_SQL}
     SELECT CAST(1 AS INT) AS v_base, CAST(2 AS INT) AS v_delta,
            CAST(3 AS INT) AS v_compacted,
            CAST(count(*) AS BIGINT) AS n_cells,
@@ -1703,11 +1837,11 @@ def wc_store_zorder_compact_cycle(spark, sf_dir):
 
     from smoltable_spark.sources.store_layout import ZorderCellStore
 
-    cells = _events_cells_seq(spark, sf_dir)
+    cells = _events_cells_seq(spark, sf_dir, mod=4)
     day_b = F.expr(f"(ts div {_Z_DAY_NS}) % 8")
     store = ZorderCellStore(
         spark,
-        _tf.mkdtemp(prefix="smoltable_zcycle_") + "/store",
+        scratch_dir("smoltable_zcycle_") + "/store",
         a_bucket=lambda: F.substring(F.col("row_key"), -6, 6).cast("long")
         % 8,
         b_bucket=lambda: F.expr(f"(ts div {_Z_DAY_NS}) % 8"),
@@ -1735,7 +1869,7 @@ def wc_store_zorder_compact_cycle(spark, sf_dir):
 @q(
     "wc_store_zorder_rebucket",
     f"""
-    WITH {_Z_CELLS_SQL}
+    WITH {_Z_CELLS_MOD4_SQL}
     SELECT CAST(1 AS INT) AS v_base, CAST(2 AS INT) AS v_delta,
            CAST(3 AS INT) AS v_compacted,
            CAST(2 AS INT) AS n_boundary_sets,
@@ -1788,11 +1922,11 @@ def wc_store_zorder_rebucket(spark, sf_dir):
 
     from smoltable_spark.sources.store_layout import RangeZorderCellStore
 
-    cells = _events_cells_seq(spark, sf_dir)
+    cells = _events_cells_seq(spark, sf_dir, mod=4)
     etype = F.split(F.col("row_key"), "#").getItem(0)
     store = RangeZorderCellStore(
         spark,
-        _tf.mkdtemp(prefix="smoltable_rebucket_") + "/store",
+        scratch_dir("smoltable_rebucket_") + "/store",
         b_bucket=lambda: F.expr(f"(ts div {_Z_DAY_NS}) % 8"),
         bits=3,
     )
@@ -1952,7 +2086,7 @@ def wc_lg_read_amp(spark, sf_dir):
 
     from smoltable_spark.table import Smoltable
 
-    base = _tf.mkdtemp(prefix="smoltable_lgamp_")
+    base = scratch_dir("smoltable_lgamp_")
     nolg = Smoltable.open(spark, base + "/no_lg")
     nolg.create_column_families(
         [ColumnFamilyDef("language"), ColumnFamilyDef("title")]
@@ -2055,7 +2189,7 @@ def wc_table_stats(spark, sf_dir):
 
     from smoltable_spark.table import Smoltable
 
-    t = Smoltable.open(spark, _tf.mkdtemp(prefix="smoltable_stats_") + "/t")
+    t = Smoltable.open(spark, scratch_dir("smoltable_stats_") + "/t")
     t.create_column_families(
         [ColumnFamilyDef("language"), ColumnFamilyDef("title", lg="lg_title")]
     )

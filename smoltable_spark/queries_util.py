@@ -105,3 +105,30 @@ def cents(col):
 
 def cents_sql(expr: str) -> str:
     return f"CAST(round({expr} * 100) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# RAM-backed scratch for per-call synthetic stores
+
+
+def scratch_dir(prefix: str) -> str:
+    """mkdtemp preferring RAM-backed tmpfs (``/dev/shm``) over ``/tmp``.
+
+    The lifecycle/driver rows build small SINGLE-SESSION synthetic
+    stores and indexes whose durability is irrelevant — they exist to
+    prove invariants, then get thrown away. On this host a tiny parquet
+    commit to disk-backed ``/tmp`` carries a 1.5–4 s fsync floor
+    (measured: 7-row file, 0.45 s on tmpfs vs 2–5 s on /dev/vda), which
+    would dominate every multi-commit lifecycle row in the bench while
+    measuring the DISK, not the plans (VERDICT r8 ask #7). Persistent
+    cross-session caches (``_store_cache_path``) deliberately stay on
+    real disk. Override base with ``$SPARK_GRAFT_SCRATCH``."""
+    import os
+    import tempfile as _tf
+
+    base = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if base is None and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        base = "/dev/shm/smoltable_scratch"
+    if base is not None:
+        os.makedirs(base, exist_ok=True)
+    return _tf.mkdtemp(prefix=prefix, dir=base)

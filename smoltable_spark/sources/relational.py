@@ -273,9 +273,20 @@ def _bounded(df: DataFrame, key_col: str, key_bounds: tuple[int, int] | None) ->
 
 
 def orders_cells(
-    spark: SparkSession, sf_dir: str, key_bounds: tuple[int, int] | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    key_bounds: tuple[int, int] | None = None,
+    key_mod: int | None = None,
 ) -> DataFrame:
+    """``key_mod=m`` keeps only ``o_orderkey % m == 0`` BEFORE the melt —
+    a deterministic, SF-proportional subsample the lifecycle driver rows
+    use to bound their synthetic store sizes (VERDICT r8 ask #7: those
+    rows prove lifecycle invariants, not throughput, so they shouldn't
+    dominate bench wall time). Oracles mirror it with the same modular
+    predicate on ``o_orderkey``."""
     orders = _bounded(load_table(spark, sf_dir, "orders"), "o_orderkey", key_bounds)
+    if key_mod is not None:
+        orders = orders.filter(F.col("o_orderkey") % key_mod == 0)
     return melt(
         orders,
         row_key=F.concat(F.lit("order#"), _pad(F.col("o_orderkey"))),

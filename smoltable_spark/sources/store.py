@@ -122,6 +122,38 @@ class CellStore:
                 return v
         return 0
 
+    _FOLDS_FILE = "_FOLDS"
+
+    def _folds_of(self, n: int) -> tuple[int, int] | None:
+        """(from, through) leg range a **minor** leg folded, else None."""
+        p = os.path.join(self._version_dir(n), self._FOLDS_FILE)
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            d = json.load(fh)
+        return int(d["from"]), int(d["through"])
+
+    def _legs_of(self, n: int) -> list[int]:
+        """Version numbers whose files constitute snapshot ``n``, in
+        commit order: the latest base ≤ n, then subsequent delta legs —
+        except that a **minor** leg (tiered compaction: the fold of a
+        run of delta legs into ONE leg, see ``minor_compact``) supersedes
+        exactly the ``_FOLDS`` range it merged, so stacked minors (L1)
+        coexist until a major ``compact()``. This is THE chain resolver:
+        ``read``/``vacuum``/stats all agree on it by construction."""
+        base = self._base_of(n)
+        legs: list[int] = []
+        for v in range(max(base, 1), n + 1):
+            if self._kind(v) == "minor":
+                folds = self._folds_of(v)
+                if folds is None:  # no marker: conservatively assume the
+                    legs = [base] if base >= 1 else []  # fold-all form
+                else:
+                    frm, through = folds
+                    legs = [u for u in legs if u < frm or u > through]
+            legs.append(v)
+        return legs
+
     # -- write / read ------------------------------------------------------
 
     @staticmethod
@@ -164,12 +196,20 @@ class CellStore:
         cells: DataFrame,
         num_range_partitions: int | None = None,
         seq_col: str | None = None,
+        assume_unique_coords: bool = False,
     ) -> int:
         """Write a new **base** snapshot containing exactly ``cells``;
         returns version. Layout: lg partition dirs → range-partitioned,
-        key-sorted parquet. ``seq_col`` names an explicit tie-break
-        column for within-batch duplicate coordinates (required when the
-        input is not order-preserving — see ``_dedup_coords``).
+        key-sorted parquet (the ``_layout`` hook — Z-order subclasses
+        substitute their own SINGLE arrangement shuffle). ``seq_col``
+        names an explicit tie-break column for within-batch duplicate
+        coordinates (required when the input is not order-preserving —
+        see ``_dedup_coords``). ``assume_unique_coords=True`` skips the
+        dedup window entirely — ONLY for input whose coordinates are
+        unique by construction (``compact()``: the fold comes from
+        ``read()``, whose LSM shadowing contract returns exactly one
+        cell per coordinate). At scale that dedup is a full shuffle of
+        the table per compaction, paid for nothing.
         """
         fam_lg = {
             f: (g if g != "" else _DEFAULT_LG) for f, g in self.family_to_lg().items()
@@ -181,20 +221,15 @@ class CellStore:
             )
             lg_expr = F.coalesce(mapping[F.col("family")], F.lit(_DEFAULT_LG))
         cols = list(CELL_COLUMNS) + ([seq_col] if seq_col else [])
-        df = self._dedup_coords(cells.select(*cols), seq_col).withColumn("lg", lg_expr)
-        if num_range_partitions is None:
-            num_range_partitions = max(
-                self.spark.sparkContext.defaultParallelism, 8
-            )
-        df = df.repartitionByRange(
-            num_range_partitions, F.col("lg"), F.col("row_key")
-        ).sortWithinPartitions(
-            F.col("row_key").asc(),
-            F.col("family").asc(),
-            F.col("qualifier").asc(),
-            F.col("ts").desc(),
+        df = cells.select(*cols)
+        if not assume_unique_coords:
+            df = self._dedup_coords(df, seq_col)
+        elif seq_col:
+            df = df.drop(seq_col)
+        df = df.withColumn("lg", lg_expr)
+        return self._commit_snapshot(
+            df, kind="base", num_range_partitions=num_range_partitions
         )
-        return self._commit_snapshot(df, kind="base")
 
     #: parquet layout tuning — the reference picks 64 KiB LSM blocks because
     #: "the workload is dominated by prefix & range searches"
@@ -209,18 +244,54 @@ class CellStore:
         "parquet.block.size": str(64 * 1024 * 1024),  # ≈ levelled target size
     }
 
-    def _layout(self, df: DataFrame, kind: str) -> tuple[DataFrame, list[str]]:
+    def _layout(
+        self,
+        df: DataFrame,
+        kind: str,
+        num_range_partitions: int | None = None,
+    ) -> tuple[DataFrame, list[str]]:
         """Hook: final physical layout of a snapshot about to commit —
         returns (possibly transformed df, partition columns). Layout
         subclasses (e.g. Z-order bucketing in ``store_layout.py``)
         override ONLY this; the commit sequence itself (version dir,
         WRITE_OPTIONS, kind marker, atomic pointer rename) stays here so
         it can never drift between layouts (ADVICE r7: the Z-ordered
-        base path used to re-implement the whole sequence)."""
+        base path used to re-implement the whole sequence).
+
+        The hook OWNS the base snapshot's arrangement shuffle (round 9:
+        it used to run after ``write()`` had already range-partitioned,
+        so a Z-ordered base write shuffled the whole table twice — at
+        100 TB, one entire wasted exchange per write/compaction). The
+        default base layout is range-partition by (lg, row_key) +
+        key-sort; deltas are written as they arrive (O(batch) memtable
+        flush, the caller sorts within partitions)."""
+        if kind == "base":
+            if num_range_partitions is None:
+                num_range_partitions = max(
+                    self.spark.sparkContext.defaultParallelism, 8
+                )
+            df = df.repartitionByRange(
+                num_range_partitions, F.col("lg"), F.col("row_key")
+            ).sortWithinPartitions(
+                F.col("row_key").asc(),
+                F.col("family").asc(),
+                F.col("qualifier").asc(),
+                F.col("ts").desc(),
+            )
         return df, ["lg"]
 
-    def _commit_snapshot(self, df: DataFrame, kind: str) -> int:
-        df, part_cols = self._layout(df, kind)
+    def _commit_snapshot(
+        self,
+        df: DataFrame,
+        kind: str,
+        num_range_partitions: int | None = None,
+        markers: dict[str, str] | None = None,
+    ) -> int:
+        """``markers``: extra marker files written into the version dir
+        BEFORE the pointer rename — like ``_KIND``, they must be visible
+        the instant the commit is (a crash in between must never leave a
+        committed leg missing its metadata)."""
+        df, part_cols = self._layout(df, kind, num_range_partitions)
         n = self.current_version() + 1
         d = self._version_dir(n)
         w = df.write.mode("overwrite")
@@ -229,6 +300,9 @@ class CellStore:
         w.partitionBy(*part_cols).parquet(d)
         with open(os.path.join(d, self._KIND_FILE), "w") as fh:
             fh.write(kind)
+        for name, content in (markers or {}).items():
+            with open(os.path.join(d, name), "w") as fh:
+                fh.write(content)
         self._commit_version(n)  # pointer rename = the commit point
         return n
 
@@ -268,8 +342,73 @@ class CellStore:
         n = self.current_version()
         if n == 0 or self._kind(n) == "base":
             return n
+        # read()'s shadowing contract returns exactly one cell per
+        # coordinate — the dedup window (a second full shuffle of the
+        # table) would find nothing to drop
         return self.write(
-            self.read().select(*CELL_COLUMNS), num_range_partitions
+            self.read().select(*CELL_COLUMNS),
+            num_range_partitions,
+            assume_unique_coords=True,
+        )
+
+    def minor_compact(self) -> int:
+        """Fold every delta leg since the last base into ONE **minor**
+        leg — tiered (L0 → L1) compaction. ``compact()`` is a full
+        O(table) base rewrite; at 100 TB you cannot afford one whenever
+        a handful of small deltas has accumulated. A minor fold is
+        O(changes): it reads ONLY the delta legs, merges them with the
+        same coordinate-shadowing ``read()`` applies, and commits the
+        result as a single leg that supersedes them in the chain
+        (``_legs_of``). Read amplification drops from (#deltas + 1) legs
+        to 2; the base is never touched. fjall — the reference's LSM
+        engine — does exactly this for L0 segments before a levelled
+        rewrite (SURVEY §4); Cassandra/RocksDB call it minor vs major
+        compaction.
+
+        Folds the TRAILING run of plain delta legs only — earlier minor
+        legs are L1 segments that stack until ``minor_fanin`` of them
+        justify a major rewrite (``jobs/workers.py::
+        tiered_compaction_worker``); folding them again on every minor
+        pass would re-pay their write cost each round.
+
+        Returns the new version (or the current one when there is
+        nothing to fold: 0/1 trailing delta legs). Time travel holds:
+        the folded delta dirs stay on disk until ``vacuum`` proves no
+        retained snapshot needs them. The leg records the
+        ``(from, through)`` range it folded in a ``_FOLDS`` marker so
+        ``read_changes`` can keep serving O(changes) feeds across it and
+        ``_legs_of`` supersedes exactly that range."""
+        n = self.current_version()
+        if n == 0:
+            return n
+        run: list[int] = []
+        for v in reversed(self._legs_of(n)):
+            if self._kind(v) == "delta":
+                run.append(v)
+            else:
+                break
+        run.reverse()
+        if len(run) < 2:
+            return n
+        merged = self._merge_legs(run).select(*CELL_COLUMNS, "lg")
+        # bound the output file count without a shuffle: the union of k
+        # small legs carries the sum of their partition counts
+        merged = merged.coalesce(
+            max(self.spark.sparkContext.defaultParallelism, 8)
+        ).sortWithinPartitions(
+            F.col("row_key").asc(),
+            F.col("family").asc(),
+            F.col("qualifier").asc(),
+            F.col("ts").desc(),
+        )
+        return self._commit_snapshot(
+            merged,
+            kind="minor",
+            markers={
+                self._FOLDS_FILE: json.dumps(
+                    {"from": run[0], "through": run[-1]}
+                )
+            },
         )
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -287,30 +426,35 @@ class CellStore:
         # Catalyst partition pruning on lg filters.
         if not os.path.isdir(self._version_dir(n)):
             raise FileNotFoundError(f"version {n} vacuumed from {self.path}")
-        base = self._base_of(n)
-        legs = list(range(max(base, 1), n + 1))
-        # Every version in [base..n] is part of this snapshot's chain;
-        # vacuum() never removes dirs >= the retained chain's start, so a
-        # missing leg means corruption (or an out-of-contract manual delete)
-        # — fail loudly instead of silently returning partial data.
+        legs = self._legs_of(n)
+        # Every resolved leg is part of this snapshot's chain; vacuum()
+        # never removes dirs a retained snapshot still reads, so a
+        # missing leg means corruption (or an out-of-contract manual
+        # delete) — fail loudly instead of silently returning partial
+        # data.
         missing = [v for v in legs if not os.path.isdir(self._version_dir(v))]
         if missing:
             raise FileNotFoundError(
                 f"snapshot chain for v{n} in {self.path} is missing leg dirs "
-                f"{missing} (base=v{base}); store is corrupt or was vacuumed "
+                f"{missing} (legs={legs}); store is corrupt or was vacuumed "
                 "out-of-contract"
             )
+        return self._merge_legs(legs)
+
+    def _merge_legs(self, legs: list[int]) -> DataFrame:
+        """Shadowed union of leg dirs, newest level wins.
+
+        LSM shadowing: a rewrite of the SAME cell coordinates
+        (row, family, qualifier, ts) in a newer snapshot replaces the
+        older value (the reference's LSM key row:cf:cq:!ts overwrites,
+        cell.rs:168-182). Each older leg is anti-joined against the
+        union of newer legs' coordinates — the LSM read path: newer
+        levels shadow older. Deltas are small, so the anti-join build
+        side is small (AQE broadcasts it); single-leg stores (the
+        common compacted state) skip all of this."""
         dfs = [self.spark.read.parquet(self._version_dir(v)) for v in legs]
         if len(dfs) == 1:
             return dfs[0]
-        # LSM shadowing: a rewrite of the SAME cell coordinates
-        # (row, family, qualifier, ts) in a newer snapshot replaces the
-        # older value (the reference's LSM key row:cf:cq:!ts overwrites,
-        # cell.rs:168-182). Each older leg is anti-joined against the
-        # union of newer legs' coordinates — the LSM read path: newer
-        # levels shadow older. Deltas are small, so the anti-join build
-        # side is small (AQE broadcasts it); single-leg stores (the
-        # common compacted state) skip all of this.
         coord = ["row_key", "family", "qualifier", "ts"]
         out = dfs[-1]
         newer_coords = dfs[-1].select(*coord)
@@ -341,27 +485,74 @@ class CellStore:
         legs = list(range(since_version + 1, to + 1))
         if not legs:
             return self.read(to).limit(0)
-        rewrites = [v for v in legs if self._kind(v) == "base"]
+        rewrites = [
+            v
+            for v in legs
+            # a missing dir is NOT a base rewrite (``_kind`` falls back
+            # to "base" for pre-delta layouts): let the minor-resolution
+            # and missing-leg checks below name the real condition
+            if os.path.isdir(self._version_dir(v)) and self._kind(v) == "base"
+        ]
         if rewrites:
             raise ValueError(
                 f"change range ({since_version}, {to}] crosses base "
                 f"rewrite(s) {rewrites}; changes are not derivable across a "
                 "full rewrite — read the base snapshot and resync"
             )
-        missing = [v for v in legs if not os.path.isdir(self._version_dir(v))]
+        # minor legs (tiered compaction) re-lay-out existing deltas, so
+        # each resolves against the range rather than adding changes:
+        #   folded-through <= since : pure re-layout of already-consumed
+        #     changes — skip the leg;
+        #   folded-from   >  since : the fold covers ONLY in-range deltas
+        #     — read the minor INSTEAD of them (same bytes, fewer files);
+        #   straddling             : prefer the original delta dirs when
+        #     they still exist; resync only if vacuum removed them.
+        effective: list[int] = []
+        skip_below: int | None = None
+        for v in sorted(legs, reverse=True):
+            if skip_below is not None and v >= skip_below:
+                continue
+            k = self._kind(v)
+            if k != "minor":
+                effective.append(v)
+                continue
+            folds = self._folds_of(v)
+            if folds is None:
+                raise ValueError(
+                    f"minor leg v{v} has no {self._FOLDS_FILE} marker; "
+                    "store metadata is corrupt"
+                )
+            frm, through = folds
+            if through <= since_version:
+                continue  # already consumed, re-laid out — nothing new
+            if frm > since_version:
+                effective.append(v)
+                skip_below = frm  # the fold covers these in-range deltas
+                continue
+            # straddles since: the original deltas are the only exact feed
+            originals = list(range(since_version + 1, through + 1))
+            if all(
+                os.path.isdir(self._version_dir(u)) for u in originals
+            ):
+                continue  # read the originals (they are in `legs` below v)
+            raise ValueError(
+                f"change range ({since_version}, {to}] crosses minor "
+                f"compaction v{v} folding ({frm}..{through}) and the "
+                "original delta legs were vacuumed; resync from the "
+                "snapshot"
+            )
+        effective.sort()
+        missing = [
+            v for v in effective if not os.path.isdir(self._version_dir(v))
+        ]
         if missing:
             raise FileNotFoundError(
                 f"change range ({since_version}, {to}] is missing leg dirs "
                 f"{missing}; vacuumed or corrupt"
             )
-        dfs = [self.spark.read.parquet(self._version_dir(v)) for v in legs]
-        coord = ["row_key", "family", "qualifier", "ts"]
-        out = dfs[-1]
-        newer_coords = dfs[-1].select(*coord)
-        for older in reversed(dfs[:-1]):
-            out = older.join(newer_coords, coord, "left_anti").unionByName(out)
-            newer_coords = newer_coords.unionByName(older.select(*coord))
-        return out
+        if not effective:
+            return self.read(to).limit(0)
+        return self._merge_legs(effective)
 
     def read_for_filter(self, column_filter=None, version: int | None = None) -> DataFrame:
         """Partition-pruned read: only the locality groups a column filter
@@ -392,25 +583,28 @@ class CellStore:
         if cur == 0:
             return
         oldest_kept = max(1, cur - keep_last + 1)
-        # A chain with no base snapshot (append-only history) reads every
-        # delta from v=1, so nothing may be dropped: `or 1`, never
-        # `or oldest_kept` — the latter silently deleted deltas that the
-        # retained snapshots still read (data loss).
-        cutoff = self._base_of(oldest_kept) or 1
+        # The needed set is the UNION of the retained snapshots' chains
+        # (``_legs_of`` — the one resolver). This keeps the old contract
+        # (a chain with no base reads every delta from v=1 — nothing may
+        # be dropped) and additionally reclaims delta legs superseded by
+        # a minor compaction once no retained snapshot resolves through
+        # them.
+        needed: set[int] = set()
+        for v in range(oldest_kept, cur + 1):
+            needed.update(self._legs_of(v))
         for name in os.listdir(self.path):
             if name.startswith("v="):
                 n = int(name.split("=", 1)[1])
-                if n < cutoff:
+                if n <= cur and n not in needed:
                     shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
 
     # -- stats (S8 parity) -------------------------------------------------
 
     def _chain_dirs(self) -> list[str]:
         n = self.current_version()
-        base = self._base_of(n)
         return [
             self._version_dir(v)
-            for v in range(max(base, 1), n + 1)
+            for v in self._legs_of(n)
             if os.path.isdir(self._version_dir(v))
         ]
 

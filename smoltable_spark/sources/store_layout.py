@@ -50,10 +50,19 @@ class ZorderCellStore(CellStore):
         self._b_bucket = b_bucket
         self._bits = bits
 
-    def _layout(self, df: DataFrame, kind: str) -> tuple[DataFrame, list[str]]:
+    def _layout(
+        self,
+        df: DataFrame,
+        kind: str,
+        num_range_partitions: int | None = None,
+    ) -> tuple[DataFrame, list[str]]:
         """Layout hook override (ADVICE r7: the commit sequence itself —
         version dir, kind marker, atomic pointer — stays in the parent's
-        ``_commit_snapshot``; only the physical arrangement lives here)."""
+        ``_commit_snapshot``; only the physical arrangement lives here).
+        The hook owns the base arrangement shuffle outright (round 9):
+        it REPLACES the parent's (lg, row_key) range partitioning with
+        ONE (lg, zb) exchange — previously both ran, shuffling every
+        base/compaction write twice."""
         zb = morton2(
             self._a_bucket().cast("int"),
             self._b_bucket().cast("int"),
@@ -328,9 +337,20 @@ class RangeZorderCellStore(ZorderCellStore):
             fh.write(str(_KEY_IMAGE_VERSION))
         os.replace(tmp, self._image_version_path())
         d = os.path.join(self._boundaries_root, f"v={at_version}")
-        self.spark.createDataFrame(
-            [(b,) for b in bounds], "boundary long"
-        ).coalesce(1).write.mode("overwrite").parquet(d)
+        # driver-side pyarrow write: the sidecar is <= 2^bits - 1 rows of
+        # metadata — launching a Spark job for it (the previous
+        # createDataFrame().coalesce(1).write) serialized through the
+        # Python-RDD fallback and cost ~3 s of fixed overhead per commit.
+        # spark.read.parquet reads the file identically.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(d, exist_ok=True)
+        for old in os.listdir(d):
+            if old.endswith(".parquet"):
+                os.remove(os.path.join(d, old))
+        tbl = pa.table({"boundary": pa.array(bounds, type=pa.int64())})
+        pq.write_table(tbl, os.path.join(d, "part-00000.parquet"))
         # a crash after this write but before the snapshot commit leaves a
         # sidecar no snapshot references: harmless (reads resolve <= their
         # version; a retried compact overwrites it)
@@ -353,13 +373,16 @@ class RangeZorderCellStore(ZorderCellStore):
         return bucket
 
     def write(self, cells: DataFrame, num_range_partitions=None,
-              seq_col=None) -> int:
+              seq_col=None, assume_unique_coords=False) -> int:
         self._ensure_boundaries(cells)
         # base commit in flight: its sidecar (if one was just written at
         # this version) is the set this snapshot is being bucketed under
         self._pending_base = self.current_version() + 1
         try:
-            return super().write(cells, num_range_partitions, seq_col)
+            return super().write(
+                cells, num_range_partitions, seq_col,
+                assume_unique_coords=assume_unique_coords,
+            )
         finally:
             self._pending_base = None
 
@@ -382,7 +405,9 @@ class RangeZorderCellStore(ZorderCellStore):
             return n
         cells = self.read().select(*CELL_COLUMNS)
         self._write_boundaries(cells, at_version=n + 1)
-        return self.write(cells, num_range_partitions)
+        # fold input comes from read() → coordinate-unique by contract
+        return self.write(cells, num_range_partitions,
+                          assume_unique_coords=True)
 
     # -- range reads ---------------------------------------------------------
 

@@ -251,7 +251,12 @@ class StoreChangeRollup:
             v
             for v in range(self._start_version + 1, cur + 1)
             if os.path.isdir(self.store._version_dir(v))
-            and self.store._kind(v) == "base"
+            # minor (tiered) compaction re-lays-out already-streamed
+            # delta cells into a new leg whose files the delta-glob
+            # source WOULD re-consume — double counting. Same resync
+            # contract as a base rewrite (read_changes can resolve
+            # minors exactly; a file stream cannot).
+            and self.store._kind(v) in ("base", "minor")
         ]
 
     def guard_chain(self) -> None:
@@ -281,7 +286,7 @@ class StoreChangeRollup:
                 int(v)
                 for v in vs
                 if v is not None and v > self._start_version
-                and self.store._kind(int(v)) == "base"
+                and self.store._kind(int(v)) in ("base", "minor")
             }
         )
         if rewrites:

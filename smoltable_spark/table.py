@@ -204,6 +204,10 @@ class Smoltable:
     def compact(self, num_range_partitions: int | None = None) -> int:
         return self.store.compact(num_range_partitions)
 
+    def minor_compact(self) -> int:
+        """Tiered L0 fold — O(changes), base untouched (store.minor_compact)."""
+        return self.store.minor_compact()
+
     def vacuum(self, keep_last: int = 2) -> None:
         self.store.vacuum(keep_last)
 

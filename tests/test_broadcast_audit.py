@@ -102,6 +102,12 @@ BOUNDED_BROADCASTS: dict[tuple[str, str], str] = {
     ("operators/rank.py", "ranked_row_keys"):
         "per-partition offset table: one row per shuffle partition "
         "(cluster config, not data size)",
+    ("operators/rank.py", "ranked_rows"):
+        "per-partition offset table: one row per shuffle partition "
+        "(cluster config, not data size)",
+    ("operators/rank.py", "value_min_ranks"):
+        "per-partition offset table: one row per shuffle partition "
+        "(cluster config, not data size)",
     ("operators/read.py", "multi_get_cells"):
         "contract: the user-supplied multi_get key list (a point-read "
         "API, bounded batch)",

@@ -508,9 +508,11 @@ def test_wow_change_matches_python(spark, sf_dir):
 def test_merge_upsert_counts_derive_from_orders(spark, sf_dir):
     row = entry.queries()["wc_merge_upsert"](spark, sf_dir).collect()[0]
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey").collect()
-    n = len(orders)
-    n3 = sum(1 for r in orders if r["o_orderkey"] % 3 == 0)
-    n6 = sum(1 for r in orders if r["o_orderkey"] % 6 == 0)
+    # mirror the row's key_mod=7 input subsample (VERDICT r8 ask #7)
+    keys = [r["o_orderkey"] for r in orders if r["o_orderkey"] % 7 == 0]
+    n = len(keys)
+    n3 = sum(1 for k in keys if k % 3 == 0)
+    n6 = sum(1 for k in keys if k % 6 == 0)
     assert (
         row["n_batch"],
         row["n_insert"],
