@@ -157,6 +157,7 @@ def minhash_dedup_incremental(
     bands: int = 4,
     k: int = 3,
     max_bucket_df: int | None = None,
+    batch_index: DataFrame | None = None,
 ) -> DataFrame:
     """Admit a new batch against a persisted corpus LSH index.
 
@@ -177,12 +178,20 @@ def minhash_dedup_incremental(
     if any index band bucket holds more docs than the cap — the
     fail-loud hot-bucket guard; leave None to mirror plain
     ``dedup_minhash`` exposure.
+
+    ``batch_index``: a PRE-BUILT ``lsh_index(batch, ...)`` under the
+    SAME (num_hashes, bands, k) family — callers that also persist the
+    admitted docs' index rows (``streaming/dedup_stream.py``) pass it so
+    the batch is shingled exactly once per trigger instead of twice.
     """
     # (doc_shingles inside lsh_index owns the spread() parallelism fix —
     # wrapping batch again here would repartition twice)
-    bidx = lsh_index(
-        batch, text_col, id_col, num_hashes, bands, k
-    ).localCheckpoint(eager=True)  # built once, consumed by 4 plan branches
+    if batch_index is not None:
+        bidx = batch_index
+    else:
+        bidx = lsh_index(
+            batch, text_col, id_col, num_hashes, bands, k
+        ).localCheckpoint(eager=True)  # built once, 4 plan branches
     nb = _skinny_buckets(bidx, id_col, "new_id")
     ob = _skinny_buckets(index, id_col, "old_id")
     if max_bucket_df is not None:

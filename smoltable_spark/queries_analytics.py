@@ -11037,3 +11037,179 @@ def dedup_minhash_incremental(spark, sf_dir):
         _INDEX_PATH_CACHE[key] = path
     idx = spark.read.parquet(_INDEX_PATH_CACHE[key])
     return minhash_dedup_incremental(idx, batch)
+
+
+def _stream_admit_oracle(num_hashes: int = 16, bands: int = 4,
+                         threshold: float = 0.5, n_batches: int = 3) -> str:
+    """DuckDB mirror of the STREAMING admit loop: the corpus is empty at
+    stream start and batch i (doc_id % n_batches = i, the file-replay
+    split) is admitted against exactly the docs ADMITTED by batches < i
+    — the recursion unrolled into per-stage CTE chains over the shared
+    shingle/signature/bucket CTEs of _minhash_inc_oracle."""
+    from smoltable_spark.functions.dedup import MINHASH_P
+
+    rows = num_hashes // bands
+    band_parts = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_band_hash_sql(b, rows)} AS bucket "
+        "FROM sigs"
+        for b in range(bands)
+    )
+    num = round(threshold * 1000)
+
+    def verify(src: str) -> str:
+        return (
+            f"SELECT DISTINCT m.new_id FROM {src} m "
+            "JOIN sigs za ON za.doc_id = m.new_id "
+            "JOIN sigs zb ON zb.doc_id = m.old_id "
+            f"WHERE m.common * 1000 >= {num} * (za.sz + zb.sz - m.common)"
+        )
+
+    def common(cand: str) -> str:
+        return (
+            f"SELECT c.new_id, c.old_id, count(*) AS common FROM {cand} c "
+            "JOIN shh sa ON sa.doc_id = c.new_id "
+            "JOIN shh sb ON sb.doc_id = c.old_id AND sb.h64 = sa.h64 "
+            "GROUP BY c.new_id, c.old_id"
+        )
+
+    stages = []
+    for i in range(n_batches):
+        bi = f"SELECT * FROM buckets WHERE doc_id % {n_batches} = {i}"
+        stages.append(f"b{i} AS ({bi})")
+        stages.append(
+            f"cb{i} AS (SELECT DISTINCT a.doc_id AS old_id, "
+            f"b.doc_id AS new_id FROM b{i} a JOIN b{i} b "
+            "ON a.band = b.band AND a.bucket = b.bucket "
+            "AND a.doc_id < b.doc_id)"
+        )
+        stages.append(f"comb{i} AS ({common(f'cb{i}')})")
+        stages.append(f"vb{i} AS ({verify(f'comb{i}')})")
+        if i == 0:
+            corpus_flag = "CAST(0 AS INT)"
+        else:
+            stages.append(
+                f"ib{i} AS (SELECT b.* FROM buckets b "
+                f"JOIN adm{i - 1} a ON a.doc_id = b.doc_id)"
+            )
+            stages.append(
+                f"cc{i} AS (SELECT DISTINCT n.doc_id AS new_id, "
+                f"o.doc_id AS old_id FROM b{i} n JOIN ib{i} o "
+                "ON n.band = o.band AND n.bucket = o.bucket)"
+            )
+            stages.append(f"comc{i} AS ({common(f'cc{i}')})")
+            stages.append(f"vc{i} AS ({verify(f'comc{i}')})")
+            corpus_flag = (
+                f"CAST(CASE WHEN vc{i}.new_id IS NOT NULL THEN 1 ELSE 0 "
+                "END AS INT)"
+            )
+        vc_join = (
+            f"LEFT JOIN vc{i} ON vc{i}.new_id = s.doc_id " if i else ""
+        )
+        stages.append(
+            f"st{i} AS (SELECT s.doc_id, CAST(s.sz AS BIGINT) AS sz, "
+            f"CAST({i} AS INT) AS batch_no, {corpus_flag} AS corpus_dup, "
+            f"CAST(CASE WHEN vb{i}.new_id IS NOT NULL THEN 1 ELSE 0 END "
+            "AS INT) AS batch_dup "
+            f"FROM sigs s {vc_join}"
+            f"LEFT JOIN vb{i} ON vb{i}.new_id = s.doc_id "
+            f"WHERE s.doc_id % {n_batches} = {i})"
+        )
+        prev = f"SELECT doc_id FROM adm{i - 1} UNION ALL " if i else ""
+        stages.append(
+            f"adm{i} AS ({prev}SELECT doc_id FROM st{i} "
+            "WHERE corpus_dup = 0 AND batch_dup = 0)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM st{i}" for i in range(n_batches)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+           FROM t, unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS u(i)),
+    shh AS (SELECT DISTINCT doc_id, {md5_long_sql('shingle')} AS h64 FROM sh),
+    sigs AS (SELECT doc_id, count(DISTINCT h64) AS sz,
+                    {_minhash_aggs_sql(num_hashes)}
+             FROM (SELECT doc_id, h64, h64 % {MINHASH_P} AS hb FROM shh)
+             GROUP BY doc_id),
+    buckets AS ({band_parts}),
+    {', '.join(stages)}
+    SELECT doc_id, sz, batch_no, corpus_dup, batch_dup,
+           CAST(CASE WHEN corpus_dup = 0 AND batch_dup = 0
+                     THEN 1 ELSE 0 END AS INT) AS admitted
+    FROM ({union})
+    """
+
+
+@q("dedup_stream_admit", _stream_admit_oracle())
+def dedup_stream_admit(spark, sf_dir):
+    """STREAMING near-dup admission (streaming/dedup_stream.py) — the
+    crawl loop as a Structured Streaming sink: documents arrive as
+    micro-batches (file replay, three doc_id % 3 slices with ascending
+    mtimes under maxFilesPerTrigger=1), each batch is admitted against
+    the LSH index built from everything PREVIOUSLY admitted
+    (minhash_dedup_incremental probing skinny band buckets + exact
+    Jaccard on survivors), and the admitted docs' index rows are
+    appended under the same exactly-once meta/commit discipline as the
+    store CDC rollup (checkpoint-bound batch ids, idempotent replay).
+    Cross-batch state is the PERSISTED index alone — no Spark state
+    store, no watermark: near-dup admission needs a similarity join
+    against everything ever admitted, which dropDuplicates cannot
+    express but the index serves in O(batch + matched buckets) per
+    trigger — the steady-state shape of a forever-running 100 TB crawl.
+
+    The oracle unrolls the stream: batch i's decision is recomputed
+    from raw text against exactly the docs batches < i admitted — the
+    index, the checkpoint and the replay machinery must all be
+    invisible in the result."""
+    import os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from smoltable_spark.streaming.dedup_stream import (
+        MinhashAdmitter,
+        minhash_admit_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = scratch_dir("smoltable_admit_src_")
+    for i in range(3):
+        dst = os.path.join(src, f"batch-{i}.parquet")
+        w = _tf.mkdtemp()
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(w + "/w")
+        part = next(
+            f for f in os.listdir(w + "/w") if f.endswith(".parquet")
+        )
+        _sh.move(os.path.join(w, "w", part), dst)
+        os.utime(dst, (1_000_000 + i * 100, 1_000_000 + i * 100))
+    adm = MinhashAdmitter(spark, scratch_dir("smoltable_admit_state_"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sq = minhash_admit_stream(
+        stream, adm, scratch_dir("smoltable_admit_cp_")
+    ).trigger(availableNow=True).start()
+    sq.awaitTermination(300)
+    dec = adm.decisions()
+    # micro-batch ids are checkpoint-internal; expose the replay ORDER
+    # (0..2) instead. Driver-side mapping is bounded by #batches.
+    ids = sorted(
+        r["batch_no"] for r in dec.select("batch_no").distinct().collect()
+    )
+    mapping = spark.createDataFrame(
+        [(b, i) for i, b in enumerate(ids)], "batch_no int, batch_seq int"
+    )
+    return (
+        dec.join(mapping, "batch_no")
+        .select(
+            "doc_id",
+            F.col("sz").cast("long").alias("sz"),
+            F.col("batch_seq").cast("int").alias("batch_no"),
+            "corpus_dup",
+            "batch_dup",
+            "admitted",
+        )
+    )
