@@ -49,7 +49,11 @@ def compaction_worker(
     n = store.current_version()
     if n == 0:
         return None
-    deltas = n - store._base_of(n)
+    base = store._base_of(n)
+    # resolved pending legs, not raw version span: legs a minor fold
+    # already superseded don't add read amplification and must not
+    # re-trigger compaction
+    deltas = len([v for v in store._legs_of(n) if v > base or base == 0])
     if deltas < max_deltas:
         return None
     v = store.compact()

@@ -244,6 +244,22 @@ class CellStore:
         "parquet.block.size": str(64 * 1024 * 1024),  # ≈ levelled target size
     }
 
+    #: extra options for DELTA/MINOR legs only: a row_key bloom filter
+    #: per row group (adaptive sizing, 64 KiB cap — measured ~2.7% file
+    #: overhead at 200k keys, ~4 KiB on a 2k-key delta). The reference's
+    #: LSM keeps a bloom per segment for point reads (fjall); here the
+    #: sorted BASE leg doesn't need one (page min/max already prunes an
+    #: equality probe to a single row group), but delta legs hold
+    #: scattered rewrites whose min/max span defeats range skipping —
+    #: the exact case a bloom exists for: get_row/multi_get probe every
+    #: leg of the chain, and blooms let the absent legs drop out on
+    #: footer metadata instead of a data-page read.
+    DELTA_WRITE_OPTIONS = {
+        "parquet.bloom.filter.enabled#row_key": "true",
+        "parquet.bloom.filter.adaptive.enabled": "true",
+        "parquet.bloom.filter.max.bytes": str(64 * 1024),
+    }
+
     def _layout(
         self,
         df: DataFrame,
@@ -295,7 +311,10 @@ class CellStore:
         n = self.current_version() + 1
         d = self._version_dir(n)
         w = df.write.mode("overwrite")
-        for k, v in self.WRITE_OPTIONS.items():
+        opts = dict(self.WRITE_OPTIONS)
+        if kind != "base":
+            opts.update(self.DELTA_WRITE_OPTIONS)
+        for k, v in opts.items():
             w = w.option(k, v)
         w.partitionBy(*part_cols).parquet(d)
         with open(os.path.join(d, self._KIND_FILE), "w") as fh:

@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from smoltable_spark.api import ColumnFamilyDef
 from smoltable_spark.sources.store import CellStore
@@ -272,3 +273,42 @@ def test_cdc_stream_rejects_minor_leg(spark, tmp_path):
     store.minor_compact()
     with pytest.raises(ValueError, match="rewrite"):
         rollup.guard_chain()
+
+
+def test_delta_legs_carry_row_key_bloom(spark, tmp_path):
+    """Delta/minor legs are written with a row_key bloom filter (the
+    LSM point-read parity: scattered delta keys defeat min/max range
+    skipping, so get_row probes need the bloom to drop absent legs on
+    metadata); the sorted base leg is NOT taxed with one. Pinned via
+    the file-size delta (pyarrow does not expose bloom offsets) plus a
+    correct equality read through the bloom-carrying chain."""
+    rows = [(f"k#{i * 7919 % 100000:07d}", 1, f"v{i}") for i in range(2000)]
+    store = _mk(spark, tmp_path, "bloom_on")
+    store.write(_cells(spark, rows[:100]))
+    store.append(_cells(spark, rows))
+
+    plain = _mk(spark, tmp_path, "bloom_off")
+    try:
+        plain.DELTA_WRITE_OPTIONS = {}
+        plain.write(_cells(spark, rows[:100]))
+        plain.append(_cells(spark, rows))
+    finally:
+        del plain.DELTA_WRITE_OPTIONS  # restore class attr lookup
+
+    def leg_size(s, v):
+        d = s._version_dir(v)
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _dirs, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    # delta leg grew by the bloom bytes; base leg identical layout
+    assert leg_size(store, 2) > leg_size(plain, 2)
+    assert abs(leg_size(store, 1) - leg_size(plain, 1)) < 1024
+    # equality probe through the bloom-carrying chain stays exact
+    key = rows[150][0]
+    got = store.read().filter(F.col("row_key") == key).count()
+    want = sum(1 for r in rows if r[0] == key)
+    assert got == want and got >= 1
