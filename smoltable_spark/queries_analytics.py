@@ -9339,15 +9339,21 @@ def pipeline_interleave_datasets(spark, sf_dir):
     shard of it can be regenerated independently (the
     pipeline_shuffle_shards property, for mixing). When one stream
     exhausts, the other's tail keeps its slots (ranks stay sparse,
-    train_pos re-densifies). Both global ranks run on
-    ``operators/rank.py``'s two-phase decomposition (VERDICT r8 ask
-    #1 — no unpartitioned windows): per-stream doc ranks via
-    ``grouped_ranked_values`` (range-partition on (stream, doc_id) →
-    narrow local rank + broadcast offsets; doc_id unique, so
-    row_number ≡ rank), and train_pos via ``ranked_row_keys`` over the
-    slot ids — the closed-form ``ord`` values are globally UNIQUE
-    (the en/other images are disjoint and injective), so the dense
-    re-rank is a distinct-value rank joined back on ord."""
+    train_pos re-densifies). The per-stream doc rank runs on
+    ``operators/rank.py``'s two-phase decomposition (VERDICT r8 ask #1
+    — no unpartitioned windows): ``grouped_ranked_values``
+    (range-partition on (stream, doc_id) → narrow local rank +
+    broadcast offsets; doc_id unique, so row_number ≡ rank). The dense
+    global position then needs NO second rank pass (round 9 — the
+    previous ``ranked_row_keys`` call here cost a second range shuffle
+    + checkpoint + join and flagged in the bench gate): the slot maps
+    are strictly increasing with disjoint images (en slots are the
+    non-(2 mod 3) naturals, other slots ≡ 2 mod 3), so occupied slots
+    below ``o`` is the sum of the two CLOSED-FORM inverse counts, each
+    clamped to its stream size — train_pos(o) =
+    min(o - o div 3, n_en) + min(o div 3, n_other) + 1 — with the two
+    sizes one 2-row aggregate. One distributed rank + one scalar agg;
+    wholly partition-parallel."""
     docs = load_table(spark, sf_dir, "documents")
     lab0 = docs.select(
         "doc_id",
@@ -9368,12 +9374,23 @@ def pipeline_interleave_datasets(spark, sf_dir):
         .cast("long")
         .alias("ord"),
     )
-    pos = rank_ops.ranked_row_keys(lab, col="ord")
-    return lab.join(pos, "ord").select(
+    sizes = {
+        row["stream"]: row["n"]
+        for row in lab0.groupBy("stream")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    cyc = _ILV_RATIO + 1
+    n_en = F.lit(sizes.get("en", 0)).cast("long")
+    n_other = F.lit(sizes.get("other", 0)).cast("long")
+    o = F.col("ord")
+    en_below = F.least(o - F.expr(f"ord div {cyc}"), n_en)
+    other_below = F.least(F.expr(f"ord div {cyc}"), n_other)
+    return lab.select(
         "doc_id",
         "stream",
-        F.col("ord").cast("long").alias("ord"),
-        F.col("rk").cast("long").alias("train_pos"),
+        o.cast("long").alias("ord"),
+        (en_below + other_below + 1).cast("long").alias("train_pos"),
     )
 
 

@@ -821,6 +821,17 @@ def main():
         _fn = _AQ[_nq][0]
         timed(f"{_nq}_10x", lambda _f=_fn: _f(spark, OUT).count())
 
+    # r9 additions: tiered compaction over the 10x store lifecycle
+    # (minor fold must track CHANGES, not table size), and the
+    # streaming admit loop over 50k docs in three micro-batches (the
+    # per-trigger cost must track batch + matched buckets)
+    for _cq9 in ("wc_minor_compact",):
+        _fn = _CQ[_cq9][0]
+        timed(f"{_cq9}_10x", lambda _f=_fn: _f(spark, OUT).count())
+    for _nq9 in ("dedup_stream_admit",):
+        _fn = _AQ[_nq9][0]
+        timed(f"{_nq9}_10x", lambda _f=_fn: _f(spark, OUT).count())
+
     notes = """
 Steady-state timings (2nd run per op). Reading the table:
 
