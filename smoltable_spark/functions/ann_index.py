@@ -122,3 +122,128 @@ def append_ivf_index(
                     f"a stale destination file exists)"
                 )
     fs.delete(jpath(staging), True)
+
+
+# ---------------------------------------------------------------------------
+# deletes: tombstones + targeted list compaction (round 9)
+
+_TOMBSTONE_ROOT = "_tombstones"
+
+
+def _tombstones(spark, path: str):
+    from smoltable_spark.functions.similarity import ivf_tombstones
+
+    return ivf_tombstones(spark, path)
+
+
+def delete_from_ivf_index(
+    spark,
+    path: str,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+) -> int:
+    """Remove vectors from a persisted IVF index WITHOUT rewriting it:
+    the LSM answer to deletes, completing the fast-path maintenance
+    family (``append_ivf_index`` = memtable flush, this = tombstones,
+    ``compact_ivf_index`` = the slow fold). FAISS exposes the same
+    split as ``remove_ids`` (eager O(index) rewrite) vs ID-selector
+    masking at query time; at 100 TB only the masking shape is viable
+    per-batch.
+
+    One column-pruned scan of the index resolves each victim id to its
+    list assignment (robust against any later centroid retrain — no
+    re-derivation from embeddings), and the (vec_id, list_id) pairs are
+    committed as a tombstone file under ``_tombstones/`` via
+    stage-then-atomic-dir-rename (readers see the whole tombstone batch
+    or none of it). ``query_ivf_index`` anti-joins tombstones at serve
+    time — O(tombstones) extra work per query batch, which
+    ``compact_ivf_index`` resets by rewriting ONLY the affected list
+    partitions. Returns the number of tombstoned rows (0 when no victim
+    id exists in the index — deleting an absent id is a no-op, not an
+    error). Single-writer contract, like ``append_ivf_index``."""
+    import os
+    import uuid
+
+    base = path.rstrip("/")
+    victims = ids.select(F.col(id_col).alias("vec_id")).distinct()
+    # the delete batch is caller-bounded (an API request), the index is
+    # not: broadcast the victims, stream the index
+    hits = (
+        spark.read.parquet(base)
+        .join(F.broadcast(victims), "vec_id")
+        .select("vec_id", "list_id")
+        .distinct()
+    )
+    tag = uuid.uuid4().hex[:12]
+    staging = os.path.join(base, f".staging-delete-{tag}")
+    hits.coalesce(1).write.mode("overwrite").parquet(staging)
+    import pyarrow.parquet as pq
+
+    n = sum(
+        pq.ParquetFile(os.path.join(staging, f)).metadata.num_rows
+        for f in os.listdir(staging)
+        if f.endswith(".parquet")
+    )
+    if n == 0:
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        return 0
+    dst_root = os.path.join(base, _TOMBSTONE_ROOT)
+    os.makedirs(dst_root, exist_ok=True)
+    os.rename(staging, os.path.join(dst_root, f"d-{tag}"))  # atomic publish
+    return int(n)
+
+
+def compact_ivf_index(spark, path: str) -> dict:
+    """Fold tombstones into the index: rewrite ONLY the list partitions
+    that contain tombstoned rows (O(affected lists), never O(index)),
+    then clear the folded tombstone files. Serving results are
+    BIT-IDENTICAL before and after — the tombstone anti-join and the
+    physical drop express the same set — so compaction is pure
+    read-amplification maintenance, exactly like the CellStore's minor
+    fold. Contract: requires the same single-writer window as append
+    (the per-list swap is not snapshot-isolated for concurrent readers;
+    a table-format manifest would be the next layer's job)."""
+    import os
+    import shutil
+    import uuid
+
+    base = path.rstrip("/")
+    tombs = _tombstones(spark, base)
+    if tombs is None:
+        return {"tombstones": 0, "lists_rewritten": 0}
+    folded_dirs = [
+        os.path.join(base, _TOMBSTONE_ROOT, d)
+        for d in os.listdir(os.path.join(base, _TOMBSTONE_ROOT))
+        if d.startswith("d-")
+    ]
+    rows = tombs.collect()  # bounded: deletes since the last compact
+    if not rows:
+        return {"tombstones": 0, "lists_rewritten": 0}
+    victims = {r["vec_id"] for r in rows}
+    affected = sorted({r["list_id"] for r in rows})
+    vdf = spark.createDataFrame(
+        [(int(v),) for v in victims], "vec_id long"
+    )
+    survivors = (
+        spark.read.option("basePath", base)
+        .parquet(*[os.path.join(base, f"list_id={l}") for l in affected])
+        .join(F.broadcast(vdf), "vec_id", "left_anti")
+    )
+    tag = uuid.uuid4().hex[:12]
+    staging = os.path.join(base, f".staging-compact-{tag}")
+    survivors.write.mode("overwrite").partitionBy("list_id").parquet(staging)
+    for l in affected:
+        old = os.path.join(base, f"list_id={l}")
+        new = os.path.join(staging, f"list_id={l}")
+        retired = os.path.join(staging, f".retired-{l}")
+        os.rename(old, retired)
+        if os.path.isdir(new):
+            os.rename(new, old)
+        # a list whose every row was tombstoned has no staging dir:
+        # the partition simply disappears (same as an empty LSM level)
+    shutil.rmtree(staging, ignore_errors=True)
+    for d in folded_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    return {"tombstones": len(rows), "lists_rewritten": len(affected)}

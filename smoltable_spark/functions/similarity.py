@@ -433,6 +433,27 @@ def build_ivf_index(
     cents.write.mode("overwrite").parquet(path.rstrip("/") + "/_centroids")
 
 
+def ivf_tombstones(spark, path: str):
+    """DataFrame(vec_id, list_id) of committed delete tombstones for a
+    persisted IVF index, or None (functions/ann_index.py writes them
+    under the underscore-prefixed ``_tombstones/`` root, invisible to
+    the index's own partition discovery). Lives here so the serving
+    path needs no import of the maintenance module."""
+    import os
+
+    root = os.path.join(path.rstrip("/"), "_tombstones")
+    if not os.path.isdir(root):
+        return None
+    dirs = [
+        os.path.join(root, d)
+        for d in os.listdir(root)
+        if d.startswith("d-") and os.path.isdir(os.path.join(root, d))
+    ]
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs)
+
+
 def query_ivf_index(
     spark,
     path: str,
@@ -474,6 +495,16 @@ def query_ivf_index(
             "list_id",
         )
     )
+    tombs = ivf_tombstones(spark, path)
+    if tombs is not None:
+        # deletes-as-tombstones (functions/ann_index.py): mask deleted
+        # vectors at serve time — O(tombstones since last compact) on
+        # the probed lists only; compact_ivf_index folds them away
+        corpus_lists = corpus_lists.join(
+            tombs.select(F.col("vec_id").alias("neighbor_id")).distinct(),
+            "neighbor_id",
+            "left_anti",
+        )
     query_probes = qd.join(probes, "vec_id").select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qq"),

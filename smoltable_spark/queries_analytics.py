@@ -2762,7 +2762,13 @@ def _ann_oracle(k: int = 10, bucketed: bool = False) -> str:
     """
 
 
-def _ann_ivf_oracle(k: int = 10, n_centroids: int = 8, nprobe: int = 2) -> str:
+def _ann_ivf_oracle(k: int = 10, n_centroids: int = 8, nprobe: int = 2,
+                    corpus_where: str = "TRUE") -> str:
+    """``corpus_where``: SQL predicate restricting which vectors remain
+    SERVABLE corpus members (the delete-tombstone mirror) — the
+    quantizer (cents) and the query batch always come from the FULL
+    table, exactly like a frozen-centroid index whose deletes never
+    touch the coarse quantizer."""
     dot = (
         "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
     )
@@ -2779,7 +2785,8 @@ def _ann_ivf_oracle(k: int = 10, n_centroids: int = 8, nprobe: int = 2) -> str:
                      row_number() OVER (PARTITION BY vec_id
                                         ORDER BY ccos DESC, cid) AS r
               FROM cdot),
-    assign AS (SELECT vec_id, cid AS list_id FROM crank WHERE r = 1),
+    assign AS (SELECT vec_id, cid AS list_id FROM crank
+               WHERE r = 1 AND ({corpus_where})),
     probes AS (SELECT vec_id, cid AS list_id FROM crank
                WHERE r <= {nprobe} AND vec_id < 5),
     scored AS (
@@ -11230,3 +11237,50 @@ def dedup_stream_admit(spark, sf_dir):
             "admitted",
         )
     )
+
+
+@q(
+    "ann_ivf_deleted",
+    _ann_ivf_oracle(k=10, n_centroids=8, nprobe=2,
+                    corpus_where="vec_id % 7 <> 6"),
+)
+def ann_ivf_deleted(spark, sf_dir):
+    """Persisted-index DELETES (functions/ann_index.py::
+    delete_from_ivf_index + compact_ivf_index) — the third maintenance
+    op beside build and append, closing the index's LSM triangle:
+    vectors with vec_id % 7 == 6 are tombstoned (one column-pruned scan
+    resolves ids to list assignments; the (vec_id, list_id) batch
+    commits atomically under ``_tombstones/``), the query batch is
+    served with the tombstone anti-join mask, then
+    ``compact_ivf_index`` physically rewrites ONLY the affected list
+    partitions and clears the tombstones — and the row ASSERTS the
+    masked and compacted servings are bit-identical before returning
+    the compacted one. The oracle serves the same batch against the
+    surviving corpus under the UNCHANGED frozen quantizer — deletes
+    must be invisible except for the missing neighbors. 100 TB: delete
+    cost is O(batch) + one metadata commit; compact cost is O(affected
+    lists); a full-index rewrite never happens."""
+    from smoltable_spark.functions.ann_index import (
+        compact_ivf_index,
+        delete_from_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = scratch_dir("smoltable_ivf_del_") + "/ivf"
+    similarity.build_ivf_index(emb, path, n_centroids=8)
+    delete_from_ivf_index(
+        spark, path, emb.filter(F.col("vec_id") % 7 == 6).select("vec_id")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    def serve():
+        return similarity.query_ivf_index(
+            spark, path, queries, k=10, nprobe=2
+        ).withColumn("rank", F.col("rank").cast("int"))
+
+    masked = sorted(map(tuple, serve().collect()))
+    stats = compact_ivf_index(spark, path)
+    assert stats["tombstones"] > 0 and stats["lists_rewritten"] > 0
+    compacted = serve()
+    assert sorted(map(tuple, compacted.collect())) == masked
+    return compacted

@@ -49,6 +49,12 @@ BOUNDED_BROADCASTS: dict[tuple[str, str], str] = {
     ("functions/sampling.py", "dsir_log_weights"):
         "scalar total + per-bucket log-ratio table bounded by the "
         "fixed hash-bucket count",
+    ("functions/ann_index.py", "delete_from_ivf_index"):
+        "contract: the user-supplied delete id batch (a maintenance API "
+        "request, bounded); the index side streams",
+    ("functions/ann_index.py", "compact_ivf_index"):
+        "victims = tombstones since the last compact (bounded by the "
+        "same delete batches); the affected-list scan streams",
     ("functions/similarity.py", "_nearest_centroids"):
         "k centroids (k-means parameter), fixed small k",
     ("functions/similarity.py", "_pq_assign"):

@@ -828,7 +828,7 @@ def main():
     for _cq9 in ("wc_minor_compact",):
         _fn = _CQ[_cq9][0]
         timed(f"{_cq9}_10x", lambda _f=_fn: _f(spark, OUT).count())
-    for _nq9 in ("dedup_stream_admit",):
+    for _nq9 in ("dedup_stream_admit", "ann_ivf_deleted"):
         _fn = _AQ[_nq9][0]
         timed(f"{_nq9}_10x", lambda _f=_fn: _f(spark, OUT).count())
 
