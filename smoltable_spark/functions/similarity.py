@@ -866,6 +866,15 @@ def query_ivfpq_index(
         )
     )
     codes = spark.read.parquet(path).filter(F.col("list_id").isin(probe_ids))
+    tombs = ivf_tombstones(spark, path)
+    if tombs is not None:
+        # same delete-tombstone mask as query_ivf_index: the maintenance
+        # layout (_tombstones/ of (vec_id, list_id)) is shared by both
+        # index kinds, so deletes committed by delete_from_ivf_index
+        # are honored by ADC serving too
+        codes = codes.join(
+            tombs.select("vec_id").distinct(), "vec_id", "left_anti"
+        )
     adc = (
         codes.join(F.broadcast(probes), "list_id")
         .filter(F.col("vec_id") != F.col("query_id"))

@@ -133,3 +133,38 @@ def test_incremental_delete_batches_accumulate(spark, built):
     assert sorted(r["vec_id"] for r in t.collect()) == [6, 13]
     got = _serve(spark, path, emb)
     assert not any(r[1] in (6, 13) for r in got)
+
+
+def test_ivfpq_honors_tombstones_and_compact(spark, sf_dir, tmp_path):
+    """The maintenance layout is shared: deletes committed by
+    delete_from_ivf_index mask ADC serving on an IVF-PQ index too, and
+    compact folds the codes rows (all M subcodes of a victim)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfpq")
+    similarity.build_ivfpq_index(emb, path, n_centroids=8, m=8)
+
+    def serve():
+        q = emb.filter(F.col("vec_id") < 5)
+        return sorted(
+            map(
+                tuple,
+                similarity.query_ivfpq_index(
+                    spark, path, q, k=10, nprobe=2, m=8
+                ).collect(),
+            )
+        )
+
+    before = serve()
+    assert any(r[1] % 7 == 6 for r in before)  # victims present pre-delete
+    n = delete_from_ivf_index(
+        spark, path, emb.filter(F.col("vec_id") % 7 == 6).select("vec_id")
+    )
+    assert n > 0
+    masked = serve()
+    assert not any(r[1] % 7 == 6 for r in masked)
+    stats = compact_ivf_index(spark, path)
+    assert stats["lists_rewritten"] > 0
+    assert serve() == masked
+    assert (
+        spark.read.parquet(path).filter(F.col("vec_id") % 7 == 6).count() == 0
+    )
