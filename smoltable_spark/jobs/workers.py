@@ -100,6 +100,15 @@ def tiered_compaction_worker(
     else:
         v = store.minor_compact()
         kind = "minor"
+        if v == n:
+            # ADVICE r9: minor_compact() no-ops when the trailing plain-
+            # delta run is < 2 (stacked minors + one delta — reachable
+            # when l0_threshold <= minor_fanin). Recording a fold metric
+            # and reporting success here would re-trigger every cycle
+            # with zero progress; escalate to the major rewrite instead,
+            # which is the only move that actually shrinks the chain.
+            v = store.compact()
+            kind = "major"
     if metrics is not None:
         metrics.record(
             [(f"compact#{kind}_fold_cnt", float(len(pending)))],

@@ -11284,3 +11284,115 @@ def ann_ivf_deleted(spark, sf_dir):
     compacted = serve()
     assert sorted(map(tuple, compacted.collect())) == masked
     return compacted
+
+
+def _ann_ivf_readd_oracle(k: int = 10, n_centroids: int = 8,
+                          nprobe: int = 2) -> str:
+    """IVF serving over the POST-UPSERT corpus: every vec_id % 7 == 6 is
+    deleted and re-added with its predecessor's embedding. The quantizer
+    (cents) and the query batch still come from the ORIGINAL table — a
+    frozen coarse quantizer never changes on delete/add."""
+    dot = (
+        "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 6
+      UNION ALL
+      SELECT e.vec_id, p.embedding FROM embeddings e
+      JOIN embeddings p ON p.vec_id = e.vec_id - 1
+      WHERE e.vec_id % 7 = 6
+    ),
+    vo AS (SELECT vec_id, {_QVEC_SQL} AS q FROM embeddings),
+    norig AS (SELECT vec_id, q,
+                     list_sum(list_transform(q, x -> x * x)) AS nrm2 FROM vo),
+    cents AS (SELECT vec_id AS cid, q AS cq, nrm2 AS cn2 FROM norig
+              WHERE vec_id < {n_centroids}),
+    vc AS (SELECT vec_id, {_QVEC_SQL} AS q FROM corpus),
+    ncorp AS (SELECT vec_id, q,
+                     list_sum(list_transform(q, x -> x * x)) AS nrm2 FROM vc),
+    cdot AS (SELECT n.vec_id, c.cid,
+                    {dot.format(a='n.q', b='c.cq')} /
+                    (sqrt(CAST(n.nrm2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS ccos
+             FROM ncorp n CROSS JOIN cents c),
+    assign AS (SELECT vec_id, cid AS list_id FROM (
+                 SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY ccos DESC, cid) AS r
+                 FROM cdot) WHERE r = 1),
+    qdot AS (SELECT n.vec_id, c.cid,
+                    {dot.format(a='n.q', b='c.cq')} /
+                    (sqrt(CAST(n.nrm2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS ccos
+             FROM norig n CROSS JOIN cents c WHERE n.vec_id < 5),
+    probes AS (SELECT vec_id, cid AS list_id FROM (
+                 SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY ccos DESC, cid) AS r
+                 FROM qdot) WHERE r <= {nprobe}),
+    scored AS (
+      SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+             {dot.format(a='cn.q', b='qn.q')} /
+             (sqrt(CAST(cn.nrm2 AS DOUBLE)) * sqrt(CAST(qn.nrm2 AS DOUBLE))) AS cosine
+      FROM assign a JOIN probes p ON p.list_id = a.list_id AND a.vec_id <> p.vec_id
+                    JOIN ncorp cn ON cn.vec_id = a.vec_id
+                    JOIN norig qn ON qn.vec_id = p.vec_id),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@q("ann_ivf_readd", _ann_ivf_readd_oracle(k=10, n_centroids=8, nprobe=2))
+def ann_ivf_readd(spark, sf_dir):
+    """Delete-then-re-add the SAME vec_id with a NEW vector — the
+    standard vector-DB upsert (FAISS ``remove_ids`` + ``add``) and the
+    r9 VERDICT's 'resurrection' defect: before r10, the vec_id-keyed
+    tombstone silently masked the re-added vector at serve time and the
+    next ``compact_ivf_index`` permanently dropped it.
+    ``append_ivf_index`` now FOLDS intersecting tombstones first (a
+    targeted compact restricted to the batch's ids — old rows
+    physically dropped from their recorded lists, tombstones cleared
+    atomically), so the published new rows serve unmasked. Every
+    vec_id % 7 == 6 is deleted and re-added with its predecessor's
+    embedding; the row asserts no tombstone survives the upsert and
+    that a subsequent compact leaves serving BIT-IDENTICAL. The oracle
+    serves the post-upsert corpus under the UNCHANGED frozen quantizer.
+    100 TB: upsert cost is O(affected lists) only for ids that actually
+    carry tombstones; plain appends pay one bounded tombstone read."""
+    from smoltable_spark.functions.ann_index import (
+        append_ivf_index,
+        compact_ivf_index,
+        delete_from_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = scratch_dir("smoltable_ivf_readd_") + "/ivf"
+    similarity.build_ivf_index(emb, path, n_centroids=8)
+    victims = emb.filter(F.col("vec_id") % 7 == 6)
+    delete_from_ivf_index(spark, path, victims.select("vec_id"))
+    replacement = (
+        victims.alias("e")
+        .join(
+            emb.alias("p"),
+            F.col("p.vec_id") == F.col("e.vec_id") - 1,
+        )
+        .select(
+            F.col("e.vec_id").alias("vec_id"),
+            F.col("p.embedding").alias("embedding"),
+        )
+    )
+    append_ivf_index(spark, path, replacement)
+    assert similarity.ivf_tombstones(spark, path) is None  # upsert folded
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    def serve():
+        return similarity.query_ivf_index(
+            spark, path, queries, k=10, nprobe=2
+        ).withColumn("rank", F.col("rank").cast("int"))
+
+    upserted = sorted(map(tuple, serve().collect()))
+    compact_ivf_index(spark, path)  # nothing left to fold: no-op
+    compacted = serve()
+    assert sorted(map(tuple, compacted.collect())) == upserted
+    return compacted

@@ -135,6 +135,114 @@ def test_incremental_delete_batches_accumulate(spark, built):
     assert not any(r[1] in (6, 13) for r in got)
 
 
+def test_reappend_after_delete_serves_new_vector(spark, sf_dir, tmp_path, built):
+    """VERDICT r9 'resurrection' bug: delete(id) then append a NEW
+    vector with the same id (the standard vector-DB upsert, FAISS
+    remove_ids + add) must serve the NEW vector — before r10, the
+    vec_id-keyed tombstone silently masked it at serve time and the
+    next compact permanently dropped it."""
+    from smoltable_spark.functions.ann_index import append_ivf_index
+
+    emb, path = built
+    delete_from_ivf_index(
+        spark, path, emb.filter(F.col("vec_id") == 6).select("vec_id")
+    )
+    assert not any(r[1] == 6 for r in _serve(spark, path, emb))
+    # re-append id 6 with a DIFFERENT embedding — query vector 0's,
+    # so the upserted id is guaranteed a top-k neighbor of query 0
+    new6 = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(6).cast("long").alias("vec_id"), "embedding"
+    )
+    append_ivf_index(spark, path, new6)
+    # the upsert folded the intersecting tombstone: nothing outstanding
+    assert similarity.ivf_tombstones(spark, path) is None
+    served = _serve(spark, path, emb)
+    # reference: index built on (corpus minus old 6) plus the new 6,
+    # under the SAME frozen quantizer (centroids = full-corpus vec_id<8)
+    cents = similarity.with_quantized_norm(
+        emb.filter(F.col("vec_id") < 8), "embedding"
+    ).select(
+        F.col("vec_id").alias("cid"),
+        F.col("q").alias("cq"),
+        F.col("nrm2").alias("cn2"),
+    )
+    ref_path = str(tmp_path / "ivf_ref")
+    similarity.build_ivf_index(
+        emb.select("vec_id", "embedding")
+        .filter(F.col("vec_id") != 6)
+        .unionByName(new6),
+        ref_path,
+        centroids=cents,
+    )
+    assert served == _serve(spark, ref_path, emb)
+    # compact must be a no-op for serving: BIT-IDENTICAL, new 6 intact
+    compact_ivf_index(spark, path)
+    assert _serve(spark, path, emb) == served
+
+
+def test_reappend_preserves_other_tombstones(spark, built):
+    """The upsert fold is targeted: only the batch's ids leave the
+    tombstone set; unrelated outstanding deletes keep masking."""
+    from smoltable_spark.functions.ann_index import append_ivf_index
+
+    emb, path = built
+    delete_from_ivf_index(
+        spark, path, emb.filter(F.col("vec_id").isin(6, 13)).select("vec_id")
+    )
+    new6 = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(6).cast("long").alias("vec_id"), "embedding"
+    )
+    append_ivf_index(spark, path, new6)
+    t = similarity.ivf_tombstones(spark, path)
+    assert [r["vec_id"] for r in t.collect()] == [13]
+    got = _serve(spark, path, emb)
+    assert any(r[1] == 6 for r in got)  # new 6 serves
+    assert not any(r[1] == 13 for r in got)  # 13 still masked
+    # and a later compact folds 13 without touching the new 6
+    stats = compact_ivf_index(spark, path)
+    assert stats["tombstones"] == 1
+    assert _serve(spark, path, emb) == got
+
+
+def test_fold_fails_fast_on_crash_evidence(spark, built):
+    """ADVICE r9 (medium): leftover swap dirs from a crashed fold must
+    abort the next fold with reconciliation instructions instead of
+    silently compounding the damage."""
+    emb, path = built
+    delete_from_ivf_index(
+        spark, path, emb.filter(F.col("vec_id") == 6).select("vec_id")
+    )
+    evidence = os.path.join(path, ".new-list_id=0")
+    os.makedirs(evidence)
+    with pytest.raises(IOError, match="crashed mid-swap"):
+        compact_ivf_index(spark, path)
+    os.rmdir(evidence)
+    stale = os.path.join(path, ".staging-compact-deadbeef")
+    os.makedirs(stale)
+    with pytest.raises(IOError, match="crashed mid-swap"):
+        compact_ivf_index(spark, path)
+    os.rmdir(stale)
+    assert compact_ivf_index(spark, path)["tombstones"] == 1  # recovers
+
+
+def test_compact_tolerates_vanished_list_dir(spark, built):
+    """ADVICE r9: a tombstone referencing an already-removed list dir
+    (replay after crash reconciliation, or a fully-deleted list) must
+    fold cleanly instead of raising on the parquet read."""
+    import shutil
+
+    emb, path = built
+    delete_from_ivf_index(
+        spark, path, emb.filter(F.col("vec_id") == 6).select("vec_id")
+    )
+    t = similarity.ivf_tombstones(spark, path).collect()
+    assert len(t) == 1
+    shutil.rmtree(os.path.join(path, f"list_id={t[0]['list_id']}"))
+    stats = compact_ivf_index(spark, path)
+    assert stats == {"tombstones": 1, "lists_rewritten": 0}
+    assert similarity.ivf_tombstones(spark, path) is None
+
+
 def test_ivfpq_honors_tombstones_and_compact(spark, sf_dir, tmp_path):
     """The maintenance layout is shared: deletes committed by
     delete_from_ivf_index mask ADC serving on an IVF-PQ index too, and
