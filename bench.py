@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -244,34 +245,51 @@ REGRESSION_FACTOR = 1.5
 #: 0.26→0.41 s, 1.83× vs drift median): the implementation is the
 #: native one-pass groupingSets expand — 0.4 s absolute smells like
 #: noise, and the isolated row decides.
+#: txt_cm_frequency added per VERDICT r9 ask #3 (pending flag
+#: 0.663→1.16 s, 1.79× vs drift median): the plan is the intended
+#: 4096-key bounded shuffle whatever the corpus; 1.2 s absolute smells
+#: like noise, and the isolated row decides — exactly the
+#: rel_grouping_sets protocol (r9 isolated re-measure: 0.184 s, noise).
 WATCHLIST = [
     "pipeline_temperature_mix",
     "emb_cosine_hist",
     "txt_collocations",
     "rel_grouping_sets",
+    "txt_cm_frequency",
 ]
 
 #: Deliberate plan-shape trades the regression gate must record as
-#: ACCEPTED (with the reason) instead of red-flagging: VERDICT r8 ask #1
-#: replaced unpartitioned row-sized windows (single-partition global
-#: sorts — fast at sf0.1, a driver-killer at 100 TB) with
+#: ACCEPTED (with the reason) instead of red-flagging: e.g. VERDICT r8
+#: ask #1 replaced unpartitioned row-sized windows (single-partition
+#: global sorts — fast at sf0.1, a driver-killer at 100 TB) with
 #: operators/rank.py's two-phase decomposition, whose ~1 s of fixed
-#: multi-job overhead (range shuffle + checkpoint + offset collect) is
-#: the measured sf0.1 price of the scale-safe plan. The isolated-confirm
-#: protocol still runs, the numbers are still recorded — only the
-#: verdict class changes. An entry here must name its round and cause.
-ACCEPTED_PLAN_CHANGES = {
-    "rel_percentile_rank":
-        "r9: rank()/count() OVER () -> value_min_ranks two-phase global "
-        "rank (VERDICT r8 ask #1); fixed rank-op overhead at sf0.1",
-    "pipeline_interleave_datasets":
-        "r9: per-stream + train-order unpartitioned windows -> ONE "
-        "grouped_ranked_values pass + closed-form slot inversion "
-        "(VERDICT r8 ask #1); fixed rank-op overhead at sf0.1",
-    "txt_zipf_fit":
-        "r9: vocab-sized unpartitioned window -> ranked_rows two-phase "
-        "rank (VERDICT r8 ask #1); fixed rank-op overhead at sf0.1",
-}
+#: multi-job overhead is the measured sf0.1 price of the scale-safe
+#: plan. The isolated-confirm protocol still runs, the numbers are
+#: still recorded — only the verdict class changes.
+#:
+#: SCOPED (ADVICE r9): each entry is (landed_round, reason) and applies
+#: ONLY while the comparison baseline predates the landing round — once
+#: BENCH_r{landed} becomes the prev baseline, its times already include
+#: the accepted plan, so any FURTHER confirmed regression of the same
+#: query is a new, unexplained slowdown and must red-flag normally.
+#: (The r9 two-phase-rank entries for rel_percentile_rank /
+#: pipeline_interleave_datasets / txt_zipf_fit expired exactly this
+#: way: BENCH_r09 is now prev, so they are gone rather than blanket
+#: carve-outs.)
+ACCEPTED_PLAN_CHANGES: dict[str, tuple[int, str]] = {}
+
+
+def _accepted_reason(name: str, prev_round: int | None) -> str | None:
+    """Reason string if ``name`` has an accepted-plan entry still in
+    scope for a baseline from ``prev_round`` (None = unknown round,
+    treated as in scope so a fresh-local baseline doesn't unexpire)."""
+    entry = ACCEPTED_PLAN_CHANGES.get(name)
+    if entry is None:
+        return None
+    landed, reason = entry
+    if prev_round is not None and prev_round >= landed:
+        return None  # baseline already includes the accepted plan
+    return reason
 
 #: queries whose cost is dominated by fixed micro-batch harness overhead
 #: (availableNow replay + memory sink) that the warm metric hides — their
@@ -484,8 +502,14 @@ def main():
                     and ((iso_min - p) > 0.5 or r_iso > 3.0 * norm
                          or info.get("promoted_from_pending"))
                 )
-                if confirmed and name in ACCEPTED_PLAN_CHANGES:
-                    info["accepted_reason"] = ACCEPTED_PLAN_CHANGES[name]
+                prev_round_n = None
+                if prev_source:
+                    m_ = re.search(r"BENCH_r(\d+)\.json", prev_source)
+                    if m_:
+                        prev_round_n = int(m_.group(1))
+                reason = _accepted_reason(name, prev_round_n) if confirmed else None
+                if confirmed and reason is not None:
+                    info["accepted_reason"] = reason
                     accepted_regressions[name] = info
                     verdict = "ACCEPTED plan change"
                 elif confirmed:

@@ -10778,6 +10778,130 @@ def stream_store_cdc_zorder(spark, sf_dir):
 
 
 @q(
+    "stream_store_cdc_minor",
+    """
+    WITH k AS (SELECT event_type, user_id, event_id, value,
+                      (epoch_ns(ts) // 1000) * 1000 AS tsn FROM events
+               WHERE event_id % 5 = 0),
+         d AS (SELECT * FROM (
+            SELECT k.*, row_number() OVER (PARTITION BY event_type, user_id,
+                                           tsn ORDER BY event_id DESC) AS _r
+            FROM k) WHERE _r = 1)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(round(value * 100)) AS BIGINT) AS total_cents,
+           CAST((SELECT count(*) FROM d) AS BIGINT) AS processed_rows,
+           CAST((SELECT count(*) FROM d) AS BIGINT) AS physical_cells,
+           CAST(1 AS INT) AS exactly_once,
+           CAST(4 AS INT) AS n_commits,
+           CAST(1 AS INT) AS fold_was_benign,
+           CAST(1 AS INT) AS vacuum_guard_fired
+    FROM d GROUP BY event_type
+    """,
+)
+def stream_store_cdc_minor(spark, sf_dir):
+    """Streaming CDC ACROSS minor compaction (VERDICT r9 ask #1 —
+    closing r9's analog of the r8 zorder/CDC exclusion, where the two
+    newest features were mutually exclusive in steady state). Minor
+    legs commit under the dot-prefixed stream-invisible dir name
+    (sources/store.py::_MINOR_DIR), so the checkpointed file source
+    keeps consuming the ORIGINAL delta legs and a ``minor_compact()``
+    between incarnations is a benign re-layout — the reference's LSM
+    runs exactly this continuously under live readers
+    (smoltable/src/table/mod.rs:156-165). Oracle-pinned claims, on a
+    1/5 event_id subsample (the invariants are scale-free):
+
+    - two delta appends are drained, ``minor_compact()`` folds them,
+      a third append lands, and the SECOND stream incarnation drains
+      it with the chain guard PASSING across the fold
+      (fold_was_benign) — the maintained per-type (n_cells,
+      total_cents) equal the raw-event aggregate with NO double count
+      of the folded cells;
+    - exactly-once: the folded-row witness equals the store's physical
+      cell count THROUGH the fold (the minor leg's footer rows replace
+      its originals' one-for-one);
+    - the benignity is conditional, not assumed: ``vacuum(keep_last=1)``
+      reclaims the folded originals, and the next incarnation raises
+      the resync error (vacuum_guard_fired) because consumption of the
+      vanished files can no longer be proven — size retention to
+      consumer lag, the standard change-feed contract.
+
+    100 TB: per-commit cost O(batch)+O(rollup); the guard's kind walk
+    is cached behind a high-water mark (O(new commits) per trigger)."""
+    from smoltable_spark.api import ColumnFamilyDef
+    from smoltable_spark.queries_core import _events_cells_seq
+    from smoltable_spark.sources.store import CellStore
+    from smoltable_spark.streaming.store_cdc import (
+        StoreChangeRollup,
+        stream_store_changes,
+        stream_store_rollup,
+    )
+
+    tmp = scratch_dir("smoltable_mcdc_")
+    store = CellStore(spark, tmp + "/store")
+    store.save_families([ColumnFamilyDef("value", lg="")])
+    cells = _events_cells_seq(spark, sf_dir, mod=5)
+    user_slice = F.substring(F.col("row_key"), -6, 6).cast("long") % 3
+    rollup = StoreChangeRollup(
+        spark,
+        tmp + "/rollup",
+        keys=["event_type"],
+        sums={"total_cents": "cast(round(v_f64 * 100) as long)"},
+        store=store,
+    )
+
+    def run_phase():
+        s = stream_store_changes(spark, store).withColumn(
+            "event_type", F.split(F.col("row_key"), "#").getItem(0)
+        )
+        q_ = stream_store_rollup(s, rollup, tmp + "/ckpt")
+        if not q_.awaitTermination(300):
+            q_.stop()
+            raise TimeoutError("stream_store_cdc_minor: phase did not finish")
+
+    store.append(cells.filter(user_slice == 0), seq_col="_seq")
+    store.append(cells.filter(user_slice == 1), seq_col="_seq")
+    run_phase()  # drains commits 1-2, then 'crash' (query object dies)
+    v_minor = store.minor_compact()  # folds (1,2): stream-invisible
+    store.append(cells.filter(user_slice == 2), seq_col="_seq")
+    fold_was_benign = 0
+    try:
+        run_phase()  # guard must PASS across the fold; only commit 4 arrives
+        fold_was_benign = 1
+    except Exception:
+        pass
+    n_commits = store.current_version()
+    physical = store.approximate_cell_count()
+    processed = rollup.processed_rows()
+    maintained = rollup.result()
+    assert store._kind(v_minor) == "minor"
+
+    # reclaiming the folded originals makes consumption unprovable —
+    # the next incarnation must force the resync
+    store.vacuum(keep_last=1)
+    vacuum_guard_fired = 0
+    try:
+        run_phase()
+    except Exception as e:  # wiring-time chain guard (plain ValueError)
+        if "vacuumed" in str(e):
+            vacuum_guard_fired = 1
+
+    return maintained.select(
+        "event_type",
+        F.col("_rows").cast("long").alias("n_cells"),
+        F.col("total_cents").cast("long").alias("total_cents"),
+        F.lit(processed).cast("long").alias("processed_rows"),
+        F.lit(physical).cast("long").alias("physical_cells"),
+        F.lit(1 if processed == physical else 0).cast("int").alias(
+            "exactly_once"
+        ),
+        F.lit(n_commits).cast("int").alias("n_commits"),
+        F.lit(fold_was_benign).cast("int").alias("fold_was_benign"),
+        F.lit(vacuum_guard_fired).cast("int").alias("vacuum_guard_fired"),
+    )
+
+
+@q(
     "mm_color_features",
     """
     WITH img AS (

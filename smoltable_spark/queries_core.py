@@ -1077,7 +1077,13 @@ def wc_minor_compact(spark, sf_dir):
     changes_base = store.read_changes(v1).count()
     changes_fold = store.read_changes(v_minor).count()
     store.vacuum(keep_last=1)
-    dirs = sum(1 for d in os.listdir(store.path) if d.startswith("v="))
+    # count leg dirs in BOTH name forms (minor legs live under the
+    # dot-prefixed stream-invisible name since round 10)
+    dirs = sum(
+        1
+        for d in os.listdir(store.path)
+        if store._dirname_version(d) is not None
+    )
     n_cells2, cents2 = observables()
     assert cents2 == cents
     return spark.createDataFrame(

