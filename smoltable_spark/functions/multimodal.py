@@ -1219,6 +1219,7 @@ def parse_container(payload: bytes) -> dict:
         content = b""
         precision = sof_marker = None
         ncomp = 0
+        adobe_transform = None  # APP14 Adobe color-transform byte
         sof_comps: list[tuple] = []
         dqt: dict[int, np.ndarray] = {}  # Tq -> 64 coefficients, zigzag order
         dht: dict[tuple[int, int], tuple] = {}  # (class, id) -> (bits, vals)
@@ -1252,6 +1253,12 @@ def parse_container(payload: bytes) -> dict:
                 ]  # (component id, Hi<<4|Vi, quant table id)
             elif marker == 0xFE:  # COM
                 content += data
+            elif marker == 0xEE and data[:5] == b"Adobe" and len(data) >= 12:
+                # APP14 Adobe: DCTEncodeVersion(2) flags0(2) flags1(2)
+                # transform(1) — transform 0 = CMYK (or RGB for ncomp=3),
+                # 1 = YCbCr, 2 = YCCK. The only in-band signal real
+                # 4-component JPEGs carry for their color model.
+                adobe_transform = int(data[11])
             elif marker == 0xDB:  # DQT: one or more (Pq|Tq, 64|128B) tables
                 p = 0
                 while p < len(data):
@@ -1324,6 +1331,7 @@ def parse_container(payload: bytes) -> dict:
             "sof_comps": sof_comps, "sof_marker": sof_marker,
             "dqt": dqt, "dht": dht, "sos": sos, "scan": scan,
             "scan_segments": scan_segments, "scans": scans, "dri": int(dri),
+            "adobe_transform": adobe_transform,
         }
     # 'BM' alone is two printable ASCII chars and occurs at the start of
     # ordinary text ("BMW announced..."), unlike the other containers'
@@ -2306,6 +2314,11 @@ def jpeg_decode_color(info: dict) -> np.ndarray:
     4:4:4 and beyond); single-component frames should use
     ``jpeg_decode``."""
     planes, hvs, hmax, vmax = _decode_color_planes(info)
+    if info["ncomp"] == 4:
+        return _cmyk_planes_to_rgb(
+            planes, hvs, hmax, vmax, info["width"], info["height"],
+            info.get("adobe_transform"),
+        )
     return _planes_to_rgb(planes, hvs, hmax, vmax,
                           info["width"], info["height"])
 
@@ -2318,6 +2331,36 @@ def _planes_to_rgb(planes, hvs, hmax, vmax, w: int, h: int) -> np.ndarray:
         up = np.repeat(np.repeat(plane, vmax // v_i, axis=0), hmax // h_i, axis=1)
         full.append(up[:h, :w])
     return ycbcr_to_rgb(full[0], full[1], full[2])
+
+
+def _cmyk_planes_to_rgb(
+    planes, hvs, hmax, vmax, w: int, h: int, transform: int | None
+) -> np.ndarray:
+    """4-component (CMYK/YCCK) tail — round 10, retiring the ncomp=4
+    boundary (scanned PDFs and print-pipeline images in real crawls).
+    Adobe JPEGs store CMYK INVERTED (libjpeg convention: byte = 255-C),
+    so with stored bytes c,m,y,k the composite is
+    R = round(c*k/255), G = round(m*k/255), B = round(y*k/255)
+    (the (255-C)(255-K)/255 identity on inverted values). APP14
+    transform 2 (YCCK) additionally routes the first three channels
+    through the T.871 YCbCr->RGB transform to recover the inverted CMY
+    before the K multiply; transform 0/absent reads the planes as CMYK
+    directly. round = floor(x + 0.5) so the oracle's SQL matches
+    bit-for-bit (c*k <= 65025 is double-exact)."""
+    full = []
+    for (h_i, v_i), plane in zip(hvs, planes):
+        up = np.repeat(np.repeat(plane, vmax // v_i, axis=0), hmax // h_i, axis=1)
+        full.append(up[:h, :w])
+    if transform == 1:
+        raise ValueError(
+            "APP14 transform=1 (YCbCr) is invalid for a 4-component frame"
+        )
+    if transform == 2:  # YCCK: undo the YCbCr leg to get inverted CMY
+        cmy = ycbcr_to_rgb(full[0], full[1], full[2]).astype(np.float64)
+    else:  # CMYK (transform 0 or no APP14): planes are the channels
+        cmy = np.stack(full[:3], axis=-1).astype(np.float64)
+    k = full[3].astype(np.float64)[..., None]
+    return np.floor(cmy * k / 255.0 + 0.5).astype(np.uint8)
 
 
 def _native_planes(planes, hvs, hmax, vmax, w: int, h: int):
@@ -2351,11 +2394,15 @@ def _decode_color_planes(
     """Shared color entry: validate, then decode to MCU-padded
     per-component planes via the baseline or progressive path. Returns
     (planes, [(Hi, Vi)], Hmax, Vmax)."""
-    if info.get("precision") != 8 or info.get("ncomp") != 3:
+    if info.get("precision") != 8 or info.get("ncomp") not in (3, 4):
         raise NotImplementedError(
-            f"jpeg_decode_color: need 8-bit 3-component frames "
+            f"jpeg_decode_color: need 8-bit 3- or 4-component frames "
             f"(precision={info.get('precision')}, ncomp={info.get('ncomp')})"
         )
+    if info.get("ncomp") == 4 and info.get("sof_marker") == 0xC2:
+        # progressive CMYK/YCCK: no fixture source observed yet; the
+        # baseline path below covers the scanned-PDF/print-pipeline case
+        raise NotImplementedError("progressive 4-component (CMYK) frames")
     hvs_raw = [(hv >> 4, hv & 0xF) for _cid, hv, _tq in info["sof_comps"]]
     hmax = max(h_i for h_i, _ in hvs_raw)
     vmax = max(v_i for _, v_i in hvs_raw)
@@ -2381,7 +2428,7 @@ def _jpeg_decode_baseline_color_planes(
     sos = info["sos"]
     if sos["ss"] != 0 or sos["se"] != 63 or sos["ahal"] != 0:
         raise NotImplementedError("non-sequential spectral selection")
-    if sos["ns"] != 3:
+    if sos["ns"] != len(info["sof_comps"]):
         raise NotImplementedError("color decode requires a fully interleaved scan")
     w, h = info["width"], info["height"]
     comps = []  # (h_i, v_i, qt, dc_tab, ac_tab)
@@ -2410,14 +2457,14 @@ def _jpeg_decode_baseline_color_planes(
         raise ValueError("JPEG restart markers present without a DRI segment")
     seg_idx = 0
     rd = _JpegBitReader(segments[0])
-    preds = [0, 0, 0]
+    preds = [0] * len(comps)
     for mcu in range(mw * mh):
         if dri and mcu and mcu % dri == 0:
             seg_idx += 1
             if seg_idx >= len(segments):
                 raise ValueError("JPEG scan missing a restart segment")
             rd = _JpegBitReader(segments[seg_idx])
-            preds = [0, 0, 0]
+            preds = [0] * len(comps)
         mj, mi = divmod(mcu, mw)
         for ci, (h_i, v_i, qt, dc_tab, ac_tab) in enumerate(comps):
             for r in range(v_i):
@@ -2525,6 +2572,184 @@ def color_features(media: DataFrame) -> DataFrame:
 
     target = min(media.sparkSession.sparkContext.defaultParallelism, 8)
     return spread(media, target).mapInPandas(run, COLOR_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# CMYK / YCCK JPEG (round 10, VERDICT r9 ask #6): ncomp=4 frames with the
+# Adobe APP14 transform byte — scanned PDFs and print-pipeline images in
+# real crawls. Same oracle discipline: block-constant DC-only synthesis,
+# 4:4:4 sampling (MCU = one block per component), closed-form decode.
+
+
+def cmyk_block_values(
+    mid: int, width: int, height: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Deterministic per-block 4-channel constants for media id ``mid``
+    on the 4:4:4 block grid (bw = ceil(w/8), bh = ceil(h/8)): the first
+    three channels reuse the color generator's formulas on the SAME
+    grid (for YCCK fixtures they are the Y/Cb/Cr legs; for CMYK they
+    are read as C/M/Y directly), plus K = (11*mid + idx + 29) % 256."""
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    idx = np.arange(bh, dtype=np.int64)[:, None] * bw + np.arange(bw, dtype=np.int64)
+    p0 = ((mid + idx) % 256).astype(np.uint8)
+    p1 = ((3 * mid + idx + 101) % 256).astype(np.uint8)
+    p2 = ((7 * mid + idx + 53) % 256).astype(np.uint8)
+    p3 = ((11 * mid + idx + 29) % 256).astype(np.uint8)
+    return p0, p1, p2, p3
+
+
+def jpeg_bytes_cmyk(
+    width: int,
+    height: int,
+    content: bytes,
+    planes: tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray],
+    transform: int = 0,
+) -> bytes:
+    """Baseline 4-component JPEG from per-block CONSTANTS at 4:4:4
+    (every component 1x1 — one block per component per MCU), with the
+    Adobe APP14 marker carrying ``transform`` (0 = CMYK, 2 = YCCK).
+    All components bind quant table 0 (unit) and Huffman tables 0, the
+    common shape real CMYK encoders emit; blocks are DC-only, so the
+    decode round-trip is exact and closed-form recomputable in SQL."""
+    if transform not in (0, 2):
+        raise ValueError(f"APP14 transform must be 0 (CMYK) or 2 (YCCK), got {transform}")
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    for p in planes:
+        if p.shape != (bh, bw):
+            raise ValueError(f"plane blocks must be {(bh, bw)}, got {p.shape}")
+    out = [b"\xff\xd8"]
+    adobe = b"Adobe" + struct.pack(">HHHB", 0x64, 0, 0, transform)
+    out += [b"\xff\xee", struct.pack(">H", 2 + len(adobe)), adobe]
+    for off in range(0, max(len(content), 1), _JPEG_COM_MAX):
+        chunk = content[off : off + _JPEG_COM_MAX]
+        out += [b"\xff\xfe", struct.pack(">H", 2 + len(chunk)), chunk]
+    dqt = b"\x00" + bytes([1] * 64)
+    sof = struct.pack(">BHHB", 8, height, width, 4) + bytes(
+        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0, 4, 0x11, 0]
+    )
+    dht = b"".join(
+        bytes([tc << 4]) + bytes(_JPEG_DC_BITS if tc == 0 else _JPEG_AC_BITS)
+        + bytes(_JPEG_DC_VALS if tc == 0 else _JPEG_AC_VALS)
+        for tc in (0, 1)
+    )
+    sos = b"\x04" + bytes([1, 0x00, 2, 0x00, 3, 0x00, 4, 0x00]) + b"\x00\x3f\x00"
+    out += [
+        b"\xff\xdb", struct.pack(">H", 2 + len(dqt)), dqt,
+        b"\xff\xc0", struct.pack(">H", 2 + len(sof)), sof,
+        b"\xff\xc4", struct.pack(">H", 2 + len(dht)), dht,
+        b"\xff\xda", struct.pack(">H", 2 + len(sos)), sos,
+    ]
+    dc_codes = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    wr = _JpegBitWriter()
+    preds = [0, 0, 0, 0]
+    for mcu in range(bw * bh):
+        mj, mi = divmod(mcu, bw)
+        for ci in range(4):
+            preds[ci] = _put_dc_only(
+                wr, dc_codes, ac_codes, int(planes[ci][mj, mi]), preds[ci]
+            )
+    out += [wr.done(), b"\xff\xd9"]
+    return b"".join(out)
+
+
+CMYK_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("container", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("ncomp", T.IntegerType(), True),
+        T.StructField("transform", T.IntegerType(), True),
+        T.StructField("payload_sha", T.StringType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+    ]
+)
+
+
+def synthesize_cmyk_media(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic 4-COMPONENT media table: every image doc (doc_id %
+    3 == 0) becomes a real baseline CMYK/YCCK JPEG (``jpeg_bytes_cmyk``
+    over ``cmyk_block_values``, APP14 transform alternating by doc
+    parity: even media ids YCCK, odd CMYK) carrying the document text
+    in COM segments — same dims as ``synthesize_media``."""
+    src = docs.filter((F.col(id_col) % 3) == 0).select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(text_col).alias("_text"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("media_id", "media_type", "payload", "width", "height",
+                     "duration_ms")}
+            for mid, text in zip(pdf["media_id"], pdf["_text"]):
+                mid = int(mid)
+                w, h = 16 + mid % 64, 16 + mid % 48
+                payload = jpeg_bytes_cmyk(
+                    w, h, (text or "").encode("utf-8"),
+                    cmyk_block_values(mid, w, h),
+                    transform=2 if mid % 2 == 0 else 0,
+                )
+                rows["media_id"].append(mid)
+                rows["media_type"].append("image")
+                rows["payload"].append(payload)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["duration_ms"].append(None)
+            yield pd.DataFrame(rows)
+
+    from smoltable_spark.functions.dedup import spread
+
+    target = min(docs.sparkSession.sparkContext.defaultParallelism, 8)
+    return spread(src, target).mapInPandas(run, MEDIA_SCHEMA)
+
+
+def cmyk_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched 4-component decode + per-channel statistics:
+    parse (incl. the APP14 transform), decode through the shared
+    baseline color path + the CMYK/YCCK composite, return exact RGB
+    means plus the parsed ncomp/transform and content sha. Same 100 TB
+    shape as ``color_features``: payloads never leave the executor."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("media_id", "container", "width", "height", "ncomp",
+                     "transform", "payload_sha", "mean_r", "mean_g",
+                     "mean_b")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                info = parse_container(bytes(payload) if payload is not None else b"")
+                rgb = jpeg_decode_color(info)
+                n = rgb.shape[0] * rgb.shape[1]
+                sums = rgb.astype(np.int64).sum(axis=(0, 1))
+                rows["media_id"].append(int(mid))
+                rows["container"].append(info["container"])
+                rows["width"].append(info["width"])
+                rows["height"].append(info["height"])
+                rows["ncomp"].append(int(info["ncomp"]))
+                rows["transform"].append(
+                    None if info.get("adobe_transform") is None
+                    else int(info["adobe_transform"])
+                )
+                rows["payload_sha"].append(
+                    hashlib.sha256(info["content"]).hexdigest()
+                )
+                rows["mean_r"].append(int(sums[0]) / n)
+                rows["mean_g"].append(int(sums[1]) / n)
+                rows["mean_b"].append(int(sums[2]) / n)
+            yield pd.DataFrame(rows)
+
+    from smoltable_spark.functions.dedup import spread
+
+    target = min(media.sparkSession.sparkContext.defaultParallelism, 8)
+    return spread(media, target).mapInPandas(run, CMYK_FEATURES_SCHEMA)
 
 
 def _mcu_block_order(comps: list[tuple[int, int]], mw: int, mh: int):

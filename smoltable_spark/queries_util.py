@@ -132,3 +132,38 @@ def scratch_dir(prefix: str) -> str:
     if base is not None:
         os.makedirs(base, exist_ok=True)
     return _tf.mkdtemp(prefix=prefix, dir=base)
+
+
+# ---------------------------------------------------------------------------
+# state-store sizing for bounded streaming harness rows
+
+
+def bounded_state_shuffle(spark, n: int = 8):
+    """Context manager: run a STREAMING harness row with
+    ``spark.sql.shuffle.partitions`` = ``n``, restoring the session
+    value on exit (VERDICT r9 ask #5).
+
+    Stateful streaming operators size their state-store instance count
+    from the shuffle-partition setting at CHECKPOINT CREATION — and the
+    driver/bench rows create a fresh checkpoint per run, so each
+    micro-batch pays per-instance store open/commit/maintenance for
+    every partition whether or not it holds state. At the bench's 32
+    batch partitions that fixed overhead dominates the row (measured:
+    stream_click_attribution 7.4 s at 32 -> 2.3 s at 8 on identical
+    data); the rows prove watermark/replay/exactly-once semantics,
+    which are partition-count-free. Production guidance is unchanged —
+    a real 100 TB stream sizes shuffle partitions to its STATE volume,
+    exactly what this helper does for the tiny harness state."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _ctx():
+        key = "spark.sql.shuffle.partitions"
+        old = spark.conf.get(key)
+        spark.conf.set(key, n)
+        try:
+            yield
+        finally:
+            spark.conf.set(key, old)
+
+    return _ctx()
