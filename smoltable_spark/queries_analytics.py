@@ -11430,7 +11430,11 @@ def dedup_stream_admit(spark, sf_dir):
     src = scratch_dir("smoltable_admit_src_")
     for i in range(3):
         dst = os.path.join(src, f"batch-{i}.parquet")
-        w = _tf.mkdtemp()
+        # stage on the SAME scratch filesystem (/dev/shm, a SIBLING dir —
+        # never inside src, whose file-source listing must stay flat): a
+        # small coalesce(1) parquet commit to disk-backed /tmp pays a
+        # 1.5-4 s fsync floor (see scratch_dir) — 3x per run here
+        w = scratch_dir("smoltable_admit_stage_")
         docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
             "overwrite"
         ).parquet(w + "/w")

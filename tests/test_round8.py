@@ -119,7 +119,7 @@ def test_color_decoder_rejects_grayscale():
     info = M.parse_container(
         M.jpeg_bytes(16, 16, b"", M.jpeg_block_values(1, 16, 16))
     )
-    with pytest.raises(NotImplementedError, match="3-component"):
+    with pytest.raises(NotImplementedError, match="3- or 4-component"):
         M.jpeg_decode_color(info)
 
 
