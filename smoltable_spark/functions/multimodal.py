@@ -2156,6 +2156,141 @@ def jpeg_bytes_color(
     return b"".join(out)
 
 
+def color_block_values_samplings(
+    mid: int,
+    width: int,
+    height: int,
+    samplings: list[tuple[int, int]],
+) -> list[np.ndarray]:
+    """Deterministic per-block constants for ARBITRARY per-component
+    sampling factors: component i's blocks live on its own MCU-padded
+    (mh*Vi x mw*Hi) grid, with the color generator's per-channel
+    formulas indexed by that grid's raster position (the same family as
+    ``color_block_values``, whose chroma-per-MCU special case this
+    generalizes)."""
+    hmax = max(h for h, _ in samplings)
+    vmax = max(v for _, v in samplings)
+    mw = (width + 8 * hmax - 1) // (8 * hmax)
+    mh = (height + 8 * vmax - 1) // (8 * vmax)
+    muls = (1, 3, 7)
+    offs = (0, 101, 53)
+    out = []
+    for ci, (h_i, v_i) in enumerate(samplings):
+        bw, bh = mw * h_i, mh * v_i
+        idx = (
+            np.arange(bh, dtype=np.int64)[:, None] * bw
+            + np.arange(bw, dtype=np.int64)
+        )
+        out.append(((muls[ci] * mid + idx + offs[ci]) % 256).astype(np.uint8))
+    return out
+
+
+def jpeg_bytes_color_samplings(
+    width: int,
+    height: int,
+    content: bytes,
+    block_planes: list[np.ndarray],
+    samplings: list[tuple[int, int]],
+) -> bytes:
+    """Baseline 3-component YCbCr JPEG with ARBITRARY per-component
+    sampling factors (round 10 — the fixture source for FRACTIONAL
+    upsampling ratios like Y at H=3 over chroma at H=2, which
+    ``jpeg_bytes_color``'s luma-at-HxV/chroma-at-1x1 shape can never
+    emit). Per-block CONSTANTS on each component's own MCU-padded grid,
+    DC-only blocks under unit quant (exact round-trip), interleaved MCU
+    scan per T.81 A.2.3 via the shared ``_mcu_block_order``. Component 1
+    binds quant/Huffman tables 0, components 2-3 tables 1 (identical
+    specs, distinct ids — the per-component binding the decoder must
+    honor)."""
+    if len(samplings) != 3 or len(block_planes) != 3:
+        raise ValueError("need exactly 3 components")
+    hmax = max(h for h, _ in samplings)
+    vmax = max(v for _, v in samplings)
+    mw = (width + 8 * hmax - 1) // (8 * hmax)
+    mh = (height + 8 * vmax - 1) // (8 * vmax)
+    for p, (h_i, v_i) in zip(block_planes, samplings):
+        if p.shape != (mh * v_i, mw * h_i):
+            raise ValueError(
+                f"component blocks must be {(mh * v_i, mw * h_i)}, got {p.shape}"
+            )
+    sof = struct.pack(">BHHB", 8, height, width, 3) + bytes(
+        [
+            1, (samplings[0][0] << 4) | samplings[0][1], 0,
+            2, (samplings[1][0] << 4) | samplings[1][1], 1,
+            3, (samplings[2][0] << 4) | samplings[2][1], 1,
+        ]
+    )
+    out = [b"\xff\xd8"]
+    for off in range(0, max(len(content), 1), _JPEG_COM_MAX):
+        chunk = content[off : off + _JPEG_COM_MAX]
+        out += [b"\xff\xfe", struct.pack(">H", 2 + len(chunk)), chunk]
+    dqt = b"\x00" + bytes([1] * 64) + b"\x01" + bytes([1] * 64)
+    dht = b"".join(
+        bytes([(tc << 4) | th])
+        + bytes(_JPEG_DC_BITS if tc == 0 else _JPEG_AC_BITS)
+        + bytes(_JPEG_DC_VALS if tc == 0 else _JPEG_AC_VALS)
+        for th in (0, 1)
+        for tc in (0, 1)
+    )
+    sos = b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00"
+    out += [
+        b"\xff\xdb", struct.pack(">H", 2 + len(dqt)), dqt,
+        b"\xff\xc0", struct.pack(">H", 2 + len(sof)), sof,
+        b"\xff\xc4", struct.pack(">H", 2 + len(dht)), dht,
+        b"\xff\xda", struct.pack(">H", 2 + len(sos)), sos,
+    ]
+    dc_codes = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    wr = _JpegBitWriter()
+    preds = [0, 0, 0]
+    for ci, by, bx in _mcu_block_order(samplings, mw, mh):
+        preds[ci] = _put_dc_only(
+            wr, dc_codes, ac_codes, int(block_planes[ci][by, bx]), preds[ci]
+        )
+    out += [wr.done(), b"\xff\xd9"]
+    return b"".join(out)
+
+
+def synthesize_fractional_media(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic FRACTIONAL-sampling media table: every image doc
+    (doc_id % 3 == 0) becomes a real baseline YCbCr JPEG with Y at 3x3
+    and chroma at 2x2 — a 3/2 upsampling ratio on both axes, the T.81
+    shape the integer-replication decoder used to reject."""
+    src = docs.filter((F.col(id_col) % 3) == 0).select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(text_col).alias("_text"),
+    )
+    samplings = [(3, 3), (2, 2), (2, 2)]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("media_id", "media_type", "payload", "width", "height",
+                     "duration_ms")}
+            for mid, text in zip(pdf["media_id"], pdf["_text"]):
+                mid = int(mid)
+                w, h = 16 + mid % 64, 16 + mid % 48
+                payload = jpeg_bytes_color_samplings(
+                    w, h, (text or "").encode("utf-8"),
+                    color_block_values_samplings(mid, w, h, samplings),
+                    samplings,
+                )
+                rows["media_id"].append(mid)
+                rows["media_type"].append("image")
+                rows["payload"].append(payload)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["duration_ms"].append(None)
+            yield pd.DataFrame(rows)
+
+    from smoltable_spark.functions.dedup import spread
+
+    target = min(docs.sparkSession.sparkContext.defaultParallelism, 8)
+    return spread(src, target).mapInPandas(run, MEDIA_SCHEMA)
+
+
 def _encode_block_coefs(
     wr: _JpegBitWriter, blk: np.ndarray, pred: int,
     dc_codes: dict, ac_codes: dict,
@@ -2323,13 +2458,32 @@ def jpeg_decode_color(info: dict) -> np.ndarray:
                           info["width"], info["height"])
 
 
+def _upsample_floor(
+    plane: np.ndarray, h_i: int, v_i: int, hmax: int, vmax: int,
+    w: int, h: int,
+) -> np.ndarray:
+    """Nearest-sample (floor-map) upsample of an MCU-padded component
+    plane to the w x h luma grid: output pixel (y, x) reads component
+    sample (y*Vi // Vmax, x*Hi // Hmax) — T.81 A.1.1's sample-position
+    mapping. For integer ratios this IS replication (floor(y*Vi/Vmax) ==
+    y // (Vmax/Vi)), so the 4:2:0/4:2:2/4:4:4 paths are bit-unchanged;
+    fractional ratios (Y at H=3 with chroma at H=2 — the round-10
+    boundary retirement) get the same deterministic closed-form mapping
+    instead of a NotImplementedError. libjpeg's default h2v2 upsample is
+    the identical replication; its optional 'fancy' triangular filter is
+    a smoothing choice, not a conformance requirement."""
+    ys = (np.arange(h, dtype=np.int64) * v_i) // vmax
+    xs = (np.arange(w, dtype=np.int64) * h_i) // hmax
+    return plane[np.ix_(ys, xs)]
+
+
 def _planes_to_rgb(planes, hvs, hmax, vmax, w: int, h: int) -> np.ndarray:
-    """Replication-upsample each component to the luma grid, crop, and
+    """Floor-map-upsample each component to the luma grid, crop, and
     convert (the tail both decode paths and the roundtrip share)."""
-    full = []
-    for (h_i, v_i), plane in zip(hvs, planes):
-        up = np.repeat(np.repeat(plane, vmax // v_i, axis=0), hmax // h_i, axis=1)
-        full.append(up[:h, :w])
+    full = [
+        _upsample_floor(plane, h_i, v_i, hmax, vmax, w, h)
+        for (h_i, v_i), plane in zip(hvs, planes)
+    ]
     return ycbcr_to_rgb(full[0], full[1], full[2])
 
 
@@ -2347,10 +2501,10 @@ def _cmyk_planes_to_rgb(
     before the K multiply; transform 0/absent reads the planes as CMYK
     directly. round = floor(x + 0.5) so the oracle's SQL matches
     bit-for-bit (c*k <= 65025 is double-exact)."""
-    full = []
-    for (h_i, v_i), plane in zip(hvs, planes):
-        up = np.repeat(np.repeat(plane, vmax // v_i, axis=0), hmax // h_i, axis=1)
-        full.append(up[:h, :w])
+    full = [
+        _upsample_floor(plane, h_i, v_i, hmax, vmax, w, h)
+        for (h_i, v_i), plane in zip(hvs, planes)
+    ]
     if transform == 1:
         raise ValueError(
             "APP14 transform=1 (YCbCr) is invalid for a 4-component frame"
@@ -2403,18 +2557,9 @@ def _decode_color_planes(
         # progressive CMYK/YCCK: no fixture source observed yet; the
         # baseline path below covers the scanned-PDF/print-pipeline case
         raise NotImplementedError("progressive 4-component (CMYK) frames")
-    hvs_raw = [(hv >> 4, hv & 0xF) for _cid, hv, _tq in info["sof_comps"]]
-    hmax = max(h_i for h_i, _ in hvs_raw)
-    vmax = max(v_i for _, v_i in hvs_raw)
-    for h_i, v_i in hvs_raw:
-        # T.81 allows e.g. Y at H=3 with chroma at H=2 (a 3/2 ratio);
-        # the replication upsample only handles integer ratios, so
-        # reject cleanly instead of producing misaligned planes
-        if hmax % h_i or vmax % v_i:
-            raise NotImplementedError(
-                f"non-integer chroma upsampling ratio "
-                f"(Hmax={hmax}/Hi={h_i}, Vmax={vmax}/Vi={v_i})"
-            )
+    # fractional sampling ratios (T.81 allows Y at H=3 with chroma at
+    # H=2) are handled by the floor-map upsample (_upsample_floor) since
+    # round 10 — no integer-ratio gate needed here anymore
     if info.get("sof_marker") == 0xC2:
         return _jpeg_decode_progressive_color_planes(info)
     return _jpeg_decode_baseline_color_planes(info)

@@ -11072,6 +11072,70 @@ def mm_cmyk_features(spark, sf_dir):
 
 
 @q(
+    "mm_color_fractional",
+    """
+    WITH img AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id, text,
+             16 + doc_id % 64 AS wv, 16 + doc_id % 48 AS hv,
+             (16 + doc_id % 64 + 23) // 24 AS mw,
+             (16 + doc_id % 48 + 23) // 24 AS mh
+      FROM documents WHERE doc_id % 3 = 0
+    ), px AS (
+      -- per-PIXEL closed form: Y samples 1:1 on the luma grid (block
+      -- grid width 3*mw); chroma sample (py*2//3, px*2//3) on the 2x2
+      -- component's own grid (block grid width 2*mw) — the floor-map
+      -- 3/2 fractional upsample evaluated directly
+      SELECT media_id, text, wv, hv,
+             (media_id + (pj.v // 8) * (3 * mw) + pi.v // 8) % 256 AS yv,
+             (3 * media_id + ((pj.v * 2 // 3) // 8) * (2 * mw)
+                + ((pi.v * 2 // 3) // 8) + 101) % 256 AS cbv,
+             (7 * media_id + ((pj.v * 2 // 3) // 8) * (2 * mw)
+                + ((pi.v * 2 // 3) // 8) + 53) % 256 AS crv
+      FROM img,
+           unnest(range(wv)) AS pi(v),
+           unnest(range(hv)) AS pj(v)
+    )
+    SELECT media_id,
+           CAST('jpeg' AS VARCHAR) AS container,
+           CAST(any_value(wv) AS INT) AS width,
+           CAST(any_value(hv) AS INT) AS height,
+           CAST(51 AS INT) AS sampling,
+           sha256(any_value(text)) AS payload_sha,
+           CAST(sum(least(255, greatest(0,
+                floor(yv + 1.402 * (crv - 128) + 0.5)))) AS DOUBLE)
+               / (any_value(wv) * any_value(hv)) AS mean_r,
+           CAST(sum(least(255, greatest(0,
+                floor(yv - 0.344136 * (cbv - 128) - 0.714136 * (crv - 128)
+                      + 0.5)))) AS DOUBLE)
+               / (any_value(wv) * any_value(hv)) AS mean_g,
+           CAST(sum(least(255, greatest(0,
+                floor(yv + 1.772 * (cbv - 128) + 0.5)))) AS DOUBLE)
+               / (any_value(wv) * any_value(hv)) AS mean_b
+    FROM px GROUP BY media_id
+    """,
+)
+def mm_color_fractional(spark, sf_dir):
+    """FRACTIONAL chroma upsampling (round 10, retiring the r8
+    boundary): T.81 allows Y at H=3 over chroma at H=2 — a 3/2 ratio no
+    integer replication can expand — and the decoder now floor-maps
+    every output pixel to component sample (y*Vi//Vmax, x*Hi//Hmax)
+    (functions/multimodal.py::_upsample_floor; identical to replication
+    for the integer ratios, so 4:2:0/4:2:2/4:4:4 decode bit-unchanged).
+    Every image doc becomes a REAL baseline JPEG with Y at 3x3 and
+    Cb/Cr at 2x2 (``jpeg_bytes_color_samplings`` — the first fixture
+    source able to emit per-component sampling factors), decoded
+    through the ordinary ``color_features`` Arrow pass. The oracle
+    evaluates the floor-map per PIXEL in closed form (block-constant
+    DC-only synthesis; both engines compute the identical
+    floor(x + 0.5) IEEE-double expressions), and ``sampling`` pins the
+    parsed Y HiVi byte 0x33. 100 TB shape: one mapInPandas pass, 9
+    scalars per image."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_fractional_media(docs)
+    return multimodal.color_features(media)
+
+
+@q(
     "mm_color_progressive",
     """
     WITH img AS (

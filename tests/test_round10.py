@@ -121,3 +121,81 @@ def test_cmyk_features_pipeline(spark):
     assert out[mid]["mean_r"] == exp[..., 0].sum() / (w * h)
     assert out[mid]["mean_g"] == exp[..., 1].sum() / (w * h)
     assert out[mid]["mean_b"] == exp[..., 2].sum() / (w * h)
+
+
+# ---------------------------------------------------------------------------
+# fractional chroma upsampling (VERDICT r9 "what's missing" #4 / the r8
+# boundary): floor-map upsample, arbitrary per-component sampling factors
+
+
+def _ref_rgb_samplings(mid, w, h, samplings):
+    """Pure-python reference: block constants -> floor-map sample lookup
+    -> T.871, computed per pixel independently of the decoder."""
+    from smoltable_spark.functions.multimodal import (
+        color_block_values_samplings,
+    )
+
+    planes = color_block_values_samplings(mid, w, h, samplings)
+    hmax = max(hv[0] for hv in samplings)
+    vmax = max(hv[1] for hv in samplings)
+    full = []
+    for (h_i, v_i), blocks in zip(samplings, planes):
+        ys = (np.arange(h) * v_i) // vmax
+        xs = (np.arange(w) * h_i) // hmax
+        full.append(blocks[np.ix_(ys // 8, xs // 8)].astype(np.float64))
+    y, cb, cr = full
+    r = np.clip(np.floor(y + 1.402 * (cr - 128) + 0.5), 0, 255)
+    g = np.clip(
+        np.floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5),
+        0, 255,
+    )
+    b = np.clip(np.floor(y + 1.772 * (cb - 128) + 0.5), 0, 255)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+@pytest.mark.parametrize(
+    "samplings",
+    [
+        [(3, 3), (2, 2), (2, 2)],  # 3/2 both axes — the canonical case
+        [(3, 1), (2, 1), (2, 1)],  # 3/2 horizontal only
+        [(4, 3), (3, 2), (2, 1)],  # mixed ratios incl. 4/3 and 3/2
+        [(2, 2), (1, 1), (1, 1)],  # integer control: must stay bit-exact
+    ],
+)
+@pytest.mark.parametrize("mid,w,h", [(0, 16, 16), (33, 49, 25)])
+def test_fractional_sampling_roundtrip_exact(mid, w, h, samplings):
+    from smoltable_spark.functions.multimodal import (
+        color_block_values_samplings,
+        jpeg_bytes_color_samplings,
+        jpeg_decode_color,
+        parse_container,
+    )
+
+    payload = jpeg_bytes_color_samplings(
+        w, h, b"frac", color_block_values_samplings(mid, w, h, samplings),
+        samplings,
+    )
+    info = parse_container(payload)
+    assert info["content"] == b"frac"
+    assert info["sof_comps"][0][1] == (samplings[0][0] << 4) | samplings[0][1]
+    rgb = jpeg_decode_color(info)
+    assert np.array_equal(rgb, _ref_rgb_samplings(mid, w, h, samplings))
+
+
+def test_floor_map_equals_replication_for_integer_ratios():
+    """The generalized upsample must reproduce the old np.repeat path
+    bit-for-bit on integer ratios — the invariant that keeps every
+    existing 4:2:0/4:2:2/4:4:4 oracle green."""
+    from smoltable_spark.functions.multimodal import _upsample_floor
+
+    rng = np.random.default_rng(7)
+    for hmax, vmax, h_i, v_i in ((2, 2, 1, 1), (4, 2, 2, 1), (4, 4, 1, 2)):
+        w, h = 37, 23
+        cw = (w * h_i + hmax - 1) // hmax
+        ch = (h * v_i + vmax - 1) // vmax
+        plane = rng.integers(0, 256, size=(ch + 3, cw + 3), dtype=np.int64)
+        old = np.repeat(
+            np.repeat(plane, vmax // v_i, axis=0), hmax // h_i, axis=1
+        )[:h, :w]
+        new = _upsample_floor(plane, h_i, v_i, hmax, vmax, w, h)
+        assert np.array_equal(old, new)

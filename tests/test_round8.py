@@ -389,22 +389,26 @@ def test_cdc_stream_over_zorder_delta_legs(spark, tmp_path):
         drain()
 
 
-def test_color_decode_rejects_noninteger_upsample_ratio():
-    """T.81 allows Y at H=3 with chroma at H=2 (a 3/2 ratio); the
-    replication upsample only handles integer ratios, so the decoder
-    must raise cleanly instead of producing misaligned planes (the
-    round-8 review finding: numpy broadcast crash or silent chroma
-    shift)."""
-    import pytest as _pytest
+def test_color_decode_fractional_ratio_supported():
+    """SUPERSEDED r8 boundary (round 10): T.81's Y at H=3 with chroma
+    at H=2 (a 3/2 ratio) now decodes via the floor-map upsample instead
+    of raising — see tests/test_round10.py for the bit-exact roundtrip
+    matrix. This pin only asserts the old rejection is gone."""
+    import numpy as np
 
-    from smoltable_spark.functions.multimodal import _decode_color_planes
+    from smoltable_spark.functions.multimodal import (
+        color_block_values_samplings,
+        jpeg_bytes_color_samplings,
+        jpeg_decode_color,
+        parse_container,
+    )
 
-    info = {
-        "precision": 8, "ncomp": 3,
-        "sof_comps": [(1, 0x31, 0), (2, 0x21, 1), (3, 0x21, 1)],
-    }
-    with _pytest.raises(NotImplementedError, match="non-integer"):
-        _decode_color_planes(info)
+    samp = [(3, 1), (2, 1), (2, 1)]
+    payload = jpeg_bytes_color_samplings(
+        30, 10, b"", color_block_values_samplings(7, 30, 10, samp), samp
+    )
+    rgb = jpeg_decode_color(parse_container(payload))
+    assert rgb.shape == (10, 30, 3) and rgb.dtype == np.uint8
 
 
 def test_store_cache_path_sweeps_superseded_revisions(tmp_path):
