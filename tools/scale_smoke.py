@@ -832,6 +832,16 @@ def main():
         _fn = _AQ[_nq9][0]
         timed(f"{_nq9}_10x", lambda _f=_fn: _f(spark, OUT).count())
 
+    # r10 additions: live CDC across a minor fold over the 10x event
+    # stream (per-trigger cost must track the batch, never the fold),
+    # the delete→re-add ANN upsert over 500k vectors (cost = affected
+    # lists only), and the two new decode families over ~17k images
+    # (4-component CMYK/YCCK and fractional 3/2 chroma upsampling)
+    for _nq10 in ("stream_store_cdc_minor", "ann_ivf_readd",
+                  "mm_cmyk_features", "mm_color_fractional"):
+        _fn = _AQ[_nq10][0]
+        timed(f"{_nq10}_10x", lambda _f=_fn: _f(spark, OUT).count())
+
     notes = """
 Steady-state timings (2nd run per op). Reading the table:
 
