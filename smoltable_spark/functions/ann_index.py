@@ -199,9 +199,19 @@ def delete_from_ivf_index(
     publish in ``append_ivf_index``) — run it against LOCAL index
     paths only; an hdfs:// or s3a:// index needs a local mount."""
     import os
+    import shutil
     import uuid
 
     base = path.rstrip("/")
+    # sweep rollback artifacts of a crashed PREVIOUS delete: a leftover
+    # .staging-delete-* was never published (the atomic rename into
+    # _tombstones/ is the commit point), so under the single-writer
+    # contract removing it is a pure rollback — unlike the list-swap
+    # leftovers _check_fold_crash_evidence fails fast on, nothing here
+    # needs reconciliation
+    for d in os.listdir(base):
+        if d.startswith(".staging-delete-"):
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
     victims = ids.select(F.col(id_col).alias("vec_id")).distinct()
     # the delete batch is caller-bounded (an API request), the index is
     # not: broadcast the victims, stream the index
@@ -287,6 +297,14 @@ def _fold_tombstones(
         return {"tombstones": 0, "lists_rewritten": 0}
     _check_fold_crash_evidence(base)
     troot = os.path.join(base, _TOMBSTONE_ROOT)
+    # sweep a crashed subset-fold's unpublished tombstone rewrite (the
+    # rename to d-* is its commit point; a leftover dot dir is pure
+    # rollback — the old d-* legs it was derived from are still intact)
+    for d in os.listdir(troot):
+        if d.startswith(".staging-rewrite-"):
+            import shutil as _sh
+
+            _sh.rmtree(os.path.join(troot, d), ignore_errors=True)
     folded_dirs = [
         os.path.join(troot, d)
         for d in os.listdir(troot)

@@ -276,3 +276,33 @@ def test_ivfpq_honors_tombstones_and_compact(spark, sf_dir, tmp_path):
     assert (
         spark.read.parquet(path).filter(F.col("vec_id") % 7 == 6).count() == 0
     )
+
+
+def test_delete_sweeps_stale_rollback_staging(spark, built):
+    """A crashed previous delete's .staging-delete-* dir was never
+    published (the rename into _tombstones/ is the commit point), so the
+    next delete removes it as a pure rollback instead of leaking it."""
+    emb, path = built
+    stale = os.path.join(path, ".staging-delete-cafebabe")
+    os.makedirs(stale)
+    n = delete_from_ivf_index(
+        spark, path, emb.filter(F.col("vec_id") == 6).select("vec_id")
+    )
+    assert n == 1
+    assert not os.path.isdir(stale)
+
+
+def test_fold_sweeps_stale_tombstone_rewrite(spark, built):
+    """A crashed subset-fold's unpublished .staging-rewrite-* under
+    _tombstones/ is swept on the next fold; the committed d-* legs it
+    derived from are intact, so the fold result is unaffected."""
+    emb, path = built
+    delete_from_ivf_index(
+        spark, path, emb.filter(F.col("vec_id") == 6).select("vec_id")
+    )
+    stale = os.path.join(path, "_tombstones", ".staging-rewrite-feedf00d")
+    os.makedirs(stale)
+    stats = compact_ivf_index(spark, path)
+    assert stats["tombstones"] == 1
+    assert not os.path.isdir(stale)
+    assert similarity.ivf_tombstones(spark, path) is None
