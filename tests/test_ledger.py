@@ -195,3 +195,54 @@ def test_non_dict_correctness_files_are_skipped(tmp_path, monkeypatch):
     monkeypatch.setattr(L, "REPO", str(tmp_path))
     assert L.last_green_round() == {"q1": 2}
     assert L.red_in_latest_round() == {"q2"}
+
+
+def test_driver_stale_queries_promote_into_midtier(monkeypatch):
+    """VERDICT r9 ask #4: a query rewritten AFTER its last driver-green
+    round (current stamp != the committed ledger's stamp at that round's
+    results commit) must outrank merely-rotating rows, even when a local
+    oracle run has since refreshed its stamp — while changed/new rows
+    keep the front and non-stale rows go last."""
+    merged = {"q_changed": 1, "q_stale": 2, "q_fresh": 3, "q_new": 4}
+    stamps = {"q_changed": "s1", "q_stale": "s2", "q_fresh": "s3",
+              "q_new": "s4"}
+    monkeypatch.setattr(L, "compute_stamps", lambda m=None: stamps)
+    # local ledger: all stamped except q_changed (stamp mismatch)
+    monkeypatch.setattr(L, "load_ledger", lambda: {
+        "q_changed": {"stamp": "OLD"},
+        "q_stale": {"stamp": "s2"},
+        "q_fresh": {"stamp": "s3"},
+        "q_new": {"stamp": "s4"},
+    })
+    # driver greens: q_changed/q_stale/q_fresh green in r5; q_new never
+    monkeypatch.setattr(L, "last_green_round", lambda: {
+        "q_changed": 5, "q_stale": 5, "q_fresh": 5,
+    })
+    monkeypatch.setattr(L, "red_in_latest_round", lambda: set())
+    # the committed ledger AT r5: q_stale's stamp differed (rewritten
+    # since), q_fresh's matches today's
+    monkeypatch.setattr(L, "_ledger_at_driver_round", lambda rnd: {
+        "q_changed": {"stamp": "OLD"},
+        "q_stale": {"stamp": "r5-era"},
+        "q_fresh": {"stamp": "s3"},
+    })
+    order = L.window_order(merged)
+    # tier 0: stamp-changed + never-driver-green; tier 1: driver-stale;
+    # tier 2: genuinely untouched since its green row
+    assert order.index("q_changed") < order.index("q_stale")
+    assert order.index("q_new") < order.index("q_stale")
+    assert order.index("q_stale") < order.index("q_fresh")
+    # driver_stale is a SUPERSET (stamp vs the round's committed ledger);
+    # window_order subtracts the locally-changed set before tiering
+    assert L.driver_stale_queries(merged) == ["q_changed", "q_stale"]
+
+
+def test_driver_stale_fails_open_without_git_history(monkeypatch):
+    """No git / no round commit => empty dict from _ledger_at_driver_round
+    => nothing promoted, nothing raised (the pre-r10 rotation order)."""
+    merged = {"q_a": 1}
+    monkeypatch.setattr(L, "compute_stamps", lambda m=None: {"q_a": "s"})
+    monkeypatch.setattr(L, "load_ledger", lambda: {"q_a": {"stamp": "s"}})
+    monkeypatch.setattr(L, "last_green_round", lambda: {"q_a": 5})
+    monkeypatch.setattr(L, "_ledger_at_driver_round", lambda rnd: {})
+    assert L.driver_stale_queries(merged) == []
