@@ -353,6 +353,62 @@ def jpeg_bytes(
     return b"".join(out)
 
 
+#: DC table for 12-BIT frames: categories reach 15 (T.81 F.1.2.1.1 —
+#: a 12-bit DC diff spans ±32767), so the 8-bit table's 0..11 set is
+#: insufficient; 16 canonical 5-bit codes cover 0..15 with the all-ones
+#: code unassigned per the prefix rule
+_JPEG_DC12_BITS = (0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC12_VALS = tuple(range(16))
+
+
+def jpeg_bytes_12bit(
+    width: int, height: int, content: bytes, block_vals: np.ndarray
+) -> bytes:
+    """EXTENDED-SEQUENTIAL 12-bit grayscale JPEG (round 10, retiring the
+    precision boundary): SOF1 frame (T.81 B.2 — baseline SOF0 is
+    8-bit-only) with precision 12, a Pq=1 16-bit-entry unit DQT
+    (exercising the 16-bit table parse), a DC Huffman table whose
+    categories reach 15, and a DC-only scan of per-block constants in
+    0..4095 (level shift 2048 under unit quant: exact round-trip).
+    Medical imagery and DSLR intermediates ship this shape."""
+    if block_vals.min() < 0 or block_vals.max() > 4095:
+        raise ValueError("12-bit block values must be in 0..4095")
+    out = [b"\xff\xd8"]
+    for off in range(0, max(len(content), 1), _JPEG_COM_MAX):
+        chunk = content[off : off + _JPEG_COM_MAX]
+        out += [b"\xff\xfe", struct.pack(">H", 2 + len(chunk)), chunk]
+    dqt = b"\x10" + struct.pack(">64H", *([1] * 64))  # Pq=1, Tq=0, unit
+    sof = struct.pack(">BHHB", 12, height, width, 1) + bytes([1, 0x11, 0])
+    dht = (
+        b"\x00" + bytes(_JPEG_DC12_BITS) + bytes(_JPEG_DC12_VALS)
+        + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    sos = b"\x01" + bytes([1, 0x00]) + b"\x00\x3f\x00"
+    out += [
+        b"\xff\xdb", struct.pack(">H", 2 + len(dqt)), dqt,
+        b"\xff\xc1", struct.pack(">H", 2 + len(sof)), sof,
+        b"\xff\xc4", struct.pack(">H", 2 + len(dht)), dht,
+        b"\xff\xda", struct.pack(">H", 2 + len(sos)), sos,
+    ]
+    dc_codes = _huff_canonical(_JPEG_DC12_BITS, _JPEG_DC12_VALS)
+    ac_codes = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _JpegBitWriter()
+    pred = 0
+    for v in block_vals.astype(np.int64).ravel():
+        dc = 8 * (int(v) - 2048)  # unit quant: quantized == raw DC
+        diff = dc - pred
+        pred = dc
+        s = _jpeg_category(diff)
+        code, length = dc_codes[s]
+        w.put(code, length)
+        if s:
+            w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        code, length = ac_codes[0x00]  # EOB
+        w.put(code, length)
+    out += [w.done(), b"\xff\xd9"]
+    return b"".join(out)
+
+
 #: full AC table for arbitrary-pixel encoding: EOB + ZRL + every
 #: (run 0-15, size 1-10) symbol as canonical 8-bit codes (162 of 256
 #: slots used; the all-ones code stays unassigned per the prefix rule)
@@ -994,14 +1050,26 @@ def jpeg_decode(info: dict) -> np.ndarray:
     points at rather than silently returning one channel."""
     if info.get("scan") is None or info.get("sos") is None:
         raise ValueError("JPEG without an entropy-coded scan")
-    if info.get("precision") != 8 or info.get("ncomp") != 1:
+    if info.get("precision") not in (8, 12) or info.get("ncomp") != 1:
         raise NotImplementedError(
             f"jpeg_decode is the grayscale path — use jpeg_decode_color "
             f"for multi-component frames "
             f"(precision={info.get('precision')}, ncomp={info.get('ncomp')})"
         )
+    precision = int(info["precision"])
     if info.get("sof_marker") == 0xC2:
+        if precision != 8:
+            # T.81 allows 12-bit progressive; no fixture source yet —
+            # keep the boundary explicit rather than decode wrongly
+            raise NotImplementedError("progressive 12-bit frames")
         return _jpeg_decode_progressive(info)
+    # 12-bit frames arrive as SOF1 (extended sequential, T.81 B.2 —
+    # baseline SOF0 is 8-bit-only); the scan machinery is identical,
+    # only the level shift (2^(P-1)), clamp ceiling (2^P - 1) and the
+    # output dtype change. DC categories reach 15 instead of 11.
+    shift = 1 << (precision - 1)
+    maxv = (1 << precision) - 1
+    out_dtype = np.uint8 if precision == 8 else np.uint16
     sos = info["sos"]
     if sos["ss"] != 0 or sos["se"] != 63 or sos["ahal"] != 0:
         raise NotImplementedError("non-sequential spectral selection")
@@ -1019,7 +1087,7 @@ def jpeg_decode(info: dict) -> np.ndarray:
 
     w, h = info["width"], info["height"]
     bw, bh = (w + 7) // 8, (h + 7) // 8
-    out = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+    out = np.zeros((bh * 8, bw * 8), dtype=out_dtype)
     # restart intervals (T.81 E.2.4): the scan splits into byte-aligned
     # segments at RST markers; the DC predictor resets at each restart.
     # With 1x1 sampling and one component, 1 MCU = 1 block.
@@ -1104,15 +1172,15 @@ def jpeg_decode(info: dict) -> np.ndarray:
         if zz is None:
             # DC-only block (every block the shipped encoder emits):
             # the IDCT of a lone DC coefficient is the constant
-            # S00/8 + 128 — scalar math, no matmul/alloc. round() is
+            # S00/8 + 2^(P-1) — scalar math, no matmul/alloc. round() is
             # half-even, same convention as np.round in the general path.
-            val = round(pred * qt0 / 8) + 128
-            out[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = min(255, max(0, val))
+            val = round(pred * qt0 / 8) + shift
+            out[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = min(maxv, max(0, val))
             continue
         coef = np.zeros(64, dtype=np.float64)
         coef[_JPEG_ZIGZAG] = zz * qt  # dequantize + inverse zigzag
         block = _IDCT_C.T @ coef.reshape(8, 8) @ _IDCT_C
-        px = np.clip(np.round(block) + 128, 0, 255).astype(np.uint8)
+        px = np.clip(np.round(block) + shift, 0, maxv).astype(out_dtype)
         out[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = px
     return out[:h, :w]
 
@@ -1244,7 +1312,10 @@ def parse_container(payload: bytes) -> dict:
             data = payload[pos + 4 : pos + 2 + seglen]
             if seglen < 2 or len(data) != seglen - 2:
                 raise ValueError(f"truncated JPEG segment at {pos}")
-            if marker in (0xC0, 0xC2):  # SOF0 / SOF2
+            if marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
+                # SOF1 (extended sequential) is the frame type 12-bit
+                # JPEGs must use (T.81 table B.2: baseline SOF0 is
+                # 8-bit-only); its scan layout is identical to baseline
                 precision, height, width, ncomp = struct.unpack_from(">BHHB", data, 0)
                 sof_marker = marker
                 sof_comps = [
@@ -1263,12 +1334,18 @@ def parse_container(payload: bytes) -> dict:
                 p = 0
                 while p < len(data):
                     pq, tq = data[p] >> 4, data[p] & 0xF
-                    if pq != 0:
-                        raise ValueError("only 8-bit DQT tables supported")
-                    dqt[tq] = np.frombuffer(
-                        data[p + 1 : p + 65], dtype=np.uint8
-                    ).astype(np.int64)
-                    p += 65
+                    if pq == 0:  # 8-bit table entries
+                        dqt[tq] = np.frombuffer(
+                            data[p + 1 : p + 65], dtype=np.uint8
+                        ).astype(np.int64)
+                        p += 65
+                    elif pq == 1:  # 16-bit entries (12-bit precision frames)
+                        dqt[tq] = np.frombuffer(
+                            data[p + 1 : p + 129], dtype=">u2"
+                        ).astype(np.int64)
+                        p += 129
+                    else:
+                        raise ValueError(f"invalid DQT precision Pq={pq}")
             elif marker == 0xC4:  # DHT: one or more (Tc|Th, BITS, VALS)
                 p = 0
                 while p < len(data):

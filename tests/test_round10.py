@@ -199,3 +199,77 @@ def test_floor_map_equals_replication_for_integer_ratios():
         )[:h, :w]
         new = _upsample_floor(plane, h_i, v_i, hmax, vmax, w, h)
         assert np.array_equal(old, new)
+
+
+# ---------------------------------------------------------------------------
+# 12-bit precision (SOF1 extended sequential) grayscale — the last
+# precision boundary: medical / DSLR-intermediate imagery
+
+
+def test_12bit_roundtrip_exact():
+    from smoltable_spark.functions.multimodal import (
+        jpeg_bytes_12bit,
+        jpeg_decode,
+        parse_container,
+    )
+
+    rng = np.random.default_rng(5)
+    for w, h in ((16, 16), (19, 27), (73, 25)):
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        vals = rng.integers(0, 4096, size=(bh, bw), dtype=np.int64)
+        info = parse_container(jpeg_bytes_12bit(w, h, b"twelve", vals))
+        assert info["precision"] == 12
+        assert info["sof_marker"] == 0xC1  # extended sequential
+        assert info["content"] == b"twelve"
+        # the Pq=1 16-bit DQT parsed to 64 unit entries
+        assert len(info["dqt"][0]) == 64 and int(info["dqt"][0][0]) == 1
+        img = jpeg_decode(info)
+        assert img.dtype == np.uint16
+        exp = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)[:h, :w]
+        assert np.array_equal(img, exp.astype(np.uint16))
+
+
+def test_12bit_extremes_hit_max_dc_categories():
+    """Value jumps 0 <-> 4095 produce DC diffs near +/-32760 — Huffman
+    categories 15, beyond the 8-bit table's 0..11 range."""
+    from smoltable_spark.functions.multimodal import (
+        jpeg_bytes_12bit,
+        jpeg_decode,
+        parse_container,
+    )
+
+    vals = np.array([[0, 4095], [4095, 0]], dtype=np.int64)
+    img = jpeg_decode(parse_container(jpeg_bytes_12bit(16, 16, b"", vals)))
+    assert img[0, 0] == 0 and img[0, 8] == 4095
+    assert img[8, 0] == 4095 and img[8, 8] == 0
+
+
+def test_12bit_progressive_stays_boundary():
+    from smoltable_spark.functions.multimodal import (
+        jpeg_bytes_12bit,
+        jpeg_decode,
+        parse_container,
+    )
+
+    info = parse_container(
+        jpeg_bytes_12bit(16, 16, b"", np.array([[1000, 2000]] * 1,
+                                               dtype=np.int64).reshape(1, 2))
+    )
+    info["sof_marker"] = 0xC2
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        jpeg_decode(info)
+
+
+def test_invalid_dqt_precision_rejected():
+    from smoltable_spark.functions.multimodal import (
+        jpeg_bytes_12bit,
+        parse_container,
+    )
+
+    payload = jpeg_bytes_12bit(
+        16, 16, b"", np.full((2, 2), 7, dtype=np.int64)
+    )
+    i = payload.find(b"\xff\xdb") + 4
+    bad = payload[:i] + bytes([0x20]) + payload[i + 1 :]  # Pq=2
+    with pytest.raises(ValueError, match="DQT precision"):
+        parse_container(bad)
