@@ -517,6 +517,18 @@ _JPEG_AC_PROG_BITS = tuple(
     len(_JPEG_AC_PROG_VALS) if i == 7 else 0 for i in range(16)
 )
 
+#: progressive AC table for 12-BIT frames: coefficient size categories
+#: reach 14 (T.81 F.1.2.2.1), so the 8-bit table's 1..10 set is
+#: insufficient; 15 EOBn + ZRL + 16x14 run/size symbols = 240 canonical
+#: 8-bit codes (<= 255 usable, all-ones unassigned)
+_JPEG_AC_PROG12_VALS = tuple(
+    [r << 4 for r in range(15)] + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 15)]
+)
+_JPEG_AC_PROG12_BITS = tuple(
+    len(_JPEG_AC_PROG12_VALS) if i == 7 else 0 for i in range(16)
+)
+
 
 def _pad_plane(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
     """Edge-replicate ``plane`` into a (ph, pw) float array so partial
@@ -671,6 +683,7 @@ def jpeg_bytes_progressive(
     content: bytes,
     pixels: bytes | np.ndarray,
     al: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """PROGRESSIVE (SOF2) grayscale JPEG. With ``al=0`` (default): the
     two-scan spectral-selection script — scan 1 carries every block's DC
@@ -688,14 +701,28 @@ def jpeg_bytes_progressive(
     band-end run coding throughout. All scans together reconstruct the
     exact rounded forward-DCT coefficients ``jpeg_bytes_pixels``
     produces, so decoding this stream yields bit-identical pixels to
-    decoding the baseline encoding of the same input, at every ``al``."""
-    px = np.frombuffer(
-        pixels if isinstance(pixels, (bytes, bytearray)) else
-        np.ascontiguousarray(pixels, dtype=np.uint8).tobytes(),
-        dtype=np.uint8,
-    )
+    decoding the baseline encoding of the same input, at every ``al``.
+
+    ``precision=12`` emits the extended 12-bit variant (round 10):
+    pixels in 0..4095 (uint16 array input), level shift 2048, the
+    category-15 DC table and the size-14 progressive AC table — T.81
+    allows 12-bit progressive, and the decoder's coefficient machinery
+    is precision-agnostic once the tables and shift generalize."""
+    if precision == 8:
+        px = np.frombuffer(
+            pixels if isinstance(pixels, (bytes, bytearray)) else
+            np.ascontiguousarray(pixels, dtype=np.uint8).tobytes(),
+            dtype=np.uint8,
+        )
+    elif precision == 12:
+        px = np.ascontiguousarray(pixels, dtype=np.uint16).ravel()
+        if px.size and int(px.max()) > 4095:
+            raise ValueError("12-bit pixels must be in 0..4095")
+    else:
+        raise ValueError(f"precision must be 8 or 12, got {precision}")
     if px.size != width * height:
-        raise ValueError(f"pixels must be {width * height} bytes, got {px.size}")
+        raise ValueError(f"pixels must be {width * height} samples, got {px.size}")
+    shift = float(1 << (precision - 1))
     bw, bh = (width + 7) // 8, (height + 7) // 8
     padded = np.zeros((bh * 8, bw * 8), dtype=np.float64)
     padded[:height, :width] = px.reshape(height, width)
@@ -707,12 +734,18 @@ def jpeg_bytes_progressive(
     coefs = np.zeros((bw * bh, 64), dtype=np.int64)  # zigzag order
     for blk in range(bw * bh):
         by, bx = divmod(blk, bw)
-        s_blk = padded[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] - 128.0
+        s_blk = padded[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] - shift
         S = C @ s_blk @ C.T
         coefs[blk] = np.round(S.ravel()[_JPEG_ZIGZAG]).astype(np.int64)
 
-    dc_codes = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
-    ac_codes = _huff_canonical(_JPEG_AC_PROG_BITS, _JPEG_AC_PROG_VALS)
+    if precision == 12:
+        dc_spec = (_JPEG_DC12_BITS, _JPEG_DC12_VALS)
+        ac_spec = (_JPEG_AC_PROG12_BITS, _JPEG_AC_PROG12_VALS)
+    else:
+        dc_spec = (_JPEG_DC_BITS, _JPEG_DC_VALS)
+        ac_spec = (_JPEG_AC_PROG_BITS, _JPEG_AC_PROG_VALS)
+    dc_codes = _huff_canonical(*dc_spec)
+    ac_codes = _huff_canonical(*ac_spec)
     nblk = bw * bh
 
     def _dc_first_scan(a: int) -> bytes:
@@ -751,11 +784,11 @@ def jpeg_bytes_progressive(
             bytes([1, 1, 0, ss, se, (ah << 4) | a]),
         ]
 
-    sof2 = struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
+    sof2 = struct.pack(">BHHB", precision, height, width, 1) + b"\x01\x11\x00"
     dqt = b"\x00" + bytes([1] * 64)
     dht = (
-        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
-        + b"\x10" + bytes(_JPEG_AC_PROG_BITS) + bytes(_JPEG_AC_PROG_VALS)
+        b"\x00" + bytes(dc_spec[0]) + bytes(dc_spec[1])
+        + b"\x10" + bytes(ac_spec[0]) + bytes(ac_spec[1])
     )
     out = [b"\xff\xd8"]
     for off in range(0, max(len(content), 1), _JPEG_COM_MAX):
@@ -1020,15 +1053,19 @@ def _jpeg_decode_progressive(info: dict) -> np.ndarray:
                 segments, dri, ss, se, ah, al,
             )
     qt = info["dqt"][tq]
-    out = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+    precision = int(info.get("precision") or 8)
+    shift = 1 << (precision - 1)
+    maxv = (1 << precision) - 1
+    out_dtype = np.uint8 if precision == 8 else np.uint16
+    out = np.zeros((bh * 8, bw * 8), dtype=out_dtype)
     for blk in range(nblk):
         by, bx = divmod(blk, bw)
         coef = np.zeros(64, dtype=np.float64)
         coef[_JPEG_ZIGZAG] = coefs[blk] * qt
         block = _IDCT_C.T @ coef.reshape(8, 8) @ _IDCT_C
         out[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = np.clip(
-            np.round(block) + 128, 0, 255
-        ).astype(np.uint8)
+            np.round(block) + shift, 0, maxv
+        ).astype(out_dtype)
     return out[:h, :w]
 
 
@@ -1058,10 +1095,8 @@ def jpeg_decode(info: dict) -> np.ndarray:
         )
     precision = int(info["precision"])
     if info.get("sof_marker") == 0xC2:
-        if precision != 8:
-            # T.81 allows 12-bit progressive; no fixture source yet —
-            # keep the boundary explicit rather than decode wrongly
-            raise NotImplementedError("progressive 12-bit frames")
+        # the progressive coefficient machinery is precision-agnostic;
+        # its renderer applies the 2^(P-1) shift / 2^P-1 clamp (round 10)
         return _jpeg_decode_progressive(info)
     # 12-bit frames arrive as SOF1 (extended sequential, T.81 B.2 —
     # baseline SOF0 is 8-bit-only); the scan machinery is identical,
@@ -2630,13 +2665,11 @@ def _decode_color_planes(
             f"jpeg_decode_color: need 8-bit 3- or 4-component frames "
             f"(precision={info.get('precision')}, ncomp={info.get('ncomp')})"
         )
-    if info.get("ncomp") == 4 and info.get("sof_marker") == 0xC2:
-        # progressive CMYK/YCCK: no fixture source observed yet; the
-        # baseline path below covers the scanned-PDF/print-pipeline case
-        raise NotImplementedError("progressive 4-component (CMYK) frames")
     # fractional sampling ratios (T.81 allows Y at H=3 with chroma at
-    # H=2) are handled by the floor-map upsample (_upsample_floor) since
-    # round 10 — no integer-ratio gate needed here anymore
+    # H=2) are handled by the floor-map upsample (_upsample_floor), and
+    # the progressive path is component-count-agnostic (per-component
+    # coefficient planes), so 4-component progressive decodes too —
+    # both r8 gates retired in round 10
     if info.get("sof_marker") == 0xC2:
         return _jpeg_decode_progressive_color_planes(info)
     return _jpeg_decode_baseline_color_planes(info)
@@ -2873,6 +2906,62 @@ def jpeg_bytes_cmyk(
             preds[ci] = _put_dc_only(
                 wr, dc_codes, ac_codes, int(planes[ci][mj, mi]), preds[ci]
             )
+    out += [wr.done(), b"\xff\xd9"]
+    return b"".join(out)
+
+
+def jpeg_bytes_progressive_cmyk(
+    width: int,
+    height: int,
+    content: bytes,
+    planes: tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray],
+    transform: int = 0,
+) -> bytes:
+    """PROGRESSIVE (SOF2) 4-component JPEG fixture (round 10, retiring
+    the last codec gate): Adobe APP14 + one fully-INTERLEAVED ns=4 DC
+    scan of per-block constants at 4:4:4 — with DC-only content every
+    AC band is all-zero, so the single scan reconstructs the frame
+    exactly (the decoder accumulates per-component coefficient planes;
+    absent AC scans leave them zero, which IS the content)."""
+    if transform not in (0, 2):
+        raise ValueError(f"APP14 transform must be 0 (CMYK) or 2 (YCCK), got {transform}")
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    for p in planes:
+        if p.shape != (bh, bw):
+            raise ValueError(f"plane blocks must be {(bh, bw)}, got {p.shape}")
+    out = [b"\xff\xd8"]
+    adobe = b"Adobe" + struct.pack(">HHHB", 0x64, 0, 0, transform)
+    out += [b"\xff\xee", struct.pack(">H", 2 + len(adobe)), adobe]
+    for off in range(0, max(len(content), 1), _JPEG_COM_MAX):
+        chunk = content[off : off + _JPEG_COM_MAX]
+        out += [b"\xff\xfe", struct.pack(">H", 2 + len(chunk)), chunk]
+    dqt = b"\x00" + bytes([1] * 64)
+    sof = struct.pack(">BHHB", 8, height, width, 4) + bytes(
+        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0, 4, 0x11, 0]
+    )
+    dht = b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    sos = b"\x04" + bytes([1, 0x00, 2, 0x00, 3, 0x00, 4, 0x00]) + b"\x00\x00\x00"
+    out += [
+        b"\xff\xdb", struct.pack(">H", 2 + len(dqt)), dqt,
+        b"\xff\xc2", struct.pack(">H", 2 + len(sof)), sof,
+        b"\xff\xc4", struct.pack(">H", 2 + len(dht)), dht,
+        b"\xff\xda", struct.pack(">H", 2 + len(sos)), sos,
+    ]
+    dc_codes = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    wr = _JpegBitWriter()
+    preds = [0, 0, 0, 0]
+    for mcu in range(bw * bh):
+        mj, mi = divmod(mcu, bw)
+        for ci in range(4):
+            dc = 8 * (int(planes[ci][mj, mi]) - 128)
+            diff = dc - preds[ci]
+            preds[ci] = dc
+            s = _jpeg_category(diff)
+            code, length = dc_codes[s]
+            wr.put(code, length)
+            if s:
+                wr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
     out += [wr.done(), b"\xff\xd9"]
     return b"".join(out)
 

@@ -87,14 +87,30 @@ def test_encoder_rejects_bad_transform():
         jpeg_bytes_cmyk(16, 16, b"", cmyk_block_values(0, 16, 16), transform=1)
 
 
-def test_progressive_cmyk_still_boundary():
-    """ncomp=4 progressive has no fixture source; the documented
-    NotImplementedError boundary must be explicit, not a wrong decode."""
-    payload = jpeg_bytes_cmyk(16, 16, b"", cmyk_block_values(0, 16, 16))
-    info = parse_container(payload)
-    info["sof_marker"] = 0xC2  # simulate SOF2
-    with pytest.raises(NotImplementedError, match="4-component"):
-        jpeg_decode_color(info)
+@pytest.mark.parametrize("transform", [0, 2])
+@pytest.mark.parametrize("mid", [0, 57])
+def test_progressive_cmyk_matches_baseline(mid, transform):
+    """PROGRESSIVE (SOF2) 4-component frames decode bit-identically to
+    the baseline encoding of the same block constants — the progressive
+    coefficient path is component-count-agnostic, and a DC-only
+    interleaved ns=4 scan reconstructs the frame exactly (round 10,
+    retiring the last codec gate)."""
+    from smoltable_spark.functions.multimodal import (
+        jpeg_bytes_progressive_cmyk,
+    )
+
+    w, h = 16 + mid % 64, 16 + mid % 48
+    blocks = cmyk_block_values(mid, w, h)
+    base = jpeg_decode_color(parse_container(
+        jpeg_bytes_cmyk(w, h, b"c", blocks, transform=transform)
+    ))
+    info = parse_container(
+        jpeg_bytes_progressive_cmyk(w, h, b"c", blocks, transform=transform)
+    )
+    assert info["sof_marker"] == 0xC2
+    assert info["ncomp"] == 4
+    assert info["adobe_transform"] == transform
+    assert np.array_equal(jpeg_decode_color(info), base)
 
 
 def test_cmyk_features_pipeline(spark):
@@ -244,22 +260,6 @@ def test_12bit_extremes_hit_max_dc_categories():
     assert img[8, 0] == 4095 and img[8, 8] == 0
 
 
-def test_12bit_progressive_stays_boundary():
-    from smoltable_spark.functions.multimodal import (
-        jpeg_bytes_12bit,
-        jpeg_decode,
-        parse_container,
-    )
-
-    info = parse_container(
-        jpeg_bytes_12bit(16, 16, b"", np.array([[1000, 2000]] * 1,
-                                               dtype=np.int64).reshape(1, 2))
-    )
-    info["sof_marker"] = 0xC2
-    with pytest.raises(NotImplementedError, match="12-bit"):
-        jpeg_decode(info)
-
-
 def test_invalid_dqt_precision_rejected():
     from smoltable_spark.functions.multimodal import (
         jpeg_bytes_12bit,
@@ -273,3 +273,32 @@ def test_invalid_dqt_precision_rejected():
     bad = payload[:i] + bytes([0x20]) + payload[i + 1 :]  # Pq=2
     with pytest.raises(ValueError, match="DQT precision"):
         parse_container(bad)
+
+
+@pytest.mark.parametrize("al", [0, 1, 2])
+def test_12bit_progressive_roundtrip(al):
+    """12-bit PROGRESSIVE (SOF2) frames: the spectral-selection +
+    successive-approximation script at precision 12 — category-15 DC
+    and size-14 AC tables, level shift 2048. Full refinement must
+    reconstruct the same rounded forward-DCT coefficients at every al
+    (bit-identical decodes), with error <= 1/sample vs the source
+    (unit-quant coefficient rounding only)."""
+    from smoltable_spark.functions.multimodal import (
+        jpeg_bytes_progressive,
+        jpeg_decode,
+        parse_container,
+    )
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 4096, size=(27, 19), dtype=np.uint16)
+    info = parse_container(
+        jpeg_bytes_progressive(19, 27, b"p12", px, al=al, precision=12)
+    )
+    assert info["precision"] == 12 and info["sof_marker"] == 0xC2
+    got = jpeg_decode(info)
+    assert got.dtype == np.uint16
+    assert np.abs(got.astype(int) - px.astype(int)).max() <= 1
+    base = jpeg_decode(parse_container(
+        jpeg_bytes_progressive(19, 27, b"p12", px, al=0, precision=12)
+    ))
+    assert np.array_equal(got, base)  # refinement reconstructs exactly
