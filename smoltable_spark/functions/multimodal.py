@@ -41,9 +41,15 @@ Design (for a 100 TB media corpus):
   round 9 closes the last sampling boundary: single-component frames
   decode whatever HiVi byte they declare (an ns=1 scan is
   non-interleaved per T.81 A.2.2, so with one component the sampling
-  byte never changes the layout). Remaining documented boundaries are
-  genuinely-invalid or out-of-scope streams (non-integer chroma ratios,
-  12-bit precision, arithmetic coding), each behind a test.
+  byte never changes the layout). Round 10 retires every remaining
+  decode gate: CMYK/YCCK (ncomp=4 with the Adobe APP14 transform,
+  baseline AND progressive), FRACTIONAL chroma ratios via the T.81
+  floor-map upsample (Y at H=3 over chroma at H=2), and 12-BIT
+  precision (SOF1 extended-sequential + SOF2 progressive, Pq=1 16-bit
+  DQT, category-15 DC / size-14 AC tables, uint16 output). The only
+  remaining out-of-scope stream classes are arithmetic coding,
+  hierarchical (SOF5-7/13-15) and lossless modes — none observed in
+  web-crawl corpora at meaningful rates.
 """
 
 from __future__ import annotations
