@@ -438,16 +438,18 @@ def ivf_tombstones(spark, path: str):
     persisted IVF index, or None (functions/ann_index.py writes them
     under the underscore-prefixed ``_tombstones/`` root, invisible to
     the index's own partition discovery). Lives here so the serving
-    path needs no import of the maintenance module."""
-    import os
+    path needs no import of the maintenance module. Round 11: listed
+    through the Hadoop FS API (one listStatus RPC), so serving masks
+    deletes on object-store-hosted indexes too, not just local paths."""
+    from smoltable_spark.sources.hadoop_fs import HadoopFS
 
-    root = os.path.join(path.rstrip("/"), "_tombstones")
-    if not os.path.isdir(root):
-        return None
+    base = path.rstrip("/")
+    root = base + "/_tombstones"
+    fs = HadoopFS(spark, base)
     dirs = [
-        os.path.join(root, d)
-        for d in os.listdir(root)
-        if d.startswith("d-") and os.path.isdir(os.path.join(root, d))
+        f"{root}/{d}"
+        for d, is_dir in fs.list_status(root)
+        if d.startswith("d-") and is_dir
     ]
     if not dirs:
         return None

@@ -53,8 +53,10 @@ BOUNDED_BROADCASTS: dict[tuple[str, str], str] = {
         "contract: the user-supplied delete id batch (a maintenance API "
         "request, bounded); the index side streams",
     ("functions/ann_index.py", "_fold_tombstones"):
-        "victims = tombstones since the last compact (bounded by the "
-        "same delete batches); the affected-list scan streams",
+        "count-gated: victims broadcast only when the tombstone set is "
+        "under _BROADCAST_MAX_TOMBS rows (else the anti-join shuffles); "
+        "the append-upsert batch split broadcasts the caller-bounded "
+        "batch ids; the affected-list scan streams",
     ("functions/ann_index.py", "append_ivf_index"):
         "tombstone set (bounded: deletes since last compact) broadcast "
         "against the caller-bounded append batch's distinct ids",
