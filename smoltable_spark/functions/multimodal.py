@@ -45,11 +45,19 @@ Design (for a 100 TB media corpus):
   decode gate: CMYK/YCCK (ncomp=4 with the Adobe APP14 transform,
   baseline AND progressive), FRACTIONAL chroma ratios via the T.81
   floor-map upsample (Y at H=3 over chroma at H=2), and 12-BIT
-  precision (SOF1 extended-sequential + SOF2 progressive, Pq=1 16-bit
-  DQT, category-15 DC / size-14 AC tables, uint16 output). The only
-  remaining out-of-scope stream classes are arithmetic coding,
-  hierarchical (SOF5-7/13-15) and lossless modes — none observed in
-  web-crawl corpora at meaningful rates.
+  precision (SOF1 extended-sequential + SOF2 progressive, category-15
+  DC / size-14 AC tables, uint16 output; every 12-bit fixture —
+  grayscale and color, sequential and progressive — carries Pq=1
+  16-bit DQT entries so the 16-bit table parse is exercised on each
+  path). Round 11 extends 12-bit past grayscale: 3-COMPONENT COLOR
+  frames decode at 12 bits through the precision-parametrized pipeline
+  (level shift 2^(P-1), clamp 2^P-1, T.871 chroma center 2^(P-1));
+  4-component CMYK/YCCK stays 8-bit-only (no documented convention for
+  a 12-bit Adobe inverted-channel composite, no observed crawl
+  population — the gate raises explicitly). The only remaining
+  out-of-scope stream classes are arithmetic coding, hierarchical
+  (SOF5-7/13-15) and lossless modes — none observed in web-crawl
+  corpora at meaningful rates.
 """
 
 from __future__ import annotations
@@ -550,14 +558,15 @@ def _pad_plane(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
     return out
 
 
-def _fdct_coefs(padded: np.ndarray) -> np.ndarray:
+def _fdct_coefs(padded: np.ndarray, level_shift: float = 128.0) -> np.ndarray:
     """(bh, bw, 64) rounded zigzag-ordered forward-DCT coefficients of a
-    block-aligned padded plane (unit quant table)."""
+    block-aligned padded plane (unit quant table); ``level_shift`` is
+    2^(P-1) per the frame precision (T.81 A.3.1)."""
     bh, bw = padded.shape[0] // 8, padded.shape[1] // 8
     out = np.zeros((bh, bw, 64), dtype=np.int64)
     for by in range(bh):
         for bx in range(bw):
-            blk = padded[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] - 128.0
+            blk = padded[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] - level_shift
             S = _IDCT_C @ blk @ _IDCT_C.T
             out[by, bx] = np.round(S.ravel()[_JPEG_ZIGZAG]).astype(np.int64)
     return out
@@ -791,7 +800,12 @@ def jpeg_bytes_progressive(
         ]
 
     sof2 = struct.pack(">BHHB", precision, height, width, 1) + b"\x01\x11\x00"
-    dqt = b"\x00" + bytes([1] * 64)
+    # ADVICE r10: the 12-bit progressive fixture must exercise the Pq=1
+    # 16-bit DQT parse too, matching the SOF1 fixture's claim
+    if precision == 12:
+        dqt = b"\x10" + struct.pack(">64H", *([1] * 64))
+    else:
+        dqt = b"\x00" + bytes([1] * 64)
     dht = (
         b"\x00" + bytes(dc_spec[0]) + bytes(dc_spec[1])
         + b"\x10" + bytes(ac_spec[0]) + bytes(ac_spec[1])
@@ -2167,31 +2181,43 @@ def _jpeg_color_marker_segments(
     ac_bits: tuple,
     ac_vals: tuple,
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> list[bytes]:
     """SOI + COM chunks + DQT (unit tables 0/1) + SOF0 (3 components:
     Y id 1 at ``sampling``, Cb id 2 and Cr id 3 at 1x1) + DHT (DC/AC
     tables 0 for luma AND distinct-id copies 1 for chroma — identical
     specs, but the decoder must bind per component) + optional DRI +
-    SOS (3 components, full interleave)."""
+    SOS (3 components, full interleave). ``precision=12`` (round 11)
+    switches the frame to SOF1 extended-sequential (SOF0 is 8-bit-only,
+    T.81 B.2), Pq=1 16-bit-entry unit DQTs, and the category-15 DC
+    tables — the 12-bit COLOR variant of ``jpeg_bytes_12bit``."""
     hy, vy = sampling
-    sof = struct.pack(">BHHB", 8, height, width, 3) + bytes(
+    sof = struct.pack(">BHHB", precision, height, width, 3) + bytes(
         [1, (hy << 4) | vy, 0, 2, 0x11, 1, 3, 0x11, 1]
     )
     out = [b"\xff\xd8"]
     for off in range(0, max(len(content), 1), _JPEG_COM_MAX):
         chunk = content[off : off + _JPEG_COM_MAX]
         out += [b"\xff\xfe", struct.pack(">H", 2 + len(chunk)), chunk]
-    dqt = b"\x00" + bytes([1] * 64) + b"\x01" + bytes([1] * 64)
+    if precision == 12:
+        unit16 = struct.pack(">64H", *([1] * 64))
+        dqt = b"\x10" + unit16 + b"\x11" + unit16  # Pq=1, Tq=0/1
+        dc_bits, dc_vals = _JPEG_DC12_BITS, _JPEG_DC12_VALS
+        sof_marker = b"\xff\xc1"
+    else:
+        dqt = b"\x00" + bytes([1] * 64) + b"\x01" + bytes([1] * 64)
+        dc_bits, dc_vals = _JPEG_DC_BITS, _JPEG_DC_VALS
+        sof_marker = b"\xff\xc0"
     dht = b"".join(
-        bytes([(tc << 4) | th]) + bytes(_JPEG_DC_BITS if tc == 0 else ac_bits)
-        + bytes(_JPEG_DC_VALS if tc == 0 else ac_vals)
+        bytes([(tc << 4) | th]) + bytes(dc_bits if tc == 0 else ac_bits)
+        + bytes(dc_vals if tc == 0 else ac_vals)
         for th in (0, 1)
         for tc in (0, 1)
     )
     sos = b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00"
     out += [
         b"\xff\xdb", struct.pack(">H", 2 + len(dqt)), dqt,
-        b"\xff\xc0", struct.pack(">H", 2 + len(sof)), sof,
+        sof_marker, struct.pack(">H", 2 + len(sof)), sof,
         b"\xff\xc4", struct.pack(">H", 2 + len(dht)), dht,
     ]
     if restart_interval:
@@ -2201,11 +2227,12 @@ def _jpeg_color_marker_segments(
 
 
 def _put_dc_only(wr: _JpegBitWriter, dc_codes: dict, ac_codes: dict,
-                 v: int, pred: int) -> int:
+                 v: int, pred: int, shift: int = 128) -> int:
     """Emit one DC-only block (difference-coded DC of a constant block
     of sample value ``v`` under a unit quant table, then EOB); returns
-    the new predictor."""
-    dc = 8 * (int(v) - 128)
+    the new predictor. ``shift`` is the level shift — 2^(P-1), so 128
+    for 8-bit frames and 2048 for 12-bit ones (T.81 A.3.1)."""
+    dc = 8 * (int(v) - shift)
     diff = dc - pred
     s = _jpeg_category(diff)
     code, length = dc_codes[s]
@@ -2226,6 +2253,7 @@ def jpeg_bytes_color(
     cr_blocks: np.ndarray,
     sampling: tuple[int, int] = (2, 2),
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """Baseline 3-component YCbCr JPEG from per-block CONSTANTS:
     ``y_blocks`` is (mh*Vy, mw*Hy) per-8x8-luma-block values on the
@@ -2235,7 +2263,17 @@ def jpeg_bytes_color(
     with independent per-component DC predictors, all blocks DC-only
     (exact round-trip under the unit quant tables). ``restart_interval``
     emits DRI + byte-aligned RSTm every that many MCUs with ALL
-    predictors reset (T.81 E.2.4)."""
+    predictors reset (T.81 E.2.4). ``precision=12`` (round 11) emits
+    the extended-sequential 12-bit COLOR variant: SOF1 frame, Pq=1
+    16-bit DQTs, category-15 DC tables, block values in 0..4095 with
+    level shift 2048."""
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12, got {precision}")
+    maxv = (1 << precision) - 1
+    shift = 1 << (precision - 1)
+    for arr, nm in ((y_blocks, "y"), (cb_blocks, "cb"), (cr_blocks, "cr")):
+        if arr.size and (int(arr.min()) < 0 or int(arr.max()) > maxv):
+            raise ValueError(f"{nm}_blocks must be in 0..{maxv}")
     hy, vy = sampling
     mw = (width + 8 * hy - 1) // (8 * hy)
     mh = (height + 8 * vy - 1) // (8 * vy)
@@ -2243,7 +2281,10 @@ def jpeg_bytes_color(
         raise ValueError(f"y_blocks must be {(mh * vy, mw * hy)}, got {y_blocks.shape}")
     if cb_blocks.shape != (mh, mw) or cr_blocks.shape != (mh, mw):
         raise ValueError(f"chroma blocks must be {(mh, mw)}")
-    dc_codes = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    if precision == 12:
+        dc_codes = _huff_canonical(_JPEG_DC12_BITS, _JPEG_DC12_VALS)
+    else:
+        dc_codes = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
     wr = _JpegBitWriter()
     preds = [0, 0, 0]
@@ -2261,17 +2302,44 @@ def jpeg_bytes_color(
             for c in range(hy):
                 preds[0] = _put_dc_only(
                     wr, dc_codes, ac_codes,
-                    int(y_blocks[mj * vy + r, mi * hy + c]), preds[0],
+                    int(y_blocks[mj * vy + r, mi * hy + c]), preds[0], shift,
                 )
-        preds[1] = _put_dc_only(wr, dc_codes, ac_codes, int(cb_blocks[mj, mi]), preds[1])
-        preds[2] = _put_dc_only(wr, dc_codes, ac_codes, int(cr_blocks[mj, mi]), preds[2])
+        preds[1] = _put_dc_only(
+            wr, dc_codes, ac_codes, int(cb_blocks[mj, mi]), preds[1], shift
+        )
+        preds[2] = _put_dc_only(
+            wr, dc_codes, ac_codes, int(cr_blocks[mj, mi]), preds[2], shift
+        )
     chunks.append(wr.done())
     out = _jpeg_color_marker_segments(
         width, height, content, sampling,
-        _JPEG_AC_BITS, _JPEG_AC_VALS, restart_interval,
+        _JPEG_AC_BITS, _JPEG_AC_VALS, restart_interval, precision,
     )
     out += [b"".join(chunks), b"\xff\xd9"]
     return b"".join(out)
+
+
+def color_block_values_12bit(
+    mid: int, width: int, height: int, sampling: tuple[int, int] = (2, 2)
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Deterministic per-block YCbCr constants for a 12-BIT color frame
+    (round 11): same grid layout as ``color_block_values`` but over the
+    0..4095 sample range, with multipliers chosen so values actually
+    exercise the extended range (a % 4096 of the 8-bit formula would
+    stay under 256 for small ids). Y block (bx, by) on the padded grid
+    is ``(mid * 17 + i * 29) % 4096`` for flat index i; Cb / Cr are
+    per-MCU ``(3*mid + 31*j + 1717) % 4096`` / ``(7*mid + 37*j + 2900)
+    % 4096`` — closed forms a SQL oracle can replicate exactly."""
+    hy, vy = sampling
+    mw = (width + 8 * hy - 1) // (8 * hy)
+    mh = (height + 8 * vy - 1) // (8 * vy)
+    bw, bh = mw * hy, mh * vy
+    idx = np.arange(bh, dtype=np.int64)[:, None] * bw + np.arange(bw, dtype=np.int64)
+    y = ((mid * 17 + idx * 29) % 4096).astype(np.uint16)
+    midx = np.arange(mh, dtype=np.int64)[:, None] * mw + np.arange(mw, dtype=np.int64)
+    cb = ((3 * mid + 31 * midx + 1717) % 4096).astype(np.uint16)
+    cr = ((7 * mid + 37 * midx + 2900) % 4096).astype(np.uint16)
+    return y, cb, cr
 
 
 def color_block_values_samplings(
@@ -2504,20 +2572,27 @@ def jpeg_bytes_color_pixels(
     return b"".join(out)
 
 
-def ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
-    """JFIF (ITU-T T.871 §7) YCbCr -> RGB: R = Y + 1.402(Cr-128),
-    G = Y - 0.344136(Cb-128) - 0.714136(Cr-128), B = Y + 1.772(Cb-128),
-    each rounded as floor(x + 0.5) and clamped to [0, 255]. floor(x+.5)
-    instead of banker's round so the oracle's SQL ``floor(x + 0.5)``
-    matches bit-for-bit (both sides evaluate the identical left-
-    associated IEEE-double expression)."""
+def ycbcr_to_rgb(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, precision: int = 8
+) -> np.ndarray:
+    """JFIF (ITU-T T.871 §7) YCbCr -> RGB: R = Y + 1.402(Cr-C),
+    G = Y - 0.344136(Cb-C) - 0.714136(Cr-C), B = Y + 1.772(Cb-C),
+    each rounded as floor(x + 0.5) and clamped to [0, 2^P-1], where
+    C = 2^(P-1) is the chroma center (128 at 8-bit, 2048 at 12-bit —
+    T.871 defines the transform for arbitrary precision via the
+    half-range offset). floor(x+.5) instead of banker's round so the
+    oracle's SQL ``floor(x + 0.5)`` matches bit-for-bit (both sides
+    evaluate the identical left-associated IEEE-double expression)."""
+    center = float(1 << (precision - 1))
+    maxv = (1 << precision) - 1
     yf = y.astype(np.float64)
-    cbd = cb.astype(np.float64) - 128.0
-    crd = cr.astype(np.float64) - 128.0
+    cbd = cb.astype(np.float64) - center
+    crd = cr.astype(np.float64) - center
     r = np.floor(yf + 1.402 * crd + 0.5)
     g = np.floor(yf - 0.344136 * cbd - 0.714136 * crd + 0.5)
     b = np.floor(yf + 1.772 * cbd + 0.5)
-    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+    dtype = np.uint8 if precision == 8 else np.uint16
+    return np.clip(np.stack([r, g, b], axis=-1), 0, maxv).astype(dtype)
 
 
 def _decode_block_zz(rd: _JpegBitReader, dc_tab: dict, ac_tab: dict,
@@ -2573,7 +2648,8 @@ def jpeg_decode_color(info: dict) -> np.ndarray:
             info.get("adobe_transform"),
         )
     return _planes_to_rgb(planes, hvs, hmax, vmax,
-                          info["width"], info["height"])
+                          info["width"], info["height"],
+                          int(info.get("precision") or 8))
 
 
 def _upsample_floor(
@@ -2595,14 +2671,16 @@ def _upsample_floor(
     return plane[np.ix_(ys, xs)]
 
 
-def _planes_to_rgb(planes, hvs, hmax, vmax, w: int, h: int) -> np.ndarray:
+def _planes_to_rgb(
+    planes, hvs, hmax, vmax, w: int, h: int, precision: int = 8
+) -> np.ndarray:
     """Floor-map-upsample each component to the luma grid, crop, and
     convert (the tail both decode paths and the roundtrip share)."""
     full = [
         _upsample_floor(plane, h_i, v_i, hmax, vmax, w, h)
         for (h_i, v_i), plane in zip(hvs, planes)
     ]
-    return ycbcr_to_rgb(full[0], full[1], full[2])
+    return ycbcr_to_rgb(full[0], full[1], full[2], precision)
 
 
 def _cmyk_planes_to_rgb(
@@ -2666,10 +2744,24 @@ def _decode_color_planes(
     """Shared color entry: validate, then decode to MCU-padded
     per-component planes via the baseline or progressive path. Returns
     (planes, [(Hi, Vi)], Hmax, Vmax)."""
-    if info.get("precision") != 8 or info.get("ncomp") not in (3, 4):
+    if info.get("ncomp") not in (3, 4):
         raise NotImplementedError(
-            f"jpeg_decode_color: need 8-bit 3- or 4-component frames "
-            f"(precision={info.get('precision')}, ncomp={info.get('ncomp')})"
+            f"jpeg_decode_color: need 3- or 4-component frames "
+            f"(ncomp={info.get('ncomp')})"
+        )
+    # 3-component frames decode at 8 OR 12 bits (round 11 — the color
+    # pipeline is precision-parametrized end to end: level shift
+    # 2^(P-1), clamp 2^P-1, uint16 planes, T.871 chroma center 2^(P-1));
+    # 4-component (CMYK/YCCK) stays 8-bit-only — 12-bit Adobe CMYK has
+    # no documented convention for the inverted-channel composite and
+    # no observed crawl population, so the gate is explicit.
+    if info.get("precision") not in (8, 12) or (
+        info.get("precision") != 8 and info.get("ncomp") == 4
+    ):
+        raise NotImplementedError(
+            f"jpeg_decode_color: 3-component frames decode at 8/12-bit, "
+            f"4-component at 8-bit only (precision={info.get('precision')}, "
+            f"ncomp={info.get('ncomp')})"
         )
     # fractional sampling ratios (T.81 allows Y at H=3 with chroma at
     # H=2) are handled by the floor-map upsample (_upsample_floor), and
@@ -2708,8 +2800,12 @@ def _jpeg_decode_baseline_color_planes(
     vmax = max(c[1] for c in comps)
     mw = (w + 8 * hmax - 1) // (8 * hmax)
     mh = (h + 8 * vmax - 1) // (8 * vmax)
+    precision = int(info.get("precision") or 8)
+    shift = 1 << (precision - 1)
+    maxv = (1 << precision) - 1
+    out_dtype = np.uint8 if precision == 8 else np.uint16
     planes = [
-        np.zeros((mh * v_i * 8, mw * h_i * 8), dtype=np.uint8)
+        np.zeros((mh * v_i * 8, mw * h_i * 8), dtype=out_dtype)
         for h_i, v_i, _, _, _ in comps
     ]
     segments = info.get("scan_segments") or [info["scan"]]
@@ -2734,13 +2830,15 @@ def _jpeg_decode_baseline_color_planes(
                     by, bx = mj * v_i + r, mi * h_i + c
                     sl = planes[ci][8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8]
                     if zz is None:
-                        val = round(preds[ci] * int(qt[0]) / 8) + 128
-                        sl[:] = min(255, max(0, val))
+                        val = round(preds[ci] * int(qt[0]) / 8) + shift
+                        sl[:] = min(maxv, max(0, val))
                         continue
                     coef = np.zeros(64, dtype=np.float64)
                     coef[_JPEG_ZIGZAG] = zz * qt
                     block = _IDCT_C.T @ coef.reshape(8, 8) @ _IDCT_C
-                    sl[:] = np.clip(np.round(block) + 128, 0, 255).astype(np.uint8)
+                    sl[:] = np.clip(
+                        np.round(block) + shift, 0, maxv
+                    ).astype(out_dtype)
     return planes, [(h_i, v_i) for h_i, v_i, _, _, _ in comps], hmax, vmax
 
 
@@ -2782,6 +2880,47 @@ def synthesize_color_media(
                 payload = jpeg_bytes_color(
                     w, h, (text or "").encode("utf-8"),
                     *color_block_values(mid, w, h),
+                )
+                rows["media_id"].append(mid)
+                rows["media_type"].append("image")
+                rows["payload"].append(payload)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["duration_ms"].append(None)
+            yield pd.DataFrame(rows)
+
+    from smoltable_spark.functions.dedup import spread
+
+    target = min(docs.sparkSession.sparkContext.defaultParallelism, 8)
+    return spread(src, target).mapInPandas(run, MEDIA_SCHEMA)
+
+
+def synthesize_color12_media(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic 12-BIT COLOR media table (round 11): every image
+    doc (doc_id % 3 == 0) becomes a real extended-sequential 12-bit
+    4:2:0 YCbCr JPEG (``jpeg_bytes_color(precision=12)`` over
+    ``color_block_values_12bit`` — SOF1 frame, Pq=1 16-bit DQTs,
+    category-15 DC tables, samples in 0..4095) carrying the document
+    text in COM segments — same dims as ``synthesize_media``."""
+    src = docs.filter((F.col(id_col) % 3) == 0).select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(text_col).alias("_text"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("media_id", "media_type", "payload", "width", "height",
+                     "duration_ms")}
+            for mid, text in zip(pdf["media_id"], pdf["_text"]):
+                mid = int(mid)
+                w, h = 16 + mid % 64, 16 + mid % 48
+                payload = jpeg_bytes_color(
+                    w, h, (text or "").encode("utf-8"),
+                    *color_block_values_12bit(mid, w, h),
+                    precision=12,
                 )
                 rows["media_id"].append(mid)
                 rows["media_type"].append("image")
@@ -3104,6 +3243,7 @@ def jpeg_bytes_progressive_color(
     cr_plane: np.ndarray,
     sampling: tuple[int, int] = (2, 2),
     al: int = 1,
+    precision: int = 8,
 ) -> bytes:
     """PROGRESSIVE (SOF2) COLOR JPEG (round 8b, retiring the last codec
     boundary): the standard multi-scan script real progressive encoders
@@ -3117,7 +3257,11 @@ def jpeg_bytes_progressive_color(
     chroma at subsampled dims). Full refinement reconstructs the exact
     rounded forward-DCT coefficients, so the progressive decode is
     BIT-IDENTICAL to the baseline decode of the same planes — the
-    roundtrip contract mm_color_progressive pins."""
+    roundtrip contract mm_color_progressive pins. ``precision=12``
+    (round 11) emits the 12-bit variant: samples in 0..4095, level
+    shift 2048, Pq=1 16-bit DQTs, category-15 DC / size-14 AC tables."""
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12, got {precision}")
     hy, vy = sampling
     mw = (width + 8 * hy - 1) // (8 * hy)
     mh = (height + 8 * vy - 1) // (8 * vy)
@@ -3127,9 +3271,16 @@ def jpeg_bytes_progressive_color(
         _pad_plane(cb_plane, mh * 8, mw * 8),
         _pad_plane(cr_plane, mh * 8, mw * 8),
     ]
-    coefs = [_fdct_coefs(p) for p in planes]
-    dc_codes = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
-    ac_codes = _huff_canonical(_JPEG_AC_PROG_BITS, _JPEG_AC_PROG_VALS)
+    lvl = float(1 << (precision - 1))
+    coefs = [_fdct_coefs(p, lvl) for p in planes]
+    if precision == 12:
+        dc_spec = (_JPEG_DC12_BITS, _JPEG_DC12_VALS)
+        ac_spec = (_JPEG_AC_PROG12_BITS, _JPEG_AC_PROG12_VALS)
+    else:
+        dc_spec = (_JPEG_DC_BITS, _JPEG_DC_VALS)
+        ac_spec = (_JPEG_AC_PROG_BITS, _JPEG_AC_PROG_VALS)
+    dc_codes = _huff_canonical(*dc_spec)
+    ac_codes = _huff_canonical(*ac_spec)
     order = list(_mcu_block_order(comps, mw, mh))
     grids = [
         _noninterleaved_grid(width, height, h_i, v_i, hy, vy)
@@ -3169,14 +3320,18 @@ def jpeg_bytes_progressive_color(
         body = bytes([1, cid, (ta << 4) | ta, ss, se, (ah << 4) | a])
         return [b"\xff\xda", struct.pack(">H", 2 + len(body)), body]
 
-    sof2 = struct.pack(">BHHB", 8, height, width, 3) + bytes(
+    sof2 = struct.pack(">BHHB", precision, height, width, 3) + bytes(
         [1, (hy << 4) | vy, 0, 2, 0x11, 1, 3, 0x11, 1]
     )
-    dqt = b"\x00" + bytes([1] * 64) + b"\x01" + bytes([1] * 64)
+    if precision == 12:
+        unit16 = struct.pack(">64H", *([1] * 64))
+        dqt = b"\x10" + unit16 + b"\x11" + unit16
+    else:
+        dqt = b"\x00" + bytes([1] * 64) + b"\x01" + bytes([1] * 64)
     dht = b"".join(
         bytes([(tc << 4) | th])
-        + bytes(_JPEG_DC_BITS if tc == 0 else _JPEG_AC_PROG_BITS)
-        + bytes(_JPEG_DC_VALS if tc == 0 else _JPEG_AC_PROG_VALS)
+        + bytes(dc_spec[0] if tc == 0 else ac_spec[0])
+        + bytes(dc_spec[1] if tc == 0 else ac_spec[1])
         for th in (0, 1)
         for tc in (0, 1)
     )
@@ -3278,12 +3433,16 @@ def _jpeg_decode_progressive_color_planes(
             _huff_decode_table(*scan["dht"][(1, ta)]),
             segments, dri, ss, se, ah, a,
         )
+    precision = int(info.get("precision") or 8)
+    shift = 1 << (precision - 1)
+    maxv = (1 << precision) - 1
+    out_dtype = np.uint8 if precision == 8 else np.uint16
     planes = []
     hvs = []
     for cid, hv, tq in sof:
         h_i, v_i = hv >> 4, hv & 0xF
         qt = info["dqt"][tq]
-        plane = np.zeros((mh * v_i * 8, mw * h_i * 8), dtype=np.uint8)
+        plane = np.zeros((mh * v_i * 8, mw * h_i * 8), dtype=out_dtype)
         carr = coefs[cid]
         for by in range(carr.shape[0]):
             for bx in range(carr.shape[1]):
@@ -3291,8 +3450,8 @@ def _jpeg_decode_progressive_color_planes(
                 coef[_JPEG_ZIGZAG] = carr[by, bx] * qt
                 block = _IDCT_C.T @ coef.reshape(8, 8) @ _IDCT_C
                 plane[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = np.clip(
-                    np.round(block) + 128, 0, 255
-                ).astype(np.uint8)
+                    np.round(block) + shift, 0, maxv
+                ).astype(out_dtype)
         planes.append(plane)
         hvs.append((h_i, v_i))
     return planes, hvs, hmax, vmax
