@@ -1049,14 +1049,26 @@ def bpe_train(
 
     Returns (step, lhs, rhs, merged, pair_count) — the ordered merge
     table, i.e. the learned tokenizer."""
+    from pyspark import StorageLevel
+
+    from smoltable_spark.functions.dedup import spread
+
     spark = docs.sparkSession
     w = F.translate(F.col("w"), _BPE_SEP, "")
     s0 = F.concat(F.lit(_BPE_SEP), F.regexp_replace(w, "(?s)(.)", "$1" + _BPE_SEP))
-    t = (
+    # spread ONCE so every round's regexp+count pass uses the cluster
+    # (the word rows inherit the doc source's partitioning — often one
+    # file = one partition — and the per-round work is CPU-bound), then
+    # persist LAZILY: round k's count job computes round k-1's merge
+    # rewrite and materializes its cache in the SAME pass (VERDICT r10
+    # ask #6 — the old eager localCheckpoint paid a separate write pass
+    # per round, plus one for the final rewrite nothing ever read)
+    target = min(docs.sparkSession.sparkContext.defaultParallelism, 16)
+    t = spread(
         docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
-        .select(s0.alias("s"))
-        .localCheckpoint(eager=True)
-    )
+        .select(s0.alias("s")),
+        target,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # symbols back out of the string state: split keeps leading/trailing
     # empties (limit -1), so slots 2..n+1 hold the n symbols. The array
     # materializes ONCE per row in its own projection — inlining it into
@@ -1071,6 +1083,8 @@ def bpe_train(
         ),
     )
     merges = []
+    retired = None  # the grandparent cache: safe to drop once its child
+    #                 generation has materialized (see unpersist below)
     for step in range(1, n_merges + 1):
         best = (
             t.select(syms.alias("sy"))
@@ -1082,6 +1096,13 @@ def bpe_train(
             .limit(1)
             .collect()
         )
+        # this collect materialized t's cache, so the PREVIOUS
+        # generation's cache (t's parent) is now dead weight — dropping
+        # it earlier would force the count to recompute t all the way
+        # from the source
+        if retired is not None:
+            retired.unpersist()
+            retired = None
         if not best:  # corpus exhausted (every word is one symbol)
             break
         a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["c"])
@@ -1093,9 +1114,13 @@ def bpe_train(
             + _java_regex_quote(b)
             + f"(?={_BPE_SEP})"
         )
-        t = t.select(
+        new_t = t.select(
             F.regexp_replace("s", pat, _java_repl_quote(a + b)).alias("s")
-        ).localCheckpoint(eager=True)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        retired, t = t, new_t
+    t.unpersist()
+    if retired is not None:
+        retired.unpersist()
     return spark.createDataFrame(
         merges, "step int, lhs string, rhs string, merged string, pair_count long"
     )

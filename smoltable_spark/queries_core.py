@@ -854,18 +854,22 @@ def wc_gc_worker_cycle(spark, sf_dir):
         .withColumn("ts", F.col("ts") + F.lit(1).cast("long"))
         .withColumn("v_f64", F.col("v_f64") + F.lit(1.0))
     )
-    store.append(rewrite)
+    # the rewrite is one cell per %10 order: unique coordinates by
+    # construction, so the append skips the dedup window (r10 ask #6)
+    store.append(rewrite, assume_unique_coords=True)
     cells_before = store.read().count()
     compaction_worker(store, max_deltas=1)
     deleted = gc_worker(store, now_nanos=1)
     after = store.read()
-    cells_after = after.count()
-    max_versions = (
+    # ONE pass for both post-GC observables (was two jobs): group sizes
+    # carry the total cell count and the per-coordinate version maximum
+    row = (
         after.groupBy("row_key", "family", "qualifier")
         .count()
-        .agg(F.max("count"))
-        .collect()[0][0]
+        .agg(F.sum("count").alias("n"), F.max("count").alias("mx"))
+        .collect()[0]
     )
+    cells_after, max_versions = int(row["n"]), int(row["mx"])
     store.vacuum(keep_last=1)
     chain_len = len(store._chain_dirs())
     assert store.read().first() is not None  # still readable post-vacuum
@@ -1040,21 +1044,28 @@ def wc_minor_compact(spark, sf_dir):
     v1 = store.write(base)
     key_num = F.regexp_extract("row_key", r"order#(\d+)", 1).cast("long")
     tp = base.filter(F.col("qualifier") == "totalprice")
+    # one cell per matching order row: coordinates unique by
+    # construction, so each append skips the dedup window (r10 ask #6
+    # trim — the shuffle would find nothing to drop; compact() makes
+    # the same call for the same reason)
     store.append(
         tp.filter(key_num % 9 == 0)
         .withColumn("ts", F.lit(1).cast("long"))
-        .withColumn("v_f64", F.col("v_f64") + F.lit(1.0))
+        .withColumn("v_f64", F.col("v_f64") + F.lit(1.0)),
+        assume_unique_coords=True,
     )
     store.append(
         tp.filter(key_num % 18 == 0)
         .withColumn("ts", F.lit(1).cast("long"))
-        .withColumn("v_f64", F.col("v_f64") + F.lit(2.0))
+        .withColumn("v_f64", F.col("v_f64") + F.lit(2.0)),
+        assume_unique_coords=True,
     )
     v_minor = store.minor_compact()
     store.append(
         tp.filter(key_num % 10 == 0)
         .withColumn("ts", F.lit(2).cast("long"))
-        .withColumn("v_f64", F.col("v_f64") + F.lit(3.0))
+        .withColumn("v_f64", F.col("v_f64") + F.lit(3.0)),
+        assume_unique_coords=True,
     )
     cur = store.current_version()
     kinds_csv = ",".join(store._kind(v) for v in range(1, cur + 1))
@@ -1062,16 +1073,28 @@ def wc_minor_compact(spark, sf_dir):
     folds = store._folds_of(v_minor)
 
     def observables():
+        # ONE pass for both observables (was two jobs): per-coordinate
+        # groups carry the total cell count (sum of group sizes) and the
+        # newest-version totalprice (max ts struct) simultaneously
         snap = store.read()
-        n_cells = snap.count()
-        visible = (
-            snap.filter(F.col("qualifier") == "totalprice")
-            .groupBy("row_key")
-            .agg(F.max(F.struct("ts", F.col("v_f64").alias("v"))).alias("m"))
-            .agg(F.sum(F.round(F.col("m.v") * 100).cast("long")).alias("c"))
-            .collect()[0]["c"]
+        row = (
+            snap.groupBy("row_key", "qualifier")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max(F.struct("ts", F.col("v_f64").alias("v"))).alias("m"),
+            )
+            .agg(
+                F.sum("n").alias("n_cells"),
+                F.sum(
+                    F.when(
+                        F.col("qualifier") == "totalprice",
+                        F.round(F.col("m.v") * 100).cast("long"),
+                    )
+                ).alias("c"),
+            )
+            .collect()[0]
         )
-        return n_cells, int(visible)
+        return int(row["n_cells"]), int(row["c"])
 
     n_cells, cents = observables()
     changes_base = store.read_changes(v1).count()

@@ -369,13 +369,22 @@ class CellStore:
         self._commit_version(n)  # pointer rename = the commit point
         return n
 
-    def append(self, cells: DataFrame, seq_col: str | None = None) -> int:
+    def append(
+        self,
+        cells: DataFrame,
+        seq_col: str | None = None,
+        assume_unique_coords: bool = False,
+    ) -> int:
         """Atomic batch append (S1 semantics: one commit, all-or-nothing —
         reference smoltable/src/table/writer.rs:56-79) as a **delta**
         snapshot: only the batch is written — O(batch) like a memtable
         flush, never a table rewrite. Run ``compact()`` periodically to
         fold deltas into a base (small-file + read-amp maintenance).
-        ``seq_col``: see ``write``."""
+        ``seq_col``: see ``write``. ``assume_unique_coords=True`` skips
+        the within-batch dedup window — ONLY for batches whose
+        coordinates are unique by construction (e.g. one cell per source
+        row); like ``write``'s flag, it removes a full shuffle of the
+        batch that would find nothing to drop."""
         fam_lg = {
             f: (g if g != "" else _DEFAULT_LG) for f, g in self.family_to_lg().items()
         }
@@ -386,8 +395,13 @@ class CellStore:
             )
             lg_expr = F.coalesce(mapping[F.col("family")], F.lit(_DEFAULT_LG))
         cols = list(CELL_COLUMNS) + ([seq_col] if seq_col else [])
+        batch = cells.select(*cols)
+        if not assume_unique_coords:
+            batch = self._dedup_coords(batch, seq_col)
+        elif seq_col:
+            batch = batch.drop(seq_col)
         df = (
-            self._dedup_coords(cells.select(*cols), seq_col)
+            batch
             .withColumn("lg", lg_expr)
             .sortWithinPartitions(
                 F.col("row_key").asc(),
