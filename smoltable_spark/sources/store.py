@@ -44,12 +44,12 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from smoltable_spark.api import ColumnFamilyDef
 from smoltable_spark.schema import CELL_COLUMNS
+from smoltable_spark.sources.store_fs import store_fs_for
 
 _VERSION_FILE = "_VERSION"
 _MANIFEST_FILE = "_MANIFEST.json"
@@ -66,7 +66,14 @@ class CellStore:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
-        os.makedirs(path, exist_ok=True)
+        # round 11: driver-side metadata ops dispatch on the path scheme
+        # (sources/store_fs.py) — bare paths keep the zero-overhead local
+        # syscalls, scheme paths (file:/hdfs://s3a://) go through the JVM
+        # Hadoop FileSystem, so a store on object storage is fully
+        # administerable (commit / compact / vacuum / stats), not just
+        # readable through Spark jobs
+        self._fs = store_fs_for(spark, path)
+        self._fs.makedirs(path)
 
     # -- manifest (column families / locality groups) ----------------------
 
@@ -75,15 +82,15 @@ class CellStore:
             dict(name=f.name, ttl_secs=f.ttl_secs, version_limit=f.version_limit, lg=f.lg)
             for f in families
         ]
-        with open(os.path.join(self.path, _MANIFEST_FILE), "w") as fh:
-            json.dump(data, fh)
+        self._fs.write_text(
+            os.path.join(self.path, _MANIFEST_FILE), json.dumps(data)
+        )
 
     def load_families(self) -> list[ColumnFamilyDef]:
         p = os.path.join(self.path, _MANIFEST_FILE)
-        if not os.path.exists(p):
+        if not self._fs.exists(p):
             return []
-        with open(p) as fh:
-            return [ColumnFamilyDef(**d) for d in json.load(fh)]
+        return [ColumnFamilyDef(**d) for d in json.loads(self._fs.read_text(p))]
 
     def family_to_lg(self) -> dict[str, str]:
         return {f.name: f.lg for f in self.load_families()}
@@ -92,16 +99,13 @@ class CellStore:
 
     def current_version(self) -> int:
         p = os.path.join(self.path, _VERSION_FILE)
-        if not os.path.exists(p):
+        if not self._fs.exists(p):
             return 0
-        with open(p) as fh:
-            return int(fh.read().strip())
+        return int(self._fs.read_text(p).strip())
 
     def _commit_version(self, n: int) -> None:
-        tmp = os.path.join(self.path, _VERSION_FILE + ".tmp")
-        with open(tmp, "w") as fh:
-            fh.write(str(n))
-        os.replace(tmp, os.path.join(self.path, _VERSION_FILE))  # atomic
+        # atomic pointer swap (write-beside + overwrite-rename)
+        self._fs.replace_text(os.path.join(self.path, _VERSION_FILE), str(n))
 
     #: minor (tiered-compaction) legs live under a DOT-prefixed dir name
     #: (round 10, VERDICT r9 ask #1): Spark's file listing skips
@@ -137,10 +141,10 @@ class CellStore:
         dot-prefixed minor name. Legacy minor legs committed before the
         dot naming keep their plain dirs and still resolve here."""
         plain = os.path.join(self.path, f"v={n}")
-        if os.path.isdir(plain):
+        if self._fs.isdir(plain):
             return plain
         dotted = os.path.join(self.path, self._MINOR_DIR.format(n=n))
-        if os.path.isdir(dotted):
+        if self._fs.isdir(dotted):
             return dotted
         return plain
 
@@ -148,15 +152,14 @@ class CellStore:
 
     def _kind(self, n: int) -> str:
         p = os.path.join(self._version_dir(n), self._KIND_FILE)
-        if not os.path.exists(p):
+        if not self._fs.exists(p):
             return "base"  # pre-delta layouts: every snapshot was full
-        with open(p) as fh:
-            return fh.read().strip()
+        return self._fs.read_text(p).strip()
 
     def _base_of(self, n: int) -> int:
         """Latest base version ≤ n (0 when the chain starts with deltas)."""
         for v in range(n, 0, -1):
-            if os.path.isdir(self._version_dir(v)) and self._kind(v) == "base":
+            if self._fs.isdir(self._version_dir(v)) and self._kind(v) == "base":
                 return v
         return 0
 
@@ -165,10 +168,9 @@ class CellStore:
     def _folds_of(self, n: int) -> tuple[int, int] | None:
         """(from, through) leg range a **minor** leg folded, else None."""
         p = os.path.join(self._version_dir(n), self._FOLDS_FILE)
-        if not os.path.exists(p):
+        if not self._fs.exists(p):
             return None
-        with open(p) as fh:
-            d = json.load(fh)
+        d = json.loads(self._fs.read_text(p))
         return int(d["from"]), int(d["through"])
 
     def _legs_of(self, n: int) -> list[int]:
@@ -361,11 +363,9 @@ class CellStore:
         for k, v in opts.items():
             w = w.option(k, v)
         w.partitionBy(*part_cols).parquet(d)
-        with open(os.path.join(d, self._KIND_FILE), "w") as fh:
-            fh.write(kind)
+        self._fs.write_text(os.path.join(d, self._KIND_FILE), kind)
         for name, content in (markers or {}).items():
-            with open(os.path.join(d, name), "w") as fh:
-                fh.write(content)
+            self._fs.write_text(os.path.join(d, name), content)
         self._commit_version(n)  # pointer rename = the commit point
         return n
 
@@ -516,20 +516,19 @@ class CellStore:
         for v in range(1, self.current_version() + 1):
             plain = os.path.join(self.path, f"v={v}")
             kind_file = os.path.join(plain, self._KIND_FILE)
-            if not (os.path.isdir(plain) and os.path.exists(kind_file)):
+            if not (self._fs.isdir(plain) and self._fs.exists(kind_file)):
                 continue
-            with open(kind_file) as fh:
-                if fh.read().strip() != "minor":
-                    continue
+            if self._fs.read_text(kind_file).strip() != "minor":
+                continue
             dotted = os.path.join(self.path, self._MINOR_DIR.format(n=v))
-            if os.path.isdir(dotted):
+            if self._fs.isdir(dotted):
                 raise IOError(
                     f"minor-leg migration aborted: both {plain} and "
                     f"{dotted} exist for v{v} — a concurrent writer or "
                     "manual copy left the chain ambiguous; remove the "
                     "stale duplicate before retrying"
                 )
-            os.rename(plain, dotted)  # atomic per-leg
+            self._fs.rename(plain, dotted)  # atomic per-leg
             migrated += 1
         return migrated
 
@@ -546,7 +545,7 @@ class CellStore:
         # lg keeps the physical sentinel value ('_default' for ''): decoding
         # here would wrap the partition column in a projection and defeat
         # Catalyst partition pruning on lg filters.
-        if not os.path.isdir(self._version_dir(n)):
+        if not self._fs.isdir(self._version_dir(n)):
             raise FileNotFoundError(f"version {n} vacuumed from {self.path}")
         legs = self._legs_of(n)
         # Every resolved leg is part of this snapshot's chain; vacuum()
@@ -554,7 +553,7 @@ class CellStore:
         # missing leg means corruption (or an out-of-contract manual
         # delete) — fail loudly instead of silently returning partial
         # data.
-        missing = [v for v in legs if not os.path.isdir(self._version_dir(v))]
+        missing = [v for v in legs if not self._fs.isdir(self._version_dir(v))]
         if missing:
             raise FileNotFoundError(
                 f"snapshot chain for v{n} in {self.path} is missing leg dirs "
@@ -613,7 +612,7 @@ class CellStore:
             # a missing dir is NOT a base rewrite (``_kind`` falls back
             # to "base" for pre-delta layouts): let the minor-resolution
             # and missing-leg checks below name the real condition
-            if os.path.isdir(self._version_dir(v)) and self._kind(v) == "base"
+            if self._fs.isdir(self._version_dir(v)) and self._kind(v) == "base"
         ]
         if rewrites:
             raise ValueError(
@@ -654,7 +653,7 @@ class CellStore:
             # straddles since: the original deltas are the only exact feed
             originals = list(range(since_version + 1, through + 1))
             if all(
-                os.path.isdir(self._version_dir(u)) for u in originals
+                self._fs.isdir(self._version_dir(u)) for u in originals
             ):
                 continue  # read the originals (they are in `legs` below v)
             raise ValueError(
@@ -665,7 +664,7 @@ class CellStore:
             )
         effective.sort()
         missing = [
-            v for v in effective if not os.path.isdir(self._version_dir(v))
+            v for v in effective if not self._fs.isdir(self._version_dir(v))
         ]
         if missing:
             raise FileNotFoundError(
@@ -714,10 +713,10 @@ class CellStore:
         needed: set[int] = set()
         for v in range(oldest_kept, cur + 1):
             needed.update(self._legs_of(v))
-        for name in os.listdir(self.path):
+        for name in self._fs.listdir(self.path):
             n = self._dirname_version(name)
             if n is not None and n <= cur and n not in needed:
-                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+                self._fs.rmtree(os.path.join(self.path, name))
 
     # -- stats (S8 parity) -------------------------------------------------
 
@@ -726,7 +725,7 @@ class CellStore:
         return [
             self._version_dir(v)
             for v in self._legs_of(n)
-            if os.path.isdir(self._version_dir(v))
+            if self._fs.isdir(self._version_dir(v))
         ]
 
     def approximate_cell_count(self) -> int:
@@ -736,26 +735,20 @@ class CellStore:
         same way the reference is: shadowed duplicate coordinates across a
         base+delta chain are counted once per occurrence, so the value is
         an upper bound until ``compact()`` folds the chain."""
-        import pyarrow.parquet as pq
-
-        total = 0
-        for d in self._chain_dirs():
-            for root, _, files in os.walk(d):
-                for f in files:
-                    if f.endswith(".parquet"):
-                        total += pq.ParquetFile(
-                            os.path.join(root, f)
-                        ).metadata.num_rows
-        return total
+        return sum(
+            self._fs.parquet_num_rows(full)
+            for d in self._chain_dirs()
+            for name, full, _sz in self._fs.walk_files(d)
+            if name.endswith(".parquet")
+        )
 
     def disk_space_usage(self) -> int:
         """Bytes across the current snapshot's chain (reference mod.rs:906-922)."""
-        total = 0
-        for d in self._chain_dirs():
-            for root, _, files in os.walk(d):
-                for f in files:
-                    total += os.path.getsize(os.path.join(root, f))
-        return total
+        return sum(
+            sz
+            for d in self._chain_dirs()
+            for _name, _full, sz in self._fs.walk_files(d)
+        )
 
     def file_count(self) -> int:
         """Parquet file count — analog of LSM segment_count (mod.rs:888-904).
@@ -763,7 +756,6 @@ class CellStore:
         return sum(
             1
             for d in self._chain_dirs()
-            for root, _, fs in os.walk(d)
-            for f in fs
-            if f.endswith(".parquet")
+            for name, _full, _sz in self._fs.walk_files(d)
+            if name.endswith(".parquet")
         )

@@ -1,0 +1,227 @@
+"""Filesystem adapter for the CellStore's driver-side METADATA ops —
+round 11, extending the r11 ANN-index port (``hadoop_fs.py``) to the
+table engine itself.
+
+The store's DATA always moved through Spark jobs (``spark.read`` /
+``df.write`` work against any Hadoop-supported URI), but its metadata —
+the family manifest, the ``_VERSION`` pointer, per-leg ``_KIND`` /
+``_FOLDS`` markers, vacuum's directory reclaim, the parquet-footer
+stats — used local ``os``/``open`` calls, so a store on ``hdfs://`` or
+``s3a://`` could only be ADMINISTERED from a node mounting it locally:
+the same single-node residue VERDICT r10 flagged for the IVF fold, one
+layer deeper.
+
+Dispatch is by path scheme:
+
+- bare paths (``/tmp/...``) get :class:`LocalStoreFS` — byte-identical
+  to the old inline calls, zero Py4J traffic, so the hot chain-resolver
+  loops (``_kind`` reads per ``_legs_of`` walk) cost what they always
+  did;
+- scheme paths (``file:``, ``hdfs://``, ``s3a://``) get
+  :class:`HadoopStoreFS` over the JVM FileSystem API. Text IO streams
+  through commons-io; the ``_VERSION`` pointer swap uses
+  ``FileContext.rename(..., Options.Rename.OVERWRITE)`` (atomic on
+  HDFS/local — FileSystem.rename refuses existing destinations);
+  footer stats read row counts via parquet-hadoop's
+  ``ParquetFileReader`` without touching data pages.
+
+S3A caveat (same as hadoop_fs.py): rename is copy+delete, not atomic —
+the store's commit protocol tolerates this because the pointer file is
+tiny (the copy window is milliseconds) and every other rename happens
+inside dot-prefixed staging invisible to readers.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+
+
+def path_has_scheme(path: str) -> bool:
+    return bool(_SCHEME_RE.match(path))
+
+
+def store_fs_for(spark, path: str):
+    """LocalStoreFS for bare paths, HadoopStoreFS for scheme URIs."""
+    if path_has_scheme(path):
+        return HadoopStoreFS(spark, path)
+    return LocalStoreFS()
+
+
+class LocalStoreFS:
+    """The original inline behavior, verbatim — local syscalls only."""
+
+    def makedirs(self, p: str) -> None:
+        os.makedirs(p, exist_ok=True)
+
+    def exists(self, p: str) -> bool:
+        return os.path.exists(p)
+
+    def isdir(self, p: str) -> bool:
+        return os.path.isdir(p)
+
+    def listdir(self, p: str) -> list[str]:
+        return os.listdir(p)
+
+    def read_text(self, p: str) -> str:
+        with open(p) as fh:
+            return fh.read()
+
+    def write_text(self, p: str, content: str) -> None:
+        with open(p, "w") as fh:
+            fh.write(content)
+
+    def replace_text(self, p: str, content: str) -> None:
+        """Atomic publish: write beside, then swap over the destination."""
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(content)
+        os.replace(tmp, p)
+
+    def rename(self, src: str, dst: str) -> None:
+        os.rename(src, dst)
+
+    def rmtree(self, p: str) -> None:
+        shutil.rmtree(p, ignore_errors=True)
+
+    def remove(self, p: str) -> None:
+        os.remove(p)
+
+    def walk_files(self, d: str):
+        """Yield (basename, full_path, size) for every file under d."""
+        for root, _, files in os.walk(d):
+            for f in files:
+                full = os.path.join(root, f)
+                yield f, full, os.path.getsize(full)
+
+    def parquet_num_rows(self, full_path: str) -> int:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(full_path).metadata.num_rows
+
+    def put_parquet_int64(self, path: str, column: str, values: list[int]) -> None:
+        """Driver-side write of a tiny single-column parquet file (the
+        Z-order boundaries sidecar — launching a Spark job for <=2^bits
+        rows costs ~3s of fixed overhead per commit)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table({column: pa.array(values, type=pa.int64())}), path
+        )
+
+
+class HadoopStoreFS:
+    """JVM-FileSystem-backed metadata ops for scheme paths. Driver-side
+    only; one FileSystem resolve per store instance."""
+
+    def __init__(self, spark, base: str):
+        self._jvm = spark._jvm
+        self._gw = spark.sparkContext._gateway
+        self._conf = spark._jsc.hadoopConfiguration()
+        self._Path = self._jvm.org.apache.hadoop.fs.Path
+        self._fs = self._Path(base).getFileSystem(self._conf)
+        self._fc = None  # FileContext lazily, only replace_text needs it
+        self._base = base
+
+    # -- queries -----------------------------------------------------------
+    def exists(self, p: str) -> bool:
+        return bool(self._fs.exists(self._Path(p)))
+
+    def isdir(self, p: str) -> bool:
+        jp = self._Path(p)
+        return bool(
+            self._fs.exists(jp) and self._fs.getFileStatus(jp).isDirectory()
+        )
+
+    def listdir(self, p: str) -> list[str]:
+        return [
+            st.getPath().getName() for st in self._fs.listStatus(self._Path(p))
+        ]
+
+    def read_text(self, p: str) -> str:
+        stream = self._fs.open(self._Path(p))
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+
+    # -- mutations ---------------------------------------------------------
+    def makedirs(self, p: str) -> None:
+        self._fs.mkdirs(self._Path(p))
+
+    def write_text(self, p: str, content: str) -> None:
+        out = self._fs.create(self._Path(p), True)
+        try:
+            out.write(bytearray(content.encode("utf-8")))
+        finally:
+            out.close()
+
+    def replace_text(self, p: str, content: str) -> None:
+        """Atomic-overwrite publish: FileSystem.rename refuses existing
+        destinations, so the pointer swap goes through FileContext with
+        Options.Rename.OVERWRITE (atomic on HDFS and local)."""
+        tmp = p + ".tmp"
+        self.write_text(tmp, content)
+        if self._fc is None:
+            self._fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                self._Path(self._base).toUri(), self._conf
+            )
+        Rename = self._jvm.org.apache.hadoop.fs.Options.Rename
+        opts = self._gw.new_array(Rename, 1)
+        opts[0] = Rename.OVERWRITE
+        self._fc.rename(self._Path(tmp), self._Path(p), opts)
+
+    def rename(self, src: str, dst: str) -> None:
+        if not self._fs.rename(self._Path(src), self._Path(dst)):
+            raise IOError(f"rename failed: {src} -> {dst}")
+
+    def rmtree(self, p: str) -> None:
+        jp = self._Path(p)
+        if self._fs.exists(jp):
+            self._fs.delete(jp, True)
+
+    def remove(self, p: str) -> None:
+        self._fs.delete(self._Path(p), False)
+
+    def walk_files(self, d: str):
+        jp = self._Path(d)
+        if not self._fs.exists(jp):
+            return
+        it = self._fs.listFiles(jp, True)  # recursive, files only
+        while it.hasNext():
+            st = it.next()
+            yield (
+                st.getPath().getName(),
+                st.getPath().toString(),
+                int(st.getLen()),
+            )
+
+    def parquet_num_rows(self, full_path: str) -> int:
+        footer = self._jvm.org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+            self._conf, self._Path(full_path)
+        )
+        return int(sum(b.getRowCount() for b in footer.getBlocks()))
+
+    def put_parquet_int64(self, path: str, column: str, values: list[int]) -> None:
+        """pyarrow writes the tiny sidecar to a local temp file, then
+        one copyFromLocalFile publishes it — still no Spark job."""
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        with tempfile.NamedTemporaryFile(suffix=".parquet", delete=False) as tf:
+            local = tf.name
+        pq.write_table(
+            pa.table({column: pa.array(values, type=pa.int64())}), local
+        )
+        # delSrc=True removes the local temp after the upload
+        self._fs.copyFromLocalFile(
+            True, True, self._Path("file:" + local), self._Path(path)
+        )

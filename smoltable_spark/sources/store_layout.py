@@ -202,10 +202,10 @@ class RangeZorderCellStore(ZorderCellStore):
         pre-versioning sidecar (parquet files directly in the root dir)
         reads as version 1 — it applied to the whole store."""
         root = self._boundaries_root
-        if not os.path.isdir(root):
+        if not self._fs.isdir(root):
             return []
         vs: set[int] = set()
-        for name in os.listdir(root):
+        for name in self._fs.listdir(root):
             if name.startswith("v="):
                 vs.add(int(name.split("=", 1)[1]))
             elif name.endswith(".parquet"):
@@ -214,7 +214,7 @@ class RangeZorderCellStore(ZorderCellStore):
 
     def _boundaries_dir(self, bv: int) -> str:
         d = os.path.join(self._boundaries_root, f"v={bv}")
-        if not os.path.isdir(d) and bv == 1:
+        if not self._fs.isdir(d) and bv == 1:
             return self._boundaries_root  # legacy flat sidecar
         return d
 
@@ -281,15 +281,15 @@ class RangeZorderCellStore(ZorderCellStore):
         the root) into ``v=1/`` — mixing loose files and ``v=`` subdirs
         in one dir would break parquet reads of the flat path."""
         root = self._boundaries_root
-        if not os.path.isdir(root):
+        if not self._fs.isdir(root):
             return
-        loose = [n for n in os.listdir(root) if not n.startswith("v=")]
+        loose = [n for n in self._fs.listdir(root) if not n.startswith("v=")]
         if not any(n.endswith(".parquet") for n in loose):
             return
         v1 = os.path.join(root, "v=1")
-        os.makedirs(v1, exist_ok=True)
+        self._fs.makedirs(v1)
         for n in loose:
-            os.replace(os.path.join(root, n), os.path.join(v1, n))
+            self._fs.rename(os.path.join(root, n), os.path.join(v1, n))
         self._boundaries_cache.pop(1, None)
 
     def _image_version_path(self) -> str:
@@ -305,16 +305,16 @@ class RangeZorderCellStore(ZorderCellStore):
         partitions holding in-range rows. A store with a sidecar but no
         marker predates the marker (= image v1). Fail loudly; full
         ``read()`` scans of the old store remain safe for a rebuild."""
-        if not os.path.isdir(self._boundaries_root):
+        if not self._fs.isdir(self._boundaries_root):
             return
         p = self._image_version_path()
         have = 1
-        if os.path.exists(p):
-            with open(p) as fh:
-                have = int(fh.read().strip() or 1)
+        marker_exists = self._fs.exists(p)
+        if marker_exists:
+            have = int(self._fs.read_text(p).strip() or 1)
         if have != _KEY_IMAGE_VERSION:
             detail = (
-                f"declares key-image v{have}" if os.path.exists(p) else
+                f"declares key-image v{have}" if marker_exists else
                 "predates the image-version marker (image v1, or an "
                 "unmarked early v2 build — bucket agreement cannot be "
                 "verified either way)"
@@ -331,26 +331,23 @@ class RangeZorderCellStore(ZorderCellStore):
         self._check_image_version()
         self._migrate_legacy_sidecar()
         bounds = self._compute_boundaries(cells)
-        os.makedirs(self._boundaries_root, exist_ok=True)
-        tmp = self._image_version_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(str(_KEY_IMAGE_VERSION))
-        os.replace(tmp, self._image_version_path())
+        self._fs.makedirs(self._boundaries_root)
+        self._fs.replace_text(
+            self._image_version_path(), str(_KEY_IMAGE_VERSION)
+        )
         d = os.path.join(self._boundaries_root, f"v={at_version}")
         # driver-side pyarrow write: the sidecar is <= 2^bits - 1 rows of
         # metadata — launching a Spark job for it (the previous
         # createDataFrame().coalesce(1).write) serialized through the
         # Python-RDD fallback and cost ~3 s of fixed overhead per commit.
         # spark.read.parquet reads the file identically.
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        os.makedirs(d, exist_ok=True)
-        for old in os.listdir(d):
+        self._fs.makedirs(d)
+        for old in self._fs.listdir(d):
             if old.endswith(".parquet"):
-                os.remove(os.path.join(d, old))
-        tbl = pa.table({"boundary": pa.array(bounds, type=pa.int64())})
-        pq.write_table(tbl, os.path.join(d, "part-00000.parquet"))
+                self._fs.remove(os.path.join(d, old))
+        self._fs.put_parquet_int64(
+            os.path.join(d, "part-00000.parquet"), "boundary", bounds
+        )
         # a crash after this write but before the snapshot commit leaves a
         # sidecar no snapshot references: harmless (reads resolve <= their
         # version; a retried compact overwrites it)

@@ -286,7 +286,10 @@ class StoreChangeRollup:
         hwm = max(self._kind_hwm, self._start_version)
         for v in range(hwm + 1, cur + 1):
             d = self.store._version_dir(v)
-            if not os.path.isdir(d):
+            # probe through the STORE's filesystem adapter (round 11):
+            # the watched store may live on an object store even though
+            # this rollup's own state dir is local consumer state
+            if not self.store._fs.isdir(d):
                 continue  # vacuumed leg: same skip as the pre-r10 walk
             k = self.store._kind(v)
             if k == "base":
@@ -307,7 +310,7 @@ class StoreChangeRollup:
             frm, through = folds
             originals = range(max(frm, self._start_version + 1), through + 1)
             if any(
-                not os.path.isdir(self.store._version_dir(u))
+                not self.store._fs.isdir(self.store._version_dir(u))
                 for u in originals
             ):
                 out.add(v)  # originals vacuumed under the stream
