@@ -842,6 +842,13 @@ def main():
         _fn = _AQ[_nq10][0]
         timed(f"{_nq10}_10x", lambda _f=_fn: _f(spark, OUT).count())
 
+    # round 11: 12-bit color decode over ~17k images (uint16 planes,
+    # Pq=1 16-bit DQT parse on every image — same Arrow-batch shape as
+    # the 8-bit family, so wall should track mm_color_features_10x)
+    for _nq11 in ("mm_12bit_color",):
+        _fn = _AQ[_nq11][0]
+        timed(f"{_nq11}_10x", lambda _f=_fn: _f(spark, OUT).count())
+
     notes = """
 Steady-state timings (2nd run per op). Reading the table:
 
