@@ -248,25 +248,24 @@ def delete_from_ivf_index(
         .join(F.broadcast(victims), "vec_id")
         .select("vec_id", "list_id")
         .distinct()
-    ).persist()
-    try:
-        n = hits.count()
-        if n == 0:
-            return 0
-        tag = uuid.uuid4().hex[:12]
-        staging = f"{base}/.staging-delete-{tag}"
-        hits.coalesce(1).write.mode("overwrite").parquet(staging)
-        dst_root = f"{base}/{_TOMBSTONE_ROOT}"
-        fs.mkdirs(dst_root)
-        # atomic publish (dir rename on HDFS/local; see module header
-        # for the S3A caveat — an unpublished staging dir is swept by
-        # the next delete, so a torn copy never becomes a tombstone leg)
-        fs.rename_or_raise(
-            staging, f"{dst_root}/d-{tag}", "tombstone publish"
-        )
-        return int(n)
-    finally:
-        hits.unpersist()
+    )
+    tag = uuid.uuid4().hex[:12]
+    staging = f"{base}/.staging-delete-{tag}"
+    # ONE Spark action: write the hit set, then count it from the
+    # staged parquet FOOTERS (driver-side metadata read — FS-agnostic,
+    # no second job over the join)
+    hits.coalesce(1).write.mode("overwrite").parquet(staging)
+    n = fs.parquet_dir_rows(staging)
+    if n == 0:
+        fs.delete(staging)
+        return 0
+    dst_root = f"{base}/{_TOMBSTONE_ROOT}"
+    fs.mkdirs(dst_root)
+    # atomic publish (dir rename on HDFS/local; see module header
+    # for the S3A caveat — an unpublished staging dir is swept by
+    # the next delete, so a torn copy never becomes a tombstone leg)
+    fs.rename_or_raise(staging, f"{dst_root}/d-{tag}", "tombstone publish")
+    return int(n)
 
 
 def _check_fold_crash_evidence(fs: HadoopFS, base: str) -> None:
@@ -340,22 +339,54 @@ def _fold_tombstones(
             fs.delete(f"{troot}/{d}")
         elif d.startswith("d-") and is_dir:
             legs.append(f"{troot}/{d}")
+    # total tombstone rows from the legs' parquet FOOTERS — driver-side
+    # metadata, no Spark job; n_folded derives from it (total − kept)
+    # so neither the full fold nor the subset fold pays a count job
+    tombs_total = sum(fs.parquet_dir_rows(d) for d in legs)
+    if tombs_total == 0:
+        return {"tombstones": 0, "lists_rewritten": 0}
     fold_df = None
     tombs = tombs.persist()
     try:
+        tag = uuid.uuid4().hex[:12]
+        kept = 0
         if only_vec_ids is not None:
             # the subset is the append batch's ids: caller-bounded (an
             # API request), so the split joins broadcast it
             batch = spark.createDataFrame(
                 [(int(v),) for v in sorted(only_vec_ids)], "vec_id long"
             )
-            fold_df = tombs.join(F.broadcast(batch), "vec_id").persist()
+            fold_df = tombs.join(F.broadcast(batch), "vec_id")
             keep_df = tombs.join(F.broadcast(batch), "vec_id", "left_anti")
+            # subset fold: atomically replace the tombstone set with the
+            # survivors — stage the rewrite under a dot dir (counted
+            # from its footers), rename it in as a regular d-* leg after
+            # the list swap, THEN drop the old legs. Every crash window
+            # leaves a superset of the intended tombstones (over-masking
+            # = still-deleted, consistent), and a replayed append
+            # converges. Types pinned to the d-* leg schema (vec_id
+            # int64, list_id int32) so multi-leg reads merge.
+            stage = f"{troot}/.staging-rewrite-{tag}"
+            (
+                keep_df.select(
+                    F.col("vec_id").cast("long").alias("vec_id"),
+                    F.col("list_id").cast("int").alias("list_id"),
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(stage)
+            )
+            kept = fs.parquet_dir_rows(stage)
+            if kept == 0:
+                fs.delete(stage)
+                stage = None
         else:
             fold_df = tombs
-            keep_df = None
-        n_folded = fold_df.count()
+            stage = None
+        n_folded = tombs_total - kept
         if n_folded == 0:
+            if stage is not None:
+                fs.delete(stage)
             return {"tombstones": 0, "lists_rewritten": 0}
         # tolerate already-removed list dirs (a fully-tombstoned list
         # from a previous fold, or a replay after manual crash
@@ -367,10 +398,9 @@ def _fold_tombstones(
             for r in fold_df.select("list_id").distinct().collect()
             if fs.is_dir(f"{base}/list_id={r['list_id']}")
         )
-        tag = uuid.uuid4().hex[:12]
         if affected:
             victims = fold_df.select("vec_id").distinct()
-            if n_folded <= _BROADCAST_MAX_TOMBS:
+            if tombs_total <= _BROADCAST_MAX_TOMBS:
                 victims = F.broadcast(victims)
             survivors = (
                 spark.read.option("basePath", base)
@@ -401,24 +431,7 @@ def _fold_tombstones(
                 # dir: the partition simply disappears (an empty LSM
                 # level)
             fs.delete(staging)
-        if keep_df is not None and keep_df.count() > 0:
-            # subset fold: atomically replace the tombstone set with the
-            # survivors — stage the rewrite under a dot dir, rename it
-            # in as a regular d-* leg, THEN drop the old legs. Every
-            # crash window leaves a superset of the intended tombstones
-            # (over-masking = still-deleted, consistent), and a replayed
-            # append converges. Types pinned to the d-* leg schema
-            # (vec_id int64, list_id int32) so multi-leg reads merge.
-            stage = f"{troot}/.staging-rewrite-{tag}"
-            (
-                keep_df.select(
-                    F.col("vec_id").cast("long").alias("vec_id"),
-                    F.col("list_id").cast("int").alias("list_id"),
-                )
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(stage)
-            )
+        if stage is not None:
             fs.rename_or_raise(
                 stage, f"{troot}/d-{tag}", "tombstone-rewrite publish"
             )
@@ -426,8 +439,6 @@ def _fold_tombstones(
             fs.delete(d)
         return {"tombstones": int(n_folded), "lists_rewritten": len(affected)}
     finally:
-        if fold_df is not None and fold_df is not tombs:
-            fold_df.unpersist()
         tombs.unpersist()
 
 

@@ -26,10 +26,9 @@ class HadoopFS:
 
     def __init__(self, spark, base: str):
         self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
         self._Path = self._jvm.org.apache.hadoop.fs.Path
-        self._fs = self._Path(base).getFileSystem(
-            spark._jsc.hadoopConfiguration()
-        )
+        self._fs = self._Path(base).getFileSystem(self._conf)
 
     # -- queries ----------------------------------------------------------
     def exists(self, path: str) -> bool:
@@ -72,3 +71,19 @@ class HadoopFS:
                 f"rename failed: {src} -> {dst}"
                 + (f" ({context})" if context else "")
             )
+
+    # -- parquet metadata ---------------------------------------------------
+    def parquet_dir_rows(self, d: str) -> int:
+        """Total row count across a directory's parquet files, from
+        FOOTERS only (parquet-hadoop's ParquetFileReader) — a driver-side
+        metadata read, no Spark job, no data pages; works on any Hadoop
+        filesystem. Non-recursive: maintenance dirs are flat."""
+        total = 0
+        for name, is_dir in self.list_status(d):
+            if is_dir or not name.endswith(".parquet"):
+                continue
+            footer = self._jvm.org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+                self._conf, self._Path(f"{d}/{name}")
+            )
+            total += sum(b.getRowCount() for b in footer.getBlocks())
+        return int(total)
