@@ -39,6 +39,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from smoltable_spark.sources.store_fs import store_fs_for
+
 from smoltable_spark.functions.dedup_incremental import (
     lsh_index,
     minhash_dedup_incremental,
@@ -80,23 +82,26 @@ class MinhashAdmitter:
         self.bands = bands
         self.k = k
         self.max_bucket_df = max_bucket_df
-        os.makedirs(path, exist_ok=True)
+        # round 11: the admitter's state (meta + LSH index + decision
+        # legs) is the persisted dedup index — at scale it lives on
+        # object storage, so metadata ops dispatch on the path scheme
+        # like CellStore's (sources/store_fs.py)
+        self._fs = store_fs_for(spark, path)
+        self._fs.makedirs(path)
 
     # -- meta (same commit discipline as store_cdc.StoreChangeRollup) ------
 
     def _meta(self) -> dict:
         p = os.path.join(self.path, self._META)
-        if not os.path.exists(p):
+        if not self._fs.exists(p):
             return {"last_batch_id": -1}
-        with open(p) as fh:
-            return json.load(fh)
+        return json.loads(self._fs.read_text(p))
 
     def _commit_meta(self, meta: dict) -> None:
-        p = os.path.join(self.path, self._META)
-        tmp = p + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(meta, fh)
-        os.replace(tmp, p)  # atomic: the admitter's commit point
+        # atomic publish: the admitter's commit point
+        self._fs.replace_text(
+            os.path.join(self.path, self._META), json.dumps(meta)
+        )
 
     def bind_checkpoint(self, checkpoint_dir: str) -> None:
         """foreachBatch batch ids are monotone only WITHIN one checkpoint
@@ -135,13 +140,13 @@ class MinhashAdmitter:
 
     def _batch_dirs(self, sub: str) -> list[str]:
         root = os.path.join(self.path, sub)
-        if not os.path.isdir(root):
+        if not self._fs.isdir(root):
             return []
         last = self._meta()["last_batch_id"]
         return [
             os.path.join(root, d)
             for d in sorted(
-                os.listdir(root), key=lambda s: int(s.split("=", 1)[1])
+                self._fs.listdir(root), key=lambda s: int(s.split("=", 1)[1])
             )
             if d.startswith("b=") and int(d.split("=", 1)[1]) <= last
         ]

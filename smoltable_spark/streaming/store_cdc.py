@@ -44,11 +44,11 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from smoltable_spark.schema import CELLS_SCHEMA
+from smoltable_spark.sources.store_fs import store_fs_for
 
 
 def _cdc_schema() -> T.StructType:
@@ -150,7 +150,12 @@ class StoreChangeRollup:
         self._kind_hwm = 0
         self._base_rewrites: set[int] = set()
         self._minor_folds: dict[int, tuple[int, int] | None] = {}
-        os.makedirs(path, exist_ok=True)
+        # round 11: the rollup's own state (meta + versioned result legs)
+        # is a derived TABLE — at scale it lives beside the store on
+        # object storage, so its metadata ops dispatch on the path scheme
+        # exactly like CellStore's (sources/store_fs.py)
+        self._fs = store_fs_for(spark, path)
+        self._fs.makedirs(path)
         # Base legs at/below the START VERSION existed before the stream
         # started and are NOT change data (the initial snapshot); only
         # base rewrites AFTER it violate the append-only contract. The
@@ -187,17 +192,15 @@ class StoreChangeRollup:
 
     def _meta(self) -> dict:
         p = os.path.join(self.path, self._META)
-        if not os.path.exists(p):
+        if not self._fs.exists(p):
             return {"last_batch_id": -1, "version": 0}
-        with open(p) as fh:
-            return json.load(fh)
+        return json.loads(self._fs.read_text(p))
 
     def _commit_meta(self, meta: dict) -> None:
-        p = os.path.join(self.path, self._META)
-        tmp = p + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(meta, fh)
-        os.replace(tmp, p)  # atomic: the rollup's commit point
+        # atomic publish: the rollup's commit point
+        self._fs.replace_text(
+            os.path.join(self.path, self._META), json.dumps(meta)
+        )
 
     def _version_dir(self, n: int) -> str:
         return os.path.join(self.path, f"v={n}")
@@ -391,9 +394,9 @@ class StoreChangeRollup:
         merged.coalesce(1).write.mode("overwrite").parquet(self._version_dir(n))
         self._commit_meta({**meta, "last_batch_id": batch_id, "version": n})
         # prune versions no reader can need (pointer already moved)
-        for name in os.listdir(self.path):
+        for name in self._fs.listdir(self.path):
             if name.startswith("v=") and int(name[2:]) <= n - self.keep_last:
-                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+                self._fs.rmtree(os.path.join(self.path, name))
 
     # -- reads ----------------------------------------------------------------
 

@@ -146,3 +146,55 @@ def test_migrate_and_cdc_guard_on_uri(spark, tmp_path):
         sums={"n": "1"}, store=store,
     )
     fresh2.guard_chain()  # migrated fold: benign again
+
+
+def test_dedup_admitter_state_on_uri(spark, tmp_path):
+    """The streaming dedup admitter's persisted state (meta + LSH index
+    + decision legs) goes through the FS adapter too — an index on
+    object storage admits exactly like a local one."""
+    import tests.test_dedup_stream as tds
+    from smoltable_spark.streaming.dedup_stream import MinhashAdmitter
+
+    batches = [tds._B0, tds._B1]
+    src = str(tmp_path / "src")
+    tds._write_batches(spark, src, batches)
+    adm = MinhashAdmitter(spark, "file:" + str(tmp_path / "adm_uri"))
+    tds._run_stream(spark, src, adm, str(tmp_path / "cp"))
+    got = {r["doc_id"]: r["admitted"] for r in adm.decisions().collect()}
+    want = {d: v[3] for d, v in tds._expected(spark, batches).items()}
+    assert got == want
+    # a fresh incarnation over the same URI state resumes idempotently
+    adm2 = MinhashAdmitter(spark, "file:" + str(tmp_path / "adm_uri"))
+    tds._run_stream(spark, src, adm2, str(tmp_path / "cp"))
+    assert {r["doc_id"]: r["admitted"] for r in adm2.decisions().collect()} == want
+
+
+def test_cdc_rollup_state_on_uri(spark, tmp_path):
+    """StoreChangeRollup's own state dir (meta + versioned result legs)
+    works over a URI: fold, prune, resume."""
+    from smoltable_spark.streaming.store_cdc import (
+        StoreChangeRollup,
+        stream_store_changes,
+        stream_store_rollup,
+    )
+
+    store = CellStore(spark, str(tmp_path / "store"))
+    store.save_families([ColumnFamilyDef("f")])
+    store.write(_cells(spark, [("a", 1, "v0")]))
+    roll = StoreChangeRollup(
+        spark, "file:" + str(tmp_path / "roll_uri"), keys=["family"],
+        sums={"n": "1"}, store=store,
+    )
+    store.append(_cells(spark, [("b", 1, "w")]))
+    s = stream_store_changes(spark, store)
+    q = stream_store_rollup(s, roll, str(tmp_path / "ckpt"))
+    assert q.awaitTermination(120)
+    got = {r["family"]: (r["n"], r["_rows"]) for r in roll.result().collect()}
+    assert got == {"f": (2, 2)}
+    # a fresh read-side incarnation over the URI state sees the result
+    roll2 = StoreChangeRollup(
+        spark, "file:" + str(tmp_path / "roll_uri"), keys=["family"],
+        sums={"n": "1"},
+    )
+    got2 = {r["family"]: (r["n"], r["_rows"]) for r in roll2.result().collect()}
+    assert got2 == got
