@@ -1,0 +1,110 @@
+"""Differential property test for the store's FS-adapter port (round
+11): the SAME random op sequence driven through a bare-path store
+(LocalStoreFS) and a ``file:``-URI store (HadoopStoreFS over the JVM
+LocalFileSystem) must leave both stores observably identical — read
+snapshots, chain kinds, fold markers, change feeds (including their
+documented raises), and footer stats.
+
+Why a differential and not just the lifecycle test: the adapter has two
+independent implementations of every metadata primitive (text IO,
+atomic pointer swap, listing, reclaim, footer reads), and a divergence
+in any ONE primitive shows up as a chain-resolution or retention
+difference only under particular op interleavings — exactly what
+random sequences search and example tests miss.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from smoltable_spark.api import ColumnFamilyDef
+from smoltable_spark.sources.store import CellStore
+
+from tests.conftest import make_cells
+
+KEYS = ["a", "b", "c"]
+
+# an op is ("append", [(row_key, ts), ...]) | ("minor",) | ("compact",)
+# | ("vacuum", keep_last)
+_batch = st.lists(
+    st.tuples(st.sampled_from(KEYS), st.integers(1, 2)),
+    min_size=1,
+    max_size=3,
+)
+_op = st.one_of(
+    st.tuples(st.just("append"), _batch),
+    st.tuples(st.just("minor")),
+    st.tuples(st.just("compact")),
+    st.tuples(st.just("vacuum"), st.integers(1, 3)),
+)
+_ops = st.lists(_op, min_size=1, max_size=5)
+
+
+def _observe(store) -> dict:
+    """Everything a reader can see: snapshot cells, chain shape, fold
+    markers, per-version change feeds (value or the documented raise),
+    and footer stats."""
+    cur = store.current_version()
+    snap = store.read_or_none()
+    cells = (
+        sorted((r["row_key"], r["ts"], r["v_str"]) for r in snap.collect())
+        if snap is not None
+        else None
+    )
+    changes = {}
+    for v in range(0, cur):
+        try:
+            changes[v] = store.read_changes(v).count()
+        except ValueError as e:
+            # the documented raises (base rewrite in range / vacuumed
+            # straddle) must fire identically on both stores
+            changes[v] = "raise:" + ("rewrite" if "rewrit" in str(e) else "vacuum")
+        except FileNotFoundError:
+            changes[v] = "raise:missing"
+    return {
+        "version": cur,
+        "kinds": [store._kind(v) for v in store._legs_of(cur)] if cur else [],
+        "legs": store._legs_of(cur) if cur else [],
+        "folds": [store._folds_of(v) for v in store._legs_of(cur)] if cur else [],
+        "cells": cells,
+        "changes": changes,
+        "approx_cells": store.approximate_cell_count(),
+        "file_count": store.file_count(),
+    }
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_ops)
+def test_local_and_uri_stores_stay_identical(spark, tmp_path_factory, ops):
+    root = tmp_path_factory.mktemp("prop_storefs")
+    stores = [
+        CellStore(spark, str(root / "local")),
+        CellStore(spark, "file:" + str(root / "uri")),
+    ]
+    seq = 0
+    for s in stores:
+        s.save_families([ColumnFamilyDef("f")])
+    for op in ops:
+        if op[0] == "append":
+            seq += 1
+            rows = [
+                (rk, "f", "", ts, "string", f"v{seq}.{i}")
+                for i, (rk, ts) in enumerate(op[1])
+            ]
+            for s in stores:
+                s.append(make_cells(spark, rows))
+        elif op[0] == "minor":
+            for s in stores:
+                s.minor_compact()
+        elif op[0] == "compact":
+            for s in stores:
+                s.compact()
+        else:
+            for s in stores:
+                s.vacuum(keep_last=op[1])
+        a, b = _observe(stores[0]), _observe(stores[1])
+        assert a == b, f"diverged after {op}: local={a} uri={b}"
