@@ -250,12 +250,18 @@ REGRESSION_FACTOR = 1.5
 #: 4096-key bounded shuffle whatever the corpus; 1.2 s absolute smells
 #: like noise, and the isolated row decides — exactly the
 #: rel_grouping_sets protocol (r9 isolated re-measure: 0.184 s, noise).
+#: wc_scan_multi_range added per VERDICT r11 ask #1 (pending flag
+#: 0.328→0.629 s, 1.67× vs drift median): plan unchanged (same pushed
+#: range predicates, 0 shuffles); the r12 isolated A/B already re-measured
+#: it at 0.43/0.53 s (HEAD) vs 0.40/0.50 s (r10 tree) on the same VM —
+#: noise — and the watchlist row makes the drain part of the record.
 WATCHLIST = [
     "pipeline_temperature_mix",
     "emb_cosine_hist",
     "txt_collocations",
     "rel_grouping_sets",
     "txt_cm_frequency",
+    "wc_scan_multi_range",
 ]
 
 #: Deliberate plan-shape trades the regression gate must record as
