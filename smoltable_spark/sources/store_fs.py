@@ -25,10 +25,19 @@ Dispatch is by path scheme:
   footer stats read row counts via parquet-hadoop's
   ``ParquetFileReader`` without touching data pages.
 
-S3A caveat (same as hadoop_fs.py): rename is copy+delete, not atomic —
-the store's commit protocol tolerates this because the pointer file is
-tiny (the copy window is milliseconds) and every other rename happens
-inside dot-prefixed staging invisible to readers.
+Rename-atomicity is a PROBED CAPABILITY, not a documented caveat
+(round 12, VERDICT r11 ask #2): each adapter exposes
+``atomic_rename`` — True only for schemes where a rename is a single
+metadata operation readers can never observe half-done (local
+syscalls, HDFS, viewfs-over-those). On everything else (s3a/gs/...
+where rename is client-side copy+delete, and UNKNOWN schemes, which
+default to False so a new connector can only be safer than assumed)
+the CellStore switches its ``_VERSION`` commit to a rename-free
+generation protocol — see ``store.py::_commit_version`` — instead of
+relying on a "the window is milliseconds" argument. Every other
+rename in the engine happens inside dot-prefixed staging invisible to
+readers; the maintenance families that swap VISIBLE directories
+(``ann_index.py`` fold/compact) gate on this same flag.
 """
 
 from __future__ import annotations
@@ -38,6 +47,13 @@ import re
 import shutil
 
 _SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+
+#: schemes whose FileSystem.rename/FileContext.rename is a single atomic
+#: metadata op. Conservative ALLOWLIST: anything not listed (s3a, s3, gs,
+#: oss, cos, swift, wasb, ...) is treated as copy+delete. viewfs delegates
+#: to its mount targets — atomic only within one mount point, which is how
+#: the store uses it (every rename stays inside the store root).
+RENAME_ATOMIC_SCHEMES = frozenset({"file", "hdfs", "viewfs"})
 
 
 def path_has_scheme(path: str) -> bool:
@@ -54,6 +70,9 @@ def store_fs_for(spark, path: str):
 class LocalStoreFS:
     """The original inline behavior, verbatim — local syscalls only."""
 
+    #: os.replace / os.rename are atomic on POSIX
+    atomic_rename = True
+
     def makedirs(self, p: str) -> None:
         os.makedirs(p, exist_ok=True)
 
@@ -64,7 +83,15 @@ class LocalStoreFS:
         return os.path.isdir(p)
 
     def listdir(self, p: str) -> list[str]:
-        return os.listdir(p)
+        """Child names; [] when the path is missing — ONE contract across
+        all three adapters (ADVICE r11: LocalStoreFS used to raise Python
+        FileNotFoundError, HadoopStoreFS a Py4J-wrapped Java one, and
+        hadoop_fs.HadoopFS returned [] — a caller catching one of the
+        three would behave differently per scheme)."""
+        try:
+            return os.listdir(p)
+        except FileNotFoundError:
+            return []
 
     def read_text(self, p: str) -> str:
         with open(p) as fh:
@@ -126,6 +153,11 @@ class HadoopStoreFS:
         self._fs = self._Path(base).getFileSystem(self._conf)
         self._fc = None  # FileContext lazily, only replace_text needs it
         self._base = base
+        # capability probe: the RESOLVED filesystem's scheme (not the path
+        # string's — viewfs/defaultFS indirection resolves here), checked
+        # against the conservative allowlist. Unknown scheme => False.
+        self.scheme = str(self._fs.getUri().getScheme() or "").lower()
+        self.atomic_rename = self.scheme in RENAME_ATOMIC_SCHEMES
 
     # -- queries -----------------------------------------------------------
     def exists(self, p: str) -> bool:
@@ -138,9 +170,12 @@ class HadoopStoreFS:
         )
 
     def listdir(self, p: str) -> list[str]:
-        return [
-            st.getPath().getName() for st in self._fs.listStatus(self._Path(p))
-        ]
+        """Child names; [] when the path is missing (see LocalStoreFS —
+        one contract across adapters)."""
+        jp = self._Path(p)
+        if not self._fs.exists(jp):
+            return []
+        return [st.getPath().getName() for st in self._fs.listStatus(jp)]
 
     def read_text(self, p: str) -> str:
         stream = self._fs.open(self._Path(p))
@@ -210,7 +245,10 @@ class HadoopStoreFS:
 
     def put_parquet_int64(self, path: str, column: str, values: list[int]) -> None:
         """pyarrow writes the tiny sidecar to a local temp file, then
-        one copyFromLocalFile publishes it — still no Spark job."""
+        one copyFromLocalFile publishes it — still no Spark job. The
+        local staging file is removed on EVERY exit (delSrc=True covers
+        the success path; the finally covers a failed upload — VERDICT
+        r11 ask #5)."""
         import tempfile
 
         import pyarrow as pa
@@ -218,10 +256,14 @@ class HadoopStoreFS:
 
         with tempfile.NamedTemporaryFile(suffix=".parquet", delete=False) as tf:
             local = tf.name
-        pq.write_table(
-            pa.table({column: pa.array(values, type=pa.int64())}), local
-        )
-        # delSrc=True removes the local temp after the upload
-        self._fs.copyFromLocalFile(
-            True, True, self._Path("file:" + local), self._Path(path)
-        )
+        try:
+            pq.write_table(
+                pa.table({column: pa.array(values, type=pa.int64())}), local
+            )
+            # delSrc=True removes the local temp after the upload
+            self._fs.copyFromLocalFile(
+                True, True, self._Path("file:" + local), self._Path(path)
+            )
+        finally:
+            if os.path.exists(local):
+                os.remove(local)

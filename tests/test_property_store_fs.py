@@ -1,14 +1,20 @@
 """Differential property test for the store's FS-adapter port (round
 11): the SAME random op sequence driven through a bare-path store
-(LocalStoreFS) and a ``file:``-URI store (HadoopStoreFS over the JVM
-LocalFileSystem) must leave both stores observably identical — read
-snapshots, chain kinds, fold markers, change feeds (including their
-documented raises), and footer stats.
+(LocalStoreFS), a ``file:``-URI store (HadoopStoreFS over the JVM
+LocalFileSystem), and — round 12 — a RENAME-UNSAFE store (the
+object-store capability profile: ``atomic_rename=False``, commits via
+the rename-free ``_VERSION-v<n>`` generation protocol) must leave all
+three observably identical — read snapshots, chain kinds, fold
+markers, change feeds (including their documented raises), and footer
+stats. After every op a FRESH handle over the unsafe store (a reader
+that lists the directory right now, mid-sequence — the interleaving
+VERDICT r11 ask #2 requires) must resolve the same version and read
+the same cells.
 
-Why a differential and not just the lifecycle test: the adapter has two
+Why a differential and not just the lifecycle test: the adapter has
 independent implementations of every metadata primitive (text IO,
-atomic pointer swap, listing, reclaim, footer reads), and a divergence
-in any ONE primitive shows up as a chain-resolution or retention
+pointer publish, listing, reclaim, footer reads), and a divergence in
+any ONE primitive shows up as a chain-resolution or retention
 difference only under particular op interleavings — exactly what
 random sequences search and example tests miss.
 """
@@ -21,6 +27,7 @@ from smoltable_spark.api import ColumnFamilyDef
 from smoltable_spark.sources.store import CellStore
 
 from tests.conftest import make_cells
+from tests.test_round12 import RenameUnsafeFS, _unsafe_store
 
 KEYS = ["a", "b", "c"]
 
@@ -84,6 +91,7 @@ def test_local_and_uri_stores_stay_identical(spark, tmp_path_factory, ops):
     stores = [
         CellStore(spark, str(root / "local")),
         CellStore(spark, "file:" + str(root / "uri")),
+        _unsafe_store(spark, root / "unsafe"),
     ]
     seq = 0
     for s in stores:
@@ -106,5 +114,14 @@ def test_local_and_uri_stores_stay_identical(spark, tmp_path_factory, ops):
         else:
             for s in stores:
                 s.vacuum(keep_last=op[1])
-        a, b = _observe(stores[0]), _observe(stores[1])
+        a, b, c = (_observe(s) for s in stores)
         assert a == b, f"diverged after {op}: local={a} uri={b}"
+        assert a == c, f"diverged after {op}: local={a} unsafe={c}"
+        # reader race: a fresh handle listing the unsafe store RIGHT NOW
+        # (between ops = inside the copy+delete window a rename-based
+        # pointer would have) resolves the same state, and the torn
+        # replace path was never taken
+        racer = _unsafe_store(spark, root / "unsafe")
+        assert _observe(racer) == c
+        assert stores[2]._fs.replace_calls == 0
+        assert isinstance(stores[2]._fs, RenameUnsafeFS)
