@@ -7,11 +7,11 @@ exactly the constraint this engine exists to remove. Round 11 routes
 every metadata op through ``sources/hadoop_fs.HadoopFS``.
 
 These tests drive the FULL lifecycle (build → delete → serve → upsert
-append → compact → serve) against a ``file:`` URI: paths with an
-explicit scheme resolve through the JVM Hadoop FileSystem API (a
-LocalFileSystem instance here, S3AFileSystem in production), so any
+append → compact → serve) against TWO real Hadoop filesystems via the
+parametrized ``mkuri`` fixture (``file:`` = JVM LocalFileSystem, so any
 lingering ``os.*`` call — which cannot parse ``file:/...`` — fails
-loudly. The per-op semantics are pinned by tests/test_ann_delete.py;
+loudly; ``viewfs://`` = ViewFileSystem, a different FileSystem class
+with mount-table path resolution — VERDICT r11 ask #3). The per-op semantics are pinned by tests/test_ann_delete.py;
 this file pins the FS-API routing.
 """
 
@@ -33,10 +33,10 @@ from smoltable_spark.sources.relational import load_table
 
 
 @pytest.fixture()
-def built_uri(spark, sf_dir, tmp_path):
+def built_uri(spark, sf_dir, tmp_path, mkuri):
     emb = load_table(spark, sf_dir, "embeddings")
-    # explicit Hadoop scheme: file:/x, not /x
-    path = "file:" + str(tmp_path / "ivf_uri")
+    # explicit Hadoop scheme (file:/x or viewfs://mt/s/x), not /x
+    path = mkuri(tmp_path / "ivf_uri")
     similarity.build_ivf_index(emb, path, n_centroids=8)
     return emb, path
 

@@ -5,9 +5,13 @@ driver-side metadata (manifest, _VERSION pointer, _KIND/_FOLDS markers,
 vacuum's reclaim, footer stats, the Z-order boundaries sidecar) used
 local ``os``/``open`` calls — so a store on hdfs:// or s3a:// could be
 READ but not administered. ``sources/store_fs.py`` dispatches on the
-path scheme; these tests drive the full lifecycle against a ``file:``
-URI (JVM LocalFileSystem — any lingering os.* call, which cannot parse
-``file:/...``, fails loudly) and pin local/URI result parity.
+path scheme; these tests drive the full lifecycle against TWO real
+Hadoop filesystems via the parametrized ``mkuri`` fixture — a ``file:``
+URI (JVM LocalFileSystem: any lingering os.* call, which cannot parse
+``file:/...``, fails loudly) and a ``viewfs://`` mount (ViewFileSystem:
+a different FileSystem class with its own path/authority resolution,
+exercising scheme dispatch beyond LocalFileSystem — VERDICT r11 ask
+#3) — and pin local/URI result parity on both.
 """
 
 from __future__ import annotations
@@ -48,8 +52,8 @@ def test_fs_dispatch_by_scheme(spark, tmp_path):
     # hadoop-aws jars, so constructing the FileSystem is not testable here
 
 
-def test_full_lifecycle_on_file_uri(spark, tmp_path):
-    store = CellStore(spark, "file:" + str(tmp_path / "store_uri"))
+def test_full_lifecycle_on_file_uri(spark, tmp_path, mkuri):
+    store = CellStore(spark, mkuri(tmp_path / "store_uri"))
     store.save_families([ColumnFamilyDef("f")])
     assert [f.name for f in store.load_families()] == ["f"]
     v1 = store.write(_cells(spark, [("a", 1, "v0"), ("b", 1, "w0")]))
@@ -79,10 +83,10 @@ def test_full_lifecycle_on_file_uri(spark, tmp_path):
         store.read(2).collect()
 
 
-def test_uri_and_local_store_agree(spark, tmp_path):
+def test_uri_and_local_store_agree(spark, tmp_path, mkuri):
     items = [("a", 1, "v0"), ("b", 1, "w0"), ("b", 2, "w1")]
     s_local = CellStore(spark, str(tmp_path / "local"))
-    s_uri = CellStore(spark, "file:" + str(tmp_path / "uri"))
+    s_uri = CellStore(spark, mkuri(tmp_path / "uri"))
     for s in (s_local, s_uri):
         s.save_families([ColumnFamilyDef("f")])
         s.write(_cells(spark, items[:2]))
@@ -92,11 +96,11 @@ def test_uri_and_local_store_agree(spark, tmp_path):
     assert s_local.approximate_cell_count() == s_uri.approximate_cell_count()
 
 
-def test_zorder_boundaries_sidecar_on_uri(spark, tmp_path):
+def test_zorder_boundaries_sidecar_on_uri(spark, tmp_path, mkuri):
     from smoltable_spark.sources.store_layout import RangeZorderCellStore
 
     store = RangeZorderCellStore(
-        spark, "file:" + str(tmp_path / "z_uri"),
+        spark, mkuri(tmp_path / "z_uri"),
         b_bucket=lambda: F.col("ts") % 4, bits=2,
     )
     store.save_families([ColumnFamilyDef("f")])
@@ -110,10 +114,10 @@ def test_zorder_boundaries_sidecar_on_uri(spark, tmp_path):
     assert ("k000", 2, "v0b") in _snapshot(store)  # both versions survive
 
 
-def test_migrate_and_cdc_guard_on_uri(spark, tmp_path):
+def test_migrate_and_cdc_guard_on_uri(spark, tmp_path, mkuri):
     from smoltable_spark.streaming.store_cdc import StoreChangeRollup
 
-    store = CellStore(spark, "file:" + str(tmp_path / "mig_uri"))
+    store = CellStore(spark, mkuri(tmp_path / "mig_uri"))
     store.save_families([ColumnFamilyDef("f")])
     store.write(_cells(spark, [("a", 1, "v0")]))
     roll = StoreChangeRollup(
@@ -148,7 +152,7 @@ def test_migrate_and_cdc_guard_on_uri(spark, tmp_path):
     fresh2.guard_chain()  # migrated fold: benign again
 
 
-def test_dedup_admitter_state_on_uri(spark, tmp_path):
+def test_dedup_admitter_state_on_uri(spark, tmp_path, mkuri):
     """The streaming dedup admitter's persisted state (meta + LSH index
     + decision legs) goes through the FS adapter too — an index on
     object storage admits exactly like a local one."""
@@ -158,18 +162,19 @@ def test_dedup_admitter_state_on_uri(spark, tmp_path):
     batches = [tds._B0, tds._B1]
     src = str(tmp_path / "src")
     tds._write_batches(spark, src, batches)
-    adm = MinhashAdmitter(spark, "file:" + str(tmp_path / "adm_uri"))
+    uri = mkuri(tmp_path / "adm_uri")
+    adm = MinhashAdmitter(spark, uri)
     tds._run_stream(spark, src, adm, str(tmp_path / "cp"))
     got = {r["doc_id"]: r["admitted"] for r in adm.decisions().collect()}
     want = {d: v[3] for d, v in tds._expected(spark, batches).items()}
     assert got == want
     # a fresh incarnation over the same URI state resumes idempotently
-    adm2 = MinhashAdmitter(spark, "file:" + str(tmp_path / "adm_uri"))
+    adm2 = MinhashAdmitter(spark, uri)
     tds._run_stream(spark, src, adm2, str(tmp_path / "cp"))
     assert {r["doc_id"]: r["admitted"] for r in adm2.decisions().collect()} == want
 
 
-def test_cdc_rollup_state_on_uri(spark, tmp_path):
+def test_cdc_rollup_state_on_uri(spark, tmp_path, mkuri):
     """StoreChangeRollup's own state dir (meta + versioned result legs)
     works over a URI: fold, prune, resume."""
     from smoltable_spark.streaming.store_cdc import (
@@ -181,8 +186,9 @@ def test_cdc_rollup_state_on_uri(spark, tmp_path):
     store = CellStore(spark, str(tmp_path / "store"))
     store.save_families([ColumnFamilyDef("f")])
     store.write(_cells(spark, [("a", 1, "v0")]))
+    uri = mkuri(tmp_path / "roll_uri")
     roll = StoreChangeRollup(
-        spark, "file:" + str(tmp_path / "roll_uri"), keys=["family"],
+        spark, uri, keys=["family"],
         sums={"n": "1"}, store=store,
     )
     store.append(_cells(spark, [("b", 1, "w")]))
@@ -193,7 +199,7 @@ def test_cdc_rollup_state_on_uri(spark, tmp_path):
     assert got == {"f": (2, 2)}
     # a fresh read-side incarnation over the URI state sees the result
     roll2 = StoreChangeRollup(
-        spark, "file:" + str(tmp_path / "roll_uri"), keys=["family"],
+        spark, uri, keys=["family"],
         sums={"n": "1"},
     )
     got2 = {r["family"]: (r["n"], r["_rows"]) for r in roll2.result().collect()}
