@@ -27,7 +27,17 @@ required. The r9–r10 version used raw ``os.rename``/``os.listdir`` for
 delete/fold/compact, which bound upsert-heavy workloads to a single
 node. On S3A, directory rename is copy+delete (non-atomic); the staged
 publish + crash-evidence fail-fast discipline below is what keeps a
-torn publish detectable there too.
+torn publish detectable there too — detectable by the next WRITER,
+that is: a CONCURRENT READER on such a scheme could still catch a
+reader-visible ``list_id=`` dir mid-swap. So the fold/compact family
+gates its swap on the probed ``atomic_rename`` capability
+(``sources/store_fs.RENAME_ATOMIC_SCHEMES``) and refuses on
+rename-unsafe schemes unless the caller passes
+``allow_non_atomic_swap=True``, asserting a no-concurrent-readers
+maintenance window (VERDICT r11 / ADVICE r11). Bare paths dispatch to
+local syscalls via ``fs_for`` — the same rule as the CellStore's
+adapter, so a bare-path index and a bare-path store always address the
+same filesystem.
 """
 
 from __future__ import annotations
@@ -38,7 +48,7 @@ from smoltable_spark.functions.similarity import (
     _nearest_centroids,
     with_quantized_norm,
 )
-from smoltable_spark.sources.hadoop_fs import HadoopFS
+from smoltable_spark.sources.hadoop_fs import fs_for
 
 
 def append_ivf_index(
@@ -47,6 +57,7 @@ def append_ivf_index(
     new_vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allow_non_atomic_swap: bool = False,
 ) -> None:
     """Add vectors to a persisted IVF index WITHOUT retraining: assign
     each new vector to its nearest list under the index's own persisted
@@ -95,7 +106,7 @@ def append_ivf_index(
     # (snapshot isolation), which is the table-format layer's job.
     base = path.rstrip("/")
     staging = base + "/.staging-append"
-    fs = HadoopFS(spark, base)
+    fs = fs_for(spark, base)
     # ADVICE r7: a crash mid-publish leaves SOME delta files already
     # renamed into the index with the staging dir still present; blindly
     # re-running the append would overwrite staging and re-publish the
@@ -140,7 +151,14 @@ def append_ivf_index(
             ).collect()
         }
         if batch_ids:
-            _fold_tombstones(spark, path, only_vec_ids=batch_ids)
+            # upsert path: the subset fold swaps reader-visible list
+            # dirs, so it inherits append's flag — on a rename-unsafe
+            # scheme a tombstone-intersecting append refuses unless the
+            # caller asserts a no-concurrent-readers window
+            _fold_tombstones(
+                spark, path, only_vec_ids=batch_ids,
+                allow_non_atomic_swap=allow_non_atomic_swap,
+            )
     (
         nv.join(assign, "vec_id")
         .write.mode("overwrite")
@@ -224,7 +242,7 @@ def delete_from_ivf_index(
     import uuid
 
     base = path.rstrip("/")
-    fs = HadoopFS(spark, base)
+    fs = fs_for(spark, base)
     # sweep rollback artifacts of a crashed PREVIOUS delete: a leftover
     # .staging-delete-* was never published (the atomic rename into
     # _tombstones/ is the commit point), so under the single-writer
@@ -268,7 +286,7 @@ def delete_from_ivf_index(
     return int(n)
 
 
-def _check_fold_crash_evidence(fs: HadoopFS, base: str) -> None:
+def _check_fold_crash_evidence(fs, base: str) -> None:
     """Fail fast on leftovers of a crashed list-partition swap (ADVICE
     r9, medium): a ``.staging-compact-*`` or ``.new-list_id=*`` dir
     means a previous fold died mid-swap — a list partition may be
@@ -295,7 +313,8 @@ def _check_fold_crash_evidence(fs: HadoopFS, base: str) -> None:
 
 
 def _fold_tombstones(
-    spark, path: str, only_vec_ids: set | None = None
+    spark, path: str, only_vec_ids: set | None = None,
+    allow_non_atomic_swap: bool = False,
 ) -> dict:
     """Physically drop tombstoned rows from their list partitions and
     clear the folded tombstones. ``only_vec_ids`` restricts the fold to
@@ -320,7 +339,7 @@ def _fold_tombstones(
     import uuid
 
     base = path.rstrip("/")
-    fs = HadoopFS(spark, base)
+    fs = fs_for(spark, base)
     # ADVICE r10 (low): run the crash-evidence check BEFORE the
     # no-tombstones early return — an index whose tombstone legs were
     # cleared during partial manual reconciliation but that still has
@@ -398,6 +417,26 @@ def _fold_tombstones(
             for r in fold_df.select("list_id").distinct().collect()
             if fs.is_dir(f"{base}/list_id={r['list_id']}")
         )
+        # reader-visibility gate (ADVICE r11): the per-list swap below
+        # renames VISIBLE list_id= dirs; on a copy+delete scheme a
+        # concurrent reader could observe a list missing or partially
+        # copied with no error. Refuse unless the caller asserts a
+        # no-concurrent-readers maintenance window.
+        if (
+            affected
+            and not getattr(fs, "atomic_rename", True)
+            and not allow_non_atomic_swap
+        ):
+            raise IOError(
+                f"IVF fold refused on rename-unsafe scheme "
+                f"'{getattr(fs, 'scheme', '?')}' ({base}): the per-list "
+                "swap renames reader-visible list_id= dirs, which is "
+                "copy+delete (not atomic) on this filesystem — a "
+                "concurrent reader could catch a list mid-swap. Run the "
+                "fold in a no-concurrent-readers maintenance window and "
+                "pass allow_non_atomic_swap=True, or host the index on a "
+                "rename-atomic filesystem (hdfs/local/viewfs)."
+            )
         if affected:
             victims = fold_df.select("vec_id").distinct()
             if tombs_total <= _BROADCAST_MAX_TOMBS:
@@ -442,7 +481,9 @@ def _fold_tombstones(
         tombs.unpersist()
 
 
-def compact_ivf_index(spark, path: str) -> dict:
+def compact_ivf_index(
+    spark, path: str, allow_non_atomic_swap: bool = False
+) -> dict:
     """Fold tombstones into the index: rewrite ONLY the list partitions
     that contain tombstoned rows (O(affected lists), never O(index)),
     then clear the folded tombstone files. Serving results are
@@ -456,4 +497,7 @@ def compact_ivf_index(spark, path: str) -> dict:
     (``_check_fold_crash_evidence``), and — like the whole maintenance
     family since round 11 — runs against any Hadoop-supported
     filesystem via ``sources/hadoop_fs.py``."""
-    return _fold_tombstones(spark, path, only_vec_ids=None)
+    return _fold_tombstones(
+        spark, path, only_vec_ids=None,
+        allow_non_atomic_swap=allow_non_atomic_swap,
+    )

@@ -438,14 +438,18 @@ def ivf_tombstones(spark, path: str):
     persisted IVF index, or None (functions/ann_index.py writes them
     under the underscore-prefixed ``_tombstones/`` root, invisible to
     the index's own partition discovery). Lives here so the serving
-    path needs no import of the maintenance module. Round 11: listed
-    through the Hadoop FS API (one listStatus RPC), so serving masks
-    deletes on object-store-hosted indexes too, not just local paths."""
-    from smoltable_spark.sources.hadoop_fs import HadoopFS
+    path needs no import of the maintenance module. Round 11 listed
+    through the Hadoop FS API so serving masks deletes on
+    object-store-hosted indexes too; round 12 (ADVICE r11) dispatches
+    like the CellStore adapter — bare paths use local syscalls (two
+    stat-class calls, zero Py4J traffic on the serving path), scheme
+    URIs one listStatus RPC — so a bare-path index and a bare-path
+    store always address the same filesystem."""
+    from smoltable_spark.sources.hadoop_fs import fs_for
 
     base = path.rstrip("/")
     root = base + "/_tombstones"
-    fs = HadoopFS(spark, base)
+    fs = fs_for(spark, base)
     dirs = [
         f"{root}/{d}"
         for d, is_dir in fs.list_status(root)

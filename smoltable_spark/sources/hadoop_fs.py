@@ -23,7 +23,94 @@ rather than leaning on a docstring (VERDICT r11 / ADVICE r11)."""
 
 from __future__ import annotations
 
-from smoltable_spark.sources.store_fs import RENAME_ATOMIC_SCHEMES
+from smoltable_spark.sources.store_fs import (
+    RENAME_ATOMIC_SCHEMES,
+    path_has_scheme,
+)
+
+
+def fs_for(spark, base: str):
+    """LocalFS for bare paths, HadoopFS for scheme URIs — the SAME
+    dispatch rule as ``store_fs.store_fs_for`` (ADVICE r11: the two
+    adapters used to disagree — a bare-path CellStore resolved via
+    local syscalls while a bare-path IVF index resolved via
+    ``fs.defaultFS``, so on a cluster with an hdfs defaultFS the two
+    would silently address DIFFERENT filesystems, and every local
+    serving-path call paid a Py4J round-trip for two syscalls)."""
+    if path_has_scheme(base):
+        return HadoopFS(spark, base)
+    return LocalFS()
+
+
+class LocalFS:
+    """HadoopFS's interface over local syscalls — the bare-path fast
+    path (no JVM traffic on the serving path, identical dispatch to
+    ``store_fs.LocalStoreFS``)."""
+
+    scheme = ""
+    atomic_rename = True  # POSIX rename
+
+    def exists(self, path: str) -> bool:
+        import os
+
+        return os.path.exists(path)
+
+    def is_dir(self, path: str) -> bool:
+        import os
+
+        return os.path.isdir(path)
+
+    def listdir(self, path: str) -> list[str]:
+        return [name for name, _ in self.list_status(path)]
+
+    def list_status(self, path: str) -> list[tuple[str, bool]]:
+        import os
+
+        try:
+            with os.scandir(path) as it:
+                return [(e.name, e.is_dir()) for e in it]
+        except FileNotFoundError:
+            return []
+
+    def mkdirs(self, path: str) -> None:
+        import os
+
+        os.makedirs(path, exist_ok=True)
+
+    def delete(self, path: str, recursive: bool = True) -> None:
+        import os
+        import shutil
+
+        if recursive:
+            shutil.rmtree(path, ignore_errors=True)
+        elif os.path.exists(path):
+            os.remove(path)
+
+    def rename(self, src: str, dst: str) -> bool:
+        import os
+
+        try:
+            os.rename(src, dst)
+            return True
+        except OSError:
+            return False
+
+    def rename_or_raise(self, src: str, dst: str, context: str = "") -> None:
+        if not self.rename(src, dst):
+            raise IOError(
+                f"rename failed: {src} -> {dst}"
+                + (f" ({context})" if context else "")
+            )
+
+    def parquet_dir_rows(self, d: str) -> int:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for name, is_dir in self.list_status(d):
+            if is_dir or not name.endswith(".parquet"):
+                continue
+            total += pq.read_metadata(f"{d}/{name}").num_rows
+        return int(total)
 
 
 class HadoopFS:

@@ -240,3 +240,38 @@ def test_pointer_manifest_is_trimmed_but_chain_complete(spark, tmp_path):
     # every leg of the current chain is present in the manifest
     for v in s._legs_of(3):
         assert str(v) in d["legs"]
+
+
+# ---------------------------------------------------------------------------
+# IVF fold gate on rename-unsafe schemes (ADVICE r11)
+
+
+def test_ivf_fold_refuses_on_rename_unsafe_scheme(spark, tmp_path, monkeypatch):
+    import pyspark.sql.functions as F
+
+    from smoltable_spark.functions import ann_index, similarity
+    from smoltable_spark.sources.hadoop_fs import LocalFS
+    from smoltable_spark.sources.relational import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivf_gate")
+    similarity.build_ivf_index(emb, path, n_centroids=8)
+    ann_index.delete_from_ivf_index(
+        spark, path, emb.filter(F.col("vec_id") == 6).select("vec_id")
+    )
+
+    class UnsafeLocalFS(LocalFS):
+        scheme = "s3a"  # what the probe would report for an S3A index
+        atomic_rename = False
+
+    monkeypatch.setattr(ann_index, "fs_for", lambda _s, _b: UnsafeLocalFS())
+    with pytest.raises(IOError, match="rename-unsafe"):
+        ann_index.compact_ivf_index(spark, path)
+    # the refusal happened BEFORE any mutation: tombstone still pending
+    assert similarity.ivf_tombstones(spark, path).count() == 1
+    # asserting a maintenance window lets the fold proceed to completion
+    stats = ann_index.compact_ivf_index(
+        spark, path, allow_non_atomic_swap=True
+    )
+    assert stats == {"tombstones": 1, "lists_rewritten": 1}
+    assert similarity.ivf_tombstones(spark, path) is None
