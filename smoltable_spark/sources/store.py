@@ -278,10 +278,29 @@ class CellStore:
         return self._fs.read_text(p).strip()
 
     def _base_of(self, n: int) -> int:
-        """Latest base version ≤ n (0 when the chain starts with deltas)."""
-        for v in range(n, 0, -1):
-            if self._fs.isdir(self._version_dir(v)) and self._kind(v) == "base":
-                return v
+        """Latest base version ≤ n (0 when the chain starts with deltas).
+
+        Manifest fast path (round 12, VERDICT r11 ask #7): walk CACHED
+        kinds downward with zero filesystem calls; only the candidate
+        base pays one isdir probe (non-base versions can never be
+        returned, so skipping their existence probes changes nothing).
+        A cache gap, or a cached base whose dir is gone (out-of-contract
+        vacuum), resumes the original per-version marker walk from that
+        point — identical semantics, just fewer RPCs on the URI path."""
+        v = n
+        while v >= 1:
+            kf = self._chain_cache.get(v)
+            if kf is None:
+                break  # cache gap: marker walk takes over from v
+            if kf[0] == "base":
+                if self._fs.isdir(self._version_dir(v)):
+                    return v
+                v -= 1
+                break  # missing base dir: keep scanning below it
+            v -= 1
+        for u in range(v, 0, -1):
+            if self._fs.isdir(self._version_dir(u)) and self._kind(u) == "base":
+                return u
         return 0
 
     _FOLDS_FILE = "_FOLDS"
