@@ -275,3 +275,50 @@ def test_ivf_fold_refuses_on_rename_unsafe_scheme(spark, tmp_path, monkeypatch):
     )
     assert stats == {"tombstones": 1, "lists_rewritten": 1}
     assert similarity.ivf_tombstones(spark, path) is None
+
+
+# ---------------------------------------------------------------------------
+# BPE: sampled training + lineage truncation (VERDICT r11 ask #8 / ADVICE)
+
+
+def _bpe_docs(spark):
+    rows = [
+        (i, ("banana bandana " * 3) + ("cabana " * (i % 3)))
+        for i in range(12)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bpe_sample_fraction_one_is_bit_identical(spark):
+    from smoltable_spark.functions.text import bpe_train
+
+    docs = _bpe_docs(spark)
+    base = [tuple(r) for r in bpe_train(docs, n_merges=4).collect()]
+    same = [
+        tuple(r)
+        for r in bpe_train(docs, n_merges=4, sample_fraction=1.0).collect()
+    ]
+    assert base == same  # fraction=1.0 bypasses the sampler entirely
+
+
+def test_bpe_sampled_training_is_seeded_and_valid(spark):
+    from smoltable_spark.functions.text import bpe_train
+
+    docs = _bpe_docs(spark)
+    a = [tuple(r) for r in bpe_train(docs, n_merges=4, sample_fraction=0.5).collect()]
+    b = [tuple(r) for r in bpe_train(docs, n_merges=4, sample_fraction=0.5).collect()]
+    assert a == b  # same seed -> same sample -> same merge table
+    assert len(a) == 4 and all(row[3] == row[1] + row[2] for row in a)
+
+
+def test_bpe_checkpoint_interval_does_not_change_merges(spark, monkeypatch):
+    """Crossing the lineage-truncation boundary must be invisible in the
+    learned merge table: train past the interval with the default, then
+    with an aggressive interval of 2 — identical output."""
+    from smoltable_spark.functions import text
+
+    docs = _bpe_docs(spark)
+    deep = [tuple(r) for r in text.bpe_train(docs, n_merges=8).collect()]
+    monkeypatch.setattr(text, "_BPE_CHECKPOINT_EVERY", 2)
+    often = [tuple(r) for r in text.bpe_train(docs, n_merges=8).collect()]
+    assert deep == often
