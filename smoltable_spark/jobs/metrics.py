@@ -88,5 +88,9 @@ class MetricsTable:
         cutoff = cells.select(
             F.expr("percentile(ts, 0.5)").alias("m")
         ).collect()[0]["m"]
-        self.store.write(cells.filter(F.col("ts") >= cutoff))
+        # a filter of read() keeps coordinates unique: skip the dedup
+        # window (round 12 — same argument as compact())
+        self.store.write(
+            cells.filter(F.col("ts") >= cutoff), assume_unique_coords=True
+        )
         self.store.vacuum(keep_last=1)

@@ -27,8 +27,14 @@ def gc_worker(store: CellStore, metrics: MetricsTable | None = None, now_nanos: 
     before_df = store.read()
     before = before_df.count()
     gced = run_gc(before_df.drop("lg"), families, now_nanos=now)
-    store.write(gced)
-    after = store.read().count()
+    # read()'s shadowing contract + GC's pure row filter keep cell
+    # coordinates unique by construction, so the write skips the dedup
+    # window — one full shuffle of the table removed per GC cycle, the
+    # same argument compact() makes (round 12)
+    store.write(gced, assume_unique_coords=True)
+    # the rewrite is now the chain's only leg, so parquet footer counts
+    # are exact: the after-count is driver-side metadata, not a job
+    after = store.approximate_cell_count()
     deleted = before - after
     if metrics is not None:
         metrics.record([("gc#del_cnt", float(deleted))], ts_nanos=now)

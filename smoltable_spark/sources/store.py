@@ -640,7 +640,7 @@ class CellStore:
             },
         )
 
-    def migrate_minor_legs(self) -> int:
+    def migrate_minor_legs(self, allow_non_atomic: bool = False) -> int:
         """Rename legacy PLAIN-named minor legs (``v=<n>`` dirs with a
         ``_KIND`` of ``minor``, committed before the round-10 dot
         naming) to the stream-invisible ``.v=<n>.minor`` form. Returns
@@ -671,6 +671,16 @@ class CellStore:
         Batch readers are unaffected either way (``_version_dir``
         resolves both names); start a FRESH stream incarnation after
         migrating."""
+        if not getattr(self._fs, "atomic_rename", True) and not allow_non_atomic:
+            raise IOError(
+                f"minor-leg migration refused on rename-unsafe scheme "
+                f"'{getattr(self._fs, 'scheme', '?')}' ({self.path}): each "
+                "leg rename is copy+delete here, so a BATCH reader could "
+                "catch a leg dir missing or half-copied mid-migration. "
+                "Run in a no-readers maintenance window and pass "
+                "allow_non_atomic=True, or host the store on a "
+                "rename-atomic filesystem (hdfs/local/viewfs)."
+            )
         migrated = 0
         for v in range(1, self.current_version() + 1):
             plain = os.path.join(self.path, f"v={v}")

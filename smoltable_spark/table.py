@@ -181,7 +181,9 @@ class Smoltable:
         cells = self.store.read().drop("lg")
         deleted = deleted_cell_count(cells, row_key, column_filter).collect()[0][0]
         remaining = _delete_row_op(cells, row_key, column_filter)
-        self.store.write(remaining)
+        # a filter of read() keeps coordinates unique: skip the dedup
+        # window (round 12 — same argument as store.compact())
+        self.store.write(remaining, assume_unique_coords=True)
         return int(deleted)
 
     def run_gc(self, now_nanos: int | None = None) -> int:
@@ -196,8 +198,12 @@ class Smoltable:
         cells = self.store.read().drop("lg")
         before = cells.count()
         kept = run_gc(cells, fams, now_nanos=now_nanos)
-        self.store.write(kept)
-        return before - self.store.read().drop("lg").count()
+        # GC is a pure row filter of read(): coordinates stay unique
+        # (skip the dedup window), and the rewrite is the chain's only
+        # leg, so the after-count reads from parquet footers — one
+        # shuffle and one count job removed per GC (round 12)
+        self.store.write(kept, assume_unique_coords=True)
+        return before - self.store.approximate_cell_count()
 
     # -- maintenance / stats (S8) -----------------------------------------
 

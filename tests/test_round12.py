@@ -322,3 +322,12 @@ def test_bpe_checkpoint_interval_does_not_change_merges(spark, monkeypatch):
     monkeypatch.setattr(text, "_BPE_CHECKPOINT_EVERY", 2)
     often = [tuple(r) for r in text.bpe_train(docs, n_merges=8).collect()]
     assert deep == often
+
+
+def test_migrate_minor_legs_gates_on_rename_unsafe(spark, tmp_path):
+    s = _unsafe_store(spark, tmp_path / "t")
+    s.save_families([ColumnFamilyDef("f")])
+    _append(spark, s, "a")
+    with pytest.raises(IOError, match="rename-unsafe"):
+        s.migrate_minor_legs()
+    assert s.migrate_minor_legs(allow_non_atomic=True) == 0  # nothing legacy
