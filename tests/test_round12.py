@@ -331,3 +331,36 @@ def test_migrate_minor_legs_gates_on_rename_unsafe(spark, tmp_path):
     with pytest.raises(IOError, match="rename-unsafe"):
         s.migrate_minor_legs()
     assert s.migrate_minor_legs(allow_non_atomic=True) == 0  # nothing legacy
+
+
+def test_cdc_guard_and_changes_over_unsafe_store(spark, tmp_path):
+    """Change feeds over a rename-unsafe store: the guard's kind walk and
+    read_changes resolve through generation pointers exactly as through
+    the plain pointer (the CDC poll loop calls current_version per
+    trigger — it must observe commits published by the rename-free
+    protocol)."""
+    from smoltable_spark.streaming.store_cdc import StoreChangeRollup
+
+    s = _unsafe_store(spark, tmp_path / "t")
+    s.save_families([ColumnFamilyDef("f")])
+    _append(spark, s, "a")
+    roll = StoreChangeRollup(
+        spark, str(tmp_path / "roll"), keys=["family"],
+        sums={"n": "1"}, store=s,
+    )
+    roll.guard_chain()
+    _append(spark, s, "b")
+    _append(spark, s, "c")
+    m = s.minor_compact()
+    assert s._kind(m) == "minor"
+    roll.guard_chain()  # fold classified benign through generations
+    # O(changes) feed across the fold on the unsafe store
+    assert s.read_changes(1).count() == 2
+    # a base rewrite (compact) is flagged by a FRESH incarnation
+    s.compact()
+    fresh = StoreChangeRollup(
+        spark, str(tmp_path / "roll"), keys=["family"],
+        sums={"n": "1"}, store=s,
+    )
+    with pytest.raises(ValueError, match="rewrite"):
+        fresh.guard_chain()
