@@ -364,3 +364,33 @@ def test_cdc_guard_and_changes_over_unsafe_store(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="rewrite"):
         fresh.guard_chain()
+
+
+def test_generation_protocol_through_jvm_fs(spark, tmp_path):
+    """The rename-free protocol through the REAL HadoopStoreFS (JVM
+    FileSystem write/list/read), not just the Python double: force the
+    object-store capability profile on a file:-URI store and run the
+    lifecycle — generation files written via fs.create, resolved via
+    listStatus, swept by vacuum."""
+    uri = "file:" + str(tmp_path / "t")
+    s = CellStore(spark, uri)
+    s._fs.atomic_rename = False  # probe override: object-store profile
+    s.save_families([ColumnFamilyDef("f")])
+    _append(spark, s, "a")
+    _append(spark, s, "b")
+    s.compact()
+    names = os.listdir(tmp_path / "t")
+    assert [n for n in sorted(names) if n.startswith("_VERSION-v")] == [
+        "_VERSION-v1", "_VERSION-v2", "_VERSION-v3"
+    ]
+    assert "_VERSION" not in names
+    # fresh handles on BOTH dispatch paths resolve the same state
+    r_uri = CellStore(spark, uri)
+    r_local = CellStore(spark, str(tmp_path / "t"))
+    assert r_uri.current_version() == r_local.current_version() == 3
+    assert r_uri.read().count() == r_local.read().count() == 2
+    s.vacuum(keep_last=1)
+    assert sorted(
+        n for n in os.listdir(tmp_path / "t") if n.startswith("_VERSION-v")
+    ) == ["_VERSION-v3"]
+    assert CellStore(spark, uri).read().count() == 2
