@@ -118,9 +118,23 @@ class CellStore:
             dict(name=f.name, ttl_secs=f.ttl_secs, version_limit=f.version_limit, lg=f.lg)
             for f in families
         ]
-        self._fs.write_text(
+        self._publish_text(
             os.path.join(self.path, _MANIFEST_FILE), json.dumps(data)
         )
+
+    def _publish_text(self, p: str, content: str) -> None:
+        """Reader-visible small-file publish, capability-dispatched
+        (round 12): a plain ``write_text`` truncates in place, so a
+        reader racing the write can catch an empty/partial file on
+        local/HDFS. On rename-atomic filesystems publish via the staged
+        swap (``replace_text``); on rename-unsafe schemes a create IS
+        the atomic primitive (an object-store PUT is all-or-nothing on
+        close, while a rename would be the torn copy+delete), so plain
+        ``write_text`` is the safe branch there."""
+        if getattr(self._fs, "atomic_rename", True):
+            self._fs.replace_text(p, content)
+        else:
+            self._fs.write_text(p, content)
 
     def load_families(self) -> list[ColumnFamilyDef]:
         p = os.path.join(self.path, _MANIFEST_FILE)
