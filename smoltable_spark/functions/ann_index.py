@@ -34,10 +34,10 @@ gates its swap on the probed ``atomic_rename`` capability
 (``sources/store_fs.RENAME_ATOMIC_SCHEMES``) and refuses on
 rename-unsafe schemes unless the caller passes
 ``allow_non_atomic_swap=True``, asserting a no-concurrent-readers
-maintenance window (VERDICT r11 / ADVICE r11). Bare paths dispatch to
-local syscalls via ``fs_for`` — the same rule as the CellStore's
-adapter, so a bare-path index and a bare-path store always address the
-same filesystem.
+maintenance window (VERDICT r11 / ADVICE r11). Bare paths dispatch through
+``fs_for``'s defaultFS-aware rule — shared verbatim with the
+CellStore's adapter (round 13), so a bare-path index, a bare-path
+store, and Spark's own data plane always address the same filesystem.
 """
 
 from __future__ import annotations

