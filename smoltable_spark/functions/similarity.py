@@ -433,6 +433,123 @@ def build_ivf_index(
     cents.write.mode("overwrite").parquet(path.rstrip("/") + "/_centroids")
 
 
+#: rename-free IVF maintenance pointer (round 13, VERDICT r12 ask #2):
+#: ``_LISTGEN-v<m>`` files at the index root, CAS-committed
+#: (create-if-absent) exactly like the CellStore's ``_VERSION-v<n>``
+#: generations. Content is JSON:
+#:   {"m": m, "lists": {list_id: g}, "tomb_keep": [...], "tomb_folded": [...]}
+#: - ``lists``: lists whose LIVE data is the dot-prefixed generation dir
+#:   ``.gen/g=<g>/list_id=<k>`` (g >= 1) or retired entirely (g == 0).
+#:   Lists absent from the map serve their plain ``list_id=<k>`` dir.
+#: - ``tomb_keep``: dot-named kept-tombstone legs under ``_tombstones/``
+#:   (a subset fold's survivors), live alongside later ``d-*`` legs.
+#: - ``tomb_folded``: the ``d-*``/``.t-*`` legs this fold superseded —
+#:   excluded from reads even if their deletion sweep crashed.
+#: One pointer read resolves the whole serving state, so a fold commit
+#: is a single all-or-nothing PUT: readers see the pre-fold index or the
+#: post-fold index, never a mid-swap directory — the rename-unsafe
+#: filesystems answer to the r12 refuse-on-s3a gate.
+_LISTGEN_PREFIX = "_LISTGEN-v"
+_GEN_ROOT = ".gen"
+
+
+def _ivf_pointer(fs, base: str) -> tuple[int, dict[int, int], dict]:
+    """(pointer number, {list_id: generation}, full pointer meta) from
+    the newest parsable ``_LISTGEN-v<m>``; (0, {}, {}) when the index
+    has never been folded on a rename-unsafe filesystem. Torn newest
+    pointers (crashed writer on a flush-visible scheme) are pre-commit
+    garbage: fall back to the next-lower parsable one, mirroring
+    ``CellStore.current_version``."""
+    import json
+
+    gens = []
+    for name, is_dir in fs.list_status(base):
+        if is_dir or not name.startswith(_LISTGEN_PREFIX):
+            continue
+        try:
+            gens.append(int(name[len(_LISTGEN_PREFIX):]))
+        except ValueError:
+            continue
+    for m in sorted(gens, reverse=True):
+        try:
+            d = json.loads(fs.read_text(f"{base}/{_LISTGEN_PREFIX}{m}"))
+            return m, {int(k): int(g) for k, g in d["lists"].items()}, d
+        except (ValueError, KeyError):
+            continue
+    return 0, {}, {}
+
+
+def ivf_list_generations(spark, path: str) -> tuple[int, dict[int, int]]:
+    """(pointer number, {list_id: live generation}) of a persisted IVF
+    index — (0, {}) for never-folded-on-rename-unsafe indexes."""
+    from smoltable_spark.sources.hadoop_fs import fs_for
+
+    base = path.rstrip("/")
+    m, gmap, _meta = _ivf_pointer(fs_for(spark, base), base)
+    return m, gmap
+
+
+def read_ivf_lists(spark, path: str, list_ids=None):
+    """Generation-aware read of a persisted IVF index's inverted lists
+    (columns ``vec_id, q, nrm2, list_id``), or None when no serving dir
+    matches (an empty/fully-retired selection).
+
+    No pointer — the overwhelmingly common state — is ONE partition-
+    discovery read of the root, byte-identical in plan and cost to the
+    pre-r13 direct read (``list_ids`` becomes the usual
+    ``list_id IN (...)`` partition filter Catalyst prunes on). With a
+    pointer, each list serves from its live location: unmapped lists
+    read their plain dirs EXPLICITLY (physical pruning — stale plain
+    dirs of mapped lists are never listed), and mapped lists group into
+    one read per generation with that generation's basePath, so the
+    read fan-out is O(live generations), not O(lists)."""
+    from smoltable_spark.sources.hadoop_fs import fs_for
+
+    base = path.rstrip("/")
+    fs = fs_for(spark, base)
+    _m, gmap, _meta = _ivf_pointer(fs, base)
+    if not gmap:
+        df = spark.read.parquet(base)
+        if list_ids is not None:
+            df = df.filter(F.col("list_id").isin(list(list_ids)))
+        return df
+    wanted = None if list_ids is None else {int(l) for l in list_ids}
+    plain_dirs = []
+    for name, is_dir in fs.list_status(base):
+        if not is_dir or not name.startswith("list_id="):
+            continue
+        try:
+            k = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if k in gmap:
+            continue  # stale pre-fold dir shielded by the pointer
+        if wanted is None or k in wanted:
+            plain_dirs.append(f"{base}/{name}")
+    by_gen: dict[int, list[int]] = {}
+    for k, g in gmap.items():
+        if g >= 1 and (wanted is None or k in wanted):
+            by_gen.setdefault(g, []).append(k)
+    parts = []
+    if plain_dirs:
+        parts.append(
+            spark.read.option("basePath", base).parquet(*sorted(plain_dirs))
+        )
+    for g, lists in sorted(by_gen.items()):
+        gen_base = f"{base}/{_GEN_ROOT}/g={g}"
+        parts.append(
+            spark.read.option("basePath", gen_base).parquet(
+                *[f"{gen_base}/list_id={k}" for k in sorted(lists)]
+            )
+        )
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def ivf_tombstones(spark, path: str):
     """DataFrame(vec_id, list_id) of committed delete tombstones for a
     persisted IVF index, or None (functions/ann_index.py writes them
@@ -444,17 +561,27 @@ def ivf_tombstones(spark, path: str):
     like the CellStore adapter — bare paths use local syscalls (two
     stat-class calls, zero Py4J traffic on the serving path), scheme
     URIs one listStatus RPC — so a bare-path index and a bare-path
-    store always address the same filesystem."""
+    store always address the same filesystem.
+
+    Round 13: pointer-aware. With a ``_LISTGEN`` pointer, the live set
+    is (all ``d-*`` legs minus the pointer's ``tomb_folded``) plus its
+    ``tomb_keep`` legs — so a generation fold's tombstone transition is
+    atomic with its list swap, and a crashed post-commit deletion sweep
+    can only leave ignored garbage, never resurrect folded tombstones."""
     from smoltable_spark.sources.hadoop_fs import fs_for
 
     base = path.rstrip("/")
     root = base + "/_tombstones"
     fs = fs_for(spark, base)
+    _m, _gmap, meta = _ivf_pointer(fs, base)
+    folded = set(meta.get("tomb_folded", []))
+    keep = list(meta.get("tomb_keep", []))
+    names = {d for d, is_dir in fs.list_status(root) if is_dir}
     dirs = [
         f"{root}/{d}"
-        for d, is_dir in fs.list_status(root)
-        if d.startswith("d-") and is_dir
-    ]
+        for d in sorted(names)
+        if d.startswith("d-") and d not in folded
+    ] + [f"{root}/{d}" for d in keep if d in names]
     if not dirs:
         return None
     return spark.read.parquet(*dirs)
@@ -491,15 +618,19 @@ def query_ivf_index(
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rank int"
         )
-    corpus_lists = (
-        spark.read.parquet(path)
-        .filter(F.col("list_id").isin(probe_ids))  # partition pruning
-        .select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("q").alias("cq2"),
-            F.col("nrm2").alias("cn"),
-            "list_id",
+    # generation-aware list read (round 13): without a _LISTGEN pointer
+    # this is the identical partition-discovery read + IN-list pruning
+    # as before; with one, each probed list reads its live location
+    probed = read_ivf_lists(spark, path, probe_ids)
+    if probed is None:  # every probed list is retired/empty
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
         )
+    corpus_lists = probed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("cq2"),
+        F.col("nrm2").alias("cn"),
+        "list_id",
     )
     tombs = ivf_tombstones(spark, path)
     if tombs is not None:

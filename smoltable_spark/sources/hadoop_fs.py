@@ -112,6 +112,17 @@ class LocalFS:
                 + (f" ({context})" if context else "")
             )
 
+    def read_text(self, p: str) -> str:
+        with open(p) as fh:
+            return fh.read()
+
+    def create_exclusive(self, p: str, content: str) -> None:
+        """Atomic create-if-absent (CAS) — the IVF generation-pointer
+        commit primitive (round 13), same contract as
+        ``store_fs.LocalStoreFS.create_exclusive``."""
+        with open(p, "x") as fh:
+            fh.write(content)
+
     def parquet_dir_rows(self, d: str) -> int:
         import pyarrow.parquet as pq
 
@@ -179,6 +190,35 @@ class HadoopFS:
                 f"rename failed: {src} -> {dst}"
                 + (f" ({context})" if context else "")
             )
+
+    def read_text(self, p: str) -> str:
+        stream = self._fs.open(self._Path(p))
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+
+    def create_exclusive(self, p: str, content: str) -> None:
+        """Atomic create-if-absent (CAS): ``FileSystem.create(path,
+        overwrite=false)``, mapped to Python ``FileExistsError`` — same
+        contract as ``store_fs.HadoopStoreFS.create_exclusive``."""
+        from py4j.protocol import Py4JJavaError
+
+        try:
+            out = self._fs.create(self._Path(p), False)
+        except Py4JJavaError as e:
+            jexc = e.java_exception
+            cls = jexc.getClass().getName()
+            msg = str(jexc.getMessage() or "")
+            if "AlreadyExists" in cls or "already exists" in msg.lower():
+                raise FileExistsError(p) from e
+            raise
+        try:
+            out.write(bytearray(content.encode("utf-8")))
+        finally:
+            out.close()
 
     # -- parquet metadata ---------------------------------------------------
     def parquet_dir_rows(self, d: str) -> int:

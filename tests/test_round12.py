@@ -246,7 +246,16 @@ def test_pointer_manifest_is_trimmed_but_chain_complete(spark, tmp_path):
 # IVF fold gate on rename-unsafe schemes (ADVICE r11)
 
 
-def test_ivf_fold_refuses_on_rename_unsafe_scheme(spark, tmp_path, monkeypatch):
+def test_ivf_fold_on_rename_unsafe_scheme_goes_generational(
+    spark, tmp_path, monkeypatch
+):
+    """Round 13 (VERDICT r12 ask #2): the r12 refusal gate is replaced —
+    a fold on a rename-unsafe scheme now publishes via the rename-free
+    ``_LISTGEN`` generation pointer (no reader-visible dir is ever
+    renamed), and the legacy maintenance-window escape hatch keeps its
+    meaning for callers who prefer the in-place swap."""
+    import os
+
     import pyspark.sql.functions as F
 
     from smoltable_spark.functions import ann_index, similarity
@@ -264,17 +273,28 @@ def test_ivf_fold_refuses_on_rename_unsafe_scheme(spark, tmp_path, monkeypatch):
         scheme = "s3a"  # what the probe would report for an S3A index
         atomic_rename = False
 
+        renames: list = []
+
+        def rename(self, src, dst):
+            UnsafeLocalFS.renames.append((src, dst))
+            return super().rename(src, dst)
+
     monkeypatch.setattr(ann_index, "fs_for", lambda _s, _b: UnsafeLocalFS())
-    with pytest.raises(IOError, match="rename-unsafe"):
-        ann_index.compact_ivf_index(spark, path)
-    # the refusal happened BEFORE any mutation: tombstone still pending
-    assert similarity.ivf_tombstones(spark, path).count() == 1
-    # asserting a maintenance window lets the fold proceed to completion
-    stats = ann_index.compact_ivf_index(
-        spark, path, allow_non_atomic_swap=True
-    )
+    stats = ann_index.compact_ivf_index(spark, path)
     assert stats == {"tombstones": 1, "lists_rewritten": 1}
     assert similarity.ivf_tombstones(spark, path) is None
+    # the commit point was a pointer CREATE; no rename of anything
+    # reader-visible ever happened
+    assert UnsafeLocalFS.renames == []
+    assert os.path.exists(os.path.join(path, "_LISTGEN-v1"))
+    m, gmap = similarity.ivf_list_generations(spark, path)
+    assert m == 1 and set(gmap.values()) <= {0, 1}
+    # serving masks exactly the deleted vector, through the pointer
+    res = similarity.query_ivf_index(
+        spark, path, emb.limit(3), k=5, nprobe=8
+    )
+    assert res.filter(F.col("neighbor_id") == 6).count() == 0
+    assert res.count() > 0
 
 
 # ---------------------------------------------------------------------------

@@ -197,3 +197,205 @@ def test_bare_path_dispatch_follows_default_fs(spark, tmp_path):
     # local defaultFS: both keep the zero-JVM fast path
     assert isinstance(store_fs_for(spark, str(tmp_path)), LocalStoreFS)
     assert isinstance(fs_for(spark, str(tmp_path)), LocalFS)
+
+
+# ---------------------------------------------------------------------------
+# IVF rename-free generation protocol (VERDICT r12 ask #2)
+
+
+def _emb(spark):
+    from smoltable_spark.sources.relational import load_table
+
+    return load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+
+class _UnsafeAnnFS:
+    """Factory installing an object-store capability profile over local
+    syscalls for the ANN maintenance family."""
+
+    def __new__(cls):
+        from smoltable_spark.sources.hadoop_fs import LocalFS
+
+        class UnsafeLocalFS(LocalFS):
+            scheme = "s3a"
+            atomic_rename = False
+
+        return UnsafeLocalFS()
+
+
+@pytest.fixture()
+def unsafe_ann(monkeypatch):
+    from smoltable_spark.functions import ann_index
+
+    monkeypatch.setattr(ann_index, "fs_for", lambda _s, _b: _UnsafeAnnFS())
+
+
+def _topk(spark, path, queries, k=5):
+    from smoltable_spark.functions.similarity import query_ivf_index
+
+    return sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in query_ivf_index(
+            spark, path, queries, k=k, nprobe=8
+        ).collect()
+    )
+
+
+def test_generation_fold_matches_legacy_fold(spark, tmp_path, unsafe_ann):
+    """Differential: the same build→delete→fold→upsert sequence through
+    the legacy in-place swap (rename-atomic) and the generation pointer
+    (rename-unsafe) serves IDENTICAL top-k results."""
+    import pyspark.sql.functions as F
+
+    from smoltable_spark.functions import ann_index
+    from smoltable_spark.functions.similarity import build_ivf_index
+
+    emb = _emb(spark)
+    legacy, gen = str(tmp_path / "legacy"), str(tmp_path / "gen")
+    build_ivf_index(emb, legacy, n_centroids=8)
+    build_ivf_index(emb, gen, n_centroids=8)
+    victims = emb.filter(F.col("vec_id").isin([3, 7, 11])).select("vec_id")
+    batch = emb.filter(F.col("vec_id").isin([7, 200]))
+    for path, allow in ((legacy, True), (gen, False)):
+        ann_index.delete_from_ivf_index(spark, path, victims)
+        ann_index.compact_ivf_index(
+            spark, path, allow_non_atomic_swap=allow
+        )
+        ann_index.delete_from_ivf_index(
+            spark, path, victims.filter(F.col("vec_id") == 7)
+        )
+        # upsert: id 7 carries an outstanding tombstone
+        ann_index.append_ivf_index(spark, path, batch)
+    qs = emb.limit(4)
+    assert _topk(spark, legacy, qs) == _topk(spark, gen, qs)
+    # the generation index really is generational; the legacy one is not
+    import os
+
+    assert any(n.startswith("_LISTGEN-v") for n in os.listdir(gen))
+    assert not any(n.startswith("_LISTGEN-v") for n in os.listdir(legacy))
+
+
+def test_generation_append_lands_in_live_generation(spark, tmp_path, unsafe_ann):
+    """After a fold maps a list to .gen/g=1, appended vectors assigned to
+    that list must land (and serve) from the generation dir, not the
+    stale pointer-shielded plain dir."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from smoltable_spark.functions import ann_index
+    from smoltable_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_list_generations,
+        read_ivf_lists,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "gen2")
+    build_ivf_index(emb.filter(F.col("vec_id") < 200), path, n_centroids=8)
+    ann_index.delete_from_ivf_index(
+        spark, path, emb.filter(F.col("vec_id") == 5).select("vec_id")
+    )
+    ann_index.compact_ivf_index(spark, path)
+    m, gmap = ivf_list_generations(spark, path)
+    assert m == 1 and gmap
+    before = read_ivf_lists(spark, path).count()
+    ann_index.append_ivf_index(
+        spark, path, emb.filter(F.col("vec_id").between(200, 249))
+    )
+    after = read_ivf_lists(spark, path)
+    assert after.count() == before + 50
+    # every appended id serves; none fell into a shielded stale dir
+    got = {r["vec_id"] for r in after.select("vec_id").collect()}
+    assert set(range(200, 250)) <= got
+    assert 5 not in got
+    # stale plain dirs of mapped lists still exist (vacuum's job), yet
+    # are never read
+    stale = [
+        k for k in gmap
+        if gmap[k] >= 1 and os.path.isdir(os.path.join(path, f"list_id={k}"))
+    ]
+    assert stale, "fold keeps pre-fold dirs for in-flight readers"
+
+
+def test_retired_list_revival_and_stacked_folds(spark, tmp_path, unsafe_ann):
+    """A list whose every row is tombstoned retires (g=0); appending a
+    vector assigned there revives it under a fresh generation via a
+    pointer CAS. A second fold stacks generation 2 over generation 1."""
+    import pyspark.sql.functions as F
+
+    from smoltable_spark.functions import ann_index
+    from smoltable_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_list_generations,
+        read_ivf_lists,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "gen3")
+    small = emb.filter(F.col("vec_id") < 60)
+    build_ivf_index(small, path, n_centroids=4)
+    # find one full list and tombstone ALL of it
+    lists = read_ivf_lists(spark, path)
+    some_list = lists.groupBy("list_id").count().orderBy("count").first()
+    victims = lists.filter(F.col("list_id") == some_list["list_id"]).select(
+        "vec_id"
+    )
+    victim_ids = {r["vec_id"] for r in victims.collect()}
+    ann_index.delete_from_ivf_index(spark, path, victims)
+    ann_index.compact_ivf_index(spark, path)
+    m, gmap = ivf_list_generations(spark, path)
+    assert gmap[some_list["list_id"]] == 0  # retired
+    # revival: append one of the deleted ids back (plus a fresh one)
+    revive_batch = emb.filter(
+        F.col("vec_id").isin([min(victim_ids), 499])
+    )
+    ann_index.append_ivf_index(spark, path, revive_batch)
+    m2, gmap2 = ivf_list_generations(spark, path)
+    served = {r["vec_id"] for r in read_ivf_lists(spark, path).select("vec_id").collect()}
+    assert min(victim_ids) in served and 499 in served
+    assert (set(victim_ids) - {min(victim_ids)}).isdisjoint(served)
+    # second fold: delete a surviving vector, fold again -> generation 2
+    ann_index.delete_from_ivf_index(
+        spark, path, small.filter(F.col("vec_id") == 1).select("vec_id")
+    )
+    ann_index.compact_ivf_index(spark, path)
+    m3, gmap3 = ivf_list_generations(spark, path)
+    assert m3 > m2
+    served3 = {r["vec_id"] for r in read_ivf_lists(spark, path).select("vec_id").collect()}
+    assert 1 not in served3
+    from smoltable_spark.functions.similarity import ivf_tombstones
+
+    assert ivf_tombstones(spark, path) is None
+
+
+def test_vacuum_ivf_index_reclaims_superseded_state(spark, tmp_path, unsafe_ann):
+    import os
+
+    import pyspark.sql.functions as F
+
+    from smoltable_spark.functions import ann_index
+    from smoltable_spark.functions.similarity import build_ivf_index, read_ivf_lists
+
+    emb = _emb(spark)
+    path = str(tmp_path / "gen4")
+    build_ivf_index(emb.filter(F.col("vec_id") < 300), path, n_centroids=8)
+    for vid in (2, 9):
+        ann_index.delete_from_ivf_index(
+            spark, path, emb.filter(F.col("vec_id") == vid).select("vec_id")
+        )
+        ann_index.compact_ivf_index(spark, path)
+    before = read_ivf_lists(spark, path)
+    rows_before = sorted(r["vec_id"] for r in before.select("vec_id").collect())
+    stats = ann_index.vacuum_ivf_index(spark, path, keep_pointers=1)
+    assert stats["pointers"] >= 1  # the older pointer generation swept
+    assert stats["plain_dirs"] >= 1  # pre-fold stale dirs reclaimed
+    after = read_ivf_lists(spark, path)
+    assert sorted(r["vec_id"] for r in after.select("vec_id").collect()) == rows_before
+    # vacuum on a never-folded index is a no-op
+    fresh = str(tmp_path / "plainidx")
+    build_ivf_index(emb.filter(F.col("vec_id") < 50), fresh, n_centroids=4)
+    assert ann_index.vacuum_ivf_index(spark, fresh) == {
+        "pointers": 0, "generations": 0, "plain_dirs": 0, "tomb_legs": 0,
+    }
+    assert os.path.isdir(os.path.join(fresh, "_centroids"))
