@@ -91,7 +91,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from smoltable_spark.api import ColumnFamilyDef
 from smoltable_spark.schema import CELL_COLUMNS
-from smoltable_spark.sources.store_fs import store_fs_for
+from smoltable_spark.sources.store_fs import publish_text, store_fs_for
 
 _VERSION_FILE = "_VERSION"
 #: rename-free pointer generations (``_VERSION-v<n>``) for filesystems
@@ -153,18 +153,10 @@ class CellStore:
         )
 
     def _publish_text(self, p: str, content: str) -> None:
-        """Reader-visible small-file publish, capability-dispatched
-        (round 12): a plain ``write_text`` truncates in place, so a
-        reader racing the write can catch an empty/partial file on
-        local/HDFS. On rename-atomic filesystems publish via the staged
-        swap (``replace_text``); on rename-unsafe schemes a create IS
-        the atomic primitive (an object-store PUT is all-or-nothing on
-        close, while a rename would be the torn copy+delete), so plain
-        ``write_text`` is the safe branch there."""
-        if getattr(self._fs, "atomic_rename", True):
-            self._fs.replace_text(p, content)
-        else:
-            self._fs.write_text(p, content)
+        """Reader-visible small-file publish, capability-dispatched —
+        see ``store_fs.publish_text`` (shared since round 13 with the
+        streaming meta commits and the Z-order sidecar marker)."""
+        publish_text(self._fs, p, content)
 
     def load_families(self) -> list[ColumnFamilyDef]:
         p = os.path.join(self.path, _MANIFEST_FILE)

@@ -74,6 +74,22 @@ def default_fs_scheme(spark) -> str:
     return m.group(0)[:-1].lower() if m else "file"
 
 
+def publish_text(fs, p: str, content: str) -> None:
+    """Reader-visible small-file publish, capability-dispatched (round
+    13, factored out of ``CellStore._publish_text`` when the cpdel shim
+    proved the streaming meta/marker publishes still rename-published on
+    rename-unsafe filesystems): a plain ``write_text`` truncates in
+    place, so a reader racing the write can catch an empty/partial file
+    on local/HDFS — publish via the staged swap there. On rename-unsafe
+    schemes a create IS the atomic primitive (an object-store PUT is
+    all-or-nothing on close, while the swap's rename would be the torn
+    copy+delete), so plain ``write_text`` is the safe branch."""
+    if getattr(fs, "atomic_rename", True):
+        fs.replace_text(p, content)
+    else:
+        fs.write_text(p, content)
+
+
 def store_fs_for(spark, path: str):
     """HadoopStoreFS for scheme URIs; bare paths follow ``fs.defaultFS``
     (round 13, VERDICT r12 ask #6 / ADVICE r12 medium): LocalStoreFS —

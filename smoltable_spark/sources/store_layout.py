@@ -332,7 +332,9 @@ class RangeZorderCellStore(ZorderCellStore):
         self._migrate_legacy_sidecar()
         bounds = self._compute_boundaries(cells)
         self._fs.makedirs(self._boundaries_root)
-        self._fs.replace_text(
+        # capability-dispatched publish (round 13): replace_text's
+        # rename swap is the torn copy+delete on rename-unsafe schemes
+        self._publish_text(
             self._image_version_path(), str(_KEY_IMAGE_VERSION)
         )
         d = os.path.join(self._boundaries_root, f"v={at_version}")

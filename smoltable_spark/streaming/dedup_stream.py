@@ -39,7 +39,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from smoltable_spark.sources.store_fs import store_fs_for
+from smoltable_spark.sources.store_fs import publish_text, store_fs_for
 
 from smoltable_spark.functions.dedup_incremental import (
     lsh_index,
@@ -98,9 +98,10 @@ class MinhashAdmitter:
         return json.loads(self._fs.read_text(p))
 
     def _commit_meta(self, meta: dict) -> None:
-        # atomic publish: the admitter's commit point
-        self._fs.replace_text(
-            os.path.join(self.path, self._META), json.dumps(meta)
+        # atomic publish: the admitter's commit point (capability-
+        # dispatched like the store pointer — see store_fs.publish_text)
+        publish_text(
+            self._fs, os.path.join(self.path, self._META), json.dumps(meta)
         )
 
     def bind_checkpoint(self, checkpoint_dir: str) -> None:

@@ -48,7 +48,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from smoltable_spark.schema import CELLS_SCHEMA
-from smoltable_spark.sources.store_fs import store_fs_for
+from smoltable_spark.sources.store_fs import publish_text, store_fs_for
 
 
 def _cdc_schema() -> T.StructType:
@@ -197,9 +197,12 @@ class StoreChangeRollup:
         return json.loads(self._fs.read_text(p))
 
     def _commit_meta(self, meta: dict) -> None:
-        # atomic publish: the rollup's commit point
-        self._fs.replace_text(
-            os.path.join(self.path, self._META), json.dumps(meta)
+        # atomic publish: the rollup's commit point. Capability-
+        # dispatched (round 13): on rename-unsafe filesystems the
+        # staged swap's rename is the torn copy+delete hazard, and a
+        # plain create IS the atomic primitive there.
+        publish_text(
+            self._fs, os.path.join(self.path, self._META), json.dumps(meta)
         )
 
     def _version_dir(self, n: int) -> str:

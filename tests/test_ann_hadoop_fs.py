@@ -72,11 +72,35 @@ def test_full_lifecycle_on_file_uri(spark, tmp_path, built_uri):
     assert stats["tombstones"] > 0 and stats["lists_rewritten"] > 0
     assert _serve(spark, path, emb) == served
     assert similarity.ivf_tombstones(spark, path) is None
-    # physical drop happened under the URI layout
-    gone = spark.read.parquet(path).filter(
-        (F.col("vec_id") % 7 == 6) & (F.col("vec_id") != 6)
-    )
-    assert gone.count() == 0
+    # physical drop happened under the URI layout. On rename-atomic
+    # schemes the fold swapped the plain dirs in place; on rename-unsafe
+    # ones (cpdel) the live state is the generation the pointer names —
+    # read through it, and prove vacuum then reclaims the shielded
+    # pre-fold dirs so even a RAW root read agrees.
+    from smoltable_spark.functions.ann_index import vacuum_ivf_index
+    from smoltable_spark.functions.similarity import read_ivf_lists
+    from smoltable_spark.sources.hadoop_fs import fs_for
+
+    def _gone():
+        return read_ivf_lists(spark, path).filter(
+            (F.col("vec_id") % 7 == 6) & (F.col("vec_id") != 6)
+        )
+
+    assert _gone().count() == 0
+    fsa = fs_for(spark, path)
+    if not fsa.atomic_rename:
+        vacuum_ivf_index(spark, path, keep_pointers=1)
+        # every pre-fold stale plain dir of a mapped list is reclaimed:
+        # nothing on disk can serve the deleted rows anymore
+        from smoltable_spark.functions.similarity import ivf_list_generations
+
+        _m, gmap = ivf_list_generations(spark, path)
+        stale = [
+            k for k in gmap
+            if fsa.is_dir(f"{path.rstrip('/')}/list_id={k}")
+        ]
+        assert stale == []
+        assert _serve(spark, path, emb) == served
 
 
 def test_uri_and_local_path_results_agree(spark, sf_dir, tmp_path, built_uri):

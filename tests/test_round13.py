@@ -200,6 +200,190 @@ def test_bare_path_dispatch_follows_default_fs(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# cpdel: a REAL JVM filesystem whose rename is copy+delete (VERDICT r12
+# ask #3 — the rename-unsafe paths had only ever run against Python
+# doubles and forced capability profiles)
+
+
+def _cpdel(spark, tmp_path):
+    hc = spark._jsc.hadoopConfiguration()
+    if not hc.get("fs.cpdel.impl", ""):
+        pytest.skip("cpdel shim unavailable (no javac/hadoop jar)")
+    return "cpdel:" + str(tmp_path)
+
+
+def _set_cpdel_fault(store_fs, value: str) -> None:
+    """Set the fault flag on the CACHED FileSystem instance's own conf —
+    the instance binds the Configuration it was created with, so setting
+    the session conf is not guaranteed to reach it."""
+    store_fs._fs.getConf().set("fs.cpdel.rename.fault", value)
+
+
+def test_cpdel_probe_and_generation_commits(spark, tmp_path):
+    """The capability probe classifies cpdel as rename-unsafe (unknown
+    scheme => conservative False), so a CellStore hosted there commits
+    through the rename-free generation protocol — exercised END-TO-END
+    against a JVM filesystem whose rename really is copy+delete."""
+    from smoltable_spark.sources.store import CellStore
+
+    base = _cpdel(spark, tmp_path)
+    store = CellStore(spark, base + "/t")
+    assert isinstance(store._fs, HadoopStoreFS)
+    assert store._fs.scheme == "cpdel"
+    assert store._fs.atomic_rename is False
+    store.save_families([ColumnFamilyDef("f")])
+    _append(spark, store, "a")
+    _append(spark, store, "b")
+    store.compact()
+    names = store._fs.listdir(store.path)
+    assert sorted(n for n in names if n.startswith("_VERSION-v")) == [
+        "_VERSION-v1", "_VERSION-v2", "_VERSION-v3",
+    ]
+    assert "_VERSION" not in names
+    assert store.current_version() == 3
+    assert store.read().count() == 2
+    assert store.read(version=1).count() == 2  # time travel
+    store.vacuum(keep_last=1)
+    fresh = CellStore(spark, base + "/t")
+    assert fresh.current_version() == 3
+    assert fresh.read().count() == 2
+
+
+def test_cpdel_generation_cas_conflict(spark, tmp_path):
+    from smoltable_spark.sources.store import CellStore
+
+    base = _cpdel(spark, tmp_path)
+    a = CellStore(spark, base + "/t")
+    a.save_families([ColumnFamilyDef("f")])
+    _append(spark, a, "a")
+    b = CellStore(spark, base + "/t")
+    n = a.current_version() + 1
+    a._commit_version(n)
+    with pytest.raises(ConcurrentCommitError, match=f"v{n}"):
+        b._commit_version(n)
+
+
+def test_cpdel_migrate_crash_leaves_dual_dir_state_refused(spark, tmp_path):
+    """A REAL mid-migration crash on a copy+delete filesystem: the
+    rename's copy completes but the source delete never runs, leaving
+    BOTH the plain and the dotted minor dir — exactly the torn state
+    ``migrate_minor_legs`` must refuse with recovery guidance
+    (store.py's both-exist check, previously only provable with a
+    Python double)."""
+    from smoltable_spark.sources.store import CellStore
+
+    base = _cpdel(spark, tmp_path)
+    store = CellStore(spark, base + "/t")
+    store.save_families([ColumnFamilyDef("f")])
+    _append(spark, store, "a")
+    _append(spark, store, "b")
+    _append(spark, store, "c")
+    store.minor_compact()
+    n = store.current_version()
+    # rebuild the LEGACY state: the minor leg under its plain pre-r10
+    # name (fault flag off; this rename is the test fixture, not the op
+    # under test)
+    dotted = f"{store.path}/.v={n}.minor"
+    plain = f"{store.path}/v={n}"
+    store._fs.rename(dotted, plain)
+    assert store._fs.isdir(plain) and not store._fs.isdir(dotted)
+    # now the migration crashes AFTER the copy, BEFORE the delete
+    _set_cpdel_fault(store._fs, "fail-after-copy")
+    try:
+        with pytest.raises(Exception, match="fault injection"):
+            store.migrate_minor_legs(allow_non_atomic=True)
+    finally:
+        _set_cpdel_fault(store._fs, "")
+    # the torn state is real: both dirs exist on disk
+    assert store._fs.isdir(plain) and store._fs.isdir(dotted)
+    # and the re-run refuses it, naming the recovery
+    with pytest.raises(IOError, match="both"):
+        store.migrate_minor_legs(allow_non_atomic=True)
+    # recovery per the error text: the plain dir is the source of truth
+    store._fs.rmtree(dotted)
+    assert store.migrate_minor_legs(allow_non_atomic=True) == 1
+    # the three appends share coordinates, so the snapshot is 2 shadowed
+    # cells and the newest values win
+    assert sorted(
+        (r["row_key"], r["v_str"]) for r in store.read().collect()
+    ) == [("k0", "c.0"), ("k1", "c.1")]
+
+
+def test_cpdel_ivf_generation_fold_for_real(spark, tmp_path):
+    """The IVF generation fold over the REAL copy+delete filesystem:
+    probe says rename-unsafe, the fold publishes via the _LISTGEN
+    pointer, serving masks exactly the deleted vectors — no monkeypatch
+    anywhere."""
+    import pyspark.sql.functions as F
+
+    from smoltable_spark.functions import ann_index
+    from smoltable_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_list_generations,
+        ivf_tombstones,
+        query_ivf_index,
+    )
+    from smoltable_spark.sources.hadoop_fs import fs_for
+    from smoltable_spark.sources.relational import load_table
+
+    base = _cpdel(spark, tmp_path)
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = base + "/ivf"
+    build_ivf_index(emb, path, n_centroids=8)
+    fs = fs_for(spark, path)
+    assert fs.scheme == "cpdel" and fs.atomic_rename is False
+    ann_index.delete_from_ivf_index(
+        spark, path, emb.filter(F.col("vec_id") == 9).select("vec_id")
+    )
+    stats = ann_index.compact_ivf_index(spark, path)
+    assert stats["tombstones"] == 1 and stats["lists_rewritten"] == 1
+    m, gmap = ivf_list_generations(spark, path)
+    assert m == 1 and gmap
+    assert ivf_tombstones(spark, path) is None
+    res = query_ivf_index(spark, path, emb.limit(3), k=5, nprobe=8)
+    assert res.filter(F.col("neighbor_id") == 9).count() == 0
+    assert res.count() > 0
+    vstats = ann_index.vacuum_ivf_index(spark, path, keep_pointers=1)
+    assert vstats["plain_dirs"] >= 1
+    res2 = query_ivf_index(spark, path, emb.limit(3), k=5, nprobe=8)
+    assert sorted(map(tuple, res2.collect())) == sorted(map(tuple, res.collect()))
+
+
+def test_cpdel_legacy_fold_crash_leaves_evidence(spark, tmp_path):
+    """Force the LEGACY in-place swap on the copy+delete filesystem
+    (maintenance-window mode) and crash it with the mid-copy fault: the
+    torn state must trip ``_check_fold_crash_evidence`` on the next
+    fold — the refusal gate finally observed against a real torn
+    rename, not a Python double."""
+    import pyspark.sql.functions as F
+
+    from smoltable_spark.functions import ann_index
+    from smoltable_spark.functions.similarity import build_ivf_index
+    from smoltable_spark.sources.hadoop_fs import fs_for
+    from smoltable_spark.sources.relational import load_table
+
+    base = _cpdel(spark, tmp_path)
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = base + "/ivf_legacy"
+    build_ivf_index(emb, path, n_centroids=8)
+    ann_index.delete_from_ivf_index(
+        spark, path, emb.filter(F.col("vec_id") == 4).select("vec_id")
+    )
+    fsa = fs_for(spark, path)
+    fsa._fs.getConf().set("fs.cpdel.rename.fault", "fail-mid-copy")
+    try:
+        with pytest.raises(Exception, match="fault injection"):
+            ann_index.compact_ivf_index(
+                spark, path, allow_non_atomic_swap=True
+            )
+    finally:
+        fsa._fs.getConf().set("fs.cpdel.rename.fault", "")
+    # the torn swap left evidence; every maintenance op now fails fast
+    with pytest.raises(IOError, match="leftover dirs"):
+        ann_index.compact_ivf_index(spark, path, allow_non_atomic_swap=True)
+
+
+# ---------------------------------------------------------------------------
 # IVF rename-free generation protocol (VERDICT r12 ask #2)
 
 
