@@ -664,6 +664,151 @@ def query_ivf_index(
     )
 
 
+def ivf_recall_curve(
+    corpus: DataFrame,
+    queries: DataFrame,
+    ks: tuple[int, ...] = (10,),
+    nprobes: tuple[int, ...] = (1, 2, 4, 8),
+    n_centroids: int = 8,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-quality evaluation (round 13, VERDICT r12 ask #8):
+    recall@k of IVF serving against EXACT brute-force ground truth,
+    swept over ``nprobes`` × ``ks`` — the curve an index operator reads
+    before picking a serving configuration — as ONE DataFrame job.
+
+    Returns (nprobe, k, n_queries, hits, mean_recall) with
+    ``mean_recall = |served top-k ∩ exact top-k| / k`` averaged over the
+    query batch. The trick that makes the sweep one job instead of
+    ``len(nprobes)`` re-serves: ``_nearest_centroids`` already emits the
+    probe RANK of each (query, list) pair, and a corpus vector lives in
+    exactly one list — so the candidate set for probe budget ``p`` is
+    just ``crank <= p``, a broadcast-join filter over one shared
+    candidate scoring pass. Ground truth is one brute-force pass over
+    the same quantized vectors (broadcast queries, corpus never
+    shuffles), so at 100 TB the whole evaluation reads the corpus
+    exactly twice — once for candidates, once for truth — regardless of
+    sweep size.
+
+    Same exactness discipline as the rest of the module: quantized
+    integer dot products make every cosine (and therefore every rank
+    and every recall value) bit-identical across engines and
+    partitionings — the DuckDB oracle replays the identical sweep."""
+    spark = corpus.sparkSession
+    c = with_quantized_norm(corpus, vec_col).select(
+        F.col(id_col).alias("vec_id"), "q", "nrm2"
+    )
+    qd = with_quantized_norm(queries, vec_col).select(
+        F.col(id_col).alias("vec_id"), "q", "nrm2"
+    )
+    cents = centroids
+    if cents is None:
+        cents = c.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cid"),
+            F.col("q").alias("cq"),
+            F.col("nrm2").alias("cn2"),
+        )
+    max_k, max_p = max(ks), max(nprobes)
+    assign = _nearest_centroids(c, cents, nprobe=1).select("vec_id", "list_id")
+    probes = _nearest_centroids(qd, cents, nprobe=max_p)
+    qside = qd.join(probes, "vec_id").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nrm2").alias("qn"),
+        "list_id",
+        "crank",
+    )
+    cside = c.join(assign, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("cq2"),
+        F.col("nrm2").alias("cn"),
+        "list_id",
+    )
+    # one shared scoring pass: each (query, neighbor) candidate carries
+    # the probe rank of its list (a corpus vector is in exactly one
+    # list, so the pair is unique)
+    cand = (
+        cside.join(F.broadcast(qside), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dot", _dot(F.col("cq2"), F.col("qq")))
+        .withColumn(
+            "cosine", _cosine(F.col("dot"), F.col("cn"), F.col("qn"))
+        )
+        .select("query_id", "neighbor_id", "cosine", "crank")
+    )
+    sweep = spark.createDataFrame([(int(p),) for p in nprobes], "nprobe int")
+    served = cand.join(F.broadcast(sweep), F.col("crank") <= F.col("nprobe"))
+    w_served = Window.partitionBy("query_id", "nprobe").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    served = (
+        served.withColumn("rank", F.row_number().over(w_served))
+        .filter(F.col("rank") <= max_k)
+        .select("query_id", "nprobe", "neighbor_id", "rank")
+    )
+    # exact ground truth: brute force over the same quantized vectors
+    gt = (
+        c.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("q").alias("cq2"),
+            F.col("nrm2").alias("cn"),
+        )
+        .join(
+            F.broadcast(
+                qd.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("q").alias("qq"),
+                    F.col("nrm2").alias("qn"),
+                )
+            )
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dot", _dot(F.col("cq2"), F.col("qq")))
+        .withColumn(
+            "cosine", _cosine(F.col("dot"), F.col("cn"), F.col("qn"))
+        )
+    )
+    w_gt = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    gt = (
+        gt.withColumn("gt_rank", F.row_number().over(w_gt))
+        .filter(F.col("gt_rank") <= max_k)
+        .select("query_id", "neighbor_id", "gt_rank")
+    )
+    kdf = spark.createDataFrame([(int(k),) for k in ks], "k int")
+    hits = (
+        served.join(gt, ["query_id", "neighbor_id"])
+        .join(
+            F.broadcast(kdf),
+            (F.col("rank") <= F.col("k")) & (F.col("gt_rank") <= F.col("k")),
+        )
+        .groupBy("nprobe", "k")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    # every (nprobe, k) cell appears even at zero hits; the denominator
+    # is the FULL query batch (queries with no candidate at small probe
+    # budgets count as recall 0, not as absent rows)
+    n_q = qd.select("vec_id").distinct().count()
+    grid = sweep.crossJoin(kdf)  # |nprobes| x |ks| literal rows
+    return (
+        grid.join(hits, ["nprobe", "k"], "left")
+        .select(
+            "nprobe",
+            "k",
+            F.lit(n_q).cast("long").alias("n_queries"),
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            (
+                F.coalesce(F.col("hits"), F.lit(0))
+                / (F.col("k") * F.lit(n_q))
+            ).alias("mean_recall"),
+        )
+        .orderBy("nprobe", "k")
+    )
+
+
 def embedding_near_duplicates(
     corpus: DataFrame,
     id_col: str = "vec_id",

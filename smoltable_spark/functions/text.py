@@ -1057,13 +1057,28 @@ def bpe_train(
     ``regexp_replace`` projection on the previous round's plan, so with
     LAZY caching alone the logical plan grows linearly with
     ``n_merges`` — fine at single digits, quadratic driver analysis
-    time (and StackOverflowError risk, plus executor-loss recompute
-    through the whole regexp chain) at realistic vocabulary sizes. So
-    every ``_BPE_CHECKPOINT_EVERY`` rounds the new generation is a LAZY
-    ``localCheckpoint`` instead of a plain persist: it still
+    time (and StackOverflowError risk) at realistic vocabulary sizes.
+    So every ``_BPE_CHECKPOINT_EVERY`` rounds the new generation is a
+    LAZY ``localCheckpoint`` instead of a plain persist: it still
     materializes inside the next count job (no extra write pass — the
     r11 saving is preserved) but truncates lineage, bounding plan depth
     at the checkpoint interval.
+
+    Durability trade-off (ADVICE r12): ``localCheckpoint`` stores the
+    ONLY copy of the truncated-lineage blocks on executors — after a
+    checkpoint, losing an executor makes those blocks unrecoverable
+    and FAILS the training job (there is no lineage left to recompute
+    through; a plain persist would have recomputed, slowly). On
+    ``local[*]`` (this engine's bench/test mode) driver and executors
+    share one JVM, so the distinction is moot; on a real cluster where
+    executor loss over a long training is expected, either restart the
+    training from the (cheap, deterministic) merge list prefix already
+    returned, or swap the localCheckpoint for a reliable
+    ``checkpoint()`` with ``spark.sparkContext.setCheckpointDir`` —
+    paying one HDFS write per interval for loss-tolerance. The engine
+    keeps the local form as default because BPE training rounds are
+    short relative to executor MTTF and the restart cost is one
+    training, not lost data.
     The DuckDB oracle replays the identical rounds with window
     functions (islands-and-parity greedy application — provably the
     same rule; see the oracle in queries_analytics.py), so the learned

@@ -62,6 +62,11 @@ BOUNDED_BROADCASTS: dict[tuple[str, str], str] = {
         "against the caller-bounded append batch's distinct ids",
     ("functions/similarity.py", "_nearest_centroids"):
         "k centroids (k-means parameter), fixed small k",
+    ("functions/similarity.py", "ivf_recall_curve"):
+        "query batch x probe ranks (caller-bounded eval batch), the "
+        "nprobe/k sweep literals (a handful of ints), and the same "
+        "broadcast-queries shape as cosine_topk_bruteforce for ground "
+        "truth — the corpus side is never broadcast",
     ("functions/similarity.py", "_pq_assign"):
         "PQ codebooks: M subspaces x 256 codes, size fixed by the "
         "quantizer config, independent of corpus size",

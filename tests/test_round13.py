@@ -349,6 +349,32 @@ def test_cpdel_ivf_generation_fold_for_real(spark, tmp_path):
     assert sorted(map(tuple, res2.collect())) == sorted(map(tuple, res.collect()))
 
 
+# ---------------------------------------------------------------------------
+# embedding-quality eval: recall@k curves (VERDICT r12 ask #8)
+
+
+def test_ivf_recall_curve_semantics(spark):
+    import pyspark.sql.functions as F
+
+    from smoltable_spark.functions.similarity import ivf_recall_curve
+
+    emb = _emb(spark)
+    curve = ivf_recall_curve(
+        emb, emb.filter(F.col("vec_id") < 6),
+        ks=(1, 5), nprobes=(1, 2, 8), n_centroids=8,
+    ).collect()
+    cells = {(r["nprobe"], r["k"]): r for r in curve}
+    assert len(cells) == 6  # full grid, even where hits are sparse
+    for k in (1, 5):
+        # recall is monotone non-decreasing in the probe budget
+        seq = [cells[(p, k)]["mean_recall"] for p in (1, 2, 8)]
+        assert seq == sorted(seq)
+        # probing EVERY list serves the exact brute-force top-k
+        assert cells[(8, k)]["mean_recall"] == 1.0
+        assert cells[(8, k)]["hits"] == 6 * k
+    assert all(r["n_queries"] == 6 for r in curve)
+
+
 def test_cpdel_legacy_fold_crash_leaves_evidence(spark, tmp_path):
     """Force the LEGACY in-place swap on the copy+delete filesystem
     (maintenance-window mode) and crash it with the mid-copy fault: the

@@ -17,17 +17,17 @@ sys.path.insert(0, REPO)
 
 
 def main() -> None:
-    names = [a for a in sys.argv[1:] if not a.startswith("--")]
-    runs = 3
-    tag = "iso"
-    argv = sys.argv[1:]
-    for i, a in enumerate(argv):
-        if a == "--runs":
-            runs = int(argv[i + 1])
-            names.remove(argv[i + 1])
-        if a == "--tag":
-            tag = argv[i + 1]
-            names.remove(argv[i + 1])
+    # argparse, not hand-rolled filtering (ADVICE r12: removing option
+    # VALUES from the positional list by value silently dropped a query
+    # whose name equaled the --tag/--runs argument)
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("names", nargs="*", help="registry query names")
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--tag", default="iso")
+    args = ap.parse_args()
+    names, runs, tag = args.names, args.runs, args.tag
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
