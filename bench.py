@@ -261,6 +261,12 @@ REGRESSION_FACTOR = 1.5
 #: same-session isolated re-measure read 0.193 s / 0.435 s — VM noise at
 #: the sub-half-second scale; the watchlist row keeps the drain on
 #: record either way.
+#: wc_approx_cell_count added per VERDICT r12 ask #4 (r12 pending flag
+#: 0.213→0.326 s, 1.66× vs drift median): a footer-metadata-only read
+#: whose plan did not change; the r13 isolated drain re-measured it at
+#: 0.21–0.24 s solo (see BENCH_LOCAL watch_isolated) — noise at the
+#: fsync-floor scale, same verdict as the four prior drains. The
+#: watchlist row keeps the drain on record.
 WATCHLIST = [
     "pipeline_temperature_mix",
     "emb_cosine_hist",
@@ -270,7 +276,17 @@ WATCHLIST = [
     "wc_scan_multi_range",
     "pipeline_classifier_gate",
     "txt_inverted_index_persisted",
+    "wc_approx_cell_count",
 ]
+
+#: Size of the isolated re-measure band (VERDICT r12 ask #4): after the
+#: sweep, the this-many slowest warm queries are re-measured SOLO
+#: (min-of-3, the same _isolated_min protocol) and their sum recorded.
+#: On a VM with ±20% between-session drift, the in-sweep total is the
+#: noisier number (sweep interference inflates individual rows up to
+#: 2.5×, see SCALE.md r11); the isolated band sum is the drift-robust
+#: ground the round-over-round target is evaluated against.
+ISO_BAND = 15
 
 #: Deliberate plan-shape trades the regression gate must record as
 #: ACCEPTED (with the reason) instead of red-flagging: e.g. VERDICT r8
@@ -570,12 +586,51 @@ def main():
             file=sys.stderr,
         )
 
+    # isolated top-band re-measure (VERDICT r12 ask #4): solo min-of-3
+    # for the ISO_BAND slowest warm queries; the band SUM is the
+    # drift-robust round-over-round comparator — in-sweep rows inflate
+    # up to 2.5x under sweep interference, isolated rows do not.
+    iso_band_names = [
+        n for n, _t in sorted(timings.items(), key=lambda kv: -kv[1])
+    ][:ISO_BAND]
+    iso_top = {n: _isolated_min(n) for n in iso_band_names}
+    iso_top_sum = round(sum(iso_top.values()), 3)
+    prev_iso = (prev or {}).get("iso_top15")
+    iso_prev_sum = None
+    iso_band_regression = None
+    if isinstance(prev_iso, dict) and prev_iso:
+        # compare over the INTERSECTION of bands so membership churn
+        # (a new heavy query entering the band) reads as growth of the
+        # band, not a regression of the old members
+        shared = sorted(set(iso_top) & set(prev_iso))
+        if shared:
+            now_s = round(sum(iso_top[n] for n in shared), 3)
+            prev_s = round(sum(prev_iso[n] for n in shared), 3)
+            iso_prev_sum = prev_s
+            if prev_s > 0 and now_s / prev_s > REGRESSION_FACTOR:
+                iso_band_regression = {
+                    "shared_queries": len(shared),
+                    "prev_sum": prev_s,
+                    "now_sum": now_s,
+                    "ratio": round(now_s / prev_s, 2),
+                }
+    for n in iso_band_names:
+        print(
+            f"# iso-band {n}: sweep {timings.get(n)}s -> isolated "
+            f"{iso_top[n]}s",
+            file=sys.stderr,
+        )
+
     result = {
         "metric": "total_headline_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "cold_queries": cold,
+        "iso_top15": iso_top,
+        "iso_top15_sum": iso_top_sum,
+        "iso_top15_prev_shared_sum": iso_prev_sum,
+        "iso_band_regression": iso_band_regression,
         "watch_isolated": watch_isolated,
         "sf": float(sf) if sf else None,
         "prev_round_total": prev_total,
@@ -632,6 +687,9 @@ def _compact_summary(result: dict) -> str:
         "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20]),
         "prev_round_total": result.get("prev_round_total"),
         "env_drift_median_ratio": result.get("env_drift_median_ratio"),
+        "iso_top15_sum": result.get("iso_top15_sum"),
+        "iso_top15_prev_shared_sum": result.get("iso_top15_prev_shared_sum"),
+        "iso_band_regression": result.get("iso_band_regression"),
         "regressions": result.get("regressions", {}),
         "accepted_regressions": result.get("accepted_regressions", {}),
         "cold_regressions": result.get("cold_regressions", {}),

@@ -445,10 +445,21 @@ def red_in_latest_round() -> set:
 def window_order(merged: dict) -> list[str]:
     """Registry order for __spark_entry__: changed/new queries and rows
     red in the latest driver round first (they MUST land in the driver's
-    first-50 window), then queries rewritten since their last
-    driver-green round (VERDICT r9 ask #4 — locally re-certified but the
-    driver never saw the rewrite), then the rest, oldest driver-green
-    round first so un-rechecked rows rotate back in."""
+    first-50 window), then everything else by OLDEST driver-green round;
+    within the same green round, queries rewritten since that round
+    (VERDICT r9 ask #4 — locally re-certified but the driver never saw
+    the rewrite) outrank untouched ones.
+
+    Round 13 change: driver-stale used to be a whole TIER above the age
+    rotation, which broke the staleness bound in exactly the rounds that
+    touch core modules — a store.py edit re-stamps ~60 queries, and 60
+    freshly-green-but-rewritten rows would fill the window ahead of the
+    5 oldest rows the rotation owed a re-check (VERDICT r12 ask #5:
+    max staleness must stay at the ≤ ceil(N/50)+1 floor). Age-first
+    keeps the bound: every locally-recertified rewrite still reaches a
+    driver check within the same rotation floor, oldest-rewrite first —
+    and the un-recertified rewrites (the actually-dangerous ones) are
+    tier 0 regardless."""
     idx = {n: i for i, n in enumerate(merged)}
     rounds = last_green_round()
     changed = (
@@ -460,8 +471,9 @@ def window_order(merged: dict) -> list[str]:
     return sorted(
         merged,
         key=lambda n: (
-            0 if n in changed else (1 if n in stale else 2),
+            0 if n in changed else 1,
             rounds.get(n, 0),
+            0 if n in stale else 1,
             idx[n],
         ),
     )
