@@ -1165,15 +1165,36 @@ Steady-state timings (2nd run per op). Reading the table:
   surviving candidates (output-sized traffic), and the corpus is never
   re-shingled — batch cost tracks the batch, not the corpus, which is
   the steady-state crawl-loop claim.
+- r13 rows: `ann_recall_curve_sweep12_10x` runs the WHOLE 12-cell
+  (nprobe x k) recall evaluation over 50k vectors as one job — two
+  corpus passes (shared candidate scoring + brute-force ground truth)
+  however many sweep cells are requested; the result value is
+  recall@10 at full probe, which must read 1.0. `ann_ivf_gen_fold_50k_10x`
+  is the complete rename-free maintenance cycle on a forced
+  object-store profile (build 32 lists, tombstone ~1/701 of ids,
+  generation fold via one `_LISTGEN` pointer PUT, serve) — fold cost
+  is O(affected lists) + one create, and serving equality is asserted
+  inside the row.
 """
     scale_path = os.path.join(os.path.dirname(OUT), "SCALE.md")
     rows: dict[str, tuple] = {}
-    if args.append and os.path.exists(scale_path):
-        # carry the previous table forward; this run's rows win on key
-        for line in open(scale_path):
-            parts = [p.strip() for p in line.strip().strip("|").split("|")]
-            if len(parts) == 3 and parts[0] not in ("operation", "---"):
-                rows[parts[0]] = (parts[1], parts[2])
+    extra = ""
+    if os.path.exists(scale_path):
+        text = open(scale_path).read()
+        # hand-appended "## ..." sections (isolated A/B tables, micro-
+        # bench records) live AFTER the main table — preserve them
+        # verbatim on every rewrite (round 13; they used to be dropped
+        # and re-appended from git history by hand)
+        idx = text.find("\n## ")
+        if idx != -1:
+            extra = text[idx + 1:]
+            text = text[:idx]
+        if args.append:
+            # carry the previous MAIN table forward; this run's rows win
+            for line in text.splitlines():
+                parts = [p.strip() for p in line.strip().strip("|").split("|")]
+                if len(parts) == 3 and parts[0] not in ("operation", "---"):
+                    rows[parts[0]] = (parts[1], parts[2])
     rows.update({k: (s, n) for k, (s, n) in results.items()})
     with open(scale_path, "w") as fh:
         fh.write("# SCALE — 10x smoke (sf0.1 replicated 10x, local[32])\n")
@@ -1181,6 +1202,8 @@ Steady-state timings (2nd run per op). Reading the table:
         fh.write("| operation | seconds | result |\n|---|---|---|\n")
         for k, (s, n) in rows.items():
             fh.write(f"| {k} | {s} | {n} |\n")
+        if extra:
+            fh.write("\n" + extra)
     print("wrote SCALE.md", file=sys.stderr)
     spark.stop()
 
