@@ -261,6 +261,20 @@ REGRESSION_FACTOR = 1.5
 #: same-session isolated re-measure read 0.193 s / 0.435 s — VM noise at
 #: the sub-half-second scale; the watchlist row keeps the drain on
 #: record either way.
+#: r13 end-of-round sweep raised 10 sub-second pending flags
+#: (mm_color_features, txt_rolling_fingerprint, txt_vocab_topk,
+#: wc_filter_multi_key, wc_gc_ttl, wc_multi_get, wc_plan_probe,
+#: wc_row_shape, wc_scan_count, wc_scan_range_exclusive — all 0.15-0.9 s
+#: rows at ratios 1.5-2.05 vs the SAME code's sweep 2 h earlier).
+#: Same-session isolated drain (tools/iso_measure.py --tag
+#: r13-flag-drain): every row reads the same 1.5-1.7x inflation solo,
+#: INCLUDING the two whose module closures did not change at all this
+#: round (txt_rolling_fingerprint: text.py docstring-only;
+#: mm_color_features: multimodal.py untouched) — the module-unchanged
+#: controls make this the r12-documented evening-VM slowdown (SCALE.md
+#: recorded 291.7 s at drift 1.088 for untouched code), not a code
+#: effect. wc_plan_probe (the largest ratio) joins the watchlist as the
+#: standing control; the rest are recorded here per the drain protocol.
 #: wc_approx_cell_count added per VERDICT r12 ask #4 (r12 pending flag
 #: 0.213→0.326 s, 1.66× vs drift median): a footer-metadata-only read
 #: whose plan did not change; the r13 isolated drain re-measured it at
@@ -277,6 +291,7 @@ WATCHLIST = [
     "pipeline_classifier_gate",
     "txt_inverted_index_persisted",
     "wc_approx_cell_count",
+    "wc_plan_probe",
 ]
 
 #: Size of the isolated re-measure band (VERDICT r12 ask #4): after the

@@ -169,3 +169,51 @@ def test_two_writer_generation_cas_one_winner(spark, tmp_path_factory, steps):
     # every conflict names a generation some OTHER writer really won
     for w, n in conflicts:
         assert wins.get(n) and wins[n][0] != w
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(steps=st.lists(st.sampled_from([0, 1]), min_size=2, max_size=10))
+def test_two_writer_ivf_pointer_cas_one_winner(tmp_path_factory, steps):
+    """The IVF maintenance pointer (_LISTGEN-v<m>) uses the same
+    create-if-absent CAS as the store's _VERSION generations: two
+    maintenance writers interleaving resolve→commit get at most one
+    winner per pointer number, losers raise ConcurrentIndexCommitError,
+    and a fresh resolution always reads the max committed pointer
+    parsably. Pure pointer-layer test (no Spark session needed):
+    the LocalFS adapter over a scratch dir."""
+    from smoltable_spark.functions.ann_index import (
+        ConcurrentIndexCommitError,
+        _commit_listgen,
+    )
+    from smoltable_spark.functions.similarity import _ivf_pointer
+    from smoltable_spark.sources.hadoop_fs import LocalFS
+
+    base = str(tmp_path_factory.mktemp("prop_ivf_cas"))
+    fs = LocalFS()
+    pending: list[int | None] = [None, None]
+    wins: dict[int, int] = {}
+    conflicts: list[tuple[int, int]] = []
+    for w in list(steps) + [0, 0, 1, 1]:
+        if pending[w] is None:
+            m, _gmap, _meta = _ivf_pointer(fs, base)
+            pending[w] = m + 1
+        else:
+            m_new, pending[w] = pending[w], None
+            try:
+                _commit_listgen(
+                    fs, base, m_new, {1: m_new}, [], []
+                )
+                assert m_new not in wins
+                wins[m_new] = w
+            except ConcurrentIndexCommitError:
+                conflicts.append((w, m_new))
+        m_now, gmap_now, _ = _ivf_pointer(fs, base)
+        assert m_now == (max(wins) if wins else 0)
+        if wins:
+            assert gmap_now == {1: m_now}  # parsable, the winner's content
+    for w, m_new in conflicts:
+        assert m_new in wins and wins[m_new] != w
