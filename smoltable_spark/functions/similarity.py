@@ -472,10 +472,20 @@ def _ivf_pointer(fs, base: str) -> tuple[int, dict[int, int], dict]:
             continue
     for m in sorted(gens, reverse=True):
         try:
-            d = json.loads(fs.read_text(f"{base}/{_LISTGEN_PREFIX}{m}"))
+            text = fs.read_text(f"{base}/{_LISTGEN_PREFIX}{m}")
+        except Exception:
+            # vacuumed between the listing and this read (an old pointer
+            # swept under a reader's feet — the max retained pointer is
+            # never deleted, so falling through is safe); a file that
+            # still exists is a real IO failure
+            if fs.exists(f"{base}/{_LISTGEN_PREFIX}{m}"):
+                raise
+            continue
+        try:
+            d = json.loads(text)
             return m, {int(k): int(g) for k, g in d["lists"].items()}, d
         except (ValueError, KeyError):
-            continue
+            continue  # torn newest pointer: pre-commit garbage
     return 0, {}, {}
 
 

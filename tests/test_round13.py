@@ -375,6 +375,46 @@ def test_ivf_recall_curve_semantics(spark):
     assert all(r["n_queries"] == 6 for r in curve)
 
 
+def test_ivf_pointer_read_survives_vacuum_race(tmp_path):
+    """A pointer file swept between a reader's listing and its read
+    (vacuum_ivf_index racing an unparsable-newest fallback) skips to
+    the next candidate instead of crashing — mirroring
+    CellStore.current_version's ADVICE-r12 fix."""
+    import json
+
+    from smoltable_spark.functions.similarity import _ivf_pointer
+    from smoltable_spark.sources.hadoop_fs import LocalFS
+
+    base = str(tmp_path)
+    with open(f"{base}/_LISTGEN-v1", "w") as fh:
+        fh.write(json.dumps({"m": 1, "lists": {"3": 1}}))
+    with open(f"{base}/_LISTGEN-v2", "w") as fh:
+        fh.write('{"m": 2, "li')  # torn newest: must fall back to v1
+
+    class RacingFS(LocalFS):
+        def __init__(self):
+            self.raced = False
+
+        def read_text(self, p):
+            if p.endswith("_LISTGEN-v1") and not self.raced:
+                self.raced = True
+                import os as _os
+
+                _os.remove(p)  # vacuum sweeps it mid-read
+                raise FileNotFoundError(p)
+            return super().read_text(p)
+
+    fs = RacingFS()
+    m, gmap, _meta = _ivf_pointer(fs, base)
+    assert fs.raced
+    assert (m, gmap) == (0, {})  # nothing parsable left: clean empty
+    # and without the race, the torn newest still falls back to v1
+    with open(f"{base}/_LISTGEN-v1", "w") as fh:
+        fh.write(json.dumps({"m": 1, "lists": {"3": 1}}))
+    m2, gmap2, _ = _ivf_pointer(LocalFS(), base)
+    assert (m2, gmap2) == (1, {3: 1})
+
+
 def test_ivf_probe_advisor_semantics(spark):
     import pyspark.sql.functions as F
 
