@@ -11929,6 +11929,80 @@ _RECALL_KS = (1, 5, 10)
 _RECALL_NPROBES = (1, 2, 4, 8)
 _PROBE_TARGET = 0.9
 
+_HEALTH_DOT = (
+    "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+)
+
+
+@q(
+    "ann_index_health",
+    f"""
+    WITH v AS (SELECT vec_id, {_QVEC_SQL} AS q FROM embeddings),
+    n AS (SELECT vec_id, q,
+                 list_sum(list_transform(q, x -> x * x)) AS nrm2 FROM v),
+    cents AS (SELECT vec_id AS cid, q AS cq, nrm2 AS cn2 FROM n
+              WHERE vec_id < 8),
+    cdot AS (SELECT c.vec_id, ct.cid,
+                    {_HEALTH_DOT.format(a='c.q', b='ct.cq')} /
+                    (sqrt(CAST(c.nrm2 AS DOUBLE)) * sqrt(CAST(ct.cn2 AS DOUBLE))) AS ccos
+             FROM n c CROSS JOIN cents ct),
+    assign AS (SELECT vec_id, cid AS list_id FROM (
+                 SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY ccos DESC, cid) AS r
+                 FROM cdot) WHERE r = 1),
+    sizes AS (SELECT list_id, count(*) AS c FROM assign GROUP BY list_id),
+    agg AS (SELECT count(*) AS n_lists, sum(c) AS rows_total,
+                   max(c) AS rows_max, min(c) AS rows_min FROM sizes),
+    tomb AS (SELECT count(*) AS t FROM embeddings WHERE vec_id % 13 = 5)
+    SELECT CAST(n_lists AS INT) AS n_lists,
+           CAST(rows_total AS BIGINT) AS rows_total,
+           CAST(rows_max AS BIGINT) AS rows_max_list,
+           CAST(rows_min AS BIGINT) AS rows_min_list,
+           CAST((1000 * rows_max * n_lists) // rows_total AS BIGINT)
+               AS imbalance_permille,
+           CAST(t AS BIGINT) AS tombstones,
+           CAST((1000 * t) // rows_total AS BIGINT) AS tombstone_permille,
+           CAST(0 AS INT) AS generation,
+           CASE WHEN (1000 * t) // rows_total > 20 THEN 'compact'
+                WHEN (1000 * rows_max * n_lists) // rows_total > 3000
+                    THEN 'retrain'
+                ELSE 'healthy' END AS recommendation
+    FROM agg, tomb
+    """,
+)
+def ann_index_health(spark, sf_dir):
+    """IVF INDEX-HEALTH REPORT (round 13): the metadata-only diagnostic
+    an operator reads before deciding which maintenance op to run —
+    list population / imbalance (the frozen-quantizer drift signal),
+    tombstone backlog (serve-time anti-join work compaction resets),
+    generation depth, and the recommendation that follows
+    (``functions/ann_eval.py::ivf_index_health``; footers + pointer
+    only, no data pages, no Spark job). Scenario: fresh index over the
+    embeddings table, every ``vec_id % 13 == 5`` tombstoned — a ~77‰
+    backlog, so the report must recommend ``compact``. Every integer
+    derives from deterministic assignment math; the oracle recomputes
+    list sizes, imbalance and the recommendation CASE from the raw
+    table and must match exactly. 100 TB: the report is one footer
+    walk in front of O(affected lists) maintenance."""
+    from smoltable_spark.functions.ann_eval import ivf_index_health
+    from smoltable_spark.functions.ann_index import delete_from_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = scratch_dir("smoltable_ivf_health_") + "/ivf"
+    similarity.build_ivf_index(emb, path, n_centroids=8)
+    delete_from_ivf_index(
+        spark, path, emb.filter(F.col("vec_id") % 13 == 5).select("vec_id")
+    )
+    h = ivf_index_health(spark, path)
+    assert h["recommendation"] == "compact", h
+    return spark.createDataFrame(
+        [tuple(h.values())],
+        "n_lists int, rows_total long, rows_max_list long, "
+        "rows_min_list long, imbalance_permille long, tombstones long, "
+        "tombstone_permille long, generation int, recommendation string",
+    )
+
 
 @q(
     "ann_probe_advisor",

@@ -415,6 +415,38 @@ def test_ivf_pointer_read_survives_vacuum_race(tmp_path):
     assert (m2, gmap2) == (1, {3: 1})
 
 
+def test_ivf_index_health_tracks_maintenance(spark, tmp_path, unsafe_ann):
+    """The health report follows the index through its lifecycle: fresh
+    build = healthy; a tombstone backlog flips the recommendation to
+    compact; the generation fold clears it and the report reads the
+    folded (generation-aware) list sizes."""
+    import pyspark.sql.functions as F
+
+    from smoltable_spark.functions import ann_index
+    from smoltable_spark.functions.ann_eval import ivf_index_health
+    from smoltable_spark.functions.similarity import build_ivf_index
+
+    emb = _emb(spark)
+    path = str(tmp_path / "health")
+    build_ivf_index(emb, path, n_centroids=8)
+    h0 = ivf_index_health(spark, path)
+    assert h0["recommendation"] == "healthy"
+    assert h0["rows_total"] == 500 and h0["tombstones"] == 0
+    assert h0["generation"] == 0
+    ann_index.delete_from_ivf_index(
+        spark, path, emb.filter(F.col("vec_id") % 10 == 1).select("vec_id")
+    )
+    h1 = ivf_index_health(spark, path)
+    assert h1["recommendation"] == "compact"
+    assert h1["tombstones"] == 50 and h1["tombstone_permille"] == 100
+    assert h1["rows_total"] == 500  # backlog, not yet folded
+    ann_index.compact_ivf_index(spark, path)  # generation fold (unsafe FS)
+    h2 = ivf_index_health(spark, path)
+    assert h2["tombstones"] == 0 and h2["generation"] == 1
+    assert h2["rows_total"] == 450  # generation-aware list sizes
+    assert h2["recommendation"] in ("healthy", "retrain")
+
+
 def test_ivf_probe_advisor_semantics(spark):
     import pyspark.sql.functions as F
 
