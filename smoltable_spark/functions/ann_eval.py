@@ -136,10 +136,21 @@ def ivf_probe_advisor(
     cost the recall was bought with. Recall is monotone in nprobe
     (candidate sets are nested), so "smallest meeting target" is
     well-defined."""
-    curve = ivf_recall_curve(
-        corpus, queries, ks=ks, nprobes=nprobes,
-        n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
-    ).select("nprobe", "k", "mean_recall")
+    curve = (
+        ivf_recall_curve(
+            corpus, queries, ks=ks, nprobes=nprobes,
+            n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
+        )
+        .select("nprobe", "k", "mean_recall")
+        # r13: the advisor consumes the curve THREE times (eligible /
+        # fallback / achieved-recall self-join); without materializing
+        # it, the whole curve subtree is embedded 3x in one plan and the
+        # corpus evaluation runs 3x (measured: 68 Exchanges, 9.8 s
+        # isolated at sf0.1). The curve is |nprobes|x|ks| rows — a
+        # bounded localCheckpoint, after which the advisor is pure
+        # tiny-table algebra.
+        .localCheckpoint(eager=True)
+    )
     eligible = (
         curve.filter(F.col("mean_recall") >= F.lit(float(target_recall)))
         .groupBy("k")

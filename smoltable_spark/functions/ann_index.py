@@ -57,8 +57,9 @@ from pyspark.sql import DataFrame, functions as F
 from smoltable_spark.functions.similarity import (
     _GEN_ROOT,
     _LISTGEN_PREFIX,
+    _collected_centroids,
     _ivf_pointer,
-    _nearest_centroids,
+    _with_nearest_list,
     read_ivf_lists,
     with_quantized_norm,
 )
@@ -168,9 +169,7 @@ def append_ivf_index(
     nv = with_quantized_norm(new_vectors, vec_col).select(
         F.col(id_col).alias("vec_id"), "q", "nrm2"
     )
-    assign = _nearest_centroids(nv, cents, nprobe=1).select(
-        "vec_id", "list_id"
-    )
+    nv_listed = _with_nearest_list(nv, _collected_centroids(cents))
     # ADVICE r6: a bare mode("append") exposes partially-committed task
     # files to a concurrent reader while the committer moves them. Stage
     # the delta under a dot-prefixed dir INSIDE the index (same
@@ -239,7 +238,7 @@ def append_ivf_index(
                 allow_non_atomic_swap=allow_non_atomic_swap,
             )
     (
-        nv.join(assign, "vec_id")
+        nv_listed
         .write.mode("overwrite")
         .partitionBy("list_id")
         .parquet(staging)

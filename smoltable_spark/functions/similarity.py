@@ -231,20 +231,128 @@ def _cosine(dot, n2a, n2b):
     return dot / (F.sqrt(n2a.cast("double")) * F.sqrt(n2b.cast("double")))
 
 
+def _collected_centroids(centroids: DataFrame):
+    """Driver-collected ``(cid, cq, cn2)`` rows sorted by cid, plus the
+    ``cid`` column's dtype (preserved so downstream schemas are
+    unchanged). The coarse-quantizer set is bounded by construction
+    (tens to low thousands of centroids — the IVF regime), so this is a
+    bounded-scalar collect, not a table collect."""
+    rows = sorted(
+        centroids.select("cid", "cq", "cn2").collect(), key=lambda r: int(r["cid"])
+    )
+    return rows, centroids.schema["cid"].dataType
+
+
+def _probe_ranking(collected):
+    """``array<struct<srt,cid>>`` sorted so element ``i`` (1-based) is
+    the row vector's i-th nearest centroid — computed entirely as a
+    NARROW projection over the row's ``q``/``nrm2`` columns with the
+    centroids inlined as folded literals.
+
+    ``srt`` = −ccos with NaN mapped to −∞, so ascending lexicographic
+    struct order replays the old window's ``(ccos DESC, cid ASC)``
+    bit-for-bit (Spark sorts NaN greatest, so a NaN cosine sorted FIRST
+    under DESC; −∞ sorts first under ASC; real cosines can never be
+    ±∞ — a zero-norm side yields dot 0 hence 0/0 = NaN, never x/0)."""
+    from pyspark.sql.types import LongType
+
+    rows, cid_type = collected
+    # Three implementation notes, all measured at sf0.1:
+    # - the centroid set is ONE folded literal (array of structs) and
+    #   the per-centroid scoring is a single shared transform lambda,
+    #   so the expression tree stays small and constant-sized in
+    #   n_centroids — Catalyst ANALYSIS time, not execution, dominated
+    #   here (an unrolled per-element multiply-add chain executed no
+    #   faster but cost ~2.3 s of driver analysis per DataFrame build);
+    # - the whole expression is built as ONE F.expr string, because
+    #   constructing the nested literal Column-by-Column costs ~0.6 s of
+    #   py4j round-trips per DataFrame build (one JVM call per element);
+    # - arithmetic is kept expression-identical to _dot/_cosine
+    #   (aggregate(zip_with) with 0L seed, double division of exact
+    #   longs), so every cosine is bit-identical to the pre-r13 form.
+    cid_lit = (
+        (lambda v: f"{v}L")
+        if isinstance(cid_type, LongType)
+        else (lambda v: str(v))
+    )
+    cents_sql = ", ".join(
+        "named_struct('cid', {cid}, 'cq', array({cq}), 'cn2', {cn2}L)".format(
+            cid=cid_lit(int(r["cid"])),
+            cq=",".join(f"{int(x)}L" for x in r["cq"]),
+            cn2=int(r["cn2"]),
+        )
+        for r in rows
+    )
+    dot = "aggregate(zip_with(q, x.cq, (a, b) -> a * b), 0L, (acc, v) -> acc + v)"
+    ccos = (
+        f"{dot} / (SQRT(CAST(nrm2 AS DOUBLE)) * SQRT(CAST(x.cn2 AS DOUBLE)))"
+    )
+    srt = (
+        f"CASE WHEN isnan({ccos}) THEN CAST('-Infinity' AS DOUBLE) "
+        f"ELSE -({ccos}) END"
+    )
+    return F.expr(
+        f"array_sort(transform(array({cents_sql}), "
+        f"x -> named_struct('srt', {srt}, 'cid', x.cid)))"
+    )
+
+
+def _with_nearest_list(vectors: DataFrame, collected, col: str = "list_id") -> DataFrame:
+    """``vectors`` + nearest-centroid id as a projected column — the
+    shuffle-free form of assignment (guide §2.4): no 8× explode, no
+    per-vector window, no self-join to re-attach the assignment. At
+    100 TB the corpus never shuffles (or re-exchanges) for assignment."""
+    rows, cid_type = collected
+    if not rows:
+        return vectors.withColumn(col, F.lit(None).cast(cid_type)).filter(
+            F.lit(False)
+        )
+    arr = _probe_ranking(collected)
+    # the coalesce sentinel is never selected (the ranking array is a
+    # non-empty literal, so element 1 always exists) — it is here to
+    # make the expression NON-NULLABLE so downstream inner joins on the
+    # assignment never infer an isnotnull(col) constraint: that inferred
+    # filter gets pushed below this projection with the whole ranking
+    # expression (and its q/nrm2 inputs) INLINED, re-running the
+    # assignment math ~10x per row (measured 1.3 s -> 4.1 s on
+    # ann_cosine_ivf before this guard)
+    picked = F.element_at(arr, 1).getField("cid")
+    return vectors.withColumn(
+        col, F.coalesce(picked, F.lit(-1).cast(cid_type))
+    )
+
+
 def _nearest_centroids(vectors: DataFrame, centroids: DataFrame, nprobe: int) -> DataFrame:
     """(vec id, list_id, crank): each vector's ``nprobe`` nearest centroids
-    by cosine (ties → lowest centroid id). Centroids are broadcast — the
-    corpus never shuffles for assignment."""
-    scored = (
-        vectors.join(F.broadcast(centroids))
-        .withColumn("_cdot", _dot(F.col("q"), F.col("cq")))
-        .withColumn("_ccos", _cosine(F.col("_cdot"), F.col("nrm2"), F.col("cn2")))
+    by cosine (ties → lowest centroid id). Centroids are driver-collected
+    (bounded coarse-quantizer set) and inlined as literals, so ranking is
+    a narrow per-row array sort — no join, no window, no exchange on the
+    vector side (r13 optimization: the old broadcast-join + window form
+    shuffled ``n_centroids×`` the corpus through one exchange per
+    assignment; guide §2.4). ``centroids`` may be a DataFrame or an
+    already-``_collected_centroids`` tuple (so multi-use callers pay the
+    bounded collect once)."""
+    collected = (
+        centroids if isinstance(centroids, tuple) else _collected_centroids(centroids)
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("_ccos").desc(), F.col("cid").asc())
-    return (
-        scored.withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") <= nprobe)
-        .select("vec_id", F.col("cid").alias("list_id"), "crank")
+    rows, cid_type = collected
+    if not rows:
+        return (
+            vectors.select("vec_id")
+            .filter(F.lit(False))
+            .select(
+                "vec_id",
+                F.lit(None).cast(cid_type).alias("list_id"),
+                F.lit(None).cast("int").alias("crank"),
+            )
+        )
+    arr = _probe_ranking(collected)
+    return vectors.select(
+        "vec_id", F.posexplode(F.slice(arr, 1, int(nprobe))).alias("_pos", "_pc")
+    ).select(
+        "vec_id",
+        F.col("_pc.cid").alias("list_id"),
+        (F.col("_pos") + 1).cast("int").alias("crank"),
     )
 
 
@@ -296,12 +404,13 @@ def kmeans_centroids(
         .localCheckpoint(eager=True)
     )
     for _ in range(iters):
-        assign = _nearest_centroids(s, cents, nprobe=1).select(
-            "vec_id", F.col("list_id").alias("cid")
-        )
-        dims = s.join(assign, "vec_id").select(
-            "cid", F.posexplode("q").alias("pos", "val")
-        )
+        # assignment as a projected column (r13): the old
+        # _nearest_centroids + self-join form re-exchanged the sample
+        # twice per Lloyd's iteration; now each iteration's only shuffle
+        # is the (cid, dim) aggregate
+        dims = _with_nearest_list(
+            s, _collected_centroids(cents), col="cid"
+        ).select("cid", F.posexplode("q").alias("pos", "val"))
         cents = (
             dims.groupBy("cid", "pos")
             .agg(F.round(F.avg("val")).cast("long").alias("m"))
@@ -363,10 +472,12 @@ def cosine_topk_ivf(
             F.col("q").alias("cq"),
             F.col("nrm2").alias("cn2"),
         )
-    assign = _nearest_centroids(c, cents, nprobe=1).select("vec_id", "list_id")
-    probes = _nearest_centroids(qd, cents, nprobe=nprobe).select("vec_id", "list_id")
+    collected = _collected_centroids(cents)
+    probes = _nearest_centroids(qd, collected, nprobe=nprobe).select(
+        "vec_id", "list_id"
+    )
 
-    corpus_lists = c.join(assign, "vec_id").select(
+    corpus_lists = _with_nearest_list(c, collected).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("q").alias("cq2"),
         F.col("nrm2").alias("cn"),
@@ -423,9 +534,8 @@ def build_ivf_index(
             F.col("q").alias("cq"),
             F.col("nrm2").alias("cn2"),
         )
-    assign = _nearest_centroids(c, cents, nprobe=1).select("vec_id", "list_id")
     (
-        c.join(assign, "vec_id")
+        _with_nearest_list(c, _collected_centroids(cents))
         .write.mode("overwrite")
         .partitionBy("list_id")
         .parquet(path)
@@ -720,99 +830,92 @@ def ivf_recall_curve(
             F.col("q").alias("cq"),
             F.col("nrm2").alias("cn2"),
         )
-    max_k, max_p = max(ks), max(nprobes)
-    assign = _nearest_centroids(c, cents, nprobe=1).select("vec_id", "list_id")
-    probes = _nearest_centroids(qd, cents, nprobe=max_p)
-    qside = qd.join(probes, "vec_id").select(
-        F.col("vec_id").alias("query_id"),
-        F.col("q").alias("qq"),
-        F.col("nrm2").alias("qn"),
-        "list_id",
-        "crank",
+    collected = _collected_centroids(cents)
+    n_lists = len(collected[0])
+    max_k = max(ks)
+    # r13 optimization (guide §1.2/§2.4): the old form made TWO corpus
+    # scoring passes (candidates + brute-force ground truth), shuffled
+    # the corpus through an assignment window + a corpus⋈assignment
+    # self-join, and ranked served/gt in separate window passes joined
+    # back together (32 Exchanges at sf0.1). Now: assignment is a
+    # narrow projected column, ONE corpus scoring pass carries both the
+    # exact cosine and the probe rank of the neighbor's list, and ONE
+    # window pass computes the ground-truth rank plus, for each probe
+    # budget p, the row's rank WITHIN the crank<=p candidate subset as
+    # a running count over the same total order — identical to the old
+    # per-budget row_number because (cosine DESC, neighbor_id ASC) is a
+    # total order per query. Recall cells then fall out of one bounded
+    # aggregate. Plan: 2 Exchanges (window + final agg), corpus read
+    # once, never shuffled.
+    crank_map = _nearest_centroids(qd, collected, nprobe=n_lists).select(
+        F.col("vec_id").alias("query_id"), "list_id", "crank"
     )
-    cside = c.join(assign, "vec_id").select(
+    cside = _with_nearest_list(c, collected).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("q").alias("cq2"),
         F.col("nrm2").alias("cn"),
         "list_id",
     )
-    # one shared scoring pass: each (query, neighbor) candidate carries
-    # the probe rank of its list (a corpus vector is in exactly one
-    # list, so the pair is unique)
-    cand = (
-        cside.join(F.broadcast(qside), "list_id")
+    qb = qd.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nrm2").alias("qn"),
+    )
+    scored = (
+        cside.join(F.broadcast(qb))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("dot", _dot(F.col("cq2"), F.col("qq")))
-        .withColumn(
-            "cosine", _cosine(F.col("dot"), F.col("cn"), F.col("qn"))
-        )
+        .withColumn("cosine", _cosine(F.col("dot"), F.col("cn"), F.col("qn")))
+        .join(F.broadcast(crank_map), ["query_id", "list_id"])
         .select("query_id", "neighbor_id", "cosine", "crank")
     )
-    # single-partition literals: a k-partition crossJoin of two default-
-    # parallelism local relations schedules partitions^2 (32x32 = 1024)
-    # no-op tasks for a 12-row grid
-    sweep = spark.createDataFrame(
-        [(int(p),) for p in nprobes], "nprobe int"
-    ).coalesce(1)
-    served = cand.join(F.broadcast(sweep), F.col("crank") <= F.col("nprobe"))
-    w_served = Window.partitionBy("query_id", "nprobe").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    served = (
-        served.withColumn("rank", F.row_number().over(w_served))
-        .filter(F.col("rank") <= max_k)
-        .select("query_id", "nprobe", "neighbor_id", "rank")
-    )
-    # exact ground truth: brute force over the same quantized vectors
-    gt = (
-        c.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("q").alias("cq2"),
-            F.col("nrm2").alias("cn"),
+    order = [F.col("cosine").desc(), F.col("neighbor_id").asc()]
+    w_rn = Window.partitionBy("query_id").orderBy(*order)
+    w_run = w_rn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = scored.withColumn("gt_rank", F.row_number().over(w_rn))
+    for p in nprobes:
+        ranked = ranked.withColumn(
+            f"_r{p}",
+            F.sum((F.col("crank") <= p).cast("long")).over(w_run),
         )
-        .join(
-            F.broadcast(
-                qd.select(
-                    F.col("vec_id").alias("query_id"),
-                    F.col("q").alias("qq"),
-                    F.col("nrm2").alias("qn"),
-                )
-            )
-        )
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("dot", _dot(F.col("cq2"), F.col("qq")))
-        .withColumn(
-            "cosine", _cosine(F.col("dot"), F.col("cn"), F.col("qn"))
-        )
-    )
-    w_gt = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    gt = (
-        gt.withColumn("gt_rank", F.row_number().over(w_gt))
-        .filter(F.col("gt_rank") <= max_k)
-        .select("query_id", "neighbor_id", "gt_rank")
-    )
-    kdf = spark.createDataFrame([(int(k),) for k in ks], "k int").coalesce(1)
-    # gt is caller-bounded (|query batch| x max_k rows): broadcast it so
-    # the hits join never re-exchanges the served side (the SMJ's two
-    # exchanges dominated the sf0.1 cost of this tiny-data join)
-    hits = (
-        served.join(F.broadcast(gt), ["query_id", "neighbor_id"])
-        .join(
-            F.broadcast(kdf),
-            (F.col("rank") <= F.col("k")) & (F.col("gt_rank") <= F.col("k")),
-        )
-        .groupBy("nprobe", "k")
-        .agg(F.count(F.lit(1)).alias("hits"))
-    )
+    # only rows that can contribute to some (nprobe, k) cell survive to
+    # the aggregate: in the exact top-max_k, or in some budget's served
+    # top-max_k
+    servable = None
+    for p in nprobes:
+        cond = (F.col("crank") <= p) & (F.col(f"_r{p}") <= max_k)
+        servable = cond if servable is None else (servable | cond)
+    contrib = ranked.filter((F.col("gt_rank") <= max_k) | servable)
+    cells = [
+        F.sum(
+            (
+                (F.col("crank") <= p)
+                & (F.col(f"_r{p}") <= k)
+                & (F.col("gt_rank") <= k)
+            ).cast("long")
+        ).alias(f"_h_{p}_{k}")
+        for p in nprobes
+        for k in ks
+    ]
+    one = contrib.agg(*cells)
     # every (nprobe, k) cell appears even at zero hits; the denominator
     # is the FULL query batch (queries with no candidate at small probe
     # budgets count as recall 0, not as absent rows)
     n_q = qd.select("vec_id").distinct().count()
-    grid = sweep.crossJoin(kdf)  # |nprobes| x |ks| literal rows
+    grid = F.array(
+        *[
+            F.struct(
+                F.lit(int(p)).cast("int").alias("nprobe"),
+                F.lit(int(k)).cast("int").alias("k"),
+                F.col(f"_h_{p}_{k}").alias("hits"),
+            )
+            for p in nprobes
+            for k in ks
+        ]
+    )
     return (
-        grid.join(hits, ["nprobe", "k"], "left")
+        one.select(F.explode(grid).alias("_c"))
+        .select("_c.nprobe", "_c.k", F.col("_c.hits").alias("hits"))
         .select(
             "nprobe",
             "k",
@@ -857,96 +960,106 @@ def ivf_recall_vs_centroids(
     qd = with_quantized_norm(queries, vec_col).select(
         F.col(id_col).alias("vec_id"), "q", "nrm2"
     )
-    # shared exact ground truth (quantizer-independent)
-    gt = (
-        c.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("q").alias("cq2"),
-            F.col("nrm2").alias("cn"),
-        )
-        .join(
-            F.broadcast(
-                qd.select(
-                    F.col("vec_id").alias("query_id"),
-                    F.col("q").alias("qq"),
-                    F.col("nrm2").alias("qn"),
-                )
+    # r13 optimization (guide §1.2/§2.4, same restructure as
+    # ivf_recall_curve): ONE corpus scoring pass — each (neighbor,
+    # query) pair carries the exact cosine once, plus one projected
+    # list-assignment column PER quantizer (no assignment windows, no
+    # corpus self-joins, no 3-way union of re-scored branches). Whether
+    # the pair is served under quantizer nc is a tiny left-broadcast
+    # probe-set join; ONE window pass then computes the ground-truth
+    # rank and, per quantizer, the rank within that quantizer's served
+    # subset as a running count over the same per-query total order
+    # (identical to the old per-branch row_number). Hits fall out of
+    # one bounded aggregate. Plan: 2 Exchanges, corpus read once.
+    collected = {
+        nc: _collected_centroids(
+            c.filter(F.col("vec_id") < nc).select(
+                F.col("vec_id").alias("cid"),
+                F.col("q").alias("cq"),
+                F.col("nrm2").alias("cn2"),
             )
         )
+        for nc in centroid_counts
+    }
+    cside = c
+    for nc in centroid_counts:
+        cside = _with_nearest_list(cside, collected[nc], col=f"_l{nc}")
+    cside = cside.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("cq2"),
+        F.col("nrm2").alias("cn"),
+        *[f"_l{nc}" for nc in centroid_counts],
+    )
+    qb = qd.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nrm2").alias("qn"),
+    )
+    scored = (
+        cside.join(F.broadcast(qb))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("dot", _dot(F.col("cq2"), F.col("qq")))
-        .withColumn(
-            "cosine", _cosine(F.col("dot"), F.col("cn"), F.col("qn"))
-        )
+        .withColumn("cosine", _cosine(F.col("dot"), F.col("cn"), F.col("qn")))
     )
-    w_gt = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    gt = (
-        gt.withColumn("gt_rank", F.row_number().over(w_gt))
-        .filter(F.col("gt_rank") <= k)
-        .select("query_id", "neighbor_id")
-    )
-    cands = None
     for nc in centroid_counts:
-        cents = c.filter(F.col("vec_id") < nc).select(
-            F.col("vec_id").alias("cid"),
-            F.col("q").alias("cq"),
-            F.col("nrm2").alias("cn2"),
-        )
-        assign = _nearest_centroids(c, cents, nprobe=1).select(
-            "vec_id", "list_id"
-        )
-        probes = _nearest_centroids(qd, cents, nprobe=nprobe).select(
-            "vec_id", "list_id"
-        )
-        qside = qd.join(probes, "vec_id").select(
-            F.col("vec_id").alias("query_id"),
-            F.col("q").alias("qq"),
-            F.col("nrm2").alias("qn"),
-            "list_id",
-        )
-        branch = (
-            c.join(assign, "vec_id")
+        probe_set = (
+            _nearest_centroids(qd, collected[nc], nprobe=nprobe)
             .select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("q").alias("cq2"),
-                F.col("nrm2").alias("cn"),
-                "list_id",
-            )
-            .join(F.broadcast(qside), "list_id")
-            .filter(F.col("neighbor_id") != F.col("query_id"))
-            .withColumn("dot", _dot(F.col("cq2"), F.col("qq")))
-            .withColumn(
-                "cosine", _cosine(F.col("dot"), F.col("cn"), F.col("qn"))
-            )
-            .select(
-                F.lit(int(nc)).cast("int").alias("n_centroids"),
-                "query_id",
-                "neighbor_id",
-                "cosine",
+                F.col("vec_id").alias("query_id"),
+                F.col("list_id").alias(f"_l{nc}"),
+                F.lit(True).alias(f"_in{nc}"),
             )
         )
-        cands = branch if cands is None else cands.unionByName(branch)
-    w_served = Window.partitionBy("n_centroids", "query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
+        scored = scored.join(
+            F.broadcast(probe_set), ["query_id", f"_l{nc}"], "left"
+        )
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        *[
+            F.coalesce(F.col(f"_in{nc}"), F.lit(False)).alias(f"_in{nc}")
+            for nc in centroid_counts
+        ],
     )
-    served = (
-        cands.withColumn("rank", F.row_number().over(w_served))
-        .filter(F.col("rank") <= k)
-        .select("n_centroids", "query_id", "neighbor_id")
-    )
-    hits = (
-        served.join(F.broadcast(gt), ["query_id", "neighbor_id"])
-        .groupBy("n_centroids")
-        .agg(F.count(F.lit(1)).alias("hits"))
+    order = [F.col("cosine").desc(), F.col("neighbor_id").asc()]
+    w_rn = Window.partitionBy("query_id").orderBy(*order)
+    w_run = w_rn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = scored.withColumn("gt_rank", F.row_number().over(w_rn))
+    for nc in centroid_counts:
+        ranked = ranked.withColumn(
+            f"_r{nc}", F.sum(F.col(f"_in{nc}").cast("long")).over(w_run)
+        )
+    servable = None
+    for nc in centroid_counts:
+        cond = F.col(f"_in{nc}") & (F.col(f"_r{nc}") <= k)
+        servable = cond if servable is None else (servable | cond)
+    contrib = ranked.filter((F.col("gt_rank") <= k) | servable)
+    one = contrib.agg(
+        *[
+            F.sum(
+                (
+                    F.col(f"_in{nc}")
+                    & (F.col(f"_r{nc}") <= k)
+                    & (F.col("gt_rank") <= k)
+                ).cast("long")
+            ).alias(f"_h{nc}")
+            for nc in centroid_counts
+        ]
     )
     n_q = qd.select("vec_id").distinct().count()
-    grid = corpus.sparkSession.createDataFrame(
-        [(int(nc),) for nc in centroid_counts], "n_centroids int"
-    ).coalesce(1)
+    grid = F.array(
+        *[
+            F.struct(
+                F.lit(int(nc)).cast("int").alias("n_centroids"),
+                F.col(f"_h{nc}").alias("hits"),
+            )
+            for nc in centroid_counts
+        ]
+    )
     return (
-        grid.join(hits, ["n_centroids"], "left")
+        one.select(F.explode(grid).alias("_c"))
+        .select("_c.n_centroids", F.col("_c.hits").alias("hits"))
         .select(
             "n_centroids",
             F.lit(int(nprobe)).cast("int").alias("nprobe"),
@@ -1444,7 +1557,14 @@ def mmr_rerank(
     """
     c = cands.select(
         F.col(id_col).alias("doc_id"), F.col(rel_col).cast("double").alias("rel")
-    )
+    # r13: materialize the candidate cut and the pair-similarity table
+    # ONCE — both are bounded (<=|cands| and <=|cands|² rows), but each
+    # of the k unrolled steps references them, so without this the
+    # upstream retrieval (a full corpus scan + top-k window) re-ran in
+    # EVERY step's argmax job (measured: 5 brute-force passes for k=5,
+    # 3.9 s; guide §1.2 "don't recompute")
+    ).localCheckpoint(eager=True)
+    pair_sims = pair_sims.localCheckpoint(eager=True)
     picks = []
     selected = None
     for i in range(1, k + 1):

@@ -60,8 +60,9 @@ BOUNDED_BROADCASTS: dict[tuple[str, str], str] = {
     ("functions/ann_index.py", "append_ivf_index"):
         "tombstone set (bounded: deletes since last compact) broadcast "
         "against the caller-bounded append batch's distinct ids",
-    ("functions/similarity.py", "_nearest_centroids"):
-        "k centroids (k-means parameter), fixed small k",
+    # _nearest_centroids no longer broadcasts at all (r13: centroids are
+    # driver-collected bounded literals — assignment is a narrow
+    # projection with no join)
     ("functions/similarity.py", "ivf_recall_curve"):
         "query batch x probe ranks (caller-bounded eval batch), the "
         "nprobe/k sweep literals (a handful of ints), the ground-truth "
