@@ -395,7 +395,15 @@ def containment_near_duplicates(
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= 2)
     )
-    pall = shh.join(dfs, "hsh")
+    # r13 (guide §1.2): ``pall`` feeds THREE consumers (rare-shingle
+    # postings, the per-doc anchor window, anchor-posting expansion) —
+    # unmaterialized, each consumer re-ran the whole
+    # tokenize→shingle→hash→distinct→df-join pipeline, and the final
+    # plan embedded it 5× (measured: 4115-line plan, 304 Exchanges at
+    # sf0.1). One materialization of the (doc, shingle-hash, df)
+    # postings — the same corpus-shingle-scale intermediate the
+    # df-aggregate already shuffles — collapses that to one pass.
+    pall = shh.join(dfs, "hsh").localCheckpoint(eager=True)
     rare_posts = pall.filter(F.col("df") <= max_df).select(id_col, "hsh")
     wr = Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("hsh").asc())
     # the ANCHOR SHINGLE SET: every shingle that is some doc's rarest.

@@ -8353,6 +8353,72 @@ def rel_rolling_active(spark, sf_dir):
 _FUZZ_PREFIX = 16
 
 
+def _lev1_block_pairs(
+    c, id_col: str = "c_custkey", name_col: str = "c_name"
+):
+    """Same-block pairs at Levenshtein distance ≤ 1 — the EXACT result
+    of the within-block all-pairs filter, generated instead by FastSS
+    one-deletion signatures (Bocek et al. 2007) + exact verification
+    (r13 optimization, guide §1.2 "the distributed algorithm").
+
+    Why: the all-pairs block join evaluated Levenshtein on every
+    within-block pair — O(block²) DP evaluations; at sf0.1 that was
+    742 500 evaluations for 135 000 matches and Spark's levenshtein
+    dominated the query (measured 5.0 s vs 0.5 s for the join alone).
+    Two strings at distance ≤ 1 MUST share a signature in
+    {s} ∪ {s minus char i}: a substitution pair shares the deletion at
+    the edited position, an insertion pair shares the shorter string
+    itself, a deletion pair symmetrically. So an equi-join on
+    (blk, signature) produces a candidate SUPERSET of the answer that
+    is near-output-sized (a non-matching pair only collides if some
+    single deletion aligns them), and the exact distance filter then
+    reproduces the all-pairs result verbatim. At 100 TB the block
+    join's quadratic-in-block-size term becomes signature-linear —
+    the same bucket-bounded shape as the dedup family.
+    """
+    sigs = c.select(
+        F.col(id_col),
+        F.col(name_col),
+        "blk",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(0, length({name_col})), "
+                f"i -> case when i = 0 then {name_col} "
+                f"else concat(substr({name_col}, 1, i - 1), "
+                f"substr({name_col}, i + 1)) end))"
+            )
+        ).alias("sig"),
+    )
+    a = sigs.select(
+        "blk", "sig", F.col(id_col).alias("id_a"), F.col(name_col).alias("_na")
+    )
+    b = sigs.select(
+        F.col("blk").alias("_bb"),
+        F.col("sig").alias("_sb"),
+        F.col(id_col).alias("id_b"),
+        F.col(name_col).alias("_nb"),
+    )
+    cand = a.join(
+        b,
+        (F.col("blk") == F.col("_bb"))
+        & (F.col("sig") == F.col("_sb"))
+        & (F.col("id_a") < F.col("id_b")),
+    )
+    # threshold (banded-DP) levenshtein: O(len·threshold) per pair with
+    # early exit, returns -1 above the threshold — verified value- and
+    # set-identical to the unbounded form on this filter (and ~1.7x
+    # cheaper even on the old all-pairs join). The multi-signature
+    # duplicates are dropped AFTER verification so the distinct runs on
+    # three ints, not two ids plus two name strings.
+    dist = F.levenshtein(F.col("_na"), F.col("_nb"), 1)
+    return (
+        cand.withColumn("dist", dist.cast("long"))
+        .filter(F.col("dist") >= 0)
+        .select("id_a", "id_b", "dist")
+        .distinct()
+    )
+
+
 @q(
     "rel_fuzzy_match",
     f"""
@@ -8385,22 +8451,7 @@ def rel_fuzzy_match(spark, sf_dir):
         "c_name",
         F.substring("c_name", 1, _FUZZ_PREFIX).alias("blk"),
     )
-    a = c.alias("a")
-    b = c.alias("b")
-    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
-    return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-        )
-        .filter(dist <= 1)
-        .select(
-            F.col("a.c_custkey").alias("id_a"),
-            F.col("b.c_custkey").alias("id_b"),
-            dist.cast("long").alias("dist"),
-        )
-    )
+    return _lev1_block_pairs(c)
 
 
 #: inverted-index geometry: term-hash partition buckets and the query
@@ -9549,20 +9600,8 @@ def rel_entity_clusters(spark, sf_dir):
         "c_name",
         F.substring("c_name", 1, _FUZZ_PREFIX).alias("blk"),
     )
-    a, b = c.alias("a"), c.alias("b")
-    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-        )
-        .filter(dist <= 1)
-        .select(
-            F.col("a.c_custkey").alias("id_a"),
-            F.col("b.c_custkey").alias("id_b"),
-        )
-    )
+    # FastSS signature candidates + exact verify (see _lev1_block_pairs)
+    pairs = _lev1_block_pairs(c).select("id_a", "id_b")
     return dedup.cluster_summary_cc(pairs).select(
         F.col("cluster_id").cast("long").alias("cluster_id"),
         F.col("n_docs").cast("long").alias("n_members"),
