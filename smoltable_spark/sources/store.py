@@ -569,9 +569,7 @@ class CellStore:
         flush, the caller sorts within partitions)."""
         if kind == "base":
             if num_range_partitions is None:
-                num_range_partitions = max(
-                    self.spark.sparkContext.defaultParallelism, 8
-                )
+                num_range_partitions = self._adaptive_base_partitions(df)
             df = df.repartitionByRange(
                 num_range_partitions, F.col("lg"), F.col("row_key")
             ).sortWithinPartitions(
@@ -581,6 +579,54 @@ class CellStore:
                 F.col("ts").desc(),
             )
         return df, ["lg"]
+
+    #: target bytes per base range partition — matches WRITE_OPTIONS'
+    #: 64 MiB parquet block ("levelled target size"): one range
+    #: partition ≈ one levelled segment
+    _TARGET_BASE_PARTITION_BYTES = 64 * 1024 * 1024
+    #: smallest file worth creating when splitting below the levelled
+    #: target purely to use idle cores for the arrangement sort
+    _MIN_BASE_FILE_BYTES = 8 * 1024 * 1024
+
+    def _adaptive_base_partitions(self, df: DataFrame) -> int:
+        """Scale-adaptive base-partition count (r13, guide §2: derive
+        partitioning from input size, not from a constant tuned to the
+        local core count). The old default — defaultParallelism — wrote
+        32 near-empty files per locality group for a megabytes-sized
+        snapshot on local[32] (small-files problem, guide §6) and would
+        UNDER-partition a 100 TB table to the cluster's core count.
+
+        Above the levelled target: ceil(size / 64 MiB) — a 100 TB
+        compaction gets as many 64 MiB range partitions as its bytes
+        demand. Below it, pure size-derived counts sacrifice the
+        arrangement sort's parallelism (measured: the full orders melt
+        fell to a near-single-task sortWithinPartitions, +0.8 s on
+        wc_store_changes_since), so spread over idle cores instead —
+        capped so no file drops under 8 MiB and a genuinely tiny
+        snapshot still commits as ONE file per locality group."""
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            est = 0
+        return self._partitions_for_bytes(
+            est, self.spark.sparkContext.defaultParallelism
+        )
+
+    @classmethod
+    def _partitions_for_bytes(cls, est: int, cores: int) -> int:
+        """Pure sizing rule behind :meth:`_adaptive_base_partitions`
+        (split out so the boundary math is unit-testable)."""
+        # "unknown" surfaces as <= 0 OR as a Long.MaxValue-ish sentinel
+        # (Catalyst defaults missing stats to 8 EiB) — both fall back to
+        # the old parallelism floor rather than a nonsense count
+        if est <= 0 or est >= 1 << 50:
+            return max(cores, 8)
+        ideal = -(-est // cls._TARGET_BASE_PARTITION_BYTES)
+        if ideal >= cores:
+            return ideal
+        return max(1, min(cores, -(-est // cls._MIN_BASE_FILE_BYTES)))
 
     def _commit_snapshot(
         self,
@@ -724,10 +770,23 @@ class CellStore:
             return n
         merged = self._merge_legs(run).select(*CELL_COLUMNS, "lg")
         # bound the output file count without a shuffle: the union of k
-        # small legs carries the sum of their partition counts
-        merged = merged.coalesce(
-            max(self.spark.sparkContext.defaultParallelism, 8)
-        ).sortWithinPartitions(
+        # small legs carries the sum of their partition counts. Floor at
+        # the core count — coalesce below it collapses the upstream
+        # merge pipeline (leg scans + shadowing anti-joins are all
+        # narrow) into the same few tasks (measured: coalesce(1) on a
+        # tiny fold cost +30% on wc_minor_compact) — but scale UP by the
+        # folded legs' actual on-disk bytes (r13, guide §2/§6): at
+        # 100 TB a fold gets one ~64 MiB partition per segment instead
+        # of the old hard cap of defaultParallelism giant files.
+        fold_bytes = sum(
+            sz
+            for v in run
+            for name, _full, sz in self._fs.walk_files(self._version_dir(v))
+            if name.endswith(".parquet")
+        )
+        by_bytes = -(-fold_bytes // self._TARGET_BASE_PARTITION_BYTES)
+        n_out = max(self.spark.sparkContext.defaultParallelism, 8, by_bytes)
+        merged = merged.coalesce(n_out).sortWithinPartitions(
             F.col("row_key").asc(),
             F.col("family").asc(),
             F.col("qualifier").asc(),

@@ -750,3 +750,62 @@ def test_vacuum_ivf_index_reclaims_superseded_state(spark, tmp_path, unsafe_ann)
         "pointers": 0, "generations": 0, "plain_dirs": 0, "tomb_legs": 0,
     }
     assert os.path.isdir(os.path.join(fresh, "_centroids"))
+
+
+# --- r13 optimization: scale-adaptive base/minor partition sizing ---------
+
+
+def test_partitions_for_bytes_boundaries():
+    """Pure sizing rule (guide §2/§6): derived from bytes, not a constant
+    tuned to the local core count."""
+    from smoltable_spark.sources.store import CellStore
+
+    T = CellStore._TARGET_BASE_PARTITION_BYTES  # 64 MiB
+    M = CellStore._MIN_BASE_FILE_BYTES  # 8 MiB
+    # unknown stats (<=0 or the Catalyst 8-EiB sentinel): old floor
+    assert CellStore._partitions_for_bytes(0, 32) == 32
+    assert CellStore._partitions_for_bytes(-1, 4) == 8
+    assert CellStore._partitions_for_bytes(1 << 50, 32) == 32
+    # tiny snapshot: ONE range partition (one file per lg), never 32
+    assert CellStore._partitions_for_bytes(1024, 32) == 1
+    assert CellStore._partitions_for_bytes(M, 32) == 1
+    # below the levelled target but multi-file: spread over idle cores,
+    # bounded so no file drops under 8 MiB
+    assert CellStore._partitions_for_bytes(3 * M, 32) == 3
+    assert CellStore._partitions_for_bytes(100 * M, 32) == 32  # capped at cores
+    # at/above the levelled target with few cores: bytes govern — a
+    # 100 TB table is never squeezed into the cluster's core count
+    assert CellStore._partitions_for_bytes(10 * T, 4) == 10
+    hundred_tb = 100 * (1 << 40)
+    assert CellStore._partitions_for_bytes(hundred_tb, 512) == -(-hundred_tb // T)
+
+
+def test_tiny_base_commit_is_one_file_per_lg(spark, tmp_path):
+    """A megabytes-sized base snapshot commits as one range-disjoint
+    file per locality group — not defaultParallelism near-empty files
+    (the r12 behavior this round replaced)."""
+    from smoltable_spark.api import ColumnFamilyDef
+    from smoltable_spark.sources.store import CellStore
+
+    from tests.conftest import make_cells
+
+    store = CellStore(spark, str(tmp_path / "adaptive"))
+    store.save_families(
+        [ColumnFamilyDef("a", lg="la"), ColumnFamilyDef("b", lg="lb")]
+    )
+    rows = [
+        (f"r{i:04d}", fam, "q", 1, "string", f"v{i}")
+        for i in range(200)
+        for fam in ("a", "b")
+    ]
+    # adaptivity needs a size estimate; RDD-backed frames (createDataFrame
+    # from Python rows) carry the Catalyst 8-EiB unknown sentinel and take
+    # the legacy parallelism floor — registry writes all derive from
+    # parquet scans, so round-trip through parquet like they do
+    src = str(tmp_path / "src")
+    make_cells(spark, rows).write.parquet(src)
+    store.write(spark.read.parquet(src))
+    # one parquet file per locality group (2 lgs here)
+    assert store.file_count() == 2
+    # reads stay correct over the compacted layout
+    assert store.read().count() == 400
