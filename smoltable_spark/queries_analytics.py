@@ -6134,6 +6134,10 @@ def rel_triangle_count(spark, sf_dir):
         .unionByName(edges.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
+        # three consumers (both sides of the orientation join + the
+        # node/edge/wedge stats aggregate below): one degree pass, not
+        # one per downstream job (r13, guide §1.2)
+        .localCheckpoint(eager=True)
     )
     # degree-ordered orientation, with the (deg, id) rank packed into ONE
     # long (deg·2³² + id — lexicographic order preserved; ids and degrees
@@ -6169,12 +6173,20 @@ def rel_triangle_count(spark, sf_dir):
     # the closing edge (t1 → t2) is itself rank-oriented, so plain-id
     # equality suffices — no rank columns cross the join
     closing = oriented.select(F.col("s").alias("cs"), F.col("t_id").alias("ct"))
-    tri = wedges.join(
-        closing, (F.col("t1_id") == F.col("cs")) & (F.col("t2_id") == F.col("ct"))
+    # both join keys are pairs of ids < 2^31 — pack each into ONE long
+    # (a*2^32 + b) so the closing probe hashes a single integer column
+    tri = wedges.select(
+        F.expr("t1_id * 4294967296 + t2_id").alias("wk")
+    ).join(
+        closing.select(F.expr("cs * 4294967296 + ct").alias("wk")), "wk"
     ).count()
-    stats = edges.agg(F.count(F.lit(1)).alias("n_edges")).collect()[0]
+    # nodes/edges/wedges all fall out of ONE aggregate over the
+    # checkpointed degree table: sum(d) double-counts each edge's two
+    # endpoints, so n_edges = sum(d)/2 — the separate edges.count()
+    # job is gone (r13, guide §1.2)
     dstats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
+        F.expr("sum(d) div 2").alias("n_edges"),
         F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
     ).collect()[0]
     w = int(dstats["n_wedges"] or 0)
@@ -6182,7 +6194,7 @@ def rel_triangle_count(spark, sf_dir):
         [
             (
                 int(dstats["n_nodes"]),
-                int(stats["n_edges"]),
+                int(dstats["n_edges"]),
                 w,
                 int(tri),
                 (3000 * int(tri)) // w if w > 0 else 0,
@@ -8205,6 +8217,12 @@ def rel_kcore(spark, sf_dir):
     )
     traj = [(0, n0, edges.count())]
     for r in range(1, _KCORE_ROUNDS + 1):
+        # checkpoint the surviving-node set BEFORE it fans out (r13,
+        # guide §1.2): `keep` feeds both semi-joins of the edge filter
+        # AND the n_nodes scalar — un-checkpointed, the degree
+        # aggregation subtree ran once inside the edges-checkpoint job
+        # and AGAIN for keep.count(), a full extra pass over the edge
+        # list per peel round
         keep = (
             edges.select(F.col("u").alias("n"))
             .unionByName(edges.select(F.col("v").alias("n")))
@@ -8212,6 +8230,7 @@ def rel_kcore(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("d"))
             .filter(F.col("d") >= _KCORE_K)
             .select("n")
+            .localCheckpoint(eager=True)
         )
         edges = (
             edges.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
@@ -8220,6 +8239,18 @@ def rel_kcore(spark, sf_dir):
             .localCheckpoint(eager=True)
         )
         traj.append((r, keep.count(), edges.count()))
+        if traj[-1][1:] == traj[-2][1:]:
+            # provable fixpoint (r13): a peel that removes nothing —
+            # |keep| == |nodes(edges)| forces keep == nodes(edges), so
+            # the semi-joins passed every edge through — leaves the
+            # edge set LITERALLY identical; every remaining unrolled
+            # round reproduces these exact counts. Fill the trajectory
+            # instead of burning (rounds-r) more no-op Spark jobs.
+            traj.extend(
+                (rr, traj[-1][1], traj[-1][2])
+                for rr in range(r + 1, _KCORE_ROUNDS + 1)
+            )
+            break
     rows = [
         (
             r,
