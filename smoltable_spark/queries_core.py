@@ -1330,6 +1330,12 @@ def wc_merge_upsert(spark, sf_dir):
     w = _W.partitionBy("row_key", "family", "qualifier").orderBy(F.col("ts").desc())
     visible = (
         store.read()
+        # every batch row carries qualifier='totalprice', so only those
+        # coordinate partitions can match the classification join —
+        # filter BEFORE the window (pushes into the parquet scan, ~1/5
+        # of the window volume; whole partitions drop, so ranking
+        # within the surviving ones is unchanged) (r13, guide §2.3)
+        .filter(F.col("qualifier") == "totalprice")
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select(
@@ -1354,13 +1360,23 @@ def wc_merge_upsert(spark, sf_dir):
     ).collect()[0]
     applied = classed.filter(ins | upd).drop("_cur")
     store.append(applied)
-    after = store.read()
-    cells_total = after.count()
-    visible_after = (
-        after.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .count()
+    # ONE pass for both audit scalars (r13, guide §1.2, the
+    # wc_minor_compact observables trick): per-coordinate group sizes
+    # carry the total version count (sum) and the visible-coordinate
+    # count (group count) simultaneously — was a count job PLUS a
+    # windowed row_number pass over a second chain read
+    audit = (
+        store.read()
+        .groupBy("row_key", "family", "qualifier")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.sum("_n").alias("cells_total"),
+            F.count(F.lit(1)).alias("visible_after"),
+        )
+        .collect()[0]
     )
+    cells_total = int(audit["cells_total"])
+    visible_after = int(audit["visible_after"])
     return spark.createDataFrame(
         [
             (
