@@ -6134,10 +6134,6 @@ def rel_triangle_count(spark, sf_dir):
         .unionByName(edges.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
-        # three consumers (both sides of the orientation join + the
-        # node/edge/wedge stats aggregate below): one degree pass, not
-        # one per downstream job (r13, guide §1.2)
-        .localCheckpoint(eager=True)
     )
     # degree-ordered orientation, with the (deg, id) rank packed into ONE
     # long (deg·2³² + id — lexicographic order preserved; ids and degrees
@@ -6173,20 +6169,12 @@ def rel_triangle_count(spark, sf_dir):
     # the closing edge (t1 → t2) is itself rank-oriented, so plain-id
     # equality suffices — no rank columns cross the join
     closing = oriented.select(F.col("s").alias("cs"), F.col("t_id").alias("ct"))
-    # both join keys are pairs of ids < 2^31 — pack each into ONE long
-    # (a*2^32 + b) so the closing probe hashes a single integer column
-    tri = wedges.select(
-        F.expr("t1_id * 4294967296 + t2_id").alias("wk")
-    ).join(
-        closing.select(F.expr("cs * 4294967296 + ct").alias("wk")), "wk"
+    tri = wedges.join(
+        closing, (F.col("t1_id") == F.col("cs")) & (F.col("t2_id") == F.col("ct"))
     ).count()
-    # nodes/edges/wedges all fall out of ONE aggregate over the
-    # checkpointed degree table: sum(d) double-counts each edge's two
-    # endpoints, so n_edges = sum(d)/2 — the separate edges.count()
-    # job is gone (r13, guide §1.2)
+    stats = edges.agg(F.count(F.lit(1)).alias("n_edges")).collect()[0]
     dstats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
-        F.expr("sum(d) div 2").alias("n_edges"),
         F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
     ).collect()[0]
     w = int(dstats["n_wedges"] or 0)
@@ -6194,7 +6182,7 @@ def rel_triangle_count(spark, sf_dir):
         [
             (
                 int(dstats["n_nodes"]),
-                int(dstats["n_edges"]),
+                int(stats["n_edges"]),
                 w,
                 int(tri),
                 (3000 * int(tri)) // w if w > 0 else 0,
