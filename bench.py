@@ -660,6 +660,15 @@ def main():
         "metric": "total_headline_sec",
         "value": total,
         "unit": "sec",
+        # VERDICT r13 ask #2: the env vars ARE honored (get_spark sets
+        # master local[cpus]) but nothing in the JSON proved it, so the
+        # driver's 8-core run read as "cpus ignored". Echo the requested
+        # core count, the EFFECTIVE parallelism straight from the live
+        # SparkContext, and the resolved data dir so the scaling check
+        # can verify the contract instead of inferring it.
+        "cpus": cpus,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "sf_dir": sf_dir,
         "queries": timings,
         "cold_queries": cold,
         "iso_top15": iso_top,
@@ -717,6 +726,9 @@ def _compact_summary(result: dict) -> str:
         "value": result.get("value"),
         "unit": result.get("unit"),
         "sf": result.get("sf"),
+        "cpus": result.get("cpus"),
+        "default_parallelism": result.get("default_parallelism"),
+        "sf_dir": result.get("sf_dir"),
         "n_queries": len(timings),
         "partial": True,
         "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20]),
