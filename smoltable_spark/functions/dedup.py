@@ -703,11 +703,13 @@ def cluster_pairs_cc(pairs: DataFrame, max_rounds: int = 64) -> DataFrame:
     union-find on the driver, but fully distributed.
     """
     pairs = pairs.localCheckpoint(eager=True)
+    # nodes has exactly ONE consumer (the final label join) — a
+    # checkpoint here would materialize it eagerly mid-pipeline for
+    # nothing (r14, guide §5: cache only reused intermediates)
     nodes = (
         pairs.select(F.col("id_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     # canonical undirected edges, larger endpoint first, no self-loops
     edges = (
@@ -723,12 +725,20 @@ def cluster_pairs_cc(pairs: DataFrame, max_rounds: int = 64) -> DataFrame:
         sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         m = sym.groupBy("u").agg(F.min("v").alias("_mn"))
         m = m.select("u", F.least(F.col("u"), F.col("_mn")).alias("m"))
+        # the v > u half of sym is exactly e flipped (e is canonical
+        # u > v throughout the loop), so emit it directly instead of
+        # scanning the union and filtering the e branch to zero rows
+        # (r14, guide §2.3: don't compute rows you immediately drop).
+        # No trailing distinct: the output stays canonical (m ≤ u < v),
+        # small-star's final distinct restores set semantics, and min()
+        # is multiplicity-blind — dropping it removes one full
+        # shuffle+dedup per round for the price of duplicate rows
+        # riding small-star's existing shuffles.
         return (
-            sym.filter(F.col("v") > F.col("u"))
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
             .join(m, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
 
     def _small_star(e: DataFrame) -> DataFrame:
@@ -747,7 +757,11 @@ def cluster_pairs_cc(pairs: DataFrame, max_rounds: int = 64) -> DataFrame:
 
     n_edges = edges.count()
     for _ in range(max_rounds):
-        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # LAZY checkpoint: the count below materializes it inside its own
+        # job (bpe_train's trick, r14 — the eager form paid a separate
+        # materialization job per round), while the plan is truncated
+        # immediately so lineage never compounds across rounds
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         # converged ⇔ identical canonical edge sets; both sides are distinct
         # sets, so equal cardinality + empty one-way difference suffices
         # (one count + one anti-join on the tiny checkpointed pair table)

@@ -6163,14 +6163,27 @@ def rel_triangle_count(spark, sf_dir):
         F.col("t_id").alias("t2_id"),
         F.col("t_rk").alias("t2_rk"),
     )
+    # SHUFFLE_HASH on the build sides (r14, guide §3.1): the wedge set is
+    # ~30x the edge set (32.4M wedges from 1.06M edges at sf0.1), and a
+    # sort-merge closing join SORTS the whole wedge stream; hash-building
+    # the EDGE-sized sides (o2 per source partition, closing per (cs,ct)
+    # partition) streams the wedges unsorted instead. Measured 3.96-4.91 s
+    # -> 1.97-2.33 s for the wedge+closing phase, identical count. Both
+    # joins keep two-column join keys (the r13 packed-long form OOM'd the
+    # 10x smoke and stays reverted); both sides still shuffle, so no
+    # broadcast-at-scale hazard, and the build side stays the smaller,
+    # near-uniformly-hashed edge set. 10x scale smoke re-run green with
+    # this shape (SCALE.md).
     wedges = o1.join(
-        o2, (F.col("s") == F.col("s2")) & (F.col("t1_rk") < F.col("t2_rk"))
+        o2.hint("shuffle_hash"),
+        (F.col("s") == F.col("s2")) & (F.col("t1_rk") < F.col("t2_rk")),
     ).select("t1_id", "t2_id")
     # the closing edge (t1 → t2) is itself rank-oriented, so plain-id
     # equality suffices — no rank columns cross the join
     closing = oriented.select(F.col("s").alias("cs"), F.col("t_id").alias("ct"))
     tri = wedges.join(
-        closing, (F.col("t1_id") == F.col("cs")) & (F.col("t2_id") == F.col("ct"))
+        closing.hint("shuffle_hash"),
+        (F.col("t1_id") == F.col("cs")) & (F.col("t2_id") == F.col("ct")),
     ).count()
     stats = edges.agg(F.count(F.lit(1)).alias("n_edges")).collect()[0]
     dstats = deg.agg(
