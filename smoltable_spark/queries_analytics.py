@@ -5164,9 +5164,18 @@ def rel_pagerank(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
+        # node ids stay LONGS through every shuffle (r14, guide §2.3
+        # narrower types): customers map to +custkey, suppliers to
+        # -suppkey-1 — disjoint by sign, bijective, and the final
+        # projection restores the declared "c<id>"/"s<id>" labels. The
+        # old form concatenated the string labels BEFORE the distinct,
+        # so the edge distinct, the per-iteration joins and the rank
+        # aggregates all hashed/shuffled strings; with long keys the
+        # same pipeline measured 3.51->2.45 s warm (interleaved x3,
+        # result row-identical incl. the label projection).
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            F.col("o_custkey").cast("long").alias("src"),
+            (-F.col("l_suppkey").cast("long") - 1).alias("dst"),
         )
         .distinct()
         # edges feed every iteration: materialize the orders×lineitem
@@ -5200,7 +5209,13 @@ def rel_pagerank(spark, sf_dir):
                 + F.expr("(85 * sum(c)) div 100")
             ).cast("long").alias("r")
         )
-    return ranks
+    # restore the declared string node labels from the long encoding
+    return ranks.select(
+        F.when(F.col("node") >= 0, F.concat(F.lit("c"), F.col("node")))
+        .otherwise(F.concat(F.lit("s"), -F.col("node") - 1))
+        .alias("node"),
+        "r",
+    )
 
 
 # ---------------------------------------------------------------------------
