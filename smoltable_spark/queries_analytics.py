@@ -8423,10 +8423,25 @@ def _lev1_block_pairs(
     join's quadratic-in-block-size term becomes signature-linear —
     the same bucket-bounded shape as the dedup family.
     """
+    # r14 (guide §2.3 narrower keys + §3.1 join strategy): the candidate
+    # self-join used to key on the (blk, sig) STRING pair — ~34 bytes of
+    # join key per posting shuffled and compared. One xxhash64 over both
+    # folds the key to a single long; a 64-bit collision can only ADD a
+    # candidate pair, and every candidate is verified exactly below
+    # (banded levenshtein + literal block-equality recheck), so the
+    # result set is provably unchanged — the same
+    # superset-then-verify argument the FastSS signatures already rely
+    # on. Contract note: pair generation recomputes the block from
+    # name_col (both call sites define blk = substr(name, 1,
+    # _FUZZ_PREFIX)); the exact block predicate is re-applied on the
+    # verified pairs. SHUFFLE_HASH on the build side: both sides are the
+    # same 285k-posting set, and hash-probing beats sorting both (no
+    # broadcast — both sides still shuffle, scale-safe; 10x smoke
+    # re-run green). Interleaved x3 noop A/B: 2.80-5.61 s -> 1.12-1.68 s
+    # for the pair-gen subtree, 135 000 result rows pandas-identical.
     sigs = c.select(
         F.col(id_col),
         F.col(name_col),
-        "blk",
         F.explode(
             F.expr(
                 f"array_distinct(transform(sequence(0, length({name_col})), "
@@ -8435,21 +8450,24 @@ def _lev1_block_pairs(
                 f"substr({name_col}, i + 1)) end))"
             )
         ).alias("sig"),
+    ).select(
+        F.col(id_col),
+        F.col(name_col),
+        F.xxhash64(
+            F.substring(name_col, 1, _FUZZ_PREFIX), F.col("sig")
+        ).alias("hs"),
     )
     a = sigs.select(
-        "blk", "sig", F.col(id_col).alias("id_a"), F.col(name_col).alias("_na")
+        "hs", F.col(id_col).alias("id_a"), F.col(name_col).alias("_na")
     )
     b = sigs.select(
-        F.col("blk").alias("_bb"),
-        F.col("sig").alias("_sb"),
+        F.col("hs").alias("_hb"),
         F.col(id_col).alias("id_b"),
         F.col(name_col).alias("_nb"),
     )
     cand = a.join(
-        b,
-        (F.col("blk") == F.col("_bb"))
-        & (F.col("sig") == F.col("_sb"))
-        & (F.col("id_a") < F.col("id_b")),
+        b.hint("shuffle_hash"),
+        (F.col("hs") == F.col("_hb")) & (F.col("id_a") < F.col("id_b")),
     )
     # threshold (banded-DP) levenshtein: O(len·threshold) per pair with
     # early exit, returns -1 above the threshold — verified value- and
@@ -8460,7 +8478,13 @@ def _lev1_block_pairs(
     dist = F.levenshtein(F.col("_na"), F.col("_nb"), 1)
     return (
         cand.withColumn("dist", dist.cast("long"))
-        .filter(F.col("dist") >= 0)
+        .filter(
+            (F.col("dist") >= 0)
+            & (
+                F.substring("_na", 1, _FUZZ_PREFIX)
+                == F.substring("_nb", 1, _FUZZ_PREFIX)
+            )
+        )
         .select("id_a", "id_b", "dist")
         .distinct()
     )
