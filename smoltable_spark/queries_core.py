@@ -943,7 +943,10 @@ def wc_gc_worker_cycle(spark, sf_dir):
     # 7 is coprime to the %10 rewrite class, so the shadowed-version
     # population stays non-degenerate at every SF.
     base = orders_cells(spark, sf_dir, key_mod=7)
-    store.write(base)
+    # orders melt: one cell per (order, qualifier) — coordinates unique
+    # by construction, so the base write skips the dedup window (r14;
+    # same reasoning as the r10 append trim)
+    store.write(base, assume_unique_coords=True)
     rewrite = (
         base.filter(
             (F.regexp_extract("row_key", r"order#(\d+)", 1).cast("long") % 10 == 0)
@@ -1009,7 +1012,8 @@ def wc_table_lifecycle(spark, sf_dir):
     # key_mod=7 subsample (VERDICT r8 ask #7): manifest round-trip and
     # post-reopen visibility are size-independent invariants.
     base = orders_cells(spark, sf_dir, key_mod=7)
-    t.store.write(base)
+    # unique coordinates by melt construction: skip the dedup window (r14)
+    t.store.write(base, assume_unique_coords=True)
     meta = (
         base.filter(F.col("qualifier") == "orderstatus")
         .withColumn("family", F.lit("meta"))
@@ -1065,7 +1069,8 @@ def wc_store_changes_since(spark, sf_dir):
     store = CellStore(spark, scratch_dir("smoltable_cdc_"))
     store.save_families([ColumnFamilyDef("o")])
     base = orders_cells(spark, sf_dir)
-    v1 = store.write(base)
+    # unique coordinates by melt construction: skip the dedup window (r14)
+    v1 = store.write(base, assume_unique_coords=True)
     key_num = F.regexp_extract("row_key", r"order#(\d+)", 1).cast("long")
     tp = base.filter(F.col("qualifier") == "totalprice")
     d1 = (
@@ -1139,7 +1144,8 @@ def wc_minor_compact(spark, sf_dir):
     store = CellStore(spark, scratch_dir("smoltable_minor_"))
     store.save_families([ColumnFamilyDef("o")])
     base = orders_cells(spark, sf_dir, key_mod=7)
-    v1 = store.write(base)
+    # unique coordinates by melt construction: skip the dedup window (r14)
+    v1 = store.write(base, assume_unique_coords=True)
     key_num = F.regexp_extract("row_key", r"order#(\d+)", 1).cast("long")
     tp = base.filter(F.col("qualifier") == "totalprice")
     # one cell per matching order row: coordinates unique by
@@ -1316,7 +1322,8 @@ def wc_merge_upsert(spark, sf_dir):
     # upsert class and the %2 bump class, so insert/update/no-op all
     # stay populated at every SF.
     base = orders_cells(spark, sf_dir, key_mod=7)
-    store.write(base)
+    # unique coordinates by melt construction: skip the dedup window (r14)
+    store.write(base, assume_unique_coords=True)
     key = F.regexp_extract("row_key", r"order#(\d+)", 1).cast("long")
     src = base.filter((F.col("qualifier") == "totalprice") & (key % 3 == 0))
     upserts = src.withColumn("ts", F.col("ts") + F.lit(1).cast("long")).withColumn(
@@ -1434,7 +1441,8 @@ def wc_scd2_intervals(spark, sf_dir):
     store = CellStore(spark, scratch_dir("smoltable_scd2_"))
     store.save_families([ColumnFamilyDef("o")])
     base = orders_cells(spark, sf_dir)
-    store.write(base)
+    # unique coordinates by melt construction: skip the dedup window (r14)
+    store.write(base, assume_unique_coords=True)
     key = F.regexp_extract("row_key", r"order#(\d+)", 1).cast("long")
     delta = (
         base.filter((F.col("qualifier") == "totalprice") & (key % 10 == 0))
