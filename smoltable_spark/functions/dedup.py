@@ -51,6 +51,40 @@ def spread(df: DataFrame, target: int | None = None) -> DataFrame:
         return df
     return df.repartition(target)
 
+
+#: the one live cache entry of :func:`_materialize_unbounded` — each call
+#: releases the previous call's pin, so repeated operator invocations in
+#: one long-lived session never accumulate CacheManager entries
+_LIVE_UNBOUNDED_CACHE: list = []
+
+
+def _materialize_unbounded(df: DataFrame) -> DataFrame:
+    """Compute a CORPUS-SCALE intermediate once for several consumers —
+    the fault-tolerant form (ADVICE r13, medium): ``persist(MEMORY_AND_
+    DISK)`` + a materializing count keeps lineage, so on a real cluster
+    an executor loss recomputes the lost blocks instead of failing the
+    job, which ``localCheckpoint`` (executor-local blocks, lineage
+    truncated) cannot do. localCheckpoint stays the right tool for the
+    module's bounded/tiny intermediates (pair sets, labels, anchors);
+    unbounded ones route here.
+
+    Spark's CacheManager pins persisted plans until ``unpersist``; to
+    keep repeated calls leak-free each call releases the previous
+    call's entry — a straggler consumer of an older frame stays correct
+    (retained lineage recomputes) and the live pin count is bounded at
+    one."""
+    from pyspark import StorageLevel
+
+    while _LIVE_UNBOUNDED_CACHE:
+        try:
+            _LIVE_UNBOUNDED_CACHE.pop().unpersist()
+        except Exception:
+            pass
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    _LIVE_UNBOUNDED_CACHE.append(df)
+    return df
+
 # ---------------------------------------------------------------------------
 # exact
 
@@ -403,7 +437,9 @@ def containment_near_duplicates(
     # sf0.1). One materialization of the (doc, shingle-hash, df)
     # postings — the same corpus-shingle-scale intermediate the
     # df-aggregate already shuffles — collapses that to one pass.
-    pall = shh.join(dfs, "hsh").localCheckpoint(eager=True)
+    # r14 (ADVICE r13, medium): this intermediate is UNBOUNDED, so it
+    # persists with lineage instead of localCheckpointing.
+    pall = _materialize_unbounded(shh.join(dfs, "hsh"))
     rare_posts = pall.filter(F.col("df") <= max_df).select(id_col, "hsh")
     wr = Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("hsh").asc())
     # the ANCHOR SHINGLE SET: every shingle that is some doc's rarest.
@@ -549,8 +585,11 @@ def blocked_jaccard_near_duplicates(
         # shingle-ARRAY checkpoint this pins only the skinny
         # (id, blk, size, tok-hash) rows — the prefix half of the
         # shingle count at ~24 bytes/row, not O(corpus) sorted arrays.
-        .localCheckpoint(eager=True)
+        # Skinny but still corpus-proportional, so it takes the
+        # fault-tolerant persist form (ADVICE r13, medium), not a
+        # localCheckpoint.
     )
+    pre = _materialize_unbounded(pre)
     if max_block_rows is not None:
         worst = (
             pre.groupBy("blk", "_tok")

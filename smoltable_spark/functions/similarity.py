@@ -243,6 +243,17 @@ def _collected_centroids(centroids: DataFrame):
     return rows, centroids.schema["cid"].dataType
 
 
+#: ADVICE r13 (low): ``_probe_ranking`` inlines every centroid's full
+#: quantized vector as one folded SQL literal per DataFrame build —
+#: the right trade for the stated tens-to-low-thousands IVF
+#: coarse-quantizer regime, but at e.g. 4096 centroids × 768 dims the
+#: literal is multi-MB and Catalyst parses/analyzes it per call site.
+#: Warn loudly when the bounded-collect assumption is violated so an
+#: oversized quantizer degrades visibly instead of silently blowing up
+#: driver analysis time.
+_PROBE_LITERAL_MAX_CENTROIDS = 4096
+
+
 def _probe_ranking(collected):
     """``array<struct<srt,cid>>`` sorted so element ``i`` (1-based) is
     the row vector's i-th nearest centroid — computed entirely as a
@@ -254,9 +265,22 @@ def _probe_ranking(collected):
     bit-for-bit (Spark sorts NaN greatest, so a NaN cosine sorted FIRST
     under DESC; −∞ sorts first under ASC; real cosines can never be
     ±∞ — a zero-norm side yields dot 0 hence 0/0 = NaN, never x/0)."""
+    import warnings
+
     from pyspark.sql.types import LongType
 
     rows, cid_type = collected
+    if len(rows) > _PROBE_LITERAL_MAX_CENTROIDS:
+        warnings.warn(
+            f"IVF probe ranking is inlining {len(rows)} centroids as a "
+            f"folded literal (> {_PROBE_LITERAL_MAX_CENTROIDS}); driver "
+            "analysis time grows with the literal — this quantizer is "
+            "outside the bounded coarse-quantizer regime the inlined "
+            "form is designed for (push the probe set down as a "
+            "broadcast join instead)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # Three implementation notes, all measured at sf0.1:
     # - the centroid set is ONE folded literal (array of structs) and
     #   the per-centroid scoring is a single shared transform lambda,
@@ -983,7 +1007,19 @@ def ivf_recall_vs_centroids(
     }
     cside = c
     for nc in centroid_counts:
-        cside = _with_nearest_list(cside, collected[nc], col=f"_l{nc}")
+        # ADVICE r13 (low): an EMPTY quantizer (corpus ids all >= nc)
+        # must zero only ITS OWN branch's recall — _with_nearest_list's
+        # filter(False) contract would empty the shared corpus side for
+        # every quantizer in the sweep. Assign null instead: the probe
+        # join below never matches a null list (its probe frame is
+        # empty anyway), so _in{nc} coalesces to False and that branch
+        # reports recall 0 while the others stay real.
+        if not collected[nc][0]:
+            cside = cside.withColumn(
+                f"_l{nc}", F.lit(None).cast(collected[nc][1])
+            )
+        else:
+            cside = _with_nearest_list(cside, collected[nc], col=f"_l{nc}")
     cside = cside.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("q").alias("cq2"),

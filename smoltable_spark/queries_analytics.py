@@ -8262,8 +8262,13 @@ def rel_kcore(spark, sf_dir):
             # edge set LITERALLY identical; every remaining unrolled
             # round reproduces these exact counts. Fill the trajectory
             # instead of burning (rounds-r) more no-op Spark jobs.
+            # (ADVICE r13: bind the fill values BEFORE extending — a
+            # generator referencing traj[-1] re-points at each newly
+            # appended tuple mid-iteration, correct today only because
+            # the filled values are invariant.)
+            n_fix, e_fix = traj[-1][1], traj[-1][2]
             traj.extend(
-                (rr, traj[-1][1], traj[-1][2])
+                (rr, n_fix, e_fix)
                 for rr in range(r + 1, _KCORE_ROUNDS + 1)
             )
             break

@@ -605,14 +605,45 @@ class CellStore:
         capped so no file drops under 8 MiB and a genuinely tiny
         snapshot still commits as ONE file per locality group."""
         try:
-            est = int(
-                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-            )
+            plan = df._jdf.queryExecution().optimizedPlan()
+            est = int(plan.stats().sizeInBytes())
+            # leaf-scan byte sum for the sanity clamp below (unknown
+            # leaves — the 8 EiB Catalyst sentinel — contribute 0)
+            leaf_sum = 0
+            it = plan.collectLeaves().iterator()
+            while it.hasNext():
+                s = int(it.next().stats().sizeInBytes())
+                if 0 < s < (1 << 50):
+                    leaf_sum += s
         except Exception:
-            est = 0
+            est, leaf_sum = 0, 0
         return self._partitions_for_bytes(
-            est, self.spark.sparkContext.defaultParallelism
+            self._clamped_estimate(est, leaf_sum),
+            self.spark.sparkContext.defaultParallelism,
         )
+
+    #: ADVICE r13 (low): without CBO, join-/union-derived frames can
+    #: carry sizeInBytes estimates that MULTIPLY child sizes — orders of
+    #: magnitude above reality — and the <=0 / >=1 PiB guard alone would
+    #: let a ~100 MB join result estimated at 500 GB repartitionByRange
+    #: into thousands of near-empty files (the exact small-files problem
+    #: the adaptive rule fixes for scans). Legitimate expansion over the
+    #: leaf scans (parquet decompression ~3-10x, the orders melt's
+    #: qualifier stack ~4x) stays well under this multiple; estimate
+    #: blowups from non-selective join/union propagation are far above.
+    _EST_MAX_LEAF_MULTIPLE = 64
+
+    @classmethod
+    def _clamped_estimate(cls, est: int, leaf_sum: int) -> int:
+        """Distrust a plan-size estimate far above the bytes its leaf
+        scans can actually produce (unit-testable pure rule)."""
+        if (
+            leaf_sum > 0
+            and 0 < est < (1 << 50)
+            and est > leaf_sum * cls._EST_MAX_LEAF_MULTIPLE
+        ):
+            return leaf_sum * cls._EST_MAX_LEAF_MULTIPLE
+        return est
 
     @classmethod
     def _partitions_for_bytes(cls, est: int, cores: int) -> int:
