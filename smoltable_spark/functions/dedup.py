@@ -52,38 +52,34 @@ def spread(df: DataFrame, target: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
-#: the one live cache entry of :func:`_materialize_unbounded` — each call
-#: releases the previous call's pin, so repeated operator invocations in
-#: one long-lived session never accumulate CacheManager entries
-_LIVE_UNBOUNDED_CACHE: list = []
-
-
 def _materialize_unbounded(df: DataFrame) -> DataFrame:
     """Compute a CORPUS-SCALE intermediate once for several consumers —
-    the fault-tolerant form (ADVICE r13, medium): ``persist(MEMORY_AND_
-    DISK)`` + a materializing count keeps lineage, so on a real cluster
-    an executor loss recomputes the lost blocks instead of failing the
-    job, which ``localCheckpoint`` (executor-local blocks, lineage
-    truncated) cannot do. localCheckpoint stays the right tool for the
+    the fault-tolerant form (ADVICE r13, medium): a RELIABLE checkpoint
+    (``sparkContext.setCheckpointDir`` + ``checkpoint(eager=True)``),
+    the option the advice itself names for unbounded intermediates. On
+    a real cluster the checkpoint lives in shared storage, so an
+    executor loss re-reads it instead of failing the job — which
+    ``localCheckpoint`` (executor-local blocks) cannot survive — and
+    unlike ``persist``-with-lineage it also TRUNCATES the logical plan:
+    chained materializations (postings → pair set → arrays) would
+    otherwise nest each cached subtree inside the next consumer's plan
+    and hand Catalyst a re-analysis of the whole pipeline per action
+    (measured: the dedup_containment dump grew 2.6k → 10.5k lines under
+    nested persists). localCheckpoint stays the right tool for the
     module's bounded/tiny intermediates (pair sets, labels, anchors);
     unbounded ones route here.
 
-    Spark's CacheManager pins persisted plans until ``unpersist``; to
-    keep repeated calls leak-free each call releases the previous
-    call's entry — a straggler consumer of an older frame stays correct
-    (retained lineage recomputes) and the live pin count is bounded at
-    one."""
-    from pyspark import StorageLevel
+    The checkpoint dir is set once per context (scratch-backed locally;
+    a deployment overrides via ``$SPARK_GRAFT_SCRATCH`` or by setting
+    its own checkpoint dir to shared storage), and the session enables
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` so checkpoints
+    of GC'd frames are reclaimed in long-lived sessions."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        from smoltable_spark.queries_util import scratch_dir
 
-    while _LIVE_UNBOUNDED_CACHE:
-        try:
-            _LIVE_UNBOUNDED_CACHE.pop().unpersist()
-        except Exception:
-            pass
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    df.count()
-    _LIVE_UNBOUNDED_CACHE.append(df)
-    return df
+        sc.setCheckpointDir(scratch_dir("smoltable_ckpt_"))
+    return df.checkpoint(eager=True)
 
 # ---------------------------------------------------------------------------
 # exact
@@ -280,6 +276,7 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    _materialize_arrays: bool = False,
 ) -> DataFrame:
     """Exact Jaccard for given candidate pairs: |A∩B| / |A∪B|.
 
@@ -308,6 +305,16 @@ def jaccard_pairs(
     arr = shingle_arrays(
         docs.join(cand_ids, id_col, "left_semi"), text_col, id_col, k, hashed=True
     )
+    if _materialize_arrays:
+        # r14 (guide §1.2): the pair join below embeds ``arr`` TWICE
+        # (side a and side b), and through ``cand_ids`` each embedding
+        # drags the caller's whole candidate pipeline along — measured
+        # on dedup_containment, the tokenize+candidate subtree ran 3×.
+        # Opt-in (corpus-scale ⇒ the checkpointed form) because only
+        # callers whose candidate frame is itself materialized benefit;
+        # small-pair callers measured a LOSS (the extra materializing
+        # job outweighs the saved recompute).
+        arr = _materialize_unbounded(arr)
     pairs = pairs.repartition(pairs.sparkSession.sparkContext.defaultParallelism)
     a = arr.select(F.col(id_col).alias("id_a"), F.col("sh_arr").alias("_sa"))
     b = arr.select(F.col(id_col).alias("id_b"), F.col("sh_arr").alias("_sb"))
@@ -438,7 +445,7 @@ def containment_near_duplicates(
     # postings — the same corpus-shingle-scale intermediate the
     # df-aggregate already shuffles — collapses that to one pass.
     # r14 (ADVICE r13, medium): this intermediate is UNBOUNDED, so it
-    # persists with lineage instead of localCheckpointing.
+    # takes the reliable-checkpoint form instead of localCheckpoint.
     pall = _materialize_unbounded(shh.join(dfs, "hsh"))
     rare_posts = pall.filter(F.col("df") <= max_df).select(id_col, "hsh")
     wr = Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("hsh").asc())
@@ -475,15 +482,21 @@ def containment_near_duplicates(
                 "or raise/disable max_anchor_df"
             )
     anchor_posts = pall.join(anchors.select("hsh"), "hsh").select(id_col, "hsh")
-    posts = rare_posts.union(anchor_posts).distinct()
+    # r14 (guide §1.2/§2.4): unmaterialized, the posts union+distinct ran
+    # once per self-join SIDE and the whole candidate pipeline re-ran
+    # inside BOTH of the verify's array builds (the r13 plan embedded the
+    # subtree 3×: 7 SortMergeJoins for 3 logical joins). Materialize the
+    # postings and the deduped pair set once; the verify then reads ~1M
+    # skinny checkpointed pair rows instead of recomputing the index.
+    posts = _materialize_unbounded(rare_posts.union(anchor_posts).distinct())
     a = posts.select("hsh", F.col(id_col).alias("id_a"))
     b = posts.select(F.col("hsh").alias("_hb"), F.col(id_col).alias("id_b"))
-    cands = (
+    cands = _materialize_unbounded(
         a.join(b, (F.col("hsh") == F.col("_hb")) & (F.col("id_a") < F.col("id_b")))
         .select("id_a", "id_b")
         .distinct()
     )
-    jac = jaccard_pairs(docs, cands, text_col, id_col, k)
+    jac = jaccard_pairs(docs, cands, text_col, id_col, k, _materialize_arrays=True)
     num, den = round(threshold * 1000), 1000
     mn = F.least(F.col("size_a"), F.col("size_b"))
     return (
@@ -621,6 +634,11 @@ def blocked_jaccard_near_duplicates(
         .select("id_a", "id_b")
         .distinct()
     )
+    # r14 note: chain-pinning `pairs` + the verify arrays here (the
+    # containment treatment) measured a consistent ABAB LOSS (~0.7 s at
+    # sf0.1): this path's deduped pair set is small, so two extra
+    # materializing jobs cost more than recomputing a subtree that
+    # already reads the pinned `pre`. Left unmaterialized on purpose.
     jac = jaccard_pairs(docs, pairs, text_col, id_col, k)
     return jac.filter(
         F.col("common") * den

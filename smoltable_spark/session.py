@@ -40,6 +40,10 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # reliable checkpoints (unbounded dedup intermediates, r14) are
+        # reclaimed once their frame is GC'd, so long-lived sessions
+        # don't accumulate checkpoint files in the scratch dir
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -110,18 +110,22 @@ def test_probe_ranking_warns_above_centroid_bound(spark, monkeypatch):
 # fault-tolerant unbounded materialization (ADVICE r13 medium: dedup)
 
 
-def test_materialize_unbounded_keeps_lineage_and_bounds_cache(spark):
+def test_materialize_unbounded_reliable_checkpoint(spark):
     from smoltable_spark.functions import dedup
 
-    a = dedup._materialize_unbounded(spark.range(100).withColumn("x", F.col("id") * 2))
-    assert a.storageLevel.useMemory and a.storageLevel.useDisk
-    assert dedup._LIVE_UNBOUNDED_CACHE == [a]
-    b = dedup._materialize_unbounded(spark.range(50))
-    # previous entry released: live pin count stays bounded at one
-    assert dedup._LIVE_UNBOUNDED_CACHE == [b]
-    assert not a.storageLevel.useMemory  # unpersisted
-    # the released frame stays CORRECT (lineage retained → recompute)
+    a = dedup._materialize_unbounded(
+        spark.range(100).withColumn("x", F.col("id") * 2)
+    )
+    # a RELIABLE checkpoint (shared-storage dir, survives executor
+    # loss), not a localCheckpoint: the context's checkpoint dir is set
+    assert spark.sparkContext.getCheckpointDir() is not None
+    # and the plan is TRUNCATED — downstream consumers re-analyze an
+    # RDD scan, not the whole upstream pipeline per action
+    assert "LogicalRDD" in a._jdf.queryExecution().optimizedPlan().toString()
     assert a.count() == 100
-    assert b.count() == 50
-    b.unpersist()
-    dedup._LIVE_UNBOUNDED_CACHE.clear()
+    assert a.filter(F.col("x") >= 100).count() == 50
+    # the session reclaims checkpoints of GC'd frames in long sessions
+    assert (
+        spark.conf.get("spark.cleaner.referenceTracking.cleanCheckpoints")
+        == "true"
+    )
